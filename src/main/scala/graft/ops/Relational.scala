@@ -1,0 +1,277 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.core.Tables._
+
+/** Relational operator library — SURVEY.md §2.C Q01–Q22.
+  *
+  * Each query is a declarative DataFrame program: Catalyst handles
+  * predicate pushdown, column pruning, partial aggregation and join
+  * strategy selection. Scale posture (100 TB / 1000 executors):
+  *   - dimension tables (region/nation/customer/supplier) are joined
+  *     with explicit `broadcast` hints — no shuffle of the fact side;
+  *   - fact-fact joins shuffle on their equi-keys and rely on AQE for
+  *     skew splitting and partition coalescing;
+  *   - aggregates are hash aggregates with map-side partials;
+  *   - no `.collect()` inside any operator — everything returns a
+  *     distributed plan.
+  *
+  * Money-sums are rounded to 2dp and averages to 6dp *inside* the
+  * query (and identically in the DuckDB oracle SQL, see
+  * [[graft.SparkEntry.oracleSql]]) so double summation order cannot
+  * flip the driver's canonical 6dp hash.
+  *
+  * Reference semantics: the demo exercises scan/project/derive/
+  * distinct/avg (ascii-hydra `pipeline_example/step_2.py:23-30`); the
+  * production workload implies the join/agg/window family
+  * (`papers/multi_platform_orchestration/paper.md:150-168`,
+  * `src/.../resources/spark.py:37-46`).
+  */
+object Relational {
+
+  private def money(c: Column): Column = round(c, 2)
+  private def ratio(c: Column): Column = round(c, 6)
+
+  /** Q01 scan + projection (reference A2/A7): pushed column pruning. */
+  def q01ScanProject(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Q02 conjunctive/range/negation predicates, pushed to parquet. */
+  def q02Filter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .where(col("l_shipdate") < lit("1995-01-01").cast("timestamp")
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_returnflag") =!= "R")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Q03 global aggregate — replica of reference step_2
+    * (`step_2.py:25-30`): avg(length(text)) + distinct count. */
+  def q03GlobalAgg(s: SparkSession, d: String): DataFrame =
+    documents(s, d).agg(
+      ratio(avg(length(col("text")))).as("avg_text_length"),
+      countDistinct(col("text")).as("num_distinct_texts"))
+
+  /** Q04 distinct aggregate (expand + two-phase agg). */
+  def q04DistinctAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d).agg(countDistinct(col("o_custkey")).as("n_custkeys"))
+
+  /** Q05 grouped aggregation, TPC-H Q1 shape: map-side partial +
+    * final hash aggregate; group cardinality is tiny so the shuffle
+    * moves only partial states regardless of fact size. */
+  def q05GroupbyAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        money(sum(col("l_quantity"))).as("sum_qty"),
+        money(sum(col("l_extendedprice"))).as("sum_base_price"),
+        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("sum_disc_price"),
+        ratio(avg(col("l_quantity"))).as("avg_qty"),
+        ratio(avg(col("l_discount"))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Q06 equi join with a broadcast dimension: customer is orders/10,
+    * broadcast it so the fact side never shuffles. */
+  def q06BroadcastJoin(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** Q07 multi-way star join: all dimensions broadcast; the only
+    * shuffle is lineitem⋈orders on orderkey (AQE reorders/coalesces).
+    */
+  def q07StarJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d).select("n_nationkey", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("revenue"))
+      .orderBy("r_name")
+
+  /** Q08 left semi join (EXISTS): customers with ≥1 order. */
+  def q08SemiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n_customers_with_orders"))
+
+  /** Q09 left anti join (NOT EXISTS): customers with no orders. */
+  def q09AntiJoin(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Q10 left outer join + null-skipping count. */
+  def q10OuterJoin(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .join(supplier(s, d), col("n_nationkey") === col("s_nationkey"),
+        "left_outer")
+      .groupBy("n_name")
+      .agg(count(col("s_suppkey")).as("n_suppliers"))
+      .orderBy("n_name")
+
+  /** Q11 window ranking: top-3 orders per customer; ties broken by
+    * orderkey so the result is deterministic. */
+  def q11WindowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Q12 window analytic with an explicit ROWS frame: per-user
+    * running sum. event_id is the deterministic tiebreak (fixture ts
+    * is globally non-decreasing in event_id, so µs-vs-ns truncation
+    * cannot reorder the frame vs the oracle). */
+  def q12WindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .select(col("user_id"), col("event_id"),
+        money(sum(col("value")).over(w)).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Q13 global top-k → TakeOrderedAndProject (no full sort: each
+    * partition keeps k rows, driver merges k·p rows). */
+  def q13TopK(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(10)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Q14 set operators over distinct nation keys. */
+  def q14SetOps(s: SparkSession, d: String): DataFrame = {
+    val cn = customer(s, d).select(col("c_nationkey").as("nk")).distinct()
+    val sn = supplier(s, d).select(col("s_nationkey").as("nk")).distinct()
+    def counted(df: DataFrame, label: String): DataFrame =
+      df.agg(count(lit(1)).as("n_nations"))
+        .select(lit(label).as("op"), col("n_nations"))
+    counted(cn.union(sn).distinct(), "union")
+      .unionAll(counted(cn.intersect(sn), "intersect"))
+      .unionAll(counted(cn.except(sn), "except"))
+      .orderBy("op")
+  }
+
+  /** Q15 ROLLUP with grouping flags over the region→nation→customer
+    * hierarchy (dimensions broadcast). */
+  def q15Rollup(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select("c_custkey", "c_nationkey")
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        grouping(col("r_name")).cast("int").as("g_region"),
+        grouping(col("n_name")).cast("int").as("g_nation"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  /** Q16 scalar function battery (string/date/math built-ins, all
+    * whole-stage-codegen'd — no UDFs). */
+  def q16ScalarBattery(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(
+        col("o_orderkey"),
+        upper(col("c_name")).as("name_upper"),
+        substring(col("c_name"), 10, 8).as("name_tail"),
+        concat(col("c_mktsegment"), lit("_"), col("o_orderpriority"))
+          .as("seg_prio"),
+        trim(concat(lit("  "), col("c_mktsegment"), lit("  "))).as("seg_trim"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("cust_num"),
+        length(col("c_name")).as("name_len"),
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("order_month"),
+        datediff(col("o_orderdate").cast("date"),
+          lit("1995-01-01").cast("date")).as("days_since_95"),
+        money(abs(col("o_totalprice") - 100000)).as("abs_delta"),
+        round(col("o_totalprice"), 1).as("price_round1"),
+        floor(col("o_totalprice") / 1000).as("price_k"),
+        ratio(pow(col("o_totalprice") / 100000, 2)).as("price_sq"))
+      .orderBy("o_orderkey")
+
+  /** Q17a split → array + size. */
+  def q17Tokens(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Q17b explode word count, deterministic top-20. */
+  def q17Wordcount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(20)
+
+  /** Q17c JSON path extraction from the events.props string column. */
+  def q17Json(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .orderBy("event_id")
+
+  /** Q18 approximate distinct (HLL++) vs exact — ±5% tolerance, so
+    * rows-only checked (no DuckDB hash oracle). */
+  def q18ApproxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct(col("l_partkey")).as("approx_partkeys"),
+      countDistinct(col("l_partkey")).as("exact_partkeys"))
+
+  /** Q19 exact dedup count (dropDuplicates on the dedup key). */
+  def q19DedupCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .dropDuplicates("text")
+      .agg(count(lit(1)).as("n_unique_docs"))
+
+  /** Q20 tumbling 1-hour time bucketing (batch analog of the
+    * streaming window — see [[graft.streaming.EventsStream]]). */
+  def q20TimeBucket(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), money(sum(col("value"))).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Q21 conditional aggregation (pivot-lite). */
+  def q21ConditionalAgg(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .agg(money(sum(when(col("event_type") === "click", col("value"))))
+        .as("click_value"))
+      .orderBy("user_id")
+
+  /** Q22 correlated scalar subquery, expressed decorrelated: per-key
+    * aggregate joined back to the fact (the plan Catalyst's
+    * RewriteCorrelatedScalarSubquery would produce from SQL). */
+  def q22CorrSubquery(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+    val custAvg = o.groupBy(col("o_custkey").as("ca_custkey"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    o.join(custAvg, col("o_custkey") === col("ca_custkey"))
+      .where(col("o_totalprice") > col("avg_price"))
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+}
