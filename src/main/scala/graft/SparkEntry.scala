@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.ops.Relational
+import graft.core.Tables
+import graft.ops.{Dedup, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +44,19 @@ object SparkEntry {
     "q20_time_bucket"    -> (Relational.q20TimeBucket _),
     "q21_conditional_agg" -> (Relational.q21ConditionalAgg _),
     "q22_corr_subquery"  -> (Relational.q22CorrSubquery _),
+    // C-tier: dedup / similarity (north_star extension surface)
+    "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
+    "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
+    "c3_simhash_neardup" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    "c4_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
+    "c5_cosine_neardup"  -> ((s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
+    "c6_ann_topk"        -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
+    "c7_ann_ivf"         -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d))),
+    // T-tier: text analysis
+    "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
+    "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
+    "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/types).
@@ -180,5 +194,95 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY 1""".stripMargin,
+    "c1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY 1""".stripMargin,
+    // c2 (MinHash-LSH) and c4 (exact) share the exact-Jaccard oracle:
+    // LSH recall at the fixture's planted J≈0.99 is 1 − (1−J⁴)³² ≈ 1.
+    "c2_minhash_neardup" -> ngramJaccardOracle,
+    "c4_ngram_jaccard"   -> ngramJaccardOracle,
+    "c5_cosine_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
+        |ORDER BY 1, 2""".stripMargin,
+    "c6_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |scored AS (
+        |  SELECT query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(qv, e.v) AS cos
+        |  FROM q JOIN e ON e.vec_id <> query_id),
+        |r AS (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id
+        |          ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "t1_langid" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, lang,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
+        |  len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
+        |FROM t)
+        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "t2_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  round(len(list_filter(w, x -> list_contains(
+        |    ['the','a','of','and','is','der','die','das','und','ist',
+        |     'el','los','y','es','que','le','la','et','est','les',
+        |     '的','是','了','在','和'], x))) * 1.0 / len(w), 6) AS stopword_ratio
+        |FROM t)
+        |SELECT m.*, round(least(1.0, n_tokens / 50.0) *
+        |  (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.7 END) *
+        |  (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
+        |  AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t3_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+        |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS distinct_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t4_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
+        |w AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM t),
+        |sh AS (SELECT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4] AS s
+        |       FROM w, unnest(range(1, len(w) - 3)) AS u(i)),
+        |mn AS (SELECT doc_id, min(substr(md5(s), 1, 16)) AS winnow_fp
+        |       FROM sh GROUP BY 1)
+        |SELECT t.doc_id, md5(nt) AS content_fp, mn.winnow_fp
+        |FROM t LEFT JOIN mn ON t.doc_id = mn.doc_id ORDER BY 1""".stripMargin,
   )
+
+  /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
+    * both the exact (c4) and MinHash-LSH (c2) near-dup operators. */
+  private val ngramJaccardOracle: String =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |       FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+      |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2)
+      |SELECT da AS doc_a, db AS doc_b,
+      |       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+      |FROM co JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db
+      |WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Embedding similarity search over `array<float>` columns — the
+  * north_star ANN surface (BASELINE.json), designed for a corpus that
+  * doesn't fit one node.
+  *
+  * Vector math is pure higher-order-function arithmetic
+  * (`zip_with` product + `aggregate` sum) — codegen'd, no UDFs, no
+  * per-row JVM object churn. Everything computes in double to match
+  * the DuckDB oracle bit-for-bit before 6dp rounding.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two float arrays, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** C6 — exact brute-force cosine top-k: the ANN baseline.
+    *
+    * The query set (every `queryStride`-th vector) is tiny and
+    * broadcast; the corpus streams past it once — cost is
+    * O(corpus × queries), embarrassingly parallel, zero shuffle until
+    * the final per-query top-k (a `row_number` window whose partition
+    * count = |queries|, each holding |corpus| candidate rows — at
+    * real scale swap the window for a per-partition top-k + merge,
+    * which TakeOrderedAndProject-style pruning approximates; here the
+    * window keeps the plan declarative). Ties broken by vec_id. */
+  def annTopK(emb: DataFrame, k: Int = 10, queryStride: Int = 100): DataFrame = {
+    val queries = emb
+      .where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = emb.as("c")
+      .join(broadcast(queries), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** C7 — IVF-style ANN: the subquadratic scale path for [[annTopK]].
+    *
+    * Deterministic coarse quantizer: every `centroidStride`-th vector
+    * is a centroid (at real scale: k-means centroids from a sample —
+    * the plumbing is identical). Each corpus vector is assigned to its
+    * nearest centroid (broadcast centroids, one linear scan, window
+    * argmin); a query probes only its `nProbe` nearest centroid lists,
+    * so the per-query work drops from |corpus| to
+    * ~nProbe/|centroids| × |corpus|.
+    *
+    * The inverted lists are the partitioning story at 100 TB: corpus
+    * repartitioned by centroid_id once at index-build time, probes
+    * then touch only matching partitions. Recall < 1 by construction
+    * (rows-only gate; ScalaTest measures recall vs [[annTopK]]). */
+  def annTopKIvf(emb: DataFrame, k: Int = 10, queryStride: Int = 100,
+      centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
+    val centroids = emb.where(col("vec_id") % centroidStride === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    // index build: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cdist").desc, col("centroid_id").asc)
+    val assigned = emb.as("c")
+      .join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("c.embedding").as("embedding"),
+        col("centroid_id"), cosine(col("cv"), col("c.embedding")).as("cdist"))
+      .withColumn("arank", row_number().over(wAssign))
+      .where(col("arank") === 1)
+      .select("vec_id", "embedding", "centroid_id")
+    // query side: nProbe nearest centroids per query
+    val queries = emb.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("qdist").desc, col("centroid_id").asc)
+    val probes = queries
+      .join(broadcast(centroids), lit(true))
+      .select(col("query_id"), col("qv"), col("centroid_id"),
+        cosine(col("cv"), col("qv")).as("qdist"))
+      .withColumn("prank", row_number().over(wProbe))
+      .where(col("prank") <= nProbe)
+      .select("query_id", "qv", "centroid_id")
+    // search only the probed lists
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos"), 6).as("cosine"), col("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
+  /** C5 — embedding cosine near-dup pairs (all pairs ≥ threshold).
+    *
+    * Exact by block-nested self-join. At the fixture thresholds the
+    * corpus side is small enough to broadcast; at 100 TB with a *high*
+    * threshold (true near-dups, cos ≥ 0.95) the scale path is
+    * signed-random-projection banding — same bucket-join shape as
+    * [[Dedup.minHashLshPairs]] (see [[srpSignature]]); at low
+    * thresholds no sublinear method exists and the honest answer is
+    * the blocked quadratic scan this plan performs. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame =
+    emb.as("a")
+      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+
+  /** Signed-random-projection b-bit signature (deterministic
+    * hyperplanes from xxhash64 of (plane, dim)): bit p = sign of
+    * Σᵢ hᵢₚ·vᵢ where hᵢₚ ∈ {−1,+1}. Hamming distance on signatures
+    * estimates angular distance — band it like MinHash for candidate
+    * generation at high cosine thresholds. */
+  def srpSignature(v: Column, bits: Int = 16): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)), p =>
+        when(aggregate(zip_with(v,
+            sequence(lit(0), size(v) - 1),
+            (x, i) => when(xxhash64(p, i).bitwiseAND(1) === 1,
+              x.cast("double")).otherwise(-x.cast("double"))),
+          lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))),
+      lit(0L),
+      (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+}

@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator family for training-data pipelines
+  * (BASELINE.json north_star; the reference tags documents with
+  * `main_language=` partition values and ships spark-nlp for text
+  * work — ascii-hydra `src/.../pipes/utils.py:56-62`,
+  * `resources/spark.py:67`).
+  *
+  * Every operator is a single-pass projection of codegen'd built-ins
+  * over the text column — at 100 TB these run map-side with zero
+  * shuffle, so throughput is bounded by parquet scan speed. Each has
+  * an exact DuckDB-SQL oracle (see [[graft.SparkEntry.oracleSql]]).
+  */
+object TextOps {
+
+  /** Marker stopword lists per language for the n-gram/stopword
+    * language-ID heuristic. Fixed, tiny, broadcast as literals into
+    * codegen. (Real pipelines would learn character-n-gram profiles;
+    * the *operator shape* — argmax over per-language scores computed
+    * in one pass — is identical.) */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "los", "y", "es", "que"),
+    "fr" -> Seq("le", "la", "et", "est", "les"),
+    "zh" -> Seq("的", "是", "了", "在", "和"))
+
+  private def markerCount(toks: Column, markers: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(markers)))
+
+  /** T1 — language identification: score = marker-token count per
+    * language, prediction = argmax with a fixed precedence order
+    * (en > de > es > fr > zh on ties) so the result is deterministic
+    * and SQL-replicable. Emits the scores so the oracle checks the
+    * whole computation, not just the argmax. */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scored = docs.select(
+      col("doc_id") +: col("lang") +:
+        langMarkers.map { case (l, m) => markerCount(toks, m).as(s"s_$l") }: _*)
+    val Seq(en, de, es, fr, zh) =
+      Seq("en", "de", "es", "fr", "zh").map(l => col(s"s_$l"))
+    scored
+      .withColumn("lang_pred",
+        when(en >= de && en >= es && en >= fr && en >= zh, "en")
+          .when(de >= es && de >= fr && de >= zh, "de")
+          .when(es >= fr && es >= zh, "es")
+          .when(fr >= zh, "fr")
+          .otherwise("zh"))
+      .orderBy("doc_id")
+  }
+
+  /** T2 — quality scoring: the standard cheap filters (length, mean
+    * word length, punctuation density, stopword ratio) combined into
+    * one score. One projection, no shuffle. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val toks = split(text, " ")
+    val nTok = size(toks)
+    val stop = markerCount(toks, langMarkers.flatMap(_._2))
+    docs.select(
+      col("doc_id"),
+      length(text).as("n_chars_m"),
+      nTok.as("n_tokens"),
+      round((length(text) - (nTok - lit(1))).cast("double") / nTok, 6)
+        .as("mean_word_len"),
+      (length(text) - length(regexp_replace(text, "[.,;:!?]", "")))
+        .as("n_punct"),
+      round(stop.cast("double") / nTok, 6).as("stopword_ratio"))
+      .withColumn("quality",
+        round(least(lit(1.0), col("n_tokens") / lit(50.0)) *
+          when(col("stopword_ratio") > 0.05, 1.0).otherwise(0.7) *
+          when(col("mean_word_len").between(3.0, 10.0), 1.0).otherwise(0.5), 6))
+      .orderBy("doc_id")
+  }
+
+  /** T3 — token counting: whitespace tokens vs a BPE-ish regex
+    * tokenizer (letter runs | digit runs | single non-alnum), plus
+    * the distinct-token count. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val lower_ = lower(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).as("ws_tokens"),
+      size(regexp_extract_all(lower_, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .as("re_tokens"),
+      size(array_distinct(split(lower_, " "))).as("distinct_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** T4 — document fingerprinting: whole-content md5 (after
+    * lower/trim normalization) + a winnowing-style shingle
+    * fingerprint (min md5-prefix over word 5-grams — the rolling-hash
+    * minimum used by MOSS-style dedup). md5 so the DuckDB oracle can
+    * reproduce it byte-for-byte; docs shorter than 5 words get a null
+    * shingle fingerprint. */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val norm = lower(trim(col("text")))
+    docs.select(
+      col("doc_id"),
+      md5(norm).as("content_fp"),
+      array_min(transform(Dedup.shingles(norm, 5),
+        s => substring(md5(s), 1, 16))).as("winnow_fp"))
+      .orderBy("doc_id")
+  }
+}
