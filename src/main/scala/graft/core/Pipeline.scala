@@ -1,0 +1,125 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Pipeline/step framework — the orchestration shell of the engine,
+  * replacing the reference's Dagster asset layer with a minimal typed
+  * DAG (ascii-hydra `pipes/spark_pipes_factory.py:97-144` asset
+  * factory, `spark_script_abc.py:20-30` step ABC,
+  * `step_1.py:47-53` materialization metadata).
+  */
+
+/** Materialization metadata — the engine's analog of
+  * `report_asset_materialization` (A20): JSON-able stats + data
+  * version. */
+final case class StepResult(
+    metadata: Map[String, String] = Map.empty,
+    dataVersion: Option[String] = None)
+
+/** Everything a step sees at run time — the `extras` the reference
+  * threads through Pipes (`spark_pipes_factory.py:280-295`). */
+final case class RunContext(
+    spark: SparkSession,
+    mode: ExecutionMode,
+    engine: Engine,
+    partitionKey: Option[String],
+    paths: PathResolver,
+    io: ParquetIOManager)
+
+/** A named, dependency-ordered pipeline step
+  * (`spark_script_abc.py:20-30`: `execute_business_logic`). */
+trait PipelineStep {
+  def name: String
+  def deps: Seq[String] = Nil
+  def execute(ctx: RunContext): StepResult
+}
+
+final case class StepReport(step: String, ok: Boolean, seconds: Double,
+    result: StepResult, error: Option[String])
+
+/** Topologically-ordered executor with per-step reports. One entry
+  * point replaces the reference's three engine paths (§3): engine
+  * selection only decides *where* the session comes from, the step
+  * code is identical — that's the reference's whole pitch, kept. */
+final class PipelineRunner(steps: Seq[PipelineStep]) {
+  require(steps.map(_.name).distinct.size == steps.size, "duplicate step names")
+
+  /** Kahn topological order; fails on unknown deps or cycles. */
+  def order: Seq[PipelineStep] = {
+    val byName = steps.map(s => s.name -> s).toMap
+    steps.foreach(s => s.deps.foreach(d => require(byName.contains(d),
+      s"step ${s.name} depends on unknown step $d")))
+    val indeg = mutable.Map(steps.map(s => s.name -> s.deps.size): _*)
+    val out = steps.flatMap(s => s.deps.map(_ -> s.name))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val ready = mutable.Queue(steps.filter(_.deps.isEmpty).map(_.name).sorted: _*)
+    val sorted = mutable.ArrayBuffer.empty[PipelineStep]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      sorted += byName(n)
+      out.getOrElse(n, Nil).foreach { m =>
+        indeg(m) -= 1
+        if (indeg(m) == 0) ready += m
+      }
+    }
+    require(sorted.size == steps.size,
+      s"cycle among steps: ${steps.map(_.name).diff(sorted.map(_.name)).mkString(",")}")
+    sorted.toSeq
+  }
+
+  def run(ctx: RunContext, failFast: Boolean = true): Seq[StepReport] = {
+    ExecutionMode.validate(ctx.mode, ctx.engine)
+    val reports = mutable.ArrayBuffer.empty[StepReport]
+    val it = order.iterator
+    var failed = false
+    while (it.hasNext && !(failed && failFast)) {
+      val step = it.next()
+      val t0 = System.nanoTime()
+      try {
+        val r = step.execute(ctx)
+        reports += StepReport(step.name, ok = true,
+          (System.nanoTime() - t0) / 1e9, r, None)
+      } catch {
+        case e: Exception =>
+          failed = true
+          reports += StepReport(step.name, ok = false,
+            (System.nanoTime() - t0) / 1e9, StepResult(), Some(e.toString))
+      }
+    }
+    reports.toSeq
+  }
+}
+
+/** Cloud-job state machine, modeled after the reference's shared
+  * poll/terminate logic (`pipes/cloud_client.py:100-215`,
+  * `pipes/exceptions.py:4-8`) — pure transitions so the runner's
+  * terminal-state handling is unit-testable with fakes, and the live
+  * REST clients (out of scope here: zero egress) stay one thin
+  * adapter away. */
+object Submission {
+  sealed trait Poll
+  case object Continue extends Poll
+  case object Succeeded extends Poll
+  final case class Failed(reason: String) extends Poll
+
+  /** EMR cluster states (`cloud_client.py:100-119`). */
+  def classifyEmr(state: String, stateChangeReason: => String): Poll =
+    state match {
+      case "TERMINATED" => Succeeded
+      case "TERMINATED_WITH_ERRORS" => Failed(stateChangeReason)
+      case _ => Continue
+    }
+
+  /** Databricks run life-cycle states (`cloud_client.py:121-165`). */
+  def classifyDatabricks(lifeCycle: String, resultState: => String): Poll =
+    lifeCycle match {
+      case "TERMINATED" | "INTERNAL_ERROR" =>
+        if (resultState == "SUCCESS") Succeeded
+        else Failed(s"terminal state: $resultState")
+      case "SKIPPED" => Failed("run skipped")
+      case _ => Continue
+    }
+}
+
+final class PipesException(msg: String) extends RuntimeException(msg)

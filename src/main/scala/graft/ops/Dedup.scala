@@ -110,14 +110,21 @@ object Dedup {
     val withSh = docs
       .select(col("doc_id"), shingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    val sig = withSh.withColumn("sig",
-      transform(sequence(lit(0), lit(numHashes - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(i, s)))))
-    val banded = sig.select(
+    // Band hashes built so every minhash subexpression is referenced
+    // exactly once, in ONE projection. (The tempting two-step — a
+    // `sig` array column sliced per band — gets CollapseProject'd:
+    // the signature is statically referenced once inside the banding
+    // lambda, Catalyst inlines it, and the runtime then recomputes
+    // all 128 minhashes per band = 32×. Measured 134 s vs ~1 s on the
+    // sf0.01 fixture.)
+    def mh(i: Int): Column =
+      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
+    val bandCols = (0 until bands).map { b =>
+      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(mh): _*)
+    }
+    val banded = withSh.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * lit(rowsPerBand) + lit(1),
-          lit(rowsPerBand))))).as(Seq("band", "band_hash")))
+      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
     val cand = banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") &&
