@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -57,6 +57,27 @@ object SparkEntry {
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // S-tier: Structured Streaming (availableNow over the fixture —
+    // same result contract as the batch q20, same oracle)
+    "s1_stream_rollup"   -> ((s, d) => {
+      import graft.streaming.EventsStream
+      EventsStream.runAvailableNow(s,
+          EventsStream.hourlyRollup(EventsStream.readEventsStream(s, d)),
+          s"stream_rollup_${System.nanoTime}",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("window_start")
+    }),
+    // M-tier: multimodal plumbing (stubbed codec → rows-only gate)
+    "m1_media_features"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.extractFeatures(
+          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_media"),
+          round(avg(aggregate(col("feature"), lit(0.0), (a, x) => a + x)), 6)
+            .as("avg_feature_sum"))
+        .orderBy("kind")
+    }),
   )
 
   /** DuckDB-equivalent ANSI SQL per query (same column names/types).
@@ -258,6 +279,10 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
         |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "s1_stream_rollup" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
         |w AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM t),

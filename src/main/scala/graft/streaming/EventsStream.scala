@@ -1,0 +1,119 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming over the `events` table — the genuinely new
+  * execution surface vs the reference (which has no streaming; SURVEY
+  * §1.1): the same tumbling-window aggregation as the batch Q20, plus
+  * stateful sessionization.
+  *
+  * Design: the *transformations* are defined against an input
+  * `DataFrame` that may be batch or streaming — one definition, two
+  * runners — which is exactly Spark's unified-API contract. Tests
+  * assert stream(availableNow) ≡ batch on the fixture.
+  *
+  * Scale: windowed aggregation state is keyed by (window), partial
+  * aggregation happens before the shuffle, and the watermark bounds
+  * state size; sessionization state is keyed by user_id and evicted
+  * via processing-time-free event-time timeout.
+  */
+object EventsStream {
+
+  /** The events fixture stores ts as TIMESTAMP(NANOS) (read as long
+    * under nanosAsLong, converted in [[graft.core.Tables.events]]);
+    * for streaming file sources we declare the long and convert the
+    * same way. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
+      "value DOUBLE, props STRING"
+    // the fixture is a single file in a dir of other tables; the file
+    // streaming source requires a directory path, so stream the dir
+    // with a glob filter
+    spark.readStream
+      .schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  /** Tumbling 1-hour window counts/sums with a 1-hour watermark —
+    * the streaming twin of Relational.q20TimeBucket. Works unchanged
+    * on a batch DataFrame (watermark is a no-op there). */
+  def hourlyRollup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class SessionState(start: Long, end: Long, nEvents: Long, sumValue: Double)
+  final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Event-time sessionization with a `gap` inactivity timeout via
+    * `flatMapGroupsWithState` — the custom-state surface
+    * (KeyValueGroupedDataset). Emits a session when the watermark
+    * passes its end + gap. */
+  def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.nEvents, s.sumValue))
+          } else {
+            // merge the micro-batch's rows into the open session;
+            // close-and-emit any session the new rows have out-gapped
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var open = state.getOption
+            val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(SessionState(s.start, math.max(s.end, t),
+                    s.nEvents + 1, s.sumValue + e.value))
+                case Some(s) =>
+                  closed += UserSession(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.nEvents, s.sumValue)
+                  open = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  open = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
+  }
+
+  /** Drain a streaming DataFrame through an in-memory sink with the
+    * availableNow trigger (bounded run over the fixture) and return
+    * the materialized result. */
+  def runAvailableNow(spark: SparkSession, streaming: DataFrame,
+      queryName: String, outputMode: OutputMode = OutputMode.Append): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Dedup, Similarity}
+
+/** Property/metamorphic tests for the C-tier ops (SURVEY §5): the
+  * probabilistic/hash-based operators that the DuckDB gate can't
+  * hash-check get their semantics pinned here. */
+class DedupSimilaritySpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("exact dedup: groups partition the corpus; idempotent") {
+    val out = Dedup.exactDedup(docs).cache()
+    val total = out.agg(sum("n_copies")).collect()(0).getLong(0)
+    assert(total == docs.count())
+    // dedup of an already-unique corpus is identity-sized
+    val unique = docs.dropDuplicates("text")
+    assert(Dedup.exactDedup(unique).count() == unique.count())
+    // doubling the corpus doubles multiplicities, not groups
+    val doubled = Dedup.exactDedup(docs.unionAll(docs))
+    assert(doubled.count() == out.count())
+    assert(doubled.agg(sum("n_copies")).collect()(0).getLong(0) == 2 * total)
+  }
+
+  test("minhash-LSH pairs == exact ngram-Jaccard pairs on fixture") {
+    val lsh = Dedup.minHashLshPairs(docs).select("doc_a", "doc_b")
+    val exact = Dedup.ngramJaccardPairs(docs).select("doc_a", "doc_b")
+    assert(lsh.exceptAll(exact).count() == 0) // exact verification → no FPs
+    assert(exact.exceptAll(lsh).count() == 0) // recall 1 on planted dups
+    assert(exact.count() > 0)                 // fixture has planted near-dups
+  }
+
+  test("ngram jaccard: identical docs pair at 1.0; df-cap drops hot shingles") {
+    val twin = docs.limit(5)
+      .select((col("doc_id") + 1000000).as("doc_id"), col("text"))
+    val both = docs.select("doc_id", "text").unionAll(twin)
+    val pairs = Dedup.ngramJaccardPairs(both, threshold = 0.999)
+    val selfPairs = pairs.where(col("doc_b") === col("doc_a") + 1000000)
+    assert(selfPairs.count() == 5)
+    assert(selfPairs.agg(min("jaccard")).collect()(0).getDouble(0) == 1.0)
+    // a df cap of 0 removes every shingle → no candidates at all
+    assert(Dedup.ngramJaccardPairs(docs, maxDocFreq = Some(0)).count() == 0)
+  }
+
+  test("simhash: hamming 0 for identical text; planted dups detected") {
+    val fp = docs.select(Dedup.simHash(col("text")).as("fp"),
+      col("doc_id")).cache()
+    // determinism: same text → same fingerprint
+    val twinPairs = Dedup.simHashPairs(
+      docs.select("doc_id", "text").unionAll(
+        docs.limit(3).select((col("doc_id") + 500000).as("doc_id"), col("text"))),
+      maxHamming = 0)
+    assert(twinPairs.where(col("doc_b") === col("doc_a") + 500000).count() == 3)
+    // near-dups from the jaccard family mostly land within hamming 3
+    val sim = Dedup.simHashPairs(docs, maxHamming = 3)
+    assert(sim.count() > 0)
+    assert(fp.count() == docs.count())
+  }
+
+  test("ann top-k: exact results, k rows per query, ordered by cosine") {
+    val topk = Similarity.annTopK(emb, k = 5, queryStride = 100).cache()
+    val nq = emb.where(col("vec_id") % 100 === 0).count()
+    assert(topk.count() == nq * 5)
+    // rank 1 has the max cosine per query
+    val bad = topk.as("a").join(topk.as("b"),
+      col("a.query_id") === col("b.query_id") &&
+        (col("a.rnk") < col("b.rnk")) && (col("a.cosine") < col("b.cosine")))
+    assert(bad.count() == 0)
+    // no self matches
+    assert(topk.where(col("query_id") === col("neighbor_id")).count() == 0)
+  }
+
+  test("ann IVF: subset of corpus, recall vs exact >= 0.5 on fixture") {
+    val exact = Similarity.annTopK(emb, k = 10, queryStride = 100)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.annTopKIvf(emb, k = 10, queryStride = 100)
+      .select("query_id", "neighbor_id")
+    val hit = ivf.intersect(exact).count().toDouble
+    val recall = hit / exact.count()
+    assert(recall >= 0.5, f"IVF recall $recall%.2f too low")
+  }
+
+  test("cosine near-dup pairs are symmetric-free and thresholded") {
+    val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.4).cache()
+    assert(pairs.where(col("vec_a") >= col("vec_b")).count() == 0)
+    assert(pairs.where(col("cosine") < 0.4).count() == 0)
+    // cosine(v, v) == 1 sanity via a constructed twin
+    val twin = emb.limit(1).select((col("vec_id") + 900000).as("vec_id"),
+      col("embedding"))
+    val withTwin = emb.select("vec_id", "embedding").unionAll(twin)
+    val one = Similarity.cosineNearDupPairs(withTwin, threshold = 0.999999)
+    assert(one.count() == 1)
+  }
+
+  test("srp signature: deterministic and in [0, 2^bits)") {
+    val sigs = emb.select(Similarity.srpSignature(col("embedding"), 16).as("s"))
+    val mm = sigs.agg(min("s"), max("s")).collect()(0)
+    assert(mm.getLong(0) >= 0L && mm.getLong(1) < (1L << 16))
+    val a = sigs.collect().map(_.getLong(0)).toSeq
+    val b = emb.select(Similarity.srpSignature(col("embedding"), 16).as("s"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+}
