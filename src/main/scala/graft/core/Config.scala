@@ -95,6 +95,25 @@ final case class SparkConfPolicy(
     settings(mode).foreach { case (k, v) => spark.conf.set(k, v) }
 }
 
+/** Mode-based dataset sampling — the reference's A19 surface
+  * (`pipes/spark_pipes.py:21`: "pipelines may apply a sampling
+  * function"; realized there as pre-sampled input roots per
+  * [[ExecutionMode]]). Here both forms exist: path switching via
+  * [[PathResolver]], and an explicit seeded sample for when only the
+  * full input exists. */
+object Sampling {
+  def fractionFor(mode: ExecutionMode): Option[Double] = mode match {
+    case ExecutionMode.Full => None
+    case ExecutionMode.SmallDevSampleS3 | ExecutionMode.SmallDevSampleLocal =>
+      Some(0.01)
+  }
+
+  def forMode(df: org.apache.spark.sql.DataFrame, mode: ExecutionMode,
+      seed: Long = 42L): org.apache.spark.sql.DataFrame =
+    fractionFor(mode).map(f => df.sample(withReplacement = false, f, seed))
+      .getOrElse(df)
+}
+
 object Parallelism {
   /** `calculate_parallelism` (`pipes/utils.py:65-71`): shuffle
     * parallelism from input record count, clamped to [200, 90000].

@@ -30,6 +30,8 @@ object Sessions {
       // The fixtures' events table uses parquet TIMESTAMP(NANOS);
       // read as long and convert (see Tables.withEventTs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Custom codegen kernels as SQL functions (graft_cosine, ...).
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 
   /** Local session sized from env (driver runs local[32]). */
   def local(): SparkSession = {

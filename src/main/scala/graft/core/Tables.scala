@@ -38,4 +38,16 @@ object Tables {
     withEventTs(table(s, d, "events"))
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql(...)`
+    * works against the same data the DataFrame operators read (the
+    * reference's users drive Spark SQL through DataFrames only; this
+    * adds the SQL-string entry point a query engine owes its users). */
+  def registerAll(s: SparkSession, d: String): Unit = names.foreach { n =>
+    val df = if (n == "events") events(s, d) else table(s, d, n)
+    df.createOrReplaceTempView(n)
+  }
 }

@@ -1,0 +1,155 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+/** Custom Catalyst expressions (with `doGenCode`) for the engine's
+  * hot kernels. SURVEY §4 said "no custom Rule/Strategy needed for
+  * parity; custom pieces only if C-tier perf demands" — the sf0.1
+  * bench demanded: higher-order-function vector math is interpreted
+  * (no codegen) and dominated the similarity/dedup queries. Each
+  * expression stays inside whole-stage codegen by emitting a call to
+  * a static [[VectorKernels]] loop.
+  */
+
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.VectorKernels.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must be a multiple of bands")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_bands"
+  /** Dispatch on the shingle element type: raw strings or pre-hashed
+    * 64-bit shingles. */
+  private def kernel: String = child.dataType match {
+    case ArrayType(LongType, _) => "minHashBandsLong"
+    case _ => "minHashBands"
+  }
+  override protected def nullSafeEval(sh: Any): Any =
+    if (kernel == "minHashBandsLong")
+      VectorKernels.minHashBandsLong(sh.asInstanceOf[ArrayData], numHashes, bands)
+    else VectorKernels.minHashBands(sh.asInstanceOf[ArrayData], numHashes, bands)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.$kernel($c, $numHashes, $bands)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.shingleHashes(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.shingleHashes($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class WinnowFingerprint(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_winnow_fp"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.winnowFp(tokens.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // result may be null even for non-null input (short docs)
+    val c = child.genCode(ctx)
+    val code =
+      code"""
+        ${c.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${c.isNull}) {
+          ${ev.value} = graft.functions.VectorKernels.winnowFp(${c.value}, $n);
+          ${ev.isNull} = ${ev.value} == null;
+        }"""
+    ev.copy(code = code)
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.simHash64(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.simHash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Column-API entry points. */
+object GraftFunctions {
+  private def col(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+
+  def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
+  def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
+    col(MinHashBands(ex(shingles), numHashes, bands))
+  def shingleHashes(tokens: Column, n: Int): Column =
+    col(ShingleHashes(ex(tokens), n))
+  def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def winnowFingerprint(tokens: Column, n: Int): Column =
+    col(WinnowFingerprint(ex(tokens), n))
+}
+
+/** SQL-name registration via SparkSessionExtensions
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`): exposes
+  * the kernels to pure-SQL users as `graft_cosine(a, b)` etc. */
+class GraftExtensions extends SparkSessionExtensionsProvider {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (args: Seq[Expression]) => CosineSim(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHash64(args(0))))
+  }
+}

@@ -1,0 +1,188 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Primitive compute kernels behind the custom Catalyst expressions
+  * (see [[GraftFunctions]]). Called from generated code — static,
+  * allocation-free loops over Spark's unsafe array format. These
+  * exist because the equivalent higher-order-function expressions
+  * (`aggregate`/`zip_with`/`transform`) don't participate in codegen
+  * and cost ~30× in interpreted eval on hot paths (measured on the
+  * sf0.1 similarity/dedup benchmarks).
+  */
+object VectorKernels {
+
+  /** Cosine similarity of two float vectors, accumulated in double in
+    * one pass, same floating-point order as the HOF/DuckDB
+    * formulation (sequential dot, then norms). */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  /** MinHash signature banded to LSH bucket keys in one pass: for
+    * each of `numHashes` seeded xxhash64 functions take the min over
+    * shingles, then fold each group of `numHashes/bands` consecutive
+    * minhashes into one band hash. Returns `bands` longs. String and
+    * pre-hashed (long) shingle variants. */
+  def minHashBands(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getUTF8String(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = hashString(s, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    fold(mins, numHashes, bands)
+  }
+
+  def minHashBandsLong(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val mins = new Array[Long](numHashes)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      val s = shingles.getLong(i)
+      var j = 0
+      while (j < numHashes) {
+        val h = XXH64.hashLong(s, j)
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      i += 1
+    }
+    fold(mins, numHashes, bands)
+  }
+
+  /** Sorted distinct 64-bit hashes of word n-gram shingles, straight
+    * from the token array: hash each token once, chain-hash each
+    * n-window — no shingle string is ever materialized (the
+    * `concat_ws`+`array_distinct`+`array_sort` spelling allocated
+    * ~|tokens| strings per row and dominated the near-dup pipelines). */
+  def shingleHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val total = tokens.numElements()
+    val m = total - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](total)
+    var i = 0
+    while (i < total) { th(i) = hashString(tokens.getUTF8String(i), 7L); i += 1 }
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var acc = 0x51ed270b9a7d1fbdL
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j), acc); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0; i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Winnowing-style fingerprint: the minimum 16-hex-char md5 prefix
+    * over word n-gram shingles — byte-identical to the SQL
+    * `min(substr(md5(shingle), 1, 16))` the DuckDB oracle runs, in
+    * one kernel pass (the HOF spelling re-split the document per
+    * shingle via CollapseProject inlining and md5'd in interpreted
+    * eval — 228 s at sf0.1 vs ~1 s here). Null for docs shorter than
+    * n words, matching the SQL left join. */
+  def winnowFp(tokens: ArrayData, n: Int): UTF8String = {
+    val total = tokens.numElements()
+    val m = total - n + 1
+    if (m <= 0) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sb = new java.lang.StringBuilder(64)
+    var best: String = null
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens.getUTF8String(i + j).toString)
+        j += 1
+      }
+      md.reset()
+      val digest = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = new java.lang.StringBuilder(16)
+      var b = 0
+      while (b < 8) { // 16 hex chars = first 8 bytes
+        hex.append(Character.forDigit((digest(b) >> 4) & 0xf, 16))
+        hex.append(Character.forDigit(digest(b) & 0xf, 16))
+        b += 1
+      }
+      val h = hex.toString
+      if (best == null || h.compareTo(best) < 0) best = h
+      i += 1
+    }
+    UTF8String.fromString(best)
+  }
+
+  private def fold(mins: Array[Long], numHashes: Int, bands: Int): ArrayData = {
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0x27d4eb2f165667c5L + b
+      var r = 0
+      while (r < rows) { acc = XXH64.hashLong(mins(b * rows + r), acc); r += 1 }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** 64-bit Charikar SimHash over the token array: per-bit ±1 votes
+    * weighted by token frequency (tokens appear as often as they
+    * occur), bit set iff the vote is positive. */
+  def simHash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hashString(tokens.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) votes(j) += 1 else votes(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (votes(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+}

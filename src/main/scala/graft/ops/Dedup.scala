@@ -49,42 +49,65 @@ object Dedup {
       .select("keep_doc_id", "n_copies")
       .orderBy("keep_doc_id")
 
-  /** C4 — exact n-gram Jaccard near-dup pairs.
-    *
-    * Candidate generation is an inverted-index self-join: explode
-    * distinct shingles, join docs sharing at least one shingle (pairs
-    * with zero shared shingles have Jaccard 0 and can never pass the
-    * threshold, so recall is exactly 1). Then Jaccard =
-    * |∩| / (|A|+|B|−|∩|) from the per-pair co-occurrence count and
-    * per-doc shingle counts — no second pass over text.
-    *
-    * Scale: the shuffle key is the shingle; `maxDocFreq` (df cap)
-    * bounds the quadratic fan-out of hot shingles. */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh0 = docs
-      .select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
-    val sh = maxDocFreq match {
-      case Some(cap) =>
-        val hot = sh0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
-        sh0.join(hot, Seq("s"), "left_anti")
-      case None => sh0
-    }
-    val sizes = sh0.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val co = sh.as("a")
-      .join(sh.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("inter"))
-    co
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        round(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+  /** Distinct word n-gram shingles hashed to sorted 64-bit keys:
+    * the canonical set representation all near-dup operators share
+    * (8-byte shuffle keys; global sort order enables prefix
+    * filtering; 64-bit collisions ≈ n²/2⁶⁵ — nil). One codegen'd
+    * kernel pass, no shingle strings materialized
+    * ([[graft.functions.ShingleHashes]]). */
+  def hashedShingles(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.shingleHashes(split(text, " "), n)
+
+  private def jaccardVerify(cand: DataFrame, withSh: DataFrame,
+      threshold: Double): DataFrame =
+    cand
+      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
+      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sha"), col("shb"))).cast("double") /
+          size(array_union(col("sha"), col("shb"))), 6))
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
+
+  /** C4 — exact n-gram Jaccard near-dup pairs, AllPairs/PPJoin-style.
+    *
+    * Candidate generation uses **prefix filtering**: with shingle
+    * sets sorted in one global order, two sets with
+    * Jaccard ≥ t must share an element within each one's first
+    * |A| − ⌈t·|A|⌉ + 1 elements — so only that prefix is exploded
+    * into the inverted-index self-join (≈(1−t)·|A| rows instead of
+    * |A|), cutting candidate pairs ~(1−t)² while keeping recall
+    * exactly 1. Verification recomputes exact Jaccard on the full
+    * sorted-hash arrays.
+    *
+    * Scale: shuffle key is the shingle hash; `maxDocFreq` optionally
+    * drops ultra-hot prefix shingles from *candidate generation only*
+    * (verification stays exact, so precision is unaffected; recall
+    * drops only for pairs whose every shared prefix shingle is that
+    * common). */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    val withSh = docs
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+      .where(size(col("sh")) > 0)
+    val prefixLen =
+      (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
+    val pref0 = withSh
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+    val pref = maxDocFreq match {
+      case Some(cap) =>
+        val hot = pref0.groupBy("s").agg(count(lit(1)).as("df"))
+          .where(col("df") > cap).select("s")
+        pref0.join(hot, Seq("s"), "left_anti")
+      case None => pref0
+    }
+    val cand = pref.as("a")
+      .join(pref.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, withSh, threshold)
   }
 
   /** C2 — MinHash + LSH near-dup pairs (the subquadratic scale path
@@ -106,70 +129,47 @@ object Dedup {
     * AQE skew-join handles them. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val rowsPerBand = numHashes / bands
     val withSh = docs
-      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
       .where(size(col("sh")) > 0)
-    // Band hashes built so every minhash subexpression is referenced
-    // exactly once, in ONE projection. (The tempting two-step — a
-    // `sig` array column sliced per band — gets CollapseProject'd:
-    // the signature is statically referenced once inside the banding
-    // lambda, Catalyst inlines it, and the runtime then recomputes
-    // all 128 minhashes per band = 32×. Measured 134 s vs ~1 s on the
-    // sf0.01 fixture.)
-    def mh(i: Int): Column =
-      array_min(transform(col("sh"), s => xxhash64(lit(i), s)))
-    val bandCols = (0 until bands).map { b =>
-      xxhash64((b * rowsPerBand until (b + 1) * rowsPerBand).map(mh): _*)
-    }
+    // Signature + banding in ONE custom codegen expression
+    // (graft.functions.MinHashBands): a single primitive loop
+    // computes all `numHashes` mins and folds them into `bands`
+    // bucket keys. The HOF spelling was (a) interpreted and (b) prone
+    // to CollapseProject inlining the signature into the banding
+    // lambda (128 minhashes recomputed per band — measured 134 s vs
+    // ~1 s at sf0.01).
     val banded = withSh.select(
       col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "band_hash")))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") &&
-          col("x.band_hash") === col("y.band_hash") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      posexplode(graft.functions.GraftFunctions
+        .minHashBands(col("sh"), numHashes, bands))
+        .as(Seq("band", "band_hash")))
+    // Bucket by (band, bandHash) with ONE aggregation and emit pairs
+    // from each bucket's id list — a banded-self-join would evaluate
+    // the signature pipeline twice. Bucket lists are near-dup
+    // clusters: tiny except for true mass duplication (where the
+    // quadratic emission is the desired answer anyway).
+    val buckets = banded
+      .groupBy("band", "band_hash")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
-    cand
-      .join(withSh.select(col("doc_id").as("doc_a"), col("sh").as("sha")), "doc_a")
-      .join(withSh.select(col("doc_id").as("doc_b"), col("sh").as("shb")), "doc_b")
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sha"), col("shb"))).cast("double") /
-          size(array_union(col("sha"), col("shb"))), 6))
-      .where(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
-      .orderBy("doc_a", "doc_b")
+    jaccardVerify(cand, withSh, threshold)
   }
 
   /** 64-bit SimHash of the token stream (frequency-weighted bit
-    * votes), as a column. Classic Charikar fingerprint: bit j of the
-    * output is 1 iff the sum over tokens of ±1 (sign = bit j of the
-    * token's xxhash64) is positive. Expressed as nested higher-order
-    * functions — one pass over tokens per document. */
-  /** Per-bit vote counts (array of 64 ints) — one pass over tokens. */
-  private def simHashVotes(text: Column): Column =
-    aggregate(
-      split(text, " "),
-      array_repeat(lit(0), 64),
-      (acc, t) => {
-        val h = xxhash64(t)
-        // getbit via call_function: the DSL's shiftright only takes a
-        // literal shift, but here the bit position is the lambda index.
-        transform(acc, (v, j) =>
-          v + when(call_function("getbit", h, j) === 1, 1).otherwise(-1))
-      })
-
-  /** Pack positive votes into a 64-bit fingerprint (j is a Scala
-    * literal, so the shifts are constants). Keep `votes` a
-    * materialized column so the token pass isn't repeated 64×. */
-  private def votesToLong(votes: Column): Column =
-    (0 until 64)
-      .map(j => when(element_at(votes, j + 1) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-
-  def simHash(text: Column): Column = votesToLong(simHashVotes(text))
+    * votes): classic Charikar fingerprint — bit j of the output is 1
+    * iff the sum over tokens of ±1 (sign = bit j of the token's
+    * xxhash64) is positive. One codegen'd kernel pass per document
+    * ([[graft.functions.SimHash64]]). */
+  def simHash(text: Column): Column =
+    graft.functions.GraftFunctions.simHash64(split(text, " "))
 
   /** C3 — SimHash near-dup pairs at Hamming distance ≤ maxHamming.
     *
@@ -185,9 +185,7 @@ object Dedup {
   def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
-    val fp = docs
-      .select(col("doc_id"), simHashVotes(col("text")).as("votes"))
-      .select(col("doc_id"), votesToLong(col("votes")).as("fp"))
+    val fp = docs.select(col("doc_id"), simHash(col("text")).as("fp"))
     val banded = fp.select(
       col("doc_id"), col("fp"),
       posexplode(transform(sequence(lit(0), lit(chunks - 1)),

@@ -15,18 +15,21 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two float arrays, in double. */
+  /** Σ aᵢ·bᵢ over two float arrays, in double — custom codegen
+    * expression ([[graft.functions.DotProduct]]): the HOF spelling
+    * (`aggregate(zip_with(...))`) is interpreted, not codegen'd, and
+    * measured ~30× slower on the sf0.1 all-pairs scan. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.dotProduct(a, b)
 
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
 
+  /** One-pass cosine, double accumulation, identical FP order to the
+    * DuckDB oracle's formulation. */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2Norm(a) * l2Norm(b))
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** C6 — exact brute-force cosine top-k: the ANN baseline.
     *
