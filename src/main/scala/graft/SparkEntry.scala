@@ -57,6 +57,19 @@ object SparkEntry {
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
     "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
+    // G-tier: the reference's flagship pipeline shape (nodes → edges
+    // → graph → graph_aggr, paper.md:150-156) as gated queries
+    "g1_edges"           -> ((s, d) => {
+      import graft.steps.GraphOps
+      GraphOps.edges(Tables.lineitem(s, d), Tables.orders(s, d))
+        .orderBy("custkey", "suppkey")
+    }),
+    "g2_graph_aggr"      -> ((s, d) => {
+      import graft.steps.GraphOps
+      val n = GraphOps.nodes(Tables.customer(s, d), Tables.supplier(s, d))
+      val e = GraphOps.edges(Tables.lineitem(s, d), Tables.orders(s, d))
+      GraphOps.graphAggr(GraphOps.graph(n, e))
+    }),
     // S-tier: Structured Streaming (availableNow over the fixture —
     // same result contract as the batch q20, same oracle)
     "s1_stream_rollup"   -> ((s, d) => {
@@ -98,11 +111,14 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q04_distinct_agg" ->
       "SELECT count(DISTINCT o_custkey) AS n_custkeys FROM orders",
+    // money sums in exact DECIMAL on both sides: double summation
+    // order flips 2dp rounding on .xx5 boundaries
     "q05_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS DOUBLE) AS sum_disc_price,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_discount), 6) AS avg_disc,
         |       count(*) AS count_order
@@ -113,7 +129,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q07_star_join" ->
       """SELECT r_name,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -279,6 +296,25 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
         |  CAST(len(list_distinct(string_split(lower(text), ' '))) AS INT) AS distinct_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "g1_edges" ->
+      """SELECT o_custkey AS custkey, l_suppkey AS suppkey,
+        |       count(*) AS n_transactions,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS DOUBLE) AS weight
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g2_graph_aggr" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS ck, l_suppkey AS sk, count(*) AS nt,
+        |         round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+        |SELECT c.c_nationkey AS src_nation, s.s_nationkey AS dst_nation,
+        |       count(*) AS n_edges, CAST(sum(nt) AS BIGINT) AS n_transactions,
+        |       CAST(round(sum(CAST(w AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_weight
+        |FROM e JOIN customer c ON ck = c_custkey
+        |       JOIN supplier s ON sk = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s1_stream_rollup" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value

@@ -34,6 +34,20 @@ object Relational {
   private def money(c: Column): Column = round(c, 2)
   private def ratio(c: Column): Column = round(c, 6)
 
+  /** Exact-decimal money sum: the fixture's money columns carry ≤2
+    * decimals, so summing as DECIMAL is exact and rounds identically
+    * in Spark and DuckDB — double summation order at ~1e8 scale can
+    * otherwise flip the 2dp boundary (observed on single-row groups:
+    * 27751.685 → .68 vs .69). Result cast back to double for a stable
+    * parquet/pandas dtype. */
+  def decSum(c: Column): Column =
+    round(sum(c.cast("decimal(18,2)")), 2).cast("double")
+
+  /** sum(extprice·(1−disc)) in exact decimal (product has ≤4dp). */
+  def decRevenue: Column =
+    round(sum(col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1) - col("l_discount")).cast("decimal(9,2)")), 2).cast("double")
+
   /** Q01 scan + projection (reference A2/A7): pushed column pruning. */
   def q01ScanProject(s: SparkSession, d: String): DataFrame =
     lineitem(s, d)
@@ -66,10 +80,9 @@ object Relational {
     lineitem(s, d)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        money(sum(col("l_quantity"))).as("sum_qty"),
-        money(sum(col("l_extendedprice"))).as("sum_base_price"),
-        money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .as("sum_disc_price"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        decSum(col("l_extendedprice")).as("sum_base_price"),
+        decRevenue.as("sum_disc_price"),
         ratio(avg(col("l_quantity"))).as("avg_qty"),
         ratio(avg(col("l_discount"))).as("avg_disc"),
         count(lit(1)).as("count_order"))
@@ -99,8 +112,7 @@ object Relational {
       .join(broadcast(region(s, d)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy("r_name")
-      .agg(money(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("revenue"))
+      .agg(decRevenue.as("revenue"))
       .orderBy("r_name")
 
   /** Q08 left semi join (EXISTS): customers with ≥1 order. */

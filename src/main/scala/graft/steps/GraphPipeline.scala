@@ -1,0 +1,134 @@
+package graft.steps
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+
+/** The reference's flagship production workload shape — the 4-asset
+  * Common Crawl interfirm-network pipeline **NodesOnly → Edges →
+  * Graph → GraphAggr** (ascii-hydra
+  * `papers/multi_platform_orchestration/paper.md:150-156`; join/agg
+  * tuning it drove: `resources/spark.py:37-44`) — instantiated over
+  * the fixture star schema: customers and suppliers are the firms
+  * (nodes), lineitems are the interfirm transactions (edges).
+  *
+  * Each step is a [[PipelineStep]] materializing parquet through the
+  * IO manager, so the DAG runner, path policy, and write metrics all
+  * get exercised by the workload they were built for. The pure
+  * DataFrame transforms are exposed separately ([[GraphOps]]) and
+  * gated as g1/g2 queries with DuckDB oracles.
+  *
+  * Scale notes: nodes are dimension-sized (broadcast); the edge
+  * build shuffles lineitem once on orderkey (its natural key);
+  * the rollup aggregates partially map-side. Edge weight sums are
+  * rounded 2dp inside the op so canonical hashing is stable.
+  */
+object GraphOps {
+
+  /** Nodes: every firm (customer ∪ supplier) with its nation —
+    * the "NodesOnly" asset (seed cleanup semantics: distinct,
+    * typed ids). */
+  def nodes(customer: DataFrame, supplier: DataFrame): DataFrame =
+    customer.select(
+      concat(lit("c"), col("c_custkey")).as("node_id"),
+      lit("customer").as("kind"),
+      col("c_nationkey").cast("int").as("nationkey"))
+      .unionAll(supplier.select(
+        concat(lit("s"), col("s_suppkey")).as("node_id"),
+        lit("supplier").as("kind"),
+        col("s_nationkey").cast("int").as("nationkey")))
+      .distinct()
+
+  /** Edges: customer→supplier transaction rollup — the "Edges" asset
+    * (the compute-heavy extraction step in the reference). One
+    * shuffle of lineitem on orderkey, dimension side broadcast. */
+  def edges(lineitem: DataFrame, orders: DataFrame): DataFrame =
+    lineitem.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(orders.select("o_orderkey", "o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("custkey"), col("l_suppkey").as("suppkey"))
+      .agg(
+        count(lit(1)).as("n_transactions"),
+        // exact decimal (see Relational.decRevenue): double summation
+        // order flips the 2dp boundary on .xx5 values
+        graft.ops.Relational.decRevenue.as("weight"))
+
+  /** Graph: edges resolved against both node endpoints — the "Graph"
+    * asset (join-heavy step). Node side broadcast. */
+  def graph(nodes: DataFrame, edges: DataFrame): DataFrame =
+    edges
+      .join(broadcast(nodes.where(col("kind") === "customer")
+          .select(col("node_id").as("src"), col("nationkey").as("src_nation"))),
+        concat(lit("c"), col("custkey")) === col("src"))
+      .join(broadcast(nodes.where(col("kind") === "supplier")
+          .select(col("node_id").as("dst"), col("nationkey").as("dst_nation"))),
+        concat(lit("s"), col("suppkey")) === col("dst"))
+      .select("src", "dst", "src_nation", "dst_nation", "n_transactions", "weight")
+
+  /** GraphAggr: nation-pair rollup — the "GraphAggr" asset
+    * (aggregation step): trade volume between nation pairs. */
+  def graphAggr(graph: DataFrame): DataFrame =
+    graph
+      .groupBy(col("src_nation"), col("dst_nation"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("n_transactions")).as("n_transactions"),
+        // weights are exact 2dp decimals-in-doubles; sum as decimal
+        round(sum(col("weight").cast("decimal(18,2)")), 2).cast("double")
+          .as("total_weight"))
+      .orderBy("src_nation", "dst_nation")
+}
+
+/** The pipeline: four dependency-ordered steps materializing through
+  * the IO manager, mirroring the reference's asset graph. */
+object GraphPipeline {
+  private def t(ctx: RunContext, name: String): DataFrame =
+    ctx.io.read(ctx.paths.assetPath(name))
+
+  final class NodesStep(sfDir: String) extends PipelineStep {
+    val name = "nodes"
+    def execute(ctx: RunContext): StepResult = {
+      val out = GraphOps.nodes(
+        Tables.customer(ctx.spark, sfDir), Tables.supplier(ctx.spark, sfDir))
+      val r = ctx.io.write(out, ctx.paths.assetPath("nodes"))
+      StepResult(Map("rows" -> r.rowCount.toString))
+    }
+  }
+  final class EdgesStep(sfDir: String) extends PipelineStep {
+    val name = "edges"
+    override val deps = Seq("nodes")
+    def execute(ctx: RunContext): StepResult = {
+      val out = GraphOps.edges(
+        Tables.lineitem(ctx.spark, sfDir), Tables.orders(ctx.spark, sfDir))
+      val r = ctx.io.write(out, ctx.paths.assetPath("edges"))
+      StepResult(Map("rows" -> r.rowCount.toString))
+    }
+  }
+  final class GraphStep extends PipelineStep {
+    val name = "graph"
+    override val deps = Seq("nodes", "edges")
+    def execute(ctx: RunContext): StepResult = {
+      val out = GraphOps.graph(t(ctx, "nodes"), t(ctx, "edges"))
+      val r = ctx.io.write(out, ctx.paths.assetPath("graph"))
+      StepResult(Map("rows" -> r.rowCount.toString))
+    }
+  }
+  final class GraphAggrStep extends PipelineStep {
+    val name = "graph_aggr"
+    override val deps = Seq("graph")
+    def execute(ctx: RunContext): StepResult = {
+      val out = GraphOps.graphAggr(t(ctx, "graph"))
+      val r = ctx.io.write(out, ctx.paths.assetPath("graph_aggr"))
+      StepResult(Map("rows" -> r.rowCount.toString))
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String, stateDir: String): Seq[StepReport] = {
+    val paths = PathResolver(ExecutionMode.SmallDevSampleLocal,
+      localStateDir = stateDir)
+    val ctx = RunContext(spark, ExecutionMode.SmallDevSampleLocal, Engine.Local,
+      None, paths, new ParquetIOManager(spark))
+    new PipelineRunner(Seq(new NodesStep(sfDir), new EdgesStep(sfDir),
+      new GraphStep, new GraphAggrStep)).run(ctx)
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.steps.{GraphOps, GraphPipeline}
+import graft.core.Tables
+
+/** The flagship pipeline: 4 steps materialize in dependency order
+  * through the IO manager; graph semantics are internally consistent.
+  * (Value-level parity is the g1/g2 DuckDB gate.) */
+class GraphPipelineSpec extends SparkSpec {
+
+  test("pipeline materializes all 4 assets in order with row counts") {
+    val dir = java.nio.file.Files.createTempDirectory("graphpipe").toString
+    val reports = GraphPipeline.run(spark, sf, dir)
+    assert(reports.map(_.step) == Seq("nodes", "edges", "graph", "graph_aggr"))
+    assert(reports.forall(_.ok), reports.filterNot(_.ok).mkString(";"))
+    assert(reports.forall(_.result.metadata("rows").toLong > 0))
+    // graph row count == edges row count (every edge resolves both ends)
+    val byStep = reports.map(r => r.step -> r.result.metadata("rows").toLong).toMap
+    assert(byStep("graph") == byStep("edges"))
+    assert(byStep("nodes") ==
+      Tables.customer(spark, sf).count() + Tables.supplier(spark, sf).count())
+  }
+
+  test("graph aggregates conserve edge weight and transaction counts") {
+    val n = GraphOps.nodes(Tables.customer(spark, sf), Tables.supplier(spark, sf))
+    val e = GraphOps.edges(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    val g = GraphOps.graph(n, e)
+    val aggr = GraphOps.graphAggr(g)
+    val lhs = aggr.agg(sum("n_transactions")).collect()(0).getLong(0)
+    assert(lhs == Tables.lineitem(spark, sf).count())
+    val edgeW = e.agg(round(sum("weight"), 0)).collect()(0).getDouble(0)
+    val aggrW = aggr.agg(round(sum("total_weight"), 0)).collect()(0).getDouble(0)
+    assert(math.abs(edgeW - aggrW) <= 1.0)
+    // star-shaped plan: node joins broadcast
+    val plan = g.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
+  }
+}
