@@ -80,6 +80,16 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("window_start")
     }),
+    "s2_sessionize_batch" -> ((s, d) =>
+      graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, d))),
+    "t5_url_normalize"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      TextOps.urlNormalize(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(lit("https://www."), col("source"),
+            lit(".example.com/docs/"), col("doc_id")).as("url")),
+        "url").orderBy("doc_id")
+    }),
     // M-tier: multimodal plumbing (stubbed codec → rows-only gate)
     "m1_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -319,6 +329,35 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s2_sessionize_batch" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM x)
+        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM y GROUP BY user_id, sess_id
+        |ORDER BY user_id, session_start""".stripMargin,
+    "t5_url_normalize" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://www.' || source || '.example.com/docs/' || doc_id AS url
+        |  FROM documents),
+        |h AS (SELECT doc_id, url,
+        |  regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+        |  regexp_extract(url, '^[a-z]+://[^/]+(/.*)?$', 1) AS upath FROM u)
+        |SELECT doc_id, url, host, upath,
+        |  array_to_string(string_split(host, '.')[-2:], '.') AS domain,
+        |  array_to_string(list_reverse(string_split(host, '.')), ',')
+        |    || ')' || upath AS surt
+        |FROM h ORDER BY doc_id""".stripMargin,
     "t4_fingerprint" ->
       """WITH t AS (SELECT doc_id, lower(trim(text)) AS nt FROM documents),
         |w AS (SELECT doc_id, nt, string_split(nt, ' ') AS w FROM t),

@@ -97,6 +97,24 @@ object TextOps {
     * minimum used by MOSS-style dedup). md5 so the DuckDB oracle can
     * reproduce it byte-for-byte; docs shorter than 5 words get a null
     * shingle fingerprint. */
+  /** T5 — URL/domain normalization (the reference's surt tooling,
+    * ascii-hydra `resources/databricks.py:77`): host extraction,
+    * registrable-domain heuristic (last two labels), and the SURT
+    * canonical form (reversed host labels + path) used to
+    * partition/sort web corpora. The fixtures carry no URL column, so
+    * the gated query synthesizes one from (source, doc_id) — the
+    * operator itself takes any URL column. */
+  def urlNormalize(df: DataFrame, urlCol: String): DataFrame = {
+    df
+      .withColumn("host", regexp_extract(col(urlCol), "^[a-z]+://([^/]+)", 1))
+      .withColumn("upath", regexp_extract(col(urlCol), "^[a-z]+://[^/]+(/.*)?$", 1))
+      .withColumn("domain",
+        concat_ws(".", slice(split(col("host"), "\\."), -2, 2)))
+      .withColumn("surt", concat(
+        concat_ws(",", reverse(split(col("host"), "\\."))), lit(")"),
+        col("upath")))
+  }
+
   def fingerprint(docs: DataFrame): DataFrame = {
     val norm = lower(trim(col("text")))
     docs.select(

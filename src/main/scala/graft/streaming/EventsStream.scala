@@ -55,13 +55,26 @@ object EventsStream {
   final case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
+  /** Timestamp ⇄ microseconds without precision loss
+    * (`Timestamp.getTime` alone is millis — it silently drops the
+    * microsecond part the fixtures carry). */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000 * 1000000L + t.getNanos / 1000
+  private def microsTs(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(us / 1000)
+    t.setNanos((us % 1000000L).toInt * 1000)
+    t
+  }
+
   /** Event-time sessionization with a `gap` inactivity timeout via
     * `flatMapGroupsWithState` — the custom-state surface
     * (KeyValueGroupedDataset). Emits a session when the watermark
-    * passes its end + gap. */
+    * passes its end + gap. State tracks microseconds so emitted
+    * sessions are bit-identical to the batch formulation
+    * ([[sessionizeBatch]]). */
   def sessionize(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60L * 1000L
+    val gapUs = gapMinutes * 60L * 1000000L
     events
       .withWatermark("ts", s"$gapMinutes minutes")
       .groupByKey(_.user_id)
@@ -71,23 +84,23 @@ object EventsStream {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(UserSession(userId, new java.sql.Timestamp(s.start),
-              new java.sql.Timestamp(s.end), s.nEvents, s.sumValue))
+            Iterator(UserSession(userId, microsTs(s.start),
+              microsTs(s.end), s.nEvents, s.sumValue))
           } else {
             // merge the micro-batch's rows into the open session;
             // close-and-emit any session the new rows have out-gapped
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
             var open = state.getOption
             val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = tsMicros(e.ts)
               open match {
-                case Some(s) if t - s.end <= gapMs =>
+                case Some(s) if t - s.end <= gapUs =>
                   open = Some(SessionState(s.start, math.max(s.end, t),
                     s.nEvents + 1, s.sumValue + e.value))
                 case Some(s) =>
-                  closed += UserSession(userId, new java.sql.Timestamp(s.start),
-                    new java.sql.Timestamp(s.end), s.nEvents, s.sumValue)
+                  closed += UserSession(userId, microsTs(s.start),
+                    microsTs(s.end), s.nEvents, s.sumValue)
                   open = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   open = Some(SessionState(t, t, 1, e.value))
@@ -95,11 +108,43 @@ object EventsStream {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
+              // timeout API is millisecond-based; round up so the
+              // session never times out early
+              state.setTimeoutTimestamp((s.end + gapUs) / 1000 + 1)
             }
             closed.iterator
           }
       }
+  }
+
+  /** Batch sessionization — same session semantics as [[sessionize]]
+    * expressed relationally (lag-gap flag → running session index →
+    * group), so it is SQL-oracle-checkable and serves as the batch
+    * twin of the stateful streaming path. Sum in exact decimal (the
+    * fixture's value column is 2dp). */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val gapS = gapMinutes * 60L
+    events
+      // fractional-second gap compare (ts carries sub-second parts;
+      // unix_timestamp truncates and could flip boundary decisions
+      // vs the ns-precise oracle)
+      .withColumn("new_sess",
+        when(col("ts").cast("double") -
+          lag(col("ts"), 1).over(order).cast("double") > gapS, 1)
+          .otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(
+        order.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess_id")
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+          .as("sum_value"))
+      .drop("sess_id")
+      .orderBy("user_id", "session_start")
   }
 
   /** Drain a streaming DataFrame through an in-memory sink with the
