@@ -92,6 +92,32 @@ object Multimodal {
     }
   }
 
+  /** Resize pass: images above maxDim get "re-encoded" (stub: the
+    * fake codec derives new payload bytes deterministically) with
+    * proportionally scaled dims. Non-images and small images pass
+    * through untouched — the common early-exit a real pipeline needs
+    * so it doesn't re-encode 90% of the corpus. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int = 512): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val w = m.meta.width; val h = m.meta.height
+        if (m.kind != "image" || math.max(w, h) <= maxDim || w <= 0) m
+        else {
+          val scale = maxDim.toDouble / math.max(w, h)
+          // round, not floor: w·(maxDim/w) can land at maxDim−ε
+          val (nw, nh) = (math.max(1, math.round(w * scale).toInt),
+            math.max(1, math.round(h * scale).toInt))
+          // stub re-encode: truncate payload proportionally (real
+          // impl: codec encode of the scaled raster)
+          val nbytes = java.util.Arrays.copyOf(m.bytes,
+            math.max(64, (m.bytes.length * scale).toInt))
+          m.copy(bytes = nbytes, meta = m.meta.copy(width = nw, height = nh))
+        }
+      }
+    }
+  }
+
   /** Frame sampling: explode each video into ≤ maxFrames decoded
     * frames (every `everyMs` of duration). Output rows are small
     * (no bytes) — the projection drops the payload *before* any

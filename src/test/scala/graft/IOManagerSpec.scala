@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{ParquetIOManager, Tables}
+
+/** IO manager: partitioned writes (reference B9) land in Hive layout,
+  * reads through basePath prune partitions at plan level. */
+class IOManagerSpec extends SparkSpec {
+
+  test("partitionBy write -> hive dirs, dynamic overwrite, pruned read") {
+    val io = new ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("iomgr").toString
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_returnflag")
+    val res = io.write(li, s"$dir/li", partitionBy = Seq("l_returnflag"))
+    assert(res.rowCount == li.count())
+    val parts = new java.io.File(s"$dir/li").listFiles()
+      .filter(_.getName.startsWith("l_returnflag=")).map(_.getName).sorted
+    assert(parts.length == 3, parts.mkString(","))
+    // pruned read: only one partition's files reach the scan
+    val pruned = io.readPartitioned(s"$dir/li", "l_returnflag" -> "R")
+    assert(pruned.count() ==
+      li.where(col("l_returnflag") === "R").count())
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      "partition filter missing:\n" + plan.take(800))
+    // 'all' wildcard semantics: no filter applied
+    assert(io.readPartitioned(s"$dir/li", "l_returnflag" -> "all").count()
+      == li.count())
+    // dynamic partition overwrite replaces only the touched partition
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val onlyR = li.where(col("l_returnflag") === "R").limit(10)
+    io.write(onlyR, s"$dir/li", partitionBy = Seq("l_returnflag"))
+    val after = io.read(s"$dir/li")
+    assert(after.where(col("l_returnflag") === "R").count() == 10)
+    assert(after.where(col("l_returnflag") =!= "R").count() ==
+      li.where(col("l_returnflag") =!= "R").count())
+  }
+
+  test("resize keeps schema and shrinks only large images") {
+    val media = graft.ops.Multimodal.syntheticMedia(spark, Tables.documents(spark, sf))
+    val decoded = graft.ops.Multimodal.decodeImages(media)
+    val resized = graft.ops.Multimodal.resizeImages(decoded, maxDim = 256)
+    val img = resized.toDF().where(col("kind") === "image")
+    assert(img.where(greatest(col("meta.width"), col("meta.height")) > 256)
+      .count() == 0)
+    // every shrunk image lands exactly on the target max dim with
+    // positive dims (aspect can collapse to 1 px for extreme ratios)
+    val shrunk = decoded.toDF().as("a").where(col("a.kind") === "image")
+      .where(greatest(col("a.meta.width"), col("a.meta.height")) > 256)
+      .join(resized.toDF().as("b"), "media_id")
+    assert(shrunk.where(
+      greatest(col("b.meta.width"), col("b.meta.height")) =!= 256).count() == 0)
+    assert(shrunk.where(least(col("b.meta.width"), col("b.meta.height")) < 1)
+      .count() == 0)
+    assert(shrunk.count() > 0)
+  }
+}
