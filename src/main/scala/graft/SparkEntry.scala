@@ -44,6 +44,10 @@ object SparkEntry {
     "q20_time_bucket"    -> (Relational.q20TimeBucket _),
     "q21_conditional_agg" -> (Relational.q21ConditionalAgg _),
     "q22_corr_subquery"  -> (Relational.q22CorrSubquery _),
+    "q23_pivot"          -> (Relational.q23Pivot _),
+    "q24_stats_battery"  -> (Relational.q24StatsBattery _),
+    "q25_percentiles"    -> (Relational.q25Percentiles _),
+    "q26_weighted_avg"   -> (Relational.q26WeightedAvg _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -242,6 +246,33 @@ object SparkEntry {
         |WHERE o_totalprice > (SELECT avg(o2.o_totalprice) FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY 1""".stripMargin,
+    "q23_pivot" ->
+      """SELECT user_id,
+        |  CAST(round(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click_value,
+        |  CAST(round(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view_value,
+        |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q24_stats_battery" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_discount), 6) AS var_disc,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_weighted_avg" ->
+      """SELECT l_returnflag,
+        |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
+        |    AS wavg_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "c1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

@@ -274,6 +274,53 @@ object Relational {
         .as("click_value"))
       .orderBy("user_id")
 
+  /** Q23 pivot: conditional aggregation widened to one column per
+    * pivot value (explicit value list → no extra pass to discover
+    * values, and a stable schema for the oracle). */
+  def q23Pivot(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase"))
+      .agg(round(sum(col("value").cast("decimal(18,2)")), 2).cast("double"))
+      .withColumnsRenamed(Map("click" -> "click_value",
+        "view" -> "view_value", "purchase" -> "purchase_value"))
+      .orderBy("user_id")
+
+  /** Q24 statistics battery: sample stddev/variance, correlation,
+    * covariance — identical definitions in Spark and DuckDB. */
+  def q24StatsBattery(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        ratio(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        ratio(var_samp(col("l_discount"))).as("var_disc"),
+        ratio(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        ratio(covar_samp(col("l_quantity"), col("l_discount"))).as("cov_qty_disc"))
+      .orderBy("l_returnflag")
+
+  /** Q25 exact percentiles (continuous interpolation): median + p90
+    * per market segment. */
+  def q25Percentiles(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        ratio(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+        ratio(expr("percentile(o_totalprice, 0.9)")).as("p90_price"))
+      .orderBy("c_mktsegment")
+
+  /** Q26 typed Aggregator surface: weighted average of extended
+    * price by quantity via [[graft.functions.TypedAggregators]]. */
+  def q26WeightedAvg(s: SparkSession, d: String): DataFrame = {
+    val wavg = udaf(new graft.functions.TypedAggregators.WeightedAvg)
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(ratio(wavg(col("l_extendedprice"), col("l_quantity")))
+        .as("wavg_price"))
+      .orderBy("l_returnflag")
+  }
+
   /** Q22 correlated scalar subquery, expressed decorrelated: per-key
     * aggregate joined back to the fact (the plan Catalyst's
     * RewriteCorrelatedScalarSubquery would produce from SQL). */
