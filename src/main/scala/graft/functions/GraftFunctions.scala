@@ -151,5 +151,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    // dev-mode sampling over base scans (inert unless
+    // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
+    ext.injectPostHocResolutionRule(session =>
+      new graft.plans.DevSampleRule(session))
   }
 }
