@@ -88,9 +88,13 @@ object Dedup {
     * common). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       maxDocFreq: Option[Int] = None): DataFrame = {
+    // pre-filter on raw token count: a post-projection
+    // `size(sh) > 0` gets inlined by predicate pushdown and the
+    // kernel then runs twice per row (seen in PLANS.md: Filter and
+    // Project both evaluating graft_shingle_hashes)
     val withSh = docs
+      .where(size(split(col("text"), " ")) >= n)
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-      .where(size(col("sh")) > 0)
     val prefixLen =
       (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
     val pref0 = withSh
@@ -130,8 +134,8 @@ object Dedup {
   def minHashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
       numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val withSh = docs
+      .where(size(split(col("text"), " ")) >= n) // see ngramJaccardPairs note
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
-      .where(size(col("sh")) > 0)
     // Signature + banding in ONE custom codegen expression
     // (graft.functions.MinHashBands): a single primitive loop
     // computes all `numHashes` mins and folds them into `bands`
