@@ -39,6 +39,7 @@ object SparkEntry {
     "q17_tokens"         -> (Relational.q17Tokens _),
     "q17_wordcount"      -> (Relational.q17Wordcount _),
     "q17_json"           -> (Relational.q17Json _),
+    "q17_json_map"       -> (Relational.q17JsonMap _),
     "q18_approx_distinct" -> (Relational.q18ApproxDistinct _),
     "q19_dedup_count"    -> (Relational.q19DedupCount _),
     "q20_time_bucket"    -> (Relational.q20TimeBucket _),
@@ -229,6 +230,11 @@ object SparkEntry {
     "q17_json" ->
       """SELECT event_id,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q17_json_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  CAST(len(json_keys(props)) AS INT) AS n_keys
         |FROM events ORDER BY event_id""".stripMargin,
     "q19_dedup_count" ->
       "SELECT count(DISTINCT text) AS n_unique_docs FROM documents",

@@ -243,6 +243,19 @@ object Relational {
         get_json_object(col("props"), "$.k").cast("int").as("k"))
       .orderBy("event_id")
 
+  /** Q17d JSON → typed MapType: parse the whole props object into a
+    * map column (schema'd parse, vs q17c's path extraction). */
+  def q17JsonMap(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType,
+          org.apache.spark.sql.types.IntegerType)).as("m"))
+      .select(col("event_id"),
+        element_at(col("m"), "k").as("k"),
+        size(map_keys(col("m"))).as("n_keys"))
+      .orderBy("event_id")
+
   /** Q18 approximate distinct (HLL++) vs exact — ±5% tolerance, so
     * rows-only checked (no DuckDB hash oracle). */
   def q18ApproxDistinct(s: SparkSession, d: String): DataFrame =
