@@ -1,0 +1,84 @@
+package graft.core
+
+/** Library-artifact path policy + deployment-environment resolution —
+  * the reference's driver-side utilities (ascii-hydra
+  * `pipes/utils.py:11-25`, `resources/utils.py`) with the same path
+  * shapes, carrying jar artifacts instead of wheels (Scala engine).
+  * Pure functions, reference-test parity in CoreSpec.
+  */
+object Artifacts {
+
+  /** `get_dagster_deployment_environment`: env-var keyed deployment
+    * name with a default. */
+  def deploymentEnvironment(
+      env: Map[String, String] = sys.env,
+      deploymentKey: String = "GRAFT_DEPLOYMENT",
+      defaultValue: String = "dev"): String =
+    env.getOrElse(deploymentKey, defaultValue)
+
+  /** `library_to_cloud_paths` (`pipes/utils.py:11-21`): where a
+    * packaged library lands per filesystem. The reference pins wheel
+    * version 0.0.0 (with a TODO about parallel-run races); kept as a
+    * fixed artifact version for the same reason — path stability. */
+  def libraryToCloudPaths(libName: String, filesystem: String = "s3",
+      deployment: String = "dev", version: String = "0.0.0"): String =
+    filesystem match {
+      case "dbfs" => s"dbfs:/customlibs/$deployment/$libName-$version-assembly.jar"
+      case "without" => s"customlibs/$deployment/$libName"
+      case _ => s"customlibs/$deployment/$libName-$version-assembly.jar"
+    }
+
+  /** `library_from_dbfs_paths` (`pipes/utils.py:24-25`): recover the
+    * library name from an artifact path. */
+  def libraryFromPath(path: String): String =
+    path.split("/").last.split("-").head
+}
+
+/** EMR instance-fleet config model — the output side of
+  * [[InstanceSelection]] (`instance_config.py:372-557` builds
+  * master/core/task fleets from filtered+priced candidates). Pure
+  * builders over the selection results; no cloud calls. */
+object FleetConfig {
+  import InstanceSelection._
+
+  final case class EbsConfig(volumeType: String = "gp3", sizeGB: Int = 64,
+      volumesPerInstance: Int = 1)
+  final case class InstanceTypeConfig(
+      instanceType: String,
+      weightedCapacity: Int,
+      bidPriceAsPercentageOfOnDemand: Option[Double],
+      ebs: Option[EbsConfig])
+  final case class Fleet(
+      role: String, // MASTER | CORE | TASK
+      targetOnDemandCapacity: Int,
+      targetSpotCapacity: Int,
+      configs: Seq[InstanceTypeConfig])
+
+  /** Weighted capacity = vCPU (the reference weights by instance
+    * size so managed scaling counts cores, not boxes). */
+  def typeConfig(i: InstanceType, bidPercent: Option[Double],
+      ebs: Option[EbsConfig]): InstanceTypeConfig =
+    InstanceTypeConfig(i.name, math.max(1, i.vcpu), bidPercent, ebs)
+
+  /** Master: single on-demand node from the top candidate; core/task:
+    * spot fleets over the n cheapest candidates with a bid percent —
+    * the `adjust_emr_job_config` shape. */
+  def build(masterCandidates: Seq[InstanceType],
+      workerCandidates: Seq[InstanceType],
+      bidPercent: Double,
+      coreUnits: Int,
+      taskUnits: Int,
+      ebs: Option[EbsConfig] = Some(EbsConfig())): Seq[Fleet] = {
+    require(masterCandidates.nonEmpty && workerCandidates.nonEmpty,
+      "no candidate instances after filtering")
+    require(bidPercent > 1.0 && bidPercent <= 100.0,
+      s"bid percent $bidPercent out of (1,100]")
+    Seq(
+      Fleet("MASTER", 1, 0,
+        Seq(typeConfig(masterCandidates.head, None, ebs))),
+      Fleet("CORE", 0, coreUnits,
+        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs))),
+      Fleet("TASK", 0, taskUnits,
+        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs))))
+  }
+}

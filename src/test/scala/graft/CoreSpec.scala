@@ -125,6 +125,48 @@ class CoreSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](spotBid(1.0, 0.5))
   }
 
+  // ports of test_utils.py library-path cases
+  test("artifact paths: cloud path shapes and name recovery") {
+    import Artifacts._
+    assert(libraryToCloudPaths("random_lib", "dbfs")
+      == "dbfs:/customlibs/dev/random_lib-0.0.0-assembly.jar")
+    assert(libraryToCloudPaths("random_lib", "s3")
+      == "customlibs/dev/random_lib-0.0.0-assembly.jar")
+    assert(libraryToCloudPaths("random_lib", "without")
+      == "customlibs/dev/random_lib")
+    assert(libraryFromPath("dbfs:/customlibs/test/mylib-0.0.0-assembly.jar")
+      == "mylib")
+    assert(deploymentEnvironment(Map.empty) == "dev")
+    assert(deploymentEnvironment(Map("GRAFT_DEPLOYMENT" -> "production"))
+      == "production")
+    assert(deploymentEnvironment(Map("CUSTOM" -> "staging"),
+      deploymentKey = "CUSTOM") == "staging")
+    assert(deploymentEnvironment(Map.empty, defaultValue = "testing")
+      == "testing")
+  }
+
+  test("fleet config: master on-demand, workers spot with vcpu weights") {
+    import InstanceSelection._
+    import FleetConfig._
+    val workers = Seq(
+      InstanceType("m6id.xlarge", 16, 4, 237, "GENERAL_CURRENT_GEN", Some(0.23)),
+      InstanceType("m6id.2xlarge", 32, 8, 474, "GENERAL_CURRENT_GEN", Some(0.47)))
+    val fleets = build(workers.take(1), workers, bidPercent = 10.0,
+      coreUnits = 10, taskUnits = 8)
+    assert(fleets.map(_.role) == Seq("MASTER", "CORE", "TASK"))
+    val master = fleets.head
+    assert(master.targetOnDemandCapacity == 1 && master.targetSpotCapacity == 0)
+    assert(master.configs.head.bidPriceAsPercentageOfOnDemand.isEmpty)
+    val core = fleets(1)
+    assert(core.targetSpotCapacity == 10)
+    assert(core.configs.map(_.weightedCapacity) == Seq(4, 8))
+    assert(core.configs.forall(_.bidPriceAsPercentageOfOnDemand.contains(10.0)))
+    intercept[IllegalArgumentException](
+      build(Nil, workers, 10.0, 1, 1))
+    intercept[IllegalArgumentException](
+      build(workers, workers, 0.5, 1, 1))
+  }
+
   test("library config paths model") {
     val lc = LibraryConfig(LibraryKind.Wheel, "s3://bucket/lib.whl")
     assert(lc.version.isEmpty)
