@@ -57,6 +57,11 @@ object SparkEntry {
     "c5_cosine_neardup"  -> ((s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     "c6_ann_topk"        -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
     "c7_ann_ivf"         -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d))),
+    // rows-only: recall is probabilistic (SRP banding); precision
+    // exact via cosine verification. Threshold matched to the
+    // fixture's cosine range so the query returns rows.
+    "c8_srp_neardup"     -> ((s, d) =>
+      Similarity.srpNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),

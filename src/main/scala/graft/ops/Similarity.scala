@@ -131,6 +131,40 @@ object Similarity {
       .where(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
 
+  /** C8 — SRP-banded cosine near-dup: the subquadratic scale path
+    * [[cosineNearDupPairs]]'s scaladoc promises for HIGH thresholds.
+    * b-bit signed-random-projection signatures, banded into
+    * `bands` chunks (bucket-join on chunk equality — same candidate
+    * shape as MinHash LSH), exact cosine verification. Recall per
+    * pair = 1 − (1 − p^(bits/bands))^bands with
+    * p = 1 − θ/π; at cos ≥ 0.95 and 16×4 bits, ≈ 0.997 — and
+    * precision is exact (verification). Candidates scale with bucket
+    * collisions, not |corpus|². */
+  def srpNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
+      bits: Int = 64, bands: Int = 16): DataFrame = {
+    val bitsPerBand = bits / bands
+    val mask = (1L << bitsPerBand) - 1
+    val sig = emb.select(col("vec_id"), col("embedding"),
+      srpSignature(col("embedding"), bits).as("sig"))
+    val banded = sig.select(col("vec_id"), col("embedding"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
+          .bitwiseAND(lit(mask)))).as(Seq("band", "chunk")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
+          && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
+      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** Signed-random-projection b-bit signature (deterministic
     * hyperplanes from xxhash64 of (plane, dim)): bit p = sign of
     * Σᵢ hᵢₚ·vᵢ where hᵢₚ ∈ {−1,+1}. Hamming distance on signatures

@@ -95,6 +95,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.count() == 1)
   }
 
+  test("srp near-dup: perfect recall on constructed twins, exact precision") {
+    // twins (cos = 1) must always be caught: all signature chunks equal
+    val twins = emb.limit(5).select((col("vec_id") + 800000).as("vec_id"),
+      col("embedding"))
+    val corpus = emb.select("vec_id", "embedding").unionAll(twins)
+    val pairs = Similarity.srpNearDupPairs(corpus, threshold = 0.999999)
+    assert(pairs.where(col("vec_b") === col("vec_a") + 800000).count() == 5)
+    // precision exact: every returned pair really meets the threshold
+    assert(pairs.where(col("cosine") < 0.999999).count() == 0)
+    // subset property vs brute force at the same threshold
+    val brute = Similarity.cosineNearDupPairs(corpus, threshold = 0.999999)
+      .select("vec_a", "vec_b")
+    assert(pairs.select("vec_a", "vec_b").exceptAll(brute).count() == 0)
+  }
+
   test("srp signature: deterministic and in [0, 2^bits)") {
     val sigs = emb.select(Similarity.srpSignature(col("embedding"), 16).as("s"))
     val mm = sigs.agg(min("s"), max("s")).collect()(0)

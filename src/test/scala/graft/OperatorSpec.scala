@@ -59,7 +59,7 @@ class OperatorSpec extends SparkSpec {
 
   test("oracle coverage: every query has an oracle or a documented rows-only") {
     val rowsOnly = Set("q18_approx_distinct", "c3_simhash_neardup", "c7_ann_ivf",
-      "m1_media_features")
+      "c8_srp_neardup", "m1_media_features")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")
     // and no orphan oracles
