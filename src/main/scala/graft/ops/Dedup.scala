@@ -106,10 +106,19 @@ object Dedup {
         pref0.join(hot, Seq("s"), "left_anti")
       case None => pref0
     }
-    val cand = pref.as("a")
-      .join(pref.as("b"),
-        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // pair emission via one aggregation per prefix shingle (a
+    // pref×pref self-join would run the shingle kernel on both
+    // sides); posting lists above the df-cap are the quadratic
+    // hazard — cap or accept, verification stays exact either way
+    val cand = pref
+      .groupBy("s")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     jaccardVerify(cand, withSh, threshold)
   }
