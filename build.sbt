@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output must reach stdout verbatim: sbt's default
+// LoggedOutput prefixes every line with "[info] ", which breaks any
+// consumer parsing Bench/Verify's JSON line from stdout (round 1's
+// recorded bench shows exactly that: the JSON swallowed into the log).
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
