@@ -18,12 +18,28 @@ import org.apache.spark.sql.functions._
   * a *content-derived key* (hash / band / shingle), never on doc_id —
   * so the work distributes by data, and AQE handles skewed buckets.
   * The one known hazard is ultra-hot shingles/bands (stop-word-like
-  * shingles shared by millions of docs); [[shingles]] callers can cap
-  * candidate fan-out with `maxDocFreq` (drop shingles present in more
-  * than that many docs — standard df-filtering, loses only pairs whose
-  * *every* shared shingle is that common).
+  * shingles shared by millions of docs); candidate fan-out is capped
+  * by default at [[DefaultMaxDocFreq]] — standard df-filtering, with
+  * the dropped count surfaced as an `observe()` metric.
   */
 object Dedup {
+
+  /** Default document-frequency cap on candidate-generation posting
+    * lists (prefix-shingle lists in [[ngramJaccardPairs]], band
+    * buckets in [[minHashLshPairs]], chunk buckets in
+    * [[simHashPairs]]). An ultra-hot key — a stop-word shingle run or
+    * boilerplate band shared by millions of docs — creates one posting
+    * list whose pair emission is quadratic *inside a single task*; at
+    * 100 TB that is the operator's only scale-killer, so the cap
+    * defaults ON. 5000 ids ≈ 12.5M emitted pairs per hot key — the
+    * most one task should absorb. Dropping is never silent: each
+    * operator attaches an `observe()` metric (surfaced through
+    * `QueryExecutionListener` / `DataFrame.observe` semantics) with
+    * the dropped count. Verification stays exact, so the cap affects
+    * recall only for pairs whose *every* shared candidate key is that
+    * hot; true mass-duplicate floods belong to [[exactDedup]], which
+    * handles them linearly. Pass `None` to disable. */
+  val DefaultMaxDocFreq = 5000
 
   /** Distinct word n-gram shingles as `array<string>`.
     * Docs shorter than n words get an empty array. */
@@ -87,7 +103,7 @@ object Dedup {
     * drops only for pairs whose every shared prefix shingle is that
     * common). */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      maxDocFreq: Option[Int] = None): DataFrame = {
+      maxDocFreq: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     // pre-filter on raw token count: a post-projection
     // `size(sh) > 0` gets inlined by predicate pushdown and the
     // kernel then runs twice per row (seen in PLANS.md: Filter and
@@ -101,8 +117,14 @@ object Dedup {
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
     val pref = maxDocFreq match {
       case Some(cap) =>
+        // no-silent-caps: the dropped-shingle count is an observe()
+        // metric on the hot-list subplan, reported per execution
         val hot = pref0.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap).select("s")
+          .where(col("df") > cap)
+          .observe(s"graft_c4_hot_shingles_gt$cap",
+            count(lit(1)).as("dropped_shingles"),
+            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+          .select("s")
         pref0.join(hot, Seq("s"), "left_anti")
       case None => pref0
     }
@@ -141,7 +163,8 @@ object Dedup {
     * boilerplate docs) are exactly the dup clusters we're hunting —
     * AQE skew-join handles them. */
   def minHashLshPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.8,
-      numHashes: Int = 128, bands: Int = 32): DataFrame = {
+      numHashes: Int = 128, bands: Int = 32,
+      maxBucket: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val withSh = docs
       .where(size(split(col("text"), " ")) >= n) // see ngramJaccardPairs note
       .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
@@ -162,10 +185,23 @@ object Dedup {
     // the signature pipeline twice. Bucket lists are near-dup
     // clusters: tiny except for true mass duplication (where the
     // quadratic emission is the desired answer anyway).
-    val buckets = banded
+    val buckets0 = banded
       .groupBy("band", "band_hash")
       .agg(collect_list(col("doc_id")).as("ids"))
       .where(size(col("ids")) > 1)
+    // df-cap (see [[DefaultMaxDocFreq]]): a bucket bigger than the cap
+    // is a mass-duplication flood — exactDedup territory — whose
+    // quadratic emission would pin one task. Dropped-bucket count is
+    // an observe() metric, never silent.
+    val buckets = maxBucket match {
+      case Some(cap) =>
+        buckets0
+          .observe(s"graft_c2_hot_buckets_gt$cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+              .as("dropped_buckets"))
+          .where(size(col("ids")) <= cap)
+      case None => buckets0
+    }
     val cand = buckets
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
@@ -195,7 +231,8 @@ object Dedup {
     * Scale: one 8-byte fingerprint per doc; shuffle key = 16-bit
     * chunk value + index. (Not DuckDB-expressible — xxhash64 — so the
     * correctness gate records rows-only; ScalaTest covers semantics.) */
-  def simHashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def simHashPairs(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Option[Int] = Some(DefaultMaxDocFreq)): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPerChunk = 64 / chunks
     val fp = docs.select(col("doc_id"), simHash(col("text")).as("fp"))
@@ -205,13 +242,35 @@ object Dedup {
         c => call_function("shiftright", col("fp"), c * lit(bitsPerChunk))
           .bitwiseAND(lit((1L << bitsPerChunk) - 1))))
         .as(Seq("chunk", "chunk_val")))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.chunk") === col("y.chunk") &&
-          col("x.chunk_val") === col("y.chunk_val") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+    // Bucket by (chunk, chunkValue) with ONE aggregation and emit
+    // pairs from each bucket's sorted (doc_id, fp) list — the same
+    // shape as c2/c4 (a banded self-join would evaluate the
+    // fingerprint pipeline on both sides and shuffle doc rows twice).
+    // The 8-byte fingerprint rides along in the bucket, so exact
+    // Hamming verification happens inline with no re-join.
+    val buckets0 = banded
+      .groupBy("chunk", "chunk_val")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("fp")))).as("ids"))
+      .where(size(col("ids")) > 1)
+    val buckets = maxBucket match { // df-cap, see [[DefaultMaxDocFreq]]
+      case Some(cap) =>
+        buckets0
+          .observe(s"graft_c3_hot_buckets_gt$cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+              .as("dropped_buckets"))
+          .where(size(col("ids")) <= cap)
+      case None => buckets0
+    }
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(
+            x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            bit_count(x.getField("fp").bitwiseXOR(y.getField("fp")))
+              .as("hamming"))))))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")

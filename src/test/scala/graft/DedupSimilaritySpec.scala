@@ -45,6 +45,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, maxDocFreq = Some(0)).count() == 0)
   }
 
+  test("df-cap bounds hot-key candidates without losing cold pairs") {
+    import spark.implicits._
+    // 30 docs sharing only ultra-hot "HOT HOT *" prefix shingles, plus
+    // one planted twin pair that shares nothing hot
+    val hot = (1 to 30).map(i => (i.toLong, s"HOT HOT HOT u$i v$i w$i"))
+    val twins = Seq((100L, "alpha beta gamma delta epsilon zeta"),
+      (101L, "alpha beta gamma delta epsilon zeta"))
+    val corpus = (hot ++ twins).toDF("doc_id", "text")
+    // uncapped at a permissive threshold: hot-shingle pairs do appear
+    val uncapped = Dedup.ngramJaccardPairs(corpus, threshold = 0.1,
+      maxDocFreq = None)
+    assert(uncapped.where(col("doc_a") <= 30).count() > 0)
+    // capped: the hot posting list (df=30 > 5) is dropped — no pair
+    // emission from it — while the cold twin pair is still found
+    val capped = Dedup.ngramJaccardPairs(corpus, threshold = 0.1,
+      maxDocFreq = Some(5))
+    assert(capped.where(col("doc_a") <= 30).count() == 0)
+    assert(capped.where(col("doc_a") === 100 && col("doc_b") === 101).count() == 1)
+    // LSH bucket cap: 30 identical docs form >cap buckets in every
+    // band and are dropped (exactDedup territory); distinct twins pass
+    val flood = (1 to 30).map(i =>
+      (i.toLong, "mass duplicated boilerplate text appears everywhere online"))
+    val corpus2 = (flood ++ twins).toDF("doc_id", "text")
+    val lshCapped = Dedup.minHashLshPairs(corpus2, maxBucket = Some(10))
+    assert(lshCapped.where(col("doc_a") <= 30).count() == 0)
+    assert(lshCapped.where(col("doc_a") === 100).count() == 1)
+    assert(Dedup.minHashLshPairs(corpus2, maxBucket = None)
+      .where(col("doc_a") <= 30).count() == 30 * 29 / 2)
+    // SimHash bucket cap behaves the same way
+    val shCapped = Dedup.simHashPairs(corpus2, maxBucket = Some(10))
+    assert(shCapped.where(col("doc_a") <= 30).count() == 0)
+    assert(shCapped.where(col("doc_a") === 100 && col("doc_b") === 101).count() == 1)
+  }
+
   test("simhash: hamming 0 for identical text; planted dups detected") {
     val fp = docs.select(Dedup.simHash(col("text")).as("fp"),
       col("doc_id")).cache()
