@@ -49,6 +49,7 @@ object SparkEntry {
     "q24_stats_battery"  -> (Relational.q24StatsBattery _),
     "q25_percentiles"    -> (Relational.q25Percentiles _),
     "q26_weighted_avg"   -> (Relational.q26WeightedAvg _),
+    "q27_part_join"      -> (Relational.q27PartJoin _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -107,7 +108,8 @@ object SparkEntry {
           Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         .groupBy("kind")
         .agg(count(lit(1)).as("n_media"),
-          round(avg(aggregate(col("feature"), lit(0.0), (a, x) => a + x)), 6)
+          // codegen kernel, not the interpreted HOF `aggregate`
+          round(avg(graft.functions.GraftFunctions.vecSum(col("feature"))), 6)
             .as("avg_feature_sum"))
         .orderBy("kind")
     }),
@@ -162,7 +164,9 @@ object SparkEntry {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
     "q09_anti_join" ->
       """SELECT c_custkey FROM customer c
-        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
         |ORDER BY 1""".stripMargin,
     "q10_outer_join" ->
       """SELECT n_name, count(s_suppkey) AS n_suppliers
@@ -284,6 +288,13 @@ object SparkEntry {
         |  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 6)
         |    AS wavg_price
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_part_join" ->
+      """SELECT p_type, count(*) AS n_items,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS DOUBLE) AS revenue,
+        |       round(avg(p_retailprice), 6) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

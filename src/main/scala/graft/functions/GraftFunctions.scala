@@ -48,6 +48,18 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+case class VecSum(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_sum"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.vecSum(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.vecSum($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must be a multiple of bands")
@@ -125,6 +137,7 @@ object GraftFunctions {
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
+  def vecSum(a: Column): Column = col(VecSum(ex(a)))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     col(MinHashBands(ex(shingles), numHashes, bands))
   def shingleHashes(tokens: Column, n: Int): Column =

@@ -37,6 +37,13 @@ object VectorKernels {
     s
   }
 
+  def vecSum(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
   private def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 

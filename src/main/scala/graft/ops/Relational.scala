@@ -121,10 +121,15 @@ object Relational {
       .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
       .agg(count(lit(1)).as("n_customers_with_orders"))
 
-  /** Q09 left anti join (NOT EXISTS): customers with no orders. */
+  /** Q09 left anti join (NOT EXISTS): customers with no high-value
+    * orders. The build side is pre-filtered (pushed to the orders
+    * scan) so the anti set is non-empty on the fixtures — an
+    * every-customer-has-orders corpus made the old "no orders at all"
+    * gate pass vacuously on an empty result. */
   def q09AntiJoin(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(orders(s, d).where(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
 
@@ -346,4 +351,16 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_totalprice")
       .orderBy("o_orderkey")
   }
+
+  /** Q27 part-dimension join (TPC-H Q14 promo-revenue shape): revenue
+    * and promo share by part type, with the part dim broadcast so
+    * lineitem reaches its aggregation without a join shuffle. */
+  def q27PartJoin(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(count(lit(1)).as("n_items"),
+        decRevenue.as("revenue"),
+        ratio(avg(col("p_retailprice"))).as("avg_retail"))
+      .orderBy("p_type")
 }
