@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Embedding similarity search over `array<float>` columns — the
   * north_star ANN surface (BASELINE.json), designed for a corpus that
@@ -31,16 +30,31 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.cosineSim(a, b)
 
+  /** Per-query bounded top-k as a typed Aggregator
+    * ([[graft.functions.TypedAggregators.TopK]]): map-side partial
+    * top-k per group, shuffle moves k-sized buffers — never a window
+    * partition holding \|corpus\| candidate rows. Ordering (score
+    * desc, id asc) matches the row_number spelling exactly. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val tk = udaf(new graft.functions.TypedAggregators.TopK(k),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    scored
+      .groupBy("query_id")
+      .agg(tk(col("cos"), col("neighbor_id")).as("tk"))
+      .select(col("query_id"), posexplode(col("tk.items")).as(Seq("pos", "nb")))
+      .select(col("query_id"), col("nb.id").as("neighbor_id"),
+        round(col("nb.s"), 6).as("cosine"), (col("pos") + 1).as("rnk"))
+      .orderBy("query_id", "rnk")
+  }
+
   /** C6 — exact brute-force cosine top-k: the ANN baseline.
     *
     * The query set (every `queryStride`-th vector) is tiny and
     * broadcast; the corpus streams past it once — cost is
-    * O(corpus × queries), embarrassingly parallel, zero shuffle until
-    * the final per-query top-k (a `row_number` window whose partition
-    * count = |queries|, each holding |corpus| candidate rows — at
-    * real scale swap the window for a per-partition top-k + merge,
-    * which TakeOrderedAndProject-style pruning approximates; here the
-    * window keeps the plan declarative). Ties broken by vec_id. */
+    * O(corpus × queries), embarrassingly parallel. The final
+    * per-query top-k is a partial-aggregating k-heap
+    * ([[topKPerQuery]]), so no stage ever materializes \|corpus\|
+    * rows per query. Ties broken by vec_id. */
   def annTopK(emb: DataFrame, k: Int = 10, queryStride: Int = 100): DataFrame = {
     val queries = emb
       .where(col("vec_id") % queryStride === 0)
@@ -49,14 +63,7 @@ object Similarity {
       .join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("c.embedding")).as("cos"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** C7 — IVF-style ANN: the subquadratic scale path for [[annTopK]].
@@ -77,41 +84,39 @@ object Similarity {
       centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
     val centroids = emb.where(col("vec_id") % centroidStride === 0)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
-    // index build: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cdist").desc, col("centroid_id").asc)
+    // index build: nearest centroid per corpus vector — argmax as a
+    // partial-aggregating max_by (tie → lowest centroid_id via the
+    // negated id in the struct), not a per-vector window sort
     val assigned = emb.as("c")
       .join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("c.embedding").as("embedding"),
         col("centroid_id"), cosine(col("cv"), col("c.embedding")).as("cdist"))
-      .withColumn("arank", row_number().over(wAssign))
-      .where(col("arank") === 1)
-      .select("vec_id", "embedding", "centroid_id")
-    // query side: nProbe nearest centroids per query
+      .groupBy("vec_id")
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(col("centroid_id"),
+          struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
+    // query side: nProbe nearest centroids per query — same bounded
+    // top-k aggregator as the final stage
     val queries = emb.where(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val wProbe = Window.partitionBy("query_id")
-      .orderBy(col("qdist").desc, col("centroid_id").asc)
+    val probeTk = udaf(new graft.functions.TypedAggregators.TopK(nProbe),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
     val probes = queries
       .join(broadcast(centroids), lit(true))
       .select(col("query_id"), col("qv"), col("centroid_id"),
         cosine(col("cv"), col("qv")).as("qdist"))
-      .withColumn("prank", row_number().over(wProbe))
-      .where(col("prank") <= nProbe)
-      .select("query_id", "qv", "centroid_id")
+      .groupBy("query_id")
+      .agg(first(col("qv")).as("qv"),
+        probeTk(col("qdist"), col("centroid_id")).as("ptk"))
+      .select(col("query_id"), col("qv"),
+        explode(col("ptk.items.id")).as("centroid_id"))
     // search only the probed lists
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    assigned
+    val scored = assigned
       .join(broadcast(probes), Seq("centroid_id"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("embedding")).as("cos"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("query_id"), col("neighbor_id"),
-        round(col("cos"), 6).as("cosine"), col("rnk"))
-      .orderBy("query_id", "rnk")
+    topKPerQuery(scored, k)
   }
 
   /** C5 — embedding cosine near-dup pairs (all pairs ≥ threshold).
