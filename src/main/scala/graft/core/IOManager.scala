@@ -40,7 +40,12 @@ final class ParquetIOManager(spark: SparkSession,
     val w = df.observe(obs, count(lit(1)).as("rows")).write
       .mode(SaveMode.Overwrite)
       .option("compression", compression)
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+    // dynamic overwrite pinned per-write (overrides session conf):
+    // replacing only touched partitions must not depend on the caller
+    // having applied SparkConfPolicy to this session
+    (if (partitionBy.nonEmpty)
+       w.partitionBy(partitionBy: _*).option("partitionOverwriteMode", "dynamic")
+     else w)
       .parquet(path)
     WriteResult(path, obs.get("rows").asInstanceOf[Long])
   }
