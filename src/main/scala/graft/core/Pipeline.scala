@@ -103,21 +103,32 @@ object Submission {
   case object Succeeded extends Poll
   final case class Failed(reason: String) extends Poll
 
-  /** EMR cluster states (`cloud_client.py:100-119`). */
+  /** EMR cluster states (`cloud_client.py:100-119,167-179`):
+    * TERMINATING/TERMINATED/TERMINATED_WITH_ERRORS all reach the
+    * terminal handler, which fails on TERMINATED_WITH_ERRORS or an
+    * "error"/"failed" substring in the state-change reason and
+    * otherwise treats the clean shutdown as success. */
   def classifyEmr(state: String, stateChangeReason: => String): Poll =
     state match {
-      case "TERMINATED" => Succeeded
-      case "TERMINATED_WITH_ERRORS" => Failed(stateChangeReason)
+      case "TERMINATED" | "TERMINATING" | "TERMINATED_WITH_ERRORS" =>
+        val msg = stateChangeReason
+        val lower = msg.toLowerCase
+        if (state == "TERMINATED_WITH_ERRORS" ||
+            lower.contains("error") || lower.contains("failed")) Failed(msg)
+        else Succeeded
       case _ => Continue
     }
 
-  /** Databricks run life-cycle states (`cloud_client.py:121-165`). */
+  /** Databricks run life-cycle states (`cloud_client.py:121-165,
+    * 182-215`): TERMINATED/SKIPPED/INTERNAL_ERROR/TERMINATING are all
+    * terminal; the result state alone decides success. */
   def classifyDatabricks(lifeCycle: String, resultState: => String): Poll =
     lifeCycle match {
-      case "TERMINATED" | "INTERNAL_ERROR" =>
+      case "TERMINATED" | "SKIPPED" | "INTERNAL_ERROR" | "TERMINATING" =>
         if (resultState == "SUCCESS") Succeeded
-        else Failed(s"terminal state: $resultState")
-      case "SKIPPED" => Failed("run skipped")
+        else Failed(s"terminal state: ${
+          if (resultState == null || resultState.isEmpty) "Unknown reason"
+          else resultState}")
       case _ => Continue
     }
 }

@@ -84,13 +84,19 @@ class CoreSpec extends AnyFunSuite {
   test("cloud poll classification: EMR + Databricks terminal states") {
     import Submission._
     assert(classifyEmr("RUNNING", "") == Continue)
-    assert(classifyEmr("TERMINATED", "") == Succeeded)
+    assert(classifyEmr("TERMINATED", "Steps completed") == Succeeded)
+    assert(classifyEmr("TERMINATING", "Steps completed") == Succeeded)
+    assert(classifyEmr("TERMINATED", "Step failed") == Failed("Step failed"))
+    assert(classifyEmr("TERMINATING", "Internal error") ==
+      Failed("Internal error"))
     assert(classifyEmr("TERMINATED_WITH_ERRORS", "boom") == Failed("boom"))
     assert(classifyDatabricks("RUNNING", "") == Continue)
     assert(classifyDatabricks("TERMINATED", "SUCCESS") == Succeeded)
+    assert(classifyDatabricks("TERMINATING", "SUCCESS") == Succeeded)
     assert(classifyDatabricks("TERMINATED", "FAILED")
       .isInstanceOf[Failed])
-    assert(classifyDatabricks("SKIPPED", "") == Failed("run skipped"))
+    assert(classifyDatabricks("SKIPPED", "") ==
+      Failed("terminal state: Unknown reason"))
     assert(classifyDatabricks("INTERNAL_ERROR", "CRASHED").isInstanceOf[Failed])
   }
 
