@@ -21,10 +21,19 @@ object Joins {
     * Equivalent to `left.join(right, key)` for any 1:N key
     * relationship (the right replication is keyed, not cross).
     * Cost: right side × salts — use when right is dimension-sized
-    * and a left key is pathological. */
+    * and a left key is pathological.
+    *
+    * Only left-preserving join types are accepted: the right side is
+    * replicated `salts` times, so right/full outer (and right semi/
+    * anti) would emit `salts` duplicate copies of unmatched right
+    * rows. */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 8, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    val allowed = Set("inner", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin is only correct for left-preserving joins, got $joinType")
     val saltedLeft = left.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts)).cast("int"))
     val replicatedRight = right.withColumn("_salt",

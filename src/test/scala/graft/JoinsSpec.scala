@@ -22,6 +22,14 @@ class JoinsSpec extends SparkSpec {
     val leftPlain = orders.join(customer, Seq("o_custkey"), "left")
     val leftSalted = Joins.saltedJoin(orders, customer, "o_custkey", 5, "left")
     assert(leftPlain.count() == leftSalted.count())
+    // right-preserving joins would duplicate unmatched right rows
+    // `salts` times — rejected up front
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(orders, customer, "o_custkey", 5, "right_outer")
+    }
+    intercept[IllegalArgumentException] {
+      Joins.saltedJoin(orders, customer, "o_custkey", 5, "full")
+    }
   }
 
   test("bucketed range join == nested-loop range join") {

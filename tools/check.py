@@ -4,7 +4,7 @@
 Reads the parquet dumps Verify wrote to OUT_DIR, runs each oracle SQL
 from oracle_sql.json in DuckDB over the same fixture tables, canonical-
 izes both sides (sort columns by name, round floats to 6dp, timestamps
-to 'yyyy-MM-dd HH:mm:ss' UTC, sort rows), and diffs.
+to 'yyyy-MM-dd HH:mm:ss.SSSSSS' UTC, sort rows), and diffs.
 
 Usage: tools/check.py SF_DIR OUT_DIR [query ...]
 """
@@ -19,7 +19,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S")
+            # fractional seconds included: whole-second formatting hid
+            # sub-second mismatches (e.g. s2's microsecond session bounds)
+            df[c] = s.dt.strftime("%Y-%m-%d %H:%M:%S.%f")
         elif pd.api.types.is_float_dtype(s):
             df[c] = s.round(6)
     df = df.reindex(sorted(df.columns), axis=1)
