@@ -32,6 +32,51 @@ object Artifacts {
     * library name from an artifact path. */
   def libraryFromPath(path: String): String =
     path.split("/").last.split("-").head
+
+  final case class BuildResult(artifactPath: String, artifactName: String)
+
+  /** `package_library` (`pipes/utils.py:28-53`), jar-flavored: clear
+    * the output dirs, invoke the build tool in the library dir, pick
+    * the produced artifact. The build runner and artifact listing are
+    * injected so the state machine tests with fakes (the reference
+    * mocks subprocess the same way, `test_utils.py:64-108`); the
+    * default runner shells out to `sbt assembly`.
+    *
+    * Failure semantics kept: a failing build surfaces as
+    * [[PipesException]]; a successful build that produced no artifact
+    * is the reference's FileNotFoundError. */
+  def packageLibrary(
+      libPath: String,
+      runBuild: String => Int = defaultSbtAssembly,
+      listArtifacts: String => Seq[String] = defaultListJars,
+      cleanDir: String => Unit = defaultCleanDir): BuildResult = {
+    cleanDir(s"$libPath/dist")
+    cleanDir(s"$libPath/build")
+    val rc = runBuild(libPath)
+    if (rc != 0) throw new PipesException(s"artifact build failed: exit $rc")
+    listArtifacts(s"$libPath/dist").sorted.headOption match {
+      case Some(p) => BuildResult(p, p.split('/').last)
+      case None => throw new java.io.FileNotFoundException(
+        "No artifact file found in the dist directory.")
+    }
+  }
+
+  private def defaultSbtAssembly(cwd: String): Int =
+    new ProcessBuilder("sbt", "-batch", "assembly")
+      .directory(new java.io.File(cwd)).inheritIO().start().waitFor()
+
+  private def defaultListJars(dist: String): Seq[String] = {
+    val d = new java.io.File(dist)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".jar")).map(_.getPath).toSeq
+  }
+
+  private def defaultCleanDir(dir: String): Unit = {
+    val d = new java.io.File(dir)
+    if (d.exists()) Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.isFile).foreach(_.delete())
+    else d.mkdirs()
+  }
 }
 
 /** EMR instance-fleet config model — the output side of
