@@ -79,6 +79,28 @@ object Artifacts {
   }
 }
 
+/** Model-cache directory policy (ascii-hydra `models/defaults.py:
+  * 1-28`): when the shared model volume exists, route the model
+  * libraries' caches under it; otherwise no-op. Pure — returns the
+  * env assignments (the JVM can't mutate its own environment); the
+  * launcher exports them before any model library loads, which is
+  * the reference's ordering constraint too. */
+object ModelCache {
+  def cacheEnv(cacheDirBase: String = "/data/models",
+      exists: String => Boolean = p => new java.io.File(p).isDirectory,
+      mkdirs: String => Unit = p => { new java.io.File(p).mkdirs(); () })
+      : Map[String, String] =
+    if (!exists(cacheDirBase)) Map.empty
+    else {
+      val hf = s"$cacheDirBase/hf"
+      val datasets = s"$hf/datasets"
+      val models = s"$hf/models"
+      Seq(hf, datasets, models).foreach(mkdirs)
+      Map("HF_HOME" -> cacheDirBase, "HF_DATASETS_CACHE" -> datasets,
+        "TRANSFORMERS_CACHE" -> models)
+    }
+}
+
 /** EMR instance-fleet config model — the output side of
   * [[InstanceSelection]] (`instance_config.py:372-557` builds
   * master/core/task fleets from filtered+priced candidates). Pure

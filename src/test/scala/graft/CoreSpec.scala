@@ -179,4 +179,16 @@ class CoreSpec extends AnyFunSuite {
     assert(LibraryConfig(LibraryKind.Pypi, "pandas", Some(">=2.0")).kind
       == LibraryKind.Pypi)
   }
+
+  test("model cache env: routed under base when present, noop otherwise") {
+    val made = scala.collection.mutable.ArrayBuffer.empty[String]
+    val env = ModelCache.cacheEnv("/vol/models", _ == "/vol/models", made += _)
+    assert(env == Map(
+      "HF_HOME" -> "/vol/models",
+      "HF_DATASETS_CACHE" -> "/vol/models/hf/datasets",
+      "TRANSFORMERS_CACHE" -> "/vol/models/hf/models"))
+    assert(made.toSeq == Seq("/vol/models/hf", "/vol/models/hf/datasets",
+      "/vol/models/hf/models"))
+    assert(ModelCache.cacheEnv("/nope", _ => false, _ => ()).isEmpty)
+  }
 }
