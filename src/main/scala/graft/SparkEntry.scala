@@ -63,6 +63,7 @@ object SparkEntry {
     // fixture's cosine range so the query returns rows.
     "c8_srp_neardup"     -> ((s, d) =>
       Similarity.srpNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -93,6 +94,24 @@ object SparkEntry {
     }),
     "s2_sessionize_batch" -> ((s, d) =>
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, d))),
+    // streaming dedup: the fixture replayed twice (union of two file
+    // streams) → dropDuplicatesWithinWatermark on event_id → the
+    // deduplicated stream aggregates to exactly the batch rollup.
+    // The memory sink is gate-only; production writes a real sink.
+    "s3_stream_dedup"    -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val doubled = EventsStream.readEventsStream(s, d)
+        .unionAll(EventsStream.readEventsStream(s, d))
+      EventsStream.runAvailableNow(s, EventsStream.dedupStream(doubled),
+          s"stream_dedup_${System.nanoTime}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
     "t5_url_normalize"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       TextOps.urlNormalize(
@@ -321,6 +340,17 @@ object SparkEntry {
         |          ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    "c9_vector_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6)
+        |    AS l2_norm,
+        |  CAST(len(embedding) AS INT) AS dim,
+        |  round(list_sum(embedding::DOUBLE[]), 6) AS coord_sum
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "s3_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, lang,

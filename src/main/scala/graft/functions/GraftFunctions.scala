@@ -60,6 +60,18 @@ case class VecSum(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class VecL2Norm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_vec_l2norm"
+  override protected def nullSafeEval(a: Any): Any =
+    VectorKernels.vecL2Norm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.vecL2Norm($c)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must be a multiple of bands")
@@ -138,6 +150,7 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def vecSum(a: Column): Column = col(VecSum(ex(a)))
+  def vecL2Norm(a: Column): Column = col(VecL2Norm(ex(a)))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     col(MinHashBands(ex(shingles), numHashes, bands))
   def shingleHashes(tokens: Column, n: Int): Column =

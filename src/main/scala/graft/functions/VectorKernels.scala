@@ -44,6 +44,16 @@ object VectorKernels {
     s
   }
 
+  def vecL2Norm(a: ArrayData): Double = {
+    val n = a.numElements()
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      s += x * x; i += 1
+    }
+    math.sqrt(s)
+  }
+
   private def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
 

@@ -21,9 +21,22 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.dotProduct(a, b)
 
+  /** ‖a‖₂ in double — codegen kernel (the HOF `aggregate` spelling is
+    * interpreted; see [[dot]]). */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    graft.functions.GraftFunctions.vecL2Norm(a)
+
+  /** C9 — per-vector norm/stat battery: the embedding hygiene pass a
+    * training pipeline runs before indexing (zero vectors, NaN/scale
+    * outliers). One codegen'd projection, no shuffle until the
+    * ordering. */
+  def vectorNorms(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      round(l2Norm(col("embedding")), 6).as("l2_norm"),
+      size(col("embedding")).as("dim"),
+      round(graft.functions.GraftFunctions.vecSum(col("embedding")), 6)
+        .as("coord_sum"))
+      .orderBy("vec_id")
 
   /** One-pass cosine, double accumulation, identical FP order to the
     * DuckDB oracle's formulation. */

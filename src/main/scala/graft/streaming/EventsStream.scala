@@ -147,6 +147,20 @@ object EventsStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** Duplicate-tolerant ingest: at-least-once sources (replayed
+    * files, Kafka/Kinesis redelivery) deduplicated on event_id with
+    * watermark-bounded state — `dropDuplicatesWithinWatermark` keeps
+    * a key's state only until the watermark passes it, so state size
+    * tracks the event-time window, not the stream length (the
+    * unbounded-state hazard of plain `dropDuplicates` at 100 TB).
+    * Emits rows in append mode as they arrive (dedup holds state, not
+    * rows), so a bounded availableNow run materializes the full
+    * deduplicated stream. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Drain a streaming DataFrame through an in-memory sink with the
     * availableNow trigger (bounded run over the fixture) and return
     * the materialized result. */

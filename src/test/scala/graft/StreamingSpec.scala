@@ -21,6 +21,17 @@ class StreamingSpec extends SparkSpec {
     assert(batch.count() > 0)
   }
 
+  test("stream dedup: replayed stream collapses to exactly the batch events") {
+    val doubled = EventsStream.readEventsStream(spark, sf)
+      .unionAll(EventsStream.readEventsStream(spark, sf))
+    val deduped = EventsStream.runAvailableNow(spark,
+      EventsStream.dedupStream(doubled), "dedup_test", OutputMode.Append())
+    val batch = Tables.events(spark, sf)
+    assert(deduped.count() == batch.count())
+    assert(deduped.select("event_id").exceptAll(
+      batch.select("event_id")).count() == 0)
+  }
+
   test("sessionization: per-user sessions respect the gap, sums preserved") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
