@@ -50,6 +50,7 @@ object SparkEntry {
     "q25_percentiles"    -> (Relational.q25Percentiles _),
     "q26_weighted_avg"   -> (Relational.q26WeightedAvg _),
     "q27_part_join"      -> (Relational.q27PartJoin _),
+    "q28_asof_join"      -> (Relational.q28AsOfJoin _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -314,6 +315,12 @@ object SparkEntry {
         |       round(avg(p_retailprice), 6) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_asof_join" ->
+      """SELECT p.event_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND c.ts <= p.ts
+        |ORDER BY p.event_id""".stripMargin,
     "c1_exact_dedup" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY 1""".stripMargin,

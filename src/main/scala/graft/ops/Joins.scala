@@ -43,6 +43,54 @@ object Joins {
       .drop("_salt")
   }
 
+  /** As-of join: for each left row, the single right row with the
+    * greatest `rightTime` ≤ the left row's `leftTime` within the same
+    * `key` (DuckDB/kdb ASOF JOIN semantics, left-outer: unmatched
+    * left rows keep null right columns).
+    *
+    * Implemented as union + ordered window carry, NOT a range
+    * self-join: both sides shuffle ONCE on `key`, the per-key window
+    * carries the latest right row forward with `last(_, ignoreNulls)`
+    * over an unbounded-preceding frame, and left rows project it out.
+    * At 100 TB that is one exchange per side + a per-key sort — no
+    * candidate blowup, no broadcast requirement. Ties at equal
+    * timestamps resolve to the right row (right rows sort before left
+    * at the same instant, matching ASOF's ≤), and among equal right
+    * timestamps the highest `rightOrd` wins.
+    *
+    * Output: all left columns plus the requested right columns
+    * (renamed via `rightCols` mapping rightName -> outName). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      rightCols: Seq[(String, String)], rightOrd: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    // the whole right payload rides in ONE struct so every projected
+    // right column comes from the same matched row
+    val rPayload = struct(rightCols.map { case (rc, out) => col(rc).as(out) }: _*)
+    val r = right.select(col(key).as("_k"), col(rightTime).as("_t"),
+      lit(0).as("_side"), col(rightOrd).as("_ord"), rPayload.as("_r"))
+    val lAligned = left
+      .select((Seq(col(key).as("_k"), col(leftTime).as("_t"),
+        lit(1).as("_side"),
+        lit(null).cast(r.schema("_ord").dataType).as("_ord"),
+        lit(null).cast(r.schema("_r").dataType).as("_r")) ++
+        leftCols.map(col)): _*)
+    val rAligned = r.select((Seq(col("_k"), col("_t"), col("_side"),
+      col("_ord"), col("_r")) ++
+      leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c))): _*)
+    // right rows first at equal _t (side 0 < 1), then by _ord, so the
+    // carried struct is the greatest (rightTime, ord) ≤ leftTime
+    val w = Window.partitionBy("_k")
+      .orderBy(col("_t").asc, col("_side").asc, col("_ord").asc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lAligned.unionAll(rAligned)
+      .withColumn("_c", last(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(leftCols.map(col) ++
+        rightCols.map { case (_, out) => col(s"_c.$out").as(out) }: _*)
+  }
+
   /** Range join reduced to an equi join by bucketing: pairs (point ∈
     * [start, end]) match only within the same coarse bucket or its
     * neighbor, so instead of a O(n·m) broadcast-nested-loop the

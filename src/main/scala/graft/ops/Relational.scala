@@ -363,4 +363,19 @@ object Relational {
         decRevenue.as("revenue"),
         ratio(avg(col("p_retailprice"))).as("avg_retail"))
       .orderBy("p_type")
+
+  /** Q28 as-of join ([[Joins.asOfJoin]]): each purchase matched to
+    * the user's latest click at or before it — DuckDB ASOF JOIN
+    * semantics, left-outer. One shuffle per side on user_id. */
+  def q28AsOfJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id"), col("ts").as("c_ts"))
+    graft.ops.Joins.asOfJoin(purchases, clicks, "user_id", "ts", "c_ts",
+        Seq("c_id" -> "click_id"), "c_id")
+      .select("event_id", "user_id", "click_id")
+      .orderBy("event_id")
+  }
 }

@@ -32,6 +32,33 @@ class JoinsSpec extends SparkSpec {
     }
   }
 
+  test("as-of join: latest right at-or-before left, nulls when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), // matches r at t=10 (exactly-equal tie → ≤)
+      (2L, 100L, 25L), // matches r at t=20 (latest ≤ 25)
+      (3L, 100L, 5L),  // before any right row → null
+      (4L, 200L, 50L)  // key with no right rows → null
+    ).toDF("l_id", "k", "t")
+    val right = Seq(
+      (11L, 100L, 10L, "a"),
+      (12L, 100L, 20L, "b"),
+      (13L, 100L, 30L, "c")
+    ).toDF("r_id", "k", "rt", "payload")
+    val out = Joins.asOfJoin(left, right, "k", "t", "rt",
+      Seq("r_id" -> "r_id", "payload" -> "payload"), "r_id")
+      .orderBy("l_id").collect()
+    assert(out.map(r => (r.getLong(0),
+      Option(r.get(3)), Option(r.get(4)))).toSeq == Seq(
+      (1L, Some(11L), Some("a")),
+      (2L, Some(12L), Some("b")),
+      (3L, None, None),
+      (4L, None, None)))
+    // left row count always preserved (left-outer)
+    assert(Joins.asOfJoin(left, right, "k", "t", "rt",
+      Seq("r_id" -> "r_id"), "r_id").count() == left.count())
+  }
+
   test("bucketed range join == nested-loop range join") {
     val points = Tables.orders(spark, sf)
       .select(col("o_orderkey"), (col("o_totalprice")).cast("long").as("p"))
