@@ -121,6 +121,18 @@ object SparkEntry {
             lit(".example.com/docs/"), col("doc_id")).as("url")),
         "url").orderBy("doc_id")
     }),
+    // frame-sampling policy gated end-to-end: every video yields
+    // min(maxFrames, duration/everyMs) frames — the oracle re-derives
+    // the policy from the synthetic-media construction rules; frame
+    // CRC semantics (not SQL-expressible) are pinned in MultimodalSpec
+    "m2_frame_sample"    -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Multimodal.sampleFrames(
+          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }),
     // M-tier: multimodal plumbing (stubbed codec → rows-only gate)
     "m1_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -315,6 +327,9 @@ object SparkEntry {
         |       round(avg(p_retailprice), 6) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "m2_frame_sample" ->
+      """SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS n_frames
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin,
     "q28_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
