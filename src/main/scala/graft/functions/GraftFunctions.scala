@@ -72,6 +72,19 @@ case class VecL2Norm(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+case class SrpSignature(child: Expression, bits: Int) extends UnaryExpression {
+  require(bits >= 1 && bits <= 64, s"bits must be in [1,64], got $bits")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_signature"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.srpSignature(v.asInstanceOf[ArrayData], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.srpSignature($c, $bits)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must be a multiple of bands")
@@ -151,6 +164,7 @@ object GraftFunctions {
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
   def vecSum(a: Column): Column = col(VecSum(ex(a)))
   def vecL2Norm(a: Column): Column = col(VecL2Norm(ex(a)))
+  def srpSignature(v: Column, bits: Int): Column = col(SrpSignature(ex(v), bits))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     col(MinHashBands(ex(shingles), numHashes, bands))
   def shingleHashes(tokens: Column, n: Int): Column =

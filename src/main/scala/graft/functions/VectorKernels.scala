@@ -44,6 +44,34 @@ object VectorKernels {
     s
   }
 
+  /** Signed-random-projection b-bit signature: bit p = sign of
+    * Σᵢ ±vᵢ with the sign from the parity of xxhash64(p, i) —
+    * bit-identical to the HOF spelling it replaces
+    * (`xxhash64(p, i) & 1`, Spark's seed-42 iterative long hash),
+    * but one codegen'd bits×dim loop instead of interpreted
+    * nested `aggregate`/`zip_with`. */
+  def srpSignature(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        // int inputs hash via hashInt (matches SQL xxhash64 over the
+        // int sequences the HOF used)
+        var h = XXH64.hashInt(p, 42L)
+        h = XXH64.hashInt(i, h)
+        val x = v.getFloat(i).toDouble
+        s += (if ((h & 1L) == 1L) x else -x)
+        i += 1
+      }
+      sig = (sig << 1) | (if (s > 0) 1L else 0L)
+      p += 1
+    }
+    sig
+  }
+
   def vecL2Norm(a: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0; var i = 0

@@ -159,20 +159,39 @@ object Similarity {
     * precision is exact (verification). Candidates scale with bucket
     * collisions, not |corpus|². */
   def srpNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
-      bits: Int = 64, bands: Int = 16): DataFrame = {
+      bits: Int = 64, bands: Int = 16,
+      maxBucket: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq)): DataFrame = {
     val bitsPerBand = bits / bands
     val mask = (1L << bitsPerBand) - 1
-    val sig = emb.select(col("vec_id"), col("embedding"),
+    val banded = emb.select(col("vec_id"),
       srpSignature(col("embedding"), bits).as("sig"))
-    val banded = sig.select(col("vec_id"), col("embedding"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
-          .bitwiseAND(lit(mask)))).as(Seq("band", "chunk")))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk")
-          && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => call_function("shiftright", col("sig"), b * lit(bitsPerBand))
+            .bitwiseAND(lit(mask)))).as(Seq("band", "chunk")))
+    // bucket-collect pair emission (one signature evaluation, one
+    // shuffle on the bucket key) — the banded self-join it replaces
+    // ran the signature pipeline on both sides. df-cap as in
+    // [[Dedup.DefaultMaxDocFreq]], dropped buckets observed.
+    val buckets0 = banded
+      .groupBy("band", "chunk")
+      .agg(collect_list(col("vec_id")).as("ids"))
+      .where(size(col("ids")) > 1)
+    val buckets = maxBucket match {
+      case Some(cap) =>
+        buckets0
+          .observe(s"graft_c8_hot_buckets_gt$cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+              .as("dropped_buckets"))
+          .where(size(col("ids")) <= cap)
+      case None => buckets0
+    }
+    val cand = buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(least(x, y).as("vec_a"), greatest(x, y).as("vec_b"))))))
+        .as("p"))
+      .select(col("p.vec_a"), col("p.vec_b"))
       .distinct()
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
@@ -187,15 +206,9 @@ object Similarity {
     * hyperplanes from xxhash64 of (plane, dim)): bit p = sign of
     * Σᵢ hᵢₚ·vᵢ where hᵢₚ ∈ {−1,+1}. Hamming distance on signatures
     * estimates angular distance — band it like MinHash for candidate
-    * generation at high cosine thresholds. */
+    * generation at high cosine thresholds. Codegen kernel
+    * ([[graft.functions.SrpSignature]]), bit-identical to the HOF
+    * spelling it replaced. */
   def srpSignature(v: Column, bits: Int = 16): Column =
-    aggregate(
-      transform(sequence(lit(0), lit(bits - 1)), p =>
-        when(aggregate(zip_with(v,
-            sequence(lit(0), size(v) - 1),
-            (x, i) => when(xxhash64(p, i).bitwiseAND(1) === 1,
-              x.cast("double")).otherwise(-x.cast("double"))),
-          lit(0.0), (acc, x) => acc + x) > 0, lit(1L)).otherwise(lit(0L))),
-      lit(0L),
-      (acc, bit) => shiftleft(acc, 1).bitwiseOR(bit))
+    graft.functions.GraftFunctions.srpSignature(v, bits)
 }
