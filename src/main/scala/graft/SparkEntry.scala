@@ -97,16 +97,17 @@ object SparkEntry {
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, d))),
     // streaming dedup: the fixture replayed twice (union of two file
     // streams) → dropDuplicatesWithinWatermark on event_id → the
-    // deduplicated stream aggregates to exactly the batch rollup.
-    // The memory sink is gate-only; production writes a real sink.
+    // deduplicated stream lands in a parquet sink (distributed write,
+    // nothing driver-bound) and aggregates to exactly the batch rollup.
     "s3_stream_dedup"    -> ((s, d) => {
       import graft.streaming.EventsStream
       import org.apache.spark.sql.functions._
       val doubled = EventsStream.readEventsStream(s, d)
         .unionAll(EventsStream.readEventsStream(s, d))
-      EventsStream.runAvailableNow(s, EventsStream.dedupStream(doubled),
-          s"stream_dedup_${System.nanoTime}",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stream_dedup").toString
+      EventsStream.runAvailableNowToParquet(s,
+          EventsStream.dedupStream(doubled), dir)
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")

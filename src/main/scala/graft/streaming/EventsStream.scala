@@ -161,6 +161,23 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Drain a streaming DataFrame to a parquet sink with the
+    * availableNow trigger and read the result back — the production
+    * shape for high-volume streams (distributed write, nothing
+    * driver-bound; the memory-sink variant below is for small
+    * aggregated outputs only). */
+  def runAvailableNowToParquet(spark: SparkSession, streaming: DataFrame,
+      dir: String): DataFrame = {
+    val q = streaming.writeStream
+      .format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(s"$dir/out")
+  }
+
   /** Drain a streaming DataFrame through an in-memory sink with the
     * availableNow trigger (bounded run over the fixture) and return
     * the materialized result. */
