@@ -45,17 +45,6 @@ object Bench {
     pb.start().waitFor()
   }
 
-  private def jsonEsc(s: String): String =
-    s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
   private def runInner(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.Sessions.local()
@@ -89,7 +78,7 @@ object Bench {
     def numMap(m: collection.Map[String, Double]): String =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val errJson = errors
-      .map { case (k, v) => s""""$k":"${jsonEsc(v)}"""" }
+      .map { case (k, v) => s""""$k":"${JsonUtil.esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = warm.values.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm",""" +

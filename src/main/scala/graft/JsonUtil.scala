@@ -1,0 +1,20 @@
+package graft
+
+/** JSON string escaping shared by the Bench/Verify mains: backslash,
+  * quote, and ALL control chars (<0x20) — a tab or CR in
+  * builder-authored SQL or an exception message would otherwise make
+  * the driver's json.load fail and silently zero the round's gate. */
+private[graft] object JsonUtil {
+  def esc(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Quoted JSON string literal. */
+  def quote(s: String): String = "\"" + esc(s) + "\""
+}

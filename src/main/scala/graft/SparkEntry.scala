@@ -104,8 +104,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val doubled = EventsStream.readEventsStream(s, d)
         .unionAll(EventsStream.readEventsStream(s, d))
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_stream_dedup").toString
+      val dir = EventsStream.scratchDir("graft_stream_dedup")
       EventsStream.runAvailableNowToParquet(s,
           EventsStream.dedupStream(doubled), dir)
         .groupBy("event_type")

@@ -24,8 +24,14 @@ object TypedAggregators {
     * insert beats heap bookkeeping. */
   final class TopK(k: Int)
       extends Aggregator[(Double, Long), TopKBuf, TopKBuf] {
-    private def lt(a: Neighbor, b: Neighbor): Boolean =
-      a.s > b.s || (a.s == b.s && a.id < b.id)
+    // java.lang.Double.compare, not primitive >: NaN ranks greatest
+    // and equal to itself, matching Spark's `orderBy(col.desc)`
+    // (which puts NaN first) so the aggregator really is a drop-in
+    // for the row_number window it replaces
+    private def lt(a: Neighbor, b: Neighbor): Boolean = {
+      val c = java.lang.Double.compare(a.s, b.s)
+      c > 0 || (c == 0 && a.id < b.id)
+    }
     def zero: TopKBuf = TopKBuf(Vector.empty)
     def reduce(b: TopKBuf, in: (Double, Long)): TopKBuf = {
       val n = Neighbor(in._1, in._2)

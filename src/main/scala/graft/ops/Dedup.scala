@@ -74,6 +74,34 @@ object Dedup {
   def hashedShingles(text: Column, n: Int): Column =
     graft.functions.GraftFunctions.shingleHashes(split(text, " "), n)
 
+  /** df-capped bucket pair emission shared by the LSH-family
+    * operators (c2/c4/c8): `buckets0` carries an `ids: array<long>`
+    * posting list per bucket (already filtered to size > 1). Buckets
+    * above the cap are dropped with an observe()d count (no silent
+    * caps); surviving lists emit canonical (a < b) pairs via one
+    * nested transform — never a self-join that would re-evaluate the
+    * signature pipeline. */
+  private[ops] def cappedBucketPairs(buckets0: DataFrame,
+      maxBucket: Option[Int], metric: String,
+      aName: String, bName: String): DataFrame = {
+    val buckets = maxBucket match {
+      case Some(cap) =>
+        buckets0
+          .observe(s"${metric}_gt$cap",
+            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
+              .as("dropped_buckets"))
+          .where(size(col("ids")) <= cap)
+      case None => buckets0
+    }
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(least(x, y).as(aName), greatest(x, y).as(bName))))))
+        .as("p"))
+      .select(col(s"p.$aName"), col(s"p.$bName"))
+      .distinct()
+  }
+
   private def jaccardVerify(cand: DataFrame, withSh: DataFrame,
       threshold: Double): DataFrame =
     cand
@@ -130,18 +158,11 @@ object Dedup {
     }
     // pair emission via one aggregation per prefix shingle (a
     // pref×pref self-join would run the shingle kernel on both
-    // sides); posting lists above the df-cap are the quadratic
-    // hazard — cap or accept, verification stays exact either way
-    val cand = pref
-      .groupBy("s")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    // sides); the df-cap already bounded the posting lists upstream
+    val cand = cappedBucketPairs(
+      pref.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      None, "graft_c4", "doc_a", "doc_b")
     jaccardVerify(cand, withSh, threshold)
   }
 
@@ -185,30 +206,14 @@ object Dedup {
     // the signature pipeline twice. Bucket lists are near-dup
     // clusters: tiny except for true mass duplication (where the
     // quadratic emission is the desired answer anyway).
-    val buckets0 = banded
-      .groupBy("band", "band_hash")
-      .agg(collect_list(col("doc_id")).as("ids"))
-      .where(size(col("ids")) > 1)
     // df-cap (see [[DefaultMaxDocFreq]]): a bucket bigger than the cap
     // is a mass-duplication flood — exactDedup territory — whose
-    // quadratic emission would pin one task. Dropped-bucket count is
-    // an observe() metric, never silent.
-    val buckets = maxBucket match {
-      case Some(cap) =>
-        buckets0
-          .observe(s"graft_c2_hot_buckets_gt$cap",
-            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
-              .as("dropped_buckets"))
-          .where(size(col("ids")) <= cap)
-      case None => buckets0
-    }
-    val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(least(x, y).as("doc_a"), greatest(x, y).as("doc_b"))))))
-        .as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    // quadratic emission would pin one task.
+    val cand = cappedBucketPairs(
+      banded.groupBy("band", "band_hash")
+        .agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      maxBucket, "graft_c2_hot_buckets", "doc_a", "doc_b")
     jaccardVerify(cand, withSh, threshold)
   }
 

@@ -173,26 +173,11 @@ object Similarity {
     // shuffle on the bucket key) — the banded self-join it replaces
     // ran the signature pipeline on both sides. df-cap as in
     // [[Dedup.DefaultMaxDocFreq]], dropped buckets observed.
-    val buckets0 = banded
-      .groupBy("band", "chunk")
-      .agg(collect_list(col("vec_id")).as("ids"))
-      .where(size(col("ids")) > 1)
-    val buckets = maxBucket match {
-      case Some(cap) =>
-        buckets0
-          .observe(s"graft_c8_hot_buckets_gt$cap",
-            sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
-              .as("dropped_buckets"))
-          .where(size(col("ids")) <= cap)
-      case None => buckets0
-    }
-    val cand = buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(least(x, y).as("vec_a"), greatest(x, y).as("vec_b"))))))
-        .as("p"))
-      .select(col("p.vec_a"), col("p.vec_b"))
-      .distinct()
+    val cand = graft.ops.Dedup.cappedBucketPairs(
+      banded.groupBy("band", "chunk")
+        .agg(collect_list(col("vec_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      maxBucket, "graft_c8_hot_buckets", "vec_a", "vec_b")
     cand
       .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
       .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")

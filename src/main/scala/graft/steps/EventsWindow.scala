@@ -28,9 +28,12 @@ object EventsWindow {
       val day = java.time.LocalDate.parse(key)
       val start = day.atStartOfDay
       val end = start.plusDays(1)
+      // window bounds evaluate in the SESSION timezone (UTC), same as
+      // to_date below — a java.sql.Timestamp literal would bind the
+      // JVM default zone and make the two layouts disagree off-UTC
       val ev = Tables.events(ctx.spark, sfDir)
-        .where(col("ts") >= lit(java.sql.Timestamp.valueOf(start)) &&
-          col("ts") < lit(java.sql.Timestamp.valueOf(end)))
+        .where(col("ts") >= to_timestamp(lit(key)) &&
+          col("ts") < to_timestamp(lit(day.plusDays(1).toString)))
       val windowed = ctx.io.write(ev, ctx.paths.timeWindowPath(name, start, end))
       val partitioned = ctx.io.write(
         ev.withColumn("event_date", to_date(col("ts"))),

@@ -154,8 +154,16 @@ object EventsStream {
     * tracks the event-time window, not the stream length (the
     * unbounded-state hazard of plain `dropDuplicates` at 100 TB).
     * Emits rows in append mode as they arrive (dedup holds state, not
-    * rows), so a bounded availableNow run materializes the full
-    * deduplicated stream. */
+    * rows).
+    *
+    * Contract: duplicates are dropped only while their key's state is
+    * live — a replay arriving after the watermark has advanced past
+    * its event time + the delay re-emits. That is the standard
+    * watermark-dedup tradeoff: bounded state buys you dedup within
+    * the lateness horizon, not exactly-once over arbitrary replays
+    * (size the watermark to the source's redelivery window; a
+    * downstream [[graft.ops.Dedup.exactDedup]] pass catches the
+    * stragglers). */
   def dedupStream(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "1 hour")
@@ -176,6 +184,22 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$dir/out")
+  }
+
+  /** Scratch dir for gate/bench runs of the parquet-sink path,
+    * deleted on JVM exit (the read-back is lazy, so deletion can't
+    * happen inline — repeated bench/dev invocations must not
+    * accumulate full copies of the stream under /tmp). */
+  def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(p.toFile)
+    }
+    p.toString
   }
 
   /** Drain a streaming DataFrame through an in-memory sink with the
