@@ -1,0 +1,43 @@
+package graft
+
+/** Plan lint across EVERY gated query: the scale guards the README
+  * promises, enforced mechanically so a future edit can't silently
+  * introduce an accidental cartesian/nested-loop join. Quadratic
+  * scans that are the declared semantics are whitelisted explicitly
+  * with the reason. */
+class PlanLintSpec extends SparkSpec {
+
+  /** Declared-quadratic (or broadcast-nested-loop-by-design) queries:
+    * c5/c6/c7 score a broadcast query/centroid set against the corpus
+    * — the O(n·q) scan IS the semantics; their subquadratic siblings
+    * (c8, IVF probing itself) are the scale paths. */
+  private val nestedLoopByDesign =
+    Set("c5_cosine_neardup", "c6_ann_topk", "c7_ann_ivf")
+
+  /** Streaming gates execute the stream inside the query closure —
+    * covered by StreamingSpec; skipped here to keep the lint fast. */
+  private val streamingGates = Set("s1_stream_rollup", "s3_stream_dedup")
+
+  test("no accidental cartesian or nested-loop joins in any gated plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!streamingGates(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"),
+          s"$name plans a CartesianProduct")
+        if (!nestedLoopByDesign(name))
+          assert(!plan.contains("BroadcastNestedLoopJoin"),
+            s"$name plans a BroadcastNestedLoopJoin")
+      }
+    }
+  }
+
+  test("no interpreted python/UDF eval nodes in any gated plan") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      if (!streamingGates(name)) {
+        val plan = fn(spark, sf).queryExecution.executedPlan.toString
+        assert(!plan.contains("BatchEvalPython") && !plan.contains("ArrowEval"),
+          s"$name plans a Python eval node")
+      }
+    }
+  }
+}
