@@ -93,10 +93,54 @@ object Similarity {
     * repartitioned by centroid_id once at index-build time, probes
     * then touch only matching partitions. Recall < 1 by construction
     * (rows-only gate; ScalaTest measures recall vs [[annTopK]]). */
+  /** Lloyd k-means over the embedding column, expressed as iterated
+    * DataFrame aggregations — the real IVF index build (deterministic
+    * seed: every `|corpus|/k`-th vector). Each iteration is one
+    * broadcast-assign (max_by over the centroid set, no shuffle of
+    * the corpus beyond the final groupBy on centroid id) and one
+    * mean-reduce; centroid ids are re-densified 0..k-1 each round.
+    * At 100 TB you'd run this on a sample — the plumbing is the
+    * same; iterations is small (Lloyd converges fast for coarse
+    * quantizers). */
+  def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
+    val n = emb.count()
+    val stride = math.max(1L, n / k)
+    var centroids = emb.where(col("vec_id") % stride === 0)
+      .select((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("vec_id")) - 1).cast("long").as("centroid_id"),
+        col("embedding").as("cv"))
+      .limit(k)
+    for (_ <- 1 to iters) {
+      val assigned = emb.as("c")
+        .join(broadcast(centroids), lit(true))
+        .select(col("vec_id"), col("c.embedding").as("embedding"),
+          col("centroid_id"),
+          cosine(col("cv"), col("c.embedding")).as("cdist"))
+        .groupBy("vec_id")
+        .agg(first(col("embedding")).as("embedding"),
+          max_by(col("centroid_id"),
+            struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
+      // mean of member vectors per centroid (element-wise): aggregate
+      // positional sums via posexplode, then re-assemble
+      centroids = assigned
+        .select(col("centroid_id"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(avg(col("x")).as("m"))
+        .groupBy("centroid_id")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+    }
+    centroids
+  }
+
   def annTopKIvf(emb: DataFrame, k: Int = 10, queryStride: Int = 100,
-      centroidStride: Int = 40, nProbe: Int = 4): DataFrame = {
-    val centroids = emb.where(col("vec_id") % centroidStride === 0)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      centroidStride: Int = 40, nProbe: Int = 4,
+      centroidsOverride: Option[DataFrame] = None): DataFrame = {
+    val centroids = centroidsOverride.getOrElse(
+      emb.where(col("vec_id") % centroidStride === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
     // index build: nearest centroid per corpus vector — argmax as a
     // partial-aggregating max_by (tie → lowest centroid_id via the
     // negated id in the struct), not a per-vector window sort

@@ -117,6 +117,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, f"IVF recall $recall%.2f too low")
   }
 
+  test("kmeans centroids: k rows, right dims, IVF recall holds with them") {
+    val cents = Similarity.kmeansCentroids(emb, k = 12, iters = 2).cache()
+    assert(cents.count() == 12)
+    assert(cents.select(size(col("cv"))).distinct().collect()
+      .map(_.getInt(0)).toSeq ==
+      emb.select(size(col("embedding"))).distinct().collect()
+        .map(_.getInt(0)).toSeq)
+    val exact = Similarity.annTopK(emb, k = 10, queryStride = 100)
+      .select("query_id", "neighbor_id")
+    val ivf = Similarity.annTopKIvf(emb, k = 10, queryStride = 100,
+      centroidsOverride = Some(cents)).select("query_id", "neighbor_id")
+    val recall = ivf.intersect(exact).count().toDouble / exact.count()
+    assert(recall >= 0.5, f"IVF-with-kmeans recall $recall%.2f too low")
+  }
+
   test("cosine near-dup pairs are symmetric-free and thresholded") {
     val pairs = Similarity.cosineNearDupPairs(emb, threshold = 0.4).cache()
     assert(pairs.where(col("vec_a") >= col("vec_b")).count() == 0)
