@@ -80,7 +80,13 @@ object Dedup {
     * above the cap are dropped with an observe()d count (no silent
     * caps); surviving lists emit canonical (a < b) pairs via one
     * nested transform — never a self-join that would re-evaluate the
-    * signature pipeline. */
+    * signature pipeline.
+    *
+    * Metric caveat: if the WHOLE query comes back empty, AQE
+    * empty-relation propagation may prune the subtree including the
+    * CollectMetrics node, so the drop count is only reported on
+    * queries that return rows — fine in practice (a corpus where
+    * every candidate bucket is hot has no pairs to report anyway). */
   private[ops] def cappedBucketPairs(buckets0: DataFrame,
       maxBucket: Option[Int], metric: String,
       aName: String, bName: String): DataFrame = {

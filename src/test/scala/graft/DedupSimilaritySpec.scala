@@ -79,6 +79,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(shCapped.where(col("doc_a") === 100 && col("doc_b") === 101).count() == 1)
   }
 
+  test("df-cap drops are observed, not silent (metric fires)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val seen = new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        qe.observedMetrics.foreach { case (k, v) => seen.put(k, v) }
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // flood (capped away) + surviving twins: the query must return
+      // rows, else AQE empty-relation propagation prunes the whole
+      // candidate subtree INCLUDING the CollectMetrics node (see
+      // cappedBucketPairs scaladoc)
+      val flood = (1 to 30).map(i =>
+        (i.toLong, "mass duplicated boilerplate text appears everywhere online")) ++
+        Seq((100L, "alpha beta gamma delta epsilon zeta"),
+          (101L, "alpha beta gamma delta epsilon zeta"))
+      Dedup.minHashLshPairs(flood.toDF("doc_id", "text"),
+        maxBucket = Some(10)).count()
+      // listener delivery is async — poll briefly
+      val deadline = System.nanoTime() + 10e9.toLong
+      while (!seen.containsKey("graft_c2_hot_buckets_gt10") &&
+        System.nanoTime() < deadline) Thread.sleep(100)
+      val m = seen.get("graft_c2_hot_buckets_gt10")
+      assert(m != null, "df-cap observe metric never fired")
+      assert(m.getAs[Long]("dropped_buckets") > 0)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("simhash: hamming 0 for identical text; planted dups detected") {
     val fp = docs.select(Dedup.simHash(col("text")).as("fp"),
       col("doc_id")).cache()
