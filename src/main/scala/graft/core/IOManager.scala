@@ -52,3 +52,22 @@ final class ParquetIOManager(spark: SparkSession,
 }
 
 final case class WriteResult(path: String, rowCount: Long)
+
+/** Bucketed-table layout — the co-located-join path for repeated
+  * large⋈large joins on a stable key (the 100 TB answer when neither
+  * side broadcasts): both sides pre-hashed into the same bucket
+  * count on the join key at WRITE time, so every subsequent join on
+  * that key runs shuffle-free (SortMergeJoin directly over the
+  * bucket files). Bucketing requires the table catalog
+  * (`saveAsTable`), unlike the path-based IO above. */
+object BucketedTables {
+  import org.apache.spark.sql.{DataFrame, SaveMode}
+
+  def write(df: DataFrame, table: String, buckets: Int,
+      bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(buckets, bucketCol)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(table)
+  }
+}

@@ -37,6 +37,35 @@ class IOManagerSpec extends SparkSpec {
       li.where(col("l_returnflag") =!= "R").count())
   }
 
+  test("bucketed tables: join on the bucket key plans without a shuffle") {
+    import graft.core.BucketedTables
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val ord = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    BucketedTables.write(li, "bt_lineitem", buckets = 8, "l_orderkey",
+      sortCols = Seq("l_orderkey"))
+    BucketedTables.write(ord, "bt_orders", buckets = 8, "o_orderkey",
+      sortCols = Seq("o_orderkey"))
+    try {
+      // force the large-large path (no broadcast) to expose the shuffle
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bt_lineitem")
+        .join(spark.table("bt_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+      assert(joined.count() == li.count()) // every lineitem has its order
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(600))
+      // co-located: bucket layout replaces both shuffle exchanges
+      assert(!plan.contains("Exchange hashpartitioning"),
+        "bucketed join still shuffles:\n" + plan.take(1200))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+      spark.sql("DROP TABLE IF EXISTS bt_orders")
+    }
+  }
+
   test("resize keeps schema and shrinks only large images") {
     val media = graft.ops.Multimodal.syntheticMedia(spark, Tables.documents(spark, sf))
     val decoded = graft.ops.Multimodal.decodeImages(media)
