@@ -191,6 +191,14 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHash64(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "graft_vec_sum"),
+      (args: Seq[Expression]) => VecSum(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_vec_l2norm"),
+      new ExpressionInfo(classOf[VecL2Norm].getName, "graft_vec_l2norm"),
+      (args: Seq[Expression]) => VecL2Norm(args(0))))
     // dev-mode sampling over base scans (inert unless
     // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
     ext.injectPostHocResolutionRule(session =>

@@ -31,6 +31,16 @@ class SqlEntrySpec extends SparkSpec {
     val s2 = spark.sql("SELECT graft_simhash(split('the quick fox', ' ')) AS s")
       .collect()(0).getLong(0)
     assert(row.getAs[Long]("s") == s2)
+    // vector kernels: l2norm² == self-dot, sum matches aggregate
+    val v = spark.sql(
+      """SELECT graft_vec_l2norm(embedding) AS n,
+        |       graft_dot(embedding, embedding) AS d,
+        |       graft_vec_sum(embedding) AS su,
+        |       aggregate(embedding, 0.0D, (a, x) -> a + x) AS su2
+        |FROM embeddings WHERE vec_id = 0""".stripMargin).collect()(0)
+    assert(math.abs(v.getAs[Double]("n") * v.getAs[Double]("n") -
+      v.getAs[Double]("d")) < 1e-9)
+    assert(math.abs(v.getAs[Double]("su") - v.getAs[Double]("su2")) < 1e-6)
   }
 
   test("mode-based sampling: dev modes sample, Full passes through") {
