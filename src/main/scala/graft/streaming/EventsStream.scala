@@ -175,7 +175,7 @@ object EventsStream {
     * driver-bound; the memory-sink variant below is for small
     * aggregated outputs only). */
   def runAvailableNowToParquet(spark: SparkSession, streaming: DataFrame,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = withStatePartitions(spark) {
     val q = streaming.writeStream
       .format("parquet")
       .option("path", s"$dir/out")
@@ -206,14 +206,30 @@ object EventsStream {
     * availableNow trigger (bounded run over the fixture) and return
     * the materialized result. */
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
-      queryName: String, outputMode: OutputMode = OutputMode.Append): DataFrame = {
-    val q = streaming.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
+      queryName: String, outputMode: OutputMode = OutputMode.Append): DataFrame =
+    withStatePartitions(spark) {
+      val q = streaming.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
+
+  /** Bounded gate/bench runs: stateful streaming cost here is
+    * dominated by per-partition state-store commits (temp file +
+    * rename + fsync × shuffle partitions × microbatches), not data —
+    * run the stream with a small fixed state-partition count. A
+    * production deployment sizes this to the real key cardinality;
+    * the partition count never affects results, and each streaming
+    * query pins its own count at first start (offset log), so this
+    * stays per-query. */
+  private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
   }
 }
