@@ -1,0 +1,99 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.functions.TypedAggregators.{Neighbor, TopK}
+
+/** Property tests for the pure algorithmic cores: the TopK
+  * aggregator's reduce/merge against the sort-take reference under
+  * random inputs and random partition splits (partial-aggregation
+  * correctness is exactly merge-associativity), and the retry
+  * policy's backoff shape. Raw ScalaCheck (no scalatestplus bridge in
+  * the offline cache): each Prop is checked and its result asserted. */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** NaN-safe structural comparison (case-class == on a Double field
+    * has NaN != NaN). */
+  private def keys(ns: Seq[Neighbor]): Seq[(Long, Long)] =
+    ns.map(n => (java.lang.Double.doubleToLongBits(n.s), n.id))
+
+  private def reference(xs: Seq[(Double, Long)], k: Int): Seq[Neighbor] =
+    xs.map { case (s, id) => Neighbor(s, id) }
+      .sortWith { (a, b) =>
+        val c = java.lang.Double.compare(a.s, b.s)
+        c > 0 || (c == 0 && a.id < b.id)
+      }
+      .take(k)
+
+  private val inputGen: Gen[List[(Double, Long)]] = Gen.listOf(for {
+    s <- Gen.oneOf(Gen.choose(-1.0, 1.0), Gen.const(Double.NaN),
+      Gen.const(0.0), Gen.const(1.0))
+    id <- Gen.choose(0L, 50L)
+  } yield (s, id))
+
+  test("TopK reduce == sort-take reference (incl. NaN and score ties)") {
+    check(Prop.forAll(inputGen, Gen.choose(1, 8)) { (xs, k) =>
+      val agg = new TopK(k)
+      keys(xs.foldLeft(agg.zero)(agg.reduce).items) == keys(reference(xs, k))
+    })
+  }
+
+  test("TopK merge is partition-split invariant (partial aggregation safe)") {
+    check(Prop.forAll(inputGen, Gen.choose(1, 8), Gen.choose(0, 100)) {
+      (xs, k, cut) =>
+        val agg = new TopK(k)
+        val whole = xs.foldLeft(agg.zero)(agg.reduce)
+        val at = if (xs.isEmpty) 0 else cut % (xs.size + 1)
+        val (l, r) = xs.splitAt(at)
+        val merged = agg.merge(
+          l.foldLeft(agg.zero)(agg.reduce),
+          r.foldLeft(agg.zero)(agg.reduce))
+        keys(agg.finish(merged).items) == keys(agg.finish(whole).items) &&
+          keys(agg.merge(whole, agg.zero).items) == keys(whole.items)
+    })
+  }
+
+  test("retry backoff is monotone nondecreasing and capped") {
+    import graft.core.CloudRetry._
+    val p = RetryPolicy()
+    check(Prop.forAll(Gen.choose(1, 100), Gen.choose(1, 100)) { (a, b) =>
+      val (lo, hi) = (math.min(a, b), math.max(a, b))
+      backoff(p, lo) <= backoff(p, hi) && backoff(p, hi) <= p.maxWaitSeconds
+    })
+  }
+}
+
+/** Randomized as-of join equivalence: the window-carry implementation
+  * against an in-memory brute force on one seeded dataset (runs on
+  * Spark — kept to a single generated case for speed). */
+class AsOfJoinRandomSpec extends SparkSpec {
+  test("asOfJoin == brute force on seeded random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42)
+    val left = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 200).map(i =>
+      (1000L + i, rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+    val expected = left.map { case (lid, k, t) =>
+      val m = right.filter(r => r._2 == k && r._3 <= t)
+      // greatest rightTime, then greatest ord (id) — asOfJoin contract
+      val best = if (m.isEmpty) None
+        else Some(m.maxBy(r => (r._3, r._1))._1)
+      (lid, best)
+    }.toMap
+    val out = graft.ops.Joins.asOfJoin(
+      left.toDF("l_id", "k", "t"), right.toDF("r_id", "k", "rt"),
+      "k", "t", "rt", Seq("r_id" -> "r_id"), "r_id")
+    val got = out.select(col("l_id"), col("r_id")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(got.size == left.size)
+    assert(got == expected)
+  }
+}
