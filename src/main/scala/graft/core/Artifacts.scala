@@ -115,11 +115,37 @@ object FleetConfig {
       weightedCapacity: Int,
       bidPriceAsPercentageOfOnDemand: Option[Double],
       ebs: Option[EbsConfig])
+  /** Spot launch behavior (`instance_config.py:240-253`): the
+    * reference pins capacity-optimized allocation with a 5-minute
+    * switch-to-on-demand timeout (spot starvation must not stall the
+    * pipeline). */
+  final case class SpotSpec(
+      allocationStrategy: String = "capacity-optimized",
+      timeoutAction: String = "SWITCH_TO_ON_DEMAND",
+      timeoutDurationMinutes: Int = 5)
+
+  /** On-demand launch spec — lowest-price is the only valid strategy
+    * (the reference hardcodes it with that comment); present only
+    * when a capacity-reservation preference is set. */
+  final case class OnDemandSpec(
+      allocationStrategy: String = "lowest-price",
+      capacityReservationPreference: String = "open")
+
+  final case class LaunchSpecifications(
+      spot: SpotSpec = SpotSpec(),
+      onDemand: Option[OnDemandSpec] = None)
+
+  /** Resize behavior (`instance_config.py:264-274`). */
+  final case class ResizeSpecifications(
+      onDemandTimeoutMinutes: Int, spotTimeoutMinutes: Int)
+
   final case class Fleet(
       role: String, // MASTER | CORE | TASK
       targetOnDemandCapacity: Int,
       targetSpotCapacity: Int,
-      configs: Seq[InstanceTypeConfig])
+      configs: Seq[InstanceTypeConfig],
+      launch: LaunchSpecifications = LaunchSpecifications(),
+      resize: Option[ResizeSpecifications] = None)
 
   /** Weighted capacity = vCPU (the reference weights by instance
     * size so managed scaling counts cores, not boxes). */
@@ -135,17 +161,25 @@ object FleetConfig {
       bidPercent: Double,
       coreUnits: Int,
       taskUnits: Int,
-      ebs: Option[EbsConfig] = Some(EbsConfig())): Seq[Fleet] = {
+      ebs: Option[EbsConfig] = Some(EbsConfig()),
+      timeoutDurationMinutes: Int = 10,
+      reservationPreference: Boolean = false): Seq[Fleet] = {
     require(masterCandidates.nonEmpty && workerCandidates.nonEmpty,
       "no candidate instances after filtering")
     require(bidPercent > 1.0 && bidPercent <= 100.0,
       s"bid percent $bidPercent out of (1,100]")
+    val launch = LaunchSpecifications(
+      onDemand = if (reservationPreference) Some(OnDemandSpec()) else None)
+    val resize = Some(ResizeSpecifications(
+      timeoutDurationMinutes, timeoutDurationMinutes))
     Seq(
       Fleet("MASTER", 1, 0,
-        Seq(typeConfig(masterCandidates.head, None, ebs))),
+        Seq(typeConfig(masterCandidates.head, None, ebs)), launch, resize),
       Fleet("CORE", 0, coreUnits,
-        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs))),
+        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs)),
+        launch, resize),
       Fleet("TASK", 0, taskUnits,
-        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs))))
+        workerCandidates.map(typeConfig(_, Some(bidPercent), ebs)),
+        launch, resize))
   }
 }

@@ -167,6 +167,17 @@ class CoreSpec extends AnyFunSuite {
     assert(core.targetSpotCapacity == 10)
     assert(core.configs.map(_.weightedCapacity) == Seq(4, 8))
     assert(core.configs.forall(_.bidPriceAsPercentageOfOnDemand.contains(10.0)))
+    // launch/resize specs: capacity-optimized spot with 5-min
+    // switch-to-on-demand, resize timeouts threaded, on-demand spec
+    // only under a reservation preference
+    assert(core.launch.spot ==
+      SpotSpec("capacity-optimized", "SWITCH_TO_ON_DEMAND", 5))
+    assert(core.launch.onDemand.isEmpty)
+    assert(core.resize.contains(ResizeSpecifications(10, 10)))
+    val reserved = build(workers.take(1), workers, 10.0, 1, 1,
+      timeoutDurationMinutes = 7, reservationPreference = true)
+    assert(reserved.head.launch.onDemand.contains(OnDemandSpec()))
+    assert(reserved.head.resize.contains(ResizeSpecifications(7, 7)))
     intercept[IllegalArgumentException](
       build(Nil, workers, 10.0, 1, 1))
     intercept[IllegalArgumentException](
