@@ -51,6 +51,8 @@ object SparkEntry {
     "q26_weighted_avg"   -> (Relational.q26WeightedAvg _),
     "q27_part_join"      -> (Relational.q27PartJoin _),
     "q28_asof_join"      -> (Relational.q28AsOfJoin _),
+    "q29_cube"           -> (Relational.q29Cube _),
+    "q30_range_window"   -> (Relational.q30RangeWindow _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -327,6 +329,22 @@ object SparkEntry {
         |       round(avg(p_retailprice), 6) AS avg_retail
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q29_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |  CAST(grouping(l_linestatus) AS INT) AS g_status
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "q30_range_window" ->
+      """SELECT user_id, event_id,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_sec
+        |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+        |    AS hour_sum
+        |FROM (SELECT user_id, event_id, value,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
+        |ORDER BY user_id, event_id""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin,

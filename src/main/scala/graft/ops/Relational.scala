@@ -364,6 +364,38 @@ object Relational {
         ratio(avg(col("p_retailprice"))).as("avg_retail"))
       .orderBy("p_type")
 
+  /** Q29 CUBE over (returnflag, linestatus): all four grouping
+    * combinations with grouping flags — the full grouping-set lattice
+    * next to Q15's ROLLUP. Decimal-exact money sums; one partial+final
+    * aggregation pass expands the lattice map-side. */
+  def q29Cube(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        decSum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("int").as("g_flag"),
+        grouping(col("l_linestatus")).cast("int").as("g_status"))
+      .orderBy(col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Q30 range-frame window: per user, the sum of event values within
+    * the trailing hour (RANGE frame on event-time seconds — a rows
+    * frame can't express time-width). Frame bounds on whole epoch
+    * seconds match the oracle's integer range exactly. */
+  def q30RangeWindow(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_sec"))
+      .rangeBetween(-3600L, 0L)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("value"),
+        floor(col("ts").cast("double")).cast("long").as("ts_sec"))
+      .select(col("user_id"), col("event_id"),
+        money(sum(col("value").cast("decimal(18,2)")).over(w)).cast("double")
+          .as("hour_sum"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Q28 as-of join ([[Joins.asOfJoin]]): each purchase matched to
     * the user's latest click at or before it — DuckDB ASOF JOIN
     * semantics, left-outer. One shuffle per side on user_id. */
