@@ -115,6 +115,20 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy("event_type")
     }),
+    // stream-stream interval join (two-sided state, watermark-bounded)
+    // drained availableNow → equals the batch interval join oracle
+    "s4_stream_join"     -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val ev = () => EventsStream.readEventsStream(s, d)
+      val joined = EventsStream.purchaseClickJoin(
+        ev().where(col("event_type") === "purchase"),
+        ev().where(col("event_type") === "click"))
+      EventsStream.runAvailableNow(s, joined,
+          s"stream_join_${System.nanoTime}",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    }),
     "t5_url_normalize"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       TextOps.urlNormalize(
@@ -391,6 +405,13 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s4_stream_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, lang,

@@ -18,6 +18,37 @@ final class ParquetIOManager(spark: SparkSession,
 
   def read(path: String): DataFrame = spark.read.parquet(path)
 
+  /** Delimited/JSON-lines sources for interchange with external
+    * producers (the parquet path above is the performance path —
+    * these exist for ingest/egress edges). Schemas are explicit:
+    * inference means a full extra pass at 100 TB. */
+  def readCsv(path: String, schema: String, header: Boolean = true,
+      delimiter: String = ","): DataFrame =
+    spark.read.schema(schema)
+      .option("header", header.toString)
+      .option("delimiter", delimiter)
+      .csv(path)
+
+  def readJsonLines(path: String, schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String, header: Boolean = true): WriteResult =
+    countingWrite(df, path)(_.option("header", header.toString)
+      .option("compression", compression).csv(path))
+
+  def writeJsonLines(df: DataFrame, path: String): WriteResult =
+    countingWrite(df, path)(_.option("compression", compression).json(path))
+
+  private def countingWrite(df: DataFrame, path: String)(
+      sink: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit)
+      : WriteResult = {
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    sink(df.observe(obs, count(lit(1)).as("rows")).write
+      .mode(SaveMode.Overwrite))
+    WriteResult(path, obs.get("rows").asInstanceOf[Long])
+  }
+
   /** Read a partitioned layout with pruning-friendly semantics:
     * always via basePath so partition columns survive, filters pushed
     * as partition predicates. */

@@ -169,6 +169,27 @@ object EventsStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks within the trailing `windowMinutes` — the
+    * two-sided-state streaming surface (both sides buffer rows until
+    * the watermark passes the join window, so state is bounded by
+    * event-time width, not stream length). Inner join; the time-range
+    * predicate is what lets Spark evict state. */
+  def purchaseClickJoin(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val p = purchases.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select("purchase_id", "click_id", "user_id")
+  }
+
   /** Drain a streaming DataFrame to a parquet sink with the
     * availableNow trigger and read the result back — the production
     * shape for high-volume streams (distributed write, nothing

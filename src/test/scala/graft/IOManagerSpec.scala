@@ -37,6 +37,25 @@ class IOManagerSpec extends SparkSpec {
       li.where(col("l_returnflag") =!= "R").count())
   }
 
+  test("csv/json-lines round-trip preserves rows and schema") {
+    val io = new ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("iofmt").toString
+    val src = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    val schema = "o_orderkey LONG, o_custkey LONG, o_totalprice DOUBLE, " +
+      "o_orderpriority STRING"
+    val w1 = io.writeCsv(src, s"$dir/csv")
+    assert(w1.rowCount == src.count())
+    val csvBack = io.readCsv(s"$dir/csv", schema)
+    assert(csvBack.count() == src.count())
+    assert(csvBack.exceptAll(src).count() == 0)
+    val w2 = io.writeJsonLines(src, s"$dir/json")
+    assert(w2.rowCount == src.count())
+    val jsonBack = io.readJsonLines(s"$dir/json", schema)
+    assert(jsonBack.exceptAll(src).count() == 0 &&
+      src.exceptAll(jsonBack).count() == 0)
+  }
+
   test("bucketed tables: join on the bucket key plans without a shuffle") {
     import graft.core.BucketedTables
     val li = Tables.lineitem(spark, sf)
