@@ -71,11 +71,17 @@ object Similarity {
   def annTopK(emb: DataFrame, k: Int = 10, queryStride: Int = 100): DataFrame = {
     val queries = emb
       .where(col("vec_id") % queryStride === 0)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val scored = emb.as("c")
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qnrm"))
+    // corpus norm once per row, dot kernel per (query, row) — see
+    // cosineNearDupPairs; bit-identical to the one-pass cosine
+    val scored = emb
+      .select(col("vec_id"), col("embedding"),
+        l2Norm(col("embedding")).as("cnrm"))
       .join(broadcast(queries), col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("c.embedding")).as("cos"))
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("cnrm")))
+          .as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -185,13 +191,21 @@ object Similarity {
     * [[Dedup.minHashLshPairs]] (see [[srpSignature]]); at low
     * thresholds no sublinear method exists and the honest answer is
     * the blocked quadratic scan this plan performs. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame =
-    emb.as("a")
-      .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    // norms once per VECTOR below the join (computed in the per-side
+    // projection, so the O(n²) pair loop runs the 1-FLOP/element dot
+    // kernel instead of the 3-FLOP cosine — bit-identical result:
+    // same accumulation order, same dot/(√na·√nb) expression tree)
+    val e = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosine(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+        round(dot(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
+  }
 
   /** C8 — SRP-banded cosine near-dup: the subquadratic scale path
     * [[cosineNearDupPairs]]'s scaladoc promises for HIGH thresholds.
