@@ -53,6 +53,9 @@ object SparkEntry {
     "q28_asof_join"      -> (Relational.q28AsOfJoin _),
     "q29_cube"           -> (Relational.q29Cube _),
     "q30_range_window"   -> (Relational.q30RangeWindow _),
+    // rows-only: DataSketches HLL estimate has no DuckDB twin;
+    // accuracy bound vs exact distinct pinned in OperatorSpec
+    "q31_hll_union"      -> (Relational.q31HllUnion _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),

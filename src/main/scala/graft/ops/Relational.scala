@@ -396,6 +396,23 @@ object Relational {
       .orderBy("user_id", "event_id")
   }
 
+  /** Q31 mergeable distinct sketches (DataSketches HLL built-ins):
+    * per-segment sketches union-merged to a global estimate — the
+    * sketch-reduce shape that lets 1000 executors compute global
+    * distincts with fixed-size state per group (vs shuffling raw
+    * ids). Rows-only gate (no DuckDB twin); the accuracy bound vs the
+    * exact distinct is pinned in OperatorSpec. */
+  def q31HllUnion(s: SparkSession, d: String): DataFrame = {
+    val perType = events(s, d)
+      .groupBy("event_type")
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+        countDistinct(col("user_id")).as("exact_users"))
+    perType.agg(
+      count(lit(1)).as("n_segments"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+        .cast("long").as("est_global_users"))
+  }
+
   /** Q28 as-of join ([[Joins.asOfJoin]]): each purchase matched to
     * the user's latest click at or before it — DuckDB ASOF JOIN
     * semantics, left-outer. One shuffle per side on user_id. */

@@ -71,9 +71,19 @@ class OperatorSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2) // partial + final
   }
 
+  test("q31 sketch-union estimate within 5% of exact global distinct") {
+    import org.apache.spark.sql.functions._
+    val est = Relational.q31HllUnion(spark, sf)
+      .collect()(0).getAs[Long]("est_global_users").toDouble
+    val exact = Tables.events(spark, sf)
+      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0).toDouble
+    assert(math.abs(est - exact) / exact < 0.05,
+      s"HLL union estimate $est vs exact $exact")
+  }
+
   test("oracle coverage: every query has an oracle or a documented rows-only") {
     val rowsOnly = Set("q18_approx_distinct", "c3_simhash_neardup", "c7_ann_ivf",
-      "c8_srp_neardup", "m1_media_features")
+      "c8_srp_neardup", "m1_media_features", "q31_hll_union")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")
     // and no orphan oracles
