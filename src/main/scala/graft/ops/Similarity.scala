@@ -173,12 +173,17 @@ object Similarity {
         probeTk(col("qdist"), col("centroid_id")).as("ptk"))
       .select(col("query_id"), col("qv"),
         explode(col("ptk.items.id")).as("centroid_id"))
-    // search only the probed lists
+    // search only the probed lists; norms precomputed per side so the
+    // corpus×probes loop runs the dot kernel (see cosineNearDupPairs —
+    // bit-identical to the one-pass cosine)
     val scored = assigned
-      .join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("cnrm", l2Norm(col("embedding")))
+      .join(broadcast(probes.withColumn("qnrm", l2Norm(col("qv")))),
+        Seq("centroid_id"))
       .where(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("embedding")).as("cos"))
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("cnrm")))
+          .as("cos"))
     topKPerQuery(scored, k)
   }
 
@@ -236,11 +241,18 @@ object Similarity {
         .agg(collect_list(col("vec_id")).as("ids"))
         .where(size(col("ids")) > 1),
       maxBucket, "graft_c8_hot_buckets", "vec_a", "vec_b")
+    // exact verification with per-vector norms computed in the joined
+    // projections (dot kernel per candidate pair, bit-identical)
+    val withNrm = emb.select(col("vec_id"), col("embedding"),
+      l2Norm(col("embedding")).as("nrm"))
     cand
-      .join(emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), "vec_a")
-      .join(emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), "vec_b")
+      .join(withNrm.select(col("vec_id").as("vec_a"),
+        col("embedding").as("ea"), col("nrm").as("na")), "vec_a")
+      .join(withNrm.select(col("vec_id").as("vec_b"),
+        col("embedding").as("eb"), col("nrm").as("nb")), "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("ea"), col("eb")), 6).as("cosine"))
+        round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+          .as("cosine"))
       .where(col("cosine") >= threshold)
       .orderBy("vec_a", "vec_b")
   }
