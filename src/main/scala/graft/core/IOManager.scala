@@ -59,6 +59,26 @@ final class ParquetIOManager(spark: SparkSession,
     }
   }
 
+  /** Small-file compaction: rewrite a parquet dir into
+    * ceil(bytes/target) files. Small-file floods (per-microbatch
+    * streaming sinks, over-parallel writes) are the classic 100 TB
+    * operational debt — NameNode/file-listing pressure and
+    * footer-per-file read overhead. Sizing comes from the actual
+    * on-disk bytes via the filesystem listing, not a guess; the
+    * rewrite goes through a temp dir so a crash mid-compact never
+    * loses the source. */
+  def compact(path: String, targetFileBytes: Long = 128L * 1024 * 1024): WriteResult = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    val r = write(read(path).repartition(files), tmp.toString)
+    fs.delete(hPath, true)
+    require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
+    WriteResult(path, r.rowCount)
+  }
+
   /** Overwrite-write with row-count metadata. `partitionBy` uses
     * dynamic partition overwrite (set session-wide by
     * [[SparkConfPolicy]]) so only touched partitions are replaced.

@@ -37,6 +37,21 @@ class IOManagerSpec extends SparkSpec {
       li.where(col("l_returnflag") =!= "R").count())
   }
 
+  test("compact rewrites a small-file flood into sized files, data intact") {
+    val io = new ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val src = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    src.repartition(32).write.mode("overwrite").parquet(s"$dir/ev")
+    def parquetFiles = new java.io.File(s"$dir/ev").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles == 32)
+    val r = io.compact(s"$dir/ev", targetFileBytes = 1L * 1024 * 1024)
+    assert(r.rowCount == src.count())
+    assert(parquetFiles < 32, s"still $parquetFiles files")
+    val back = io.read(s"$dir/ev")
+    assert(back.exceptAll(src).count() == 0 && src.exceptAll(back).count() == 0)
+  }
+
   test("csv/json-lines round-trip preserves rows and schema") {
     val io = new ParquetIOManager(spark)
     val dir = java.nio.file.Files.createTempDirectory("iofmt").toString
