@@ -405,8 +405,7 @@ object Relational {
   def q31HllUnion(s: SparkSession, d: String): DataFrame = {
     val perType = events(s, d)
       .groupBy("event_type")
-      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
-        countDistinct(col("user_id")).as("exact_users"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
     perType.agg(
       count(lit(1)).as("n_segments"),
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
