@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (q05 343 s vs 1.5 s) than a clean `java -cp` run. So the outer
   * invocation now re-execs into a pinned JVM (same classpath, the
   * JDK-17 --add-opens set, fixed heap) and only the inner process
-  * measures. Each query runs twice and the recorded time is the
-  * second (warm) run, so the first alphabetical query doesn't absorb
-  * JIT + parquet footer reads. Failures are never swallowed: a
+  * measures. Each query runs three times — one cold, two measured —
+  * and the recorded time is the BEST of the two warm runs (a single
+  * warm sample is hostage to one GC pause or hypervisor-steal stall);
+  * the cold run keeps JIT + parquet footer reads out of the warm
+  * numbers. Failures are never swallowed: a
   * failing query is omitted from "queries" and recorded in "errors"
   * with counts in "n_ok"/"n_err" (previously a crash recorded ~0 s
   * and read as a speedup).
@@ -62,9 +64,17 @@ object Bench {
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     // dev loop: SPARK_GRAFT_BENCH_ONLY="s1_stream_rollup,c5_..." runs
-    // a subset (the recorded round bench always runs everything)
+    // a subset (the recorded round bench always runs everything);
+    // unknown names fail fast — a typo must not record a 0-second
+    // bench that exits 0
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).toSet).getOrElse(Set.empty[String])
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"unknown SPARK_GRAFT_BENCH_ONLY names: " +
+        unknown.mkString(", "))
+      sys.exit(2)
+    }
     for (name <- SparkEntry.queries.keys.toSeq.sorted
         if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)

@@ -127,9 +127,10 @@ object SparkEntry {
       val joined = EventsStream.purchaseClickJoin(
         ev().where(col("event_type") === "purchase"),
         ev().where(col("event_type") === "click"))
-      EventsStream.runAvailableNow(s, joined,
-          s"stream_join_${System.nanoTime}",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+      // parquet sink like s3: an unaggregated join output must not
+      // accumulate in driver memory across invocations
+      EventsStream.runAvailableNowToParquet(s, joined,
+          EventsStream.scratchDir("graft_stream_join"))
         .orderBy("purchase_id", "click_id")
     }),
     "t5_url_normalize"   -> ((s, d) => {

@@ -39,6 +39,8 @@ final class ParquetIOManager(spark: SparkSession,
   def writeJsonLines(df: DataFrame, path: String): WriteResult =
     countingWrite(df, path)(_.option("compression", compression).json(path))
 
+  /** The one row-count-observing overwrite path every sink format
+    * shares. */
   private def countingWrite(df: DataFrame, path: String)(
       sink: org.apache.spark.sql.DataFrameWriter[org.apache.spark.sql.Row] => Unit)
       : WriteResult = {
@@ -64,42 +66,51 @@ final class ParquetIOManager(spark: SparkSession,
     * streaming sinks, over-parallel writes) are the classic 100 TB
     * operational debt — NameNode/file-listing pressure and
     * footer-per-file read overhead. Sizing comes from the actual
-    * on-disk bytes via the filesystem listing, not a guess; the
-    * rewrite goes through a temp dir so a crash mid-compact never
-    * loses the source. */
+    * on-disk bytes via the filesystem listing, not a guess.
+    *
+    * Swap protocol: the rewrite lands in a SIBLING temp dir (never a
+    * child — a trailing-slash path must not put tmp inside the
+    * source), then source → `.old`, tmp → source, delete `.old`; at
+    * every crash point at least one complete copy exists, and a
+    * leftover `.old`/`.tmp` dir is recoverable by hand. Refuses
+    * Hive-partitioned layouts (a flat rewrite would collapse the
+    * `col=` dirs and break partition pruning — compact those one
+    * partition at a time). */
   def compact(path: String, targetFileBytes: Long = 128L * 1024 * 1024): WriteResult = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partitioned = fs.listStatus(hPath)
+      .exists(st => st.isDirectory && st.getPath.getName.contains("="))
+    require(!partitioned,
+      s"$path is Hive-partitioned: compact per-partition, not the root")
     val bytes = fs.getContentSummary(hPath).getLength
     val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    val r = write(read(path).repartition(files), tmp.toString)
-    fs.delete(hPath, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "._compact_old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val r = write(read(hPath.toString).repartition(files), tmp.toString)
+    require(fs.rename(hPath, old), s"rename $hPath -> $old failed")
     require(fs.rename(tmp, hPath), s"rename $tmp -> $hPath failed")
-    WriteResult(path, r.rowCount)
+    fs.delete(old, true)
+    WriteResult(hPath.toString, r.rowCount)
   }
 
   /** Overwrite-write with row-count metadata. `partitionBy` uses
-    * dynamic partition overwrite (set session-wide by
-    * [[SparkConfPolicy]]) so only touched partitions are replaced.
-    * The count rides the write as an `observe` metric — zero extra
-    * passes, stays inside whole-stage codegen. */
+    * dynamic partition overwrite, pinned per-write (overrides session
+    * conf) so replacing only touched partitions does not depend on
+    * the caller having applied [[SparkConfPolicy]]. The count rides
+    * the write as an `observe` metric — zero extra passes. */
   def write(df: DataFrame, path: String,
-      partitionBy: Seq[String] = Nil): WriteResult = {
-    import org.apache.spark.sql.functions.{count, lit}
-    val obs = org.apache.spark.sql.Observation()
-    val w = df.observe(obs, count(lit(1)).as("rows")).write
-      .mode(SaveMode.Overwrite)
-      .option("compression", compression)
-    // dynamic overwrite pinned per-write (overrides session conf):
-    // replacing only touched partitions must not depend on the caller
-    // having applied SparkConfPolicy to this session
-    (if (partitionBy.nonEmpty)
-       w.partitionBy(partitionBy: _*).option("partitionOverwriteMode", "dynamic")
-     else w)
-      .parquet(path)
-    WriteResult(path, obs.get("rows").asInstanceOf[Long])
-  }
+      partitionBy: Seq[String] = Nil): WriteResult =
+    countingWrite(df, path) { w =>
+      val c = w.option("compression", compression)
+      (if (partitionBy.nonEmpty)
+         c.partitionBy(partitionBy: _*)
+           .option("partitionOverwriteMode", "dynamic")
+       else c).parquet(path)
+    }
 }
 
 final case class WriteResult(path: String, rowCount: Long)

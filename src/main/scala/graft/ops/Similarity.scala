@@ -104,18 +104,25 @@ object Similarity {
     * seed: every `|corpus|/k`-th vector). Each iteration is one
     * broadcast-assign (max_by over the centroid set, no shuffle of
     * the corpus beyond the final groupBy on centroid id) and one
-    * mean-reduce; centroid ids are re-densified 0..k-1 each round.
-    * At 100 TB you'd run this on a sample — the plumbing is the
-    * same; iterations is small (Lloyd converges fast for coarse
-    * quantizers). */
+    * mean-reduce. A cluster that loses every member is dropped (the
+    * standard Lloyd artifact — no re-seeding), so the result can hold
+    * fewer than k rows; ids are re-densified to 0..m-1 after each
+    * round. Each round is `localCheckpoint`ed: centroids are k tiny
+    * rows, and truncating the lineage keeps the per-round plan flat
+    * and stops downstream double-broadcasts from re-running the whole
+    * chain. At 100 TB you'd run this on a sample — same plumbing. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val n = emb.count()
     val stride = math.max(1L, n / k)
-    var centroids = emb.where(col("vec_id") % stride === 0)
-      .select((row_number().over(org.apache.spark.sql.expressions.Window
-        .orderBy("vec_id")) - 1).cast("long").as("centroid_id"),
-        col("embedding").as("cv"))
-      .limit(k)
+    def densify(c: DataFrame): DataFrame =
+      c.select((row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("centroid_id")) - 1).cast("long").as("centroid_id"),
+        col("cv"))
+    var centroids = densify(
+      emb.where(col("vec_id") % stride === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        .orderBy("centroid_id").limit(k))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       val assigned = emb.as("c")
         .join(broadcast(centroids), lit(true))
@@ -128,7 +135,7 @@ object Similarity {
             struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
       // mean of member vectors per centroid (element-wise): aggregate
       // positional sums via posexplode, then re-assemble
-      centroids = assigned
+      centroids = densify(assigned
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
@@ -136,7 +143,8 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("centroid_id"),
-          transform(col("pm"), p => p.getField("m").cast("float")).as("cv"))
+          transform(col("pm"), p => p.getField("m").cast("float")).as("cv")))
+        .localCheckpoint(true)
     }
     centroids
   }
@@ -199,8 +207,12 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
     // norms once per VECTOR below the join (computed in the per-side
     // projection, so the O(n²) pair loop runs the 1-FLOP/element dot
-    // kernel instead of the 3-FLOP cosine — bit-identical result:
-    // same accumulation order, same dot/(√na·√nb) expression tree)
+    // kernel instead of the 3-FLOP cosine — bit-identical result for
+    // uniform-dimension corpora: same accumulation order, same
+    // dot/(√na·√nb) expression tree. Caveat: the one-pass cosine
+    // kernel truncates BOTH norms to min(len) on ragged rows, this
+    // spelling uses full-length norms — run the c9 hygiene pass
+    // first; the fixtures are uniform)
     val e = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     e.as("a")
