@@ -396,7 +396,8 @@ object SparkEntry {
         |r AS (SELECT query_id, neighbor_id, cos,
         |        row_number() OVER (PARTITION BY query_id
         |          ORDER BY cos DESC, neighbor_id) AS rnk FROM scored)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rnk
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
+        |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
     "c9_vector_norms" ->
       """SELECT vec_id,
@@ -419,11 +420,11 @@ object SparkEntry {
     "t1_langid" ->
       """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, lang,
-        |  len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
-        |  len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS s_de,
-        |  len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS s_es,
-        |  len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS s_fr,
-        |  len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS s_zh
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS INT) AS s_en,
+        |  CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS s_de,
+        |  CAST(len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS INT) AS s_es,
+        |  CAST(len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS INT) AS s_fr,
+        |  CAST(len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS INT) AS s_zh
         |FROM t)
         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
         |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
@@ -434,10 +435,10 @@ object SparkEntry {
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,
-        |  length(text) AS n_chars_m,
+        |  CAST(length(text) AS INT) AS n_chars_m,
         |  CAST(len(w) AS INT) AS n_tokens,
         |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
-        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_punct,
         |  round(len(list_filter(w, x -> list_contains(
         |    ['the','a','of','and','is','der','die','das','und','ist',
         |     'el','los','y','es','que','le','la','et','est','les',
