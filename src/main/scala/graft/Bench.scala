@@ -99,10 +99,18 @@ object Bench {
       .map { case (k, v) => s""""$k":"${JsonUtil.esc(v)}"""" }
       .mkString("{", ",", "}")
     val total = warm.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm",""" +
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm",""" +
       s""""queries":${numMap(warm)},"queries_cold":${numMap(cold)},""" +
       s""""n_ok":${warm.size},"n_err":${errors.size},"errors":$errJson,""" +
-      s""""sf":"$sfDir"}""")
+      s""""sf":"$sfDir"}"""
+    println(json)
+    // Also land the record in a file: two rounds running, the driver's
+    // sbt-stdout capture failed to parse the (intact) stdout line, so
+    // the committed file is the robust copy of the same record.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_dev.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
     if (errors.nonEmpty) sys.exit(2)
   }

@@ -92,10 +92,13 @@ object SparkEntry {
     // same result contract as the batch q20, same oracle)
     "s1_stream_rollup"   -> ((s, d) => {
       import graft.streaming.EventsStream
+      // one fixed sink name, dropped before each run: repeated
+      // invocations (bench runs 3×) must not accumulate temp views
+      val sink = "graft_s1_stream_rollup"
+      s.catalog.dropTempView(sink)
       EventsStream.runAvailableNow(s,
           EventsStream.hourlyRollup(EventsStream.readEventsStream(s, d)),
-          s"stream_rollup_${System.nanoTime}",
-          org.apache.spark.sql.streaming.OutputMode.Complete())
+          sink, org.apache.spark.sql.streaming.OutputMode.Complete())
         .orderBy("window_start")
     }),
     "s2_sessionize_batch" -> ((s, d) =>

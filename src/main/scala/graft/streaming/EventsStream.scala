@@ -242,15 +242,29 @@ object EventsStream {
   /** Bounded gate/bench runs: stateful streaming cost here is
     * dominated by per-partition state-store commits (temp file +
     * rename + fsync × shuffle partitions × microbatches), not data —
-    * run the stream with a small fixed state-partition count. A
-    * production deployment sizes this to the real key cardinality;
-    * the partition count never affects results, and each streaming
-    * query pins its own count at first start (offset log), so this
-    * stays per-query. */
+    * run the stream with a small fixed state-partition count and the
+    * RocksDB state store provider (the default HDFS-backed store
+    * fsyncs a snapshot file per partition per microbatch; RocksDB
+    * commits are in-process writes + a changelog, and it is the
+    * provider a production deployment would run for large state
+    * anyway). A production deployment sizes the partition count to
+    * the real key cardinality; neither knob affects results, and each
+    * streaming query pins its partition count at first start (offset
+    * log), so this stays per-query. */
   private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, prev)
+    val confs = Seq(
+      "spark.sql.shuffle.partitions" -> n.toString,
+      "spark.sql.streaming.stateStore.providerClass" ->
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+      // snapshot upload every N commits instead of a full snapshot
+      // per commit — the changelog is the per-batch unit of work
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled" ->
+        "true")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
   }
 }
