@@ -56,6 +56,9 @@ object SparkEntry {
     // rows-only: DataSketches HLL estimate has no DuckDB twin;
     // accuracy bound vs exact distinct pinned in OperatorSpec
     "q31_hll_union"      -> (Relational.q31HllUnion _),
+    "q32_min_cost_supplier" -> (Relational.q32MinCostSupplier _),
+    "q33_semijoin_chain" -> (Relational.q33SemiJoinChain _),
+    "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -366,6 +369,40 @@ object SparkEntry {
         |FROM (SELECT user_id, event_id, value,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec FROM events)
         |ORDER BY user_id, event_id""".stripMargin,
+    "q32_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_name, s_name,
+        |       round(l_extendedprice, 2) AS min_price
+        |FROM part
+        |JOIN lineitem ON p_partkey = l_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_size <= 5
+        |  AND l_extendedprice = (SELECT min(l2.l_extendedprice)
+        |                         FROM lineitem l2
+        |                         WHERE l2.l_partkey = p_partkey)
+        |ORDER BY p_partkey, s_name""".stripMargin,
+    "q33_semijoin_chain" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_brand = 'Brand#12')
+        |    GROUP BY l_suppkey HAVING sum(l_quantity) > 300)
+        |  AND s_nationkey IN (
+        |    SELECT n_nationkey FROM nation
+        |    WHERE n_regionkey IN (SELECT r_regionkey FROM region
+        |                          WHERE r_name = 'EUROPE'))
+        |ORDER BY s_suppkey""".stripMargin,
+    // q34 = q07 un-hinted over ANALYZEd catalog tables: same oracle
+    "q34_cbo_star" ->
+      """SELECT r_name,
+        |       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin,

@@ -426,4 +426,86 @@ object Relational {
       .select("event_id", "user_id", "click_id")
       .orderBy("event_id")
   }
+
+  /** Q32 — TPC-H Q2 shape: a scalar aggregate subquery in WHERE
+    * against a joined min ("the supplier(s) selling each small part
+    * at its minimum observed price"). Decorrelated like [[q22CorrSubquery]]:
+    * the per-part min is a separate aggregate joined back on
+    * (partkey, price) — the plan Catalyst's subquery rewrite produces
+    * from the SQL spelling, made explicit. The min aggregates ALL of
+    * lineitem (the correlation is on part alone), then the part
+    * filter and both dimensions broadcast onto the min-priced rows —
+    * at 100 TB the only shuffles are the two lineitem aggregations on
+    * l_partkey, and AQE coalesces the tiny post-filter side. */
+  def q32MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d).select("l_partkey", "l_suppkey", "l_extendedprice")
+    val minPerPart = li.groupBy(col("l_partkey").as("mp_partkey"))
+      .agg(min(col("l_extendedprice")).as("min_price"))
+    li.join(minPerPart, col("l_partkey") === col("mp_partkey")
+        && col("l_extendedprice") === col("min_price"))
+      .join(broadcast(part(s, d).where(col("p_size") <= 5)
+          .select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_name"),
+        money(col("min_price")).as("min_price"))
+      .distinct()
+      .orderBy("p_partkey", "s_name")
+  }
+
+  /** Q33 — TPC-H Q20 shape: a nested semi-join chain
+    * (supplier ⋉ (qualifying lineitem rollup ⋉ brand parts)
+    * ⋉ (nation ⋉ region)). Every inner set is dimension-sized and
+    * broadcast as a left-semi probe: the fact table is touched once
+    * (filtered by the part semi-join before its aggregation), and no
+    * inner query materializes more than its key column. */
+  def q33SemiJoinChain(s: SparkSession, d: String): DataFrame = {
+    val brandParts = part(s, d)
+      .where(col("p_brand") === "Brand#12").select("p_partkey")
+    val qualifying = lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_quantity")
+      .join(broadcast(brandParts),
+        col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey")
+      .agg(sum(col("l_quantity")).as("qty"))
+      .where(col("qty") > 300)
+      .select("l_suppkey")
+    val euNations = nation(s, d)
+      .join(broadcast(region(s, d).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"), "left_semi")
+      .select("n_nationkey")
+    supplier(s, d)
+      .join(broadcast(qualifying),
+        col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(euNations),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select("s_suppkey", "s_name")
+      .orderBy("s_suppkey")
+  }
+
+  /** Q34 — [[q07StarJoin]] with ZERO broadcast hints, planned from
+    * catalog statistics: the fixtures are registered as ANALYZEd
+    * catalog tables ([[graft.core.Tables.registerCatalog]]) and the
+    * CBO (`spark.sql.cbo.enabled` + `joinReorder`, on in every graft
+    * session) must find the broadcast-star plan itself. This is the
+    * un-hinted join planning a reference user gets on a warehouse
+    * with stats — CboSpec asserts the dims still broadcast and the
+    * result is identical to the hinted q07. */
+  def q34CboStarUnhinted(s: SparkSession, d: String): DataFrame = {
+    graft.core.Tables.registerCatalog(s, d)
+    def t(n: String): DataFrame = s.table(s"graft.$n")
+    t("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(t("orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(t("nation").select("n_nationkey", "n_regionkey"),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(t("region"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name")
+      .agg(decRevenue.as("revenue"))
+      .orderBy("r_name")
+  }
 }
