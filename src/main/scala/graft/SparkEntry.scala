@@ -73,6 +73,19 @@ object SparkEntry {
     "c8_srp_neardup"     -> ((s, d) =>
       Similarity.srpNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
     "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
+    // rows-only: identical results to c7 (pinned in IvfIndexSpec),
+    // read back from the PERSISTED index with partition-pruned probes
+    "c10_ivf_persisted"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      val dir = graft.streaming.EventsStream.scratchDir("graft_ivf_index")
+      val idx = Similarity.buildIvfIndex(emb, centroids, dir)
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.annTopKIvfFromIndex(s, dir, queries, idx)
+    }),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),

@@ -143,6 +143,45 @@ case class WinnowFingerprint(child: Expression, n: Int) extends UnaryExpression 
     copy(child = newChild)
 }
 
+/** Argmax-cosine over a plan-shipped [[CentroidIndex]]: one output id
+  * per input vector — the IVF assign step without the corpus × k
+  * intermediate (`join(broadcast(centroids), lit(true))` + `max_by`
+  * exploded every input row k times before re-aggregating). Stays in
+  * whole-stage codegen; the index rides `ctx.addReferenceObj`. */
+case class NearestCentroid(child: Expression, index: CentroidIndex)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_nearest_centroid"
+  override protected def nullSafeEval(v: Any): Any =
+    index.nearest(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("centroidIndex", index,
+      classOf[CentroidIndex].getName)
+    defineCodeGen(ctx, ev, c => s"$idx.nearest($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Top-`n` nearest centroid ids (cosine desc, id asc) — the IVF probe
+  * step as a per-row kernel instead of a corpus × k cross join into a
+  * top-k aggregator. */
+case class NearestCentroids(child: Expression, index: CentroidIndex, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_nearest_centroids"
+  override protected def nullSafeEval(v: Any): Any =
+    index.nearestN(v.asInstanceOf[ArrayData], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("centroidIndex", index,
+      classOf[CentroidIndex].getName)
+    defineCodeGen(ctx, ev, c => s"$idx.nearestN($c, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -170,6 +209,10 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, n: Int): Column =
     col(ShingleHashes(ex(tokens), n))
   def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def nearestCentroid(v: Column, index: CentroidIndex): Column =
+    col(NearestCentroid(ex(v), index))
+  def nearestCentroids(v: Column, index: CentroidIndex, n: Int): Column =
+    col(NearestCentroids(ex(v), index, n))
   def winnowFingerprint(tokens: Column, n: Int): Column =
     col(WinnowFingerprint(ex(tokens), n))
 }

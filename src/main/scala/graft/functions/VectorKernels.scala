@@ -231,3 +231,106 @@ object VectorKernels {
     fp
   }
 }
+
+/** The coarse-quantizer model for IVF assignment/probing: the centroid
+  * matrix (k × dim floats, ids sorted ascending) with precomputed L2
+  * norms, shipped to executors inside the serialized plan — the
+  * "broadcast centroid array" that replaces the corpus × k row
+  * explosion (`join(broadcast(centroids), lit(true))` + `max_by`) with
+  * one argmax loop per input row, emitting exactly one output row per
+  * input row.
+  *
+  * Cosine per centroid is bit-identical to [[VectorKernels.cosine]]
+  * (same sequential accumulation; multiplication commutes, so
+  * dot(centroid, v) ≡ dot(v, centroid); centroid norms precomputed by
+  * the same x² loop). Double comparisons use `java.lang.Double.compare`
+  * so NaN ranks greatest — matching Spark's ordering in the
+  * `max_by(struct(cdist, -centroid_id))` / TopK-aggregator spellings
+  * this kernel replaces. Ties pick the lowest centroid id (ids are
+  * iterated in ascending order; updates require strictly-greater).
+  *
+  * Size: the model is k × dim — at k=65536, dim=1024 it's 256 MB,
+  * which at that scale belongs in an explicit `SparkContext.broadcast`
+  * feeding a `mapPartitions`; at IVF-typical k (≤ 4096 per shard) the
+  * plan-embedded reference object is the simpler, equivalent ship. */
+final class CentroidIndex(val ids: Array[Long],
+    val matrix: Array[Array[Float]]) extends Serializable {
+  require(ids.nonEmpty, "empty centroid set")
+  require(ids.length == matrix.length, "ids and matrix length mismatch")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "centroid ids must be strictly ascending")
+
+  private val norms: Array[Double] = matrix.map { c =>
+    var s = 0.0; var i = 0
+    while (i < c.length) { val x = c(i).toDouble; s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  val size: Int = ids.length
+
+  /** cos(centroid j, v) with the same FP order as the one-pass
+    * cosine kernel (norms truncated to min-length on ragged input,
+    * matching [[VectorKernels.cosine]] exactly). */
+  private def cos(j: Int, v: ArrayData): Double = {
+    val c = matrix(j)
+    val n = math.min(c.length, v.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += c(i).toDouble * v.getFloat(i).toDouble; i += 1 }
+    if (n == c.length && n == v.numElements()) {
+      // uniform-dimension fast path: precomputed norms are exact
+      var nv = 0.0; i = 0
+      while (i < n) { val x = v.getFloat(i).toDouble; nv += x * x; i += 1 }
+      dot / (norms(j) * math.sqrt(nv))
+    } else {
+      // ragged: recompute both norms over the truncated range, the
+      // one-pass kernel's semantics
+      var nc = 0.0; var nv = 0.0; i = 0
+      while (i < n) {
+        val x = c(i).toDouble; val y = v.getFloat(i).toDouble
+        nc += x * x; nv += y * y; i += 1
+      }
+      dot / (math.sqrt(nc) * math.sqrt(nv))
+    }
+  }
+
+  /** Nearest centroid id by cosine (argmax; NaN greatest, tie →
+    * lowest id). One output value per input row — no row explosion. */
+  def nearest(v: ArrayData): Long = {
+    var bestId = ids(0)
+    var bestS = cos(0, v)
+    var j = 1
+    while (j < matrix.length) {
+      val s = cos(j, v)
+      if (java.lang.Double.compare(s, bestS) > 0) { bestS = s; bestId = ids(j) }
+      j += 1
+    }
+    bestId
+  }
+
+  /** Top-n nearest centroid ids, ordered (cosine desc, id asc) — the
+    * probe set, same ordering contract as TypedAggregators.TopK.
+    * Insertion sort over an n-sized buffer: n (nProbe) is tiny. */
+  def nearestN(v: ArrayData, n: Int): ArrayData = {
+    val cap = math.min(n, matrix.length)
+    val topS = new Array[Double](cap)
+    val topId = new Array[Long](cap)
+    var filled = 0
+    var j = 0
+    while (j < matrix.length) {
+      val s = cos(j, v)
+      // find insert position: before the first entry this beats
+      // (strictly greater score; ties keep earlier=lower id)
+      if (filled < cap || java.lang.Double.compare(s, topS(filled - 1)) > 0) {
+        var pos = if (filled < cap) filled else cap - 1
+        while (pos > 0 && java.lang.Double.compare(s, topS(pos - 1)) > 0) {
+          topS(pos) = topS(pos - 1); topId(pos) = topId(pos - 1); pos -= 1
+        }
+        topS(pos) = s; topId(pos) = ids(j)
+        if (filled < cap) filled += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
+  }
+}

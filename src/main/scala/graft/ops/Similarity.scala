@@ -85,32 +85,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** C7 — IVF-style ANN: the subquadratic scale path for [[annTopK]].
-    *
-    * Deterministic coarse quantizer: every `centroidStride`-th vector
-    * is a centroid (at real scale: k-means centroids from a sample —
-    * the plumbing is identical). Each corpus vector is assigned to its
-    * nearest centroid (broadcast centroids, one linear scan, window
-    * argmin); a query probes only its `nProbe` nearest centroid lists,
-    * so the per-query work drops from |corpus| to
-    * ~nProbe/|centroids| × |corpus|.
-    *
-    * The inverted lists are the partitioning story at 100 TB: corpus
-    * repartitioned by centroid_id once at index-build time, probes
-    * then touch only matching partitions. Recall < 1 by construction
-    * (rows-only gate; ScalaTest measures recall vs [[annTopK]]). */
+  /** Collect a (model-sized) centroid DataFrame into a
+    * [[graft.functions.CentroidIndex]] — the coarse quantizer shipped
+    * to executors for per-row argmax assignment/probing. The collect
+    * is k tiny rows (the MODEL, like MLlib's KMeans centers — never
+    * the corpus); ids sorted ascending so kernel tie-breaks match the
+    * `max_by(struct(cdist, -centroid_id))` spelling it replaced. */
+  def centroidIndex(centroids: DataFrame): graft.functions.CentroidIndex = {
+    val rows = centroids.select(col("centroid_id"), col("cv"))
+      .orderBy("centroid_id").collect()
+    new graft.functions.CentroidIndex(
+      rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Nearest-centroid assignment via the argmin kernel: one output row
+    * per corpus row, no corpus × k intermediate. */
+  def assignCentroids(emb: DataFrame,
+      index: graft.functions.CentroidIndex): DataFrame =
+    emb.select(col("vec_id"), col("embedding"),
+      graft.functions.GraftFunctions.nearestCentroid(col("embedding"), index)
+        .as("centroid_id"))
+
   /** Lloyd k-means over the embedding column, expressed as iterated
     * DataFrame aggregations — the real IVF index build (deterministic
-    * seed: every `|corpus|/k`-th vector). Each iteration is one
-    * broadcast-assign (max_by over the centroid set, no shuffle of
-    * the corpus beyond the final groupBy on centroid id) and one
-    * mean-reduce. A cluster that loses every member is dropped (the
-    * standard Lloyd artifact — no re-seeding), so the result can hold
-    * fewer than k rows; ids are re-densified to 0..m-1 after each
-    * round. Each round is `localCheckpoint`ed: centroids are k tiny
-    * rows, and truncating the lineage keeps the per-round plan flat
-    * and stops downstream double-broadcasts from re-running the whole
-    * chain. At 100 TB you'd run this on a sample — same plumbing. */
+    * seed: every `|corpus|/k`-th vector). Each iteration assigns via
+    * the [[assignCentroids]] argmax kernel (one row per input row —
+    * the old corpus × k `join(broadcast, lit(true))` + `max_by`
+    * explosion is gone) and mean-reduces per centroid. A cluster that
+    * loses every member is dropped (the standard Lloyd artifact — no
+    * re-seeding), so the result can hold fewer than k rows; ids are
+    * re-densified to 0..m-1 after each round. Each round is
+    * `localCheckpoint`ed: centroids are k tiny rows, and truncating
+    * the lineage keeps the per-round plan flat. At 100 TB you'd run
+    * this on a sample — same plumbing. */
   def kmeansCentroids(emb: DataFrame, k: Int, iters: Int = 3): DataFrame = {
     val n = emb.count()
     val stride = math.max(1L, n / k)
@@ -124,15 +132,7 @@ object Similarity {
         .orderBy("centroid_id").limit(k))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val assigned = emb.as("c")
-        .join(broadcast(centroids), lit(true))
-        .select(col("vec_id"), col("c.embedding").as("embedding"),
-          col("centroid_id"),
-          cosine(col("cv"), col("c.embedding")).as("cdist"))
-        .groupBy("vec_id")
-        .agg(first(col("embedding")).as("embedding"),
-          max_by(col("centroid_id"),
-            struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
+      val assigned = assignCentroids(emb, centroidIndex(centroids))
       // mean of member vectors per centroid (element-wise): aggregate
       // positional sums via posexplode, then re-assemble
       centroids = densify(assigned
@@ -149,41 +149,45 @@ object Similarity {
     centroids
   }
 
+  /** C7 — IVF-style ANN: the subquadratic scale path for [[annTopK]].
+    *
+    * Deterministic coarse quantizer: every `centroidStride`-th vector
+    * is a centroid (at real scale: [[kmeansCentroids]] from a sample —
+    * the plumbing is identical). Assignment and probing both run the
+    * centroid-index kernels — one argmax per corpus row, one top-nProbe
+    * per query row, zero joins until the probed search itself — so the
+    * per-query work drops from |corpus| to ~nProbe/|centroids| × |corpus|
+    * and the plan contains no nested-loop join anywhere (PlanLintSpec
+    * no longer whitelists c7). Recall < 1 by construction (rows-only
+    * gate; ScalaTest measures recall vs [[annTopK]]).
+    *
+    * [[buildIvfIndex]] / [[annTopKIvfFromIndex]] are the persisted
+    * form: the same `assigned` relation written partitioned by
+    * centroid_id, probes pruned to matching partitions at scan time. */
   def annTopKIvf(emb: DataFrame, k: Int = 10, queryStride: Int = 100,
       centroidStride: Int = 40, nProbe: Int = 4,
       centroidsOverride: Option[DataFrame] = None): DataFrame = {
     val centroids = centroidsOverride.getOrElse(
       emb.where(col("vec_id") % centroidStride === 0)
         .select(col("vec_id").as("centroid_id"), col("embedding").as("cv")))
-    // index build: nearest centroid per corpus vector — argmax as a
-    // partial-aggregating max_by (tie → lowest centroid_id via the
-    // negated id in the struct), not a per-vector window sort
-    val assigned = emb.as("c")
-      .join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("c.embedding").as("embedding"),
-        col("centroid_id"), cosine(col("cv"), col("c.embedding")).as("cdist"))
-      .groupBy("vec_id")
-      .agg(first(col("embedding")).as("embedding"),
-        max_by(col("centroid_id"),
-          struct(col("cdist"), -col("centroid_id"))).as("centroid_id"))
-    // query side: nProbe nearest centroids per query — same bounded
-    // top-k aggregator as the final stage
+    val idx = centroidIndex(centroids)
+    val assigned = assignCentroids(emb, idx)
     val queries = emb.where(col("vec_id") % queryStride === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val probeTk = udaf(new graft.functions.TypedAggregators.TopK(nProbe),
-      org.apache.spark.sql.Encoders.product[(Double, Long)])
-    val probes = queries
-      .join(broadcast(centroids), lit(true))
-      .select(col("query_id"), col("qv"), col("centroid_id"),
-        cosine(col("cv"), col("qv")).as("qdist"))
-      .groupBy("query_id")
-      .agg(first(col("qv")).as("qv"),
-        probeTk(col("qdist"), col("centroid_id")).as("ptk"))
-      .select(col("query_id"), col("qv"),
-        explode(col("ptk.items.id")).as("centroid_id"))
-    // search only the probed lists; norms precomputed per side so the
-    // corpus×probes loop runs the dot kernel (see cosineNearDupPairs —
-    // bit-identical to the one-pass cosine)
+    searchLists(assigned, queries, idx, k, nProbe)
+  }
+
+  /** Probe + search shared by the inline and persisted IVF paths:
+    * per-query probe set from the [[graft.functions.CentroidIndex]]
+    * kernel, then a hash join of the (tiny, broadcast) probe set
+    * against the inverted lists on centroid_id. Norms precomputed per
+    * side so the corpus × probes loop runs the dot kernel (see
+    * [[cosineNearDupPairs]] — bit-identical to the one-pass cosine). */
+  private def searchLists(assigned: DataFrame, queries: DataFrame,
+      idx: graft.functions.CentroidIndex, k: Int, nProbe: Int): DataFrame = {
+    val probes = queries.select(col("query_id"), col("qv"),
+      explode(graft.functions.GraftFunctions
+        .nearestCentroids(col("qv"), idx, nProbe)).as("centroid_id"))
     val scored = assigned
       .withColumn("cnrm", l2Norm(col("embedding")))
       .join(broadcast(probes.withColumn("qnrm", l2Norm(col("qv")))),
@@ -193,6 +197,41 @@ object Similarity {
         (dot(col("qv"), col("embedding")) / (col("qnrm") * col("cnrm")))
           .as("cos"))
     topKPerQuery(scored, k)
+  }
+
+  /** Build and PERSIST the IVF index: the assigned corpus written
+    * parquet-partitioned by centroid_id — the inverted lists as a
+    * physical layout. At 100 TB this is the one-time index build;
+    * every subsequent query batch reads only its probed partitions
+    * (see [[annTopKIvfFromIndex]]: `PartitionFilters` in the scan,
+    * non-probed lists never leave disk). Returns the quantizer for
+    * probing. */
+  def buildIvfIndex(emb: DataFrame, centroids: DataFrame,
+      path: String): graft.functions.CentroidIndex = {
+    val idx = centroidIndex(centroids)
+    new graft.core.ParquetIOManager(emb.sparkSession)
+      .write(assignCentroids(emb, idx), path, partitionBy = Seq("centroid_id"))
+    idx
+  }
+
+  /** ANN top-k over a PERSISTED IVF index: compute each query's probe
+    * set, then scan only those centroid partitions (the probed-id set
+    * is model-sized — ≤ |centroids| — and becomes a partition-pruning
+    * `IN` filter; the scan's `PartitionFilters` is asserted in
+    * IvfIndexSpec). Same search/ranking semantics as [[annTopKIvf]]. */
+  def annTopKIvfFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idx: graft.functions.CentroidIndex,
+      k: Int = 10, nProbe: Int = 4): DataFrame = {
+    // distinct probed centroids: bounded by |centroids| (the model),
+    // never the corpus — safe to collect for partition pruning
+    val probedIds = queries.select(
+        explode(graft.functions.GraftFunctions
+          .nearestCentroids(col("qv"), idx, nProbe)).as("centroid_id"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val assigned = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .where(col("centroid_id").isin(probedIds: _*))
+    searchLists(assigned, queries, idx, k, nProbe)
   }
 
   /** C5 — embedding cosine near-dup pairs (all pairs ≥ threshold).

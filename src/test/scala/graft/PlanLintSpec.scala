@@ -8,11 +8,13 @@ package graft
 class PlanLintSpec extends SparkSpec {
 
   /** Declared-quadratic (or broadcast-nested-loop-by-design) queries:
-    * c5/c6/c7 score a broadcast query/centroid set against the corpus
-    * — the O(n·q) scan IS the semantics; their subquadratic siblings
-    * (c8, IVF probing itself) are the scale paths. */
+    * c5/c6 score a broadcast query set against the corpus — the
+    * O(n·q) scan IS the semantics; their subquadratic siblings (c8,
+    * c7/c10 IVF) are the scale paths. c7 itself no longer plans any
+    * nested loop: assignment and probing run the CentroidIndex
+    * kernels (one argmax per row), not a corpus × k join. */
   private val nestedLoopByDesign =
-    Set("c5_cosine_neardup", "c6_ann_topk", "c7_ann_ivf")
+    Set("c5_cosine_neardup", "c6_ann_topk")
 
   /** Streaming gates execute the stream inside the query closure —
     * covered by StreamingSpec; skipped here to keep the lint fast. */
