@@ -97,6 +97,88 @@ final class ParquetIOManager(spark: SparkSession,
     WriteResult(hPath.toString, r.rowCount)
   }
 
+  /** Crash recovery for [[compact]]'s swap protocol — every
+    * interruption point leaves at least one complete copy, and this
+    * makes the directory canonical again:
+    *   - source + `._compact_tmp`  → crash before the swap: the source
+    *     is authoritative, the (possibly incomplete) tmp is dropped;
+    *   - `._compact_old` + `._compact_tmp`, no source → crash between
+    *     the two renames: tmp is the COMPLETE rewrite (it was fully
+    *     written before any rename) → promote tmp, drop old;
+    *   - source + `._compact_old` → crash after the swap: drop old;
+    *   - `._compact_old` only, no source → roll back old → source.
+    * Returns the actions taken (empty = nothing to recover). */
+  def recoverCompact(path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "._compact_tmp")
+    val old = new org.apache.hadoop.fs.Path(
+      hPath.getParent, hPath.getName + "._compact_old")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (!fs.exists(hPath) && fs.exists(tmp) && fs.exists(old)) {
+      require(fs.rename(tmp, hPath), s"promote $tmp -> $hPath failed")
+      actions += s"promoted $tmp"
+    } else if (!fs.exists(hPath) && fs.exists(old)) {
+      require(fs.rename(old, hPath), s"rollback $old -> $hPath failed")
+      actions += s"rolled back $old"
+    }
+    if (fs.exists(hPath) && fs.exists(tmp)) {
+      fs.delete(tmp, true); actions += s"dropped incomplete $tmp"
+    }
+    if (fs.exists(hPath) && fs.exists(old)) {
+      fs.delete(old, true); actions += s"dropped superseded $old"
+    }
+    actions.toSeq
+  }
+
+  /** Orphan-file GC for a parquet dir — the maintenance pass the
+    * reference schedules via Delta vacuum (`pipes/utils.py:85-89`),
+    * re-expressed for plain parquet layouts: writer debris that no
+    * successful write references. Orphan classes (each deterministic,
+    * never touching committed data):
+    *   - `_temporary/` — a crashed Spark write attempt's staging dir
+    *     (a successful commit always removes it), at any nesting
+    *     depth (dynamic-partition writes stage per-partition);
+    *   - interrupted [[compact]] swap state, completed via
+    *     [[recoverCompact]].
+    * (Checksum `.crc` shadows are managed by Hadoop's
+    * ChecksumFileSystem itself — it hides them from listings and
+    * drops them on rename/delete, so they are not a GC concern at
+    * this layer.) Returns the paths removed. */
+  def gcOrphans(path: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    removed ++= recoverCompact(path)
+    def sweep(dir: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(dir).foreach { st =>
+        if (st.isDirectory && st.getPath.getName == "_temporary") {
+          fs.delete(st.getPath, true); removed += st.getPath.toString
+        } else if (st.isDirectory) sweep(st.getPath)
+      }
+    if (fs.exists(hPath)) sweep(hPath)
+    removed.toSeq
+  }
+
+  /** Age-based retention sweep over a Hive-partitioned layout: drop
+    * every `col=value` partition with value strictly below `cutoff`
+    * (values compare lexically — ISO dates/hours sort correctly).
+    * The caller supplies the cutoff, not a clock: retention decisions
+    * must be reproducible and testable. At 100 TB this plus
+    * [[gcOrphans]] is the vacuum/retention pair Delta tables get from
+    * `VACUUM`/`logRetentionDuration`. Returns dropped partitions. */
+  def retentionSweep(basePath: String, partitionCol: String,
+      cutoff: String): Seq[String] = {
+    val hPath = new org.apache.hadoop.fs.Path(basePath)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prefix = partitionCol + "="
+    fs.listStatus(hPath).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .filter(st => st.getPath.getName.stripPrefix(prefix) < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.toString }
+  }
+
   /** Overwrite-write with row-count metadata. `partitionBy` uses
     * dynamic partition overwrite, pinned per-write (overrides session
     * conf) so replacing only touched partitions does not depend on
