@@ -79,6 +79,81 @@ object GraphOps {
       .orderBy("src_nation", "dst_nation")
 }
 
+/** Bucket-aligned graph pipeline — the shuffle-free-join story for
+  * the 100 TB case where the node side does NOT broadcast (the
+  * [[GraphOps.graph]] plan broadcasts nodes; at full Common Crawl
+  * scale the firm table is itself large).
+  *
+  * One table can be bucketed on exactly one key, and the graph build
+  * joins edges on BOTH endpoints — so the resolution is staged, each
+  * stage bucket-aligned on its own join key:
+  *   1. `graft_edges_b` (bucketed by src) ⋈ `graft_nodes_c`
+  *      (bucketed by node_id) — shuffle-free SortMergeJoin; the
+  *      result materializes as `graft_graph_mid` bucketed by dst
+  *      (the ONLY data movement is the bucketed write itself);
+  *   2. `graft_graph_mid` ⋈ `graft_nodes_s` (bucketed by node_id) —
+  *      shuffle-free again; then the nation-pair rollup (whose
+  *      aggregation exchange is inherent — 625 groups — and tiny).
+  * Join keys are materialized as real columns (`src`/`dst`) at write
+  * time: bucket pruning/alignment only applies to bucket COLUMNS, not
+  * expressions like `concat('c', custkey)`.
+  *
+  * GraphPipelineSpec pins: zero ShuffleExchange in either join (with
+  * broadcast disabled, so the bucketing — not a broadcast — is what
+  * eliminates the shuffle) and result identity with [[GraphOps]]. */
+object BucketedGraphOps {
+  val Buckets = 8
+
+  /** Write edges + split node sides as bucketed catalog tables, each
+    * repartitioned into its bucket layout first so every bucket is a
+    * single file (lets Spark use the sortBy order and skip sorts). */
+  def persistInputs(spark: SparkSession, sfDir: String): Unit = {
+    val n = GraphOps.nodes(Tables.customer(spark, sfDir),
+      Tables.supplier(spark, sfDir))
+    val e = GraphOps.edges(Tables.lineitem(spark, sfDir),
+      Tables.orders(spark, sfDir))
+      .withColumn("src", concat(lit("c"), col("custkey")))
+      .withColumn("dst", concat(lit("s"), col("suppkey")))
+      .drop("custkey", "suppkey")
+    BucketedTables.write(e.repartition(Buckets, col("src")),
+      "graft_edges_b", Buckets, "src", Seq("src"))
+    BucketedTables.write(
+      n.where(col("kind") === "customer")
+        .select(col("node_id"), col("nationkey").as("src_nation"))
+        .repartition(Buckets, col("node_id")),
+      "graft_nodes_c", Buckets, "node_id", Seq("node_id"))
+    BucketedTables.write(
+      n.where(col("kind") === "supplier")
+        .select(col("node_id"), col("nationkey").as("dst_nation"))
+        .repartition(Buckets, col("node_id")),
+      "graft_nodes_s", Buckets, "node_id", Seq("node_id"))
+  }
+
+  /** Stage 1: resolve the customer endpoint — bucket-aligned SMJ. */
+  def resolveSrc(spark: SparkSession): DataFrame =
+    spark.table("graft_edges_b")
+      .join(spark.table("graft_nodes_c"), col("src") === col("node_id"))
+      .select(col("src"), col("dst"), col("src_nation"),
+        col("n_transactions"), col("weight"))
+
+  /** Materialize the intermediate bucketed by the OTHER endpoint. */
+  def persistMid(spark: SparkSession): Unit =
+    BucketedTables.write(resolveSrc(spark).repartition(Buckets, col("dst")),
+      "graft_graph_mid", Buckets, "dst", Seq("dst"))
+
+  /** Stage 2: resolve the supplier endpoint — bucket-aligned SMJ. */
+  def resolveDst(spark: SparkSession): DataFrame =
+    spark.table("graft_graph_mid")
+      .join(spark.table("graft_nodes_s"), col("dst") === col("node_id"))
+      .select(col("src"), col("dst"), col("src_nation"), col("dst_nation"),
+        col("n_transactions"), col("weight"))
+
+  /** g2 over the bucketed layout — identical result contract to
+    * [[GraphOps.graphAggr]] ∘ [[GraphOps.graph]]. */
+  def graphAggr(spark: SparkSession): DataFrame =
+    GraphOps.graphAggr(resolveDst(spark))
+}
+
 /** The pipeline: four dependency-ordered steps materializing through
   * the IO manager, mirroring the reference's asset graph. */
 object GraphPipeline {
@@ -130,5 +205,42 @@ object GraphPipeline {
       None, paths, new ParquetIOManager(spark))
     new PipelineRunner(Seq(new NodesStep(sfDir), new EdgesStep(sfDir),
       new GraphStep, new GraphAggrStep)).run(ctx)
+  }
+
+  // ——— bucketed variant: same asset DAG, joins bucket-aligned ———
+
+  final class BucketedInputsStep(sfDir: String) extends PipelineStep {
+    val name = "bucketed_inputs"
+    def execute(ctx: RunContext): StepResult = {
+      BucketedGraphOps.persistInputs(ctx.spark, sfDir)
+      StepResult(Map("tables" -> "graft_edges_b,graft_nodes_c,graft_nodes_s"))
+    }
+  }
+  final class BucketedMidStep extends PipelineStep {
+    val name = "graph_mid"
+    override val deps = Seq("bucketed_inputs")
+    def execute(ctx: RunContext): StepResult = {
+      BucketedGraphOps.persistMid(ctx.spark)
+      StepResult(Map("table" -> "graft_graph_mid"))
+    }
+  }
+  final class BucketedAggrStep extends PipelineStep {
+    val name = "graph_aggr_bucketed"
+    override val deps = Seq("graph_mid")
+    def execute(ctx: RunContext): StepResult = {
+      val r = ctx.io.write(BucketedGraphOps.graphAggr(ctx.spark),
+        ctx.paths.assetPath("graph_aggr_bucketed"))
+      StepResult(Map("rows" -> r.rowCount.toString))
+    }
+  }
+
+  def runBucketed(spark: SparkSession, sfDir: String,
+      stateDir: String): Seq[StepReport] = {
+    val paths = PathResolver(ExecutionMode.SmallDevSampleLocal,
+      localStateDir = stateDir)
+    val ctx = RunContext(spark, ExecutionMode.SmallDevSampleLocal, Engine.Local,
+      None, paths, new ParquetIOManager(spark))
+    new PipelineRunner(Seq(new BucketedInputsStep(sfDir),
+      new BucketedMidStep, new BucketedAggrStep)).run(ctx)
   }
 }

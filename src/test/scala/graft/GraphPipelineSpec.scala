@@ -36,4 +36,40 @@ class GraphPipelineSpec extends SparkSpec {
     val plan = g.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2)
   }
+
+  test("bucketed pipeline: both endpoint joins run with ZERO shuffle exchange") {
+    import graft.steps.BucketedGraphOps
+    val dir = java.nio.file.Files.createTempDirectory("graphbkt").toString
+    val reports = graft.steps.GraphPipeline.runBucketed(spark, sf, dir)
+    assert(reports.forall(_.ok), reports.filterNot(_.ok).mkString(";"))
+    // disable broadcast so only the bucket layout can kill the shuffle
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (join <- Seq(BucketedGraphOps.resolveSrc(spark),
+          BucketedGraphOps.resolveDst(spark))) {
+        join.collect() // finalize AQE
+        val plan = join.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan)
+        assert(!plan.contains("Exchange hashpartitioning") &&
+          !plan.contains("Exchange rangepartitioning"), plan)
+      }
+    } finally {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("bucketed pipeline result is identical to the broadcast-join g2") {
+    import graft.steps.BucketedGraphOps
+    BucketedGraphOps.persistInputs(spark, sf) // self-sufficient
+    BucketedGraphOps.persistMid(spark)
+    val baseline = GraphOps.graphAggr(GraphOps.graph(
+      GraphOps.nodes(Tables.customer(spark, sf), Tables.supplier(spark, sf)),
+      GraphOps.edges(Tables.lineitem(spark, sf), Tables.orders(spark, sf))))
+    assert(BucketedGraphOps.graphAggr(spark).collect().toSeq ==
+      baseline.collect().toSeq)
+  }
 }
