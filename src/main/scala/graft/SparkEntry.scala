@@ -172,6 +172,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
     }),
+    // media features searched via IVF ANN end-to-end (rows-only:
+    // recall is probabilistic; IVF-vs-exact recall + persisted-index
+    // identity pinned in MultimodalSpec)
+    "m3_media_ann"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val feats = Multimodal.extractFeatures(
+          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+      Similarity.annTopKIvf(feats, k = 5, queryStride = 50,
+        centroidStride = 20, nProbe = 6)
+    }),
     // M-tier: multimodal plumbing (stubbed codec → rows-only gate)
     "m1_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions._

@@ -56,4 +56,58 @@ class MultimodalSpec extends SparkSpec {
       k = 3, queryStride = 100)
     assert(topk.count() > 0)
   }
+
+  test("media features searched via IVF end-to-end with useful recall") {
+    val feats = Multimodal.extractFeatures(media).toDF()
+      .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
+    val k = 5
+    val ivf = Similarity.annTopKIvf(feats, k = k, queryStride = 50,
+      centroidStride = 20, nProbe = 6)
+    val exact = Similarity.annTopK(feats, k = k, queryStride = 50)
+    val hit = ivf.select("query_id", "neighbor_id")
+      .intersect(exact.select("query_id", "neighbor_id")).count()
+    val total = exact.count()
+    assert(total > 0)
+    val recall = hit.toDouble / total
+    assert(recall >= 0.5, s"IVF recall over media features $recall < 0.5")
+    // and through the PERSISTED index: identical to the inline IVF
+    val dir = java.nio.file.Files.createTempDirectory("mediaivf").toString
+    val centroids = feats.where(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val idx = Similarity.buildIvfIndex(feats, centroids, dir)
+    val queries = feats.where(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val persisted = Similarity.annTopKIvfFromIndex(spark, dir, queries, idx,
+      k = k, nProbe = 6)
+    assert(persisted.collect().toSeq == ivf.collect().toSeq)
+  }
+
+  test("payload-bearing writes size scan partitions by BYTES, not rows") {
+    val io = new graft.core.ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("mediaio").toString + "/media"
+    val r = io.write(media.toDF(), dir)
+    assert(r.rowCount == media.count())
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(dir)).getLength
+    val conf = spark.conf
+    val prevMax = conf.get("spark.sql.files.maxPartitionBytes")
+    val prevOpen = conf.get("spark.sql.files.openCostInBytes")
+    try {
+      // quarter of the on-disk payload → the scan must split ~4 ways
+      // regardless of how well the synthetic payload compresses
+      val target = math.max(8L * 1024, bytes / 4)
+      conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+      conf.set("spark.sql.files.openCostInBytes", "0")
+      val parts = io.read(dir).rdd.getNumPartitions
+      val expected = math.ceil(bytes.toDouble / target).toInt
+      // one partition per maxPartitionBytes of PAYLOAD (±2 for file
+      // boundaries): a row-count policy would give one partition here
+      assert(parts >= math.max(2, expected - 2) && parts <= expected + 2,
+        s"partitions $parts vs bytes/64KB = $expected (total $bytes bytes)")
+    } finally {
+      conf.set("spark.sql.files.maxPartitionBytes", prevMax)
+      conf.set("spark.sql.files.openCostInBytes", prevOpen)
+    }
+  }
 }

@@ -84,7 +84,8 @@ class OperatorSpec extends SparkSpec {
   test("oracle coverage: every query has an oracle or a documented rows-only") {
     val rowsOnly = Set("q18_approx_distinct", "c3_simhash_neardup", "c7_ann_ivf",
       "c8_srp_neardup", "m1_media_features", "q31_hll_union",
-      "c10_ivf_persisted") // ≡ c7 pinned in IvfIndexSpec
+      "c10_ivf_persisted", // ≡ c7 pinned in IvfIndexSpec
+      "m3_media_ann") // recall + persisted-identity pinned in MultimodalSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")
     // and no orphan oracles
