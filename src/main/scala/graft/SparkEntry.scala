@@ -59,6 +59,7 @@ object SparkEntry {
     "q32_min_cost_supplier" -> (Relational.q32MinCostSupplier _),
     "q33_semijoin_chain" -> (Relational.q33SemiJoinChain _),
     "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
+    "q35_window_battery" -> (Relational.q35WindowBattery _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -73,6 +74,11 @@ object SparkEntry {
     "c8_srp_neardup"     -> ((s, d) =>
       Similarity.srpNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
     "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
+    // duplicate-cluster assignment: transitive closure over the
+    // MinHash pair graph (c2's pairs ≡ the exact-Jaccard oracle, so
+    // the recursive-CTE oracle computes components of the same graph)
+    "c11_dup_clusters"   -> ((s, d) =>
+      Dedup.dupClusters(Dedup.minHashLshPairs(Tables.documents(s, d)))),
     // rows-only: identical results to c7 (pinned in IvfIndexSpec),
     // read back from the PERSISTED index with partition-pruned probes
     "c10_ivf_persisted"  -> ((s, d) => {
@@ -151,6 +157,29 @@ object SparkEntry {
       EventsStream.runAvailableNowToParquet(s, joined,
           EventsStream.scratchDir("graft_stream_join"))
         .orderBy("purchase_id", "click_id")
+    }),
+    "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
+    // stream-static join: stream enriched against a batch-computed
+    // high-value-user dim (stateless per-microbatch hash join),
+    // drained to parquet and rolled up — equals the batch semi-join
+    "s5_stream_static"   -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val highValue = Tables.events(s, d)
+        .where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(col("value").cast("decimal(18,2)")).as("pv"))
+        .where(col("pv") > 800)
+        .select("user_id")
+      EventsStream.runAvailableNowToParquet(s,
+          EventsStream.streamStaticEnrich(
+            EventsStream.readEventsStream(s, d), highValue),
+          EventsStream.scratchDir("graft_stream_static"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id")
     }),
     "t5_url_normalize"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -426,6 +455,58 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation   ON c_nationkey = n_nationkey
         |JOIN region   ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_window_battery" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(o_totalprice) OVER w AS prev_price,
+        |  lead(o_totalprice) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  first_value(o_totalprice) OVER w AS first_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "c11_dup_clusters" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |          FROM co JOIN sz sa ON sa.doc_id = da
+        |                  JOIN sz sb ON sb.doc_id = db
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach AS (SELECT doc, doc AS root FROM verts
+        |          UNION
+        |          SELECT e.dst, r.root FROM reach r
+        |          JOIN edges e ON e.src = r.doc)
+        |SELECT doc AS doc_id, min(root) AS cluster_id
+        |FROM reach GROUP BY doc ORDER BY 1""".stripMargin,
+    "t6_string_battery" ->
+      """SELECT doc_id,
+        |  string_split(text, ' ')[1] AS first_token,
+        |  CAST(instr(text, 'the') AS INT) AS the_pos,
+        |  CAST(levenshtein(source, lang) AS INT) AS lev_src_lang,
+        |  translate(source, 'aeiou', 'AEIOU') AS src_translated,
+        |  lpad(source, 12, '*') AS src_padded,
+        |  reverse(source) AS src_reversed,
+        |  CAST(length(text) -
+        |    length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "s5_stream_static" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE user_id IN (
+        |  SELECT user_id FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1 HAVING sum(CAST(value AS DECIMAL(18,2))) > 800)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS n_frames

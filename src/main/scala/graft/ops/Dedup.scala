@@ -286,4 +286,53 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** C11 — duplicate-CLUSTER assignment: connected components over a
+    * near-dup pair graph, cluster id = min doc_id in the component.
+    * Pair emission ([[minHashLshPairs]] et al.) is only half of a
+    * production dedup pass — choosing ONE keeper per duplicate
+    * *group* needs the transitive closure (A≈B, B≈C ⇒ {A,B,C} is one
+    * cluster even when A≈C missed the threshold).
+    *
+    * Iterative min-label propagation (Pregel-style CC): each round
+    * every vertex takes the min of its own label and its neighbours'
+    * labels. Converges in O(component diameter) rounds — near-dup
+    * components are shallow (LSH pair sets are clique-ish), so the
+    * loop is tight; each round is two shuffles over the EDGE set
+    * (which holds only documents that have at least one near-dup,
+    * typically a tiny fraction of the corpus) and the labels are
+    * `localCheckpoint`ed so lineage stays flat. At extreme skew the
+    * large-star/small-star refinement drops in without changing the
+    * contract. The convergence check is one count per round — an
+    * action, but over the (small) changed-label set, and bounded by
+    * `maxIters`. */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // reused every round: evaluate pairs once
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("cluster_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("doc", "src"), "src")
+        .groupBy(col("dst").as("doc"))
+        .agg(min(col("cluster_id")).as("nmin"))
+      val next = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc")
+        .where(col("cluster_id") =!= col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    labels.select(col("doc").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+  }
 }

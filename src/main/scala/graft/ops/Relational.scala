@@ -427,6 +427,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** Q35 — analytic window battery: lag/lead offsets, ntile
+    * bucketing, percent_rank, first_value over one per-customer
+    * order-date window. One shuffle on the partition key serves every
+    * function (a single Window node); the frame default
+    * (RANGE UNBOUNDED PRECEDING..CURRENT ROW) matches DuckDB's, and
+    * (o_orderdate, o_orderkey) totally orders each partition so
+    * offsets are deterministic. */
+  def q35WindowBattery(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d).select(
+      col("o_custkey"), col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      ntile(4).over(w).as("quartile"),
+      ratio(percent_rank().over(w)).as("pct_rank"),
+      first(col("o_totalprice")).over(w).as("first_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Q32 — TPC-H Q2 shape: a scalar aggregate subquery in WHERE
     * against a joined min ("the supplier(s) selling each small part
     * at its minimum observed price"). Decorrelated like [[q22CorrSubquery]]:

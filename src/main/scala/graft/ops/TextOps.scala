@@ -127,4 +127,26 @@ object TextOps {
         .winnowFingerprint(split(norm, " "), 5).as("winnow_fp"))
       .orderBy("doc_id")
   }
+
+  /** T6 — string/regex scalar battery over the documents table: the
+    * text-wrangling surface a cleaning pipeline leans on beyond
+    * [[qualityScore]]'s ratios — global regex removal, fixed-position
+    * token extraction, edit distance, char translation, padding. All
+    * built-ins (codegen'd), one map-side projection, no shuffle until
+    * the ordering. Semantics chosen to match DuckDB exactly (its
+    * regexp_replace needs the 'g' flag for the same global behavior;
+    * Spark is global by default). */
+  def stringBattery(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(split(col("text"), " "), 1).as("first_token"),
+      instr(col("text"), "the").cast("int").as("the_pos"),
+      levenshtein(col("source"), col("lang")).cast("int").as("lev_src_lang"),
+      translate(col("source"), "aeiou", "AEIOU").as("src_translated"),
+      lpad(col("source"), 12, "*").as("src_padded"),
+      reverse(col("source")).as("src_reversed"),
+      (length(col("text")) -
+        length(regexp_replace(col("text"), "[aeiou]", "")))
+        .cast("int").as("n_vowels"))
+      .orderBy("doc_id")
 }

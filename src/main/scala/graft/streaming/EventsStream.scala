@@ -190,6 +190,18 @@ object EventsStream {
       .select("purchase_id", "click_id", "user_id")
   }
 
+  /** S5 — stream-static join: the live stream enriched/filtered
+    * against a BATCH-computed dimension (here: the high-value-user
+    * set). Stream-static inner joins are STATELESS — every
+    * micro-batch hash-joins the static side (broadcast: it's
+    * dimension-sized), no watermark, no state store — which is why
+    * this is the default enrichment shape at 100 TB stream volume;
+    * the stream-stream form ([[purchaseClickJoin]]) is reserved for
+    * when both sides move. */
+  def streamStaticEnrich(stream: DataFrame, staticDim: DataFrame): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(staticDim), Seq("user_id"))
+
   /** Drain a streaming DataFrame to a parquet sink with the
     * availableNow trigger and read the result back — the production
     * shape for high-volume streams (distributed write, nothing

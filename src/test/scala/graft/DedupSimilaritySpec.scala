@@ -196,6 +196,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs.select("vec_a", "vec_b").exceptAll(brute).count() == 0)
   }
 
+  test("dupClusters: transitive closure over a chain, singletons excluded") {
+    import spark.implicits._
+    // path graph 1-2-3-4 (diameter 3 → needs real iteration, not one
+    // hop), plus the disjoint pair (10, 11); doc 99 appears nowhere
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("doc_a", "doc_b")
+    val clusters = graft.ops.Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters: one keeper per cluster composes with exactDedup semantics") {
+    val pairs = graft.ops.Dedup.minHashLshPairs(docs)
+    val clusters = graft.ops.Dedup.dupClusters(pairs)
+    // cluster id is a member of its own cluster and the minimum
+    val bad = clusters.groupBy("cluster_id")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("mn"))
+      .where(col("cluster_id") =!= col("mn"))
+    assert(bad.isEmpty)
+  }
+
   test("srp signature: deterministic and in [0, 2^bits)") {
     val sigs = emb.select(Similarity.srpSignature(col("embedding"), 16).as("s"))
     val mm = sigs.agg(min("s"), max("s")).collect()(0)

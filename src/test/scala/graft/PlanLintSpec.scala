@@ -19,7 +19,8 @@ class PlanLintSpec extends SparkSpec {
   /** Streaming gates execute the stream inside the query closure —
     * covered by StreamingSpec; skipped here to keep the lint fast. */
   private val streamingGates =
-    Set("s1_stream_rollup", "s3_stream_dedup", "s4_stream_join")
+    Set("s1_stream_rollup", "s3_stream_dedup", "s4_stream_join",
+      "s5_stream_static")
 
   test("no accidental cartesian or nested-loop joins in any gated plan") {
     SparkEntry.queries.foreach { case (name, fn) =>
