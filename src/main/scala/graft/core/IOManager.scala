@@ -209,6 +209,15 @@ object BucketedTables {
 
   def write(df: DataFrame, table: String, buckets: Int,
       bucketCol: String, sortCols: Seq[String] = Nil): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // a managed table's location can outlive the in-memory catalog
+    // that created it (previous JVM) — saveAsTable then refuses with
+    // LOCATION_ALREADY_EXISTS; clear the orphaned husk first
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode(SaveMode.Overwrite).format("parquet")
       .bucketBy(buckets, bucketCol)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -79,10 +79,18 @@ object Tables {
               case _ => false
             }) => f.name
           }
-          if (statCols.nonEmpty)
-            s.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS FOR COLUMNS " +
-              statCols.mkString(", "))
-          else s.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS")
+          // equi-height histograms ride the same ANALYZE pass and feed
+          // CBO selectivity estimation (range predicates, join
+          // cardinality) — the reference's cbo tuning presumes them
+          val prevHist = s.conf.get("spark.sql.statistics.histogram.enabled")
+          s.conf.set("spark.sql.statistics.histogram.enabled", "true")
+          try {
+            if (statCols.nonEmpty)
+              s.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS FOR COLUMNS " +
+                statCols.mkString(", "))
+            else s.sql(s"ANALYZE TABLE $db.$n COMPUTE STATISTICS")
+          } finally
+            s.conf.set("spark.sql.statistics.histogram.enabled", prevHist)
         }
         registered.put(s, d)
       }

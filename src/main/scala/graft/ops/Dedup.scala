@@ -329,10 +329,16 @@ object Dedup {
       converged = next
         .join(labels.withColumnRenamed("cluster_id", "prev"), "doc")
         .where(col("cluster_id") =!= col("prev")).isEmpty
+      // superseded checkpoint blocks must not accumulate in the block
+      // manager across rounds (or across repeated invocations in a
+      // long-lived session)
+      labels.unpersist()
       labels = next
       iter += 1
     }
-    labels.select(col("doc").as("doc_id"), col("cluster_id"))
+    val out = labels.select(col("doc").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
+    edges.unpersist()
+    out
   }
 }

@@ -135,7 +135,7 @@ object Similarity {
       val assigned = assignCentroids(emb, centroidIndex(centroids))
       // mean of member vectors per centroid (element-wise): aggregate
       // positional sums via posexplode, then re-assemble
-      centroids = densify(assigned
+      val next = densify(assigned
         .select(col("centroid_id"),
           posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("centroid_id", "pos")
@@ -145,6 +145,9 @@ object Similarity {
         .select(col("centroid_id"),
           transform(col("pm"), p => p.getField("m").cast("float")).as("cv")))
         .localCheckpoint(true)
+      // superseded round's checkpoint blocks must not accumulate
+      centroids.unpersist()
+      centroids = next
     }
     centroids
   }

@@ -34,6 +34,10 @@ object Stress {
       time(s"c1_exact x$f", Dedup.exactDedup(c))
       time(s"c2_lsh   x$f", Dedup.minHashLshPairs(c))
       time(s"c3_simhash x$f", Dedup.simHashPairs(c))
+      // transitive closure under mass duplication: every base doc's
+      // replicas form one clique → the pair graph is the worst case
+      // for the component loop (df-caps bound the clique fan-out)
+      time(s"c11_clusters x$f", Dedup.dupClusters(Dedup.minHashLshPairs(c)))
       c.unpersist()
     }
     spark.stop()
