@@ -209,7 +209,13 @@ object SparkEntry {
       val feats = Multimodal.extractFeatures(
           Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
-      Similarity.annTopKIvf(feats, k = 5, queryStride = 50,
+      // materialize features ONCE (the production shape: extraction
+      // is the expensive pass, the index consumes it several times —
+      // corpus scan, query scan, centroid collect; unmaterialized,
+      // the decode pipeline re-runs per consumer)
+      val dir = graft.streaming.EventsStream.scratchDir("graft_media_feats")
+      new graft.core.ParquetIOManager(s).write(feats, dir)
+      Similarity.annTopKIvf(s.read.parquet(dir), k = 5, queryStride = 50,
         centroidStride = 20, nProbe = 6)
     }),
     // M-tier: multimodal plumbing (stubbed codec → rows-only gate)

@@ -32,6 +32,29 @@ final class ParquetIOManager(spark: SparkSession,
   def readJsonLines(path: String, schema: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** JSON-lines ingest with BAD-RECORD CAPTURE — the posture a 100 TB
+    * raw-ingest edge needs: a malformed line must neither kill the
+    * job (FAILFAST) nor vanish silently (DROPMALFORMED). Read as text
+    * and parse with `from_json` in PERMISSIVE mode: a bad line yields
+    * a struct whose corrupt-record field carries the raw text, so the
+    * pipeline can route rejects to a quarantine sink and count them —
+    * no second pass, and no SPARK-21610 restriction (querying only
+    * the corrupt column of a raw JSON scan is disallowed; a text scan
+    * is not). Returns (good, rejects) derived from one scan
+    * definition. */
+  def readJsonLinesWithRejects(path: String, schema: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val parsed = spark.read.textFile(path).toDF("raw_line")
+      .select(col("raw_line"),
+        from_json(col("raw_line"), s"$schema, _corrupt_record STRING",
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+    (parsed.where(col("j._corrupt_record").isNull).select(col("j.*"))
+       .drop("_corrupt_record"),
+      parsed.where(col("j._corrupt_record").isNotNull).select("raw_line"))
+  }
+
   def writeCsv(df: DataFrame, path: String, header: Boolean = true): WriteResult =
     countingWrite(df, path)(_.option("header", header.toString)
       .option("compression", compression).csv(path))

@@ -511,7 +511,16 @@ object Relational {
     * session) must find the broadcast-star plan itself. This is the
     * un-hinted join planning a reference user gets on a warehouse
     * with stats — CboSpec asserts the dims still broadcast and the
-    * result is identical to the hinted q07. */
+    * result is identical to the hinted q07.
+    *
+    * Observed CBO topology (sf0.1 plan dump): join reorder flips the
+    * written order and builds the dimension BUNDLE first
+    * (region⋈nation⋈customer⋈orders, each step broadcast), then
+    * streams lineitem through ONE BroadcastHashJoin — the fact table
+    * is probed once instead of four times. The bundle broadcast is
+    * size-legal from stats at this sf; past the broadcast threshold
+    * the same stats flip it to shuffle joins. Stats-driven reorder
+    * working as designed, not an artifact. */
   def q34CboStarUnhinted(s: SparkSession, d: String): DataFrame = {
     graft.core.Tables.registerCatalog(s, d)
     def t(n: String): DataFrame = s.table(s"graft.$n")

@@ -71,6 +71,27 @@ class IOManagerSpec extends SparkSpec {
       src.exceptAll(jsonBack).count() == 0)
   }
 
+  test("json ingest with bad-record capture: rejects quarantined, good rows typed") {
+    val io = new ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("iobad").toString
+    val lines = Seq(
+      """{"id": 1, "name": "alpha", "score": 0.5}""",
+      """{"id": 2, "name": "beta", "score": 1.5}""",
+      """{"id": 3, "name":""", // truncated mid-object
+      """not json at all""",
+      """{"id": 4, "name": "delta", "score": 2.0}""")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val (good, rejects) = io.readJsonLinesWithRejects(
+      s"$dir/data.jsonl", "id LONG, name STRING, score DOUBLE")
+    assert(good.count() == 3)
+    assert(good.columns.toSeq == Seq("id", "name", "score"))
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 4L))
+    val raw = rejects.collect().map(_.getString(0)).toSet
+    assert(raw == Set("""{"id": 3, "name":""", "not json at all"))
+  }
+
   test("bucketed tables: join on the bucket key plans without a shuffle") {
     import graft.core.BucketedTables
     val li = Tables.lineitem(spark, sf)
