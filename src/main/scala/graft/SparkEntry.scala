@@ -60,6 +60,7 @@ object SparkEntry {
     "q33_semijoin_chain" -> (Relational.q33SemiJoinChain _),
     "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
     "q35_window_battery" -> (Relational.q35WindowBattery _),
+    "q36_argminmax"      -> (Relational.q36ArgMinMax _),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -473,6 +474,14 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q36_argminmax" ->
+      """SELECT c_mktsegment,
+        |  arg_max(o_orderkey, o_totalprice) AS max_price_order,
+        |  arg_min(o_orderkey, o_totalprice) AS min_price_order,
+        |  round(max(o_totalprice), 2) AS max_price,
+        |  round(min(o_totalprice), 2) AS min_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c11_dup_clusters" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

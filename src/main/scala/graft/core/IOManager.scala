@@ -32,6 +32,26 @@ final class ParquetIOManager(spark: SparkSession,
   def readJsonLines(path: String, schema: String): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Delimited ingest with BAD-RECORD CAPTURE — the CSV twin of
+    * [[readJsonLinesWithRejects]] (same text-scan + `from_csv`
+    * construction, same (good, rejects) contract). Headerless raw
+    * feeds only — a header line would land in rejects by design,
+    * which is also how you notice one you didn't expect. */
+  def readCsvWithRejects(path: String, schema: String,
+      delimiter: String = ","): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.{col, from_csv}
+    val parsed = spark.read.textFile(path).toDF("raw_line")
+      .select(col("raw_line"),
+        from_csv(col("raw_line"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            s"$schema, _corrupt_record STRING"),
+          Map("mode" -> "PERMISSIVE", "sep" -> delimiter,
+            "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+    (parsed.where(col("j._corrupt_record").isNull).select(col("j.*"))
+       .drop("_corrupt_record"),
+      parsed.where(col("j._corrupt_record").isNotNull).select("raw_line"))
+  }
+
   /** JSON-lines ingest with BAD-RECORD CAPTURE — the posture a 100 TB
     * raw-ingest edge needs: a malformed line must neither kill the
     * job (FAILFAST) nor vanish silently (DROPMALFORMED). Read as text

@@ -447,6 +447,26 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Q36 — argmax/argmin aggregates: the orderkey of each segment's
+    * highest/lowest-priced order via `max_by`/`min_by` (one hash
+    * aggregate with map-side partials — the windowless way to answer
+    * "which row attains the extreme", no per-group sort). Fixture
+    * verified tie-free on (segment, totalprice) at the gated SFs, so
+    * the arg is deterministic on both engines (a tie would make
+    * max_by/arg_max engine-dependent — production code puts a
+    * tie-breaking struct in the ordering value). */
+  def q36ArgMinMax(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(
+        max_by(col("o_orderkey"), col("o_totalprice")).as("max_price_order"),
+        min_by(col("o_orderkey"), col("o_totalprice")).as("min_price_order"),
+        money(max(col("o_totalprice"))).as("max_price"),
+        money(min(col("o_totalprice"))).as("min_price"))
+      .orderBy("c_mktsegment")
+
   /** Q32 — TPC-H Q2 shape: a scalar aggregate subquery in WHERE
     * against a joined min ("the supplier(s) selling each small part
     * at its minimum observed price"). Decorrelated like [[q22CorrSubquery]]:

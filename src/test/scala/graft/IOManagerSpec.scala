@@ -92,6 +92,19 @@ class IOManagerSpec extends SparkSpec {
     assert(raw == Set("""{"id": 3, "name":""", "not json at all"))
   }
 
+  test("csv ingest with bad-record capture") {
+    val io = new ParquetIOManager(spark)
+    val dir = java.nio.file.Files.createTempDirectory("iobadcsv").toString
+    val lines = Seq("1,alpha,0.5", "2,beta,not_a_number", "3,gamma,2.0")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "data.csv"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val (good, rejects) = io.readCsvWithRejects(
+      s"$dir/data.csv", "id LONG, name STRING, score DOUBLE")
+    assert(good.count() == 2)
+    assert(rejects.collect().map(_.getString(0)).toSeq ==
+      Seq("2,beta,not_a_number"))
+  }
+
   test("bucketed tables: join on the bucket key plans without a shuffle") {
     import graft.core.BucketedTables
     val li = Tables.lineitem(spark, sf)
