@@ -160,6 +160,10 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
+    // the composed cleaning pipeline (quality → langid → exact dedup
+    // → near-dup cluster dedup), gated end-to-end
+    "p1_clean_corpus"    -> ((s, d) =>
+      graft.steps.CleanCorpus.run(Tables.documents(s, d))),
     // stream-static join: stream enriched against a batch-computed
     // high-value-user dim (stateless per-microbatch hash join),
     // drained to parquet and rolled up — equals the batch semi-join
@@ -515,6 +519,61 @@ object SparkEntry {
         |  CAST(length(text) -
         |    length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "p1_clean_corpus" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
+        |m AS (SELECT doc_id, text, lang, w,
+        |  CAST(len(w) AS INT) AS n_tokens,
+        |  round((length(text) - (len(w) - 1)) * 1.0 / len(w), 6) AS mean_word_len,
+        |  round(len(list_filter(w, x -> list_contains(
+        |    ['the','a','of','and','is','der','die','das','und','ist',
+        |     'el','los','y','es','que','le','la','et','est','les',
+        |     '的','是','了','在','和'], x))) * 1.0 / len(w), 6) AS stopword_ratio
+        |FROM t),
+        |q AS (SELECT *, round(least(1.0, n_tokens / 50.0) *
+        |  (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.7 END) *
+        |  (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
+        |  AS quality FROM m),
+        |lp AS (SELECT *,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS INT) AS s_en,
+        |  CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS s_de,
+        |  CAST(len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS INT) AS s_es,
+        |  CAST(len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS INT) AS s_fr,
+        |  CAST(len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS INT) AS s_zh
+        |FROM q),
+        |lo AS (SELECT *, CASE
+        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM lp),
+        |surv AS (SELECT doc_id, text, w, n_tokens FROM lo
+        |         WHERE quality >= 0.5 AND lang_pred = lang),
+        |ex AS (SELECT s.doc_id, s.w, s.n_tokens FROM surv s
+        |       JOIN (SELECT min(doc_id) AS k FROM surv GROUP BY text) kk
+        |         ON s.doc_id = kk.k),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM ex, unnest(range(1, len(w) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |          FROM co JOIN sz sa ON sa.doc_id = da
+        |                  JOIN sz sb ON sb.doc_id = db
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach AS (SELECT doc, doc AS root FROM verts
+        |          UNION
+        |          SELECT e.dst, r.root FROM reach r
+        |          JOIN edges e ON e.src = r.doc),
+        |nonrep AS (SELECT doc FROM (SELECT doc, min(root) AS cid
+        |                            FROM reach GROUP BY doc)
+        |           WHERE doc <> cid)
+        |SELECT doc_id, n_tokens FROM ex
+        |WHERE doc_id NOT IN (SELECT doc FROM nonrep)
+        |ORDER BY doc_id""".stripMargin,
     "s5_stream_static" ->
       """SELECT user_id, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
