@@ -79,6 +79,14 @@ object Bench {
         if only.isEmpty || only(name)) {
       val fn = SparkEntry.queries(name)
       try {
+        // Spark cleans shuffle files/broadcasts via ContextCleaner,
+        // which only fires when the JVM GCs the references — 60+
+        // queries × 3 runs accumulate GBs of /tmp shuffle state
+        // otherwise, and the fsync-sensitive streaming gates measured
+        // 2× slower at the end of a full run than in isolation.
+        // A GC per query keeps cross-query interference out of the
+        // numbers (standard bench hygiene, not a results change).
+        System.gc()
         val c = once(fn)
         // two warm runs, best-of recorded: a single warm sample is
         // hostage to one GC pause / fsync stall (observed 2.5↔12.5 s

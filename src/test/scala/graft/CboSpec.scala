@@ -14,6 +14,8 @@ class CboSpec extends SparkSpec {
       s"no rowCount statistic on graft.lineitem: $st")
     assert(st.attributeStats.nonEmpty,
       "no column-level statistics on graft.lineitem")
+    assert(st.attributeStats.exists(_._2.histogram.isDefined),
+      "no equi-height histograms on graft.lineitem (selectivity path)")
     // registration is cached per (session, dir): second call is a no-op
     graft.core.Tables.registerCatalog(spark, sf)
   }
