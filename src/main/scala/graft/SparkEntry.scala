@@ -61,6 +61,35 @@ object SparkEntry {
     "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
     "q35_window_battery" -> (Relational.q35WindowBattery _),
     "q36_argminmax"      -> (Relational.q36ArgMinMax _),
+    // non-equi (range) join reduced to an equi join by bucketing —
+    // no BroadcastNestedLoopJoin (PlanLintSpec checks this gate too)
+    "q37_range_join"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val bands = s.range(10).select(
+        (col("id") * 5 + 1).cast("double").as("lo"),
+        ((col("id") + 1) * 5).cast("double").as("hi"))
+      graft.ops.Joins.bucketedRangeJoin(
+          Tables.lineitem(s, d).select("l_quantity"), "l_quantity",
+          bands, "lo", "hi", bucketWidth = 8)
+        .groupBy("lo", "hi")
+        .agg(count(lit(1)).as("n_items"),
+          Relational.decSum(col("l_quantity")).as("sum_qty"))
+        .orderBy("lo")
+    }),
+    // salted skew join gated against the PLAIN join's oracle: the
+    // salt/replicate/drop plumbing must be observationally invisible
+    "q38_salted_join"    -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val left = Tables.orders(s, d)
+        .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+      val dim = Tables.customer(s, d)
+        .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+      graft.ops.Joins.saltedJoin(left, dim, "custkey", salts = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    }),
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
@@ -484,6 +513,21 @@ object SparkEntry {
         |  arg_min(o_orderkey, o_totalprice) AS min_price_order,
         |  round(max(o_totalprice), 2) AS max_price,
         |  round(min(o_totalprice), 2) AS min_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_range_join" ->
+      """WITH bands AS (SELECT CAST(i*5+1 AS DOUBLE) AS lo,
+        |                      CAST((i+1)*5 AS DOUBLE) AS hi
+        |               FROM range(10) t(i))
+        |SELECT lo, hi, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM lineitem JOIN bands ON l_quantity BETWEEN lo AND hi
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    "q38_salted_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "c11_dup_clusters" ->
