@@ -155,6 +155,42 @@ object SparkEntry {
     }),
     "s2_sessionize_batch" -> ((s, d) =>
       graft.streaming.EventsStream.sessionizeBatch(Tables.events(s, d))),
+    // the STREAMING sessionizer (flatMapGroupsWithState) gated
+    // against the same batch oracle as s2: a far-future flush
+    // sentinel pushes the watermark past every real session's
+    // end+gap, so Append mode emits ALL sessions (without it the
+    // trailing open sessions stay in state — the standard watermark
+    // caveat); the sentinel's own session is filtered back out.
+    "s6_stream_sessionize" -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val maxTs = Tables.events(s, d)
+        .agg(max("ts")).collect()(0).getTimestamp(0)
+      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
+      val sdir = EventsStream.scratchDir("graft_sess_sentinel")
+      Seq(EventsStream.Event(-1L, sentinelTs, -1L, "flush", 0.0)).toDS()
+        .write.mode("overwrite").parquet(s"$sdir/sentinel.parquet")
+      val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val stream = EventsStream.readEventsStream(s, d)
+        .select(evCols.map(col): _*)
+        .unionAll(s.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+          .parquet(s"$sdir/sentinel.parquet"))
+        .as[EventsStream.Event]
+      EventsStream.runAvailableNowToParquet(s,
+          EventsStream.sessionize(stream).toDF(),
+          EventsStream.scratchDir("graft_stream_sess"))
+        .where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          // per-event double accumulation lands on exact 2dp decimals
+          // (inputs are 2dp); round through decimal like the oracle
+          round(col("sum_value").cast("decimal(18,2)"), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
     // streaming dedup: the fixture replayed twice (union of two file
     // streams) → dropDuplicatesWithinWatermark on event_id → the
     // deduplicated stream lands in a parquet sink (distributed write,
@@ -741,23 +777,10 @@ object SparkEntry {
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
         |       count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "s2_sessionize_batch" ->
-      """WITH x AS (
-        |  SELECT user_id, ts, event_id, value,
-        |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
-        |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-        |      THEN 1 ELSE 0 END AS new_sess
-        |  FROM events),
-        |y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
-        |        ORDER BY ts, event_id
-        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |      FROM x)
-        |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
-        |       CAST(max(ts) AS TIMESTAMP) AS session_end,
-        |       count(*) AS n_events,
-        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-        |FROM y GROUP BY user_id, sess_id
-        |ORDER BY user_id, session_start""".stripMargin,
+    // s2 (batch) and s6 (streaming flatMapGroupsWithState) share the
+    // sessionization oracle: same gap semantics, µs-exact bounds
+    "s6_stream_sessionize" -> sessionizeOracle,
+    "s2_sessionize_batch"  -> sessionizeOracle,
     "t5_url_normalize" ->
       """WITH u AS (SELECT doc_id,
         |  'https://www.' || source || '.example.com/docs/' || doc_id AS url
@@ -781,6 +804,26 @@ object SparkEntry {
         |SELECT t.doc_id, md5(nt) AS content_fp, mn.winnow_fp
         |FROM t LEFT JOIN mn ON t.doc_id = mn.doc_id ORDER BY 1""".stripMargin,
   )
+
+  /** 30-minute-gap sessionization — the oracle for both the batch
+    * (s2) and streaming (s6) sessionizers. */
+  private val sessionizeOracle: String =
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id, value,
+      |    CASE WHEN epoch(ts) - epoch(lag(ts) OVER
+      |      (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+      |      THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |      FROM x)
+      |SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+      |       CAST(max(ts) AS TIMESTAMP) AS session_end,
+      |       count(*) AS n_events,
+      |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+      |FROM y GROUP BY user_id, sess_id
+      |ORDER BY user_id, session_start""".stripMargin
 
   /** Exact word-3-gram Jaccard pairs at threshold 0.8 — the oracle for
     * both the exact (c4) and MinHash-LSH (c2) near-dup operators. */

@@ -65,4 +65,29 @@ class StreamingSpec extends SparkSpec {
     assert(s.getAs[Double]("sum_value") == 3.0)
     assert(events.count() > 0) // fixture loads through the Event encoder
   }
+
+  test("parquet sink restart with the same checkpoint is idempotent") {
+    import org.apache.spark.sql.streaming.Trigger
+    // the exactly-once file-sink contract: re-running availableNow
+    // against an unchanged source and the SAME checkpoint must add
+    // nothing (offsets already committed) — the restart story a
+    // production stream relies on after a driver crash
+    val dir = java.nio.file.Files.createTempDirectory("restart").toString
+    def runOnce(): Long = {
+      val q = EventsStream.hourlyRollup(
+          EventsStream.readEventsStream(spark, sf))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(s"$dir/out").count()
+    }
+    val first = runOnce()
+    val second = runOnce()
+    assert(second == first,
+      s"restart duplicated rows: $first -> $second")
+  }
 }
