@@ -61,6 +61,21 @@ object SparkEntry {
     "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
     "q35_window_battery" -> (Relational.q35WindowBattery _),
     "q36_argminmax"      -> (Relational.q36ArgMinMax _),
+    // explicit GROUPING SETS through the SQL-string entry point
+    // (Tables.registerAll temp views) — the grouping-set lattice
+    // beyond ROLLUP (q15) / CUBE (q29), and the one gated query that
+    // exercises spark.sql() end-to-end
+    "q39_grouping_sets"  -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql("""SELECT c_mktsegment, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY g_seg, g_prio, c_mktsegment NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin)
+    }),
     // non-equi (range) join reduced to an equi join by bucketing —
     // no BroadcastNestedLoopJoin (PlanLintSpec checks this gate too)
     "q37_range_join"     -> ((s, d) => {
@@ -551,6 +566,15 @@ object SparkEntry {
         |  round(min(o_totalprice), 2) AS min_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q39_grouping_sets" ->
+      """SELECT c_mktsegment, o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(grouping(o_orderpriority) AS INT) AS g_prio
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderpriority), ())
+        |ORDER BY g_seg, g_prio, c_mktsegment NULLS FIRST,
+        |  o_orderpriority NULLS FIRST""".stripMargin,
     "q37_range_join" ->
       """WITH bands AS (SELECT CAST(i*5+1 AS DOUBLE) AS lo,
         |                      CAST((i+1)*5 AS DOUBLE) AS hi
