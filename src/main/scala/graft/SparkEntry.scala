@@ -155,6 +155,14 @@ object SparkEntry {
       val e = GraphOps.edges(Tables.lineitem(s, d), Tables.orders(s, d))
       GraphOps.graphAggr(GraphOps.graph(n, e))
     }),
+    // the bucket-aligned pipeline (staged shuffle-free endpoint
+    // joins) gated against g2's oracle: layout change, same answer
+    "g3_graph_bucketed"  -> ((s, d) => {
+      import graft.steps.BucketedGraphOps
+      BucketedGraphOps.persistInputs(s, d)
+      BucketedGraphOps.persistMid(s)
+      BucketedGraphOps.graphAggr(s)
+    }),
     // S-tier: Structured Streaming (availableNow over the fixture —
     // same result contract as the batch q20, same oracle)
     "s1_stream_rollup"   -> ((s, d) => {
@@ -786,6 +794,19 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "g2_graph_aggr" ->
+      """WITH e AS (
+        |  SELECT o_custkey AS ck, l_suppkey AS sk, count(*) AS nt,
+        |         round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(9,2))), 2) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2)
+        |SELECT c.c_nationkey AS src_nation, s.s_nationkey AS dst_nation,
+        |       count(*) AS n_edges, CAST(sum(nt) AS BIGINT) AS n_transactions,
+        |       CAST(round(sum(CAST(w AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_weight
+        |FROM e JOIN customer c ON ck = c_custkey
+        |       JOIN supplier s ON sk = s_suppkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // bucketed layout, same answer as g2
+    "g3_graph_bucketed" ->
       """WITH e AS (
         |  SELECT o_custkey AS ck, l_suppkey AS sk, count(*) AS nt,
         |         round(sum(CAST(l_extendedprice AS DECIMAL(18,2))
