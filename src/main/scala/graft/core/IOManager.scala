@@ -215,6 +215,7 @@ final class ParquetIOManager(spark: SparkSession,
       cutoff: String): Seq[String] = {
     val hPath = new org.apache.hadoop.fs.Path(basePath)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hPath)) return Nil // nothing to retain or drop
     val prefix = partitionCol + "="
     fs.listStatus(hPath).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))

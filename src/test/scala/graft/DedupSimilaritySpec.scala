@@ -218,6 +218,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad.isEmpty)
   }
 
+  test("dupClusters on an empty pair set returns no clusters") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(graft.ops.Dedup.dupClusters(empty).count() == 0)
+  }
+
+  test("centroid kernel matches the cosine max_by spelling on RAGGED vectors") {
+    import spark.implicits._
+    // mixed dims exercise the kernel's min-length truncation branch —
+    // must equal VectorKernels.cosine semantics exactly
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.5f)),
+      (1L, Array(0.2f, 0.9f)), // shorter than every centroid
+      (2L, Array(0.5f, 0.5f, 0.5f, 0.5f)), // longer
+      (3L, Array(-1.0f, 0.3f, 0.0f))).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (0L, Array(1.0f, 0.1f, 0.4f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))).toDF("centroid_id", "cv")
+    val idx = Similarity.centroidIndex(centroids)
+    val kernel = Similarity.assignCentroids(vecs, idx)
+      .select("vec_id", "centroid_id").orderBy("vec_id").collect().toSeq
+    val reference = vecs.as("c")
+      .join(org.apache.spark.sql.functions.broadcast(centroids),
+        org.apache.spark.sql.functions.lit(true))
+      .select(col("vec_id"), col("centroid_id"),
+        Similarity.cosine(col("cv"), col("c.embedding")).as("cdist"))
+      .groupBy("vec_id")
+      .agg(org.apache.spark.sql.functions.max_by(col("centroid_id"),
+        org.apache.spark.sql.functions.struct(col("cdist"),
+          -col("centroid_id"))).as("centroid_id"))
+      .orderBy("vec_id").collect().toSeq
+    assert(kernel == reference)
+  }
+
   test("dupClusters == union-find reference on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
