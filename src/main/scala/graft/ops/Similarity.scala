@@ -212,8 +212,15 @@ object Similarity {
   def buildIvfIndex(emb: DataFrame, centroids: DataFrame,
       path: String): graft.functions.CentroidIndex = {
     val idx = centroidIndex(centroids)
+    // repartition on the partition key before the partitioned write:
+    // without it every scan task writes a file into every centroid
+    // dir (tasks × k files — 1000 executors × 65536 lists is a
+    // small-file catastrophe); with it each list is written by
+    // exactly one task → one file per list. The shuffle is the
+    // one-time index-build cost.
     new graft.core.ParquetIOManager(emb.sparkSession)
-      .write(assignCentroids(emb, idx), path, partitionBy = Seq("centroid_id"))
+      .write(assignCentroids(emb, idx).repartition(col("centroid_id")),
+        path, partitionBy = Seq("centroid_id"))
     idx
   }
 

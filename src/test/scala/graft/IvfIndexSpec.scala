@@ -43,6 +43,14 @@ class IvfIndexSpec extends SparkSpec {
     val inline = Similarity.annTopKIvf(emb).collect().toSeq
     assert(persisted == inline)
     assert(persisted.nonEmpty)
+    // one data file per inverted list: the pre-write repartition on
+    // the partition key must prevent the tasks × k small-file flood
+    val root = new java.io.File(dir)
+    val listDirs = root.listFiles().filter(_.getName.startsWith("centroid_id="))
+    assert(listDirs.nonEmpty)
+    val maxFiles = listDirs.map(
+      _.listFiles().count(_.getName.endsWith(".parquet"))).max
+    assert(maxFiles == 1, s"a centroid list has $maxFiles files")
   }
 
   test("probes prune partitions: scan reads only probed centroid lists") {
