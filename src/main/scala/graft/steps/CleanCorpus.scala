@@ -38,8 +38,10 @@ object CleanCorpus {
     val survivors = docs.select("doc_id", "text")
       .join(quality, "doc_id")
       .join(langOk, col("doc_id") === col("l_doc"), "left_semi")
-    // exact dedup: one keeper per identical text
-    val keepers = survivors.groupBy("text")
+    // exact dedup: one keeper per identical text — group on the
+    // 256-bit content hash like [[graft.ops.Dedup.exactDedup]], so
+    // the shuffle key is 32 bytes, not the document body
+    val keepers = survivors.groupBy(sha2(col("text"), 256))
       .agg(min(col("doc_id")).as("k_doc")).select("k_doc")
     val exact = survivors
       .join(keepers, col("doc_id") === col("k_doc"), "left_semi")
