@@ -63,11 +63,14 @@ object Relational {
       .agg(count(lit(1)).as("cnt"))
 
   /** Q03 global aggregate — replica of reference step_2
-    * (`step_2.py:25-30`): avg(length(text)) + distinct count. */
+    * (`step_2.py:25-30`): avg(length(text)) + distinct count. The
+    * distinct is taken over the 256-bit content hash so the distinct
+    * expansion shuffles 32-byte keys, not document bodies (same
+    * count barring sha2 collisions — the c1 dedup assumption). */
   def q03GlobalAgg(s: SparkSession, d: String): DataFrame =
     documents(s, d).agg(
       ratio(avg(length(col("text")))).as("avg_text_length"),
-      countDistinct(col("text")).as("num_distinct_texts"))
+      countDistinct(sha2(col("text"), 256)).as("num_distinct_texts"))
 
   /** Q04 distinct aggregate (expand + two-phase agg). */
   def q04DistinctAgg(s: SparkSession, d: String): DataFrame =
@@ -268,10 +271,13 @@ object Relational {
       approx_count_distinct(col("l_partkey")).as("approx_partkeys"),
       countDistinct(col("l_partkey")).as("exact_partkeys"))
 
-  /** Q19 exact dedup count (dropDuplicates on the dedup key). */
+  /** Q19 exact dedup count (dropDuplicates on the dedup key — the
+    * content hash, so the dedup shuffle moves 32-byte keys like c1,
+    * not document bodies). */
   def q19DedupCount(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .dropDuplicates("text")
+      .withColumn("_ch", sha2(col("text"), 256))
+      .dropDuplicates("_ch")
       .agg(count(lit(1)).as("n_unique_docs"))
 
   /** Q20 tumbling 1-hour time bucketing (batch analog of the
