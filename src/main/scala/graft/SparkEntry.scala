@@ -248,6 +248,7 @@ object SparkEntry {
         .orderBy("purchase_id", "click_id")
     }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
+    "t7_term_weights"    -> ((s, d) => TextOps.termWeights(Tables.documents(s, d))),
     // the composed cleaning pipeline (quality → langid → exact dedup
     // → near-dup cluster dedup), gated end-to-end
     "p1_clean_corpus"    -> ((s, d) =>
@@ -631,6 +632,20 @@ object SparkEntry {
         |  CAST(length(text) -
         |    length(regexp_replace(text, '[aeiou]', '', 'g')) AS INT) AS n_vowels
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t7_term_weights" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |wtd AS (SELECT doc_id, term, tf, df,
+        |          tf * (CAST(n_docs AS DOUBLE) / df) AS weight
+        |        FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY weight DESC, term) AS rnk FROM wtd)
+        |SELECT doc_id, term, tf, df, round(weight, 6) AS weight,
+        |       CAST(rnk AS INT) AS rnk
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "p1_clean_corpus" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),

@@ -136,6 +136,39 @@ object TextOps {
     * the ordering. Semantics chosen to match DuckDB exactly (its
     * regexp_replace needs the 'g' flag for the same global behavior;
     * Spark is global by default). */
+  /** T7 — per-document top-k term weighting (tf–idf family): weight =
+    * tf × (N / df). The idf factor is the RATIONAL form, not
+    * ln(N/df): IEEE division and multiplication are correctly
+    * rounded, so the weight is bit-identical across engines and the
+    * DuckDB oracle can gate it exactly — a transcendental idf would
+    * be at the mercy of two libm implementations' last ulp. Ordering
+    * (weight desc, term asc) makes the top-k deterministic.
+    *
+    * Scale: one shuffle on (doc_id, term) for tf, one on term for df
+    * (both map-side partial), df re-joined tf-side; N rides in as a
+    * broadcast 1-row aggregate — no driver action. The per-doc top-k
+    * is a window over the doc's OWN terms (bounded by doc length). */
+  def termWeights(docs: DataFrame, k: Int = 3): DataFrame = {
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(df_, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        col("tf") * (col("n_docs").cast("double") / col("df")))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("doc_id"), col("term"), col("tf").cast("long").as("tf"),
+        col("df").cast("long").as("df"), round(col("weight"), 6).as("weight"),
+        col("rnk").cast("int").as("rnk"))
+      .orderBy("doc_id", "rnk")
+  }
+
   def stringBattery(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
