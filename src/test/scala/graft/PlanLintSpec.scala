@@ -14,7 +14,11 @@ class PlanLintSpec extends SparkSpec {
     * nested loop: assignment and probing run the CentroidIndex
     * kernels (one argmax per row), not a corpus × k join. */
   private val nestedLoopByDesign =
-    Set("c5_cosine_neardup", "c6_ann_topk")
+    Set("c5_cosine_neardup", "c6_ann_topk",
+      // t7's corpus-size factor rides a 1-ROW broadcast cross join
+      // (the scalar-subquery shape; a nested loop over one row is a
+      // constant) — not a data-dependent nested loop
+      "t7_term_weights")
 
   /** Streaming gates execute the stream inside the query closure —
     * covered by StreamingSpec; skipped here to keep the lint fast. */
