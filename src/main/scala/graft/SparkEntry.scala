@@ -61,6 +61,10 @@ object SparkEntry {
     "q34_cbo_star"       -> (Relational.q34CboStarUnhinted _),
     "q35_window_battery" -> (Relational.q35WindowBattery _),
     "q36_argminmax"      -> (Relational.q36ArgMinMax _),
+    "q40_date_battery"   -> (Relational.q40DateBattery _),
+    "q41_unpivot"        -> (Relational.q41Unpivot _),
+    "q42_late_ship_agg"  -> (Relational.q42LateShipAgg _),
+    "q43_pct_of_total"   -> (Relational.q43PctOfTotal _),
     // explicit GROUPING SETS through the SQL-string entry point
     // (Tables.registerAll temp views) — the grouping-set lattice
     // beyond ROLLUP (q15) / CUBE (q29), and the one gated query that
@@ -273,6 +277,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
             .as("sum_value"))
+        .orderBy("user_id")
+    }),
+    // foreachBatch keyed upsert: the stream (8 files, 2 per trigger
+    // → 4 microbatches) maintains a latest-event-per-user parquet
+    // table via merge-and-swap; the final state must equal the
+    // batch-global latest regardless of file-to-batch assignment
+    "s7_foreach_batch_upsert" -> ((s, d) => {
+      import graft.streaming.EventsStream
+      val src = EventsStream.scratchDir("graft_upsert_src")
+      Tables.events(s, d).select("event_id", "ts", "user_id", "value")
+        .repartition(8).write.mode("overwrite").parquet(s"$src/files")
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$src/files")
+      EventsStream.runForeachBatchUpsert(s, stream,
+          EventsStream.scratchDir("graft_upsert"))
         .orderBy("user_id")
     }),
     "t5_url_normalize"   -> ((s, d) => {
@@ -575,6 +596,66 @@ object SparkEntry {
         |  round(min(o_totalprice), 2) AS min_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark weekday (0=Monday) = DuckDB isodow−1; both weekofyear()s
+    // are ISO weeks; both month-adds clamp to month end; epoch agrees
+    // because the Spark session pins UTC
+    "q40_date_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS order_date,
+        |  CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(isodow(o_orderdate) - 1 AS INT) AS wday,
+        |  CAST(dayofyear(o_orderdate) AS INT) AS doy,
+        |  CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+        |  CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+        |  CAST(CAST(date_trunc('month', o_orderdate) AS DATE) AS TIMESTAMP)
+        |    AS month_start,
+        |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
+        |  CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP)
+        |    AS plus_2m,
+        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // q41 = q23's pivot melted back to long form; NULL cells (user
+    // never produced that event type) dropped on both engines
+    "q41_unpivot" ->
+      """WITH p AS (SELECT user_id,
+        |  CAST(round(sum(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS click_value,
+        |  CAST(round(sum(CASE WHEN event_type = 'view'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS view_value,
+        |  CAST(round(sum(CASE WHEN event_type = 'purchase'
+        |    THEN CAST(value AS DECIMAL(18,2)) END), 2) AS DOUBLE) AS purchase_value
+        |FROM events GROUP BY user_id)
+        |SELECT user_id, event_type, value FROM (
+        |  SELECT user_id, 'click' AS event_type, click_value AS value FROM p
+        |  UNION ALL
+        |  SELECT user_id, 'purchase', purchase_value FROM p
+        |  UNION ALL
+        |  SELECT user_id, 'view', view_value FROM p)
+        |WHERE value IS NOT NULL
+        |ORDER BY user_id, event_type""".stripMargin,
+    "q42_late_ship_agg" ->
+      """SELECT o_orderpriority, count(*) AS n_late_orders
+        |FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_pct_of_total" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment,
+        |    CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |      AS seg_revenue
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1)
+        |SELECT c_mktsegment, seg_revenue,
+        |  round(seg_revenue / sum(seg_revenue) OVER (), 6) AS pct_of_total
+        |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    "s7_foreach_batch_upsert" ->
+      """SELECT user_id, event_id AS last_event_id,
+        |       CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "q39_grouping_sets" ->
       """SELECT c_mktsegment, o_orderpriority,
         |  count(*) AS n_orders,

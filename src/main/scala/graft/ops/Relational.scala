@@ -563,4 +563,90 @@ object Relational {
       .agg(decRevenue.as("revenue"))
       .orderBy("r_name")
   }
+
+  /** Q40 — temporal scalar battery: the calendar functions a
+    * time-partitioned pipeline leans on (partition-key derivation,
+    * month-end close, retention cutoffs, ISO-week rollups). All are
+    * codegen'd built-ins inside one projection over the scan — no
+    * shuffle, no UDF. Cross-engine notes: Spark `weekday` is
+    * 0=Monday (DuckDB `isodow`−1); both `weekofyear`s are ISO weeks;
+    * both month-arithmetic functions clamp to month end
+    * (Jan 31 + 1 month = Feb 28); epoch seconds agree because every
+    * graft session pins UTC ([[graft.core.Sessions]]). Date results
+    * are surfaced as midnight TIMESTAMPs: the gate's pandas
+    * canonicalizer treats DATE dtypes engine-dependently (DuckDB
+    * hands back datetime64, parquet hands back date objects), and
+    * the computation under test is the calendar arithmetic, not the
+    * storage type. */
+  def q40DateBattery(s: SparkSession, d: String): DataFrame = {
+    def asTs(c: Column): Column = c.cast("timestamp")
+    orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate").cast("date").as("od"))
+      .select(
+        col("o_orderkey"),
+        asTs(col("od")).as("order_date"),
+        quarter(col("od")).as("qtr"),
+        weekday(col("od")).as("wday"),
+        dayofyear(col("od")).as("doy"),
+        weekofyear(col("od")).as("iso_week"),
+        asTs(last_day(col("od"))).as("month_end"),
+        asTs(trunc(col("od"), "month")).as("month_start"),
+        asTs(date_add(col("od"), 30)).as("plus_30d"),
+        asTs(add_months(col("od"), 2)).as("plus_2m"),
+        unix_timestamp(asTs(col("od"))).as("epoch_sec"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Q41 — unpivot (melt): the exact inverse of [[q23Pivot]] —
+    * wide per-type value columns back to long (user_id, event_type,
+    * value) rows. Physically an `Expand` (each input row emitted once
+    * per value column) — map-side only, no shuffle beyond q23's own
+    * aggregation. NULL cells (user never produced that event type)
+    * are dropped on both engines: Spark's unpivot keeps them, so the
+    * filter is explicit; DuckDB's UNPIVOT excludes them by default —
+    * the oracle spells the UNION ALL form with the same WHERE. */
+  def q41Unpivot(s: SparkSession, d: String): DataFrame =
+    q23Pivot(s, d)
+      .unpivot(
+        Array(col("user_id")),
+        Array(col("click_value"), col("purchase_value"), col("view_value")),
+        "event_type", "value")
+      .where(col("value").isNotNull)
+      .withColumn("event_type", regexp_replace(col("event_type"), "_value$", ""))
+      .orderBy("user_id", "event_type")
+
+  /** Q42 — grouped EXISTS with a correlated NON-EQUI predicate
+    * (TPC-H Q4 shape, adapted to the fixture's columns): orders with
+    * at least one line item shipped >90 days after the order date,
+    * counted per priority. The EXISTS compiles to ONE left-semi join
+    * whose condition carries both the equi key (orderkey — the
+    * shuffle/broadcast key) and the non-equi date predicate (a
+    * residual filter on the matched pair) — the fact table is probed
+    * once, never row-multiplied, and the count needs no DISTINCT. */
+  def q42LateShipAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_late_orders"))
+      .orderBy("o_orderpriority")
+
+  /** Q43 — percent-of-total (ratio_to_report): each market segment's
+    * revenue share via an unpartitioned window over the AGGREGATED
+    * result. The window's single partition holds |segments| rows (5),
+    * not the fact table — the global-total pattern that is safe at
+    * 100 TB because it runs after the reduction, never on raw rows. */
+  def q43PctOfTotal(s: SparkSession, d: String): DataFrame = {
+    val seg = orders(s, d)
+      .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(decSum(col("o_totalprice")).as("seg_revenue"))
+    seg.select(col("c_mktsegment"), col("seg_revenue"),
+        ratio(col("seg_revenue") /
+          sum(col("seg_revenue")).over(Window.partitionBy())).as("pct_of_total"))
+      .orderBy("c_mktsegment")
+  }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -217,6 +217,60 @@ object EventsStream {
       .start()
     q.awaitTermination()
     spark.read.parquet(s"$dir/out")
+  }
+
+  /** foreachBatch keyed upsert — the "merge into latest-per-key
+    * table" pattern (a CDC/materialized-upsert sink on plain parquet;
+    * with a transactional table format the batch body would be a
+    * MERGE INTO). Each microbatch:
+    *   1. reduces the batch to its latest row per user_id (hash
+    *      aggregate with map-side partials — max_by over the
+    *      (ts, event_id) ordering struct, event_id unique ⇒
+    *      deterministic under any file-to-batch assignment);
+    *   2. unions the current state table and re-reduces (state is
+    *      one row per key, so the merge input is |keys| + |batch|
+    *      rows — bounded, never the full history);
+    *   3. writes the merged state to a NEW versioned dir and flips
+    *      the pointer only after the write commits — a crash
+    *      mid-write leaves the previous version intact (the swap
+    *      discipline of [[graft.core.IOManager.compact]]).
+    * Restart safety: foreachBatch replays the last uncommitted batch
+    * with the SAME batchId after a crash; the merge is idempotent
+    * (latest-per-key of a superset is unchanged) and the rewrite
+    * targets the same versioned dir, so replays converge. The upsert
+    * is associative/commutative across batches, so the final state
+    * equals the batch-global latest — StreamingSpec pins that, the
+    * s7 oracle gates it. */
+  def runForeachBatchUpsert(spark: SparkSession, events: DataFrame,
+      workDir: String): DataFrame = withStatePartitions(spark) {
+    def latest(df: DataFrame): DataFrame =
+      df.groupBy("user_id")
+        .agg(max_by(
+          struct(col("last_event_id"), col("last_ts"), col("last_value")),
+          struct(col("last_ts"), col("last_event_id"))).as("m"))
+        .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+          col("m.last_ts").as("last_ts"), col("m.last_value").as("last_value"))
+    @volatile var current: Option[String] = None
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val asState = batch.select(col("user_id"),
+          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+        val merged = current match {
+          case Some(p) => latest(spark.read.parquet(p).unionByName(asState))
+          case None    => latest(asState)
+        }
+        val dst = s"$workDir/state_$batchId"
+        merged.write.mode("overwrite").parquet(dst)
+        current = Some(dst)
+        ()
+      }
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(current.getOrElse(
+      sys.error("foreachBatch upsert ran zero microbatches")))
   }
 
   /** Scratch dir for gate/bench runs of the parquet-sink path,

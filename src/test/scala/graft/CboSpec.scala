@@ -33,4 +33,44 @@ class CboSpec extends SparkSpec {
     val hinted = graft.ops.Relational.q07StarJoin(spark, sf).collect().toSeq
     assert(unhinted == hinted)
   }
+
+  test("runtime bloom filter prunes the fact side of a selective shuffled join") {
+    // the 100 TB story behind Spark's InjectRuntimeFilter: when a
+    // dimension carries a selective predicate and the join must
+    // shuffle (too big to broadcast), a bloom filter built from the
+    // creation side is pushed into the fact side's scan stage so
+    // non-matching fact rows die before the exchange. Fixture tables
+    // are below the default size thresholds, so the test lowers them
+    // (a real warehouse hits the defaults) and forces the shuffle
+    // join by disabling auto-broadcast.
+    import org.apache.spark.sql.functions._
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = graft.core.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+      val sel = graft.core.Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val j = li.join(sel, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom runtime filter injected:\n$optimized")
+      // and the filtered plan still answers correctly
+      val n = j.collect().map(_.getLong(1)).sum
+      val expected = li.join(sel, col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -90,4 +90,31 @@ class StreamingSpec extends SparkSpec {
     assert(second == first,
       s"restart duplicated rows: $first -> $second")
   }
+
+  test("foreachBatch upsert over many microbatches == batch-global latest") {
+    import org.apache.spark.sql.expressions.Window
+    val src = java.nio.file.Files.createTempDirectory("upsert_src").toString
+    val work = java.nio.file.Files.createTempDirectory("upsert_work").toString
+    Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+      .repartition(8).write.mode("overwrite").parquet(s"$src/files")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 2) // 8 files → 4 merge rounds
+      .parquet(s"$src/files")
+    val upserted = EventsStream.runForeachBatchUpsert(spark, stream, work)
+    // the incremental merge must be non-vacuous: >1 state version
+    val versions = new java.io.File(work).listFiles()
+      .count(_.getName.startsWith("state_"))
+    assert(versions > 1, s"expected multiple microbatches, got $versions")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batchLatest = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+    assert(upserted.exceptAll(batchLatest).count() == 0)
+    assert(batchLatest.exceptAll(upserted).count() == 0)
+    assert(upserted.count() == Tables.events(spark, sf)
+      .select("user_id").distinct().count())
+  }
 }
