@@ -188,15 +188,19 @@ object SparkEntry {
     // end+gap, so Append mode emits ALL sessions (without it the
     // trailing open sessions stay in state — the standard watermark
     // caveat); the sentinel's own session is filtered back out.
+    // Fixture-drain artifact only (a live stream's watermark advances
+    // naturally); the sentinel row is DERIVED AND WRITTEN as a 1-row
+    // distributed aggregate (max(ts)+2h) — no driver collect.
     "s6_stream_sessionize" -> ((s, d) => {
       import graft.streaming.EventsStream
       import org.apache.spark.sql.functions._
       import s.implicits._
-      val maxTs = Tables.events(s, d)
-        .agg(max("ts")).collect()(0).getTimestamp(0)
-      val sentinelTs = new java.sql.Timestamp(maxTs.getTime + 2L * 3600 * 1000)
       val sdir = EventsStream.scratchDir("graft_sess_sentinel")
-      Seq(EventsStream.Event(-1L, sentinelTs, -1L, "flush", 0.0)).toDS()
+      Tables.events(s, d).agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"))
         .write.mode("overwrite").parquet(s"$sdir/sentinel.parquet")
       val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
       val stream = EventsStream.readEventsStream(s, d)
@@ -612,7 +616,7 @@ object SparkEntry {
         |  CAST(CAST(o_orderdate AS DATE) + 30 AS TIMESTAMP) AS plus_30d,
         |  CAST(CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS TIMESTAMP)
         |    AS plus_2m,
-        |  CAST(floor(epoch(o_orderdate)) AS BIGINT) AS epoch_sec
+        |  CAST(floor(epoch(CAST(o_orderdate AS DATE))) AS BIGINT) AS epoch_sec
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // q41 = q23's pivot melted back to long form; NULL cells (user
     // never produced that event type) dropped on both engines

@@ -330,8 +330,8 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(
-        ratio(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
-        ratio(expr("percentile(o_totalprice, 0.9)")).as("p90_price"))
+        ratio(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
+        ratio(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
       .orderBy("c_mktsegment")
 
   /** Q26 typed Aggregator surface: weighted average of extended

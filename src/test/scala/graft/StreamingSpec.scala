@@ -47,7 +47,7 @@ class StreamingSpec extends SparkSpec {
       EventsStream.Event(4, at(5), 8, "click", 8.0)).toDS()
     // run through the streaming path via an in-memory stream:
     // availableNow over a parquet tmp dir keeps it on the same code path
-    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    val dir = EventsStream.scratchDir("sess")
     crafted.write.mode("overwrite").parquet(s"$dir/events.parquet")
     val streamIn = spark.readStream
       .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
@@ -72,7 +72,7 @@ class StreamingSpec extends SparkSpec {
     // against an unchanged source and the SAME checkpoint must add
     // nothing (offsets already committed) — the restart story a
     // production stream relies on after a driver crash
-    val dir = java.nio.file.Files.createTempDirectory("restart").toString
+    val dir = EventsStream.scratchDir("restart")
     def runOnce(): Long = {
       val q = EventsStream.hourlyRollup(
           EventsStream.readEventsStream(spark, sf))
@@ -93,8 +93,8 @@ class StreamingSpec extends SparkSpec {
 
   test("foreachBatch upsert over many microbatches == batch-global latest") {
     import org.apache.spark.sql.expressions.Window
-    val src = java.nio.file.Files.createTempDirectory("upsert_src").toString
-    val work = java.nio.file.Files.createTempDirectory("upsert_work").toString
+    val src = EventsStream.scratchDir("upsert_src")
+    val work = EventsStream.scratchDir("upsert_work")
     Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
       .repartition(8).write.mode("overwrite").parquet(s"$src/files")
     val stream = spark.readStream
@@ -116,5 +116,39 @@ class StreamingSpec extends SparkSpec {
     assert(batchLatest.exceptAll(upserted).count() == 0)
     assert(upserted.count() == Tables.events(spark, sf)
       .select("user_id").distinct().count())
+  }
+
+  test("foreachBatch upsert survives a driver restart: disk-recovered state") {
+    // restart semantics: the first process drains HALF the source and
+    // dies (simulated by a fresh runForeachBatchUpsert invocation —
+    // all in-memory pointers gone); new files then arrive and the
+    // second process resumes from the SAME checkpoint. Its batches
+    // must merge against the first run's last committed state_<k> on
+    // disk — with a memory-held pointer the resumed batches would
+    // merge against nothing and silently drop every pre-crash key
+    // (round-3 ADVICE medium).
+    import org.apache.spark.sql.expressions.Window
+    val src = EventsStream.scratchDir("upsert_restart_src")
+    val work = EventsStream.scratchDir("upsert_restart_work")
+    val ev = Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+    def streamIn() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$src/files")
+    ev.where(col("event_id") % 2 === 0)
+      .repartition(4).write.mode("append").parquet(s"$src/files")
+    EventsStream.runForeachBatchUpsert(spark, streamIn(), work)
+    // "crash", then late files arrive; a fresh invocation = restarted driver
+    ev.where(col("event_id") % 2 === 1)
+      .repartition(4).write.mode("append").parquet(s"$src/files")
+    val resumed = EventsStream.runForeachBatchUpsert(spark, streamIn(), work)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batchLatest = ev
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+    assert(resumed.exceptAll(batchLatest).count() == 0)
+    assert(batchLatest.exceptAll(resumed).count() == 0)
   }
 }
