@@ -141,6 +141,49 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.annTopKIvfFromIndex(s, dir, queries, idx)
     }),
+    // X-tier: TxTable — commit-log transactions on plain parquet
+    // (the Delta-capability gap, round-3 VERDICT task 1). x1 queries
+    // the PRE-overwrite snapshot after a second overwrite committed:
+    // time travel + snapshot isolation gated against an oracle that
+    // recomputes version 0's content from the source table.
+    "x1_tx_time_travel"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_tt") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      t.overwrite(o.where(col("o_totalprice") <= 150000)) // version 0
+      t.overwrite(o.where(col("o_totalprice") > 150000))  // version 1
+      t.readVersion(0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x2: schema evolution — v0 writes 2 columns, an append widens to
+    // 3; the union-schema read null-backfills v0's files, and the
+    // aggregate proves the backfill (count vs count(col))
+    "x2_tx_schema_evolution" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_evo") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val c = Tables.customer(s, d)
+      t.overwrite(c.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_mktsegment"))
+      t.append(c.where(col("c_custkey") % 2 === 1)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"))
+      t.read()
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_acctbal")).as("n_with_balance"),
+          Relational.decSum(col("c_acctbal")).as("sum_balance"))
+        .orderBy("c_mktsegment")
+    }),
+    // x3: dynamic partition pruning — the Monday set flows out of a
+    // runtime-filtered dim join, so only DynamicPruningExpression can
+    // keep the `event_date=` fact scan to the matching partitions
+    // (plan + file-count assertions in DppSpec; here the RESULT gates)
+    "x3_dpp_monday"      -> (graft.steps.PartitionedEvents.mondayActivity _),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -654,6 +697,33 @@ object SparkEntry {
         |SELECT c_mktsegment, seg_revenue,
         |  round(seg_revenue / sum(seg_revenue) OVER (), 6) AS pct_of_total
         |FROM seg ORDER BY c_mktsegment""".stripMargin,
+    // x1's oracle recomputes snapshot 0 (the low-price overwrite)
+    // directly from the source table — the engine must reproduce it
+    // from the commit log after a second overwrite replaced it
+    "x1_tx_time_travel" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice <= 150000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x2's oracle models the evolved table: even keys lack c_acctbal
+    // (written before the column existed → null-backfilled)
+    "x2_tx_schema_evolution" ->
+      """SELECT c_mktsegment, count(*) AS n_rows,
+        |  count(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END)
+        |    AS n_with_balance,
+        |  CAST(round(sum(CASE WHEN c_custkey % 2 = 1
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+        |    AS sum_balance
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Spark dayofweek()==2 ⟺ DuckDB isodow()==1 (Monday)
+    "x3_dpp_monday" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_foreach_batch_upsert" ->
       """SELECT user_id, event_id AS last_event_id,
         |       CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
