@@ -128,6 +128,19 @@ object SparkEntry {
     // the recursive-CTE oracle computes components of the same graph)
     "c11_dup_clusters"   -> ((s, d) =>
       Dedup.dupClusters(Dedup.minHashLshPairs(Tables.documents(s, d)))),
+    // incremental dedup: build the signature index on the 90% "old"
+    // corpus, probe the 10% "new" batch against it — pairs must equal
+    // the full recompute restricted to new-doc pairs (oracle = the
+    // exact-Jaccard CTE with that restriction; LSH recall ≈ 1 at the
+    // fixture's planted J, same justification as c2)
+    "c12_incremental_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      val dir = graft.streaming.EventsStream.scratchDir("graft_sig_index")
+      val idx = Dedup.buildSignatureIndex(
+        docs.where(col("doc_id") % 10 =!= 0), dir)
+      Dedup.probeSignatureIndex(s, idx, docs.where(col("doc_id") % 10 === 0))
+    }),
     // rows-only: identical results to c7 (pinned in IvfIndexSpec),
     // read back from the PERSISTED index with partition-pruned probes
     "c10_ivf_persisted"  -> ((s, d) => {
@@ -880,6 +893,11 @@ object SparkEntry {
     // LSH recall at the fixture's planted J≈0.99 is 1 − (1−J⁴)³² ≈ 1.
     "c2_minhash_neardup" -> ngramJaccardOracle,
     "c4_ngram_jaccard"   -> ngramJaccardOracle,
+    // c12 = the same exact-Jaccard pair oracle, restricted to pairs
+    // with at least one "new batch" (doc_id % 10 = 0) member
+    "c12_incremental_dedup" ->
+      (ngramJaccardOracle.replace("ORDER BY 1, 2",
+        "AND (da % 10 = 0 OR db % 10 = 0)\nORDER BY 1, 2")),
     "c5_cosine_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

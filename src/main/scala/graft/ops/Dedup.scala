@@ -223,6 +223,111 @@ object Dedup {
     jaccardVerify(cand, withSh, threshold)
   }
 
+  /** Persisted MinHash signature index — the daily-ingest half of
+    * near-dup detection ([[minHashLshPairs]] recomputes the WHOLE
+    * corpus per run; at 100 TB the corpus signatures must be computed
+    * once, persisted, and PROBED by each new batch). Layout mirrors
+    * the persisted IVF index ([[Similarity.buildIvfIndex]]):
+    *
+    *   - `sigs/bucket=B/` — (doc_id, band, band_hash) posting rows,
+    *     Hive-partitioned by `bucket = pmod(hash(band, band_hash),
+    *     nBuckets)`, one file per bucket (repartition before write):
+    *     a probe touches only the buckets its own band hashes land
+    *     in — partition-pruning IN filters, never a full index scan;
+    *   - `shingles/` — (doc_id, sh) hashed shingle arrays for exact
+    *     Jaccard verification of candidates (read only for matched
+    *     doc_ids, joined on doc_id).
+    *
+    * Hot buckets (boilerplate bands shared by thousands of docs) are
+    * dropped AT BUILD TIME with an observe()d count — same df-cap
+    * discipline as [[DefaultMaxDocFreq]]; mass-dup floods belong to
+    * [[exactDedup]]. */
+  final case class SigIndex(dir: String, n: Int, threshold: Double,
+      numHashes: Int, bands: Int, nBuckets: Int)
+
+  def buildSignatureIndex(docs: DataFrame, dir: String, n: Int = 3,
+      threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
+      nBuckets: Int = 64,
+      maxBucket: Option[Int] = Some(DefaultMaxDocFreq)): SigIndex = {
+    val withSh = docs
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), hashedShingles(col("text"), n).as("sh"))
+    val banded0 = signatureRows(withSh, numHashes, bands, nBuckets)
+    val banded = maxBucket match {
+      case Some(cap) =>
+        val hot = banded0.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("df")).where(col("df") > cap)
+          .observe(s"graft_sigindex_hot_bands_gt$cap",
+            count(lit(1)).as("dropped_bands"),
+            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+          .select("band", "band_hash")
+        banded0.join(hot, Seq("band", "band_hash"), "left_anti")
+      case None => banded0
+    }
+    banded.repartition(nBuckets, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket")
+      .parquet(s"$dir/sigs")
+    withSh.write.mode("overwrite").parquet(s"$dir/shingles")
+    SigIndex(dir, n, threshold, numHashes, bands, nBuckets)
+  }
+
+  /** (doc_id, band, band_hash, bucket) rows for a shingled frame —
+    * the one signature pipeline both build and probe must share (a
+    * probe only joins buckets the SAME hash construction produces). */
+  private def signatureRows(withSh: DataFrame, numHashes: Int, bands: Int,
+      nBuckets: Int): DataFrame =
+    withSh.select(
+      col("doc_id"),
+      posexplode(graft.functions.GraftFunctions
+        .minHashBands(col("sh"), numHashes, bands))
+        .as(Seq("band", "band_hash")))
+      .withColumn("bucket", pmod(hash(col("band"), col("band_hash")),
+        lit(nBuckets)))
+
+  /** Incremental near-dup: pairs of `newDocs` against the indexed
+    * corpus AND within the new batch, WITHOUT recomputing corpus
+    * signatures — the new batch's signatures join the index's
+    * partition-pruned posting buckets on (band, band_hash), then
+    * candidates verify with exact Jaccard (precision exact, recall =
+    * the LSH recall of [[minHashLshPairs]] with the same params).
+    *
+    * The probed bucket set is collected to the driver as the c10-style
+    * bounded probe-id list (≤ nBuckets ints) and pushed as a
+    * partition IN filter — the scan reads only matching `bucket=`
+    * dirs (asserted in IncrementalDedupSpec). Cost scales with
+    * |batch| + |matched postings|, never |corpus|. */
+  def probeSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      idx: SigIndex, newDocs: DataFrame): DataFrame = {
+    val withShNew = newDocs
+      .where(size(split(col("text"), " ")) >= idx.n)
+      .select(col("doc_id"), hashedShingles(col("text"), idx.n).as("sh"))
+    val probe = signatureRows(withShNew, idx.numHashes, idx.bands, idx.nBuckets)
+      .localCheckpoint(true) // reused: bucket collect + two join sides
+    val probedBuckets = probe.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
+    val indexed = spark.read
+      .option("basePath", s"${idx.dir}/sigs").parquet(s"${idx.dir}/sigs")
+      .where(col("bucket").isin(probedBuckets: _*))
+    // candidates: new signatures vs (pruned index ∪ new batch) —
+    // covers new×old and new×new in one equi join on the band key
+    val cand = probe
+      .select(col("band"), col("band_hash"), col("doc_id").as("doc_new"))
+      .join(indexed.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_other"))
+        .unionByName(probe.select(col("band"), col("band_hash"),
+          col("doc_id").as("doc_other"))),
+        Seq("band", "band_hash"))
+      .where(col("doc_new") =!= col("doc_other"))
+      .select(least(col("doc_new"), col("doc_other")).as("doc_a"),
+        greatest(col("doc_new"), col("doc_other")).as("doc_b"))
+      .distinct()
+    // verification shingles: matched corpus docs come FROM THE INDEX
+    // (no text re-shingling), new docs from the batch pipeline
+    val allSh = spark.read.parquet(s"${idx.dir}/shingles")
+      .unionByName(withShNew)
+    jaccardVerify(cand, allSh, idx.threshold)
+  }
+
   /** 64-bit SimHash of the token stream (frequency-weighted bit
     * votes): classic Charikar fingerprint — bit j of the output is 1
     * iff the sum over tokens of ±1 (sign = bit j of the token's
