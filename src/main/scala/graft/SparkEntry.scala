@@ -356,6 +356,23 @@ object SparkEntry {
           EventsStream.scratchDir("graft_upsert"))
         .orderBy("user_id")
     }),
+    // the same upsert ON TxTable: each microbatch commits one
+    // snapshot (MERGE-INTO shape); final read = latest commit; same
+    // oracle as s7 — the transactional layer must be observationally
+    // invisible to the merge semantics
+    "s8_upsert_tx"       -> ((s, d) => {
+      import graft.streaming.EventsStream
+      val src = EventsStream.scratchDir("graft_upsert_tx_src")
+      Tables.events(s, d).select("event_id", "ts", "user_id", "value")
+        .repartition(8).write.mode("overwrite").parquet(s"$src/files")
+      val stream = s.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$src/files")
+      EventsStream.runForeachBatchUpsertTx(s, stream,
+          EventsStream.scratchDir("graft_upsert_tx") + "/t")
+        .orderBy("user_id")
+    }),
     "t5_url_normalize"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       TextOps.urlNormalize(
@@ -737,12 +754,8 @@ object SparkEntry {
         |         AS sum_value
         |FROM events WHERE isodow(CAST(ts AS DATE)) = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "s7_foreach_batch_upsert" ->
-      """SELECT user_id, event_id AS last_event_id,
-        |       CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
-        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
-        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
-        |WHERE rn = 1 ORDER BY user_id""".stripMargin,
+    "s7_foreach_batch_upsert" -> upsertOracle,
+    "s8_upsert_tx"            -> upsertOracle,
     "q39_grouping_sets" ->
       """SELECT c_mktsegment, o_orderpriority,
         |  count(*) AS n_orders,
@@ -1037,6 +1050,15 @@ object SparkEntry {
         |SELECT t.doc_id, md5(nt) AS content_fp, mn.winnow_fp
         |FROM t LEFT JOIN mn ON t.doc_id = mn.doc_id ORDER BY 1""".stripMargin,
   )
+
+  /** Batch-global latest-per-user — the oracle for both keyed-upsert
+    * sinks (s7 plain-parquet merge-and-swap, s8 TxTable commits). */
+  private val upsertOracle: String =
+    """SELECT user_id, event_id AS last_event_id,
+      |       CAST(ts AS TIMESTAMP) AS last_ts, value AS last_value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      |WHERE rn = 1 ORDER BY user_id""".stripMargin
 
   /** 30-minute-gap sessionization — the oracle for both the batch
     * (s2) and streaming (s6) sessionizers. */

@@ -249,13 +249,6 @@ object EventsStream {
     * simulated restart), the s7 oracle gates it. */
   def runForeachBatchUpsert(spark: SparkSession, events: DataFrame,
       workDir: String): DataFrame = withStatePartitions(spark) {
-    def latest(df: DataFrame): DataFrame =
-      df.groupBy("user_id")
-        .agg(max_by(
-          struct(col("last_event_id"), col("last_ts"), col("last_value")),
-          struct(col("last_ts"), col("last_event_id"))).as("m"))
-        .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
-          col("m.last_ts").as("last_ts"), col("m.last_value").as("last_value"))
     val q = events.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val asState = batch.select(col("user_id"),
@@ -275,6 +268,55 @@ object EventsStream {
     q.awaitTermination()
     spark.read.parquet(latestStateDir(spark, workDir, below = None).getOrElse(
       sys.error("foreachBatch upsert ran zero microbatches")))
+  }
+
+  /** Latest-per-key reduction shared by the upsert sinks: max_by over
+    * the (ts, event_id) ordering struct — hash aggregate with
+    * map-side partials, event_id unique ⇒ deterministic under any
+    * file-to-batch assignment. */
+  private def latest(df: DataFrame): DataFrame =
+    df.groupBy("user_id")
+      .agg(max_by(
+        struct(col("last_event_id"), col("last_ts"), col("last_value")),
+        struct(col("last_ts"), col("last_event_id"))).as("m"))
+      .select(col("user_id"), col("m.last_event_id").as("last_event_id"),
+        col("m.last_ts").as("last_ts"), col("m.last_value").as("last_value"))
+
+  /** The same keyed upsert expressed ON [[graft.core.TxTable]] — the
+    * "batch body is a MERGE INTO" shape the plain-parquet variant's
+    * scaladoc promises once a transactional format exists. Each
+    * microbatch reads the table's latest committed snapshot, merges,
+    * and commits ONE new snapshot:
+    *   - restart recovery is the commit log itself (no state_<k> dir
+    *     scan): a resumed driver's first batch merges against the
+    *     last committed snapshot;
+    *   - a replayed batch (crash after commit, before checkpoint)
+    *     re-merges rows the state already contains — latest-per-key
+    *     of a superset is unchanged, so the extra snapshot carries
+    *     identical content (idempotent by value, not by version);
+    *   - the snapshot history IS the batch lineage: time travel to
+    *     version k reproduces the table as of microbatch k
+    *     (TxTableSpec pins this), and vacuum/expireSnapshots bound
+    *     its storage exactly like any other TxTable. */
+  def runForeachBatchUpsertTx(spark: SparkSession, events: DataFrame,
+      tableDir: String): DataFrame = withStatePartitions(spark) {
+    val t = graft.core.TxTable(spark, tableDir)
+    val q = events.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        val asState = batch.select(col("user_id"),
+          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+          col("value").as("last_value"))
+        val merged =
+          if (t.latestVersion.isDefined) latest(t.read().unionByName(asState))
+          else latest(asState)
+        t.overwrite(merged)
+        ()
+      }
+      .option("checkpointLocation", s"$tableDir/_ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    t.read()
   }
 
   /** Highest committed `state_<k>` dir under `workDir` (restricted to

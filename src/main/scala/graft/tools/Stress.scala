@@ -4,12 +4,14 @@ import org.apache.spark.sql.functions._
 import graft.core.{Sessions, Tables}
 import graft.ops.Dedup
 
-/** Scale-stress harness (dev tool, not a gate): documents replicated
-  * Nx with re-keyed ids — every replica is an exact duplicate of the
-  * base corpus, i.e. worst-case mass duplication — timing the dedup
-  * family's growth curve. The LSH/banded paths should grow
-  * near-linearly (bucketed candidate generation + df-caps); anything
-  * quadratic in replicas is a regression.
+/** Scale-stress harness (dev tool, not a gate): documents/embeddings
+  * replicated Nx with re-keyed ids — every replica is an exact
+  * duplicate of the base corpus, i.e. worst-case mass duplication —
+  * timing the growth curve of the dedup family, the persisted-index
+  * paths (IVF build+probe, signature build+probe), the cluster
+  * assignment, and the composed cleaning pipeline. The bucketed/
+  * banded paths should grow near-linearly (df-caps bound the hot
+  * cliques); anything quadratic in replicas is a regression.
   * Usage: tools/run.sh graft.tools.Stress [SF_DIR] [factors...] */
 object Stress {
   def main(args: Array[String]): Unit = {
@@ -17,19 +19,24 @@ object Stress {
     val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
       else Seq(1, 2, 4)
     val spark = Sessions.local()
-    val base = Tables.documents(spark, d).select("doc_id", "text").cache()
+    val docsFull = Tables.documents(spark, d).cache()
+    val base = docsFull.select("doc_id", "text").cache()
+    val embBase = Tables.embeddings(spark, d)
+      .select("vec_id", "embedding").cache()
     val n = base.count()
-    def corpus(f: Int) = (1 until f).foldLeft(base) { (acc, i) =>
-      acc.unionAll(base.select((col("doc_id") + i * 10000000L).as("doc_id"),
-        col("text")))
-    }
+    def replicate(df: org.apache.spark.sql.DataFrame, key: String, f: Int) =
+      (1 until f).foldLeft(df) { (acc, i) =>
+        acc.unionAll(df.withColumn(key, col(key) + i * 10000000L))
+      }
     def time(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
       println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     for (f <- factors) {
-      val c = corpus(f).cache(); c.count()
+      val c = replicate(base, "doc_id", f).cache(); c.count()
+      val cFull = replicate(docsFull, "doc_id", f).cache(); cFull.count()
+      val e = replicate(embBase, "vec_id", f).cache(); e.count()
       println(s"[stress] === factor $f (${n * f} docs, every doc x$f) ===")
       time(s"c1_exact x$f", Dedup.exactDedup(c))
       time(s"c2_lsh   x$f", Dedup.minHashLshPairs(c))
@@ -38,7 +45,32 @@ object Stress {
       // replicas form one clique → the pair graph is the worst case
       // for the component loop (df-caps bound the clique fan-out)
       time(s"c11_clusters x$f", Dedup.dupClusters(Dedup.minHashLshPairs(c)))
-      c.unpersist()
+      // persisted-signature-index path (c12): index the corpus, probe
+      // a 10% "daily batch" — probe cost must track batch size, so
+      // its growth across factors should stay well below the builds'
+      val sigDir = graft.streaming.EventsStream.scratchDir(s"stress_sig_$f")
+      var sigIdx: Dedup.SigIndex = null
+      time(s"c12_sig_build x$f",
+        { sigIdx = Dedup.buildSignatureIndex(
+            c.where(col("doc_id") % 10 =!= 0), sigDir)
+          spark.read.parquet(s"$sigDir/sigs") })
+      time(s"c12_sig_probe x$f", Dedup.probeSignatureIndex(spark, sigIdx,
+        c.where(col("doc_id") % 10 === 0)))
+      // persisted-IVF path (c10): one-time build, partition-pruned probe
+      val ivfDir = graft.streaming.EventsStream.scratchDir(s"stress_ivf_$f")
+      val centroids = e.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      var ivfIdx: graft.functions.CentroidIndex = null
+      time(s"c10_ivf_build x$f",
+        { ivfIdx = graft.ops.Similarity.buildIvfIndex(e, centroids, ivfDir)
+          spark.read.parquet(ivfDir) })
+      val queries = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      time(s"c10_ivf_probe x$f", graft.ops.Similarity.annTopKIvfFromIndex(
+        spark, ivfDir, queries, ivfIdx))
+      // composed cleaning pipeline end-to-end under mass duplication
+      time(s"p1_clean x$f", graft.steps.CleanCorpus.run(cFull))
+      c.unpersist(); cFull.unpersist(); e.unpersist()
     }
     spark.stop()
   }

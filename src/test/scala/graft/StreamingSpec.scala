@@ -118,6 +118,33 @@ class StreamingSpec extends SparkSpec {
       .select("user_id").distinct().count())
   }
 
+  test("TxTable upsert: one commit per microbatch, history time-travels") {
+    import org.apache.spark.sql.expressions.Window
+    val src = EventsStream.scratchDir("upsert_tx_src")
+    val tableDir = EventsStream.scratchDir("upsert_tx_tbl") + "/t"
+    Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+      .repartition(8).write.mode("overwrite").parquet(s"$src/files")
+    val stream = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 2) // 8 files → 4 commits
+      .parquet(s"$src/files")
+    val upserted = EventsStream.runForeachBatchUpsertTx(spark, stream, tableDir)
+    val t = graft.core.TxTable(spark, tableDir)
+    assert(t.versions == Seq(0L, 1L, 2L, 3L),
+      "each microbatch must commit exactly one snapshot")
+    // the snapshot history is the batch lineage: key counts only grow
+    val counts = t.versions.map(v => t.readVersion(v).count())
+    assert(counts == counts.sorted, s"non-monotone history: $counts")
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batchLatest = Tables.events(spark, sf)
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("last_event_id"),
+        col("ts").as("last_ts"), col("value").as("last_value"))
+    assert(upserted.exceptAll(batchLatest).count() == 0)
+    assert(batchLatest.exceptAll(upserted).count() == 0)
+  }
+
   test("foreachBatch upsert survives a driver restart: disk-recovered state") {
     // restart semantics: the first process drains HALF the source and
     // dies (simulated by a fresh runForeachBatchUpsert invocation —
