@@ -18,6 +18,43 @@ final class ParquetIOManager(spark: SparkSession,
 
   def read(path: String): DataFrame = spark.read.parquet(path)
 
+  /** Union-schema read over a dir whose files were appended across
+    * schema versions (a corpus that grew a column mid-ingest — the
+    * plain-parquet twin of Delta's `schema.autoMerge`, ascii-hydra
+    * `resources/spark.py:68-69`; [[TxTable.append]] is the
+    * transactional path). `mergeSchema` makes the scan reconcile ALL
+    * footers instead of sampling one, so old files null-backfill new
+    * columns. Off by default engine-wide because footer
+    * reconciliation reads every footer up front — at 100 TB that is
+    * a planning-time cost you opt into per table, not a session
+    * default. */
+  def readMergedSchema(path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Add rows to an existing parquet dir, tolerating schema growth:
+    * new columns are allowed (readers use [[readMergedSchema]]),
+    * existing columns must keep their types — the same
+    * evolution-not-retyping rule [[TxTable]] enforces, applied to the
+    * append-only layout. */
+  def append(df: DataFrame, path: String): WriteResult = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hPath)) {
+      val cur = readMergedSchema(path).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        cur.get(f.name).foreach(t => require(t == f.dataType,
+          s"column ${f.name}: type ${f.dataType} incompatible with $t"))
+      }
+    }
+    import org.apache.spark.sql.functions.{count, lit}
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows")).write
+      .option("compression", compression)
+      .mode(SaveMode.Append).parquet(path)
+    WriteResult(path, obs.get("rows").asInstanceOf[Long])
+  }
+
   /** Delimited/JSON-lines sources for interchange with external
     * producers (the parquet path above is the performance path —
     * these exist for ingest/egress edges). Schemas are explicit:

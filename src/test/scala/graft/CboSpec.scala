@@ -14,9 +14,19 @@ class CboSpec extends SparkSpec {
       s"no rowCount statistic on graft.lineitem: $st")
     assert(st.attributeStats.nonEmpty,
       "no column-level statistics on graft.lineitem")
-    assert(st.attributeStats.exists(_._2.histogram.isDefined),
-      "no equi-height histograms on graft.lineitem (selectivity path)")
-    // registration is cached per (session, dir): second call is a no-op
+    // histograms are a deliberate OPT-IN (deserialized+walked in the
+    // optimizer on every planning pass — ~1.2 s/query measured, with
+    // identical join plans for this workload): default registration
+    // must NOT carry them, the opt-in path must
+    assert(!st.attributeStats.exists(_._2.histogram.isDefined),
+      "default registration unexpectedly computed histograms")
+    graft.core.Tables.registerCatalog(spark, sf, db = "graft_hist",
+      histograms = true)
+    val sth = spark.table("graft_hist.lineitem")
+      .queryExecution.optimizedPlan.stats
+    assert(sth.attributeStats.exists(_._2.histogram.isDefined),
+      "no equi-height histograms on graft_hist.lineitem (selectivity path)")
+    // registration is cached per (session, dir, db, histograms)
     graft.core.Tables.registerCatalog(spark, sf)
   }
 

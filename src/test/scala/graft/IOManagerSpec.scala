@@ -37,6 +37,26 @@ class IOManagerSpec extends SparkSpec {
       li.where(col("l_returnflag") =!= "R").count())
   }
 
+  test("append with schema growth: mergeSchema read null-backfills old files") {
+    import spark.implicits._
+    val io = new ParquetIOManager(spark)
+    val dir = graft.streaming.EventsStream.scratchDir("io_evolve") + "/t"
+    io.append((0 until 10).map(i => (i.toLong, s"n$i")).toDF("id", "name"), dir)
+    io.append((10 until 15).map(i => (i.toLong, s"n$i", i * 1.5))
+      .toDF("id", "name", "score"), dir)
+    val r = io.readMergedSchema(dir)
+    assert(r.schema.fieldNames.sorted.toSeq == Seq("id", "name", "score"))
+    assert(r.count() == 15)
+    assert(r.where(col("score").isNull).count() == 10)
+    // retyping an existing column refuses, not coerces
+    intercept[IllegalArgumentException](io.append(
+      Seq(("x", "y")).toDF("id", "name"), dir))
+    // a plain single-footer read of the same dir may miss the new
+    // column — the merged read is the documented evolved-read surface
+    assert(io.readMergedSchema(dir).where(col("score") > 20).count() ==
+      (14 to 14).count(i => i * 1.5 > 20))
+  }
+
   test("compact rewrites a small-file flood into sized files, data intact") {
     val io = new ParquetIOManager(spark)
     val dir = java.nio.file.Files.createTempDirectory("compact").toString
