@@ -152,6 +152,22 @@ object BucketedGraphOps {
     * [[GraphOps.graphAggr]] ∘ [[GraphOps.graph]]. */
   def graphAggr(spark: SparkSession): DataFrame =
     GraphOps.graphAggr(resolveDst(spark))
+
+  /** Build the whole bucketed layout once per (session, sfDir) —
+    * the layout is an ingest-time asset, so its write cost must not
+    * ride every query against it (the `registerCatalog`/
+    * `PartitionedEvents.layout` discipline): repeated gate/bench
+    * invocations re-read the same catalog tables. */
+  def persistAllCached(spark: SparkSession, sfDir: String): Unit =
+    persisted.synchronized {
+      val key = s"${System.identityHashCode(spark)}|$sfDir"
+      if (!persisted.contains(key)) {
+        persistInputs(spark, sfDir)
+        persistMid(spark)
+        persisted += key
+      }
+    }
+  private val persisted = scala.collection.mutable.Set.empty[String]
 }
 
 /** The pipeline: four dependency-ordered steps materializing through
