@@ -149,6 +149,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     }
   }
 
+  /** Commit history, oldest first — the DESCRIBE HISTORY surface
+    * (version, operation, file count) a transactional table owes its
+    * operators; reads only the (small) manifests. */
+  def history(): Seq[(Long, String, Int)] =
+    versions.map { v =>
+      val m = manifest(v)
+      (m.version, m.operation, m.files.size)
+    }
+
   // ---- maintenance --------------------------------------------------------
 
   /** Drop manifests older than the `keepLast` most recent (always

@@ -133,6 +133,17 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(0))
   }
 
+  test("history lists every commit with operation and file count") {
+    val (t, _) = freshTable("tx_hist")
+    t.overwrite(df(0 until 10).repartition(2))
+    t.append(df(10 until 12).repartition(1))
+    t.compact()
+    val h = t.history()
+    assert(h.map(x => (x._1, x._2)) ==
+      Seq((0L, "overwrite"), (1L, "append"), (2L, "compact")))
+    assert(h(1)._3 == h(0)._3 + 1) // append adds its files to v0's
+  }
+
   test("vacuum retention: young unreferenced files survive the sweep") {
     val (t, dir) = freshTable("tx_retention")
     t.overwrite(df(0 until 5))
