@@ -133,6 +133,25 @@ class TxTableSpec extends SparkSpec {
     intercept[IllegalArgumentException](t.readVersion(0))
   }
 
+  test("8 threads appending concurrently: all commits land, no rows lost") {
+    val (t, dir) = freshTable("tx_threads")
+    t.overwrite(df(0 until 1))
+    val threads = (0 until 8).map { i =>
+      new Thread(() => {
+        // every thread its own handle, like independent writers
+        TxTable(spark, dir).append(df(100 * (i + 1) until 100 * (i + 1) + 10))
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.versions == (0L to 8L), s"lost commits: ${t.versions}")
+    // every writer's rows present exactly once in the final snapshot
+    assert(t.read().count() == 1 + 8 * 10)
+    assert(t.read().agg(countDistinct("id")).head.getLong(0) == 81)
+    val h = t.history()
+    assert(h.count(_._2 == "append") == 8)
+  }
+
   test("history lists every commit with operation and file count") {
     val (t, _) = freshTable("tx_hist")
     t.overwrite(df(0 until 10).repartition(2))
