@@ -186,7 +186,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
       if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
         if (st.isDirectory) {
           sweep(st.getPath)
-          if (fs.listStatus(st.getPath).isEmpty) { fs.delete(st.getPath, false); () }
+          // the retention horizon protects in-flight writers' freshly
+          // created (momentarily empty) write dirs exactly like files
+          if (st.getModificationTime < cutoff &&
+              fs.listStatus(st.getPath).isEmpty) {
+            fs.delete(st.getPath, false); ()
+          }
         } else {
           val rel = relativize(st.getPath)
           if (!live.contains(rel) && st.getModificationTime < cutoff) {
@@ -242,7 +247,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
       try out.write(m.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
       val dst = manifestPath(v)
-      if (!fs.exists(dst) && fs.rename(tmp, dst)) return v
+      // exists+rename is NOT atomic on RawLocalFileSystem (its rename
+      // is File.renameTo, which silently replaces an existing
+      // destination on posix) — serialize the publish step JVM-wide
+      // per table root so two local writers can never both claim
+      // version N. HDFS rename is atomic fail-if-exists anyway; an
+      // object-store deployment still needs the conditional-put
+      // LogStore seam documented above.
+      val won = publishLock(fs.makeQualified(root).toString).synchronized {
+        !fs.exists(dst) && fs.rename(tmp, dst)
+      }
+      if (won) return v
       fs.delete(tmp, false) // lost the race: retry against the new latest
       attempts += 1
       require(attempts < 50, s"commit to $root: lost ${attempts} races, giving up")
@@ -262,6 +277,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
 
 object TxTable {
   private val LogDirName = "_graft_log"
+
+  /** One lock object per canonical table root — serializes the
+    * exists+rename publish within this JVM (see commit()). */
+  private val publishLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def publishLock(canonicalRoot: String): Object =
+    publishLocks.computeIfAbsent(canonicalRoot, _ => new Object)
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
   private val OpCompact = "compact"

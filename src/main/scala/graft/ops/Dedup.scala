@@ -243,7 +243,8 @@ object Dedup {
     * discipline as [[DefaultMaxDocFreq]]; mass-dup floods belong to
     * [[exactDedup]]. */
   final case class SigIndex(dir: String, n: Int, threshold: Double,
-      numHashes: Int, bands: Int, nBuckets: Int)
+      numHashes: Int, bands: Int, nBuckets: Int,
+      maxBucket: Option[Int] = Some(DefaultMaxDocFreq))
 
   def buildSignatureIndex(docs: DataFrame, dir: String, n: Int = 3,
       threshold: Double = 0.8, numHashes: Int = 128, bands: Int = 32,
@@ -268,7 +269,7 @@ object Dedup {
       .write.mode("overwrite").partitionBy("bucket")
       .parquet(s"$dir/sigs")
     withSh.write.mode("overwrite").parquet(s"$dir/shingles")
-    SigIndex(dir, n, threshold, numHashes, bands, nBuckets)
+    SigIndex(dir, n, threshold, numHashes, bands, nBuckets, maxBucket)
   }
 
   /** (doc_id, band, band_hash, bucket) rows for a shingled frame —
@@ -301,8 +302,23 @@ object Dedup {
     val withShNew = newDocs
       .where(size(split(col("text"), " ")) >= idx.n)
       .select(col("doc_id"), hashedShingles(col("text"), idx.n).as("sh"))
-    val probe = signatureRows(withShNew, idx.numHashes, idx.bands, idx.nBuckets)
-      .localCheckpoint(true) // reused: bucket collect + two join sides
+    val probe0 = signatureRows(withShNew, idx.numHashes, idx.bands, idx.nBuckets)
+    // mirror the build-time df-cap on the batch's OWN postings: a hot
+    // (boilerplate) band inside the batch would otherwise re-create on
+    // the new×new side exactly the quadratic candidate blow-up the cap
+    // prevents at build time — and make incremental results diverge
+    // from a capped full recompute
+    val probe = (idx.maxBucket match {
+      case Some(cap) =>
+        val hot = probe0.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("df")).where(col("df") > cap)
+          .observe(s"graft_sigprobe_hot_bands_gt$cap",
+            count(lit(1)).as("dropped_bands"),
+            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+          .select("band", "band_hash")
+        probe0.join(hot, Seq("band", "band_hash"), "left_anti")
+      case None => probe0
+    }).localCheckpoint(true) // reused: bucket collect + two join sides
     val probedBuckets = probe.select("bucket").distinct()
       .collect().map(_.getInt(0)).toSeq // bounded by nBuckets
     val indexed = spark.read

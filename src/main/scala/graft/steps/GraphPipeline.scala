@@ -160,14 +160,18 @@ object BucketedGraphOps {
     * invocations re-read the same catalog tables. */
   def persistAllCached(spark: SparkSession, sfDir: String): Unit =
     persisted.synchronized {
-      val key = s"${System.identityHashCode(spark)}|$sfDir"
-      if (!persisted.contains(key)) {
+      val dirs = persisted.getOrElseUpdate(spark,
+        scala.collection.mutable.Set.empty)
+      if (!dirs.contains(sfDir)) {
         persistInputs(spark, sfDir)
         persistMid(spark)
-        persisted += key
+        dirs += sfDir
       }
     }
-  private val persisted = scala.collection.mutable.Set.empty[String]
+  // weakly keyed by session (the Tables.registered pattern): entries
+  // die with their session instead of outliving it in a strong map
+  private val persisted = scala.collection.mutable.WeakHashMap
+    .empty[SparkSession, scala.collection.mutable.Set[String]]
 }
 
 /** The pipeline: four dependency-ordered steps materializing through
