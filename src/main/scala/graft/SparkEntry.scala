@@ -129,7 +129,15 @@ object SparkEntry {
     "c4_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "c5_cosine_neardup"  -> ((s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     "c6_ann_topk"        -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
-    "c7_ann_ivf"         -> ((s, d) => Similarity.annTopKIvf(Tables.embeddings(s, d))),
+    // IVF ANN gated as a recall bound vs the exact baseline (the IVF
+    // rows themselves are approximate by construction; per-pair
+    // behavior pinned in IvfIndexSpec) — hash-gate fails iff recall
+    // degrades below 0.5
+    "c7_ann_ivf"         -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.recallVsExact(
+        Similarity.annTopKIvf(emb), Similarity.annTopK(emb))
+    }),
     // rows-only: recall is probabilistic (SRP banding); precision
     // exact via cosine verification. Threshold matched to the
     // fixture's cosine range so the query returns rows.
@@ -155,8 +163,9 @@ object SparkEntry {
       }
       Dedup.probeSignatureIndex(s, idx, docs.where(col("doc_id") % 10 === 0))
     }),
-    // rows-only: identical results to c7 (pinned in IvfIndexSpec),
-    // read back from the PERSISTED index with partition-pruned probes
+    // the PERSISTED index path (partition-pruned probes), gated like
+    // c7 as a recall bound vs the exact baseline; byte-identity with
+    // the inline IVF stays pinned in IvfIndexSpec
     "c10_ivf_persisted"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val emb = Tables.embeddings(s, d)
@@ -168,7 +177,9 @@ object SparkEntry {
       }
       val queries = emb.where(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-      Similarity.annTopKIvfFromIndex(s, dir, queries, idx)
+      Similarity.recallVsExact(
+        Similarity.annTopKIvfFromIndex(s, dir, queries, idx),
+        Similarity.annTopK(emb))
     }),
     // X-tier: TxTable — commit-log transactions on plain parquet
     // (the Delta-capability gap, round-3 VERDICT task 1). x1 queries
@@ -207,6 +218,45 @@ object SparkEntry {
           count(col("c_acctbal")).as("n_with_balance"),
           Relational.decSum(col("c_acctbal")).as("sum_balance"))
         .orderBy("c_mktsegment")
+    }),
+    // x4: copy-on-write MERGE INTO on a key-bucketed TxTable — source
+    // rows replace matched keys, new keys insert, and ONLY the buckets
+    // containing source keys are rewritten (untouched files carried by
+    // reference — byte-identity pinned in TxTableSpec; here the merged
+    // CONTENT gates against a plain-SQL anti-join ∪ source twin)
+    "x4_tx_merge"        -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_merge") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      t.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
+        bucketCols = Seq("o_orderkey"), nBuckets = 16)
+      t.upsert(o.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", lit("MERGED")))
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x5: partitioned TxTable — the manifest records each file's partition
+    // values, so the partition-filtered snapshot read prunes the FILE
+    // LIST before the scan (pruned-scan assertion in TxTableSpec; here
+    // the pruned RESULT gates against the WHERE twin)
+    "x5_tx_partition_prune" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_part") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      t.overwrite(Tables.events(s, d)
+          .select("event_id", "ts", "event_type", "value"),
+        partitionBy = Seq("event_type"))
+      t.readWhere(p => p("event_type") == "click")
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("event_date")
     }),
     // x3: dynamic partition pruning — the Monday set flows out of a
     // runtime-filtered dim join, so only DynamicPruningExpression can
@@ -763,6 +813,29 @@ object SparkEntry {
         |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE)
         |    AS sum_balance
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x4's oracle recomputes the merged table relationally: target
+    // rows whose key the source does not claim, plus all source rows
+    "x4_tx_merge" ->
+      """WITH target AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 <> 0),
+        |src AS (SELECT o_orderkey, 'MERGED' AS o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 2 = 0),
+        |merged AS (
+        |  SELECT * FROM target
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x5's oracle is the plain WHERE twin of the partition-pruned read
+    "x5_tx_partition_prune" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
+        |       count(*) AS n_events,
+        |       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |         AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Spark dayofweek()==2 ⟺ DuckDB isodow()==1 (Monday)
     "x3_dpp_monday" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
@@ -845,7 +918,7 @@ object SparkEntry {
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "p1_clean_corpus" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id, text, lang, w,
         |  CAST(len(w) AS INT) AS n_tokens,
@@ -859,18 +932,11 @@ object SparkEntry {
         |  (CASE WHEN stopword_ratio > 0.05 THEN 1.0 ELSE 0.7 END) *
         |  (CASE WHEN mean_word_len BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.5 END), 6)
         |  AS quality FROM m),
-        |lp AS (SELECT *,
-        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS INT) AS s_en,
-        |  CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS s_de,
-        |  CAST(len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS INT) AS s_es,
-        |  CAST(len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS INT) AS s_fr,
-        |  CAST(len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS INT) AS s_zh
-        |FROM q),
-        |lo AS (SELECT *, CASE
-        |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |  WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |  WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred FROM lp),
+        |d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+        |$langScoreCtes,
+        |lo AS (SELECT q.*, ${langArgmaxCase(l => s"coalesce(m_$l, 0)")}
+        |         AS lang_pred
+        |       FROM q LEFT JOIN lm ON q.doc_id = lm.doc_id),
         |surv AS (SELECT doc_id, text, w, n_tokens FROM lo
         |         WHERE quality >= 0.5 AND lang_pred = lang),
         |ex AS (SELECT s.doc_id, s.w, s.n_tokens FROM surv s
@@ -948,6 +1014,19 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
+    // q18/c7/c10: the approximate value has no SQL twin; the
+    // TOLERANCE/RECALL ASSERTION does — oracle emits the exact side +
+    // literal true, so the hash gate fails iff accuracy degrades
+    "q18_approx_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS exact_partkeys,
+        |       true AS within_5pct
+        |FROM lineitem""".stripMargin,
+    "c7_ann_ivf" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "c10_ivf_persisted" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "c9_vector_norms" ->
       """SELECT vec_id,
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))), 6)
@@ -966,21 +1045,20 @@ object SparkEntry {
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,
+    // t1's oracle is GENERATED from the same trigram-profile data the
+    // Spark kernel ships (langProfileValues) — character n-gram
+    // windows + rank-weight sums reproduced in pure SQL
     "t1_langid" ->
-      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
-        |s AS (SELECT doc_id, lang,
-        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','is'], x))) AS INT) AS s_en,
-        |  CAST(len(list_filter(w, x -> list_contains(['der','die','das','und','ist'], x))) AS INT) AS s_de,
-        |  CAST(len(list_filter(w, x -> list_contains(['el','los','y','es','que'], x))) AS INT) AS s_es,
-        |  CAST(len(list_filter(w, x -> list_contains(['le','la','et','est','les'], x))) AS INT) AS s_fr,
-        |  CAST(len(list_filter(w, x -> list_contains(['的','是','了','在','和'], x))) AS INT) AS s_zh
-        |FROM t)
-        |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
-        |  CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
-        |       WHEN s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
-        |       WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
-        |       WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang_pred
-        |FROM s ORDER BY doc_id""".stripMargin,
+      s"""WITH d AS (SELECT doc_id, lang, lower(text) AS t FROM documents),
+         |$langScoreCtes,
+         |s AS (SELECT d.doc_id, d.lang,
+         |        coalesce(m_en, 0) AS s_en, coalesce(m_de, 0) AS s_de,
+         |        coalesce(m_es, 0) AS s_es, coalesce(m_fr, 0) AS s_fr,
+         |        coalesce(m_zh, 0) AS s_zh
+         |      FROM d LEFT JOIN lm ON d.doc_id = lm.doc_id)
+         |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
+         |  ${langArgmaxCase(l => "s_" + l)} AS lang_pred
+         |FROM s ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,
@@ -1067,6 +1145,42 @@ object SparkEntry {
         |SELECT t.doc_id, md5(nt) AS content_fp, mn.winnow_fp
         |FROM t LEFT JOIN mn ON t.doc_id = mn.doc_id ORDER BY 1""".stripMargin,
   )
+
+  /** VALUES rows (plang, g, w) generated from
+    * [[graft.ops.TextOps.trigramProfiles]] — the single source of
+    * truth shared with the Spark-side kernel, so the oracle can never
+    * drift from the model. */
+  private val langProfileValues: String =
+    graft.ops.TextOps.trigramProfiles.flatMap { case (l, grams) =>
+      grams.zipWithIndex.map { case (g, i) => s"('$l','$g',${grams.size - i})" }
+    }.mkString(", ")
+
+  /** CTE block scoring every language's profile per doc; expects a
+    * CTE `d(doc_id, lang, t)` with `t = lower(text)`. Unigram and
+    * trigram windows mirror LangProfileIndex's sweep exactly. */
+  private val langScoreCtes: String =
+    s"""pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS i FROM d),
+       |grams AS (SELECT doc_id, substr(t, i, 1) AS g FROM pos
+       |          UNION ALL
+       |          SELECT doc_id, substr(t, i, 3) AS g FROM pos
+       |          WHERE i + 2 <= length(t)),
+       |prof(plang, g, w) AS (VALUES $langProfileValues),
+       |lm AS (SELECT doc_id,
+       |         CAST(sum(CASE WHEN plang='en' THEN w ELSE 0 END) AS INT) AS m_en,
+       |         CAST(sum(CASE WHEN plang='de' THEN w ELSE 0 END) AS INT) AS m_de,
+       |         CAST(sum(CASE WHEN plang='es' THEN w ELSE 0 END) AS INT) AS m_es,
+       |         CAST(sum(CASE WHEN plang='fr' THEN w ELSE 0 END) AS INT) AS m_fr,
+       |         CAST(sum(CASE WHEN plang='zh' THEN w ELSE 0 END) AS INT) AS m_zh
+       |       FROM grams JOIN prof USING (g) GROUP BY 1)""".stripMargin
+
+  /** The deterministic argmax (en > de > es > fr > zh precedence). */
+  private def langArgmaxCase(s: String => String): String =
+    s"""CASE WHEN ${s("en")} >= ${s("de")} AND ${s("en")} >= ${s("es")}
+       |       AND ${s("en")} >= ${s("fr")} AND ${s("en")} >= ${s("zh")} THEN 'en'
+       |     WHEN ${s("de")} >= ${s("es")} AND ${s("de")} >= ${s("fr")}
+       |       AND ${s("de")} >= ${s("zh")} THEN 'de'
+       |     WHEN ${s("es")} >= ${s("fr")} AND ${s("es")} >= ${s("zh")} THEN 'es'
+       |     WHEN ${s("fr")} >= ${s("zh")} THEN 'fr' ELSE 'zh' END""".stripMargin
 
   /** Batch-global latest-per-user — the oracle for both keyed-upsert
     * sinks (s7 plain-parquet merge-and-swap, s8 TxTable commits). */

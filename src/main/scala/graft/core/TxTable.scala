@@ -1,7 +1,8 @@
 package graft.core
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, hash, pmod}
 import org.apache.spark.sql.types.StructType
 
 /** Minimal transactional table on plain parquet — the capability the
@@ -16,11 +17,14 @@ import org.apache.spark.sql.types.StructType
   *   table/
   *     _graft_log/00000000000000000000.json   // manifest per snapshot
   *     _graft_log/00000000000000000001.json
+  *     _graft_log/_latest                     // resolution hint (see below)
   *     data/<writeId>/part-*.parquet          // immutable data files
+  *     data/<writeId>/__pt_k=v/part-*.parquet // partitioned layout
   * }}}
   *
   * A manifest is the COMPLETE file listing of one snapshot plus the
-  * snapshot's schema (DDL). All correctness flows from three rules:
+  * snapshot's schema (DDL), each file tagged with its partition
+  * values. All correctness flows from three rules:
   *
   *   1. **Data files are immutable and write-once.** Every write lands
   *      in a fresh `data/<writeId>/` dir; no commit ever mutates or
@@ -37,21 +41,58 @@ import org.apache.spark.sql.types.StructType
   *      JSON can never carry a live version name, and two writers
   *      racing for version N serialize: the loser re-reads the new
   *      latest snapshot and retries against N+1 (optimistic
-  *      concurrency). On HDFS the rename IS atomic fail-if-exists; on
-  *      a local posix FS the exists-check narrows the race to the test
-  *      harness's single JVM; an object store deployment would back
-  *      this with a conditional put / commit service, which is exactly
-  *      the LogStore seam transactional formats define.
+  *      concurrency). The exists+rename publish is serialized JVM-wide
+  *      per table root (RawLocalFileSystem.rename silently replaces on
+  *      posix); on HDFS the rename is atomic fail-if-exists natively;
+  *      an object store deployment would back this with a conditional
+  *      put / commit service — the LogStore seam transactional formats
+  *      define.
+  *
+  * **Partitioned layout** ([[overwrite]]/[[append]] with
+  * `partitionBy`): data files land under Hive-style `__pt_<col>=<v>/`
+  * dirs AND keep the column as a regular data column (the `__pt_`
+  * duplicate exists only for directory layout; parquet RLE makes the
+  * constant column ~free). The manifest records each file's partition
+  * values, so [[readWhere]] prunes the FILE LIST before the scan —
+  * planning-side pruning that never touches the filesystem — and the
+  * scan itself is one plain multi-file parquet read (no partition
+  * discovery over heterogeneous write dirs). Row-group stats on the
+  * retained data column still drive ordinary pushdown below the
+  * pruned list.
+  *
+  * **Copy-on-write MERGE** ([[overwriteBucketed]] + [[merge]]/
+  * [[upsert]]): the table's rows are hash-bucketed by key into
+  * `__bucket` partitions; a merge computes the source's bucket set,
+  * reads ONLY files in those buckets, resolves, rewrites those
+  * buckets, and commits untouched-files + new-files in one manifest.
+  * Files outside the touched buckets are carried by reference —
+  * byte-identical across the commit (TxTableSpec pins this). Merge
+  * cost is O(touched buckets), never O(table): the file-granularity
+  * rewrite the reference buys with Delta MERGE INTO.
+  *
+  * **Snapshot resolution is O(1), not O(commits)**: every commit
+  * updates a `_latest` hint file; resolution reads the hint and
+  * probes forward (a stale hint under-counts, never over-counts, so
+  * correctness never depends on it — a missing/torn hint falls back
+  * to listing). A long-running streaming writer (one commit per
+  * microbatch) keeps constant-time reads; [[versions]] (history,
+  * vacuum, expiry) still lists, maintenance being O(commits) by
+  * nature.
+  *
+  * **Exactly-once streaming commits**: a commit can carry a
+  * `(appId, batchId)` transaction tag; the manifest carries the
+  * latest batchId PER app forward (the SetTransaction discipline), so
+  * a replayed microbatch detects its own prior commit via
+  * [[lastTxn]] and no-ops — protocol idempotence replacing value
+  * idempotence.
   *
   * 100 TB posture: query planning reads ONE small JSON (the manifest)
-  * instead of listing millions of objects (O(files) listing, eventual
-  * consistency, and per-request latency are the object-store killers);
-  * time travel and snapshot isolation come for free from immutability;
-  * [[compact]] is just another committed snapshot, so maintenance
-  * never blocks readers. A production-hardened variant would shard the
-  * file listing into manifest files grouped by partition (manifest
-  * lists), checkpoint the log, and track per-file column stats for
-  * data skipping — noted, out of scope.
+  * instead of listing millions of objects; time travel and snapshot
+  * isolation come for free from immutability; [[compact]] is just
+  * another committed snapshot, so maintenance never blocks readers;
+  * merges rewrite only matched buckets. A production-hardened variant
+  * would shard the file listing into manifest lists and track
+  * per-file column stats for data skipping — noted, out of scope.
   *
   * Schema evolution ([[append]] with `mergeSchemas`): appending a
   * frame with NEW columns widens the snapshot schema (new fields
@@ -65,17 +106,54 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
 
   private def logDir  = new Path(root, LogDirName)
   private def dataDir = new Path(root, "data")
+  private def latestHintPath = new Path(logDir, "_latest")
 
   // ---- snapshot resolution ------------------------------------------------
 
-  /** Committed versions, ascending (expired snapshots excluded). */
+  /** Committed versions, ascending (expired snapshots excluded).
+    * O(commits) — used by maintenance (history/expiry/vacuum), not by
+    * reads: [[latestVersion]] resolves in O(1) via the hint. */
   def versions: Seq[Long] =
     if (!fs.exists(logDir)) Nil
     else fs.listStatus(logDir).toSeq
       .flatMap(st => versionOf(st.getPath.getName))
       .sorted
 
-  def latestVersion: Option[Long] = versions.lastOption
+  /** Filesystem calls the last [[latestVersion]] resolution made —
+    * instrumentation so tests can pin that resolution stays O(1) as
+    * the log grows (the hint + forward-probe path). */
+  @volatile private[graft] var lastResolveOps: Int = 0
+
+  /** Latest committed version: read the `_latest` hint, then probe
+    * forward until the next version is absent. The hint is advisory —
+    * written AFTER the rename that publishes a commit, so it can lag
+    * (probing forward recovers) but never leads; absent/torn hints
+    * fall back to the listing. */
+  def latestVersion: Option[Long] = {
+    var ops = 0
+    val hinted: Option[Long] =
+      try {
+        ops += 1
+        if (!fs.exists(latestHintPath)) None
+        else {
+          val in = fs.open(latestHintPath)
+          val s = try org.apache.commons.io.IOUtils.toString(
+            in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+          s.trim.toLongOption
+        }
+      } catch { case _: java.io.IOException => None }
+    val resolved = hinted match {
+      case Some(h) if { ops += 1; fs.exists(manifestPath(h)) } =>
+        var v = h
+        while ({ ops += 1; fs.exists(manifestPath(v + 1)) }) v += 1
+        Some(v)
+      case _ =>
+        ops += 1 // the listing
+        versions.lastOption
+    }
+    lastResolveOps = ops
+    resolved
+  }
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
 
@@ -86,6 +164,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     Manifest.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
   }
+
+  /** File entries of snapshot `v` (path + partition values) — the
+    * planning surface: pruning filters THIS list, the scan reads what
+    * survives. */
+  private[graft] def fileEntries(v: Long): Seq[FileEntry] = manifest(v).files
+
+  /** Latest batchId committed by `appId`, if any — the exactly-once
+    * handshake for streaming writers: a replayed microbatch sees its
+    * own prior commit here and no-ops. Reads one manifest. */
+  def lastTxn(appId: String): Option[Long] =
+    latestVersion.flatMap(v => manifest(v).txns.get(appId))
 
   // ---- reads --------------------------------------------------------------
 
@@ -100,52 +189,164 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
   /** Time travel: read snapshot `v` exactly as committed. */
   def readVersion(v: Long): DataFrame = {
     val m = manifest(v)
+    readEntries(m, m.files)
+  }
+
+  /** Partition-pruned read of the latest snapshot: `pred` filters the
+    * manifest's per-file partition values, so only matching files are
+    * ever scanned. Planning-side pruning — zero filesystem listing,
+    * zero data touched outside the predicate. Row order and schema
+    * match [[read]] restricted to the matching partitions. */
+  def readWhere(pred: Map[String, String] => Boolean): DataFrame = {
+    val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val m = manifest(v)
+    readEntries(m, m.files.filter(f => pred(f.partition)))
+  }
+
+  private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
-    if (m.files.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+    val df0 =
+      if (entries.isEmpty) spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else spark.read.schema(schema)
+        .parquet(entries.map(f => new Path(root, f.path).toString): _*)
+    // shadow layout columns (should never surface — explicit schema +
+    // leaf-file paths) and the bucket column are plumbing, not data
+    val df = df0.drop(df0.columns.filter(_.startsWith(PartShadowPrefix)): _*)
+    if (m.bucketSpec.isDefined) df.drop(BucketCol) else df
   }
 
   // ---- writes -------------------------------------------------------------
 
   /** Replace the table contents atomically. Readers of older snapshots
-    * are unaffected until [[expireSnapshots]] + [[vacuum]]. */
-  def overwrite(df: DataFrame): Long = {
-    val (files, schema) = writeDataFiles(df)
+    * are unaffected until [[expireSnapshots]] + [[vacuum]].
+    * `partitionBy` lays files out in Hive-style partition dirs whose
+    * values the manifest records per file (see class doc). */
+  def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    val (files, schema) = writeDataFiles(df, partitionBy)
     commit { latest =>
       latest.foreach(m => requireCompatible(
         StructType.fromDDL(m.schemaDdl), schema, allowNew = true))
-      (OpOverwrite, files, mergedDdl(latest, schema))
+      Pending(OpOverwrite, files, mergedDdl(latest, schema), partitionBy,
+        latest.flatMap(_.bucketSpec).filter(_ => partitionBy == Seq(BucketCol)),
+        txn)
+    }
+  }
+
+  /** Replace the table with a KEY-BUCKETED layout: rows are hashed on
+    * `bucketCols` into `nBuckets` partitions so that [[merge]] /
+    * [[upsert]] can rewrite only the buckets a source batch touches.
+    * The bucket spec is recorded in the manifest and maintained by
+    * every subsequent append/merge/compact. */
+  def overwriteBucketed(df: DataFrame, bucketCols: Seq[String], nBuckets: Int,
+      txn: Option[(String, Long)] = None): Long = {
+    require(bucketCols.nonEmpty && nBuckets > 0, "bucketCols and nBuckets required")
+    val spec = BucketSpec(bucketCols, nBuckets)
+    val (files, schema) = writeDataFiles(withBucket(df, spec), Seq(BucketCol))
+    commit { latest =>
+      Pending(OpOverwrite, files, schemaDdlOf(schema), Seq(BucketCol),
+        Some(spec), txn)
     }
   }
 
   /** Append rows; NEW columns widen the schema (nullable), existing
-    * columns must keep their types. */
-  def append(df: DataFrame): Long = {
-    val (files, schema) = writeDataFiles(df)
+    * columns must keep their types. Partitioned/bucketed tables keep
+    * their layout: appended files land in the same partition scheme. */
+  def append(df: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    // layout must match the CURRENT snapshot; resolve it up front (a
+    // racing layout change makes the commit loop recompose, and the
+    // require below re-checks against the new latest)
+    val current = latestVersion.map(manifest)
+    val spec = current.flatMap(_.bucketSpec)
+    val parts = current.map(_.partitionCols).getOrElse(Nil)
+    val data = spec.map(withBucket(df, _)).getOrElse(df)
+    val (files, schema) = writeDataFiles(data, parts)
     commit { latest =>
       latest.foreach(m => requireCompatible(
         StructType.fromDDL(m.schemaDdl), schema, allowNew = true))
-      (OpAppend, latest.map(_.files).getOrElse(Nil) ++ files,
-        mergedDdl(latest, schema))
+      require(latest.map(_.partitionCols).getOrElse(Nil) == parts &&
+          latest.flatMap(_.bucketSpec) == spec,
+        s"concurrent layout change during append to $root — retry append")
+      Pending(OpAppend, latest.map(_.files).getOrElse(Nil) ++ files,
+        mergedDdl(latest, schema), parts, spec, txn)
+    }
+  }
+
+  /** Row-level MERGE, copy-on-write at file granularity. Requires a
+    * bucketed table ([[overwriteBucketed]]). `resolve` receives
+    * (existing rows of the TOUCHED buckets only, source rows) and
+    * returns the new contents of those buckets; files in untouched
+    * buckets are carried into the new snapshot by reference, never
+    * read or rewritten. Cost ∝ |source| + |rows in touched buckets|.
+    *
+    * Concurrency: the merge composes against the snapshot current at
+    * its start; if another commit lands first, it fails (rerun) —
+    * same discipline as [[compact]]. */
+  def merge(source: DataFrame, txn: Option[(String, Long)] = None)(
+      resolve: (DataFrame, DataFrame) => DataFrame): Long = {
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root: merge needs an existing bucketed table"))
+    val m = manifest(v)
+    val spec = m.bucketSpec.getOrElse(
+      sys.error(s"$root is not bucketed — overwriteBucketed first"))
+    requireCompatible(StructType.fromDDL(m.schemaDdl),
+      source.schema, allowNew = false)
+    // buckets the source touches: bounded by nBuckets, collected as a
+    // model-sized driver list (the c10/probe-id discipline)
+    val touched: Set[String] = withBucket(source, spec)
+      .select(col(BucketCol)).distinct()
+      .collect().map(_.getInt(0).toString).toSet
+    val (affected, untouched) =
+      m.files.partition(f => f.partition.get(BucketCol).exists(touched))
+    val existing = readEntries(m, affected)
+    val resolved = resolve(existing, source)
+    val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
+    requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
+    commit { latest =>
+      require(latest.exists(_.version == m.version),
+        s"concurrent commit during merge into $root — rerun merge")
+      Pending(OpMerge, untouched ++ files, m.schemaDdl, Seq(BucketCol),
+        Some(spec), txn)
+    }
+  }
+
+  /** MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE SET *
+    * WHEN NOT MATCHED THEN INSERT * — source rows replace same-key
+    * rows, new keys insert; source must be unique per key. Rewrites
+    * only the buckets containing source keys. */
+  def upsert(source: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    val keys = latestVersion.map(manifest).flatMap(_.bucketSpec)
+      .getOrElse(sys.error(s"$root is not bucketed")).cols
+    merge(source, txn) { (existing, src) =>
+      existing.join(src.select(keys.map(col): _*).distinct(),
+          keys, "left_anti")
+        .unionByName(src)
     }
   }
 
   /** Rewrite the current snapshot into ~`targetFileBytes` files and
     * commit the rewrite as a new snapshot — the transactional twin of
     * [[ParquetIOManager.compact]]'s rename swap: here there is no
-    * swap window at all, readers flip manifests or keep the old one. */
+    * swap window at all, readers flip manifests or keep the old one.
+    * Partitioned/bucketed layouts are preserved. */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
     val m = manifest(v)
-    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f)).getLen).sum
+    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
     val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val (files, schema) = writeDataFiles(readVersion(v).repartition(n))
+    val spec = m.bucketSpec
+    val base = readVersion(v)
+    val laid = spec.map(withBucket(base, _)).getOrElse(base)
+    val rep =
+      if (m.partitionCols.nonEmpty)
+        laid.repartition(n, m.partitionCols.map(col): _*)
+      else laid.repartition(n)
+    val (files, schema) = writeDataFiles(rep, m.partitionCols)
     commit { latest =>
       require(latest.exists(_.version == m.version),
         s"concurrent commit during compact of $root — rerun compact")
-      (OpCompact, files, schemaDdlOf(schema))
+      Pending(OpCompact, files, schemaDdlOf(schema), m.partitionCols, spec, None)
     }
   }
 
@@ -179,7 +380,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     * default (the Delta-vacuum retention discipline,
     * `pipes/utils.py:85-89`). Returns deleted paths. */
   def vacuum(minAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val live: Set[String] = versions.flatMap(v => manifest(v).files).toSet
+    val live: Set[String] = versions.flatMap(v => manifest(v).files.map(_.path)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def sweep(dir: Path): Unit =
@@ -213,35 +414,71 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
 
   // ---- internals ----------------------------------------------------------
 
+  private def withBucket(df: DataFrame, spec: BucketSpec): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(hash(spec.cols.map(col): _*), org.apache.spark.sql.functions.lit(spec.n)))
+
   /** Land `df` as immutable parquet files in a fresh write dir;
-    * returns (root-relative paths, written schema). Uncommitted on
-    * crash: no manifest references the dir, vacuum reclaims it. */
-  private def writeDataFiles(df: DataFrame): (Seq[String], StructType) = {
+    * returns (file entries with partition values, written DATA
+    * schema — which INCLUDES the layout columns, because they are
+    * duplicated into the data via `__pt_` shadow columns before
+    * `partitionBy` strips the shadows). Uncommitted on crash: no
+    * manifest references the dir, vacuum reclaims it. */
+  private def writeDataFiles(df: DataFrame,
+      partitionCols: Seq[String]): (Seq[FileEntry], StructType) = {
     val writeId = java.util.UUID.randomUUID().toString.take(12)
     val dst = new Path(dataDir, s"w-$writeId")
-    df.write.parquet(dst.toString)
-    val files = fs.listStatus(dst).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(st => relativize(st.getPath)).sorted
-    (files, df.schema)
+    if (partitionCols.isEmpty) df.write.parquet(dst.toString)
+    else {
+      val shadows = partitionCols.map(c => PartShadowPrefix + c)
+      val shadowed = partitionCols.foldLeft(df)(
+        (d, c) => d.withColumn(PartShadowPrefix + c, col(c)))
+      shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
+    }
+    val it = fs.listFiles(dst, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = relativize(st.getPath)
+        entries += FileEntry(rel, parsePartition(rel))
+      }
+    }
+    (entries.sortBy(_.path).toSeq, df.schema)
   }
+
+  /** `__pt_k=v` path segments → (k → unescaped v). */
+  private def parsePartition(relPath: String): Map[String, String] =
+    relPath.split('/').iterator
+      .filter(_.startsWith(PartShadowPrefix))
+      .flatMap { seg =>
+        seg.indexOf('=') match {
+          case -1 => None
+          case i  => Some(
+            seg.substring(PartShadowPrefix.length, i) ->
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .unescapePathName(seg.substring(i + 1)))
+        }
+      }.toMap
 
   private def relativize(p: Path): String =
     p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
   /** Optimistic-concurrency commit loop: compose the next manifest
     * against the CURRENT latest snapshot, try to claim version N;
-    * on collision re-read and retry. `compose` returns
-    * (operation, files, schemaDdl). */
-  private def commit(
-      compose: Option[Manifest] => (String, Seq[String], String)): Long = {
+    * on collision re-read and retry. */
+  private def commit(compose: Option[Manifest] => Pending): Long = {
     fs.mkdirs(logDir)
     var attempts = 0
     while (true) {
       val latest = latestVersion.map(manifest)
       val v = latest.map(_.version + 1).getOrElse(0L)
-      val (op, files, ddl) = compose(latest)
-      val m = Manifest(v, op, ddl, files)
+      val p = compose(latest)
+      // exactly-once bookkeeping: carry every app's latest batchId
+      // forward, then fold in this commit's tag
+      val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
+      val m = Manifest(v, p.operation, p.schemaDdl, p.files,
+        p.partitionCols, p.bucketSpec, txns)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
       try out.write(m.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -257,13 +494,38 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
       val won = publishLock(fs.makeQualified(root).toString).synchronized {
         !fs.exists(dst) && fs.rename(tmp, dst)
       }
-      if (won) return v
+      if (won) {
+        writeLatestHint(v)
+        return v
+      }
       fs.delete(tmp, false) // lost the race: retry against the new latest
       attempts += 1
       require(attempts < 50, s"commit to $root: lost ${attempts} races, giving up")
     }
     sys.error("unreachable")
   }
+
+  /** Best-effort `_latest` update after a publish. Monotonic: never
+    * moves the hint backward (a slow writer finishing version N after
+    * N+1 published must not regress it); failures are ignored — the
+    * hint is advisory, resolution falls back to listing. */
+  private def writeLatestHint(v: Long): Unit =
+    try publishLock(fs.makeQualified(root).toString).synchronized {
+      val current: Long =
+        if (!fs.exists(latestHintPath)) -1L
+        else {
+          val in = fs.open(latestHintPath)
+          try org.apache.commons.io.IOUtils.toString(
+            in, java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
+            .getOrElse(-1L)
+          finally in.close()
+        }
+      if (v > current) {
+        val out = fs.create(latestHintPath, true)
+        try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    } catch { case _: java.io.IOException => () }
 
   private def schemaDdlOf(s: StructType): String = s.toDDL
 
@@ -278,6 +540,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
 object TxTable {
   private val LogDirName = "_graft_log"
 
+  /** Internal bucket column carried in the data for merge routing;
+    * dropped from every user-facing read. */
+  private[core] val BucketCol = "__bucket"
+
+  /** Prefix of the shadow columns that exist only to drive
+    * `partitionBy` directory layout (the original column stays in the
+    * data files). */
+  private val PartShadowPrefix = "__pt_"
+
   /** One lock object per canonical table root — serializes the
     * exists+rename publish within this JVM (see commit()). */
   private val publishLocks =
@@ -287,6 +558,7 @@ object TxTable {
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
   private val OpCompact = "compact"
+  private val OpMerge = "merge"
 
   def apply(spark: SparkSession, path: String): TxTable = {
     val root = new Path(path)
@@ -321,7 +593,7 @@ object TxTable {
   private def requireCompatible(current: StructType, incoming: StructType,
       allowNew: Boolean): Unit = {
     val cur = current.fields.map(f => f.name -> f.dataType).toMap
-    incoming.fields.foreach { f =>
+    incoming.fields.filterNot(_.name == BucketCol).foreach { f =>
       cur.get(f.name) match {
         case Some(t) =>
           require(t == f.dataType,
@@ -333,18 +605,56 @@ object TxTable {
     }
   }
 
+  /** One data file of a snapshot: root-relative path + the partition
+    * values parsed from its layout dirs (empty for flat tables). */
+  private[graft] final case class FileEntry(path: String,
+      partition: Map[String, String])
+
+  /** Key-bucketing spec for copy-on-write merges. */
+  private[graft] final case class BucketSpec(cols: Seq[String], n: Int)
+
+  /** What a write operation asks the commit loop to publish. */
+  private final case class Pending(operation: String, files: Seq[FileEntry],
+      schemaDdl: String, partitionCols: Seq[String],
+      bucketSpec: Option[BucketSpec], txn: Option[(String, Long)])
+
   /** Snapshot manifest — the complete state of one version. JSON via
-    * Jackson (ships with Spark). */
+    * Jackson (ships with Spark). Files are objects carrying partition
+    * values; plain-string entries from pre-partitioning manifests
+    * still parse (empty partition map). */
   private[core] final case class Manifest(version: Long, operation: String,
-      schemaDdl: String, files: Seq[String]) {
+      schemaDdl: String, files: Seq[FileEntry],
+      partitionCols: Seq[String] = Nil,
+      bucketSpec: Option[BucketSpec] = None,
+      txns: Map[String, Long] = Map.empty) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
       node.put("version", version)
       node.put("operation", operation)
       node.put("schema_ddl", schemaDdl)
+      if (partitionCols.nonEmpty) {
+        val pc = node.putArray("partition_cols")
+        partitionCols.foreach(pc.add)
+      }
+      bucketSpec.foreach { b =>
+        val bc = node.putArray("bucket_cols")
+        b.cols.foreach(bc.add)
+        node.put("n_buckets", b.n)
+      }
+      if (txns.nonEmpty) {
+        val tn = node.putObject("txns")
+        txns.foreach { case (k, v) => tn.put(k, v) }
+      }
       val arr = node.putArray("files")
-      files.foreach(arr.add)
+      files.foreach { f =>
+        val fo = arr.addObject()
+        fo.put("path", f.path)
+        if (f.partition.nonEmpty) {
+          val po = fo.putObject("partition")
+          f.partition.foreach { case (k, v) => po.put(k, v) }
+        }
+      }
       node.put("num_files", files.size)
       om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
     }
@@ -354,10 +664,33 @@ object TxTable {
     def fromJson(json: String): Manifest = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = om.readTree(json)
-      val files = (0 until n.get("files").size())
-        .map(i => n.get("files").get(i).asText())
+      val files = (0 until n.get("files").size()).map { i =>
+        val f = n.get("files").get(i)
+        if (f.isTextual) FileEntry(f.asText(), Map.empty)
+        else {
+          val part = Option(f.get("partition")).map { p =>
+            val it = p.fields()
+            val b = Map.newBuilder[String, String]
+            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+            b.result()
+          }.getOrElse(Map.empty[String, String])
+          FileEntry(f.get("path").asText(), part)
+        }
+      }
+      val partCols = Option(n.get("partition_cols")).map(a =>
+        (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
+      val bucket = Option(n.get("bucket_cols")).map { a =>
+        BucketSpec((0 until a.size()).map(a.get(_).asText()),
+          n.get("n_buckets").asInt())
+      }
+      val txns = Option(n.get("txns")).map { t =>
+        val it = t.fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+        b.result()
+      }.getOrElse(Map.empty[String, Long])
       Manifest(n.get("version").asLong(), n.get("operation").asText(),
-        n.get("schema_ddl").asText(), files)
+        n.get("schema_ddl").asText(), files, partCols, bucket, txns)
     }
   }
 }

@@ -182,6 +182,25 @@ case class NearestCentroids(child: Expression, index: CentroidIndex, n: Int)
     copy(child = newChild)
 }
 
+/** Per-language Cavnar–Trenkle profile scores for a (lowercased)
+  * string — array<int>, one slot per language in profile order. The
+  * model rides the plan via `ctx.addReferenceObj` like
+  * [[NearestCentroid]]; one kernel pass scores every language. */
+case class LangScores(child: Expression, index: LangProfileIndex)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_lang_scores"
+  override protected def nullSafeEval(v: Any): Any =
+    index.scores(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idx = ctx.addReferenceObj("langProfileIndex", index,
+      classOf[LangProfileIndex].getName)
+    defineCodeGen(ctx, ev, c => s"$idx.scores($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -215,6 +234,8 @@ object GraftFunctions {
     col(NearestCentroids(ex(v), index, n))
   def winnowFingerprint(tokens: Column, n: Int): Column =
     col(WinnowFingerprint(ex(tokens), n))
+  def langScores(text: Column, index: LangProfileIndex): Column =
+    col(LangScores(ex(text), index))
 }
 
 /** SQL-name registration via SparkSessionExtensions

@@ -334,3 +334,66 @@ final class CentroidIndex(val ids: Array[Long],
     new GenericArrayData(java.util.Arrays.copyOf(topId, filled))
   }
 }
+
+/** Character-n-gram language-profile model (the Cavnar–Trenkle
+  * "N-Gram-Based Text Categorization" method, 1994 — public): each
+  * language contributes a rank-ordered list of its most frequent
+  * character n-grams; a gram's weight is `profileSize − rank`, and a
+  * document's score for a language is the sum, over every n-gram
+  * OCCURRENCE in the (lowercased) text, of that gram's weight. Latin
+  * profiles use trigrams (spaces included, so word boundaries count);
+  * CJK degrades to unigrams — hanzi are morpheme-level, which is the
+  * standard CT adaptation. Integer arithmetic end-to-end, so the
+  * DuckDB oracle reproduces scores exactly (SparkEntry generates the
+  * oracle's VALUES profile from the same [[graft.ops.TextOps
+  * .trigramProfiles]] data).
+  *
+  * Shipped to executors inside the serialized plan like
+  * [[CentroidIndex]]; one table lookup per window position per gram
+  * length, all languages scored in a single pass. */
+final class LangProfileIndex(profiles: Seq[(String, Seq[String])])
+    extends Serializable {
+  val nLangs: Int = profiles.size
+  require(nLangs >= 1, "empty profile set")
+
+  /** gram → per-language weight vector. */
+  private val table: java.util.HashMap[String, Array[Int]] = {
+    val t = new java.util.HashMap[String, Array[Int]]()
+    profiles.zipWithIndex.foreach { case ((_, grams), li) =>
+      grams.zipWithIndex.foreach { case (g, gi) =>
+        val w = t.computeIfAbsent(g, _ => new Array[Int](nLangs))
+        w(li) += grams.size - gi
+      }
+    }
+    t
+  }
+
+  /** Distinct gram lengths present (e.g. [1, 3]) — one window sweep
+    * each. */
+  private val lens: Array[Int] =
+    profiles.flatMap(_._2).map(_.length).distinct.sorted.toArray
+
+  /** Per-language scores for (already-lowercased) text. BMP-safe:
+    * java code units == codepoints == DuckDB substr characters for
+    * the ASCII + BMP-CJK inputs this models. */
+  def scores(text: UTF8String): ArrayData = {
+    val s = text.toString
+    val acc = new Array[Int](nLangs)
+    var li = 0
+    while (li < lens.length) {
+      val L = lens(li)
+      var i = 0
+      val last = s.length - L
+      while (i <= last) {
+        val w = table.get(s.substring(i, i + L))
+        if (w != null) {
+          var j = 0
+          while (j < nLangs) { acc(j) += w(j); j += 1 }
+        }
+        i += 1
+      }
+      li += 1
+    }
+    new GenericArrayData(acc)
+  }
+}

@@ -266,10 +266,19 @@ object Relational {
 
   /** Q18 approximate distinct (HLL++) vs exact — ±5% tolerance, so
     * rows-only checked (no DuckDB hash oracle). */
+  /** Q18 — HLL approximate distinct, gated as a TOLERANCE CHECK: the
+    * estimate itself has no SQL twin, so the query pairs it with the
+    * exact distinct and emits whether the estimate landed within ±5%
+    * — which the DuckDB oracle reproduces as (exact, literal true).
+    * The gate thus fails iff the sketch drifts out of tolerance,
+    * upgrading the old rows-only record to a hash-match. */
   def q18ApproxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
       approx_count_distinct(col("l_partkey")).as("approx_partkeys"),
       countDistinct(col("l_partkey")).as("exact_partkeys"))
+      .select(col("exact_partkeys"),
+        (abs(col("approx_partkeys") - col("exact_partkeys")) <=
+          col("exact_partkeys") * 0.05).as("within_5pct"))
 
   /** Q19 exact dedup count (dropDuplicates on the dedup key — the
     * content hash, so the dedup shuffle moves 32-byte keys like c1,

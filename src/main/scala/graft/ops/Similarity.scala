@@ -85,6 +85,28 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Aggregate recall of an approximate top-k result against the
+    * exact one, reduced to a gateable pair: (number of queries,
+    * whether hit-rate ≥ `minRecall`). The approximate side's rows
+    * aren't SQL-reproducible (that's what makes it approximate); the
+    * recall BOUND is — the DuckDB twin emits (count, literal true),
+    * so the driver gate fails exactly when recall degrades. Detailed
+    * per-pair identity stays pinned in IvfIndexSpec/MultimodalSpec. */
+  def recallVsExact(approx: DataFrame, exact: DataFrame,
+      minRecall: Double = 0.5): DataFrame =
+    // exact pairs left-joined to the approximate set (hit marker),
+    // then ONE aggregate — a hash join + hash agg, not the 1-row
+    // crossJoin spelling (which plans as a nested-loop join)
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+          lit(1).as("is_hit")),
+        Seq("query_id", "neighbor_id"), "left")
+      .agg(countDistinct(col("query_id")).as("n_queries"),
+        count(lit(1)).as("total"),
+        sum(coalesce(col("is_hit"), lit(0))).as("hit"))
+      .select(col("n_queries"),
+        (col("hit") >= col("total") * minRecall).as("recall_ok"))
+
   /** Collect a (model-sized) centroid DataFrame into a
     * [[graft.functions.CentroidIndex]] — the coarse quantizer shipped
     * to executors for per-row argmax assignment/probing. The collect

@@ -16,11 +16,9 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  /** Marker stopword lists per language for the n-gram/stopword
-    * language-ID heuristic. Fixed, tiny, broadcast as literals into
-    * codegen. (Real pipelines would learn character-n-gram profiles;
-    * the *operator shape* — argmax over per-language scores computed
-    * in one pass — is identical.) */
+  /** Marker stopword lists per language — retained for the
+    * stopword-ratio quality feature ([[qualityScore]]); language ID
+    * itself uses the character-n-gram profiles below. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "a", "of", "and", "is"),
     "de" -> Seq("der", "die", "das", "und", "ist"),
@@ -31,16 +29,50 @@ object TextOps {
   private def markerCount(toks: Column, markers: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(markers)))
 
-  /** T1 — language identification: score = marker-token count per
-    * language, prediction = argmax with a fixed precedence order
-    * (en > de > es > fr > zh on ties) so the result is deterministic
-    * and SQL-replicable. Emits the scores so the oracle checks the
-    * whole computation, not just the argmax. */
+  /** Rank-ordered character-n-gram profiles per language — the
+    * Cavnar–Trenkle model data (public method; grams drawn from the
+    * published most-frequent lists for each language). Latin
+    * languages profile trigrams with spaces (word boundaries count);
+    * Chinese degrades to unigrams (hanzi are morpheme-level — the
+    * standard CT adaptation for unsegmented CJK). A gram at rank r in
+    * a K-gram profile scores K−r points per occurrence. This data is
+    * the single source of truth: the Spark kernel
+    * ([[graft.functions.LangProfileIndex]]) and the generated DuckDB
+    * oracle both derive from it. */
+  val trigramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", " th", "he ", "ing", "and", " an", "nd ", " of",
+      "of ", "ion", "ed ", " to", "to ", "tio", " in", "is ", "on ",
+      "at ", "er ", "ent"),
+    "de" -> Seq("en ", "er ", " de", "der", "ie ", "ch ", "sch", "die",
+      "und", " un", "ein", "ich", "ung", " ge", "cht", "ten", " di",
+      "ber", "gen", "ne "),
+    "es" -> Seq(" de", "de ", "os ", " la", "la ", "el ", " el", "que",
+      " qu", "ue ", "ión", "ón ", "ado", " co", "nte", " en", "ent",
+      "as ", "ara", "ien"),
+    "fr" -> Seq(" de", "de ", "es ", " le", "le ", "ent", "nt ", " la",
+      "la ", "et ", " et", "ion", "re ", " pa", "eur", "les", " co",
+      "que", "ais", "ur "),
+    "zh" -> Seq("的", "是", "了", "在", "和", "一", "不", "有", "人", "我"))
+
+  /** The plan-shipped profile model (built once per JVM). */
+  lazy val langProfileIndex = new graft.functions.LangProfileIndex(trigramProfiles)
+
+  /** T1 — language identification by character-n-gram profile scoring
+    * (Cavnar–Trenkle): score = Σ over every n-gram occurrence of the
+    * gram's rank weight, prediction = argmax with a fixed precedence
+    * order (en > de > es > fr > zh on ties) so the result is
+    * deterministic and SQL-replicable. One codegen kernel pass scores
+    * all languages ([[graft.functions.LangScores]]); emits the scores
+    * so the oracle checks the whole computation, not just the argmax.
+    * Map-side projection — zero shuffle at any scale. */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = split(col("text"), " ")
+    val scores = graft.functions.GraftFunctions
+      .langScores(lower(col("text")), langProfileIndex)
     val scored = docs.select(
       col("doc_id") +: col("lang") +:
-        langMarkers.map { case (l, m) => markerCount(toks, m).as(s"s_$l") }: _*)
+        trigramProfiles.zipWithIndex.map { case ((l, _), i) =>
+          element_at(scores, i + 1).as(s"s_$l")
+        }: _*)
     val Seq(en, de, es, fr, zh) =
       Seq("en", "de", "es", "fr", "zh").map(l => col(s"s_$l"))
     scored

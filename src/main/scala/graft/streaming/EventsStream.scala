@@ -283,41 +283,60 @@ object EventsStream {
         col("m.last_ts").as("last_ts"), col("m.last_value").as("last_value"))
 
   /** The same keyed upsert expressed ON [[graft.core.TxTable]] — the
-    * "batch body is a MERGE INTO" shape the plain-parquet variant's
-    * scaladoc promises once a transactional format exists. Each
-    * microbatch reads the table's latest committed snapshot, merges,
-    * and commits ONE new snapshot:
-    *   - restart recovery is the commit log itself (no state_<k> dir
-    *     scan): a resumed driver's first batch merges against the
-    *     last committed snapshot;
-    *   - a replayed batch (crash after commit, before checkpoint)
-    *     re-merges rows the state already contains — latest-per-key
-    *     of a superset is unchanged, so the extra snapshot carries
-    *     identical content (idempotent by value, not by version);
+    * "batch body is a MERGE INTO" shape, now literally a copy-on-write
+    * merge. The state table is hash-bucketed by user_id; each
+    * microbatch:
+    *   1. reduces the batch to its latest row per user_id;
+    *   2. MERGEs it into the table — only the buckets containing the
+    *     batch's keys are read and rewritten, untouched buckets are
+    *     carried by reference (TxTableSpec pins byte-identity), so
+    *     per-batch cost is O(batch + touched buckets), never O(table)
+    *     — the round-4 full-state-rewrite scale-killer removed;
+    *   3. tags the commit with (appId, batchId): a replayed batch
+    *     (crash after commit, before checkpoint) sees its own tag via
+    *     lastTxn and NO-OPS — exactly-once by protocol, not by value
+    *     idempotence (StreamingSpec replays a batch and pins zero new
+    *     versions);
+    *   - restart recovery is the commit log itself: a resumed driver's
+    *     first batch merges against the last committed snapshot;
     *   - the snapshot history IS the batch lineage: time travel to
-    *     version k reproduces the table as of microbatch k
-    *     (TxTableSpec pins this), and vacuum/expireSnapshots bound
-    *     its storage exactly like any other TxTable. */
+    *     version k reproduces the table as of microbatch k, and
+    *     vacuum/expireSnapshots bound its storage. */
   def runForeachBatchUpsertTx(spark: SparkSession, events: DataFrame,
-      tableDir: String): DataFrame = withStatePartitions(spark) {
-    val t = graft.core.TxTable(spark, tableDir)
-    val q = events.writeStream
-      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val asState = batch.select(col("user_id"),
-          col("event_id").as("last_event_id"), col("ts").as("last_ts"),
-          col("value").as("last_value"))
-        val merged =
-          if (t.latestVersion.isDefined) latest(t.read().unionByName(asState))
-          else latest(asState)
-        t.overwrite(merged)
-        ()
+      tableDir: String, nBuckets: Int = 16): DataFrame =
+    withStatePartitions(spark) {
+      val t = graft.core.TxTable(spark, tableDir)
+      val q = events.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          upsertBatchTx(t, batch, batchId, nBuckets)
+        }
+        .option("checkpointLocation", s"$tableDir/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      t.read()
+    }
+
+  /** One microbatch of the TxTable upsert — factored out so the spec
+    * can replay a batch against a live table and assert the
+    * exactly-once no-op. */
+  private[graft] def upsertBatchTx(t: graft.core.TxTable, batch: Dataset[Row],
+      batchId: Long, nBuckets: Int): Unit = {
+    if (t.lastTxn(UpsertAppId).exists(_ >= batchId)) return // replay: committed
+    val asState = latest(batch.select(col("user_id"),
+      col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+      col("value").as("last_value")))
+    if (t.latestVersion.isEmpty)
+      t.overwriteBucketed(asState, Seq("user_id"), nBuckets,
+        txn = Some(UpsertAppId -> batchId))
+    else
+      t.merge(asState, txn = Some(UpsertAppId -> batchId)) { (existing, src) =>
+        latest(existing.unionByName(src))
       }
-      .option("checkpointLocation", s"$tableDir/_ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    t.read()
+    ()
   }
+
+  private[graft] val UpsertAppId = "graft_upsert_tx"
 
   /** Highest committed `state_<k>` dir under `workDir` (restricted to
     * k < below when merging inside batch `below`: a crash AFTER

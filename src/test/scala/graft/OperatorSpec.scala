@@ -82,9 +82,10 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("oracle coverage: every query has an oracle or a documented rows-only") {
-    val rowsOnly = Set("q18_approx_distinct", "c3_simhash_neardup", "c7_ann_ivf",
+    // q18/c7/c10 graduated to tolerance/recall-bound hash gates in
+    // round 5; what remains is the irreducible hash-seeded set
+    val rowsOnly = Set("c3_simhash_neardup", // xxhash64 — no DuckDB twin
       "c8_srp_neardup", "m1_media_features", "q31_hll_union",
-      "c10_ivf_persisted", // ≡ c7 pinned in IvfIndexSpec
       "m3_media_ann") // recall + persisted-identity pinned in MultimodalSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")

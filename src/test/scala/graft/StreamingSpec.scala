@@ -145,6 +145,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchLatest.exceptAll(upserted).count() == 0)
   }
 
+  test("TxTable upsert is exactly-once: crash-after-commit replay adds zero versions") {
+    val src = EventsStream.scratchDir("upsert_tx_replay_src")
+    val tableDir = EventsStream.scratchDir("upsert_tx_replay_tbl") + "/t"
+    Tables.events(spark, sf).select("event_id", "ts", "user_id", "value")
+      .repartition(8).write.mode("overwrite").parquet(s"$src/files")
+    def streamIn() = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 2)
+      .parquet(s"$src/files")
+    val first = EventsStream.runForeachBatchUpsertTx(spark, streamIn(), tableDir)
+      .collect().toSet
+    val t = graft.core.TxTable(spark, tableDir)
+    val committed = t.versions
+    // crash AFTER the table commit but BEFORE the checkpoint commit:
+    // drop the newest checkpoint commit marker so the restarted query
+    // replays the final microbatch with the SAME batchId
+    val commits = new java.io.File(s"$tableDir/_ckpt/commits")
+      .listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.length >= 2)
+    assert(commits.last.delete())
+    // the local FS keeps a checksum shadow; a stale one fails the
+    // replayed commit's rename
+    new java.io.File(commits.last.getParent, s".${commits.last.getName}.crc").delete()
+    val replayed = EventsStream.runForeachBatchUpsertTx(spark, streamIn(), tableDir)
+      .collect().toSet
+    assert(t.versions == committed,
+      s"replayed batch committed again: ${t.versions} vs $committed")
+    assert(replayed == first, "replay changed the table contents")
+    // and the txn tag records the final batch
+    assert(t.lastTxn(EventsStream.UpsertAppId).contains(committed.length - 1L))
+  }
+
   test("foreachBatch upsert survives a driver restart: disk-recovered state") {
     // restart semantics: the first process drains HALF the source and
     // dies (simulated by a fresh runForeachBatchUpsert invocation —

@@ -163,6 +163,154 @@ class TxTableSpec extends SparkSpec {
     assert(h(1)._3 == h(0)._3 + 1) // append adds its files to v0's
   }
 
+  test("partitioned table: manifest records partition values; readWhere prunes the file list") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_part")
+    val rows = (0 until 100).map(i =>
+      (i.toLong, if (i % 3 == 0) "click" else if (i % 3 == 1) "view" else "purchase",
+        i * 1.0))
+      .toDF("id", "event_type", "value")
+    t.overwrite(rows, partitionBy = Seq("event_type"))
+    // every manifest entry carries its partition value
+    val entries = t.fileEntries(0)
+    assert(entries.nonEmpty &&
+      entries.forall(_.partition.keySet == Set("event_type")))
+    assert(entries.map(_.partition("event_type")).toSet ==
+      Set("click", "view", "purchase"))
+    // full read returns the original data (partition col is real data)
+    assert(t.read().count() == 100)
+    assert(t.read().schema.fieldNames.toSeq == Seq("id", "event_type", "value"))
+    // pruned read scans ONLY the matching partitions' files
+    val pruned = t.readWhere(p => p("event_type") == "click")
+    assert(pruned.count() == 34)
+    val clickFiles = entries.filter(_.partition("event_type") == "click")
+      .map(_.path).toSet
+    val scanned = pruned.inputFiles.map(f =>
+      f.substring(f.indexOf("data/"))).toSet
+    assert(scanned == clickFiles,
+      s"pruned scan read outside the partition: $scanned vs $clickFiles")
+    // appends keep the layout
+    t.append(Seq((1000L, "click", 5.0)).toDF("id", "event_type", "value"))
+    assert(t.readWhere(p => p("event_type") == "click").count() == 35)
+  }
+
+  test("merge rewrites only touched buckets; untouched files byte-identical") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_merge")
+    val base = (0 until 1000).map(i => (i.toLong, s"v$i", i * 1.0))
+      .toDF("id", "name", "score")
+    t.overwriteBucketed(base, bucketCols = Seq("id"), nBuckets = 16)
+    val before = t.fileEntries(0).map(_.path)
+    val sizesBefore = before.map(p =>
+      p -> new java.io.File(s"$dir/$p").length()).toMap
+    val mtimesBefore = before.map(p =>
+      p -> new java.io.File(s"$dir/$p").lastModified()).toMap
+    // upsert 10 keys (subset of buckets) + 5 new keys
+    val src = ((0 until 10).map(i => (i * 7L, "UPDATED", -1.0)) ++
+      (0 until 5).map(i => (2000L + i, "NEW", 99.0)))
+      .toDF("id", "name", "score")
+    val v1 = t.upsert(src)
+    assert(v1 == 1)
+    val after = t.fileEntries(1).map(_.path)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.nonEmpty, "merge must carry untouched files by reference")
+    assert(after.toSet != before.toSet, "merge must rewrite touched buckets")
+    // carried files untouched on disk: same bytes, same mtime
+    carried.foreach { p =>
+      val f = new java.io.File(s"$dir/$p")
+      assert(f.length() == sizesBefore(p) && f.lastModified() == mtimesBefore(p),
+        s"untouched file $p was rewritten")
+    }
+    // semantics: replace-by-key upsert
+    val r = t.read()
+    assert(r.count() == 1005)
+    assert(r.where(col("name") === "UPDATED").count() == 10)
+    assert(r.where(col("name") === "NEW").count() == 5)
+    assert(r.where(col("id") === 7L).select("name").head.getString(0) == "UPDATED")
+    assert(r.where(col("id") === 8L).select("name").head.getString(0) == "v8")
+    assert(r.schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    // time travel across the merge still works
+    assert(t.readVersion(0).where(col("name") === "UPDATED").count() == 0)
+  }
+
+  test("merge only reads files in touched buckets") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_merge_prune")
+    t.overwriteBucketed((0 until 1000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score"), Seq("id"), nBuckets = 16)
+    var readFiles: Set[String] = Set.empty
+    t.merge(Seq((7L, -1.0)).toDF("id", "score")) { (existing, src) =>
+      readFiles = existing.inputFiles.toSet
+      existing.join(src.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(src)
+    }
+    val allFiles = t.fileEntries(0).size
+    assert(readFiles.nonEmpty && readFiles.size < allFiles,
+      s"merge read $readFiles of $allFiles files — not pruned to touched buckets")
+  }
+
+  test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_hint")
+    val one = Seq((1L, "x", 0.0)).toDF("id", "name", "score")
+    t.overwrite(one)
+    (1 to 200).foreach(_ => t.append(one.limit(0)))
+    assert(t.latestVersion.contains(200L))
+    // a FRESH handle (no driver state) resolves with a bounded number
+    // of filesystem calls: hint read + manifest probes, NOT an
+    // O(commits) directory listing
+    val t2 = TxTable(spark, dir)
+    assert(t2.latestVersion.contains(200L))
+    assert(t2.lastResolveOps <= 5,
+      s"resolution cost grew with the log: ${t2.lastResolveOps} fs ops")
+    // a stale hint under-counts and the probe recovers: simulate a
+    // writer that crashed before updating the hint
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_graft_log/_latest"), "197".getBytes)
+    val t3 = TxTable(spark, dir)
+    assert(t3.latestVersion.contains(200L))
+    // a torn hint falls back to the listing, still correct
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_graft_log/_latest"), "garbage".getBytes)
+    assert(TxTable(spark, dir).latestVersion.contains(200L))
+  }
+
+  test("txn tags make streaming commits exactly-once: replayed batch no-ops") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_txn")
+    val df0 = Seq((1L, 10.0)).toDF("id", "score")
+    t.overwriteBucketed(df0, Seq("id"), nBuckets = 4, txn = Some("app" -> 0L))
+    t.upsert(Seq((2L, 20.0)).toDF("id", "score"), txn = Some("app" -> 1L))
+    assert(t.lastTxn("app").contains(1L))
+    assert(t.lastTxn("other").isEmpty)
+    // the streaming writer's guard: a replay of batch 1 sees its own
+    // prior commit and skips — zero new versions
+    val before = t.latestVersion
+    if (!t.lastTxn("app").exists(_ >= 1L))
+      t.upsert(Seq((2L, 999.0)).toDF("id", "score"), txn = Some("app" -> 1L))
+    assert(t.latestVersion == before, "replayed batch must not commit")
+    assert(t.read().where(col("id") === 2L).head.getDouble(1) == 20.0)
+    // txn map carries forward across unrelated commits
+    t.append(Seq((3L, 30.0)).toDF("id", "score"))
+    assert(t.lastTxn("app").contains(1L))
+  }
+
+  test("compact preserves a bucketed layout and merges still prune after it") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_compact_bucketed")
+    t.overwriteBucketed((0 until 500).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartition(8), Seq("id"), nBuckets = 8)
+    val vc = t.compact()
+    val entries = t.fileEntries(vc)
+    assert(entries.forall(_.partition.contains("__bucket")))
+    assert(t.read().count() == 500)
+    // merge after compact still rewrites a strict subset
+    t.upsert(Seq((3L, -3.0)).toDF("id", "score"))
+    val after = t.fileEntries(vc + 1).map(_.path).toSet
+    assert(after.intersect(entries.map(_.path).toSet).nonEmpty)
+    assert(t.read().where(col("id") === 3L).head.getDouble(1) == -3.0)
+  }
+
   test("vacuum retention: young unreferenced files survive the sweep") {
     val (t, dir) = freshTable("tx_retention")
     t.overwrite(df(0 until 5))
