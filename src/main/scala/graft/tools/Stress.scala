@@ -16,7 +16,11 @@ import graft.ops.Dedup
 object Stress {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val factors = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+    // optional section selector: "dedup" | "upsert" | "all" (default)
+    val mode = args.drop(1).headOption.filterNot(_.forall(_.isDigit))
+      .getOrElse("all")
+    val numArgs = args.drop(1).filter(_.forall(_.isDigit))
+    val factors = if (numArgs.nonEmpty) numArgs.map(_.toInt).toSeq
       else Seq(1, 2, 4)
     val spark = Sessions.local()
     val docsFull = Tables.documents(spark, d).cache()
@@ -33,7 +37,7 @@ object Stress {
       df.write.format("noop").mode("overwrite").save()
       println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    for (f <- factors) {
+    for (f <- factors if mode != "upsert") {
       val c = replicate(base, "doc_id", f).cache(); c.count()
       val cFull = replicate(docsFull, "doc_id", f).cache(); cFull.count()
       val e = replicate(embBase, "vec_id", f).cache(); e.count()
@@ -56,6 +60,11 @@ object Stress {
           spark.read.parquet(s"$sigDir/sigs") })
       time(s"c12_sig_probe x$f", Dedup.probeSignatureIndex(spark, sigIdx,
         c.where(col("doc_id") % 10 === 0)))
+      // the rolling-ingest shape: FIXED daily batch against a corpus
+      // index 1x/2x/4x — probe cost must stay ~flat (partition-pruned
+      // bucket reads track the batch, not the corpus)
+      time(s"c12_sig_probe_fixed x$f", Dedup.probeSignatureIndex(spark, sigIdx,
+        base.where(col("doc_id") % 10 === 0)))
       // persisted-IVF path (c10): one-time build, partition-pruned probe
       val ivfDir = graft.streaming.EventsStream.scratchDir(s"stress_ivf_$f")
       val centroids = e.where(col("vec_id") % 40 === 0)
@@ -71,6 +80,66 @@ object Stress {
       // composed cleaning pipeline end-to-end under mass duplication
       time(s"p1_clean x$f", graft.steps.CleanCorpus.run(cFull))
       c.unpersist(); cFull.unpersist(); e.unpersist()
+    }
+
+    // keyed-upsert state growth: the s7 shape (read ENTIRE state,
+    // re-reduce, rewrite all of it) vs the s8 shape (TxTable
+    // copy-on-write merge: read+rewrite only buckets containing the
+    // batch's keys). Fixed 16-key batch, state 1x/2x/4x — s7 must
+    // grow ~linearly with the state, s8 with the touched fraction
+    // (~|batch buckets|/nBuckets of it), which is the difference
+    // between O(table) and O(batch) per microbatch at 100 TB.
+    val evBase = Tables.events(spark, d)
+      .select(col("event_id").as("key"), col("ts").as("last_ts"),
+        col("value").as("last_value"))
+    def latestPerKey(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("key").agg(
+        max_by(struct(col("last_ts"), col("last_value")),
+          col("last_ts")).as("m"))
+        .select(col("key"), col("m.last_ts").as("last_ts"),
+          col("m.last_value").as("last_value"))
+    val batch = evBase.where(col("key") < 16).localCheckpoint(true)
+    def timeAction(name: String)(body: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      body
+      println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def dirBytes(p: String): Long = {
+      def sz(f: java.io.File): Long =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).map(sz).sum
+        else f.length()
+      sz(new java.io.File(p))
+    }
+    for (f <- factors if mode != "dedup") {
+      val state = latestPerKey(
+        (1 until f).foldLeft(evBase) { (acc, i) =>
+          acc.unionAll(evBase.withColumn("key", col("key") + i * 10000000L))
+        }).cache()
+      val nKeys = state.count()
+      println(s"[stress] === upsert state x$f ($nKeys keys, 16-key batch) ===")
+      val s7Dir = graft.streaming.EventsStream.scratchDir(s"stress_s7_$f")
+      state.write.mode("overwrite").parquet(s"$s7Dir/state_0")
+      timeAction(s"s7_full_rewrite x$f") {
+        latestPerKey(spark.read.parquet(s"$s7Dir/state_0").unionByName(batch))
+          .write.mode("overwrite").parquet(s"$s7Dir/state_1")
+      }
+      println(s"[stress] s7_bytes_rewritten x$f: ${dirBytes(s"$s7Dir/state_1")}")
+      val tDir = graft.streaming.EventsStream.scratchDir(s"stress_s8_$f") + "/t"
+      val t = graft.core.TxTable(spark, tDir)
+      timeAction(s"s8_tx_build x$f") {
+        t.overwriteBucketed(state, Seq("key"), nBuckets = 256); ()
+      }
+      val before = t.fileEntries(t.latestVersion.get).map(_.path).toSet
+      timeAction(s"s8_tx_merge x$f") {
+        t.merge(batch)((existing, src) =>
+          latestPerKey(existing.unionByName(src))); ()
+      }
+      val after = t.fileEntries(t.latestVersion.get).map(_.path)
+      val newBytes = after.filterNot(before)
+        .map(p => new java.io.File(s"$tDir/$p").length()).sum
+      println(s"[stress] s8_bytes_rewritten x$f: $newBytes " +
+        s"(${after.count(!before(_))} of ${after.size} files)")
+      state.unpersist()
     }
     spark.stop()
   }
