@@ -258,11 +258,49 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy("event_date")
     }),
+    // x6: row-level DELETE (GDPR/CDC surface) — copy-on-write at
+    // bucket-file granularity, gated on the surviving content
+    "x6_tx_delete"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_del") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      t.overwriteBucketed(o, bucketCols = Seq("o_orderkey"), nBuckets = 16)
+      t.deleteKeys(o.where(col("o_orderkey") % 7 === 0).select("o_orderkey"))
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x3: dynamic partition pruning — the Monday set flows out of a
     // runtime-filtered dim join, so only DynamicPruningExpression can
     // keep the `event_date=` fact scan to the matching partitions
     // (plan + file-count assertions in DppSpec; here the RESULT gates)
     "x3_dpp_monday"      -> (graft.steps.PartitionedEvents.mondayActivity _),
+    // W-tier: binary record-format ingest (the reference's WARC
+    // surface) — documents rendered as WARC members, read back by the
+    // record reader, gated against the source table: framing, header
+    // parse, and payload byte-fidelity all ride the hash
+    "w1_warc_roundtrip"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_warc")
+      graft.sources.WarcRecords.write(
+        Tables.documents(s, d).select(
+          concat(lit("https://"), col("source"),
+            lit(".example.com/doc/"), col("doc_id")).as("uri"),
+          encode(col("text"), "UTF-8").as("payload")),
+        dir)
+      graft.sources.WarcRecords.read(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -828,6 +866,17 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w1_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "x6_tx_delete" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x5's oracle is the plain WHERE twin of the partition-pruned read
     "x5_tx_partition_prune" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,
@@ -1014,9 +1063,14 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cosine,
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 10 ORDER BY query_id, rnk""".stripMargin,
-    // q18/c7/c10: the approximate value has no SQL twin; the
+    // q18/q31/c7/c10: the approximate value has no SQL twin; the
     // TOLERANCE/RECALL ASSERTION does — oracle emits the exact side +
     // literal true, so the hash gate fails iff accuracy degrades
+    "q31_hll_union" ->
+      """SELECT count(DISTINCT event_type) AS n_segments,
+        |       count(DISTINCT user_id) AS exact_global_users,
+        |       true AS within_5pct
+        |FROM events""".stripMargin,
     "q18_approx_distinct" ->
       """SELECT count(DISTINCT l_partkey) AS exact_partkeys,
         |       true AS within_5pct

@@ -284,6 +284,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     * its start; if another commit lands first, it fails (rerun) —
     * same discipline as [[compact]]. */
   def merge(source: DataFrame, txn: Option[(String, Long)] = None)(
+      resolve: (DataFrame, DataFrame) => DataFrame): Long =
+    mergeOp(OpMerge, source, txn)(resolve)
+
+  private def mergeOp(op: String, source: DataFrame,
+      txn: Option[(String, Long)])(
       resolve: (DataFrame, DataFrame) => DataFrame): Long = {
     val v = latestVersion.getOrElse(
       sys.error(s"$root: merge needs an existing bucketed table"))
@@ -306,7 +311,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     commit { latest =>
       require(latest.exists(_.version == m.version),
         s"concurrent commit during merge into $root — rerun merge")
-      Pending(OpMerge, untouched ++ files, m.schemaDdl, Seq(BucketCol),
+      Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
         Some(spec), txn)
     }
   }
@@ -322,6 +327,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
       existing.join(src.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
         .unionByName(src)
+    }
+  }
+
+  /** Row-level DELETE by key (copy-on-write) — the GDPR/CDC surface:
+    * `keys` holds the key columns of rows to remove; only buckets
+    * containing those keys are read and rewritten, every other file
+    * is carried by reference. DELETE FROM t WHERE key IN (...) at
+    * file granularity. */
+  def deleteKeys(keys: DataFrame, txn: Option[(String, Long)] = None): Long = {
+    val cols = latestVersion.map(manifest).flatMap(_.bucketSpec)
+      .getOrElse(sys.error(s"$root is not bucketed")).cols
+    mergeOp(OpDelete, keys, txn) { (existing, src) =>
+      existing.join(src.select(cols.map(col): _*).distinct(), cols, "left_anti")
+    }
+  }
+
+  /** Partition-level DELETE: drop every file whose partition values
+    * match `pred` — a PURE METADATA commit (no data read, no data
+    * written; the dropped files become vacuumable once their last
+    * referencing snapshot expires). The cheapest possible retention
+    * sweep: `DELETE FROM t WHERE pt = ...` in one manifest write. */
+  def deletePartitions(pred: Map[String, String] => Boolean,
+      txn: Option[(String, Long)] = None): Long = {
+    val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val m = manifest(v)
+    require(m.partitionCols.nonEmpty, s"$root is not partitioned")
+    commit { latest =>
+      require(latest.exists(_.version == m.version),
+        s"concurrent commit during deletePartitions of $root — rerun")
+      Pending(OpDelete, m.files.filterNot(f => pred(f.partition)),
+        m.schemaDdl, m.partitionCols, m.bucketSpec, txn)
     }
   }
 
@@ -559,6 +595,7 @@ object TxTable {
   private val OpAppend = "append"
   private val OpCompact = "compact"
   private val OpMerge = "merge"
+  private val OpDelete = "delete"
 
   def apply(spark: SparkSession, path: String): TxTable = {
     val root = new Path(path)

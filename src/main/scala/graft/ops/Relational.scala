@@ -415,16 +415,29 @@ object Relational {
     * per-segment sketches union-merged to a global estimate — the
     * sketch-reduce shape that lets 1000 executors compute global
     * distincts with fixed-size state per group (vs shuffling raw
-    * ids). Rows-only gate (no DuckDB twin); the accuracy bound vs the
-    * exact distinct is pinned in OperatorSpec. */
+    * ids). Gated like q18 as a TOLERANCE check: the sketch estimate
+    * has no DuckDB twin, so the query pairs the union-merged estimate
+    * with the exact global distinct and emits whether it landed
+    * within ±5% — the oracle reproduces (segments, exact, true), and
+    * the hash gate fails iff sketch accuracy degrades. */
   def q31HllUnion(s: SparkSession, d: String): DataFrame = {
     val perType = events(s, d)
       .groupBy("event_type")
       .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
-    perType.agg(
+    val est = perType.agg(
       count(lit(1)).as("n_segments"),
       hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
-        .cast("long").as("est_global_users"))
+        .cast("long").as("est"))
+    // exact twin as its own hash aggregate (the sketch path never
+    // materializes id sets); the 1-row × 1-row zip is the t7 scalar
+    // shape — Catalyst folds any constant key back to a cross join,
+    // so it's whitelisted as a constant, not a data-dependent loop
+    val exact = events(s, d)
+      .agg(countDistinct(col("user_id")).as("exact_global_users"))
+    est.crossJoin(exact)
+      .select(col("n_segments"), col("exact_global_users"),
+        (abs(col("est") - col("exact_global_users")) <=
+          col("exact_global_users") * 0.05).as("within_5pct"))
   }
 
   /** Q28 as-of join ([[Joins.asOfJoin]]): each purchase matched to

@@ -1,0 +1,159 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC (Web ARChive, ISO 28500) record reader/writer — the binary
+  * record-format surface the reference's real pipeline consumes via
+  * fastwarc/warcio (ascii-hydra `resources/databricks.py:76-78`): a
+  * Common Crawl ingest reads WARC members, extracts the target URI
+  * and payload, and feeds the text pipeline.
+  *
+  * Reader design: `binaryFile` source (one task per WARC member) +
+  * per-file record parsing in a typed `flatMap` — the
+  * per-partition-imperative case the operator guide reserves
+  * `mapPartitions`-style code for, since a WARC record is a
+  * length-framed BINARY segment (headers end `\r\n\r\n`, payload is
+  * `Content-Length` octets) that no line-oriented source can split.
+  * Real WARC corpora come as ~1 GB gzipped members, so
+  * one-member-per-task is the natural parallelism unit at 100 TB
+  * (Common Crawl's own layout); `binaryFile` holds one member in
+  * memory per task, matching what fastwarc does per worker.
+  *
+  * Robustness: a record with a corrupt header or truncated payload is
+  * skipped by re-syncing to the next `WARC/` magic — the remaining
+  * records still parse (spec-pinned), mirroring the bad-record
+  * capture discipline of the CSV/JSON readers in
+  * [[graft.core.IOManager]].
+  *
+  * The writer exists for fixtures/roundtrips (dev surface): it
+  * renders deterministic WARC bytes per partition through the Hadoop
+  * filesystem API. The READER is the product path.
+  */
+object WarcRecords {
+
+  final case class WarcRecord(src_file: String, warc_type: String,
+      record_id: String, target_uri: String, content_length: Long,
+      payload: Array[Byte])
+
+  private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  /** Read every `*.warc` member under `path` into records. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.warc")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) => parseMember(p, bytes) }
+      .toDF()
+  }
+
+  /** Parse one WARC member; malformed records are skipped by
+    * re-syncing to the next magic. */
+  private[graft] def parseMember(srcFile: String,
+      bytes: Array[Byte]): Iterator[WarcRecord] = new Iterator[WarcRecord] {
+    private var pos = indexOfMagic(bytes, 0)
+    private var nextRec: WarcRecord = null
+    advance()
+
+    private def advance(): Unit = {
+      nextRec = null
+      while (nextRec == null && pos >= 0 && pos < bytes.length) {
+        parseOne(bytes, pos) match {
+          case Some((rec, end)) =>
+            nextRec = rec
+            pos = indexOfMagic(bytes, end)
+          case None => // corrupt record: re-sync past this magic
+            pos = indexOfMagic(bytes, pos + Magic.length)
+        }
+      }
+    }
+
+    override def hasNext: Boolean = nextRec != null
+    override def next(): WarcRecord = {
+      val r = nextRec
+      advance()
+      r
+    }
+
+    private def parseOne(b: Array[Byte], start: Int): Option[(WarcRecord, Int)] = {
+      val headerEnd = indexOfSeq(b, "\r\n\r\n".getBytes, start)
+      if (headerEnd < 0) return None
+      val header = new String(b, start, headerEnd - start,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      val fields: Map[String, String] = header.split("\r\n").iterator
+        .flatMap { line =>
+          line.indexOf(':') match {
+            case -1 => None
+            case i  => Some(line.substring(0, i).trim.toLowerCase ->
+              line.substring(i + 1).trim)
+          }
+        }.toMap
+      val len = fields.get("content-length").flatMap(_.toLongOption)
+        .getOrElse(return None)
+      val payloadStart = headerEnd + 4
+      if (payloadStart + len > b.length) return None // truncated
+      val payload = java.util.Arrays.copyOfRange(
+        b, payloadStart, payloadStart + len.toInt)
+      val rec = WarcRecord(srcFile,
+        fields.getOrElse("warc-type", ""),
+        fields.getOrElse("warc-record-id", ""),
+        fields.getOrElse("warc-target-uri", ""),
+        len, payload)
+      Some((rec, payloadStart + len.toInt))
+    }
+  }
+
+  private def indexOfMagic(b: Array[Byte], from: Int): Int =
+    indexOfSeq(b, Magic, from)
+
+  private def indexOfSeq(b: Array[Byte], seq: Array[Byte], from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = b.length - seq.length
+    while (i <= last) {
+      var j = 0
+      while (j < seq.length && b(i + j) == seq(j)) j += 1
+      if (j == seq.length) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Render (uri STRING, payload BINARY) rows as WARC members, one
+    * per partition, via the Hadoop FS API (works on any scheme the
+    * session can reach). Record ids derive from the uri — the output
+    * is deterministic given a deterministic partitioning. Dev/fixture
+    * surface; at production scale the member writer would run behind
+    * a commit protocol like every other sink. */
+  def write(records: DataFrame, dir: String): Unit = {
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      records.sparkSession.sparkContext.hadoopConfiguration)
+    records.select(col("uri"), col("payload"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        if (it.hasNext) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val fs = p.getFileSystem(conf.value)
+          val out = fs.create(p, true)
+          try it.foreach { row =>
+            val uri = row.getString(0)
+            val payload = row.getAs[Array[Byte]](1)
+            val id = f"<urn:graft:${uri.hashCode}%08x>"
+            val header =
+              s"WARC/1.0\r\n" +
+                s"WARC-Type: response\r\n" +
+                s"WARC-Record-ID: $id\r\n" +
+                s"WARC-Target-URI: $uri\r\n" +
+                s"Content-Length: ${payload.length}\r\n\r\n"
+            out.write(header.getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII))
+            out.write(payload)
+            out.write("\r\n\r\n".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII))
+          } finally out.close()
+        }
+      }
+  }
+}

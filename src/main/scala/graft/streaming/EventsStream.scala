@@ -220,9 +220,12 @@ object EventsStream {
   }
 
   /** foreachBatch keyed upsert — the "merge into latest-per-key
-    * table" pattern (a CDC/materialized-upsert sink on plain parquet;
-    * with a transactional table format the batch body would be a
-    * MERGE INTO). Each microbatch:
+    * table" pattern on PLAIN parquet (no table format): each batch
+    * rewrites the whole keyed state, O(table) per microbatch — kept
+    * as the format-free baseline and as the contrast case the Stress
+    * harness measures; the SCALE path is [[runForeachBatchUpsertTx]],
+    * whose copy-on-write merge rewrites only touched buckets.
+    * Each microbatch:
     *   1. reduces the batch to its latest row per user_id (hash
     *      aggregate with map-side partials — max_by over the
     *      (ts, event_id) ordering struct, event_id unique ⇒

@@ -72,20 +72,20 @@ class OperatorSpec extends SparkSpec {
   }
 
   test("q31 sketch-union estimate within 5% of exact global distinct") {
-    import org.apache.spark.sql.functions._
-    val est = Relational.q31HllUnion(spark, sf)
-      .collect()(0).getAs[Long]("est_global_users").toDouble
-    val exact = Tables.events(spark, sf)
-      .agg(countDistinct(col("user_id"))).collect()(0).getLong(0).toDouble
-    assert(math.abs(est - exact) / exact < 0.05,
-      s"HLL union estimate $est vs exact $exact")
+    val row = Relational.q31HllUnion(spark, sf).collect()(0)
+    assert(row.getAs[Boolean]("within_5pct"),
+      s"HLL union estimate out of tolerance vs exact " +
+        s"${row.getAs[Long]("exact_global_users")}")
   }
 
   test("oracle coverage: every query has an oracle or a documented rows-only") {
-    // q18/c7/c10 graduated to tolerance/recall-bound hash gates in
-    // round 5; what remains is the irreducible hash-seeded set
+    // q18/q31/c7/c10 graduated to tolerance/recall-bound hash gates
+    // in round 5; what remains is the irreducible hash-seeded set
+    // (c8's recall gate would need the quadratic exact pair scan
+    // inside the bench path — its recall/precision stays ScalaTest-
+    // pinned instead)
     val rowsOnly = Set("c3_simhash_neardup", // xxhash64 — no DuckDB twin
-      "c8_srp_neardup", "m1_media_features", "q31_hll_union",
+      "c8_srp_neardup", "m1_media_features",
       "m3_media_ann") // recall + persisted-identity pinned in MultimodalSpec
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")

@@ -23,7 +23,11 @@ class PlanLintSpec extends SparkSpec {
       // t7's corpus-size factor rides a 1-ROW broadcast cross join
       // (the scalar-subquery shape; a nested loop over one row is a
       // constant) — not a data-dependent nested loop
-      "t7_term_weights")
+      "t7_term_weights",
+      // q31's tolerance gate zips two 1-ROW aggregates (sketch
+      // estimate × exact distinct) — same scalar shape; Catalyst
+      // folds any constant equi-key back to a cross join
+      "q31_hll_union")
 
   /** Streaming gates execute the stream inside the query closure —
     * covered by StreamingSpec; skipped here to keep the lint fast. */

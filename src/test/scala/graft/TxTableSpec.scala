@@ -249,6 +249,45 @@ class TxTableSpec extends SparkSpec {
       s"merge read $readFiles of $allFiles files — not pruned to touched buckets")
   }
 
+  test("deleteKeys is copy-on-write; deletePartitions is metadata-only") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_delete")
+    t.overwriteBucketed((0 until 1000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score"), Seq("id"), nBuckets = 16)
+    val before = t.fileEntries(0).map(_.path).toSet
+    t.deleteKeys(Seq(7L, 13L, 2000L).toDF("id")) // 2000 absent: no-op key
+    assert(t.read().count() == 998)
+    assert(t.read().where(col("id").isin(7L, 13L)).count() == 0)
+    val after = t.fileEntries(1).map(_.path).toSet
+    assert(after.intersect(before).nonEmpty, "untouched buckets must carry over")
+    assert(t.history().last._2 == "delete")
+    // time travel: the deleted rows still exist at version 0
+    assert(t.readVersion(0).count() == 1000)
+
+    // partition-level delete: zero data files created or read
+    val (p, pdir) = freshTable("tx_delete_part")
+    val rows = (0 until 90).map(i =>
+      (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value")
+    p.overwrite(rows, partitionBy = Seq("event_type"))
+    def dataFiles(d: String): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$d/data")).toSet
+    }
+    val disk0 = dataFiles(pdir)
+    val v = p.deletePartitions(pt => pt("event_type") == "click")
+    assert(dataFiles(pdir) == disk0, "partition delete must not touch data files")
+    assert(p.read().count() == 60)
+    assert(p.read().where(col("event_type") === "click").count() == 0)
+    assert(p.readVersion(v - 1).where(col("event_type") === "click").count() == 30)
+    // dropped files become vacuumable once v-1 expires
+    p.expireSnapshots(keepLast = 1)
+    assert(p.vacuum(minAgeMs = 0).nonEmpty)
+    assert(p.read().count() == 60)
+  }
+
   test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_hint")
