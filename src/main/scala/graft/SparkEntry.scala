@@ -274,6 +274,40 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x7: zone-map data skipping — per-file min/max in the manifest
+    // prune a range read at planning time (file-count assertion in
+    // TxTableSpec; here the RESULT gates against the BETWEEN twin)
+    "x7_tx_stats_skip"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_stats") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      t.overwrite(Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .repartitionByRange(8, col("o_orderkey")))
+      t.readWhereRange("o_orderkey", 1000, 5000)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x8: change feed — a consumer that has seen version 0 reads ONLY
+    // the files appended since (never rescans the table); gated on
+    // the change set's content
+    "x8_tx_changes"      -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_cdf") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      t.overwrite(o.where(col("o_orderkey") % 3 === 0))  // v0: the seen base
+      t.append(o.where(col("o_orderkey") % 3 === 1))     // v1
+      t.append(o.where(col("o_orderkey") % 3 === 2))     // v2
+      t.changesSince(0)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x3: dynamic partition pruning — the Monday set flows out of a
     // runtime-filtered dim join, so only DynamicPruningExpression can
     // keep the `event_date=` fact scan to the matching partitions
@@ -871,6 +905,18 @@ object SparkEntry {
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "x7_tx_stats_skip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x8_tx_changes" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x6_tx_delete" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)

@@ -3,7 +3,7 @@ package graft.core
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, hash, pmod}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** Minimal transactional table on plain parquet — the capability the
   * reference gets from Delta (ascii-hydra `resources/spark.py:65-69`:
@@ -101,7 +101,8 @@ import org.apache.spark.sql.types.StructType
   * explicitly. Dropping/retyping existing columns is refused — silent
   * coercion is how corpora rot.
   */
-final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
+final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
+    statsOnWrite: Boolean) {
   import TxTable._
 
   private def logDir  = new Path(root, LogDirName)
@@ -203,6 +204,31 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     readEntries(m, m.files.filter(f => pred(f.partition)))
   }
 
+  /** Data-skipping read: `column BETWEEN lo AND hi`, with files whose
+    * manifest [min,max] range cannot intersect the bound DROPPED AT
+    * PLANNING TIME (zone-map pruning over the commit log — the
+    * per-file-stats discipline of transactional formats). Files
+    * without stats for the column are kept; the residual WHERE makes
+    * the result exact regardless of pruning. Sorted/range-partitioned
+    * ingest makes ranges disjoint and the skip rate high. */
+  def readWhereRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val m = manifest(v)
+    val dt = StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name == column)
+      .getOrElse(sys.error(s"$root has no column $column")).dataType
+    val kept = m.files.filter { f =>
+      (f.min.get(column), f.max.get(column)) match {
+        case (Some(mn), Some(mx)) =>
+          statOverlaps(dt, mn, mx, lo.toString, hi.toString)
+        case _ => true
+      }
+    }
+    readEntries(m, kept)
+      .where(col(column) >= org.apache.spark.sql.functions.lit(lo) &&
+        col(column) <= org.apache.spark.sql.functions.lit(hi))
+  }
+
   private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     val df0 =
@@ -214,6 +240,31 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
     // leaf-file paths) and the bucket column are plumbing, not data
     val df = df0.drop(df0.columns.filter(_.startsWith(PartShadowPrefix)): _*)
     if (m.bucketSpec.isDefined) df.drop(BucketCol) else df
+  }
+
+  /** Rows ADDED after snapshot `fromVersion` up to `toVersion`
+    * (default latest) — the incremental-consumption surface (change
+    * feed): a downstream job checkpoints the version it has seen and
+    * reads only the NEW files on each poll, never rescanning the
+    * table. Exact precisely when every intervening commit is
+    * file-additive (append); overwrite/merge/delete/compact rewrite
+    * files, so the file diff is not a row diff — refused with the
+    * offending operation named (resume past it by re-reading the full
+    * snapshot, the standard change-feed reset). */
+  def changesSince(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    val to = toVersion.orElse(latestVersion).getOrElse(
+      sys.error(s"$root has no committed snapshots"))
+    require(to >= fromVersion, s"$root: changesSince($fromVersion) > latest $to")
+    val nonAdditive = (fromVersion + 1) to to map manifest collectFirst {
+      case m if m.operation != OpAppend => m
+    }
+    nonAdditive.foreach(m => sys.error(
+      s"$root version ${m.version} is '${m.operation}', not append — " +
+        "file diff is not a row diff; reset the change-feed consumer " +
+        "from a full snapshot read"))
+    val seen = manifest(fromVersion).files.map(_.path).toSet
+    val m = manifest(to)
+    readEntries(m, m.files.filterNot(f => seen(f.path)))
   }
 
   // ---- writes -------------------------------------------------------------
@@ -455,11 +506,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
       pmod(hash(spec.cols.map(col): _*), org.apache.spark.sql.functions.lit(spec.n)))
 
   /** Land `df` as immutable parquet files in a fresh write dir;
-    * returns (file entries with partition values, written DATA
-    * schema — which INCLUDES the layout columns, because they are
-    * duplicated into the data via `__pt_` shadow columns before
-    * `partitionBy` strips the shadows). Uncommitted on crash: no
-    * manifest references the dir, vacuum reclaims it. */
+    * returns (file entries with partition values + per-file column
+    * stats, written DATA schema — which INCLUDES the layout columns,
+    * because they are duplicated into the data via `__pt_` shadow
+    * columns before `partitionBy` strips the shadows). Uncommitted on
+    * crash: no manifest references the dir, vacuum reclaims it.
+    *
+    * Stats: min/max per file for every top-level integral/floating/
+    * string column, computed with ONE Spark pass over the fresh files
+    * (grouped by input_file_name) — so prune-time comparisons use
+    * exactly Spark's ordering semantics, no parquet-footer type
+    * decoding. Values ride the manifest as strings; [[readWhereRange]]
+    * re-types them against the snapshot schema. */
   private def writeDataFiles(df: DataFrame,
       partitionCols: Seq[String]): (Seq[FileEntry], StructType) = {
     val writeId = java.util.UUID.randomUUID().toString.take(12)
@@ -471,16 +529,45 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem) {
         (d, c) => d.withColumn(PartShadowPrefix + c, col(c)))
       shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
     }
+    val stats =
+      if (statsOnWrite) collectFileStats(dst, df.schema)
+      else Map.empty[String, (Map[String, String], Map[String, String])]
     val it = fs.listFiles(dst, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
-        entries += FileEntry(rel, parsePartition(rel))
+        val (mins, maxs) = stats.getOrElse(rel, (Map.empty[String, String], Map.empty[String, String]))
+        entries += FileEntry(rel, parsePartition(rel), mins, maxs)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
+  }
+
+  /** One aggregation pass over a fresh write dir: per file, min/max of
+    * every stats-eligible column, string-encoded. */
+  private def collectFileStats(dst: Path,
+      schema: StructType): Map[String, (Map[String, String], Map[String, String])] = {
+    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
+    val statCols = schema.fields.filter(f => statsEligible(f.dataType))
+      .map(_.name).filterNot(_ == BucketCol)
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap(c => Seq(
+      fmin(col(c)).cast("string").as(s"min_$c"),
+      fmax(col(c)).cast("string").as(s"max_$c")))
+    spark.read.schema(schema).parquet(dst.toString)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per fresh file — model-sized
+      .map { row =>
+        val file = relativize(new Path(new java.net.URI(row.getString(0))))
+        val mins = statCols.flatMap(c => Option(row.getAs[String](s"min_$c"))
+          .map(c -> _)).toMap
+        val maxs = statCols.flatMap(c => Option(row.getAs[String](s"max_$c"))
+          .map(c -> _)).toMap
+        file -> (mins, maxs)
+      }.toMap
   }
 
   /** `__pt_k=v` path segments → (k → unescaped v). */
@@ -597,10 +684,15 @@ object TxTable {
   private val OpMerge = "merge"
   private val OpDelete = "delete"
 
-  def apply(spark: SparkSession, path: String): TxTable = {
+  /** `statsOnWrite=false` skips the one-pass min/max collection per
+    * write — the high-rate streaming-ingest tradeoff (no zone maps on
+    * fresh files; a later [[TxTable.compact]] through a stats-on
+    * handle restores them). */
+  def apply(spark: SparkSession, path: String,
+      statsOnWrite: Boolean = true): TxTable = {
     val root = new Path(path)
     new TxTable(spark, root,
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration))
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), statsOnWrite)
   }
 
   /** True iff `path` carries a TxTable commit log. */
@@ -642,10 +734,50 @@ object TxTable {
     }
   }
 
-  /** One data file of a snapshot: root-relative path + the partition
-    * values parsed from its layout dirs (empty for flat tables). */
+  /** One data file of a snapshot: root-relative path, the partition
+    * values parsed from its layout dirs (empty for flat tables), and
+    * per-column min/max (string-encoded; empty when stats don't apply
+    * — readers treat missing stats conservatively). */
   private[graft] final case class FileEntry(path: String,
-      partition: Map[String, String])
+      partition: Map[String, String],
+      min: Map[String, String] = Map.empty,
+      max: Map[String, String] = Map.empty)
+
+  /** Columns whose min/max ride the manifest: orderable scalars whose
+    * string encoding round-trips (numerics via BigDecimal, strings via
+    * unsigned-byte order — Spark's own UTF8 ordering). */
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType |
+           FloatType | DoubleType | StringType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+
+  /** [min,max] interval comparison in the column's own order. Any
+    * unparsable stat (e.g. NaN) keeps the file — pruning must never
+    * drop rows. */
+  private def statOverlaps(dt: org.apache.spark.sql.types.DataType,
+      mn: String, mx: String, lo: String, hi: String): Boolean =
+    try statCmp(dt, mx, lo) >= 0 && statCmp(dt, mn, hi) <= 0
+    catch { case _: NumberFormatException => true }
+
+  private def statCmp(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Int = dt match {
+    case StringType =>
+      // unsigned byte order = UTF8String ordering (what Spark's
+      // min/max computed)
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < x.length && i < y.length) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+  }
 
   /** Key-bucketing spec for copy-on-write merges. */
   private[graft] final case class BucketSpec(cols: Seq[String], n: Int)
@@ -691,6 +823,14 @@ object TxTable {
           val po = fo.putObject("partition")
           f.partition.foreach { case (k, v) => po.put(k, v) }
         }
+        if (f.min.nonEmpty) {
+          val mo = fo.putObject("min")
+          f.min.foreach { case (k, v) => mo.put(k, v) }
+        }
+        if (f.max.nonEmpty) {
+          val mo = fo.putObject("max")
+          f.max.foreach { case (k, v) => mo.put(k, v) }
+        }
       }
       node.put("num_files", files.size)
       om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
@@ -701,18 +841,19 @@ object TxTable {
     def fromJson(json: String): Manifest = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val n = om.readTree(json)
+      def strMap(node: com.fasterxml.jackson.databind.JsonNode,
+          field: String): Map[String, String] =
+        Option(node.get(field)).map { p =>
+          val it = p.fields()
+          val b = Map.newBuilder[String, String]
+          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+          b.result()
+        }.getOrElse(Map.empty)
       val files = (0 until n.get("files").size()).map { i =>
         val f = n.get("files").get(i)
         if (f.isTextual) FileEntry(f.asText(), Map.empty)
-        else {
-          val part = Option(f.get("partition")).map { p =>
-            val it = p.fields()
-            val b = Map.newBuilder[String, String]
-            while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-            b.result()
-          }.getOrElse(Map.empty[String, String])
-          FileEntry(f.get("path").asText(), part)
-        }
+        else FileEntry(f.get("path").asText(), strMap(f, "partition"),
+          strMap(f, "min"), strMap(f, "max"))
       }
       val partCols = Option(n.get("partition_cols")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)

@@ -308,7 +308,10 @@ object EventsStream {
   def runForeachBatchUpsertTx(spark: SparkSession, events: DataFrame,
       tableDir: String, nBuckets: Int = 16): DataFrame =
     withStatePartitions(spark) {
-      val t = graft.core.TxTable(spark, tableDir)
+      // stats off: a per-microbatch min/max scan is the wrong trade
+      // at streaming rates; compact through a stats-on handle later
+      // if the state table needs zone maps
+      val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
       val q = events.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
           upsertBatchTx(t, batch, batchId, nBuckets)

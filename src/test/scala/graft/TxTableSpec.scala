@@ -288,6 +288,53 @@ class TxTableSpec extends SparkSpec {
     assert(p.read().count() == 60)
   }
 
+  test("per-file stats prune a range read; files without overlap never scanned") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_stats")
+    // range-partitioned write → disjoint id ranges per file
+    t.overwrite((0 until 10000).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("id", "name", "score").repartitionByRange(8, col("id")))
+    val entries = t.fileEntries(0)
+    assert(entries.forall(f => f.min.contains("id") && f.max.contains("id")))
+    assert(entries.forall(f => f.min.contains("name")), "string stats too")
+    val pruned = t.readWhereRange("id", 100, 200)
+    assert(pruned.inputFiles.length < entries.size,
+      s"no files skipped: ${pruned.inputFiles.length} of ${entries.size}")
+    assert(pruned.count() == 101)
+    assert(pruned.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(100L, 200L))
+    // stats survive append + merge paths and stay conservative:
+    // a file without overlap is skipped, result still exact
+    t.append(Seq((20000L, "x", 0.0)).toDF("id", "name", "score"))
+    assert(t.readWhereRange("id", 19999, 20001).count() == 1)
+    // string-range read over the same table (unsigned byte order):
+    // lexicographically ["n100","n101"] ∋ n100, n1000..n1009, n101
+    val s = t.readWhereRange("name", "n100", "n101")
+    assert(s.count() == 12)
+  }
+
+  test("changesSince reads only appended files; refuses across rewrites") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_cdf")
+    t.overwrite(df(0 until 10))
+    t.append(df(10 until 15))
+    t.append(df(15 until 18))
+    val changes = t.changesSince(0)
+    assert(changes.count() == 8)
+    assert(changes.agg(min("id"), max("id")).head() ==
+      org.apache.spark.sql.Row(10L, 17L))
+    // the scan touches only post-v0 files
+    val v0Files = t.fileEntries(0).map(_.path).toSet
+    assert(changes.inputFiles.forall(f => !v0Files.exists(f.endsWith)))
+    // intermediate window
+    assert(t.changesSince(1, Some(2)).count() == 3)
+    assert(t.changesSince(2).count() == 0)
+    // a rewrite invalidates the file-diff semantics: refuse, name it
+    t.compact()
+    val e = intercept[RuntimeException](t.changesSince(0).count())
+    assert(e.getMessage.contains("compact"))
+  }
+
   test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_hint")
