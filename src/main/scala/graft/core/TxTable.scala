@@ -255,6 +255,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val to = toVersion.orElse(latestVersion).getOrElse(
       sys.error(s"$root has no committed snapshots"))
     require(to >= fromVersion, s"$root: changesSince($fromVersion) > latest $to")
+    // retention interacts with change feeds: an expired manifest in
+    // the polled range is the same invalidation as a rewrite — emit
+    // the reset signal, not a raw missing-file error
+    (fromVersion to to).find(v => !fs.exists(manifestPath(v))).foreach(v =>
+      sys.error(s"$root version $v expired (snapshot retention) — " +
+        "reset the change-feed consumer from a full snapshot read"))
     val nonAdditive = (fromVersion + 1) to to map manifest collectFirst {
       case m if m.operation != OpAppend => m
     }
@@ -348,23 +354,30 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       sys.error(s"$root is not bucketed — overwriteBucketed first"))
     requireCompatible(StructType.fromDDL(m.schemaDdl),
       source.schema, allowNew = false)
-    // buckets the source touches: bounded by nBuckets, collected as a
-    // model-sized driver list (the c10/probe-id discipline)
-    val touched: Set[String] = withBucket(source, spec)
-      .select(col(BucketCol)).distinct()
-      .collect().map(_.getInt(0).toString).toSet
-    val (affected, untouched) =
-      m.files.partition(f => f.partition.get(BucketCol).exists(touched))
-    val existing = readEntries(m, affected)
-    val resolved = resolve(existing, source)
-    val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
-    requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
-    commit { latest =>
-      require(latest.exists(_.version == m.version),
-        s"concurrent commit during merge into $root — rerun merge")
-      Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
-        Some(spec), txn)
-    }
+    // pin ONE evaluation of the source (localCheckpoint, the
+    // probeSignatureIndex discipline): it feeds both the touched-
+    // bucket set and the resolve — a non-deterministic source
+    // re-evaluated between the two could hash a key into a bucket
+    // the plan didn't rewrite, silently breaking replace-by-key
+    val src = withBucket(source, spec).localCheckpoint(true)
+    try {
+      // buckets the source touches: bounded by nBuckets, collected as
+      // a model-sized driver list (the c10/probe-id discipline)
+      val touched: Set[String] = src.select(col(BucketCol)).distinct()
+        .collect().map(_.getInt(0).toString).toSet
+      val (affected, untouched) =
+        m.files.partition(f => f.partition.get(BucketCol).exists(touched))
+      val existing = readEntries(m, affected)
+      val resolved = resolve(existing, src.drop(BucketCol))
+      val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
+      requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
+      commit { latest =>
+        require(latest.exists(_.version == m.version),
+          s"concurrent commit during merge into $root — rerun merge")
+        Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
+          Some(spec), txn)
+      }
+    } finally { src.unpersist(); () }
   }
 
   /** MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE SET *

@@ -264,8 +264,6 @@ object Relational {
         size(map_keys(col("m"))).as("n_keys"))
       .orderBy("event_id")
 
-  /** Q18 approximate distinct (HLL++) vs exact — ±5% tolerance, so
-    * rows-only checked (no DuckDB hash oracle). */
   /** Q18 — HLL approximate distinct, gated as a TOLERANCE CHECK: the
     * estimate itself has no SQL twin, so the query pairs it with the
     * exact distinct and emits whether the estimate landed within ±5%

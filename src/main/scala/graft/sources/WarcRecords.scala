@@ -94,7 +94,7 @@ object WarcRecords {
       val len = fields.get("content-length").flatMap(_.toLongOption)
         .getOrElse(return None)
       val payloadStart = headerEnd + 4
-      if (payloadStart + len > b.length) return None // truncated
+      if (len < 0 || payloadStart + len > b.length) return None // corrupt/truncated
       val payload = java.util.Arrays.copyOfRange(
         b, payloadStart, payloadStart + len.toInt)
       val rec = WarcRecord(srcFile,

@@ -177,6 +177,27 @@ class StreamingSpec extends SparkSpec {
     assert(t.lastTxn(EventsStream.UpsertAppId).contains(committed.length - 1L))
   }
 
+  test("TxTable upsert refuses a checkpoint reset instead of silently dropping batches") {
+    import spark.implicits._
+    val tableDir = EventsStream.scratchDir("upsert_tx_reset") + "/t"
+    val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
+    def batch(id: Long, v: Double) =
+      Seq((id, new java.sql.Timestamp(1000L * id), id, v))
+        .toDF("event_id", "ts", "user_id", "value")
+    EventsStream.upsertBatchTx(t, batch(1, 1.0), batchId = 0, nBuckets = 4)
+    EventsStream.upsertBatchTx(t, batch(2, 2.0), batchId = 1, nBuckets = 4)
+    val versions = t.versions
+    // replay of the LAST batch no-ops (exactly-once)
+    EventsStream.upsertBatchTx(t, batch(2, 999.0), batchId = 1, nBuckets = 4)
+    assert(t.versions == versions)
+    // a fresh checkpoint restarting at 0 against the live table must
+    // FAIL, not silently discard the new stream's first batches
+    val e = intercept[IllegalArgumentException](
+      EventsStream.upsertBatchTx(t, batch(3, 3.0), batchId = 0, nBuckets = 4))
+    assert(e.getMessage.contains("checkpoint reset"))
+    assert(t.versions == versions)
+  }
+
   test("foreachBatch upsert survives a driver restart: disk-recovered state") {
     // restart semantics: the first process drains HALF the source and
     // dies (simulated by a fresh runForeachBatchUpsert invocation —

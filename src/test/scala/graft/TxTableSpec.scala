@@ -333,6 +333,11 @@ class TxTableSpec extends SparkSpec {
     t.compact()
     val e = intercept[RuntimeException](t.changesSince(0).count())
     assert(e.getMessage.contains("compact"))
+    // retention invalidates it too: an expired manifest in the polled
+    // range emits the reset signal, not a raw missing-file error
+    t.expireSnapshots(keepLast = 1)
+    val e2 = intercept[RuntimeException](t.changesSince(1))
+    assert(e2.getMessage.contains("reset the change-feed consumer"))
   }
 
   test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
