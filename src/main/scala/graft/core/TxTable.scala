@@ -450,6 +450,67 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** Z-order clustering compaction: rewrite the current snapshot
+    * ordered along the Morton curve over `zCols`, so per-file
+    * [min,max] ranges stay tight in EVERY listed dimension and
+    * [[readWhereRange]] skips files for predicates on ANY of them —
+    * multi-dimensional data skipping, where a plain sort only serves
+    * its leading column. Numeric columns only (curve coordinates are
+    * min/max-normalized 16-bit ranks; the normalization bounds come
+    * from one cheap aggregate). The z-value is pure column arithmetic
+    * (magic-number bit spreading — codegen'd, no UDF); the rewrite is
+    * range-partitioned and sorted by it, then committed like any
+    * [[compact]] — readers flip manifests, never block. */
+  def compactZOrder(zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    require(zCols.size >= 2 && zCols.size <= 3,
+      "z-order needs 2..3 numeric columns (16-bit ranks × stride stay " +
+        "inside a positive long)")
+    val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
+    val m = manifest(v)
+    require(m.partitionCols.isEmpty && m.bucketSpec.isEmpty,
+      s"$root: z-order compaction supports flat tables (layout owns the " +
+        "file mapping on partitioned/bucketed tables)")
+    val base = readVersion(v)
+    import org.apache.spark.sql.functions.{lit => flit, min => fmin, max => fmax}
+    // normalization bounds: one tiny agg, broadcast as literals
+    val aggExprs = zCols.flatMap(c => Seq(fmin(col(c)), fmax(col(c))))
+    val bounds = base.agg(aggExprs.head, aggExprs.tail: _*).head()
+    def rank16(c: String, i: Int): Column = {
+      require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
+        s"$root: z-order column $c has no non-null values")
+      val lo = bounds.getAs[Any](2 * i).toString.toDouble
+      val hi = bounds.getAs[Any](2 * i + 1).toString.toDouble
+      val span = if (hi > lo) hi - lo else 1.0
+      ((col(c).cast("double") - flit(lo)) / flit(span) * flit(65535.0))
+        .cast("long")
+    }
+    // Morton spread of a 16-bit value to every zCols.size-th bit
+    // (the standard magic-number dilation, generalized to stride k)
+    def spread(x0: Column, k: Int): Column =
+      (0 until 16).map { bit =>
+        org.apache.spark.sql.functions.shiftleft(
+          org.apache.spark.sql.functions.shiftright(x0, bit)
+            .bitwiseAND(flit(1L)), bit * k)
+      }.reduce(_ bitwiseOR _)
+    val z = zCols.zipWithIndex.map { case (c, i) =>
+      org.apache.spark.sql.functions.shiftleft(
+        spread(rank16(c, i), zCols.size), i)
+    }.reduce(_ bitwiseOR _)
+    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val clustered = base.withColumn(ZTmpCol, z)
+      .repartitionByRange(n, col(ZTmpCol))
+      .sortWithinPartitions(ZTmpCol)
+      .drop(ZTmpCol)
+    val (files, schema) = writeDataFiles(clustered, Nil)
+    commit { latest =>
+      require(latest.exists(_.version == m.version),
+        s"concurrent commit during z-order compact of $root — rerun")
+      Pending(OpCompact, files, schemaDdlOf(schema), Nil, None, None)
+    }
+  }
+
   /** Commit history, oldest first — the DESCRIBE HISTORY surface
     * (version, operation, file count) a transactional table owes its
     * operators; reads only the (small) manifests. */
@@ -684,6 +745,9 @@ object TxTable {
     * `partitionBy` directory layout (the original column stays in the
     * data files). */
   private val PartShadowPrefix = "__pt_"
+
+  /** Transient z-value column during [[TxTable.compactZOrder]]. */
+  private val ZTmpCol = "__zorder"
 
   /** One lock object per canonical table root — serializes the
     * exists+rename publish within this JVM (see commit()). */

@@ -313,6 +313,33 @@ class TxTableSpec extends SparkSpec {
     assert(s.count() == 12)
   }
 
+  test("z-order compaction: range reads skip files in BOTH curve dimensions") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_zorder")
+    // 100×100 grid, written in row-major order: a plain x-sort serves
+    // x-ranges but every file spans the full y domain
+    val grid = (0 until 100).flatMap(x => (0 until 100).map(y =>
+      (x.toLong, y.toLong, x * 1000L + y)))
+      .toDF("x", "y", "payload")
+    t.overwrite(grid.repartitionByRange(16, col("x")))
+    val total = t.fileEntries(t.latestVersion.get).size
+    val yBefore = t.readWhereRange("y", 10, 15)
+    assert(yBefore.inputFiles.length == total,
+      "x-sorted layout shouldn't skip anything on y — else the test is vacuous")
+    val vz = t.compactZOrder(Seq("x", "y"), targetFileBytes = 8 * 1024)
+    val nz = t.fileEntries(vz).size
+    assert(nz > 4, s"need several files to demonstrate skipping, got $nz")
+    // both dimensions now skip
+    val xFiles = t.readWhereRange("x", 10, 15).inputFiles.length
+    val yFiles = t.readWhereRange("y", 10, 15).inputFiles.length
+    assert(xFiles < nz, s"x-range read $xFiles of $nz files — no skip")
+    assert(yFiles < nz, s"y-range read $yFiles of $nz files — no skip")
+    // and the rewrite changed no data
+    assert(t.readVersion(vz).exceptAll(grid).count() == 0)
+    assert(grid.exceptAll(t.readVersion(vz)).count() == 0)
+    assert(t.readWhereRange("y", 10, 15).count() == 600)
+  }
+
   test("changesSince reads only appended files; refuses across rewrites") {
     import spark.implicits._
     val (t, _) = freshTable("tx_cdf")
