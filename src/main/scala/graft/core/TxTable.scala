@@ -214,19 +214,27 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   def readWhereRange(column: String, lo: Any, hi: Any): DataFrame = {
     val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
     val m = manifest(v)
-    val dt = StructType.fromDDL(m.schemaDdl).fields
-      .find(_.name == column)
-      .getOrElse(sys.error(s"$root has no column $column")).dataType
+    // resolve case-insensitively like the rest of Spark's analyzer,
+    // then use the SCHEMA's canonical spelling everywhere (the stats
+    // maps are keyed by it)
+    val field = StructType.fromDDL(m.schemaDdl).fields
+      .find(_.name.equalsIgnoreCase(column))
+      .getOrElse(sys.error(s"$root has no column $column"))
+    val name = field.name
+    // each bound prunes independently (a truncated-away string max
+    // still leaves the min usable); unparsable stats keep the file —
+    // pruning must never drop rows
     val kept = m.files.filter { f =>
-      (f.min.get(column), f.max.get(column)) match {
-        case (Some(mn), Some(mx)) =>
-          statOverlaps(dt, mn, mx, lo.toString, hi.toString)
-        case _ => true
-      }
+      try
+        f.max.get(name).forall(mx =>
+          statCmp(field.dataType, mx, lo.toString) >= 0) &&
+        f.min.get(name).forall(mn =>
+          statCmp(field.dataType, mn, hi.toString) <= 0)
+      catch { case _: NumberFormatException => true }
     }
     readEntries(m, kept)
-      .where(col(column) >= org.apache.spark.sql.functions.lit(lo) &&
-        col(column) <= org.apache.spark.sql.functions.lit(hi))
+      .where(col(name) >= org.apache.spark.sql.functions.lit(lo) &&
+        col(name) <= org.apache.spark.sql.functions.lit(hi))
   }
 
   private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
@@ -256,20 +264,27 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       sys.error(s"$root has no committed snapshots"))
     require(to >= fromVersion, s"$root: changesSince($fromVersion) > latest $to")
     // retention interacts with change feeds: an expired manifest in
-    // the polled range is the same invalidation as a rewrite — emit
-    // the reset signal, not a raw missing-file error
-    (fromVersion to to).find(v => !fs.exists(manifestPath(v))).foreach(v =>
-      sys.error(s"$root version $v expired (snapshot retention) — " +
-        "reset the change-feed consumer from a full snapshot read"))
-    val nonAdditive = (fromVersion + 1) to to map manifest collectFirst {
-      case m if m.operation != OpAppend => m
-    }
+    // the polled range is the same invalidation as a rewrite — always
+    // surface the reset signal, never a raw missing-file error (the
+    // read itself races concurrent expiry, so the catch — not a
+    // pre-scan — is what makes the contract airtight)
+    def manifestOrReset(v: Long): Manifest =
+      try manifest(v)
+      catch { case _: IllegalArgumentException => sys.error(
+        s"$root version $v expired (snapshot retention) — " +
+          "reset the change-feed consumer from a full snapshot read")
+      }
+    // lazy scan: stop reading manifests at the first non-append
+    val nonAdditive = ((fromVersion + 1) to to).iterator
+      .map(manifestOrReset).collectFirst {
+        case m if m.operation != OpAppend => m
+      }
     nonAdditive.foreach(m => sys.error(
       s"$root version ${m.version} is '${m.operation}', not append — " +
         "file diff is not a row diff; reset the change-feed consumer " +
         "from a full snapshot read"))
-    val seen = manifest(fromVersion).files.map(_.path).toSet
-    val m = manifest(to)
+    val seen = manifestOrReset(fromVersion).files.map(_.path).toSet
+    val m = manifestOrReset(to)
     readEntries(m, m.files.filterNot(f => seen(f.path)))
   }
 
@@ -433,8 +448,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
     val m = manifest(v)
-    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val n = targetFileCount(m, targetFileBytes)
     val spec = m.bucketSpec
     val base = readVersion(v)
     val laid = spec.map(withBucket(base, _)).getOrElse(base)
@@ -473,6 +487,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         "file mapping on partitioned/bucketed tables)")
     val base = readVersion(v)
     import org.apache.spark.sql.functions.{lit => flit, min => fmin, max => fmax}
+    // curve coordinates must be numeric — fail with the type named,
+    // not a NumberFormatException from a stringified timestamp
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    zCols.foreach { c =>
+      val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(sys.error(s"$root has no column $c"))
+      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"z-order column $c is ${f.dataType.simpleString} — " +
+          "curve coordinates must be numeric")
+    }
     // normalization bounds: one tiny agg, broadcast as literals
     val aggExprs = zCols.flatMap(c => Seq(fmin(col(c)), fmax(col(c))))
     val bounds = base.agg(aggExprs.head, aggExprs.tail: _*).head()
@@ -481,9 +505,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         s"$root: z-order column $c has no non-null values")
       val lo = bounds.getAs[Any](2 * i).toString.toDouble
       val hi = bounds.getAs[Any](2 * i + 1).toString.toDouble
+      require(!lo.isNaN && !hi.isNaN,
+        s"$root: z-order column $c bound is NaN — a NaN coordinate " +
+          "would silently corrupt the curve; filter or repair first")
       val span = if (hi > lo) hi - lo else 1.0
-      ((col(c).cast("double") - flit(lo)) / flit(span) * flit(65535.0))
-        .cast("long")
+      // clamp: out-of-range inputs (incl. NaN rows, which cast to 0)
+      // stay inside the 16-bit rank domain instead of wrapping the
+      // curve non-monotonically
+      org.apache.spark.sql.functions.least(
+        org.apache.spark.sql.functions.greatest(
+          ((col(c).cast("double") - flit(lo)) / flit(span) * flit(65535.0))
+            .cast("long"), flit(0L)), flit(65535L))
     }
     // Morton spread of a 16-bit value to every zCols.size-th bit
     // (the standard magic-number dilation, generalized to stride k)
@@ -497,8 +529,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       org.apache.spark.sql.functions.shiftleft(
         spread(rank16(c, i), zCols.size), i)
     }.reduce(_ bitwiseOR _)
-    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
-    val n = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val n = targetFileCount(m, targetFileBytes)
     val clustered = base.withColumn(ZTmpCol, z)
       .repartitionByRange(n, col(ZTmpCol))
       .sortWithinPartitions(ZTmpCol)
@@ -509,6 +540,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         s"concurrent commit during z-order compact of $root — rerun")
       Pending(OpCompact, files, schemaDdlOf(schema), Nil, None, None)
     }
+  }
+
+  /** Shared compaction sizing: rewrite into ~targetFileBytes files. */
+  private def targetFileCount(m: Manifest, targetFileBytes: Long): Int = {
+    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
+    math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
   }
 
   /** Commit history, oldest first — the DESCRIBE HISTORY surface
@@ -623,13 +660,28 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * every stats-eligible column, string-encoded. */
   private def collectFileStats(dst: Path,
       schema: StructType): Map[String, (Map[String, String], Map[String, String])] = {
-    import org.apache.spark.sql.functions.{input_file_name, min => fmin, max => fmax}
-    val statCols = schema.fields.filter(f => statsEligible(f.dataType))
-      .map(_.name).filterNot(_ == BucketCol)
+    import org.apache.spark.sql.functions.{input_file_name, length => flen,
+      min => fmin, max => fmax, substring, when}
+    val fields = schema.fields.filter(f => statsEligible(f.dataType))
+      .filterNot(_.name == BucketCol)
+    val statCols = fields.map(_.name)
     if (statCols.isEmpty) return Map.empty
-    val aggs = statCols.flatMap(c => Seq(
-      fmin(col(c)).cast("string").as(s"min_$c"),
-      fmax(col(c)).cast("string").as(s"max_$c")))
+    val aggs = fields.flatMap { f =>
+      val c = f.name
+      f.dataType match {
+        case StringType =>
+          // corpus-sized strings must not bloat every manifest: a
+          // 32-char PREFIX of min is still a valid lower bound; max
+          // has no cheap safe upper bound when truncated, so a long
+          // max is dropped (file kept unless its min already prunes)
+          Seq(substring(fmin(col(c)), 1, StatStringMax).as(s"min_$c"),
+            when(flen(fmax(col(c))) <= StatStringMax, fmax(col(c)))
+              .as(s"max_$c"))
+        case _ => Seq(
+          fmin(col(c)).cast("string").as(s"min_$c"),
+          fmax(col(c)).cast("string").as(s"max_$c"))
+      }
+    }
     spark.read.schema(schema).parquet(dst.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -749,6 +801,10 @@ object TxTable {
   /** Transient z-value column during [[TxTable.compactZOrder]]. */
   private val ZTmpCol = "__zorder"
 
+  /** Longest string stat stored in a manifest (the Delta-style
+    * truncation horizon). */
+  private val StatStringMax = 32
+
   /** One lock object per canonical table root — serializes the
     * exists+rename publish within this JVM (see commit()). */
   private val publishLocks =
@@ -831,14 +887,12 @@ object TxTable {
       case _ => false
     }
 
-  /** [min,max] interval comparison in the column's own order. Any
-    * unparsable stat (e.g. NaN) keeps the file — pruning must never
-    * drop rows. */
-  private def statOverlaps(dt: org.apache.spark.sql.types.DataType,
-      mn: String, mx: String, lo: String, hi: String): Boolean =
-    try statCmp(dt, mx, lo) >= 0 && statCmp(dt, mn, hi) <= 0
-    catch { case _: NumberFormatException => true }
-
+  /** Compare a STAT string `a` against a BOUND string `b` in the
+    * column's order. Asymmetric for floats: the stat string is a
+    * FLOAT's repr and must widen through float (what the residual
+    * double-space filter sees for the stored value) while the bound
+    * parses as a plain double — comparing both as decimals could
+    * prune a file whose float values pass the residual filter. */
   private def statCmp(dt: org.apache.spark.sql.types.DataType,
       a: String, b: String): Int = dt match {
     case StringType =>
@@ -853,6 +907,15 @@ object TxTable {
         i += 1
       }
       x.length - y.length
+    case FloatType =>
+      // the stat string is a FLOAT's repr: parse it as float and
+      // widen, because that is the value the residual filter compares
+      // in double space ("0.1" stored for 0.1f must compare as
+      // 0.10000000149..., not 0.1 — else pruning can drop rows)
+      java.lang.Double.compare(
+        java.lang.Float.parseFloat(a).toDouble, b.toDouble)
+    case DoubleType =>
+      java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
   }
 

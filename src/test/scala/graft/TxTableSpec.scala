@@ -311,6 +311,37 @@ class TxTableSpec extends SparkSpec {
     // lexicographically ["n100","n101"] ∋ n100, n1000..n1009, n101
     val s = t.readWhereRange("name", "n100", "n101")
     assert(s.count() == 12)
+    // case-insensitive column resolution (the analyzer's default)
+    assert(t.readWhereRange("ID", 100, 200).count() == 101)
+  }
+
+  test("float stats never prune rows the residual filter would keep") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_stats_float")
+    // 0.1f widens to 0.10000000149...; a decimal-space comparison of
+    // the stored stat string "0.1" against this bound would wrongly
+    // prune the file
+    t.overwrite(Seq((1L, 0.1f), (2L, 0.05f)).toDF("id", "fscore"))
+    val bound = 0.10000000100
+    val r = t.readWhereRange("fscore", bound, 0.2)
+    assert(r.count() == 1, "float row inside the bound was pruned away")
+    assert(r.head.getLong(0) == 1L)
+  }
+
+  test("long string stats truncate: min keeps a 32-char prefix, max drops") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_stats_longstr")
+    val docs = (0 until 20).map(i => (i.toLong, s"doc_$i " + ("x" * 500)))
+      .toDF("id", "text")
+    t.overwrite(docs.repartitionByRange(4, col("id")))
+    val entries = t.fileEntries(0)
+    assert(entries.forall(_.min.get("text").forall(_.length <= 32)),
+      "manifest must not embed whole documents as stats")
+    assert(entries.forall(!_.max.contains("text")),
+      "a truncated string max is not a valid upper bound — must drop")
+    // min-prefix pruning still works and never loses rows
+    assert(t.readWhereRange("text", "doc_5", "doc_6").count() ==
+      docs.where(col("text") >= "doc_5" && col("text") <= "doc_6").count())
   }
 
   test("z-order compaction: range reads skip files in BOTH curve dimensions") {
