@@ -221,20 +221,36 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       .find(_.name.equalsIgnoreCase(column))
       .getOrElse(sys.error(s"$root has no column $column"))
     val name = field.name
+    // Float bounds widen asymmetrically: a Float bound makes the
+    // residual filter compare in FLOAT space while statCmp parses the
+    // bound as a plain double — hi = 0.1f would prune a file whose
+    // min stat "0.1" widens to 0.10000000149 > 0.1, yet rows equal to
+    // 0.1f pass the float residual. Widen the BOUND itself through
+    // float (0.1f → 0.10000000149) so pruning and the residual
+    // literal agree for every bound type.
+    val (blo, bhi) = field.dataType match {
+      case FloatType =>
+        def widen(x: Any): Any = x match {
+          case f: java.lang.Float => f.doubleValue()
+          case other              => other
+        }
+        (widen(lo), widen(hi))
+      case _ => (lo, hi)
+    }
     // each bound prunes independently (a truncated-away string max
     // still leaves the min usable); unparsable stats keep the file —
     // pruning must never drop rows
     val kept = m.files.filter { f =>
       try
         f.max.get(name).forall(mx =>
-          statCmp(field.dataType, mx, lo.toString) >= 0) &&
+          statCmp(field.dataType, mx, blo.toString) >= 0) &&
         f.min.get(name).forall(mn =>
-          statCmp(field.dataType, mn, hi.toString) <= 0)
+          statCmp(field.dataType, mn, bhi.toString) <= 0)
       catch { case _: NumberFormatException => true }
     }
     readEntries(m, kept)
-      .where(col(name) >= org.apache.spark.sql.functions.lit(lo) &&
-        col(name) <= org.apache.spark.sql.functions.lit(hi))
+      .where(col(name) >= org.apache.spark.sql.functions.lit(blo) &&
+        col(name) <= org.apache.spark.sql.functions.lit(bhi))
   }
 
   private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
@@ -386,6 +402,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val resolved = resolve(existing, src.drop(BucketCol))
       val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
       requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
+      // the ⊆ check above lets a resolver that DROPS a column pass;
+      // the commit would keep m.schemaDdl and reads would silently
+      // null-backfill that column in the rewritten buckets while
+      // untouched buckets keep real values — require the resolved
+      // field set to cover every table column (modulo __bucket)
+      val resolvedNames = schema.fieldNames.toSet
+      val dropped = StructType.fromDDL(m.schemaDdl).fieldNames
+        .filterNot(n => n == BucketCol || resolvedNames.contains(n))
+      require(dropped.isEmpty,
+        s"merge resolver dropped column(s) ${dropped.mkString(", ")} — " +
+          "resolved rows must keep every table column")
       commit { latest =>
         require(latest.exists(_.version == m.version),
           s"concurrent commit during merge into $root — rerun merge")

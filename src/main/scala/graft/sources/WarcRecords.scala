@@ -81,8 +81,11 @@ object WarcRecords {
     private def parseOne(b: Array[Byte], start: Int): Option[(WarcRecord, Int)] = {
       val headerEnd = indexOfSeq(b, "\r\n\r\n".getBytes, start)
       if (headerEnd < 0) return None
+      // UTF-8, not US_ASCII: framing is byte-based (the \r\n\r\n scan
+      // above), so the charset only affects field VALUES — and a
+      // non-ASCII WARC-Target-URI must round-trip, not mangle to '?'
       val header = new String(b, start, headerEnd - start,
-        java.nio.charset.StandardCharsets.US_ASCII)
+        java.nio.charset.StandardCharsets.UTF_8)
       val fields: Map[String, String] = header.split("\r\n").iterator
         .flatMap { line =>
           line.indexOf(':') match {
@@ -147,8 +150,11 @@ object WarcRecords {
                 s"WARC-Record-ID: $id\r\n" +
                 s"WARC-Target-URI: $uri\r\n" +
                 s"Content-Length: ${payload.length}\r\n\r\n"
+            // UTF-8 headers (symmetric with the reader): Content-Length
+            // counts PAYLOAD octets only, so a multi-byte uri never
+            // shifts the framing
             out.write(header.getBytes(
-              java.nio.charset.StandardCharsets.US_ASCII))
+              java.nio.charset.StandardCharsets.UTF_8))
             out.write(payload)
             out.write("\r\n\r\n".getBytes(
               java.nio.charset.StandardCharsets.US_ASCII))

@@ -15,11 +15,10 @@ class PlanLintSpec extends SparkSpec {
     * kernels (one argmax per row), not a corpus × k join. */
   private val nestedLoopByDesign =
     Set("c5_cosine_neardup", "c6_ann_topk",
-      // c7/c10's IVF search itself plans no nested loop; since round 5
-      // their GATE embeds the c6 exact baseline (recall-bound oracle),
-      // so c6's declared BNLJ rides along — the measured IVF path is
-      // still kernel-probed hash joins (IvfIndexSpec pins the plan)
-      "c7_ann_ivf", "c10_ivf_persisted",
+      // (c7/c10 left this list in round 6: their recall gates now read
+      // the exact baseline from a persisted asset, so c6's declared
+      // BNLJ no longer rides along — the gate plans are pure IVF
+      // kernel-probed hash joins + the recall join)
       // t7's corpus-size factor rides a 1-ROW broadcast cross join
       // (the scalar-subquery shape; a nested loop over one row is a
       // constant) — not a data-dependent nested loop

@@ -326,6 +326,32 @@ class TxTableSpec extends SparkSpec {
     val r = t.readWhereRange("fscore", bound, 0.2)
     assert(r.count() == 1, "float row inside the bound was pruned away")
     assert(r.head.getLong(0) == 1L)
+    // FLOAT bounds (not just double) must agree with the residual
+    // filter too: hi = 0.1f — the stat "0.1" widens to 0.10000000149,
+    // which exceeds a raw 0.1 double bound but equals the widened
+    // float bound; rows at exactly 0.1f must survive
+    val rf = t.readWhereRange("fscore", 0.0f, 0.1f)
+    assert(rf.count() == 2, "float-typed hi bound pruned a row equal to it")
+  }
+
+  test("merge resolver that drops a column is refused") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_merge_dropcol")
+    t.overwriteBucketed(Seq((1L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "score"), Seq("id"), 4)
+    // a resolver emitting only a SUBSET of columns would pass the
+    // incoming⊆current check, commit the old schema, and silently
+    // null-backfill the rewritten buckets on read — must fail instead
+    val e = intercept[IllegalArgumentException] {
+      t.merge(Seq((1L, "a2", 9.9)).toDF("id", "name", "score")) {
+        (existing, src) => existing.select("id", "name")
+          .unionByName(src.select("id", "name"))
+      }
+    }
+    assert(e.getMessage.contains("dropped column"))
+    // nothing committed: the table still reads all three columns intact
+    assert(t.read().columns.toSet == Set("id", "name", "score"))
+    assert(t.read().where(col("score").isNull).count() == 0)
   }
 
   test("long string stats truncate: min keeps a 32-char prefix, max drops") {

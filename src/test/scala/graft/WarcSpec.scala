@@ -29,6 +29,20 @@ class WarcSpec extends SparkSpec {
     assert(back.where(col("content_length") =!= length(col("payload"))).count() == 0)
   }
 
+  test("non-ASCII target uris round-trip (UTF-8 headers)") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("warc_utf8")
+    val uris = Seq("https://ex.com/café", "https://ex.com/中文/doc")
+    val in = uris.map(u => (u, s"body of $u".getBytes("UTF-8"))).toDF("uri", "payload")
+    WarcRecords.write(in.repartition(1), dir)
+    val back = WarcRecords.read(spark, dir)
+    assert(back.count() == 2)
+    assert(back.select("target_uri").as[String].collect().toSet == uris.toSet,
+      "non-ASCII uri mangled through the header roundtrip")
+    // multi-byte headers must not shift the payload framing
+    assert(back.where(col("content_length") =!= length(col("payload"))).count() == 0)
+  }
+
   test("malformed records are skipped by re-syncing to the next magic") {
     def rec(uri: String, body: String): Array[Byte] =
       ascii(s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
