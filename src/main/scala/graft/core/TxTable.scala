@@ -15,16 +15,33 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   * Layout:
   * {{{
   *   table/
-  *     _graft_log/00000000000000000000.json   // manifest per snapshot
+  *     _graft_log/00000000000000000000.json            // commit DELTA per version
   *     _graft_log/00000000000000000001.json
-  *     _graft_log/_latest                     // resolution hint (see below)
-  *     data/<writeId>/part-*.parquet          // immutable data files
-  *     data/<writeId>/__pt_k=v/part-*.parquet // partitioned layout
+  *     _graft_log/00000000000000000010.checkpoint.json // full snapshot every 10 commits
+  *     _graft_log/_latest                              // version hint (see below)
+  *     _graft_log/_last_checkpoint                     // checkpoint hint
+  *     data/<writeId>/part-*.parquet                   // immutable data files
+  *     data/<writeId>/__pt_k=v/part-*.parquet          // partitioned layout
   * }}}
   *
-  * A manifest is the COMPLETE file listing of one snapshot plus the
-  * snapshot's schema (DDL), each file tagged with its partition
-  * values. All correctness flows from three rules:
+  * **Checkpointed commit log** (the Delta-log discipline, sized for
+  * 10⁶-file tables): each version's `N.json` records only the commit's
+  * DELTA — files added, file paths removed, the (small) layout/schema
+  * header, and the commit's transaction tag — so per-commit log bytes
+  * are ∝ files CHANGED, never ∝ table size. Every
+  * [[TxTable.CheckpointInterval]] commits, the full snapshot (complete
+  * file listing + stats + accumulated txn map) is additionally written
+  * to `N.checkpoint.json` (best-effort, AFTER the commit publishes —
+  * a missing checkpoint only lengthens the replay, never loses data).
+  * Snapshot state is reconstructed by walking back from the requested
+  * version to the nearest self-contained base (a checkpoint, or a
+  * pre-checkpoint-era full manifest) and replaying ≤ interval deltas
+  * forward; a JVM-wide cache of the latest reconstructed state per
+  * table root makes the hot path (streaming writer, repeated reads)
+  * zero extra log reads. The reconstructed state is the COMPLETE file
+  * listing of one snapshot plus the snapshot's schema (DDL), each file
+  * tagged with its partition values. All correctness flows from three
+  * rules:
   *
   *   1. **Data files are immutable and write-once.** Every write lands
   *      in a fresh `data/<writeId>/` dir; no commit ever mutates or
@@ -108,6 +125,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def logDir  = new Path(root, LogDirName)
   private def dataDir = new Path(root, "data")
   private def latestHintPath = new Path(logDir, "_latest")
+  private def lastCheckpointHintPath = new Path(logDir, "_last_checkpoint")
+  private def cacheKey: String = fs.makeQualified(root).toString
 
   // ---- snapshot resolution ------------------------------------------------
 
@@ -132,17 +151,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * fall back to the listing. */
   def latestVersion: Option[Long] = {
     var ops = 0
-    val hinted: Option[Long] =
-      try {
-        ops += 1
-        if (!fs.exists(latestHintPath)) None
-        else {
-          val in = fs.open(latestHintPath)
-          val s = try org.apache.commons.io.IOUtils.toString(
-            in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-          s.trim.toLongOption
-        }
-      } catch { case _: java.io.IOException => None }
+    val hinted: Option[Long] = { ops += 1; readHint(latestHintPath) }
     val resolved = hinted match {
       case Some(h) if { ops += 1; fs.exists(manifestPath(h)) } =>
         var v = h
@@ -157,19 +166,166 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   }
 
   private def manifestPath(v: Long) = new Path(logDir, f"$v%020d.json")
+  private def checkpointPath(v: Long) = new Path(logDir, f"$v%020d.checkpoint.json")
 
-  private def manifest(v: Long): Manifest = {
+  private def readLogFile(p: Path): String = {
+    val in = fs.open(p)
+    val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** The raw log entry of version `v` — a [[CommitDelta]] normally, a
+    * self-contained full [[Manifest]] for pre-checkpoint-era logs.
+    * The byte length rides along as the state-cache freshness token. */
+  private def logEntryWithLen(v: Long): (Either[Manifest, CommitDelta], Long) = {
     val p = manifestPath(v)
     require(fs.exists(p), s"snapshot $v of $root does not exist (expired?)")
     val in = fs.open(p)
     val bytes = try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
-    Manifest.fromJson(new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    (LogFormat.parseEntry(
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)),
+      bytes.length.toLong)
+  }
+
+  private def logEntry(v: Long): Either[Manifest, CommitDelta] =
+    logEntryWithLen(v)._1
+
+  /** Log reads (entry/checkpoint files opened + existence probes) the
+    * last [[manifest]] reconstruction made — instrumentation so tests
+    * can pin that state resolution stays O(interval), not O(commits),
+    * as the log grows. */
+  @volatile private[graft] var lastStateOps: Int = 0
+
+  /** Snapshot STATE of version `v`, reconstructed from the log:
+    * nearest self-contained base at or below `v` (the JVM cache, a
+    * checkpoint, or a legacy full manifest), plus ≤ interval replayed
+    * deltas. The cache holds the highest reconstructed state per table
+    * root — versions are immutable, so a cached state ≤ v is always a
+    * valid replay base; a cached state > v (time travel) falls back to
+    * the checkpoint walk. */
+  private def manifest(v: Long): Manifest = {
+    var ops = 0
+    var stateLen = -1L // entry byte length of the reconstructed version
+    // validate any cached candidate against the LIVE log before use: a
+    // root deleted and recreated in place restarts at version 0, so
+    // the live entry at the cached version has a different byte length
+    // — evict instead of replaying new deltas onto the stale base. An
+    // entry absent from disk is EXPIRY (valid immutable base) unless
+    // it is the exact requested version (retention contract: fail).
+    val cached: Option[Manifest] = TxTable.cachedStateFor(cacheKey)
+      .filter(_.m.version <= v)
+      .filter { c =>
+        val status =
+          try { ops += 1; Some(fs.getFileStatus(manifestPath(c.m.version))) }
+          catch { case _: java.io.FileNotFoundException => None }
+        status match {
+          case Some(st) =>
+            val fresh = c.entryLen < 0 || st.getLen == c.entryLen
+            if (!fresh) TxTable.evictState(cacheKey)
+            fresh
+          case None =>
+            require(c.m.version != v,
+              s"snapshot $v of $root does not exist (expired?)")
+            true
+        }
+      }.map(_.m)
+    if (cached.exists(_.version == v)) {
+      lastStateOps = ops // zero log reads/parses on the hot path
+      return cached.get
+    }
+    def replayForward(base: Manifest, from: Long): Manifest = {
+      var state = base
+      var k = from
+      while (k <= v) {
+        ops += 1
+        val (entry, len) = logEntryWithLen(k)
+        entry match {
+          case Left(full)   => state = full // legacy self-contained entry
+          case Right(delta) => state = applyDelta(state, delta)
+        }
+        if (k == v) stateLen = len
+        k += 1
+      }
+      state
+    }
+    val state = cached match {
+      case Some(c) => replayForward(c, c.version + 1)
+      case None =>
+        // `_last_checkpoint` fast path: jump straight to the hinted
+        // checkpoint when it's at or below v (advisory like `_latest`
+        // — stale/missing falls through to the bounded walk)
+        val hinted = { ops += 1; readHint(lastCheckpointHintPath) }
+          .filter(h => h <= v && v - h <= 2L * CheckpointInterval)
+          .filter { h => ops += 1; fs.exists(checkpointPath(h)) }
+        hinted match {
+          case Some(h) if h < v =>
+            ops += 1
+            replayForward(Manifest.fromJson(readLogFile(checkpointPath(h))), h + 1)
+          case _ =>
+            // walk back collecting deltas until a self-contained base
+            // (a checkpoint or a legacy full manifest) — bounded by
+            // the checkpoint interval once checkpoints exist
+            val pending = scala.collection.mutable.ArrayBuffer.empty[CommitDelta]
+            var base: Manifest = null
+            var k = v
+            while (base == null && k >= 0) {
+              ops += 1
+              if (fs.exists(checkpointPath(k)))
+                base = Manifest.fromJson(readLogFile(checkpointPath(k)))
+              else {
+                ops += 1
+                val (entry, len) = logEntryWithLen(k)
+                if (k == v) stateLen = len
+                entry match {
+                  case Left(full)   => base = full
+                  case Right(delta) => pending += delta; k -= 1
+                }
+              }
+            }
+            var s = if (base != null) base
+              else Manifest(-1L, "none", "", Nil) // replay from empty
+            pending.reverseIterator.foreach(d => s = applyDelta(s, d))
+            s
+        }
+    }
+    lastStateOps = ops
+    require(state.version == v, s"snapshot $v of $root did not reconstruct")
+    TxTable.cacheState(cacheKey, state, stateLen)
+    state
+  }
+
+  /** One replay step: the delta's add/remove against the previous file
+    * list; layout/schema/operation come from the delta (each commit
+    * records its full — small — header), txn tags accumulate. */
+  private def applyDelta(prev: Manifest, d: CommitDelta): Manifest = {
+    val removed = d.remove.toSet
+    Manifest(d.version, d.operation, d.schemaDdl,
+      prev.files.filterNot(f => removed(f.path)) ++ d.add,
+      d.partitionCols, d.bucketSpec, prev.txns ++ d.txn)
   }
 
   /** File entries of snapshot `v` (path + partition values) — the
     * planning surface: pruning filters THIS list, the scan reads what
     * survives. */
   private[graft] def fileEntries(v: Long): Seq[FileEntry] = manifest(v).files
+
+  /** TEST SEAM — drop this root's JVM state cache so a spec can force
+    * cold log reconstruction (the cross-process read path). */
+  private[graft] def invalidateCachedState(): Unit = TxTable.evictState(cacheKey)
+
+  /** TEST SEAM (log-protocol scale tests): publish a commit whose file
+    * entries are synthetic — zero data IO, but the commit loop, delta
+    * serialization, checkpoint cadence, and hints run exactly as for
+    * real writes. Lets a spec drive a 10⁴-file, 10²-commit log in
+    * milliseconds; never called from production paths. */
+  private[graft] def commitSynthetic(op: String, add: Seq[FileEntry],
+      remove: Set[String] = Set.empty, schemaDdl: String): Long =
+    commit { latest =>
+      Pending(op,
+        latest.map(_.files).getOrElse(Nil).filterNot(f => remove(f.path)) ++ add,
+        schemaDdl, latest.map(_.partitionCols).getOrElse(Nil),
+        latest.flatMap(_.bucketSpec), None)
+    }
 
   /** Latest batchId committed by `appId`, if any — the exactly-once
     * handshake for streaming writers: a replayed microbatch sees its
@@ -279,29 +435,61 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val to = toVersion.orElse(latestVersion).getOrElse(
       sys.error(s"$root has no committed snapshots"))
     require(to >= fromVersion, s"$root: changesSince($fromVersion) > latest $to")
-    // retention interacts with change feeds: an expired manifest in
+    // retention interacts with change feeds: an expired log entry in
     // the polled range is the same invalidation as a rewrite — always
     // surface the reset signal, never a raw missing-file error (the
     // read itself races concurrent expiry, so the catch — not a
     // pre-scan — is what makes the contract airtight)
-    def manifestOrReset(v: Long): Manifest =
-      try manifest(v)
+    def entryOrReset(v: Long): Either[Manifest, CommitDelta] =
+      try logEntry(v)
       catch { case _: IllegalArgumentException => sys.error(
         s"$root version $v expired (snapshot retention) — " +
           "reset the change-feed consumer from a full snapshot read")
       }
-    // lazy scan: stop reading manifests at the first non-append
-    val nonAdditive = ((fromVersion + 1) to to).iterator
-      .map(manifestOrReset).collectFirst {
-        case m if m.operation != OpAppend => m
+    // the polled range reads ONLY the deltas: each append's change set
+    // IS its add list, so the scan is O(files appended), never
+    // O(table) — no snapshot reconstruction at all on the happy path.
+    // Stops at the first non-append (fail-fast before reading more).
+    val adds = Seq.newBuilder[FileEntry]
+    var sawLegacyFull = false
+    var k = fromVersion + 1
+    while (k <= to) {
+      val e = entryOrReset(k)
+      val op = e.fold(_.operation, _.operation)
+      if (op != OpAppend) sys.error(
+        s"$root version $k is '$op', not append — " +
+          "file diff is not a row diff; reset the change-feed consumer " +
+          "from a full snapshot read")
+      e match {
+        case Right(d) => adds ++= d.add
+        case Left(_)  => sawLegacyFull = true
       }
-    nonAdditive.foreach(m => sys.error(
-      s"$root version ${m.version} is '${m.operation}', not append — " +
-        "file diff is not a row diff; reset the change-feed consumer " +
-        "from a full snapshot read"))
-    val seen = manifestOrReset(fromVersion).files.map(_.path).toSet
-    val m = manifestOrReset(to)
-    readEntries(m, m.files.filterNot(f => seen(f.path)))
+      k += 1
+    }
+    if (sawLegacyFull) {
+      // pre-checkpoint-era full manifests carry no explicit delta:
+      // fall back to the snapshot file-list diff (same result)
+      def stateOrReset(v: Long): Manifest =
+        try manifest(v)
+        catch { case _: IllegalArgumentException => sys.error(
+          s"$root version $v expired (snapshot retention) — " +
+            "reset the change-feed consumer from a full snapshot read")
+        }
+      val seen = stateOrReset(fromVersion).files.map(_.path).toSet
+      val m = stateOrReset(to)
+      readEntries(m, m.files.filterNot(f => seen(f.path)))
+    } else {
+      val files = adds.result()
+      // header (schema/bucket spec) from the newest entry in range —
+      // appends never change layout; empty range reads the snapshot
+      // header (cache-friendly, no file scan: the entry list is empty)
+      val header = entryOrReset(to) match {
+        case Left(full) => full
+        case Right(d)   => Manifest(d.version, d.operation, d.schemaDdl,
+          files, d.partitionCols, d.bucketSpec)
+      }
+      readEntries(header, files)
+    }
   }
 
   // ---- writes -------------------------------------------------------------
@@ -586,14 +774,33 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
 
   // ---- maintenance --------------------------------------------------------
 
-  /** Drop manifests older than the `keepLast` most recent (always
+  /** Drop log entries older than the `keepLast` most recent (always
     * keeps the latest). Time travel to an expired version then fails;
-    * its files become vacuumable if nothing else references them. */
+    * its files become vacuumable if nothing else references them.
+    *
+    * Delta logs make expiry two-phase: the oldest KEPT version must
+    * stay reconstructible after its predecessors vanish, so a
+    * checkpoint is forced there first (no-op when one exists or the
+    * entry is a self-contained legacy manifest); only then do the
+    * older deltas + checkpoints die. */
   def expireSnapshots(keepLast: Int): Seq[Long] = {
     require(keepLast >= 1, "must keep at least the latest snapshot")
     val vs = versions
     val drop = vs.dropRight(keepLast)
-    drop.foreach(v => fs.delete(manifestPath(v), false))
+    if (drop.nonEmpty) {
+      val oldestKept = vs(vs.length - keepLast)
+      val selfContained = fs.exists(checkpointPath(oldestKept)) ||
+        logEntry(oldestKept).isLeft
+      if (!selfContained) writeCheckpoint(manifest(oldestKept))
+      require(fs.exists(checkpointPath(oldestKept)) ||
+          logEntry(oldestKept).isLeft,
+        s"$root: could not checkpoint version $oldestKept — expiry would " +
+          "orphan the retained snapshots; retry")
+      drop.foreach { v =>
+        fs.delete(manifestPath(v), false)
+        fs.delete(checkpointPath(v), false)
+      }
+    }
     drop
   }
 
@@ -605,7 +812,24 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * default (the Delta-vacuum retention discipline,
     * `pipes/utils.py:85-89`). Returns deleted paths. */
   def vacuum(minAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
-    val live: Set[String] = versions.flatMap(v => manifest(v).files.map(_.path)).toSet
+    // live = every path referenced by any retained snapshot. With a
+    // delta log that's the union of retained ADDS plus retained
+    // checkpoint/legacy-full listings — sound because a path present
+    // in state(v) was either added by a retained delta or already
+    // live at the expiry-forced checkpoint below it (removed files
+    // never re-enter: write-once paths). One pass over the log, no
+    // per-version snapshot reconstruction.
+    val live: Set[String] = versions.flatMap { v =>
+      val entryPaths = logEntry(v) match {
+        case Left(full)   => full.files.map(_.path)
+        case Right(delta) => delta.add.map(_.path)
+      }
+      val ckptPaths =
+        if (fs.exists(checkpointPath(v)))
+          Manifest.fromJson(readLogFile(checkpointPath(v))).files.map(_.path)
+        else Nil
+      entryPaths ++ ckptPaths
+    }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
     def sweep(dir: Path): Unit =
@@ -740,9 +964,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def relativize(p: Path): String =
     p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
 
-  /** Optimistic-concurrency commit loop: compose the next manifest
-    * against the CURRENT latest snapshot, try to claim version N;
-    * on collision re-read and retry. */
+  /** Optimistic-concurrency commit loop: compose the next snapshot
+    * against the CURRENT latest, publish its DELTA as version N; on
+    * collision re-read and retry. The published file holds only the
+    * changed entries (O(delta) bytes); the full state rides the JVM
+    * cache and, every [[TxTable.CheckpointInterval]] commits, a
+    * checkpoint file. */
   private def commit(compose: Option[Manifest] => Pending): Long = {
     fs.mkdirs(logDir)
     var attempts = 0
@@ -755,9 +982,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
       val m = Manifest(v, p.operation, p.schemaDdl, p.files,
         p.partitionCols, p.bucketSpec, txns)
+      // the delta: composed files vs the previous snapshot, by path —
+      // carried-by-reference entries keep their path and drop out of
+      // both sides; the log write is ∝ files CHANGED, never ∝ table
+      val prevFiles = latest.map(_.files).getOrElse(Nil)
+      val prevPaths = prevFiles.map(_.path).toSet
+      val newPaths = p.files.map(_.path).toSet
+      val delta = CommitDelta(v, p.operation, p.schemaDdl, p.partitionCols,
+        p.bucketSpec, p.txn,
+        add = p.files.filterNot(f => prevPaths(f.path)),
+        remove = prevFiles.map(_.path).filterNot(newPaths))
+      val deltaBytes = delta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
-      try out.write(m.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      try out.write(deltaBytes)
       finally out.close()
       val dst = manifestPath(v)
       // exists+rename is NOT atomic on RawLocalFileSystem (its rename
@@ -771,7 +1009,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         !fs.exists(dst) && fs.rename(tmp, dst)
       }
       if (won) {
+        TxTable.cacheState(cacheKey, m, deltaBytes.length.toLong)
         writeLatestHint(v)
+        if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(m)
         return v
       }
       fs.delete(tmp, false) // lost the race: retry against the new latest
@@ -781,23 +1021,47 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     sys.error("unreachable")
   }
 
+  /** Best-effort checkpoint of a committed snapshot: the full state to
+    * `v.checkpoint.json` (tmp + rename — readers either see a complete
+    * checkpoint or none), then the `_last_checkpoint` hint. AFTER the
+    * commit publishes, and failure-tolerant: a missing checkpoint only
+    * means reconstruction replays more deltas. */
+  private def writeCheckpoint(m: Manifest): Unit =
+    try {
+      val dst = checkpointPath(m.version)
+      if (!fs.exists(dst)) {
+        val tmp = new Path(logDir, s".tmp-ckpt-${java.util.UUID.randomUUID()}.json")
+        val out = fs.create(tmp, false)
+        try out.write(m.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); () }
+      }
+      writeHint(lastCheckpointHintPath, m.version)
+    } catch { case _: java.io.IOException => () }
+
   /** Best-effort `_latest` update after a publish. Monotonic: never
     * moves the hint backward (a slow writer finishing version N after
     * N+1 published must not regress it); failures are ignored — the
     * hint is advisory, resolution falls back to listing. */
-  private def writeLatestHint(v: Long): Unit =
+  private def writeLatestHint(v: Long): Unit = writeHint(latestHintPath, v)
+
+  /** Advisory version hint (`_latest` / `_last_checkpoint`): a single
+    * version number, updated monotonically, torn/missing tolerated. */
+  private def readHint(p: Path): Option[Long] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try org.apache.commons.io.IOUtils.toString(
+          in, java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        s.trim.toLongOption
+      }
+    } catch { case _: java.io.IOException => None }
+
+  private def writeHint(p: Path, v: Long): Unit =
     try publishLock(fs.makeQualified(root).toString).synchronized {
-      val current: Long =
-        if (!fs.exists(latestHintPath)) -1L
-        else {
-          val in = fs.open(latestHintPath)
-          try org.apache.commons.io.IOUtils.toString(
-            in, java.nio.charset.StandardCharsets.UTF_8).trim.toLongOption
-            .getOrElse(-1L)
-          finally in.close()
-        }
-      if (v > current) {
-        val out = fs.create(latestHintPath, true)
+      if (readHint(p).forall(_ < v)) {
+        val out = fs.create(p, true)
         try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
         finally out.close()
       }
@@ -838,6 +1102,38 @@ object TxTable {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def publishLock(canonicalRoot: String): Object =
     publishLocks.computeIfAbsent(canonicalRoot, _ => new Object)
+
+  /** A full snapshot manifest is checkpointed every this many commits;
+    * between checkpoints a reader replays ≤ this many deltas. 10 =
+    * Delta's own default cadence — small enough that replay is a
+    * handful of KB-sized reads, large enough that a high-rate
+    * streaming writer amortizes the O(files) checkpoint write over
+    * ten O(delta) commits. */
+  private[graft] val CheckpointInterval = 10L
+
+  /** JVM-wide cache of the highest reconstructed snapshot per table
+    * root. Versions are immutable, so any cached state is valid
+    * forever as a replay base; highest-version-wins keeps the hot
+    * path (a writer re-reading its own table) at zero log reads. One
+    * entry per table root touched by this JVM — driver-memory bounded
+    * by the largest live file listing, same as planning any read.
+    *
+    * `entryLen` is the byte length of the version's log entry when the
+    * state was built — the staleness tripwire for a table root DELETED
+    * AND RECREATED in place (versions restart at 0, so the live file
+    * at the cached version no longer matches; the cache must not
+    * replay new deltas onto the old base). −1 = unknown (trusted). */
+  private[core] final case class CachedState(m: Manifest, entryLen: Long)
+  private val stateCache =
+    new java.util.concurrent.ConcurrentHashMap[String, CachedState]()
+  private[core] def cacheState(key: String, m: Manifest, entryLen: Long): Unit = {
+    stateCache.merge(key, CachedState(m, entryLen),
+      (old, nw) => if (nw.m.version >= old.m.version) nw else old)
+    ()
+  }
+  private[graft] def evictState(key: String): Unit = { stateCache.remove(key); () }
+  private[core] def cachedStateFor(key: String): Option[CachedState] =
+    Option(stateCache.get(key))
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
   private val OpCompact = "compact"
@@ -954,18 +1250,23 @@ object TxTable {
       schemaDdl: String, partitionCols: Seq[String],
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)])
 
-  /** Snapshot manifest — the complete state of one version. JSON via
-    * Jackson (ships with Spark). Files are objects carrying partition
-    * values; plain-string entries from pre-partitioning manifests
-    * still parse (empty partition map). */
-  private[core] final case class Manifest(version: Long, operation: String,
-      schemaDdl: String, files: Seq[FileEntry],
-      partitionCols: Seq[String] = Nil,
-      bucketSpec: Option[BucketSpec] = None,
-      txns: Map[String, Long] = Map.empty) {
-    def toJson: String = {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.createObjectNode()
+  /** Shared JSON plumbing for the two log-entry shapes. */
+  private[core] object LogFormat {
+    import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+    import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+    /** A version file is a [[CommitDelta]] (has add/remove) or a
+      * pre-checkpoint-era full [[Manifest]] (has files) — the latter is
+      * self-contained state, letting old logs read unmodified. */
+    def parseEntry(json: String): Either[Manifest, CommitDelta] = {
+      val n = new ObjectMapper().readTree(json)
+      if (n.has("add") || n.has("remove")) Right(CommitDelta.fromNode(n))
+      else Left(Manifest.fromNode(n))
+    }
+
+    def putHeader(node: ObjectNode, version: Long, operation: String,
+        schemaDdl: String, partitionCols: Seq[String],
+        bucketSpec: Option[BucketSpec]): Unit = {
       node.put("version", version)
       node.put("operation", operation)
       node.put("schema_ddl", schemaDdl)
@@ -977,12 +1278,11 @@ object TxTable {
         val bc = node.putArray("bucket_cols")
         b.cols.foreach(bc.add)
         node.put("n_buckets", b.n)
+        ()
       }
-      if (txns.nonEmpty) {
-        val tn = node.putObject("txns")
-        txns.foreach { case (k, v) => tn.put(k, v) }
-      }
-      val arr = node.putArray("files")
+    }
+
+    def putFileArray(arr: ArrayNode, files: Seq[FileEntry]): Unit =
       files.foreach { f =>
         val fo = arr.addObject()
         fo.put("path", f.path)
@@ -999,43 +1299,117 @@ object TxTable {
           f.max.foreach { case (k, v) => mo.put(k, v) }
         }
       }
-      node.put("num_files", files.size)
-      om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
-    }
-  }
 
-  private[core] object Manifest {
-    def fromJson(json: String): Manifest = {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val n = om.readTree(json)
-      def strMap(node: com.fasterxml.jackson.databind.JsonNode,
-          field: String): Map[String, String] =
-        Option(node.get(field)).map { p =>
-          val it = p.fields()
-          val b = Map.newBuilder[String, String]
-          while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
-          b.result()
-        }.getOrElse(Map.empty)
-      val files = (0 until n.get("files").size()).map { i =>
-        val f = n.get("files").get(i)
-        if (f.isTextual) FileEntry(f.asText(), Map.empty)
-        else FileEntry(f.get("path").asText(), strMap(f, "partition"),
-          strMap(f, "min"), strMap(f, "max"))
-      }
+    def strMap(node: JsonNode, field: String): Map[String, String] =
+      Option(node.get(field)).map { p =>
+        val it = p.fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty)
+
+    def readFileArray(n: JsonNode, field: String): Seq[FileEntry] =
+      Option(n.get(field)).map { a =>
+        (0 until a.size()).map { i =>
+          val f = a.get(i)
+          if (f.isTextual) FileEntry(f.asText(), Map.empty)
+          else FileEntry(f.get("path").asText(), strMap(f, "partition"),
+            strMap(f, "min"), strMap(f, "max"))
+        }
+      }.getOrElse(Seq.empty)
+
+    def readHeader(n: JsonNode): (Long, String, String, Seq[String], Option[BucketSpec]) = {
       val partCols = Option(n.get("partition_cols")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
       val bucket = Option(n.get("bucket_cols")).map { a =>
         BucketSpec((0 until a.size()).map(a.get(_).asText()),
           n.get("n_buckets").asInt())
       }
+      (n.get("version").asLong(), n.get("operation").asText(),
+        n.get("schema_ddl").asText(), partCols, bucket)
+    }
+  }
+
+  /** One commit's log entry: the files it ADDED (with partition values
+    * and stats), the paths it REMOVED from the previous snapshot, and
+    * the small per-commit header (layout, schema DDL, txn tag). Log
+    * bytes ∝ changed files — an append to a 10⁶-file table writes KBs,
+    * not the table listing. */
+  private[core] final case class CommitDelta(version: Long, operation: String,
+      schemaDdl: String, partitionCols: Seq[String],
+      bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
+      add: Seq[FileEntry], remove: Seq[String]) {
+    def toJson: String = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      LogFormat.putHeader(node, version, operation, schemaDdl,
+        partitionCols, bucketSpec)
+      txn.foreach { case (app, batch) =>
+        val t = node.putObject("txn")
+        t.put("app", app)
+        t.put("batch", batch)
+        ()
+      }
+      LogFormat.putFileArray(node.putArray("add"), add)
+      val rm = node.putArray("remove")
+      remove.foreach(rm.add)
+      node.put("num_added", add.size)
+      node.put("num_removed", remove.size)
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    }
+  }
+
+  private[core] object CommitDelta {
+    def fromNode(n: com.fasterxml.jackson.databind.JsonNode): CommitDelta = {
+      val (version, op, ddl, partCols, bucket) = LogFormat.readHeader(n)
+      val txn = Option(n.get("txn")).map(t =>
+        (t.get("app").asText(), t.get("batch").asLong()))
+      val remove = Option(n.get("remove")).map(a =>
+        (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
+      CommitDelta(version, op, ddl, partCols, bucket, txn,
+        LogFormat.readFileArray(n, "add"), remove)
+    }
+  }
+
+  /** Snapshot manifest — the complete state of one version
+    * (reconstructed in memory from the delta log; persisted whole only
+    * as a checkpoint). JSON via Jackson (ships with Spark). Files are
+    * objects carrying partition values; plain-string entries from
+    * pre-partitioning manifests still parse (empty partition map). */
+  private[core] final case class Manifest(version: Long, operation: String,
+      schemaDdl: String, files: Seq[FileEntry],
+      partitionCols: Seq[String] = Nil,
+      bucketSpec: Option[BucketSpec] = None,
+      txns: Map[String, Long] = Map.empty) {
+    def toJson: String = {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      LogFormat.putHeader(node, version, operation, schemaDdl,
+        partitionCols, bucketSpec)
+      if (txns.nonEmpty) {
+        val tn = node.putObject("txns")
+        txns.foreach { case (k, v) => tn.put(k, v) }
+      }
+      LogFormat.putFileArray(node.putArray("files"), files)
+      node.put("num_files", files.size)
+      om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
+    }
+  }
+
+  private[core] object Manifest {
+    def fromJson(json: String): Manifest =
+      fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
+
+    def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Manifest = {
+      val (version, op, ddl, partCols, bucket) = LogFormat.readHeader(n)
       val txns = Option(n.get("txns")).map { t =>
         val it = t.fields()
         val b = Map.newBuilder[String, Long]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
         b.result()
       }.getOrElse(Map.empty[String, Long])
-      Manifest(n.get("version").asLong(), n.get("operation").asText(),
-        n.get("schema_ddl").asText(), files, partCols, bucket, txns)
+      Manifest(version, op, ddl, LogFormat.readFileArray(n, "files"),
+        partCols, bucket, txns)
     }
   }
 }

@@ -495,4 +495,57 @@ class TxTableSpec extends SparkSpec {
     assert(t.vacuum().isEmpty)
     assert(spark.read.parquet(s"$dir/data/w-inflight").count() == 10)
   }
+
+  test("delta log at scale: 200 commits / 10k files — commit bytes ∝ delta, " +
+      "reconstruction bounded by the checkpoint interval") {
+    val (t, dir) = freshTable("tx_log_scale")
+    val ddl = "id BIGINT, v DOUBLE"
+    // 200 synthetic commits × 50 files = 10,000 live files; the seam
+    // skips data IO but runs the full commit/checkpoint machinery
+    (0 until 200).foreach { c =>
+      val add = (0 until 50).map(i =>
+        TxTable.FileEntry(f"data/w-$c%03d/part-$i%04d.parquet", Map.empty))
+      t.commitSynthetic(if (c == 0) "overwrite" else "append", add, schemaDdl = ddl)
+    }
+    assert(t.latestVersion.contains(199L))
+    def logBytes(name: String): Long =
+      new java.io.File(s"$dir/_graft_log/$name").length()
+    // per-commit log bytes ∝ the DELTA (50 files), never the table:
+    // the last delta stays the size of the first even though the
+    // table grew 200×; the checkpoint (full listing) is ~100× bigger
+    val d0   = logBytes(f"${0L}%020d.json")
+    val d199 = logBytes(f"${199L}%020d.json")
+    val ck   = logBytes(f"${190L}%020d.checkpoint.json")
+    assert(d199 <= d0 * 2, s"delta grew with table size: $d0 -> $d199 bytes")
+    assert(ck > d199 * 20, s"checkpoint ($ck B) should dwarf a delta ($d199 B)")
+    // checkpoints land on the interval cadence
+    assert((10L to 190L by 10L).forall(v =>
+      logBytes(f"$v%020d.checkpoint.json") > 0))
+    // COLD reconstruction (fresh process: no JVM cache) replays at
+    // most ~interval deltas from the hinted checkpoint — never the
+    // whole log
+    val t2 = TxTable(spark, dir)
+    t2.invalidateCachedState()
+    assert(t2.fileEntries(199).size == 10000)
+    assert(t2.lastStateOps <= 2 * graft.core.TxTable.CheckpointInterval + 5,
+      s"cold state reconstruction cost grew with the log: ${t2.lastStateOps} ops")
+    // the warm path (a writer re-reading its own table) reads no log
+    // at all — one freshness probe against the cached state
+    assert(t.fileEntries(199).size == 10000)
+    assert(t.lastStateOps <= 1)
+    // time travel mid-log: bounded by the walk to the nearest checkpoint
+    t2.invalidateCachedState()
+    assert(t2.fileEntries(155).size == 156 * 50)
+    assert(t2.lastStateOps <= 2 * graft.core.TxTable.CheckpointInterval + 5,
+      s"mid-log time travel cost grew with the log: ${t2.lastStateOps} ops")
+    // expiry keeps the retained range reconstructible: the oldest kept
+    // version gets a forced checkpoint before its ancestors die
+    val dropped = t.expireSnapshots(keepLast = 5)
+    assert(dropped == (0L until 195L))
+    assert(new java.io.File(s"$dir/_graft_log/${f"${195L}%020d"}.checkpoint.json").exists())
+    t.invalidateCachedState()
+    assert(t.fileEntries(199).size == 10000)
+    assert(t.fileEntries(195).size == 196 * 50)
+    intercept[Exception] { t.readVersion(100) }
+  }
 }
