@@ -354,6 +354,40 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x9: ROW-level change-data-feed — merge/delete through a
+    // changeDataFeed=true handle record pre/post-image CDC files in
+    // the commit delta (cost ∝ touched buckets), and changeFeed(0)
+    // serves row changes ACROSS rewrites (the Delta CDF surface that
+    // x8's file-additive feed refuses); gated against a relational
+    // reconstruction of every commit's change set
+    "x9_tx_cdf"          -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // full table history cached (ingest work); the CDF READ is the
+      // measured operator
+      val t = cachedAsset(s, s"tx_cdc_rows|$d") {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_cdc") + "/t",
+          changeDataFeed = true)
+        t0.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
+          bucketCols = Seq("o_orderkey"), nBuckets = 16)       // v0: base
+        t0.append(o.where(col("o_orderkey") % 3 === 0))        // v1: inserts
+        t0.upsert(o.where(col("o_orderkey") % 2 === 0)
+          .withColumn("o_orderpriority", lit("MERGED")))       // v2: updates
+        t0.deleteKeys(o.where(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"))                               // v3: deletes
+        t0
+      }
+      t.changeFeed(0)
+        .select(col(graft.core.TxTable.ChangeTypeCol).as("change_type"),
+          col(graft.core.TxTable.CommitVersionCol).as("commit_version"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .groupBy("change_type", "commit_version", "o_orderpriority")
+        .agg(count(lit(1)).as("n_rows"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("change_type", "commit_version", "o_orderpriority")
+    }),
     // x3: dynamic partition pruning — the Monday set flows out of a
     // runtime-filtered dim join, so only DynamicPruningExpression can
     // keep the `event_date=` fact scan to the matching partitions
@@ -974,6 +1008,34 @@ object SparkEntry {
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x9's oracle reconstructs each commit's row-change set
+    // relationally: v1 appends every %3=0 order (insert), v2 upserts
+    // every even key (pre-image = old row, post-image = MERGED row),
+    // v3 deletes every %7=0 key at its THEN-current content
+    "x9_tx_cdf" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+        |         o_orderpriority, o_totalprice
+        |  FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', 2, o_orderpriority, o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', 2, 'MERGED', o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'delete', 3,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'MERGED'
+        |              ELSE o_orderpriority END,
+        |         o_totalprice
+        |  FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT change_type, commit_version, o_orderpriority,
+        |       count(*) AS n_rows,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // x5's oracle is the plain WHERE twin of the partition-pruned read
     "x5_tx_partition_prune" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS event_date,

@@ -119,7 +119,7 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   * coercion is how corpora rot.
   */
 final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
-    statsOnWrite: Boolean) {
+    statsOnWrite: Boolean, changeDataFeed: Boolean) {
   import TxTable._
 
   private def logDir  = new Path(root, LogDirName)
@@ -492,6 +492,71 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** ROW-level change feed over `(fromVersion, toVersion]`: every
+    * change as a row tagged [[TxTable.ChangeTypeCol]] (insert |
+    * update_preimage | update_postimage | delete) and
+    * [[TxTable.CommitVersionCol]] — the Delta CDF read surface, and
+    * the upgrade of [[changesSince]] that survives rewrites. Appends
+    * serve their added files as inserts (zero extra storage);
+    * merge/delete commits written through a `changeDataFeed = true`
+    * handle serve the CDC files their delta recorded (cost already
+    * paid, ∝ touched buckets); [[compact]]/[[compactZOrder]] rewrite
+    * identical rows and contribute NO change rows (the dataChange =
+    * false discipline). A rewrite committed WITHOUT CDC recording
+    * (overwrite, or a merge through a non-CDF handle) still resets
+    * the consumer — row changes were never captured and cannot be
+    * reconstructed from the file diff. */
+  def changeFeed(fromVersion: Long, toVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val to = toVersion.orElse(latestVersion).getOrElse(
+      sys.error(s"$root has no committed snapshots"))
+    require(to >= fromVersion, s"$root: changeFeed($fromVersion) > latest $to")
+    def entryOrReset(v: Long): Either[Manifest, CommitDelta] =
+      try logEntry(v)
+      catch { case _: IllegalArgumentException => sys.error(
+        s"$root version $v expired (snapshot retention) — " +
+          "reset the change-feed consumer from a full snapshot read")
+      }
+    val parts: Seq[DataFrame] =
+      (fromVersion + 1 to to).iterator.flatMap { v =>
+        entryOrReset(v) match {
+          case Right(d) if d.operation == OpAppend =>
+            if (d.add.isEmpty) None
+            else Some(readEntries(
+                Manifest(d.version, d.operation, d.schemaDdl, d.add,
+                  d.partitionCols, d.bucketSpec), d.add)
+              .withColumn(ChangeTypeCol, lit("insert"))
+              .withColumn(CommitVersionCol, lit(v)))
+          case Right(d) if d.operation == OpCompact =>
+            None // a compact rewrites byte-identical rows: no data change
+          case Right(d) if d.cdc.isDefined =>
+            val files = d.cdc.get
+            if (files.isEmpty) None // CDF commit that changed nothing
+            else {
+              val base = StructType.fromDDL(d.schemaDdl).fields
+                .filterNot(_.name == BucketCol)
+              val schema = StructType(base :+
+                org.apache.spark.sql.types.StructField(ChangeTypeCol, StringType))
+              Some(spark.read.schema(schema)
+                .parquet(files.map(f => new Path(root, f.path).toString): _*)
+                .withColumn(CommitVersionCol, lit(v)))
+            }
+          case e =>
+            val op = e.fold(_.operation, _.operation)
+            sys.error(s"$root version $v is '$op' with no recorded change " +
+              "files — row changes were not captured (write through a " +
+              "changeDataFeed=true handle); reset the change-feed " +
+              "consumer from a full snapshot read")
+        }
+      }.toSeq
+    if (parts.isEmpty) {
+      val m = manifest(to)
+      readEntries(m, Nil)
+        .withColumn(ChangeTypeCol, lit(null: String).cast(StringType))
+        .withColumn(CommitVersionCol, lit(0L))
+    } else parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+  }
+
   // ---- writes -------------------------------------------------------------
 
   /** Replace the table contents atomically. Readers of older snapshots
@@ -589,6 +654,36 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val existing = readEntries(m, affected)
       val resolved = resolve(existing, src.drop(BucketCol))
       val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
+      // change-data-feed: row-level diff of the touched buckets,
+      // computed against the files JUST WRITTEN (single resolver
+      // evaluation — the written data is the truth), classified by the
+      // bucket key into pre/post images vs pure inserts/deletes, and
+      // landed as CDC files the commit's delta records. Cost ∝ touched
+      // buckets, like the merge itself; rows the merge left
+      // byte-identical produce NO change rows (exceptAll drops them).
+      val cdcFiles: Option[Seq[FileEntry]] =
+        if (!changeDataFeed) None
+        else Some {
+          val keys = spec.cols
+          val rewritten = readEntries(m, files)
+          val del = existing.exceptAll(rewritten)
+          val ins = rewritten.exceptAll(existing)
+          val delK = del.select(keys.map(col): _*).distinct()
+          val insK = ins.select(keys.map(col): _*).distinct()
+          val changes = del.join(insK, keys, "left_semi")
+            .withColumn(ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("update_preimage"))
+            .unionByName(del.join(insK, keys, "left_anti")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("delete")))
+            .unionByName(ins.join(delK, keys, "left_semi")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("update_postimage")))
+            .unionByName(ins.join(delK, keys, "left_anti")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("insert")))
+          writeDataFiles(changes, Nil, withStats = false)._1
+        }
       requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
       // the ⊆ check above lets a resolver that DROPS a column pass;
       // the commit would keep m.schemaDdl and reads would silently
@@ -605,7 +700,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         require(latest.exists(_.version == m.version),
           s"concurrent commit during merge into $root — rerun merge")
         Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
-          Some(spec), txn)
+          Some(spec), txn, cdcFiles)
       }
     } finally { src.unpersist(); () }
   }
@@ -820,9 +915,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // never re-enter: write-once paths). One pass over the log, no
     // per-version snapshot reconstruction.
     val live: Set[String] = versions.flatMap { v =>
+      // CDC files are referenced ONLY by their commit's delta — they
+      // live exactly as long as the log entry that could serve them
       val entryPaths = logEntry(v) match {
         case Left(full)   => full.files.map(_.path)
-        case Right(delta) => delta.add.map(_.path)
+        case Right(delta) =>
+          delta.add.map(_.path) ++ delta.cdc.getOrElse(Nil).map(_.path)
       }
       val ckptPaths =
         if (fs.exists(checkpointPath(v)))
@@ -881,7 +979,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * decoding. Values ride the manifest as strings; [[readWhereRange]]
     * re-types them against the snapshot schema. */
   private def writeDataFiles(df: DataFrame,
-      partitionCols: Seq[String]): (Seq[FileEntry], StructType) = {
+      partitionCols: Seq[String],
+      withStats: Boolean = true): (Seq[FileEntry], StructType) = {
     val writeId = java.util.UUID.randomUUID().toString.take(12)
     val dst = new Path(dataDir, s"w-$writeId")
     if (partitionCols.isEmpty) df.write.parquet(dst.toString)
@@ -892,7 +991,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
     }
     val stats =
-      if (statsOnWrite) collectFileStats(dst, df.schema)
+      if (statsOnWrite && withStats) collectFileStats(dst, df.schema)
       else Map.empty[String, (Map[String, String], Map[String, String])]
     val it = fs.listFiles(dst, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
@@ -991,7 +1090,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val delta = CommitDelta(v, p.operation, p.schemaDdl, p.partitionCols,
         p.bucketSpec, p.txn,
         add = p.files.filterNot(f => prevPaths(f.path)),
-        remove = prevFiles.map(_.path).filterNot(newPaths))
+        remove = prevFiles.map(_.path).filterNot(newPaths),
+        cdc = p.cdcFiles)
       val deltaBytes = delta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -1092,6 +1192,15 @@ object TxTable {
   /** Transient z-value column during [[TxTable.compactZOrder]]. */
   private val ZTmpCol = "__zorder"
 
+  /** Row-change classification column in CDC files / [[TxTable.changeFeed]]
+    * output: insert | update_preimage | update_postimage | delete —
+    * the Delta change-data-feed column contract. */
+  val ChangeTypeCol = "_change_type"
+
+  /** Version that produced a change row, in [[TxTable.changeFeed]]
+    * output. */
+  val CommitVersionCol = "_commit_version"
+
   /** Longest string stat stored in a manifest (the Delta-style
     * truncation horizon). */
   private val StatStringMax = 32
@@ -1144,11 +1253,19 @@ object TxTable {
     * write — the high-rate streaming-ingest tradeoff (no zone maps on
     * fresh files; a later [[TxTable.compact]] through a stats-on
     * handle restores them). */
+  /** `changeDataFeed=true` makes every [[TxTable.merge]]/
+    * [[TxTable.deleteKeys]] through THIS handle additionally land
+    * row-level change files (`_change_type` pre/post images) recorded
+    * in the commit's delta, so [[TxTable.changeFeed]] can serve
+    * row-level changes ACROSS rewrites — the Delta
+    * `enableChangeDataFeed` discipline (writer-side property; commits
+    * made without it feed-reset as before). */
   def apply(spark: SparkSession, path: String,
-      statsOnWrite: Boolean = true): TxTable = {
+      statsOnWrite: Boolean = true, changeDataFeed: Boolean = false): TxTable = {
     val root = new Path(path)
     new TxTable(spark, root,
-      root.getFileSystem(spark.sparkContext.hadoopConfiguration), statsOnWrite)
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration), statsOnWrite,
+      changeDataFeed)
   }
 
   /** True iff `path` carries a TxTable commit log. */
@@ -1245,10 +1362,16 @@ object TxTable {
   /** Key-bucketing spec for copy-on-write merges. */
   private[graft] final case class BucketSpec(cols: Seq[String], n: Int)
 
-  /** What a write operation asks the commit loop to publish. */
+  /** What a write operation asks the commit loop to publish.
+    * `cdcFiles`: row-level change files (written out-of-line, referenced
+    * only by this commit's delta — never part of the snapshot's file
+    * list, so plain reads don't see them). `Some(Nil)` ≠ `None`: a
+    * CDF-enabled commit that changed no rows serves an EMPTY change
+    * set, while a commit with no CDC recording resets the feed. */
   private final case class Pending(operation: String, files: Seq[FileEntry],
       schemaDdl: String, partitionCols: Seq[String],
-      bucketSpec: Option[BucketSpec], txn: Option[(String, Long)])
+      bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
+      cdcFiles: Option[Seq[FileEntry]] = None)
 
   /** Shared JSON plumbing for the two log-entry shapes. */
   private[core] object LogFormat {
@@ -1338,7 +1461,8 @@ object TxTable {
   private[core] final case class CommitDelta(version: Long, operation: String,
       schemaDdl: String, partitionCols: Seq[String],
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
-      add: Seq[FileEntry], remove: Seq[String]) {
+      add: Seq[FileEntry], remove: Seq[String],
+      cdc: Option[Seq[FileEntry]] = None) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
@@ -1353,6 +1477,7 @@ object TxTable {
       LogFormat.putFileArray(node.putArray("add"), add)
       val rm = node.putArray("remove")
       remove.foreach(rm.add)
+      cdc.foreach(fs => LogFormat.putFileArray(node.putArray("cdc"), fs))
       node.put("num_added", add.size)
       node.put("num_removed", remove.size)
       om.writerWithDefaultPrettyPrinter().writeValueAsString(node)
@@ -1367,7 +1492,8 @@ object TxTable {
       val remove = Option(n.get("remove")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
       CommitDelta(version, op, ddl, partCols, bucket, txn,
-        LogFormat.readFileArray(n, "add"), remove)
+        LogFormat.readFileArray(n, "add"), remove,
+        Option(n.get("cdc")).map(_ => LogFormat.readFileArray(n, "cdc")))
     }
   }
 

@@ -424,6 +424,52 @@ class TxTableSpec extends SparkSpec {
     assert(e2.getMessage.contains("reset the change-feed consumer"))
   }
 
+  test("changeFeed serves row-level changes across merge/delete (CDC)") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_cdf_rows") + "/t"
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    t.overwriteBucketed(df(0 until 10), Seq("id"), nBuckets = 4) // v0
+    t.append(df(10 until 13))                                    // v1
+    val src = Seq((0L, "name_0", 999.0), (1L, "name_1", 999.0),
+      (20L, "name_20", 200.0)).toDF("id", "name", "score")
+    t.upsert(src)                                                // v2
+    t.deleteKeys(Seq(5L, 6L).toDF("id"))                         // v3
+    val feed = t.changeFeed(0)
+    // v1 append: its added files ARE the inserts (no extra storage)
+    assert(feed.where($"_commit_version" === 1).count() == 3)
+    assert(feed.where($"_commit_version" === 1 &&
+      $"_change_type" =!= "insert").count() == 0)
+    // v2 upsert: pre/post image pairs for updated keys, insert for new
+    val v2 = feed.where($"_commit_version" === 2)
+    assert(v2.where($"_change_type" === "update_preimage")
+      .select("id").as[Long].collect().sorted.toSeq == Seq(0L, 1L))
+    assert(v2.where($"_change_type" === "update_preimage" &&
+      $"score" === 999.0).count() == 0, "preimage must carry the OLD row")
+    assert(v2.where($"_change_type" === "update_postimage" &&
+      $"score" === 999.0).count() == 2)
+    assert(v2.where($"_change_type" === "insert")
+      .select("id").as[Long].head() == 20L)
+    // v3 delete: delete rows carry the removed content
+    val v3 = feed.where($"_commit_version" === 3)
+    assert(v3.select("_change_type").distinct().as[String].head() == "delete")
+    assert(v3.select("id").as[Long].collect().sorted.toSeq == Seq(5L, 6L))
+    assert(feed.count() == 10)
+    // compact rewrites identical rows: contributes NO change rows
+    t.compact()                                                  // v4
+    assert(t.changeFeed(3).count() == 0)
+    assert(t.changeFeed(0).count() == 10)
+    // CDC files survive vacuum while their log entry is retained
+    t.vacuum(0)
+    assert(t.changeFeed(0).count() == 10)
+    // a rewrite through a NON-CDF handle never recorded row changes:
+    // the feed resets instead of silently skipping them
+    TxTable(spark, dir).deleteKeys(Seq(7L).toDF("id"))           // v5
+    val e = intercept[RuntimeException](t.changeFeed(0).count())
+    assert(e.getMessage.contains("reset the change-feed consumer"))
+    // windows before the non-CDF commit still serve
+    assert(t.changeFeed(0, Some(4)).count() == 10)
+  }
+
   test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_hint")
