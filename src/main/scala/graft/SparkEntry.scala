@@ -50,6 +50,23 @@ object SparkEntry {
       p
     }
 
+  /** The append-only orders TxTable (v0 overwrite + two appends =
+    * the full table), shared by the x8 file-level change feed and the
+    * s9 streaming-source gate — one history, two consumption
+    * surfaces. */
+  private def appendOnlyTxAsset(s: SparkSession, d: String): graft.core.TxTable =
+    cachedAsset(s, s"tx_cdf|$d") {
+      import org.apache.spark.sql.functions.col
+      val t0 = graft.core.TxTable(s,
+        graft.streaming.EventsStream.scratchDir("graft_tx_cdf") + "/t")
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      t0.overwrite(o.where(col("o_orderkey") % 3 === 0)) // v0: seen base
+      t0.append(o.where(col("o_orderkey") % 3 === 1))    // v1
+      t0.append(o.where(col("o_orderkey") % 3 === 2))    // v2
+      t0
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (Relational.q01ScanProject _),
@@ -338,16 +355,7 @@ object SparkEntry {
     "x8_tx_changes"      -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // table history cached; the INCREMENTAL READ is the operator
-      val t = cachedAsset(s, s"tx_cdf|$d") {
-        val t0 = graft.core.TxTable(s,
-          graft.streaming.EventsStream.scratchDir("graft_tx_cdf") + "/t")
-        val o = Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        t0.overwrite(o.where(col("o_orderkey") % 3 === 0)) // v0: seen base
-        t0.append(o.where(col("o_orderkey") % 3 === 1))    // v1
-        t0.append(o.where(col("o_orderkey") % 3 === 2))    // v2
-        t0
-      }
+      val t = appendOnlyTxAsset(s, d)
       t.changesSince(0)
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
@@ -596,6 +604,35 @@ object SparkEntry {
       EventsStream.runForeachBatchUpsertTx(s, stream,
           EventsStream.scratchDir("graft_upsert_tx") + "/t")
         .orderBy("user_id")
+    }),
+    // s9: the TxTable STREAMING SOURCE — the same append-only history
+    // x8 consumes by hand-polling, consumed instead through
+    // spark.readStream.format("txtable"): microbatch = table-version
+    // window, offsets checkpointed by the engine, restart resumes
+    // from the commit log without rescanning. Batch 0 is the full
+    // snapshot, so the sunk rows ≡ the whole table (oracle = plain
+    // batch aggregate); warm re-runs find no new versions and the
+    // checkpoint moves nothing.
+    "s9_tx_stream_read"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = appendOnlyTxAsset(s, d)
+      val out = cachedAsset(s, s"tx_stream_out|$d") {
+        graft.streaming.EventsStream.scratchDir("graft_tx_stream")
+      }
+      val q = s.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(t.location)
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/rows")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     }),
     "t5_url_normalize"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -1054,6 +1091,13 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s7_foreach_batch_upsert" -> upsertOracle,
     "s8_upsert_tx"            -> upsertOracle,
+    // s9 streams the FULL append-only history (initial snapshot +
+    // appends = every order), so the oracle is the plain batch twin
+    "s9_tx_stream_read" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q39_grouping_sets" ->
       """SELECT c_mktsegment, o_orderpriority,
         |  count(*) AS n_orders,

@@ -327,6 +327,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         latest.flatMap(_.bucketSpec), None)
     }
 
+  /** The table's root directory as given to [[TxTable.apply]]. */
+  def location: String = root.toString
+
   /** Latest batchId committed by `appId`, if any — the exactly-once
     * handshake for streaming writers: a replayed microbatch sees its
     * own prior commit here and no-ops. Reads one manifest. */

@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.StreamShims
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.core.TxTable
+
+/** Structured Streaming SOURCE over a [[graft.core.TxTable]] —
+  * `spark.readStream.format("txtable").load(dir)` — closing the loop
+  * the change-feed surfaces left open: instead of hand-polling
+  * [[TxTable.changesSince]] with home-grown checkpointing, a consumer
+  * gets the engine's offset log, exactly-once batch replay, and
+  * restart-without-rescan for free. Mirrors the role of Delta's
+  * streaming source in the reference's pipeline chains (assets feed
+  * assets incrementally —
+  * `papers/multi_platform_orchestration/paper.md:150-156`).
+  *
+  * Offset model: a microbatch is a TABLE-VERSION WINDOW. `LongOffset(v)`
+  * means "all commits ≤ v consumed"; `getOffset` surfaces the latest
+  * committed version, `getBatch((s, e])` serves exactly the rows those
+  * commits added. Three read modes:
+  *
+  *   - default: batch 0 is the FULL SNAPSHOT at the then-latest
+  *     version (pinned by the offset, so crash-replay of batch 0 is
+  *     deterministic), later batches the appended rows per
+  *     [[TxTable.changesSince]] — Delta's "initial snapshot then
+  *     tail" semantics;
+  *   - `sinceVersion = v`: skip the snapshot, serve only rows
+  *     appended AFTER version v (exclusive — the checkpoint-resume
+  *     contract of [[TxTable.changesSince]]);
+  *   - `changeFeed = true` (requires `sinceVersion`): serve row-level
+  *     [[TxTable.changeFeed]] records — `_change_type` +
+  *     `_commit_version` columns — so merges/deletes flow to the
+  *     consumer as pre/post-image rows instead of resetting the feed.
+  *
+  * A rewrite the mode cannot represent (overwrite/merge/delete in
+  * append mode; any uncaptured rewrite in CDF mode) fails the stream
+  * with the readers' explicit reset signal rather than silently
+  * skipping or rescanning — the consumer restarts from a snapshot,
+  * exactly as documented on [[TxTable.changesSince]].
+  *
+  * Scale: planning is manifest-only (the version window maps to file
+  * lists through the commit log's deltas — no listing, no snapshot
+  * reconstruction on the happy path), and each batch scans only the
+  * files its commits added, so a 10⁶-file table streams at
+  * O(new data) per trigger. `maxVersionsPerTrigger` bounds how many
+  * commits one microbatch may cover (backlog catch-up control, the
+  * `maxFilesPerTrigger` analogue).
+  */
+final class TxTableSourceProvider extends StreamSourceProvider
+    with DataSourceRegister {
+  import TxTableSource._
+
+  override def shortName(): String = "txtable"
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), sourceSchemaFor(sqlContext, parameters))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val cdf = parameters.get(OptChangeFeed).exists(_.toBoolean)
+    val since = parameters.get(OptSinceVersion).map(_.toLong)
+    require(!cdf || since.isDefined,
+      s"$OptChangeFeed=true needs $OptSinceVersion: row-level change " +
+        "capture starts at a known version, not at an initial snapshot")
+    new TxTableSource(TxTable(spark, pathOf(parameters)),
+      sourceSchemaFor(sqlContext, parameters), since, cdf,
+      parameters.get(OptMaxVersions).map(_.toLong))
+  }
+}
+
+final class TxTableSource(table: TxTable, override val schema: StructType,
+    sinceVersion: Option[Long], changeFeed: Boolean,
+    maxVersionsPerTrigger: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+  import TxTableSource._
+
+  /** Highest version already planned into some batch — the rate-limit
+    * anchor. Seeded by the recovered offsets the engine replays
+    * through [[getBatch]] on restart, so a restarted query limits
+    * from its checkpoint, not from scratch. */
+  private var planned: Option[Long] = None
+
+  /** Latest version at AvailableNow-query start: the run drains up TO
+    * here (in rate-limited steps) and terminates, ignoring commits
+    * that race in after — without this seam the engine would fall
+    * back to single-batch Trigger.Once semantics and a version cap
+    * would silently DROP the backlog past the first batch. */
+  private var availableNowHorizon: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit = synchronized {
+    availableNowHorizon = table.latestVersion
+  }
+
+  /** The version cap is applied inside [[latestOffset]] (versions are
+    * not rows/files/bytes — none of the engine's limit shapes fit). */
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  private def nextOffset(): Option[Long] = synchronized {
+    table.latestVersion.flatMap { latestNow =>
+      val latest = availableNowHorizon.fold(latestNow)(math.min(_, latestNow))
+      val base = planned.orElse(sinceVersion)
+      val next = (base, maxVersionsPerTrigger) match {
+        case (Some(b), Some(n)) => math.min(latest, b + math.max(1L, n))
+        // an initial snapshot is one indivisible batch — version
+        // caps apply from the first incremental batch on
+        case _                  => latest
+      }
+      if (base.exists(_ >= next)) None else Some(next)
+    }
+  }
+
+  override def getOffset: Option[OffsetV1] = nextOffset().map(LongOffset(_))
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    nextOffset().map(LongOffset(_)).orNull
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = versionOf(end)
+    val from = start.map(versionOf).orElse(sinceVersion)
+    synchronized {
+      planned = Some(planned.fold(endV)(math.max(_, endV)))
+    }
+    val batch = (from, changeFeed) match {
+      case (Some(s), true)  => table.changeFeed(s, Some(endV))
+      case (Some(s), false) => table.changesSince(s, Some(endV))
+      case (None, false)    => table.readVersion(endV)
+      case (None, true)     => sys.error("changeFeed source without " +
+        "sinceVersion — unreachable, the provider requires it")
+    }
+    // pin the declared column order, then mark the scan leaves
+    // streaming (MicroBatchExecution asserts isStreaming=true on V1
+    // batch plans before grafting them into the streaming plan)
+    StreamShims.markStreaming(
+      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"TxTableSource[${table.location}" +
+    (if (changeFeed) ", changeFeed" else "") + "]"
+}
+
+object TxTableSource {
+  /** Serve only rows appended AFTER this version (exclusive) — skip
+    * the initial snapshot. */
+  val OptSinceVersion = "sinceVersion"
+  /** Serve [[TxTable.changeFeed]] rows (`_change_type`,
+    * `_commit_version`) instead of plain appends. */
+  val OptChangeFeed = "changeFeed"
+  /** Most table versions one microbatch may cover (≥ 1). */
+  val OptMaxVersions = "maxVersionsPerTrigger"
+
+  private[sources] def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", sys.error(
+      "txtable source needs .load(dir) or .option(\"path\", dir)"))
+
+  /** The source's schema is AUTHORITATIVE from the table's latest
+    * snapshot (plus the two CDF metadata columns in changeFeed mode);
+    * a user-supplied `.schema(...)` is ignored — the commit log, not
+    * the consumer, owns the table's shape. Appends never change
+    * layout, so the schema is stable for the stream's lifetime; a
+    * schema-evolving commit surfaces as an analysis error on the
+    * batch that first crosses it. */
+  private[sources] def sourceSchemaFor(sqlContext: SQLContext,
+      parameters: Map[String, String]): StructType = {
+    val data = TxTable(sqlContext.sparkSession, pathOf(parameters))
+      .read().schema
+    if (parameters.get(OptChangeFeed).exists(_.toBoolean))
+      StructType(data.fields.toIndexedSeq :+
+        StructField(TxTable.ChangeTypeCol, StringType) :+
+        StructField(TxTable.CommitVersionCol, LongType, nullable = false))
+    else data
+  }
+
+  /** Recovered offsets arrive as `SerializedOffset(json)`, live ones
+    * as [[LongOffset]] — `json` is the version either way. */
+  private def versionOf(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other         => other.json.trim.toLong
+  }
+}

@@ -1,0 +1,40 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** The one compatibility seam the TxTable streaming source needs from
+  * Spark's `private[sql]` surface: a V1 [[org.apache.spark.sql.execution.streaming.Source]]'s
+  * `getBatch` must hand MicroBatchExecution a DataFrame whose leaves
+  * report `isStreaming = true` (the engine asserts it — "did not have
+  * isStreaming=true" — before grafting the batch plan into the
+  * streaming plan), but every public way to read parquet builds a
+  * batch-marked `LogicalRelation`.
+  *
+  * This object lives under `org.apache.spark.sql` purely to reach
+  * `Dataset.ofRows` — the same package-placement discipline Spark
+  * connector libraries (Delta's `org.apache.spark.sql.delta`) use for
+  * their V1 streaming sources. Nothing else in the repo imports from
+  * here except [[graft.sources.TxTableSourceProvider]].
+  */
+object StreamShims {
+
+  /** Re-root `df`'s analyzed plan with its scan leaves marked
+    * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`
+    * is an any-child fold), so projections/filters/unions stacked by
+    * the TxTable readers — shadow-column drops, change-feed unions,
+    * `_commit_version` literals — survive untouched. Covers the two
+    * leaf shapes TxTable reads produce: `LogicalRelation` (parquet
+    * scans) and `LogicalRDD` (the empty-snapshot frame). */
+  def markStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    val plan = df.queryExecution.analyzed.transform {
+      case lr: LogicalRelation if !lr.isStreaming => lr.copy(isStreaming = true)
+      case r: LogicalRDD if !r.isStreaming        =>
+        r.copy(isStreaming = true)(spark, None, None)
+    }
+    Dataset.ofRows(spark, plan)
+  }
+}

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.core.TxTable
+import graft.sources.{TxTableSource, TxTableSourceProvider}
+import graft.streaming.EventsStream
+
+/** The TxTable Structured Streaming SOURCE: microbatch = table-version
+  * window, offsets checkpointed by the engine, restart resumes from
+  * the commit log without rescanning the table. */
+class TxTableSourceSpec extends SparkSpec {
+
+  private val fmt = classOf[TxTableSourceProvider].getName
+
+  private def freshTable(name: String): (TxTable, String) = {
+    val dir = EventsStream.scratchDir(name) + "/t"
+    (TxTable(spark, dir), dir)
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"name_$i", i * 10.0)).toDF("id", "name", "score")
+  }
+
+  /** Drain all available versions into a parquet sink; returns total
+    * input rows the ENGINE reported for this run (what the source
+    * actually served, not what the sink holds). */
+  private def drain(dir: String, out: String,
+      options: Map[String, String] = Map.empty): Long = {
+    val reader = spark.readStream.format(fmt)
+    options.foreach { case (k, v) => reader.option(k, v) }
+    val q = reader.load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.map(_.numInputRows).sum
+  }
+
+  test("initial snapshot, then restart consumes ONLY the appended versions") {
+    val (t, dir) = freshTable("txsrc_resume")
+    t.overwrite(df(0 until 10))  // v0
+    t.append(df(10 until 15))    // v1
+    val out = EventsStream.scratchDir("txsrc_resume_out")
+    assert(drain(dir, out) == 15, "batch 0 = full snapshot at latest version")
+    // no new commits: a re-run with the same checkpoint moves nothing
+    assert(drain(dir, out) == 0)
+    t.append(df(15 until 18))    // v2
+    t.append(df(18 until 20))    // v3
+    // restart: the offset log resumes at v1 — the two new versions'
+    // files are read, the 15 already-consumed rows are NOT rescanned
+    assert(drain(dir, out) == 5)
+    val sunk = spark.read.parquet(s"$out/rows")
+    assert(sunk.count() == 20)
+    assert(sunk.select(sum("id")).head.getLong(0) == (0 until 20).sum)
+  }
+
+  test("sinceVersion skips the snapshot; maxVersionsPerTrigger bounds each batch") {
+    val (t, dir) = freshTable("txsrc_since")
+    t.overwrite(df(0 until 100)) // v0: NOT served
+    (1 to 4).foreach(k => t.append(df(100 * k until 100 * k + 10))) // v1..v4
+    val out = EventsStream.scratchDir("txsrc_since_out")
+    val reader = spark.readStream.format(fmt)
+      .option(TxTableSource.OptSinceVersion, "0")
+      .option(TxTableSource.OptMaxVersions, "1")
+    val q = reader.load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val progress = q.recentProgress.filter(_.numInputRows > 0)
+    assert(progress.map(_.numInputRows).sum == 40, "appends after v0 only")
+    assert(progress.length == 4, "one version per microbatch under the cap")
+    assert(spark.read.parquet(s"$out/rows").count() == 40)
+  }
+
+  test("append-mode stream fails with the reset signal on a rewrite") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsrc_reset")
+    t.overwriteBucketed(df(0 until 10), Seq("id"), nBuckets = 2) // v0
+    t.append(df(10 until 12))                                    // v1
+    val out = EventsStream.scratchDir("txsrc_reset_out")
+    assert(drain(dir, out, Map(TxTableSource.OptSinceVersion -> "0")) == 2)
+    t.deleteKeys(Seq(3L).toDF("id"))                             // v2: rewrite
+    val e = intercept[StreamingQueryException] {
+      drain(dir, out, Map(TxTableSource.OptSinceVersion -> "0"))
+    }
+    assert(e.getMessage.contains("reset the change-feed consumer"))
+  }
+
+  test("changeFeed mode streams row-level changes across a merge") {
+    import spark.implicits._
+    val (_, dir) = freshTable("txsrc_cdf")
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    t.overwriteBucketed(df(0 until 10), Seq("id"), nBuckets = 2) // v0
+    t.append(df(10 until 12))                                    // v1
+    t.upsert(Seq((0L, "name_0", 999.0)).toDF("id", "name", "score")) // v2
+    t.deleteKeys(Seq(5L).toDF("id"))                             // v3
+    val out = EventsStream.scratchDir("txsrc_cdf_out")
+    val q = spark.readStream.format(fmt)
+      .option(TxTableSource.OptSinceVersion, "0")
+      .option(TxTableSource.OptChangeFeed, "true")
+      .load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(s"$out/rows")
+    // v1: 2 inserts; v2: pre+post image of id 0; v3: delete of id 5
+    assert(sunk.count() == 5)
+    val byType = sunk.groupBy(TxTable.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 2L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L))
+    assert(sunk.where(col(TxTable.ChangeTypeCol) === "update_postimage")
+      .select("score").as[Double].head() == 999.0)
+    assert(sunk.where(col(TxTable.ChangeTypeCol) === "delete")
+      .select("id").as[Long].head() == 5L)
+  }
+
+  test("changeFeed mode requires sinceVersion") {
+    val (t, dir) = freshTable("txsrc_cdf_req")
+    t.overwrite(df(0 until 3))
+    val e = intercept[Exception] {
+      val out = EventsStream.scratchDir("txsrc_cdf_req_out")
+      drain(dir, out, Map(TxTableSource.OptChangeFeed -> "true"))
+    }
+    assert(e.getMessage.contains("sinceVersion"))
+  }
+
+  test("short name 'txtable' resolves through DataSourceRegister") {
+    val (t, dir) = freshTable("txsrc_short")
+    t.overwrite(df(0 until 4))
+    val out = EventsStream.scratchDir("txsrc_short_out")
+    val q = spark.readStream.format("txtable").load(dir)
+      .writeStream.format("parquet")
+      .option("path", s"$out/rows")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.read.parquet(s"$out/rows").count() == 4)
+  }
+}
