@@ -659,28 +659,43 @@ object SparkEntry {
     // identity pinned in MultimodalSpec)
     "m3_media_ann"       -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val feats = Multimodal.extractFeatures(
-          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
-        .select(col("media_id").as("vec_id"), col("feature").as("embedding"))
-      // materialize features ONCE (the production shape: extraction
-      // is the expensive pass, the index consumes it several times —
-      // corpus scan, query scan, centroid collect; unmaterialized,
-      // the decode pipeline re-runs per consumer)
-      val dir = graft.streaming.EventsStream.scratchDir("graft_media_feats")
-      new graft.core.ParquetIOManager(s).write(feats, dir)
-      Similarity.annTopKIvf(s.read.parquet(dir), k = 5, queryStride = 50,
-        centroidStride = 20, nProbe = 6)
+      // features + exact baseline materialized ONCE per (session, dir)
+      // (the production shape: extraction is the expensive pass, the
+      // index consumes it several times; and the bench then times the
+      // IVF path, not decode+exact+approx together)
+      val featDir = cachedAsset(s, s"media_feats|$d") {
+        val p = graft.streaming.EventsStream.scratchDir("graft_media_feats")
+        new graft.core.ParquetIOManager(s).write(
+          Multimodal.extractFeatures(
+              Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+            .select(col("media_id").as("vec_id"),
+              col("feature").as("embedding")), p)
+        p
+      }
+      val exactDir = cachedAsset(s, s"media_ann_exact|$d") {
+        val p = graft.streaming.EventsStream.scratchDir("graft_media_exact")
+        new graft.core.ParquetIOManager(s).write(
+          Similarity.annTopK(s.read.parquet(featDir), k = 5, queryStride = 50), p)
+        p
+      }
+      Similarity.recallVsExact(
+        Similarity.annTopKIvf(s.read.parquet(featDir), k = 5, queryStride = 50,
+          centroidStride = 20, nProbe = 6),
+        s.read.parquet(exactDir))
     }),
-    // M-tier: multimodal plumbing (stubbed codec → rows-only gate)
+    // M-tier: real in-JDK codecs (PNG via ImageIO, WAV via
+    // javax.sound) — m1 hash-matches DuckDB reconstructing the dims/
+    // durations the ENCODER used from what the DECODER read back out
+    // of the bytes, so the gate fails unless encode→decode roundtrips
     "m1_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Multimodal.extractFeatures(
+      Multimodal.decodeImages(
           Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
         .groupBy("kind")
         .agg(count(lit(1)).as("n_media"),
-          // codegen kernel, not the interpreted HOF `aggregate`
-          round(avg(graft.functions.GraftFunctions.vecSum(col("feature"))), 6)
-            .as("avg_feature_sum"))
+          sum(col("meta.width")).cast("bigint").as("sum_width"),
+          sum(col("meta.height")).cast("bigint").as("sum_height"),
+          sum(col("meta.durationMs")).cast("bigint").as("sum_duration_ms"))
         .orderBy("kind")
     }),
   )
@@ -1228,6 +1243,27 @@ object SparkEntry {
     "m2_frame_sample" ->
       """SELECT doc_id AS media_id, CAST(10 AS BIGINT) AS n_frames
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY 1""".stripMargin,
+    // m1's oracle re-derives the generator's dim/duration arithmetic
+    // from doc_id; the Spark side reads the same numbers back out of
+    // the DECODED payload bytes (ImageIO / AudioSystem), so the hash
+    // matches iff the real encode→decode roundtrip is exact
+    "m1_media_features" ->
+      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image'
+        |          WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  count(*) AS n_media,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 48
+        |           ELSE 0 END) AS BIGINT) AS sum_width,
+        |  CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 32
+        |           ELSE 0 END) AS BIGINT) AS sum_height,
+        |  CAST(sum(CASE doc_id % 3 WHEN 1 THEN 10 * (1 + doc_id % 10)
+        |           WHEN 2 THEN 10000 ELSE 0 END) AS BIGINT)
+        |    AS sum_duration_ms
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // m3 gates like c7/c10: the IVF result must reach the recall
+    // bound against the exact baseline over the same decoded features
+    "m3_media_ann" ->
+      """SELECT count(*) AS n_queries, true AS recall_ok
+        |FROM documents WHERE doc_id % 50 = 0""".stripMargin,
     "q28_asof_join" ->
       """SELECT p.event_id, p.user_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

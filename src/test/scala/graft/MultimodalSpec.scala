@@ -4,30 +4,71 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.{Multimodal, Similarity}
 
-/** Multimodal plumbing: schema, batch shape, determinism — the parts
-  * that stay when FakeCodec is swapped for a real decoder. */
+/** Multimodal plumbing over REAL in-JDK codecs: payloads are actual
+  * PNG / WAV / PNG-frame-container bytes, decode goes through
+  * ImageIO / AudioSystem, and tests pin the encode→decode roundtrip
+  * exactly. */
 class MultimodalSpec extends SparkSpec {
 
   private lazy val media = Multimodal.syntheticMedia(spark, Tables.documents(spark, sf))
 
-  test("synthetic media: binary payloads + typed meta for all docs") {
+  test("synthetic media: real container bytes + typed meta for all docs") {
     val df = media.toDF().cache()
     assert(df.count() == Tables.documents(spark, sf).count())
     assert(df.schema("bytes").dataType.typeName == "binary")
     assert(df.schema("meta").dataType.typeName == "struct")
     assert(df.select("kind").distinct().count() == 3)
-    // payload sized ~2KB (64-hex sha repeated 32x)
-    assert(df.select(min(length(col("bytes")))).collect()(0).getInt(0) == 2048)
+    // every payload opens with its format's real magic bytes
+    val heads = df.select(col("kind"), substring(col("bytes"), 1, 4).as("hd"))
+      .distinct().collect()
+    heads.foreach { r =>
+      val hd = r.getAs[Array[Byte]]("hd")
+      r.getString(0) match {
+        case "image" => assert(hd.sameElements(Array(0x89.toByte, 'P', 'N', 'G')))
+        case "audio" => assert(new String(hd, "US-ASCII") == "RIFF")
+        case "video" => assert(new String(hd, "US-ASCII") == "GVID")
+      }
+    }
   }
 
-  test("image decode fills dims only for images, deterministically") {
+  test("image decode reads the generator's dims back out of the PNG bytes") {
     val dec = Multimodal.decodeImages(media).toDF().cache()
     val img = dec.where(col("kind") === "image")
-    assert(img.where(col("meta.width") <= 0 || col("meta.height") <= 0).count() == 0)
+    // decoded dims ≡ the encode-side arithmetic, row by row
+    assert(img.where(col("meta.width") =!= lit(16) + pmod(col("media_id"), lit(48)) ||
+      col("meta.height") =!= lit(16) + pmod(col("media_id"), lit(32))).count() == 0)
     assert(dec.where(col("kind") =!= "image")
       .where(col("meta.width") =!= 0).count() == 0)
     val again = Multimodal.decodeImages(media).toDF()
     assert(dec.exceptAll(again).count() == 0)
+  }
+
+  test("resize resamples the raster and re-encodes: dims scale, bytes decode") {
+    import spark.implicits._
+    val resized = Multimodal.resizeImages(
+      Multimodal.decodeImages(media), maxDim = 20).toDF().cache()
+    val img = resized.where(col("kind") === "image")
+    assert(img.where(col("meta.width") > 20 || col("meta.height") > 20).count() == 0)
+    // the re-encoded bytes are REAL PNGs of exactly the claimed size
+    val rows = img.select("bytes", "meta.width", "meta.height")
+      .as[(Array[Byte], Int, Int)].take(10)
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, w, h) =>
+      val dims = Multimodal.JdkCodec.imageDims(b)
+      assert(dims == (w, h))
+    }
+  }
+
+  test("audio decode via AudioSystem: rate and sample count roundtrip") {
+    import spark.implicits._
+    val rows = media.filter(_.kind == "audio").take(5)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      val (rate, samples) = Multimodal.JdkCodec.decodeWav(m.bytes)
+      assert(rate == 16000)
+      assert(samples.length == 160 * (1 + (m.media_id % 10)).toInt)
+      assert(m.meta.durationMs == samples.length.toLong * 1000 / rate)
+    }
   }
 
   test("frame sampling: bounded batch shape, no payload in output") {
