@@ -428,6 +428,30 @@ object SparkEntry {
           md5(col("payload")).as("payload_md5"))
         .orderBy("doc_id")
     }),
+    // w2: the same roundtrip through GZIPPED members (one gzip member
+    // per record, concatenated — the Common Crawl layout); the reader
+    // inflates per task and must produce byte-identical records
+    "w2_warc_gzip"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = cachedAsset(s, s"warc_gz|$d") {
+        val w = graft.streaming.EventsStream.scratchDir("graft_warc_gz")
+        graft.sources.WarcRecords.write(
+          Tables.documents(s, d).select(
+            concat(lit("https://"), col("source"),
+              lit(".example.com/doc/"), col("doc_id")).as("uri"),
+            encode(col("text"), "UTF-8").as("payload")),
+          w, gzip = true)
+        w
+      }
+      graft.sources.WarcRecords.read(s, dir)
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("warc_type"),
+          col("content_length").as("n_bytes"),
+          md5(col("payload")).as("payload_md5"))
+        .orderBy("doc_id")
+    }),
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
@@ -1038,6 +1062,12 @@ object SparkEntry {
         |    AS sum_price
         |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin,
     "w1_warc_roundtrip" ->
+      """SELECT doc_id, 'response' AS warc_type,
+        |       CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |       md5(text) AS payload_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // w2 = w1 through gzipped members: identical record content
+    "w2_warc_gzip" ->
       """SELECT doc_id, 'response' AS warc_type,
         |       CAST(strlen(text) AS BIGINT) AS n_bytes,
         |       md5(text) AS payload_md5

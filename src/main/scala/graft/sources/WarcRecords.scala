@@ -38,16 +38,31 @@ object WarcRecords {
 
   private val Magic = "WARC/".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
-  /** Read every `*.warc` member under `path` into records. */
+  /** Read every `*.warc` / `*.warc.gz` member under `path` into
+    * records. Gzipped members follow the Common Crawl discipline —
+    * each record its own gzip member, members concatenated — which
+    * `GZIPInputStream` inflates as one stream (it resumes at each
+    * following member header), so the record parser sees the same
+    * bytes either way. Decompression is per-task, inside the same
+    * one-member-per-task memory envelope as the raw path. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.warc")
+      .option("pathGlobFilter", "*.warc*")
       .load(path)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])]
-      .flatMap { case (p, bytes) => parseMember(p, bytes) }
+      .flatMap { case (p, bytes) =>
+        parseMember(p, if (p.endsWith(".gz")) gunzip(bytes) else bytes)
+      }
       .toDF()
+  }
+
+  /** Inflate a (possibly multi-member) gzip stream fully. */
+  private[graft] def gunzip(bytes: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try in.readAllBytes() finally in.close()
   }
 
   /** Parse one WARC member; malformed records are skipped by
@@ -130,14 +145,15 @@ object WarcRecords {
     * is deterministic given a deterministic partitioning. Dev/fixture
     * surface; at production scale the member writer would run behind
     * a commit protocol like every other sink. */
-  def write(records: DataFrame, dir: String): Unit = {
+  def write(records: DataFrame, dir: String, gzip: Boolean = false): Unit = {
     val conf = new org.apache.spark.util.SerializableConfiguration(
       records.sparkSession.sparkContext.hadoopConfiguration)
     records.select(col("uri"), col("payload"))
       .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
         if (it.hasNext) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
-          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.warc")
+          val ext = if (gzip) "warc.gz" else "warc"
+          val p = new org.apache.hadoop.fs.Path(dir, f"part-$pid%05d.$ext")
           val fs = p.getFileSystem(conf.value)
           val out = fs.create(p, true)
           try it.foreach { row =>
@@ -153,11 +169,22 @@ object WarcRecords {
             // UTF-8 headers (symmetric with the reader): Content-Length
             // counts PAYLOAD octets only, so a multi-byte uri never
             // shifts the framing
-            out.write(header.getBytes(
+            val rec = new java.io.ByteArrayOutputStream()
+            rec.write(header.getBytes(
               java.nio.charset.StandardCharsets.UTF_8))
-            out.write(payload)
-            out.write("\r\n\r\n".getBytes(
+            rec.write(payload)
+            rec.write("\r\n\r\n".getBytes(
               java.nio.charset.StandardCharsets.US_ASCII))
+            if (gzip) {
+              // one gzip member PER RECORD, members concatenated —
+              // the Common Crawl layout, and what lets a future
+              // range-based reader seek to records without inflating
+              // the whole file
+              val gzBuf = new java.io.ByteArrayOutputStream()
+              val gz = new java.util.zip.GZIPOutputStream(gzBuf)
+              gz.write(rec.toByteArray); gz.close()
+              out.write(gzBuf.toByteArray)
+            } else out.write(rec.toByteArray)
           } finally out.close()
         }
       }

@@ -29,6 +29,27 @@ class WarcSpec extends SparkSpec {
     assert(back.where(col("content_length") =!= length(col("payload"))).count() == 0)
   }
 
+  test("gzipped members (one gzip member per record) roundtrip identically") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("warc_gz")
+    val in = (0 until 50).map(i =>
+      (s"https://ex.com/doc/$i", s"gz payload $i".getBytes("UTF-8")))
+      .toDF("uri", "payload")
+    WarcRecords.write(in.repartition(2), dir, gzip = true)
+    // files land as .warc.gz, each a concatenation of per-record members
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2)
+    // multi-member layout is real: >1 gzip magic per file
+    val raw = java.nio.file.Files.readAllBytes(files(0).toPath)
+    val magics = raw.sliding(2).count(w => (w(0) & 0xff) == 0x1f && (w(1) & 0xff) == 0x8b)
+    assert(magics > 1, s"expected concatenated per-record gzip members, saw $magics magic(s)")
+    val back = WarcRecords.read(spark, dir)
+    assert(back.count() == 50)
+    val got = back.select(col("target_uri").as("uri"), md5(col("payload")).as("h"))
+    val want = in.select(col("uri"), md5(col("payload")).as("h"))
+    assert(got.exceptAll(want).count() == 0 && want.exceptAll(got).count() == 0)
+  }
+
   test("non-ASCII target uris round-trip (UTF-8 headers)") {
     import spark.implicits._
     val dir = EventsStream.scratchDir("warc_utf8")
