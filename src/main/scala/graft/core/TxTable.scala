@@ -627,12 +627,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * Concurrency: the merge composes against the snapshot current at
     * its start; if another commit lands first, it fails (rerun) —
     * same discipline as [[compact]]. */
-  def merge(source: DataFrame, txn: Option[(String, Long)] = None)(
+  def merge(source: DataFrame, txn: Option[(String, Long)] = None,
+      sourceIsPinned: Boolean = false)(
       resolve: (DataFrame, DataFrame) => DataFrame): Long =
-    mergeOp(OpMerge, source, txn)(resolve)
+    mergeOp(OpMerge, source, txn, sourceIsPinned)(resolve)
 
   private def mergeOp(op: String, source: DataFrame,
-      txn: Option[(String, Long)])(
+      txn: Option[(String, Long)], sourceIsPinned: Boolean = false)(
       resolve: (DataFrame, DataFrame) => DataFrame): Long = {
     val v = latestVersion.getOrElse(
       sys.error(s"$root: merge needs an existing bucketed table"))
@@ -645,13 +646,33 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // probeSignatureIndex discipline): it feeds both the touched-
     // bucket set and the resolve — a non-deterministic source
     // re-evaluated between the two could hash a key into a bucket
-    // the plan didn't rewrite, silently breaking replace-by-key
-    val src = withBucket(source, spec).localCheckpoint(true)
+    // the plan didn't rewrite, silently breaking replace-by-key.
+    // `sourceIsPinned` callers (foreachBatch microbatches: already
+    // materialized, offset-pinned, deterministic by the replay
+    // contract) skip the checkpoint — one fewer full write of the
+    // batch per commit; the touched-set job then reads the pinned
+    // source directly. For the checkpointed path the touched set
+    // rides the checkpoint job itself as an observed metric instead
+    // of a second collect — either way ONE driver-side job before
+    // the write, not two.
+    val bucketed = withBucket(source, spec)
+    val (src, touched0) =
+      if (sourceIsPinned) (bucketed, None)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val ckpt = bucketed
+          .observe(obs, org.apache.spark.sql.functions
+            .collect_set(col(BucketCol)).as("touched"))
+          .localCheckpoint(true)
+        (ckpt, Some(obs.get("touched").asInstanceOf[Seq[Int]]
+          .map(_.toString).toSet))
+      }
     try {
       // buckets the source touches: bounded by nBuckets, collected as
       // a model-sized driver list (the c10/probe-id discipline)
-      val touched: Set[String] = src.select(col(BucketCol)).distinct()
-        .collect().map(_.getInt(0).toString).toSet
+      val touched: Set[String] = touched0.getOrElse(
+        src.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0).toString).toSet)
       val (affected, untouched) =
         m.files.partition(f => f.partition.get(BucketCol).exists(touched))
       val existing = readEntries(m, affected)
@@ -705,17 +726,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
           Some(spec), txn, cdcFiles)
       }
-    } finally { src.unpersist(); () }
+    } finally { if (!sourceIsPinned) { src.unpersist(); () } }
   }
 
   /** MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT * — source rows replace same-key
     * rows, new keys insert; source must be unique per key. Rewrites
     * only the buckets containing source keys. */
-  def upsert(source: DataFrame, txn: Option[(String, Long)] = None): Long = {
+  def upsert(source: DataFrame, txn: Option[(String, Long)] = None,
+      sourceIsPinned: Boolean = false): Long = {
     val keys = latestVersion.map(manifest).flatMap(_.bucketSpec)
       .getOrElse(sys.error(s"$root is not bucketed")).cols
-    merge(source, txn) { (existing, src) =>
+    merge(source, txn, sourceIsPinned) { (existing, src) =>
       existing.join(src.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
         .unionByName(src)
@@ -727,10 +749,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * containing those keys are read and rewritten, every other file
     * is carried by reference. DELETE FROM t WHERE key IN (...) at
     * file granularity. */
-  def deleteKeys(keys: DataFrame, txn: Option[(String, Long)] = None): Long = {
+  def deleteKeys(keys: DataFrame, txn: Option[(String, Long)] = None,
+      sourceIsPinned: Boolean = false): Long = {
     val cols = latestVersion.map(manifest).flatMap(_.bucketSpec)
       .getOrElse(sys.error(s"$root is not bucketed")).cols
-    mergeOp(OpDelete, keys, txn) { (existing, src) =>
+    mergeOp(OpDelete, keys, txn, sourceIsPinned) { (existing, src) =>
       existing.join(src.select(cols.map(col): _*).distinct(), cols, "left_anti")
     }
   }

@@ -249,7 +249,16 @@ object EventsStream {
     * all prior state on restart). The upsert is associative/
     * commutative across batches, so the final state equals the
     * batch-global latest — StreamingSpec pins that (including a
-    * simulated restart), the s7 oracle gates it. */
+    * simulated restart), the s7 oracle gates it.
+    *
+    * DEPRECATED in favor of [[runForeachBatchUpsertTx]]: this path
+    * rewrites the WHOLE state table every batch — O(state) bytes per
+    * commit (the Stress table measures ×12 bytes under ×64 state) —
+    * where the TxTable merge rewrites only touched buckets. The gate
+    * is retained as the scaling CONTRAST baseline for that table;
+    * new pipelines should not copy this shape. */
+  @deprecated("O(state) rewrite per batch — use runForeachBatchUpsertTx " +
+    "(copy-on-write merge, O(touched buckets))", "round-6")
   def runForeachBatchUpsert(spark: SparkSession, events: DataFrame,
       workDir: String): DataFrame = withStatePartitions(spark) {
     val q = events.writeStream
@@ -348,7 +357,12 @@ object EventsStream {
       t.overwriteBucketed(asState, Seq("user_id"), nBuckets,
         txn = Some(UpsertAppId -> batchId))
     else
-      t.merge(asState, txn = Some(UpsertAppId -> batchId)) { (existing, src) =>
+      // sourceIsPinned: a foreachBatch microbatch is offset-pinned
+      // and `latest` tie-breaks on the unique event_id, so the merge
+      // may re-evaluate it instead of paying a localCheckpoint write
+      // per commit (the fixed ~0.4 s/batch the round-5 audit flagged)
+      t.merge(asState, txn = Some(UpsertAppId -> batchId),
+          sourceIsPinned = true) { (existing, src) =>
         latest(existing.unionByName(src))
       }
     ()
