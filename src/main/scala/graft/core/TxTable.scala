@@ -405,7 +405,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           statCmp(field.dataType, mx, blo.toString) >= 0) &&
         f.min.get(name).forall(mn =>
           statCmp(field.dataType, mn, bhi.toString) <= 0)
-      catch { case _: NumberFormatException => true }
+      // IllegalArgumentException covers NumberFormatException AND the
+      // date/timestamp parse failures — unparsable stat or bound
+      // always keeps the file (pruning must never drop rows)
+      catch { case _: IllegalArgumentException => true }
     }
     readEntries(m, kept)
       .where(col(name) >= org.apache.spark.sql.functions.lit(blo) &&
@@ -805,42 +808,70 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * [min,max] ranges stay tight in EVERY listed dimension and
     * [[readWhereRange]] skips files for predicates on ANY of them —
     * multi-dimensional data skipping, where a plain sort only serves
-    * its leading column. Numeric columns only (curve coordinates are
-    * min/max-normalized 16-bit ranks; the normalization bounds come
-    * from one cheap aggregate). The z-value is pure column arithmetic
-    * (magic-number bit spreading — codegen'd, no UDF); the rewrite is
-    * range-partitioned and sorted by it, then committed like any
-    * [[compact]] — readers flip manifests, never block. */
+    * its leading column.
+    *
+    * Curve coordinates are min/max-normalized 16-bit ranks over a
+    * per-type monotone numeric projection: numerics cast to double,
+    * dates/timestamps to their epoch value, strings to their first
+    * six UTF-8 bytes as an unsigned integer (exact in a double;
+    * monotone in the same unsigned-byte order the string stats use —
+    * the scalable stand-in for a global dictionary rank, which would
+    * cost a global sort). The z-value itself is pure column
+    * arithmetic (magic-number bit spreading — codegen'd, no UDF).
+    *
+    * On a hive-partitioned table the curve clusters WITHIN each
+    * partition (range-partition and sort by partition values first,
+    * z-value second) — partition pruning keeps serving the layout
+    * columns, the curve serves the rest. Bucketed tables are refused:
+    * the bucket function owns the file mapping. The rewrite commits
+    * like any [[compact]] — readers flip manifests, never block. */
   def compactZOrder(zCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(zCols.size >= 2 && zCols.size <= 3,
-      "z-order needs 2..3 numeric columns (16-bit ranks × stride stay " +
+      "z-order needs 2..3 columns (16-bit ranks × stride stay " +
         "inside a positive long)")
     val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
     val m = manifest(v)
-    require(m.partitionCols.isEmpty && m.bucketSpec.isEmpty,
-      s"$root: z-order compaction supports flat tables (layout owns the " +
-        "file mapping on partitioned/bucketed tables)")
+    require(m.bucketSpec.isEmpty,
+      s"$root: z-order compaction is for flat/partitioned tables (the " +
+        "bucket function owns the file mapping on bucketed tables)")
+    require(zCols.forall(c => !m.partitionCols.exists(_.equalsIgnoreCase(c))),
+      s"$root: z-order columns overlap the partition layout — partition " +
+        "pruning already serves those; curve the remaining dimensions")
     val base = readVersion(v)
     import org.apache.spark.sql.functions.{lit => flit, min => fmin, max => fmax}
-    // curve coordinates must be numeric — fail with the type named,
-    // not a NumberFormatException from a stringified timestamp
     val tableSchema = StructType.fromDDL(m.schemaDdl)
-    zCols.foreach { c =>
+    // per-type MONOTONE numeric projection — the curve only needs
+    // order, not values; anything order-preserving into a double works
+    def coord(c: String): Column = {
       val f = tableSchema.fields.find(_.name.equalsIgnoreCase(c))
         .getOrElse(sys.error(s"$root has no column $c"))
-      require(f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-        s"z-order column $c is ${f.dataType.simpleString} — " +
-          "curve coordinates must be numeric")
+      f.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => col(c).cast("double")
+        case org.apache.spark.sql.types.DateType =>
+          org.apache.spark.sql.functions.unix_date(col(c)).cast("double")
+        case org.apache.spark.sql.types.TimestampType => col(c).cast("double")
+        case StringType =>
+          // first 6 UTF-8 bytes as an unsigned 48-bit integer: exact
+          // in a double, monotone in unsigned-byte order (shorter
+          // strings zero-pad, sorting first — same order as statCmp)
+          org.apache.spark.sql.functions.conv(
+            org.apache.spark.sql.functions.rpad(
+              org.apache.spark.sql.functions.hex(
+                org.apache.spark.sql.functions.encode(col(c), "UTF-8")),
+              12, "0").substr(1, 12), 16, 10).cast("double")
+        case dt => sys.error(s"z-order column $c is ${dt.simpleString} — " +
+          "curve coordinates must be numeric, date/timestamp, or string")
+      }
     }
-    // normalization bounds: one tiny agg, broadcast as literals
-    val aggExprs = zCols.flatMap(c => Seq(fmin(col(c)), fmax(col(c))))
+    // normalization bounds: one tiny agg over the projections
+    val aggExprs = zCols.flatMap(c => Seq(fmin(coord(c)), fmax(coord(c))))
     val bounds = base.agg(aggExprs.head, aggExprs.tail: _*).head()
     def rank16(c: String, i: Int): Column = {
       require(!bounds.isNullAt(2 * i) && !bounds.isNullAt(2 * i + 1),
         s"$root: z-order column $c has no non-null values")
-      val lo = bounds.getAs[Any](2 * i).toString.toDouble
-      val hi = bounds.getAs[Any](2 * i + 1).toString.toDouble
+      val lo = bounds.getDouble(2 * i)
+      val hi = bounds.getDouble(2 * i + 1)
       require(!lo.isNaN && !hi.isNaN,
         s"$root: z-order column $c bound is NaN — a NaN coordinate " +
           "would silently corrupt the curve; filter or repair first")
@@ -850,7 +881,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // curve non-monotonically
       org.apache.spark.sql.functions.least(
         org.apache.spark.sql.functions.greatest(
-          ((col(c).cast("double") - flit(lo)) / flit(span) * flit(65535.0))
+          ((coord(c) - flit(lo)) / flit(span) * flit(65535.0))
             .cast("long"), flit(0L)), flit(65535L))
     }
     // Morton spread of a 16-bit value to every zCols.size-th bit
@@ -866,15 +897,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         spread(rank16(c, i), zCols.size), i)
     }.reduce(_ bitwiseOR _)
     val n = targetFileCount(m, targetFileBytes)
+    // partition values lead the clustering keys so each write task
+    // holds whole (partition, z-range) runs: files stay per-partition
+    // AND z-tight within it
+    val clusterKeys = m.partitionCols.map(col) :+ col(ZTmpCol)
     val clustered = base.withColumn(ZTmpCol, z)
-      .repartitionByRange(n, col(ZTmpCol))
-      .sortWithinPartitions(ZTmpCol)
+      .repartitionByRange(n, clusterKeys: _*)
+      .sortWithinPartitions(clusterKeys: _*)
       .drop(ZTmpCol)
-    val (files, schema) = writeDataFiles(clustered, Nil)
+    val (files, schema) = writeDataFiles(clustered, m.partitionCols)
     commit { latest =>
       require(latest.exists(_.version == m.version),
         s"concurrent commit during z-order compact of $root — rerun")
-      Pending(OpCompact, files, schemaDdlOf(schema), Nil, None, None)
+      Pending(OpCompact, files, schemaDdlOf(schema), m.partitionCols, None, None)
     }
   }
 
@@ -1349,6 +1384,8 @@ object TxTable {
     dt match {
       case ByteType | ShortType | IntegerType | LongType |
            FloatType | DoubleType | StringType => true
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType => true
       case _: DecimalType => true
       case _ => false
     }
@@ -1380,6 +1417,12 @@ object TxTable {
       // 0.10000000149..., not 0.1 — else pruning can drop rows)
       java.lang.Double.compare(
         java.lang.Float.parseFloat(a).toDouble, b.toDouble)
+    case org.apache.spark.sql.types.DateType =>
+      // stats ride as cast-to-string ISO dates; parse both sides (an
+      // unparsable BOUND keeps the file via the caller's catch)
+      java.sql.Date.valueOf(a).compareTo(java.sql.Date.valueOf(b))
+    case org.apache.spark.sql.types.TimestampType =>
+      java.sql.Timestamp.valueOf(a).compareTo(java.sql.Timestamp.valueOf(b))
     case DoubleType =>
       java.lang.Double.compare(a.toDouble, b.toDouble)
     case _ => new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))

@@ -397,6 +397,75 @@ class TxTableSpec extends SparkSpec {
     assert(t.readWhereRange("y", 10, 15).count() == 600)
   }
 
+  test("z-order over date × numeric: both dimensions skip after the curve") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_zorder_date")
+    // 80 days × 80 amounts, written day-major: day-sorted layout
+    // serves day ranges but every file spans the full amount domain
+    val rows = (0 until 80).flatMap(d => (0 until 80).map(a =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)),
+        a.toLong, d * 100L + a)))
+      .toDF("day", "amount", "payload")
+    t.overwrite(rows.repartitionByRange(16, col("day")))
+    val total = t.fileEntries(t.latestVersion.get).size
+    assert(t.readWhereRange("amount", 10, 15).inputFiles.length == total,
+      "day-sorted layout shouldn't skip on amount — else the test is vacuous")
+    val vz = t.compactZOrder(Seq("day", "amount"), targetFileBytes = 8 * 1024)
+    val nz = t.fileEntries(vz).size
+    assert(nz > 4, s"need several files to demonstrate skipping, got $nz")
+    val dayFiles = t.readWhereRange("day",
+      java.sql.Date.valueOf("2024-01-10"), java.sql.Date.valueOf("2024-01-15"))
+    val amtFiles = t.readWhereRange("amount", 10, 15)
+    assert(dayFiles.inputFiles.length < nz, "date-range read skipped nothing")
+    assert(amtFiles.inputFiles.length < nz, "amount-range read skipped nothing")
+    // pruning is exact: residual results match the full-scan answer
+    assert(dayFiles.count() == 6 * 80)
+    assert(amtFiles.count() == 6 * 80)
+    assert(t.readVersion(vz).exceptAll(rows).count() == 0)
+  }
+
+  test("z-order with a string curve column: prefix-rank clustering skips") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_zorder_str")
+    val rows = (0 until 80).flatMap(g => (0 until 80).map(n =>
+      (f"grp_$g%03d", n.toLong, g * 100L + n))).toDF("grp", "n", "payload")
+    t.overwrite(rows.repartitionByRange(16, col("n")))
+    val vz = t.compactZOrder(Seq("grp", "n"), targetFileBytes = 8 * 1024)
+    val nz = t.fileEntries(vz).size
+    assert(nz > 4)
+    val gf = t.readWhereRange("grp", "grp_010", "grp_015")
+    assert(gf.inputFiles.length < nz, "string-range read skipped nothing")
+    assert(gf.count() == 6 * 80)
+    val nf = t.readWhereRange("n", 10, 15)
+    assert(nf.inputFiles.length < nz, "numeric-range read skipped nothing")
+    assert(nf.count() == 6 * 80)
+  }
+
+  test("z-order WITHIN partitions: layout preserved, curve skips inside") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_zorder_part")
+    val rows = (0 until 4).flatMap(p => (0 until 40).flatMap(x =>
+      (0 until 40).map(y => (s"p$p", x.toLong, y.toLong, x * 100L + y))))
+      .toDF("part", "x", "y", "payload")
+    t.overwrite(rows, partitionBy = Seq("part"))
+    // curving a partition column is refused — pruning already serves it
+    val e = intercept[RuntimeException](t.compactZOrder(Seq("part", "x")))
+    assert(e.getMessage.contains("partition layout"))
+    val vz = t.compactZOrder(Seq("x", "y"), targetFileBytes = 4 * 1024)
+    val m = t.fileEntries(vz)
+    // every rewritten file still belongs to exactly one partition
+    assert(m.forall(_.partition.contains("part")))
+    // partition pruning still serves the layout column
+    val one = t.readWhere(p => p.get("part").contains("p1"))
+    assert(one.count() == 1600)
+    assert(one.inputFiles.length < m.size)
+    // and the curve skips on BOTH curve dimensions within the scan
+    val nz = m.size
+    assert(t.readWhereRange("x", 5, 8).inputFiles.length < nz)
+    assert(t.readWhereRange("y", 5, 8).inputFiles.length < nz)
+    assert(t.readWhereRange("y", 5, 8).count() == 4 * 40 * 4)
+  }
+
   test("changesSince reads only appended files; refuses across rewrites") {
     import spark.implicits._
     val (t, _) = freshTable("tx_cdf")
