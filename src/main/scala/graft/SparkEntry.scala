@@ -50,6 +50,24 @@ object SparkEntry {
       p
     }
 
+  /** The synthetic media table (real PNG/WAV/GVID payloads),
+    * MATERIALIZED once per (session, dir): the m-gates measure the
+    * DECODE paths — encoding the fixture is ingest work, not the
+    * operator under test, and unmaterialized it would re-run for
+    * every consumer of the frame. */
+  private def mediaAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"media|$d") {
+      val p = graft.streaming.EventsStream.scratchDir("graft_media")
+      new graft.core.ParquetIOManager(s).write(
+        Multimodal.syntheticMedia(s, Tables.documents(s, d)).toDF(), p)
+      p
+    }
+
+  private def mediaTable(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.read.parquet(mediaAsset(s, d)).as[graft.ops.Multimodal.MediaRow]
+  }
+
   /** The append-only orders TxTable (v0 overwrite + two appends =
     * the full table), shared by the x8 file-level change feed and the
     * s9 streaming-source gate — one history, two consumption
@@ -672,8 +690,7 @@ object SparkEntry {
     // CRC semantics (not SQL-expressible) are pinned in MultimodalSpec
     "m2_frame_sample"    -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Multimodal.sampleFrames(
-          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+      Multimodal.sampleFrames(mediaTable(s, d)).toDF()
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
@@ -690,8 +707,7 @@ object SparkEntry {
       val featDir = cachedAsset(s, s"media_feats|$d") {
         val p = graft.streaming.EventsStream.scratchDir("graft_media_feats")
         new graft.core.ParquetIOManager(s).write(
-          Multimodal.extractFeatures(
-              Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+          Multimodal.extractFeatures(mediaTable(s, d)).toDF()
             .select(col("media_id").as("vec_id"),
               col("feature").as("embedding")), p)
         p
@@ -713,8 +729,7 @@ object SparkEntry {
     // of the bytes, so the gate fails unless encode→decode roundtrips
     "m1_media_features"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      Multimodal.decodeImages(
-          Multimodal.syntheticMedia(s, Tables.documents(s, d))).toDF()
+      Multimodal.decodeImages(mediaTable(s, d)).toDF()
         .groupBy("kind")
         .agg(count(lit(1)).as("n_media"),
           sum(col("meta.width")).cast("bigint").as("sum_width"),

@@ -155,21 +155,31 @@ class IOManagerSpec extends SparkSpec {
   }
 
   test("resize keeps schema and shrinks only large images") {
+    // real-PNG fixture images are 16..63 × 16..47 (encoder arithmetic),
+    // so 24 leaves both shrink candidates and pass-throughs
+    val maxDim = 24
     val media = graft.ops.Multimodal.syntheticMedia(spark, Tables.documents(spark, sf))
     val decoded = graft.ops.Multimodal.decodeImages(media)
-    val resized = graft.ops.Multimodal.resizeImages(decoded, maxDim = 256)
+    val resized = graft.ops.Multimodal.resizeImages(decoded, maxDim = maxDim)
     val img = resized.toDF().where(col("kind") === "image")
-    assert(img.where(greatest(col("meta.width"), col("meta.height")) > 256)
+    assert(img.where(greatest(col("meta.width"), col("meta.height")) > maxDim)
       .count() == 0)
     // every shrunk image lands exactly on the target max dim with
     // positive dims (aspect can collapse to 1 px for extreme ratios)
     val shrunk = decoded.toDF().as("a").where(col("a.kind") === "image")
-      .where(greatest(col("a.meta.width"), col("a.meta.height")) > 256)
+      .where(greatest(col("a.meta.width"), col("a.meta.height")) > maxDim)
       .join(resized.toDF().as("b"), "media_id")
     assert(shrunk.where(
-      greatest(col("b.meta.width"), col("b.meta.height")) =!= 256).count() == 0)
+      greatest(col("b.meta.width"), col("b.meta.height")) =!= maxDim).count() == 0)
     assert(shrunk.where(least(col("b.meta.width"), col("b.meta.height")) < 1)
       .count() == 0)
     assert(shrunk.count() > 0)
+    // small images pass through byte-identical (the early-exit)
+    val small = decoded.toDF().as("a")
+      .where(col("a.kind") === "image" &&
+        greatest(col("a.meta.width"), col("a.meta.height")) <= maxDim)
+      .join(resized.toDF().as("b"), "media_id")
+      .where(md5(col("a.bytes")) =!= md5(col("b.bytes")))
+    assert(small.count() == 0)
   }
 }
