@@ -54,10 +54,32 @@ import graft.core.TxTable
   * `maxFilesPerTrigger` analogue).
   */
 final class TxTableSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
   import TxTableSource._
 
   override def shortName(): String = "txtable"
+
+  /** BATCH read surface — `spark.read.format("txtable").load(dir)`,
+    * with `versionAsOf` (time travel) or `sinceVersion` (the
+    * change-window read, [[TxTable.changesSince]] semantics). The
+    * returned relation is a real parquet `HadoopFsRelation` over the
+    * snapshot's file list, so pushdown/pruning/vectorization are the
+    * parquet source's own; the commit log only picked the files. */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
+    val t = TxTable(sqlContext.sparkSession, pathOf(parameters))
+    require(!parameters.contains(OptVersionAsOf) ||
+      !parameters.contains(OptSinceVersion),
+      s"$OptVersionAsOf and $OptSinceVersion are exclusive")
+    val df = parameters.get(OptVersionAsOf).map(_.toLong) match {
+      case Some(v) => t.readVersion(v)
+      case None => parameters.get(OptSinceVersion).map(_.toLong) match {
+        case Some(s) => t.changesSince(s)
+        case None    => t.read()
+      }
+    }
+    org.apache.spark.sql.graft.StreamShims.batchParquetRelation(df)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -160,6 +182,8 @@ object TxTableSource {
   val OptChangeFeed = "changeFeed"
   /** Most table versions one microbatch may cover (≥ 1). */
   val OptMaxVersions = "maxVersionsPerTrigger"
+  /** Batch reads: time travel to this snapshot version. */
+  val OptVersionAsOf = "versionAsOf"
 
   private[sources] def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(

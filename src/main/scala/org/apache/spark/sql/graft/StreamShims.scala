@@ -21,6 +21,21 @@ import org.apache.spark.sql.execution.datasources.LogicalRelation
   */
 object StreamShims {
 
+  /** Build the BATCH relation for a TxTable snapshot / change window:
+    * a real parquet `HadoopFsRelation` over the window's leaf files
+    * with the commit log's schema — so `spark.read.format("txtable")`
+    * keeps every parquet optimization (filter pushdown, column
+    * pruning, vectorized read); the TxTable layer only decides WHICH
+    * files, exactly like its DataFrame readers. */
+  def batchParquetRelation(df: DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    org.apache.spark.sql.execution.datasources.DataSource(spark,
+      className = "parquet",
+      paths = df.inputFiles.toIndexedSeq,
+      userSpecifiedSchema = Some(df.schema))
+      .resolveRelation(checkFilesExist = false)
+  }
+
   /** Re-root `df`'s analyzed plan with its scan leaves marked
     * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`
     * is an any-child fold), so projections/filters/unions stacked by

@@ -137,6 +137,36 @@ class TxTableSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("sinceVersion"))
   }
 
+  test("batch read: default latest, versionAsOf time travel, sinceVersion window") {
+    val (t, dir) = freshTable("txsrc_batch")
+    t.overwrite(df(0 until 10))   // v0
+    t.append(df(10 until 15))     // v1
+    t.overwrite(df(100 until 103)) // v2
+    val latest = spark.read.format(fmt).load(dir)
+    assert(latest.count() == 3)
+    val v1 = spark.read.format(fmt)
+      .option(TxTableSource.OptVersionAsOf, "1").load(dir)
+    assert(v1.count() == 15)
+    assert(v1.agg(max("id")).head.getLong(0) == 14)
+    val changes = spark.read.format("txtable")
+      .option(TxTableSource.OptSinceVersion, "0")
+      .option(TxTableSource.OptVersionAsOf, "1")
+    intercept[Exception](changes.load(dir)) // exclusive options
+  }
+
+  test("batch read keeps parquet pushdown: filters reach the scan") {
+    val (t, dir) = freshTable("txsrc_pushdown")
+    t.overwrite(df(0 until 100))
+    val q = spark.read.format(fmt).load(dir)
+      .where(col("id") > 90).select("id", "score")
+    assert(q.count() == 9)
+    val physical = q.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      s"filter did not reach the parquet scan:\n$physical")
+    assert(physical.contains("ReadSchema: struct<id:bigint,score:double>"),
+      s"column pruning did not reach the scan:\n$physical")
+  }
+
   test("short name 'txtable' resolves through DataSourceRegister") {
     val (t, dir) = freshTable("txsrc_short")
     t.overwrite(df(0 until 4))
