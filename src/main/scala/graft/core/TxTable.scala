@@ -535,6 +535,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
               .withColumn(CommitVersionCol, lit(v)))
           case Right(d) if d.operation == OpCompact =>
             None // a compact rewrites byte-identical rows: no data change
+          case Left(full) if full.operation == OpAppend =>
+            // legacy full-manifest append (pre-delta-log era): its
+            // add-set is the file-list diff vs the previous snapshot —
+            // the same fallback changesSince uses
+            val prev =
+              try manifest(v - 1).files.map(_.path).toSet
+              catch { case _: IllegalArgumentException => sys.error(
+                s"$root version ${v - 1} expired (snapshot retention) — " +
+                  "reset the change-feed consumer from a full snapshot read")
+              }
+            val added = full.files.filterNot(f => prev(f.path))
+            if (added.isEmpty) None
+            else Some(readEntries(full, added)
+              .withColumn(ChangeTypeCol, lit("insert"))
+              .withColumn(CommitVersionCol, lit(v)))
+          case Left(full) if full.operation == OpCompact =>
+            None
           case Right(d) if d.cdc.isDefined =>
             val files = d.cdc.get
             if (files.isEmpty) None // CDF commit that changed nothing
@@ -765,17 +782,34 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * match `pred` — a PURE METADATA commit (no data read, no data
     * written; the dropped files become vacuumable once their last
     * referencing snapshot expires). The cheapest possible retention
-    * sweep: `DELETE FROM t WHERE pt = ...` in one manifest write. */
+    * sweep: `DELETE FROM t WHERE pt = ...` in one manifest write.
+    *
+    * Through a `changeDataFeed=true` handle the deleted ROWS are
+    * additionally captured as CDC delete records so [[changeFeed]]
+    * consumers survive the commit — which necessarily reads and
+    * rewrites the dropped partitions' data once (the Delta CDF
+    * trade: row-level capture can't be metadata-only; use a non-CDF
+    * handle when the feed may reset instead). */
   def deletePartitions(pred: Map[String, String] => Boolean,
       txn: Option[(String, Long)] = None): Long = {
     val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
     val m = manifest(v)
     require(m.partitionCols.nonEmpty, s"$root is not partitioned")
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!changeDataFeed) None
+      else {
+        val dropped = m.files.filter(f => pred(f.partition))
+        if (dropped.isEmpty) Some(Nil) // CDF commit that changed nothing
+        else Some(writeDataFiles(
+          readEntries(m, dropped).withColumn(ChangeTypeCol,
+            org.apache.spark.sql.functions.lit("delete")),
+          Nil, withStats = false)._1)
+      }
     commit { latest =>
       require(latest.exists(_.version == m.version),
         s"concurrent commit during deletePartitions of $root — rerun")
       Pending(OpDelete, m.files.filterNot(f => pred(f.partition)),
-        m.schemaDdl, m.partitionCols, m.bucketSpec, txn)
+        m.schemaDdl, m.partitionCols, m.bucketSpec, txn, cdcFiles)
     }
   }
 

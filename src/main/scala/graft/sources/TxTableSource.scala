@@ -128,10 +128,17 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
     * not rows/files/bytes — none of the engine's limit shapes fit). */
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  private def nextOffset(): Option[Long] = synchronized {
+  /** `startHint` is the engine's view of the consumed offset (the
+    * start it will hand the next getBatch). It OUTRANKS the local
+    * `planned` state: after a restart with every batch committed,
+    * `planned` is unseeded, and rate-limiting from `sinceVersion`
+    * alone would plan an offset BEHIND the checkpoint — the engine
+    * would see no new data and the stream would never advance. */
+  private def nextOffset(startHint: Option[Long]): Option[Long] = synchronized {
     table.latestVersion.flatMap { latestNow =>
       val latest = availableNowHorizon.fold(latestNow)(math.min(_, latestNow))
-      val base = planned.orElse(sinceVersion)
+      val base = (startHint.toSeq ++ planned.toSeq ++ sinceVersion.toSeq)
+        .reduceOption(_ max _)
       val next = (base, maxVersionsPerTrigger) match {
         case (Some(b), Some(n)) => math.min(latest, b + math.max(1L, n))
         // an initial snapshot is one indivisible batch — version
@@ -142,10 +149,10 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
     }
   }
 
-  override def getOffset: Option[OffsetV1] = nextOffset().map(LongOffset(_))
+  override def getOffset: Option[OffsetV1] = nextOffset(None).map(LongOffset(_))
 
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
-    nextOffset().map(LongOffset(_)).orNull
+    nextOffset(Option(start).map(versionOf)).map(LongOffset(_)).orNull
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val endV = versionOf(end)
@@ -209,7 +216,7 @@ object TxTableSource {
 
   /** Recovered offsets arrive as `SerializedOffset(json)`, live ones
     * as [[LongOffset]] — `json` is the version either way. */
-  private def versionOf(o: OffsetV1): Long = o match {
+  private def versionOf(o: OffsetV2): Long = o match {
     case l: LongOffset => l.offset
     case other         => other.json.trim.toLong
   }

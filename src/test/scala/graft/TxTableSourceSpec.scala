@@ -81,6 +81,23 @@ class TxTableSourceSpec extends SparkSpec {
     assert(spark.read.parquet(s"$out/rows").count() == 40)
   }
 
+  test("restart with sinceVersion + rate cap resumes FROM THE CHECKPOINT, not sinceVersion") {
+    val (t, dir) = freshTable("txsrc_restart_cap")
+    t.overwrite(df(0 until 5))                                   // v0
+    (1 to 3).foreach(k => t.append(df(10 * k until 10 * k + 2))) // v1..v3
+    val out = EventsStream.scratchDir("txsrc_restart_cap_out")
+    val opts = Map(TxTableSource.OptSinceVersion -> "0",
+      TxTableSource.OptMaxVersions -> "1")
+    assert(drain(dir, out, opts) == 6)
+    t.append(df(100 until 103))                                  // v4
+    t.append(df(200 until 202))                                  // v5
+    // a fresh source instance has no in-memory state: the engine's
+    // start offset must outrank sinceVersion, or rate-limiting would
+    // plan an offset behind the checkpoint and the stream would stall
+    assert(drain(dir, out, opts) == 5, "restart must serve exactly v4..v5")
+    assert(spark.read.parquet(s"$out/rows").count() == 11)
+  }
+
   test("append-mode stream fails with the reset signal on a rewrite") {
     import spark.implicits._
     val (t, dir) = freshTable("txsrc_reset")

@@ -539,6 +539,32 @@ class TxTableSpec extends SparkSpec {
     assert(t.changeFeed(0, Some(4)).count() == 10)
   }
 
+  test("partition delete through a CDF handle captures the dropped rows") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_cdf_part") + "/t"
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    val rows = (0 until 30).map(i => (i.toLong, if (i % 3 == 0) "a" else "b", i * 1.0))
+      .toDF("id", "grp", "value")
+    t.overwrite(rows, partitionBy = Seq("grp"))          // v0
+    t.deletePartitions(p => p.get("grp").contains("a"))  // v1
+    assert(t.read().count() == 20)
+    val feed = t.changeFeed(0)
+    assert(feed.count() == 10)
+    assert(feed.select("_change_type").distinct().as[String].head() == "delete")
+    assert(feed.select("grp").distinct().as[String].head() == "a")
+    assert(feed.agg(sum("id")).head.getLong(0) == (0 until 30 by 3).sum)
+    // the same delete through a NON-CDF handle stays metadata-only
+    // and resets the feed (the documented trade)
+    val t2 = TxTable(spark, dir)
+    val before = new java.io.File(s"$dir/data").listFiles().length
+    t2.deletePartitions(p => p.get("grp").contains("b")) // v2
+    assert(new java.io.File(s"$dir/data").listFiles().length == before,
+      "non-CDF partition delete must write no data files")
+    val e = intercept[RuntimeException](t.changeFeed(0).count())
+    assert(e.getMessage.contains("reset the change-feed consumer"))
+    assert(t.changeFeed(0, Some(1)).count() == 10)
+  }
+
   test("snapshot resolution stays O(1) as the log grows (hint + probe, no listing)") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_hint")
