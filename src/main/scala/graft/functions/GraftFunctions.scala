@@ -267,5 +267,9 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.DevSampleRule(session))
+    // SQL entry point for commit-logged tables:
+    // SELECT ... FROM txtable.`/dir` [VERSION AS OF n]
+    ext.injectParser((session, delegate) =>
+      new graft.sources.TxSqlParser(session, delegate))
   }
 }

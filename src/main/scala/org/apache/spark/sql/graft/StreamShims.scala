@@ -36,6 +36,12 @@ object StreamShims {
       .resolveRelation(checkFilesExist = false)
   }
 
+  /** The same batch relation wrapped as a LOGICAL plan node — what
+    * the SQL parser extension splices in for `txtable.`dir``
+    * identifiers ([[graft.sources.TxSqlParser]]). */
+  def batchLogicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    LogicalRelation(batchParquetRelation(df))
+
   /** Re-root `df`'s analyzed plan with its scan leaves marked
     * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`
     * is an any-child fold), so projections/filters/unions stacked by

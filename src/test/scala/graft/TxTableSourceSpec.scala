@@ -184,6 +184,25 @@ class TxTableSourceSpec extends SparkSpec {
       s"column pruning did not reach the scan:\n$physical")
   }
 
+  test("SQL entry point: SELECT ... FROM txtable.`dir` [VERSION AS OF n]") {
+    val (t, dir) = freshTable("txsrc_sql")
+    t.overwrite(df(0 until 20))  // v0
+    t.append(df(20 until 25))    // v1
+    t.overwrite(df(0 until 3))   // v2
+    val out = spark.sql(
+      s"SELECT count(*) AS n, sum(id) AS s FROM txtable.`$dir` WHERE id >= 1")
+    assert(out.head() == org.apache.spark.sql.Row(2L, 3L))
+    val tt = spark.sql(
+      s"SELECT count(*) AS n FROM txtable.`$dir` VERSION AS OF 1")
+    assert(tt.head().getLong(0) == 25L)
+    // joins against ordinary relations work — it's a plain relation
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y")).toDF("id", "tag").createOrReplaceTempView("tags")
+    val j = spark.sql(
+      s"SELECT t.id, g.tag FROM txtable.`$dir` t JOIN tags g USING (id) ORDER BY id")
+    assert(j.count() == 2)
+  }
+
   test("short name 'txtable' resolves through DataSourceRegister") {
     val (t, dir) = freshTable("txsrc_short")
     t.overwrite(df(0 until 4))
