@@ -60,8 +60,19 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       relationFor(u.multipartIdentifier(1), None)
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan =
-    rewrite(delegate.parsePlan(sqlText))
+  /** `DESCRIBE HISTORY txtable.`dir`` — the commit-log audit verb
+    * (version, operation, n_files), newest first. Handled BEFORE the
+    * delegate: Spark's grammar has no HISTORY clause to extend. */
+  private val DescribeHistory =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescribeHistory(path) =>
+      import session.implicits._
+      TxTable(session, path).history().reverse
+        .toDF("version", "operation", "n_files").queryExecution.logical
+    case _ => rewrite(delegate.parsePlan(sqlText))
+  }
   override def parseQuery(sqlText: String): LogicalPlan =
     rewrite(delegate.parseQuery(sqlText))
 

@@ -201,6 +201,11 @@ class TxTableSourceSpec extends SparkSpec {
     val j = spark.sql(
       s"SELECT t.id, g.tag FROM txtable.`$dir` t JOIN tags g USING (id) ORDER BY id")
     assert(j.count() == 2)
+    // the audit verb: newest commit first
+    val h = spark.sql(s"DESCRIBE HISTORY txtable.`$dir`")
+    assert(h.columns.toSeq == Seq("version", "operation", "n_files"))
+    assert(h.select("version", "operation").as[(Long, String)].collect().toSeq
+      .take(3) == Seq((2L, "overwrite"), (1L, "append"), (0L, "overwrite")))
   }
 
   test("short name 'txtable' resolves through DataSourceRegister") {
