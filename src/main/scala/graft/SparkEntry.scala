@@ -195,11 +195,38 @@ object SparkEntry {
       Similarity.recallVsExact(
         Similarity.annTopKIvf(emb), s.read.parquet(exactAnnBaseline(s, d)))
     }),
-    // rows-only: recall is probabilistic (SRP banding); precision
-    // exact via cosine verification. Threshold matched to the
-    // fixture's cosine range so the query returns rows.
-    "c8_srp_neardup"     -> ((s, d) =>
-      Similarity.srpNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)),
+    // c8 gates like c7/c10/m3: the exact all-pairs ground truth (the
+    // c5 construction at this threshold) is a cached asset, the gate
+    // hash-matches the exact pair count + a recall bound + the
+    // precision-exactness SRP's cosine verification guarantees —
+    // accuracy degradation now fails the driver gate
+    "c8_srp_neardup"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val exactDir = cachedAsset(s, s"cos04_exact|$d") {
+        val p = graft.streaming.EventsStream.scratchDir("graft_cos04_exact")
+        new graft.core.ParquetIOManager(s).write(
+          Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
+            threshold = 0.4), p)
+        p
+      }
+      val srp = Similarity.srpNearDupPairs(Tables.embeddings(s, d),
+        threshold = 0.4)
+      // ONE pass: full-outer on the pair key gives exact/hit/srp
+      // counts together (no second evaluation of the SRP pipeline)
+      s.read.parquet(exactDir)
+        .select(col("vec_a"), col("vec_b"), lit(1).as("ex"))
+        .join(srp.select(col("vec_a"), col("vec_b"), lit(1).as("sp")),
+          Seq("vec_a", "vec_b"), "full_outer")
+        .agg(sum(coalesce(col("ex"), lit(0))).as("n_exact"),
+          sum(when(col("ex").isNotNull && col("sp").isNotNull, 1)
+            .otherwise(0)).as("n_hit"),
+          sum(coalesce(col("sp"), lit(0))).as("n_srp"))
+        .select(col("n_exact"),
+          (col("n_hit") >= col("n_exact") * 0.5).as("recall_ok"),
+          // SRP verifies candidates with the same rounded cosine the
+          // exact scan uses, so every emitted pair must be exact
+          (col("n_srp") === col("n_hit")).as("precision_exact"))
+    }),
     "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
     // duplicate-cluster assignment: transitive closure over the
     // MinHash pair graph (c2's pairs ≡ the exact-Jaccard oracle, so
@@ -1334,6 +1361,14 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.45
         |ORDER BY 1, 2""".stripMargin,
+    // c8's oracle: exact pair count at the SRP threshold (the c5
+    // construction at 0.4) + the recall/precision bounds as constants
+    "c8_srp_neardup" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        |SELECT count(*) AS n_exact, true AS recall_ok,
+        |       true AS precision_exact
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4""".stripMargin,
     "c6_ann_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 100 = 0),

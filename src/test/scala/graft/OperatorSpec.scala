@@ -80,13 +80,12 @@ class OperatorSpec extends SparkSpec {
 
   test("oracle coverage: every query has an oracle or a documented rows-only") {
     // q18/q31/c7/c10 graduated to tolerance/recall-bound hash gates
-    // in round 5; m1/m3 in round 6 (real ImageIO/AudioSystem codecs
-    // made decode results oracle-expressible). What remains is the
-    // irreducible hash-seeded set (c8's recall gate would need the
-    // quadratic exact pair scan inside the bench path — its
-    // recall/precision stays ScalaTest-pinned instead)
-    val rowsOnly = Set("c3_simhash_neardup", // xxhash64 — no DuckDB twin
-      "c8_srp_neardup")
+    // in round 5; m1/m3 and c8 in round 6 (real codecs made decode
+    // results oracle-expressible; c8's exact all-pairs ground truth
+    // became a cached asset, so the quadratic scan stays out of the
+    // measured path). The irreducible remainder is c3 alone: its
+    // SimHash is xxhash64-seeded and DuckDB has no xxhash64 twin.
+    val rowsOnly = Set("c3_simhash_neardup")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")
     // and no orphan oracles
