@@ -171,6 +171,23 @@ class TxTableSourceSpec extends SparkSpec {
     intercept[Exception](changes.load(dir)) // exclusive options
   }
 
+  test("batch read over bucketed and partitioned layouts: plumbing columns never leak") {
+    import spark.implicits._
+    val (tb, dirB) = freshTable("txsrc_batch_bucketed")
+    tb.overwriteBucketed(df(0 until 50), Seq("id"), nBuckets = 4)
+    tb.upsert(Seq((0L, "name_0", 999.0)).toDF("id", "name", "score"))
+    val b = spark.read.format(fmt).load(dirB)
+    assert(b.columns.toSeq == Seq("id", "name", "score"))
+    assert(b.count() == 50)
+    assert(b.where(col("id") === 0).select("score").as[Double].head() == 999.0)
+    val (tp, dirP) = freshTable("txsrc_batch_part")
+    tp.overwrite((0 until 30).map(i => (i.toLong, s"p${i % 3}", i * 1.0))
+      .toDF("id", "part", "value"), partitionBy = Seq("part"))
+    val p = spark.read.format(fmt).load(dirP)
+    assert(p.columns.toSeq == Seq("id", "part", "value"))
+    assert(p.where(col("part") === "p1").count() == 10)
+  }
+
   test("batch read keeps parquet pushdown: filters reach the scan") {
     val (t, dir) = freshTable("txsrc_pushdown")
     t.overwrite(df(0 until 100))
