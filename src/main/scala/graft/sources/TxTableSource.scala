@@ -54,10 +54,66 @@ import graft.core.TxTable
   * `maxFilesPerTrigger` analogue).
   */
 final class TxTableSourceProvider extends StreamSourceProvider
-    with org.apache.spark.sql.sources.RelationProvider with DataSourceRegister {
+    with org.apache.spark.sql.sources.RelationProvider
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider
+    with DataSourceRegister {
   import TxTableSource._
 
   override def shortName(): String = "txtable"
+
+  /** BATCH write surface — `df.write.format("txtable").mode(...)
+    * .load-side options(partitionBy / bucketBy+buckets).save(dir)`.
+    * SaveModes map onto the commit log: Overwrite = a new overwrite
+    * snapshot (old versions stay time-travelable), Append = an append
+    * commit, ErrorIfExists/Ignore consult the commit log. Layout
+    * options apply to the snapshot-creating write (overwrite); an
+    * append inherits the current snapshot's layout rules. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode, parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val t = TxTable(spark, path)
+    val partitionBy = parameters.get(OptPartitionBy)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val bucketCols = parameters.get(OptBucketBy)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    def fullWrite(): Unit =
+      if (bucketCols.nonEmpty)
+        t.overwriteBucketed(data, bucketCols,
+          parameters.get(OptBuckets).map(_.toInt).getOrElse(16))
+      else t.overwrite(data, partitionBy)
+    val exists = TxTable.isTable(spark, path)
+    mode match {
+      case SaveMode.Overwrite                 => fullWrite()
+      case SaveMode.Append if exists          => t.append(data); ()
+      case SaveMode.Append                    => fullWrite()
+      case SaveMode.ErrorIfExists if exists   =>
+        sys.error(s"$path is already a TxTable (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists             => fullWrite()
+      case SaveMode.Ignore if exists          => ()
+      case SaveMode.Ignore                    => fullWrite()
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  /** STREAMING sink surface — `df.writeStream.format("txtable")`:
+    * each microbatch commits with a per-query txn tag, so a replayed
+    * batch no-ops and the sink is exactly-once end-to-end
+    * (the [[graft.streaming.EventsStream.upsertBatchTx]] discipline);
+    * a checkpoint RESET against a live table fails loudly instead of
+    * silently dropping batches. OutputMode Complete overwrites the
+    * snapshot per batch; Append/Update append. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode): org.apache.spark.sql.execution.streaming.Sink = {
+    val path = pathOf(parameters)
+    val appId = parameters.getOrElse(OptTxnAppId, "txtable_sink")
+    new TxTableSink(TxTable(sqlContext.sparkSession, path), appId,
+      partitionColumns, outputMode)
+  }
 
   /** BATCH read surface — `spark.read.format("txtable").load(dir)`,
     * with `versionAsOf` (time travel) or `sinceVersion` (the
@@ -180,6 +236,35 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
     (if (changeFeed) ", changeFeed" else "") + "]"
 }
 
+/** Streaming sink: one commit per microbatch, exactly-once via the
+  * manifest's txn tags keyed by `txnAppId` (default "txtable_sink" —
+  * set it when several queries write the same table). */
+final class TxTableSink(table: TxTable, appId: String,
+    partitionCols: Seq[String],
+    outputMode: org.apache.spark.sql.streaming.OutputMode)
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val last = table.lastTxn(appId)
+    if (last.contains(batchId)) return // crash-after-commit replay
+    last.foreach(l => require(batchId > l,
+      s"batchId $batchId < last committed $l for app $appId — " +
+        "checkpoint reset against a live table; use a fresh table dir " +
+        "or txnAppId instead of silently dropping batches"))
+    val txn = Some(appId -> batchId)
+    // the engine's microbatch frame is streaming-flagged and refuses
+    // .write — rewrap its planned execution as a batch frame
+    val batch = org.apache.spark.sql.graft.StreamShims.asBatch(data)
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
+        || table.latestVersion.isEmpty)
+      table.overwrite(batch, partitionCols, txn)
+    else table.append(batch, txn)
+    ()
+  }
+
+  override def toString: String = s"TxTableSink[${table.location}]"
+}
+
 object TxTableSource {
   /** Serve only rows appended AFTER this version (exclusive) — skip
     * the initial snapshot. */
@@ -191,6 +276,14 @@ object TxTableSource {
   val OptMaxVersions = "maxVersionsPerTrigger"
   /** Batch reads: time travel to this snapshot version. */
   val OptVersionAsOf = "versionAsOf"
+  /** Batch writes: comma-separated hive-partition columns. */
+  val OptPartitionBy = "partitionBy"
+  /** Batch writes: comma-separated key-bucket columns (+ `buckets`). */
+  val OptBucketBy = "bucketBy"
+  /** Batch writes: bucket count for `bucketBy` (default 16). */
+  val OptBuckets = "buckets"
+  /** Streaming sink: txn app id for exactly-once commit tags. */
+  val OptTxnAppId = "txnAppId"
 
   private[sources] def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(

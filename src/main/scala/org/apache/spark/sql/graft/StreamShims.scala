@@ -42,6 +42,16 @@ object StreamShims {
   def batchLogicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     LogicalRelation(batchParquetRelation(df))
 
+  /** The inverse seam for the SINK side: a `Sink.addBatch` frame is
+    * streaming-flagged and refuses `.write`, so rewrap its planned
+    * execution as a batch frame over the same `InternalRow` RDD — the
+    * standard V1 sink discipline (Delta's sink does exactly this). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = false)
+  }
+
   /** Re-root `df`'s analyzed plan with its scan leaves marked
     * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`
     * is an any-child fold), so projections/filters/unions stacked by

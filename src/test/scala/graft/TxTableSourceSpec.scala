@@ -188,6 +188,61 @@ class TxTableSourceSpec extends SparkSpec {
     assert(p.where(col("part") === "p1").count() == 10)
   }
 
+  test("batch write surface: SaveModes map onto the commit log") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("txsrc_write") + "/t"
+    df(0 until 10).write.format(fmt).save(dir)            // default ErrorIfExists
+    val t = TxTable(spark, dir)
+    assert(t.read().count() == 10)
+    intercept[Exception](df(0 until 2).write.format(fmt).save(dir))
+    df(10 until 15).write.format(fmt).mode("append").save(dir)
+    assert(t.read().count() == 15 && t.versions == Seq(0L, 1L))
+    df(100 until 102).write.format(fmt).mode("ignore").save(dir)
+    assert(t.read().count() == 15, "Ignore on an existing table is a no-op")
+    df(100 until 102).write.format(fmt).mode("overwrite").save(dir)
+    assert(t.read().count() == 2)
+    assert(t.readVersion(1).count() == 15, "old snapshots stay time-travelable")
+    // bucketed overwrite through options enables upserts
+    val bdir = EventsStream.scratchDir("txsrc_write_b") + "/t"
+    df(0 until 20).write.format(fmt)
+      .option(TxTableSource.OptBucketBy, "id")
+      .option(TxTableSource.OptBuckets, "4").save(bdir)
+    val tb = TxTable(spark, bdir)
+    tb.upsert(Seq((0L, "name_0", 999.0)).toDF("id", "name", "score"))
+    assert(tb.read().where($"id" === 0).select("score").as[Double].head() == 999.0)
+  }
+
+  test("streaming sink: writeStream.format('txtable') commits exactly-once") {
+    import spark.implicits._
+    val src = EventsStream.scratchDir("txsrc_sink_src")
+    df(0 until 12).repartition(4).write.parquet(s"$src/files")
+    val dir = EventsStream.scratchDir("txsrc_sink") + "/t"
+    val ckpt = EventsStream.scratchDir("txsrc_sink_ckpt")
+    def run(): Unit = {
+      val q = spark.readStream
+        .schema("id LONG, name STRING, score DOUBLE")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(s"$src/files")
+        .writeStream.format("txtable")
+        .option("path", dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val t = TxTable(spark, dir)
+    assert(t.read().count() == 12)
+    val versions = t.versions.size
+    assert(versions == 2, s"2 microbatches of 2 files over 4 files, got $versions")
+    // re-run with the same checkpoint: no new data, no new commits
+    run()
+    assert(t.versions.size == versions && t.read().count() == 12)
+    // and the sink round-trips through the SOURCE: end-to-end pipeline
+    val out = spark.read.format(fmt).load(dir)
+    assert(out.select(sum("id")).head.getLong(0) == (0 until 12).sum)
+  }
+
   test("batch read keeps parquet pushdown: filters reach the scan") {
     val (t, dir) = freshTable("txsrc_pushdown")
     t.overwrite(df(0 until 100))
