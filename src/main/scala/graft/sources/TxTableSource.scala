@@ -238,7 +238,14 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
 
 /** Streaming sink: one commit per microbatch, exactly-once via the
   * manifest's txn tags keyed by `txnAppId` (default "txtable_sink" —
-  * set it when several queries write the same table). */
+  * set it when several queries write the same table).
+  *
+  * OutputMode picks the commit verb: Append → append commit;
+  * Complete → overwrite; Update → copy-on-write MERGE by key, where
+  * the key columns are the sink's `partitionBy(...)` — the natural
+  * fit for a streaming aggregation, whose Update output emits one
+  * row per changed key per batch (rows must be unique per key within
+  * a batch, which aggregation output guarantees). */
 final class TxTableSink(table: TxTable, appId: String,
     partitionCols: Seq[String],
     outputMode: org.apache.spark.sql.streaming.OutputMode)
@@ -255,12 +262,32 @@ final class TxTableSink(table: TxTable, appId: String,
     // the engine's microbatch frame is streaming-flagged and refuses
     // .write — rewrap its planned execution as a batch frame
     val batch = org.apache.spark.sql.graft.StreamShims.asBatch(data)
-    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete()
-        || table.latestVersion.isEmpty)
+    import org.apache.spark.sql.streaming.OutputMode
+    if (table.latestVersion.isEmpty) {
+      // first batch creates the table: Update mode needs the
+      // key-bucketed layout its later merges rewrite by bucket
+      if (outputMode == OutputMode.Update())
+        table.overwriteBucketed(batch, keyCols(batch), UpdateBuckets, txn)
+      else table.overwrite(batch, partitionCols, txn)
+    } else if (outputMode == OutputMode.Complete())
       table.overwrite(batch, partitionCols, txn)
+    else if (outputMode == OutputMode.Update())
+      // MERGE per microbatch (the copy-on-write upsert shape):
+      // source rows replace same-key rows, only touched buckets
+      // rewrite; the microbatch frame is offset-pinned, so skip
+      // the per-batch checkpoint
+      table.upsert(batch, txn, sourceIsPinned = true)
     else table.append(batch, txn)
     ()
   }
+
+  /** Update mode merges BY KEY: the key columns are the sink's
+    * `partitionBy(...)` (the engine forwards them as partitioning),
+    * falling back to the frame's first column. */
+  private def keyCols(batch: DataFrame): Seq[String] =
+    if (partitionCols.nonEmpty) partitionCols else Seq(batch.columns.head)
+
+  private val UpdateBuckets = 64
 
   override def toString: String = s"TxTableSink[${table.location}]"
 }

@@ -243,6 +243,40 @@ class TxTableSourceSpec extends SparkSpec {
     assert(out.select(sum("id")).head.getLong(0) == (0 until 12).sum)
   }
 
+  test("streaming sink Update mode: per-batch MERGE keeps latest state per key") {
+    import spark.implicits._
+    val src = EventsStream.scratchDir("txsrc_upd_src")
+    // 4 files arriving 1 per trigger; later files revise earlier keys
+    (0 until 4).foreach { f =>
+      (0 until 6).map(k => (k.toLong, f.toLong, (f * 10 + k).toDouble))
+        .toDF("key", "round", "value")
+        .repartition(1).write.parquet(s"$src/files/f$f")
+    }
+    val dir = EventsStream.scratchDir("txsrc_upd") + "/t"
+    val q = spark.readStream
+      .schema("key LONG, round LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$src/files/*")
+      .groupBy("key").agg(max(struct($"round", $"value")).as("m"))
+      .select($"key", $"m.round".as("round"), $"m.value".as("value"))
+      .writeStream.format("txtable")
+      .outputMode("update")
+      .partitionBy("key")
+      .option("path", dir)
+      .option("checkpointLocation", EventsStream.scratchDir("txsrc_upd_ckpt"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val t = TxTable(spark, dir)
+    val state = t.read()
+    assert(state.count() == 6, "one row per key after merges")
+    assert(state.where($"round" =!= 3).count() == 0,
+      "every key must carry the LAST revision")
+    assert(state.select(sum("value")).head.getDouble(0) ==
+      (0 until 6).map(k => 30.0 + k).sum)
+    assert(t.versions.size >= 2, "later batches merged, not overwrote")
+  }
+
   test("batch read keeps parquet pushdown: filters reach the scan") {
     val (t, dir) = freshTable("txsrc_pushdown")
     t.overwrite(df(0 until 100))
