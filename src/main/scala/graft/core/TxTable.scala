@@ -741,10 +741,39 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         s"merge resolver dropped column(s) ${dropped.mkString(", ")} — " +
           "resolved rows must keep every table column")
       commit { latest =>
-        require(latest.exists(_.version == m.version),
-          s"concurrent commit during merge into $root — rerun merge")
-        Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
-          Some(spec), txn, cdcFiles)
+        val cur = latest.getOrElse(
+          sys.error(s"$root vanished during merge — rerun merge"))
+        if (cur.version == m.version)
+          Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
+            Some(spec), txn, cdcFiles)
+        else {
+          // AUTO-REBASE (optimistic concurrency with logical conflict
+          // detection, the Delta discipline): a commit that raced in
+          // is harmless iff it left our TOUCHED buckets alone — same
+          // schema and bucket layout, none of the files we read
+          // rewritten, no new files landed in our buckets. Then the
+          // merge result is byte-for-byte what a serial execution
+          // would produce: recompose against the new snapshot
+          // (keeping files the other commit added/removed in OTHER
+          // buckets) and publish. Anything touching our buckets is a
+          // genuine write-write conflict — fail with rerun, which
+          // re-reads the buckets.
+          require(cur.schemaDdl == m.schemaDdl && cur.bucketSpec == m.bucketSpec,
+            s"concurrent schema/layout change during merge into $root — " +
+              "rerun merge")
+          val affectedPaths = affected.map(_.path).toSet
+          val basePaths = m.files.map(_.path).toSet
+          val curFiles = cur.files
+          require(affectedPaths.subsetOf(curFiles.map(_.path).toSet),
+            s"concurrent commit rewrote merged buckets of $root — rerun merge")
+          val intruding = curFiles.exists(f => !basePaths(f.path) &&
+            f.partition.get(BucketCol).exists(touched))
+          require(!intruding,
+            s"concurrent commit added rows to merged buckets of $root — " +
+              "rerun merge")
+          Pending(op, curFiles.filterNot(f => affectedPaths(f.path)) ++ files,
+            m.schemaDdl, Seq(BucketCol), Some(spec), txn, cdcFiles)
+        }
       }
     } finally { if (!sourceIsPinned) { src.unpersist(); () } }
   }
