@@ -455,23 +455,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // the polled range reads ONLY the deltas: each append's change set
     // IS its add list, so the scan is O(files appended), never
     // O(table) — no snapshot reconstruction at all on the happy path.
-    // Stops at the first non-append (fail-fast before reading more).
+    // COMPACT commits are dataChange=false (byte-identical rows in new
+    // files) and are SKIPPED — a consumer must survive routine table
+    // maintenance; the skipped-over pre-compact appended files stay
+    // readable until their own log entries expire. Stops at the first
+    // genuine rewrite (fail-fast before reading more).
     val adds = Seq.newBuilder[FileEntry]
     var sawLegacyFull = false
+    var sawCompact = false
     var k = fromVersion + 1
     while (k <= to) {
       val e = entryOrReset(k)
       val op = e.fold(_.operation, _.operation)
-      if (op != OpAppend) sys.error(
-        s"$root version $k is '$op', not append — " +
-          "file diff is not a row diff; reset the change-feed consumer " +
-          "from a full snapshot read")
-      e match {
-        case Right(d) => adds ++= d.add
-        case Left(_)  => sawLegacyFull = true
+      if (op == OpCompact) sawCompact = true
+      else {
+        if (op != OpAppend) sys.error(
+          s"$root version $k is '$op', not append — " +
+            "file diff is not a row diff; reset the change-feed consumer " +
+            "from a full snapshot read")
+        e match {
+          case Right(d) => adds ++= d.add
+          case Left(_)  => sawLegacyFull = true
+        }
       }
       k += 1
     }
+    // the legacy fallback diffs SNAPSHOT file lists, which a compact
+    // in the window poisons (rewritten copies of already-consumed
+    // rows would read as adds) — that rare combination resets
+    if (sawLegacyFull && sawCompact) sys.error(
+      s"$root: change window mixes a pre-delta-era append with a " +
+        "compact — reset the change-feed consumer from a full snapshot read")
     if (sawLegacyFull) {
       // pre-checkpoint-era full manifests carry no explicit delta:
       // fall back to the snapshot file-list diff (same result)

@@ -482,15 +482,46 @@ class TxTableSpec extends SparkSpec {
     // intermediate window
     assert(t.changesSince(1, Some(2)).count() == 3)
     assert(t.changesSince(2).count() == 0)
-    // a rewrite invalidates the file-diff semantics: refuse, name it
-    t.compact()
+    // a compact is dataChange=false: the feed SKIPS it (routine
+    // maintenance must not kill consumers) and later appends flow
+    t.compact()                 // v3
+    assert(t.changesSince(0).count() == 8)
+    t.append(df(18 until 20))   // v4
+    assert(t.changesSince(0).count() == 10)
+    assert(t.changesSince(3).count() == 2, "post-compact appends serve")
+    // a genuine rewrite invalidates row semantics: refuse, name it
+    t.overwrite(df(0 until 1))  // v5
     val e = intercept[RuntimeException](t.changesSince(0).count())
-    assert(e.getMessage.contains("compact"))
+    assert(e.getMessage.contains("overwrite"))
     // retention invalidates it too: an expired manifest in the polled
     // range emits the reset signal, not a raw missing-file error
     t.expireSnapshots(keepLast = 1)
     val e2 = intercept[RuntimeException](t.changesSince(1))
     assert(e2.getMessage.contains("reset the change-feed consumer"))
+  }
+
+  test("streaming source survives a compaction mid-feed") {
+    val (t, dir) = freshTable("txsrc_compact")
+    t.overwrite(df(0 until 10))  // v0
+    t.append(df(10 until 14))    // v1
+    val out = EventsStream.scratchDir("txsrc_compact_out")
+    def drain(): Long = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.recentProgress.map(_.numInputRows).sum
+    }
+    assert(drain() == 14)
+    t.compact()                  // v2: must not reset the consumer
+    t.append(df(14 until 17))    // v3
+    assert(drain() == 3, "only the post-compact appended rows")
+    assert(spark.read.parquet(s"$out/rows").count() == 17)
   }
 
   test("changeFeed serves row-level changes across merge/delete (CDC)") {
