@@ -838,6 +838,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val v = latestVersion.getOrElse(sys.error(s"$root has no committed snapshots"))
     val m = manifest(v)
     require(m.partitionCols.nonEmpty, s"$root is not partitioned")
+    val matching = m.files.filter(f => pred(f.partition)).map(_.path).toSet
     val cdcFiles: Option[Seq[FileEntry]] =
       if (!changeDataFeed) None
       else {
@@ -849,9 +850,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           Nil, withStats = false)._1)
       }
     commit { latest =>
-      require(latest.exists(_.version == m.version),
-        s"concurrent commit during deletePartitions of $root — rerun")
-      Pending(OpDelete, m.files.filterNot(f => pred(f.partition)),
+      val cur = latest.getOrElse(
+        sys.error(s"$root vanished during deletePartitions — rerun"))
+      // auto-rebase like merge: a racing commit is harmless iff the
+      // MATCHING file set is unchanged (same files drop, the CDC
+      // capture stays exact) — re-apply the predicate to the current
+      // snapshot and publish; a changed match set is a real conflict
+      val curMatching = cur.files.filter(f => pred(f.partition)).map(_.path).toSet
+      require(cur.version == m.version ||
+        (cur.schemaDdl == m.schemaDdl && curMatching == matching),
+        s"concurrent commit changed partitions being deleted from $root — " +
+          "rerun deletePartitions")
+      Pending(OpDelete, cur.files.filterNot(f => pred(f.partition)),
         m.schemaDdl, m.partitionCols, m.bucketSpec, txn, cdcFiles)
     }
   }

@@ -602,6 +602,27 @@ class TxTableSpec extends SparkSpec {
     // (exercised via the stale-handle path in the CDF/reset specs)
   }
 
+  test("concurrent partition deletes on different partitions both land") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_pdel_race")
+    val rows = (0 until 60).map(i => (i.toLong, s"p${i % 3}", i * 1.0))
+      .toDF("id", "grp", "value")
+    t.overwrite(rows, partitionBy = Seq("grp"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    // each racer's own matching set is untouched by the other's
+    // commit, so the loser auto-rebases instead of demanding a rerun
+    Await.result(Future.sequence(Seq("p0", "p2").map(p =>
+      Future(t.deletePartitions(q => q.get("grp").contains(p))))), 120.seconds)
+    pool.shutdown()
+    assert(t.versions.size == 3)
+    assert(t.read().select("grp").distinct().as[String].collect().toSeq == Seq("p1"))
+    assert(t.read().count() == 20)
+  }
+
   test("partition delete through a CDF handle captures the dropped rows") {
     import spark.implicits._
     val dir = EventsStream.scratchDir("tx_cdf_part") + "/t"
