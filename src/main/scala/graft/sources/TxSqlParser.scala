@@ -47,7 +47,20 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       version.map(t.readVersion).getOrElse(t.read()))
   }
 
-  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
+    // INSERT over the spliced relation would become a direct
+    // parquet-location write BYPASSING the commit log (the files
+    // would land as unreferenced orphans and vacuum away) — refuse
+    // with the supported path named
+    case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
+        if i.table.isInstanceOf[UnresolvedRelation] &&
+          isTx(i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier) =>
+      sys.error("INSERT INTO txtable.`dir` would bypass the commit log — " +
+        "write through df.write.format(\"txtable\").mode(\"append\")")
+    case p => rewriteRelations(p)
+  }
+
+  private def rewriteRelations(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
         if isTx(u.multipartIdentifier) && v.forall(_.isDigit) =>
       relationFor(u.multipartIdentifier(1), Some(v.toLong))

@@ -307,6 +307,10 @@ class TxTableSourceSpec extends SparkSpec {
     val j = spark.sql(
       s"SELECT t.id, g.tag FROM txtable.`$dir` t JOIN tags g USING (id) ORDER BY id")
     assert(j.count() == 2)
+    // INSERT would bypass the commit log: refused with the fix named
+    val ie = intercept[Exception](
+      spark.sql(s"INSERT INTO txtable.`$dir` VALUES (9, 'x', 1.0)"))
+    assert(ie.getMessage.contains("bypass the commit log"))
     // the audit verb: newest commit first
     val h = spark.sql(s"DESCRIBE HISTORY txtable.`$dir`")
     assert(h.columns.toSeq == Seq("version", "operation", "n_files"))
