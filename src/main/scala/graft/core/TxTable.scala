@@ -352,6 +352,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     readEntries(m, m.files)
   }
 
+  /** The newest version committed AT OR BEFORE `tsMillis` (commit
+    * instant = the log entry's publish mtime, the Delta
+    * timestampAsOf contract). None if `tsMillis` predates the oldest
+    * RETAINED commit — expired history cannot be time-traveled.
+    * O(retained versions) file stats, driver-side only. */
+  def versionAt(tsMillis: Long): Option[Long] =
+    versions.reverse.iterator.find { v =>
+      fs.getFileStatus(manifestPath(v)).getModificationTime <= tsMillis
+    }
+
+  /** Time travel by wall clock: snapshot as of `tsMillis`. */
+  def readTimestamp(tsMillis: Long): DataFrame =
+    readVersion(versionAt(tsMillis).getOrElse(sys.error(
+      s"$root has no snapshot committed at or before " +
+        s"${java.time.Instant.ofEpochMilli(tsMillis)} — oldest retained " +
+        "commit is newer (expired history cannot be time-traveled)")))
+
   /** Partition-pruned read of the latest snapshot: `pred` filters the
     * manifest's per-file partition values, so only matching files are
     * ever scanned. Planning-side pruning — zero filesystem listing,

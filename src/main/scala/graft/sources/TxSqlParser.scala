@@ -41,10 +41,13 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private def isTx(id: Seq[String]): Boolean =
     id.length == 2 && id.head.equalsIgnoreCase("txtable")
 
-  private def relationFor(path: String, version: Option[Long]): LogicalPlan = {
+  private def relationFor(path: String, version: Option[Long],
+      tsMillis: Option[Long] = None): LogicalPlan = {
     val t = TxTable(session, path)
     org.apache.spark.sql.graft.StreamShims.batchLogicalPlan(
-      version.map(t.readVersion).getOrElse(t.read()))
+      version.map(t.readVersion)
+        .orElse(tsMillis.map(t.readTimestamp))
+        .getOrElse(t.read()))
   }
 
   private def rewrite(plan: LogicalPlan): LogicalPlan = plan match {
@@ -64,11 +67,19 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
         if isTx(u.multipartIdentifier) && v.forall(_.isDigit) =>
       relationFor(u.multipartIdentifier(1), Some(v.toLong))
-    case RelationTimeTravel(u: UnresolvedRelation, Some(Literal(v, _)), None)
+    case RelationTimeTravel(u: UnresolvedRelation, Some(Literal(v, dt)), None)
         if isTx(u.multipartIdentifier) =>
-      // VERSION AS OF parses the version through the timestamp slot
-      // in some grammars; accept an integer literal there too
-      relationFor(u.multipartIdentifier(1), Some(v.toString.toLong))
+      // the timestamp slot carries either grammar: an INTEGER literal
+      // is a version (some grammars route VERSION AS OF here), a
+      // string/timestamp literal is TIMESTAMP AS OF
+      dt match {
+        case org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType =>
+          relationFor(u.multipartIdentifier(1), Some(v.toString.toLong))
+        case _ =>
+          relationFor(u.multipartIdentifier(1), None,
+            Some(TxTableSource.parseTsMillis(v.toString)))
+      }
     case u: UnresolvedRelation if isTx(u.multipartIdentifier) =>
       relationFor(u.multipartIdentifier(1), None)
   }

@@ -129,9 +129,12 @@ final class TxTableSourceProvider extends StreamSourceProvider
       s"$OptVersionAsOf and $OptSinceVersion are exclusive")
     val df = parameters.get(OptVersionAsOf).map(_.toLong) match {
       case Some(v) => t.readVersion(v)
-      case None => parameters.get(OptSinceVersion).map(_.toLong) match {
-        case Some(s) => t.changesSince(s)
-        case None    => t.read()
+      case None => parameters.get(OptTimestampAsOf) match {
+        case Some(ts) => t.readTimestamp(parseTsMillis(ts))
+        case None => parameters.get(OptSinceVersion).map(_.toLong) match {
+          case Some(s) => t.changesSince(s)
+          case None    => t.read()
+        }
       }
     }
     org.apache.spark.sql.graft.StreamShims.batchParquetRelation(df)
@@ -303,6 +306,21 @@ object TxTableSource {
   val OptMaxVersions = "maxVersionsPerTrigger"
   /** Batch reads: time travel to this snapshot version. */
   val OptVersionAsOf = "versionAsOf"
+  /** Batch reads: time travel to the newest snapshot committed at or
+    * before this instant (epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`,
+    * or `yyyy-MM-dd`). */
+  val OptTimestampAsOf = "timestampAsOf"
+
+  /** Accepts epoch millis, `yyyy-MM-dd HH:mm:ss[.f]`, `yyyy-MM-dd`. */
+  private[sources] def parseTsMillis(s: String): Long = {
+    val t = s.trim
+    t.toLongOption.getOrElse {
+      try java.sql.Timestamp.valueOf(t).getTime
+      catch { case _: IllegalArgumentException =>
+        java.sql.Date.valueOf(t).getTime
+      }
+    }
+  }
   /** Batch writes: comma-separated hive-partition columns. */
   val OptPartitionBy = "partitionBy"
   /** Batch writes: comma-separated key-bucket columns (+ `buckets`). */

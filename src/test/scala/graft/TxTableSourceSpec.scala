@@ -188,6 +188,28 @@ class TxTableSourceSpec extends SparkSpec {
     assert(p.where(col("part") === "p1").count() == 10)
   }
 
+  test("timestamp time travel: versionAt, reader option, SQL TIMESTAMP AS OF") {
+    val (t, dir) = freshTable("txsrc_ts")
+    t.overwrite(df(0 until 5))  // v0
+    Thread.sleep(30)
+    val between = System.currentTimeMillis()
+    Thread.sleep(30)
+    t.append(df(5 until 8))     // v1
+    assert(t.versionAt(between).contains(0L))
+    assert(t.versionAt(System.currentTimeMillis()).contains(1L))
+    assert(t.versionAt(0L).isEmpty, "before the oldest retained commit")
+    assert(t.readTimestamp(between).count() == 5)
+    val viaOpt = spark.read.format(fmt)
+      .option(TxTableSource.OptTimestampAsOf, between.toString).load(dir)
+    assert(viaOpt.count() == 5)
+    val ts = new java.sql.Timestamp(between).toString
+    val viaSql = spark.sql(
+      s"SELECT count(*) AS n FROM txtable.`$dir` TIMESTAMP AS OF '$ts'")
+    assert(viaSql.head.getLong(0) == 5)
+    val e = intercept[Exception](t.readTimestamp(0L))
+    assert(e.getMessage.contains("expired history"))
+  }
+
   test("batch write surface: SaveModes map onto the commit log") {
     import spark.implicits._
     val dir = EventsStream.scratchDir("txsrc_write") + "/t"
