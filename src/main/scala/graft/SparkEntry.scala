@@ -441,6 +441,36 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("change_type", "commit_version", "o_orderpriority")
     }),
+    // x10: SQL predicate DML — DELETE FROM / UPDATE ... WHERE routed
+    // through the injected parser onto the copy-on-write rewriteWhere
+    // core: zone-map range conjuncts prune candidate files, ONE
+    // discovery scan finds the files actually holding matches, only
+    // those rewrite (everything else carried by reference). Idempotent
+    // per invocation: a re-run DELETE matches nothing and commits
+    // nothing; a re-run UPDATE rewrites the same rows to the same
+    // content
+    "x10_tx_sql_dml"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = cachedAsset(s, s"tx_sql_dml|$d") {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_sqldml") + "/t")
+        // range-layout on the predicate column: the DELETE's zone-map
+        // candidate test isolates the low-price files
+        t0.overwrite(o.repartitionByRange(8, col("o_totalprice")))
+        t0
+      }
+      s.sql(s"DELETE FROM txtable.`${t.location}` " +
+        "WHERE o_totalprice < 10000.0D")
+      s.sql(s"UPDATE txtable.`${t.location}` SET o_orderpriority = 'BULK' " +
+        "WHERE o_totalprice > 400000.0D")
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x3: dynamic partition pruning — the Monday set flows out of a
     // runtime-filtered dim join, so only DynamicPruningExpression can
     // keep the `event_date=` fact scan to the matching partitions
@@ -1131,6 +1161,17 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x10's oracle replays the two predicate DML statements
+    // relationally: survivors of the DELETE, re-labeled by the UPDATE
+    "x10_tx_sql_dml" ->
+      """SELECT
+        |  CASE WHEN o_totalprice > 400000 THEN 'BULK'
+        |       ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice >= 10000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x9's oracle reconstructs each commit's row-change set
     // relationally: v1 appends every %3=0 order (insert), v2 upserts

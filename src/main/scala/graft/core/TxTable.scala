@@ -330,6 +330,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   /** The table's root directory as given to [[TxTable.apply]]. */
   def location: String = root.toString
 
+  /** The key columns of a bucketed layout, if any — what
+    * [[merge]]/[[upsert]]/[[deleteKeys]] route on (and what a SQL
+    * MERGE's ON clause must equal). */
+  def bucketKeys: Option[Seq[String]] =
+    latestVersion.map(manifest).flatMap(_.bucketSpec).map(_.cols)
+
   /** Latest batchId committed by `appId`, if any — the exactly-once
     * handshake for streaming writers: a replayed microbatch sees its
     * own prior commit here and no-ops. Reads one manifest. */
@@ -883,6 +889,258 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** Row-level DELETE by PREDICATE, copy-on-write at file granularity
+    * on ANY layout (flat, hive-partitioned, or bucketed) — the
+    * `DELETE FROM t WHERE cond` surface. Planning in three narrowing
+    * steps, each sound on its own: (1) the predicate's range conjuncts
+    * prune CANDIDATE files against the manifest zone maps (partition
+    * and bucket-layout columns participate for free — they are data
+    * columns whose per-file stats are min=max=value); (2) ONE
+    * discovery job over the candidates finds which files actually
+    * hold matching rows (parquet row-group pushdown serves this scan);
+    * (3) only those files are read back and rewritten without the
+    * matching rows — every other file is carried by reference,
+    * byte-identical. A predicate matching zero rows commits NOTHING
+    * (no new version). Rows where `cond` evaluates NULL are kept
+    * (SQL DELETE semantics).
+    *
+    * Through a `changeDataFeed=true` handle the deleted rows land as
+    * CDC delete records in the commit delta. A racing commit
+    * auto-rebases iff it provably could not change the result: same
+    * schema/layout, none of the rewritten files touched, and no added
+    * file passing the zone-map candidate test; anything else is a
+    * loud conflict (rerun re-plans against the new snapshot). */
+  def deleteWhere(cond: Column): Long =
+    rewriteWhere(OpDelete, cond)(matching => matching.limit(0))
+
+  /** Row-level UPDATE by predicate — `UPDATE t SET col = expr, ...
+    * WHERE cond`, copy-on-write exactly like [[deleteWhere]] (same
+    * planning, same CDC capture as update_preimage/update_postimage
+    * pairs, same auto-rebase). Every SET expression is evaluated
+    * against the PRE-update row (simultaneous assignment, the SQL
+    * rule), type changes are refused. Updating a hive-partition or
+    * bucket-key column is allowed and relocates the row: rewritten
+    * files re-shadow partition dirs from the new data values and the
+    * bucket recomputes from the new key, so the layout invariants
+    * hold by construction. */
+  def updateWhere(cond: Column, set: Map[String, Column]): Long = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    rewriteWhere(OpUpdate, cond) { matching =>
+      val fields = matching.schema.fieldNames
+      val resolved = set.map { case (k, v) =>
+        fields.find(_.equalsIgnoreCase(k)).getOrElse(
+          sys.error(s"$root has no column $k to update")) -> v
+      }
+      // one select = simultaneous assignment: every RHS sees the
+      // original row, regardless of SET order
+      matching.select(fields.map(n =>
+        resolved.getOrElse(n, matching.col(s"`$n`")).as(n)): _*)
+    }
+  }
+
+  /** Shared copy-on-write core of [[deleteWhere]]/[[updateWhere]]:
+    * `replaceMatching` maps the matching rows of the affected files
+    * to their replacement (empty for delete, reassigned for update);
+    * non-matching rows of those files are kept verbatim. */
+  private def rewriteWhere(op: String, cond: Column)(
+      replaceMatching: DataFrame => DataFrame): Long = {
+    import org.apache.spark.sql.functions.{coalesce, input_file_name, lit => flit, not}
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root has no committed snapshots"))
+    val m = manifest(v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
+    val constraints = rangeConstraints(schema, cond)
+    def candidate(f: FileEntry): Boolean = constraints.forall {
+      case (field, lo, hi) =>
+        try
+          lo.forall(b => f.max.get(field.name).forall(mx =>
+            statCmp(field.dataType, mx, b) >= 0)) &&
+          hi.forall(b => f.min.get(field.name).forall(mn =>
+            statCmp(field.dataType, mn, b) <= 0))
+        // unparsable stat/bound keeps the file — pruning must never
+        // drop rows (the readWhereRange discipline)
+        catch { case _: IllegalArgumentException => true }
+    }
+    val candidates = m.files.filter(candidate)
+    val affectedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readEntries(m, candidates).where(hit)
+        .select(input_file_name()).distinct().collect()
+        .map(r => relativize(new Path(new java.net.URI(r.getString(0))))).toSet
+    if (affectedPaths.isEmpty) return v // zero matches: no commit at all
+    val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
+    val existing = readEntries(m, affected)
+    val matching = existing.where(hit)
+    val replaced = replaceMatching(matching)
+    requireCompatible(schema, replaced.schema, allowNew = false)
+    val replacedNames = replaced.schema.fieldNames.toSet
+    val droppedCols = schema.fieldNames.filterNot(n =>
+      n == BucketCol || replacedNames.contains(n))
+    require(droppedCols.isEmpty,
+      s"$op dropped column(s) ${droppedCols.mkString(", ")} — " +
+        "rewritten rows must keep every table column")
+    val newRows = existing.where(not(hit)).unionByName(replaced)
+    val spec = m.bucketSpec
+    val data = spec.map(withBucket(newRows, _)).getOrElse(newRows)
+    val (files, _) = writeDataFiles(data, m.partitionCols)
+    // CDC: deterministic re-reads of immutable parquet — the captured
+    // rows are exactly what the rewrite dropped/replaced
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!changeDataFeed) None
+      else Some {
+        val changes =
+          if (op == OpDelete) matching.withColumn(ChangeTypeCol, flit("delete"))
+          else matching.withColumn(ChangeTypeCol, flit("update_preimage"))
+            .unionByName(
+              replaced.withColumn(ChangeTypeCol, flit("update_postimage")))
+        writeDataFiles(changes, Nil, withStats = false)._1
+      }
+    commit { latest =>
+      val cur = latest.getOrElse(sys.error(s"$root vanished during $op — rerun"))
+      if (cur.version == m.version)
+        Pending(op, untouched ++ files, m.schemaDdl, m.partitionCols, spec,
+          None, cdcFiles)
+      else {
+        // auto-rebase (the merge discipline, predicate flavor): the
+        // racing commit is harmless iff our rewritten files survived
+        // untouched AND nothing it added could match the predicate —
+        // proven by the same zone-map candidate test that planned the
+        // rewrite (a predicate with no extractable constraints
+        // conservatively conflicts with ANY added file)
+        require(cur.schemaDdl == m.schemaDdl && cur.bucketSpec == spec &&
+            cur.partitionCols == m.partitionCols,
+          s"concurrent schema/layout change during $op on $root — rerun")
+        require(affectedPaths.subsetOf(cur.files.map(_.path).toSet),
+          s"concurrent commit rewrote files matching the $op predicate " +
+            s"on $root — rerun")
+        val basePaths = m.files.map(_.path).toSet
+        val intruding = cur.files.filter(f => !basePaths(f.path)).filter(candidate)
+        require(intruding.isEmpty,
+          s"concurrent commit added possibly-matching rows during $op " +
+            s"on $root — rerun")
+        Pending(op, cur.files.filterNot(f => affectedPaths(f.path)) ++ files,
+          m.schemaDdl, m.partitionCols, spec, None, cdcFiles)
+      }
+    }
+  }
+
+  /** Per-column range constraints `(field, lo, hi)` extracted from the
+    * ANALYZED predicate's top-level conjuncts — the sound subset for
+    * zone-map pruning: `=`, `<`, `<=`, `>`, `>=` between a column
+    * (possibly behind an exact widening numeric cast, which is
+    * monotone) and a literal. Bounds are statCmp-space strings;
+    * anything unextractable simply contributes no constraint, so
+    * pruning degrades to keeping files, never to dropping rows.
+    * Strict bounds prune as non-strict — sound, marginally weaker. */
+  private def rangeConstraints(schema: StructType, cond: Column)
+      : Seq[(org.apache.spark.sql.types.StructField, Option[String], Option[String])] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, Attribute, Cast, EqualTo, Expression, GreaterThan,
+      GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val pred = empty.where(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.getOrElse(return Nil)
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    // exact, monotone widenings only: pruning compares the bound
+    // against the NARROW column's stats in decimal space, which is
+    // order-faithful exactly when the cast loses nothing
+    def exactWidening(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean = (from, to) match {
+      case (ByteType | ShortType | IntegerType,
+            ShortType | IntegerType | LongType | DoubleType | FloatType) => true
+      case (LongType, DoubleType)      => true // inexact >2^53 but monotone
+      case (FloatType, DoubleType)     => true
+      case (_: DecimalType, DoubleType) => true // monotone
+      case (ByteType | ShortType | IntegerType | LongType, _: DecimalType) => true
+      case _ => false
+    }
+    def attrOf(e: Expression): Option[Attribute] = e match {
+      case a: Attribute => Some(a)
+      case c: Cast      => c.child match {
+        case a: Attribute if exactWidening(a.dataType, c.dataType) => Some(a)
+        case _ => None
+      }
+      case _ => None
+    }
+    def bound(l: Literal): Option[String] = l match {
+      case Literal(null, _) => None
+      case Literal(x, dt)   => dt match {
+        case StringType => Some(x.toString)
+        case FloatType  =>
+          // widen through float so the bound lives where the residual
+          // comparison does (the readWhereRange float discipline)
+          Some(x.asInstanceOf[Float].toDouble.toString)
+        case ByteType | ShortType | IntegerType | LongType | DoubleType |
+             _: DecimalType => Some(x.toString)
+        case org.apache.spark.sql.types.DateType =>
+          Some(java.time.LocalDate.ofEpochDay(
+            x.asInstanceOf[Int].toLong).toString)
+        case _ => None // timestamps: tz-encoded stats, skip
+      }
+    }
+    def field(a: Attribute) = schema.fields.find(_.name == a.name)
+    conjuncts(pred).flatMap {
+      case EqualTo(e, l: Literal) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), Some(b))
+      case EqualTo(l: Literal, e) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), Some(b))
+      case GreaterThan(e, l: Literal) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), None)
+      case GreaterThanOrEqual(e, l: Literal) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), None)
+      case LessThan(e, l: Literal) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, None, Some(b))
+      case LessThanOrEqual(e, l: Literal) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, None, Some(b))
+      case GreaterThan(l: Literal, e) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, None, Some(b))
+      case GreaterThanOrEqual(l: Literal, e) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, None, Some(b))
+      case LessThan(l: Literal, e) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), None)
+      case LessThanOrEqual(l: Literal, e) => for {
+        a <- attrOf(e); f <- field(a); b <- bound(l)
+      } yield (f, Some(b), None)
+      case _ => None
+    }
+  }
+
+  /** RESTORE to a retained older version — a METADATA-ONLY commit
+    * publishing the target snapshot's exact file list, schema, and
+    * layout as a NEW version (zero data read or written: the restored
+    * files are still on disk because a live log entry references
+    * them, and the new reference keeps them alive past the old
+    * entry's expiry — [[vacuum]] honors every live manifest). History
+    * is preserved: the restore is itself a commit, so time travel to
+    * the undone versions keeps working until they expire, and a
+    * second restore can redo. Change-feed consumers reset (content
+    * rewound — a file diff is not a row diff), same as overwrite. */
+  def restore(version: Long): Long = {
+    val target = manifest(version) // throws if expired/unknown
+    commit { latest =>
+      val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+      require(version <= cur.version,
+        s"$root: cannot restore to version $version — latest is ${cur.version}")
+      Pending(OpRestore, target.files, target.schemaDdl,
+        target.partitionCols, target.bucketSpec, None)
+    }
+  }
+
   /** Rewrite the current snapshot into ~`targetFileBytes` files and
     * commit the rewrite as a new snapshot — the transactional twin of
     * [[ParquetIOManager.compact]]'s rename swap: here there is no
@@ -1413,6 +1671,8 @@ object TxTable {
   private val OpCompact = "compact"
   private val OpMerge = "merge"
   private val OpDelete = "delete"
+  private val OpUpdate = "update"
+  private val OpRestore = "restore"
 
   /** `statsOnWrite=false` skips the one-pass min/max collection per
     * write — the high-rate streaming-ingest tradeoff (no zone maps on

@@ -1,7 +1,7 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.classic.{Dataset, SparkSession => ClassicSession}
+import org.apache.spark.sql.classic.{Dataset, ExpressionUtils, SparkSession => ClassicSession}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 
@@ -51,6 +51,22 @@ object StreamShims {
     spark.internalCreateDataFrame(
       df.queryExecution.toRdd, df.schema, isStreaming = false)
   }
+
+  /** Wrap a parsed catalyst [[org.apache.spark.sql.catalyst.expressions.Expression]]
+    * as a user-facing [[org.apache.spark.sql.Column]] — what the SQL
+    * DML verbs ([[graft.sources.TxSqlParser]]) need to hand a parsed
+    * WHERE / SET expression to the TxTable Scala API. Resolution
+    * happens when the receiving DataFrame analyzes, exactly like
+    * `functions.expr`. */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column = ExpressionUtils.column(e)
+
+  /** A (possibly unresolved) logical plan as a DataFrame — resolves
+    * the USING side of `MERGE INTO txtable` (a view name or subquery)
+    * through the session's own analyzer. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
   /** Re-root `df`'s analyzed plan with its scan leaves marked
     * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`

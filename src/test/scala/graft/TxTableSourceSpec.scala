@@ -340,6 +340,71 @@ class TxTableSourceSpec extends SparkSpec {
       .take(3) == Seq((2L, "overwrite"), (1L, "append"), (0L, "overwrite")))
   }
 
+  test("SQL DML verbs: DELETE / UPDATE / MERGE INTO route onto the commit log") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_dml")
+    t.overwriteBucketed(df(0 until 100), bucketCols = Seq("id"), nBuckets = 8)
+    // DELETE FROM ... WHERE — one-row result with the committed version
+    val del = spark.sql(s"DELETE FROM txtable.`$dir` WHERE id >= 90")
+    assert(del.columns.toSeq == Seq("operation", "version"))
+    assert(del.head() == org.apache.spark.sql.Row("delete", 1L))
+    assert(t.read().count() == 90)
+    // UPDATE ... SET (expression RHS, multiple columns) ... WHERE
+    spark.sql(
+      s"UPDATE txtable.`$dir` SET score = score * 2, name = 'X' WHERE id < 3")
+    val r = t.read().where(col("id") === 2L).head()
+    assert(r.getString(1) == "X" && r.getDouble(2) == 40.0)
+    assert(t.read().where(col("name") === "X").count() == 3)
+    // MERGE INTO canonical upsert via a temp view source
+    df(95 until 105).withColumn("name", lit("M"))
+      .createOrReplaceTempView("mergesrc")
+    spark.sql(
+      s"""MERGE INTO txtable.`$dir` t USING mergesrc s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(t.read().count() == 100) // 90 + 10 (95..99 were deleted above)
+    assert(t.read().where(col("name") === "M").count() == 10)
+    // non-canonical merge shapes refuse loudly
+    val bad = intercept[Exception](spark.sql(
+      s"""MERGE INTO txtable.`$dir` t USING mergesrc s ON t.id = s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(bad.getMessage.contains("UPDATE SET *"))
+    val badKeys = intercept[Exception](spark.sql(
+      s"""MERGE INTO txtable.`$dir` t USING mergesrc s ON t.name = s.name
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(badKeys.getMessage.contains("bucket keys"))
+    // non-txtable DML still parses to Spark's own plan (and fails
+    // resolution the standard way, not through our seam)
+    intercept[Exception](spark.sql("DELETE FROM nosuch_table WHERE 1=1"))
+  }
+
+  test("SQL maintenance verbs: OPTIMIZE [ZORDER BY] / VACUUM / RESTORE") {
+    val (t, dir) = freshTable("txsql_maint")
+    t.overwrite(df(0 until 50).repartition(6))            // v0, many files
+    t.overwrite(df(0 until 40).repartition(6))            // v1
+    // OPTIMIZE = compact commit
+    val opt = spark.sql(s"OPTIMIZE txtable.`$dir`")
+    assert(opt.head() == org.apache.spark.sql.Row("optimize", 2L))
+    assert(t.history().last._2 == "compact")
+    assert(t.read().count() == 40)
+    // OPTIMIZE ZORDER BY = clustering rewrite
+    spark.sql(s"OPTIMIZE txtable.`$dir` ZORDER BY (id, score)")
+    assert(t.history().last._2 == "compact")
+    assert(t.read().count() == 40)
+    // RESTORE ... VERSION AS OF rewinds content as a new commit
+    val res = spark.sql(s"RESTORE TABLE txtable.`$dir` TO VERSION AS OF 0")
+    assert(res.columns.toSeq == Seq("operation", "version"))
+    assert(t.read().count() == 50)
+    assert(t.history().last._2 == "restore")
+    // VACUUM RETAIN 0 HOURS sweeps the expired versions' files
+    t.expireSnapshots(keepLast = 1)
+    val vac = spark.sql(s"VACUUM txtable.`$dir` RETAIN 0 HOURS")
+    assert(vac.columns.toSeq == Seq("location", "files_deleted"))
+    assert(vac.head().getLong(1) > 0L)
+    assert(t.read().count() == 50, "restored snapshot intact after vacuum")
+  }
+
   test("short name 'txtable' resolves through DataSourceRegister") {
     val (t, dir) = freshTable("txsrc_short")
     t.overwrite(df(0 until 4))

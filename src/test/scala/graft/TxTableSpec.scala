@@ -773,4 +773,172 @@ class TxTableSpec extends SparkSpec {
     assert(t.fileEntries(195).size == 196 * 50)
     intercept[Exception] { t.readVersion(100) }
   }
+
+  test("deleteWhere rewrites only files holding matching rows; " +
+      "zero matches commit nothing") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_delw")
+    // range-partitioned ingest → disjoint id ranges per file, so the
+    // predicate's zone-map constraints isolate one file
+    t.overwrite((0 until 8000).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("id", "name", "score").repartitionByRange(8, col("id")))
+    val before = t.fileEntries(0).map(_.path)
+    val sizes = before.map(p => p -> new java.io.File(s"$dir/$p").length()).toMap
+    val mtimes = before.map(p => p -> new java.io.File(s"$dir/$p").lastModified()).toMap
+    val v1 = t.deleteWhere(col("id") < 500L)
+    assert(v1 == 1)
+    assert(t.read().count() == 7500)
+    assert(t.read().agg(min("id")).head.getLong(0) == 500L)
+    val after = t.fileEntries(1).map(_.path)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.size == before.size - 1,
+      s"only the one file with ids<500 should rewrite — carried ${carried.size} of ${before.size}")
+    carried.foreach { p =>
+      val f = new java.io.File(s"$dir/$p")
+      assert(f.length() == sizes(p) && f.lastModified() == mtimes(p),
+        s"untouched file $p was rewritten")
+    }
+    // time travel to the pre-delete snapshot
+    assert(t.readVersion(0).count() == 8000)
+    assert(t.history().last._2 == "delete")
+    // zero matches: NO commit at all (returns the current version)
+    val v2 = t.deleteWhere(col("id") < 500L)
+    assert(v2 == v1 && t.versions == Seq(0L, 1L),
+      "a no-match delete must not commit")
+    // rows where the predicate is NULL are kept (SQL DELETE semantics)
+    val (tn, _) = freshTable("tx_delw_null")
+    tn.overwrite(Seq((1L, "a"), (2L, null), (3L, "x"))
+      .toDF("id", "tag"))
+    tn.deleteWhere(col("tag") === "x")
+    assert(tn.read().count() == 2)
+    assert(tn.read().where(col("tag").isNull).count() == 1,
+      "NULL-predicate rows must survive a DELETE")
+  }
+
+  test("deleteWhere on bucketed and partitioned layouts keeps the layout") {
+    import spark.implicits._
+    val (tb, _) = freshTable("tx_delw_bkt")
+    tb.overwriteBucketed((0 until 1000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score"), Seq("id"), nBuckets = 16)
+    tb.deleteWhere(col("score") > 990.0)
+    assert(tb.read().count() == 991)
+    // merge still routes after the predicate delete (layout intact)
+    tb.upsert(Seq((5L, -1.0)).toDF("id", "score"))
+    assert(tb.read().where(col("id") === 5L).head.getDouble(1) == -1.0)
+
+    val (tp, _) = freshTable("tx_delw_part")
+    tp.overwrite((0 until 90).map(i =>
+        (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value"), partitionBy = Seq("event_type"))
+    tp.deleteWhere(col("event_type") === "view" && col("id") < 30L)
+    assert(tp.read().count() == 80)
+    // partition pruning still serves the surviving layout
+    assert(tp.readWhere(p => p("event_type") == "view").count() == 20)
+  }
+
+  test("updateWhere: simultaneous assignment, relocation across layout, " +
+      "type change refused") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_upd")
+    t.overwrite(Seq((1L, 10.0, 20.0), (2L, 1.0, 2.0))
+      .toDF("id", "a", "b"))
+    // SQL simultaneous-assignment rule: both RHS see the OLD row
+    t.updateWhere(col("id") === 1L, Map("a" -> col("b"), "b" -> col("a")))
+    val r = t.read().where(col("id") === 1L).head
+    assert(r.getDouble(1) == 20.0 && r.getDouble(2) == 10.0,
+      s"swap must read pre-update values, got $r")
+    assert(t.read().where(col("id") === 2L).head.getDouble(1) == 1.0)
+    assert(t.history().last._2 == "update")
+    // type-changing SET refused
+    intercept[Exception] {
+      t.updateWhere(col("id") === 2L, Map("a" -> lit("oops")))
+    }
+    // updating a partition column relocates rows into the new partition
+    val (tp, _) = freshTable("tx_upd_part")
+    tp.overwrite((0 until 60).map(i =>
+        (i.toLong, if (i % 2 == 0) "hot" else "cold", i * 1.0))
+      .toDF("id", "tier", "v"), partitionBy = Seq("tier"))
+    tp.updateWhere(col("tier") === "cold" && col("id") < 10L,
+      Map("tier" -> lit("hot")))
+    assert(tp.readWhere(p => p("tier") == "hot").count() == 35)
+    assert(tp.readWhere(p => p("tier") == "cold").count() == 25)
+    assert(tp.read().count() == 60)
+  }
+
+  test("predicate DML through a CDF handle captures delete rows and " +
+      "update pre/post images") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dml_cdf") + "/t"
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    t.overwrite((0 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    t.deleteWhere(col("id") >= 90L)                       // v1: 10 deletes
+    t.updateWhere(col("id") < 5L, Map("v" -> (col("v") + 1000.0))) // v2
+    val feed = t.changeFeed(0).cache()
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "delete").count() == 10)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_preimage")
+      .count() == 5)
+    val post = feed.where(col(TxTable.ChangeTypeCol) === "update_postimage")
+    assert(post.count() == 5)
+    assert(post.agg(min("v")).head.getDouble(0) == 1000.0)
+    feed.unpersist()
+  }
+
+  test("8 threads deleting disjoint ranges: auto-rebase lands them all") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (t, dir) = freshTable("tx_delw_race")
+    // hive-partition on id/1000: file id-ranges are DISJOINT BY
+    // CONSTRUCTION (repartitionByRange's sampled boundaries can
+    // overshoot into a neighbor's delete window, making two threads
+    // share a file — a real conflict, not a rebase)
+    t.overwrite((0 until 8000).map(i => (i.toLong, i / 1000, i * 1.0))
+      .toDF("id", "grp", "v"), partitionBy = Seq("grp"))
+    val handles = (0 until 8).map(_ => TxTable(spark, dir))
+    val fs = (0 until 8).map { k => Future {
+      // each window sits inside one partition's files; racing commits
+      // rewrite OTHER partitions and add only non-candidate ranges →
+      // every loser rebases
+      handles(k).deleteWhere(
+        col("id") >= k * 1000L + 10L && col("id") < k * 1000L + 20L)
+    }}
+    val versions = Await.result(Future.sequence(fs), 120.seconds)
+    assert(versions.toSet.size == 8, s"every delete lands its own commit: $versions")
+    assert(t.read().count() == 8000 - 80)
+    assert(t.read().where(col("id") === 15L).count() == 0)
+    assert(t.read().where(col("id") === 25L).count() == 1)
+  }
+
+  test("restore is metadata-only, rewinds content, and survives expiry") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_restore")
+    t.overwrite((0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "tag")) // v0
+    t.overwrite(Seq((999L, "gone")).toDF("id", "tag"))                        // v1
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$dir/data")).toSet
+    }
+    val disk = dataFiles()
+    val v2 = t.restore(0)
+    assert(v2 == 2)
+    assert(dataFiles() == disk, "restore must not read or write data files")
+    assert(t.read().count() == 100)
+    assert(t.read().where(col("tag") === "gone").count() == 0)
+    // history preserved: the undone version stays time-travelable
+    assert(t.readVersion(1).count() == 1)
+    assert(t.history().map(_._2) == Seq("overwrite", "overwrite", "restore"))
+    // future versions refused
+    intercept[Exception] { t.restore(99) }
+    // change feeds reset across the rewind
+    val ex = intercept[Exception] { t.changesSince(1) }
+    assert(ex.getMessage.contains("restore"))
+    // the restored files survive expiry of their ORIGINAL commit:
+    // the restore manifest keeps them live through vacuum
+    t.expireSnapshots(keepLast = 1)
+    assert(t.vacuum(minAgeMs = 0).nonEmpty, "v1's orphaned file sweeps")
+    assert(t.read().count() == 100, "restored content intact after vacuum")
+  }
 }
