@@ -394,6 +394,29 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x11: manifest-planned SCAN with zone-map skipping — the same
+    // sorted table as x7, read through the FORMAT with a plain WHERE:
+    // planning takes file statuses from the commit log (no directory
+    // listing) and the pushed range filter drops stat-excluded files
+    // before IO (file-count assertion in TxTableSourceSpec; here the
+    // RESULT gates against the same BETWEEN twin as x7)
+    "x11_tx_scan_skip"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = cachedAsset(s, s"tx_stats|$d") {
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_stats") + "/t")
+        t0.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")))
+        t0
+      }
+      s.read.format("txtable").load(t.location)
+        .where(col("o_orderkey") >= 1000L && col("o_orderkey") <= 5000L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -1145,6 +1168,14 @@ object SparkEntry {
         |       md5(text) AS payload_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "x7_tx_stats_skip" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x11 reads the same table as x7 through the format scan — same
+    // relational twin
+    "x11_tx_scan_skip" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price

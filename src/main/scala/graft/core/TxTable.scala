@@ -438,6 +438,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         col(name) <= org.apache.spark.sql.functions.lit(bhi))
   }
 
+  /** Snapshot `v` as a scan-time-pruned parquet relation — the read
+    * path of the txtable format and SQL seam. Two properties the
+    * plain [[readVersion]] frame lacks, both load-bearing at 10⁶
+    * files: (1) planning lists NO directories (per-file size/mtime
+    * were captured into the commit log at write time — metadata ops
+    * are O(manifest), not O(filesystem)); (2) the scan's pushed data
+    * filters drop files whose zone-map stats cannot match BEFORE any
+    * IO (`WHERE price > x` over SQL/format reads skips like
+    * [[readWhereRange]] does, with no special API). Split planning,
+    * row-group pushdown, column pruning, and vectorized decode are
+    * the stock parquet source's own over the pruned list. */
+  private[graft] def scanRelation(v: Long): org.apache.spark.sql.sources.BaseRelation = {
+    val m = manifest(v)
+    val full = StructType.fromDDL(m.schemaDdl)
+    val visible = StructType(full.fields.filterNot(f =>
+      f.name == BucketCol || f.name.startsWith(PartShadowPrefix)).toSeq)
+    val statuses = m.files.map { f =>
+      val p = new Path(root, f.path)
+      if (f.bytes >= 0)
+        new org.apache.hadoop.fs.FileStatus(
+          f.bytes, false, 1, 134217728L, f.mtimeMs, fs.makeQualified(p))
+      else fs.getFileStatus(p) // legacy entry: size not recorded
+    }
+    org.apache.spark.sql.graft.StreamShims.manifestScanRelation(
+      spark, root, visible, statuses,
+      preds => {
+        val keep = candidateFilter(full, preds)
+        m.files.zip(statuses).collect { case (e, st) if keep(e) => st }
+      })
+  }
+
   private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
     val df0 =
@@ -950,18 +981,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val m = manifest(v)
     val schema = StructType.fromDDL(m.schemaDdl)
     val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
-    val constraints = rangeConstraints(schema, cond)
-    def candidate(f: FileEntry): Boolean = constraints.forall {
-      case (field, lo, hi) =>
-        try
-          lo.forall(b => f.max.get(field.name).forall(mx =>
-            statCmp(field.dataType, mx, b) >= 0)) &&
-          hi.forall(b => f.min.get(field.name).forall(mn =>
-            statCmp(field.dataType, mn, b) <= 0))
-        // unparsable stat/bound keeps the file — pruning must never
-        // drop rows (the readWhereRange discipline)
-        catch { case _: IllegalArgumentException => true }
-    }
+    val candidate = candidateFilter(schema, analyzedPredicate(schema, cond).toSeq)
     val candidates = m.files.filter(candidate)
     val affectedPaths: Set[String] =
       if (candidates.isEmpty) Set.empty
@@ -1025,24 +1045,54 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
-  /** Per-column range constraints `(field, lo, hi)` extracted from the
-    * ANALYZED predicate's top-level conjuncts — the sound subset for
-    * zone-map pruning: `=`, `<`, `<=`, `>`, `>=` between a column
-    * (possibly behind an exact widening numeric cast, which is
-    * monotone) and a literal. Bounds are statCmp-space strings;
-    * anything unextractable simply contributes no constraint, so
-    * pruning degrades to keeping files, never to dropping rows.
-    * Strict bounds prune as non-strict — sound, marginally weaker. */
-  private def rangeConstraints(schema: StructType, cond: Column)
+  /** The condition of `cond` ANALYZED against an empty frame of
+    * `schema` — attribute resolution (and Spark's own type coercion)
+    * without touching any data. None when analysis folds the filter
+    * away (e.g. `lit(true)`). */
+  private def analyzedPredicate(schema: StructType, cond: Column)
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    empty.where(cond).queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }
+  }
+
+  /** Zone-map candidate test for a set of RESOLVED predicates: keeps
+    * every file whose manifest [min,max] ranges could hold a matching
+    * row. Per-column range constraints `(field, lo, hi)` come from the
+    * predicates' top-level conjuncts — the sound subset for zone-map
+    * pruning: `=`, `<`, `<=`, `>`, `>=` between a column (possibly
+    * behind an exact widening numeric cast, which is monotone) and a
+    * literal. Bounds are statCmp-space strings; anything unextractable
+    * simply contributes no constraint, so pruning degrades to keeping
+    * files, never to dropping rows. Strict bounds prune as non-strict
+    * — sound, marginally weaker. Shared by [[rewriteWhere]]'s planning
+    * + auto-rebase test and the scan-time file skipping of the
+    * txtable read relation. */
+  private[graft] def candidateFilter(schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : FileEntry => Boolean = {
+    val constraints = rangeConstraintsOf(schema, preds)
+    f => constraints.forall {
+      case (field, lo, hi) =>
+        try
+          lo.forall(b => f.max.get(field.name).forall(mx =>
+            statCmp(field.dataType, mx, b) >= 0)) &&
+          hi.forall(b => f.min.get(field.name).forall(mn =>
+            statCmp(field.dataType, mn, b) <= 0))
+        // unparsable stat/bound keeps the file — pruning must never
+        // drop rows (the readWhereRange discipline)
+        catch { case _: IllegalArgumentException => true }
+    }
+  }
+
+  private def rangeConstraintsOf(schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[(org.apache.spark.sql.types.StructField, Option[String], Option[String])] = {
     import org.apache.spark.sql.catalyst.expressions.{
       And, Attribute, Cast, EqualTo, Expression, GreaterThan,
       GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
-    val empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    val pred = empty.where(cond).queryExecution.analyzed.collectFirst {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
-    }.getOrElse(return Nil)
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case x         => Seq(x)
@@ -1085,7 +1135,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       }
     }
     def field(a: Attribute) = schema.fields.find(_.name == a.name)
-    conjuncts(pred).flatMap {
+    preds.flatMap(conjuncts).flatMap {
       case EqualTo(e, l: Literal) => for {
         a <- attrOf(e); f <- field(a); b <- bound(l)
       } yield (f, Some(b), Some(b))
@@ -1423,7 +1473,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
         val (mins, maxs) = stats.getOrElse(rel, (Map.empty[String, String], Map.empty[String, String]))
-        entries += FileEntry(rel, parsePartition(rel), mins, maxs)
+        entries += FileEntry(rel, parsePartition(rel), mins, maxs,
+          st.getLen, st.getModificationTime)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
@@ -1733,13 +1784,19 @@ object TxTable {
   }
 
   /** One data file of a snapshot: root-relative path, the partition
-    * values parsed from its layout dirs (empty for flat tables), and
+    * values parsed from its layout dirs (empty for flat tables),
     * per-column min/max (string-encoded; empty when stats don't apply
-    * — readers treat missing stats conservatively). */
+    * — readers treat missing stats conservatively), and the file's
+    * size/mtime captured from the commit-time listing — what lets the
+    * scan plan file splits WITHOUT re-stat-ing 10⁶ files per query
+    * (`bytes < 0` = legacy entry, reader falls back to one
+    * getFileStatus). */
   private[graft] final case class FileEntry(path: String,
       partition: Map[String, String],
       min: Map[String, String] = Map.empty,
-      max: Map[String, String] = Map.empty)
+      max: Map[String, String] = Map.empty,
+      bytes: Long = -1L,
+      mtimeMs: Long = 0L)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -1842,6 +1899,8 @@ object TxTable {
       files.foreach { f =>
         val fo = arr.addObject()
         fo.put("path", f.path)
+        if (f.bytes >= 0) fo.put("bytes", f.bytes)
+        if (f.mtimeMs > 0) fo.put("mtime", f.mtimeMs)
         if (f.partition.nonEmpty) {
           val po = fo.putObject("partition")
           f.partition.foreach { case (k, v) => po.put(k, v) }
@@ -1870,7 +1929,9 @@ object TxTable {
           val f = a.get(i)
           if (f.isTextual) FileEntry(f.asText(), Map.empty)
           else FileEntry(f.get("path").asText(), strMap(f, "partition"),
-            strMap(f, "min"), strMap(f, "max"))
+            strMap(f, "min"), strMap(f, "max"),
+            Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L),
+            Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
         }
       }.getOrElse(Seq.empty)
 

@@ -65,10 +65,16 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private def relationFor(path: String, version: Option[Long],
       tsMillis: Option[Long] = None): LogicalPlan = {
     val t = TxTable(session, path)
-    org.apache.spark.sql.graft.StreamShims.batchLogicalPlan(
-      version.map(t.readVersion)
-        .orElse(tsMillis.map(t.readTimestamp))
-        .getOrElse(t.read()))
+    // manifest-planned + zone-map-skipping relation: the spliced scan
+    // lists no directories and drops stat-excluded files before IO
+    val v = version
+      .orElse(tsMillis.map(ts => t.versionAt(ts).getOrElse(sys.error(
+        s"$path has no snapshot committed at or before " +
+          s"${java.time.Instant.ofEpochMilli(ts)} — oldest retained " +
+          "commit is newer (expired history cannot be time-traveled)"))))
+      .getOrElse(t.latestVersion.getOrElse(
+        sys.error(s"$path has no committed snapshots")))
+    org.apache.spark.sql.graft.StreamShims.relationPlan(t.scanRelation(v))
   }
 
   /** The `txtable.`dir`` path of a DML target, unwrapping an alias. */

@@ -117,27 +117,35 @@ final class TxTableSourceProvider extends StreamSourceProvider
 
   /** BATCH read surface — `spark.read.format("txtable").load(dir)`,
     * with `versionAsOf` (time travel) or `sinceVersion` (the
-    * change-window read, [[TxTable.changesSince]] semantics). The
-    * returned relation is a real parquet `HadoopFsRelation` over the
-    * snapshot's file list, so pushdown/pruning/vectorization are the
-    * parquet source's own; the commit log only picked the files. */
+    * change-window read, [[TxTable.changesSince]] semantics).
+    * Snapshot reads return the manifest-planned relation: file
+    * statuses come from the commit log (no directory listing) and the
+    * scan's pushed data filters drop stat-excluded files before IO —
+    * zone-map skipping on every format/SQL read. `sinceVersion` stays
+    * a plain parquet relation over the appended file set (windows are
+    * small by contract; pushdown/pruning are the parquet source's
+    * own either way). */
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): org.apache.spark.sql.sources.BaseRelation = {
     val t = TxTable(sqlContext.sparkSession, pathOf(parameters))
     require(!parameters.contains(OptVersionAsOf) ||
       !parameters.contains(OptSinceVersion),
       s"$OptVersionAsOf and $OptSinceVersion are exclusive")
-    val df = parameters.get(OptVersionAsOf).map(_.toLong) match {
-      case Some(v) => t.readVersion(v)
+    parameters.get(OptVersionAsOf).map(_.toLong) match {
+      case Some(v) => t.scanRelation(v)
       case None => parameters.get(OptTimestampAsOf) match {
-        case Some(ts) => t.readTimestamp(parseTsMillis(ts))
+        case Some(ts) => t.scanRelation(t.versionAt(parseTsMillis(ts))
+          .getOrElse(sys.error(s"${t.location} has no snapshot committed " +
+            s"at or before $ts — oldest retained commit is newer " +
+            "(expired history cannot be time-traveled)")))
         case None => parameters.get(OptSinceVersion).map(_.toLong) match {
-          case Some(s) => t.changesSince(s)
-          case None    => t.read()
+          case Some(s) => org.apache.spark.sql.graft.StreamShims
+            .batchParquetRelation(t.changesSince(s))
+          case None => t.scanRelation(t.latestVersion.getOrElse(
+            sys.error(s"${t.location} has no committed snapshots")))
         }
       }
     }
-    org.apache.spark.sql.graft.StreamShims.batchParquetRelation(df)
   }
 
   override def sourceSchema(sqlContext: SQLContext,

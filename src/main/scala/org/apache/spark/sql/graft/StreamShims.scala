@@ -42,6 +42,38 @@ object StreamShims {
   def batchLogicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     LogicalRelation(batchParquetRelation(df))
 
+  /** Parquet relation whose file listing comes from a TRANSACTIONAL
+    * MANIFEST instead of the filesystem: `files` carries the
+    * commit-log-recorded statuses (no directory listing at planning
+    * time — the O(1)-metadata-ops contract at 10⁶ files), and `prune`
+    * applies zone-map file skipping to the scan's pushed data filters
+    * before any IO. Everything downstream — split planning, filter
+    * pushdown into row groups, column pruning, vectorized decode — is
+    * the stock parquet source operating on the pruned list. */
+  def manifestScanRelation(spark: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      dataSchema: org.apache.spark.sql.types.StructType,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        Seq[org.apache.hadoop.fs.FileStatus])
+      : org.apache.spark.sql.sources.BaseRelation =
+    org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+      new ManifestFileIndex(root, files, prune),
+      partitionSchema = org.apache.spark.sql.types.StructType(Nil),
+      // nullable like every Spark file source: schema evolution means
+      // old files may lack a column the manifest schema declares NOT
+      // NULL — reads null-backfill them, so claiming non-nullability
+      // would let the optimizer fold IsNull checks wrongly
+      dataSchema = dataSchema.asNullable,
+      bucketSpec = None,
+      fileFormat =
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+      options = Map.empty)(spark)
+
+  def relationPlan(r: org.apache.spark.sql.sources.BaseRelation)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    LogicalRelation(r)
+
   /** The inverse seam for the SINK side: a `Sink.addBatch` frame is
     * streaming-flagged and refuses `.write`, so rewrap its planned
     * execution as a batch frame over the same `InternalRow` RDD — the
@@ -84,4 +116,39 @@ object StreamShims {
     }
     Dataset.ofRows(spark, plan)
   }
+}
+
+/** [[org.apache.spark.sql.execution.datasources.FileIndex]] over a
+  * transactional manifest's file list. `listFiles` never touches the
+  * filesystem — statuses were captured at commit time — and hands the
+  * scan's pushed data filters to `prune` for zone-map file skipping.
+  * Partitioning is empty by design: layout columns live IN the data
+  * (the shadow-duplication discipline), so partition values prune as
+  * ordinary per-file stats (min = max = value) through the same
+  * callback, and no partition-discovery pass ever runs. */
+final class ManifestFileIndex(root: org.apache.hadoop.fs.Path,
+    files: Seq[org.apache.hadoop.fs.FileStatus],
+    prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+      Seq[org.apache.hadoop.fs.FileStatus])
+    extends org.apache.spark.sql.execution.datasources.FileIndex {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.execution.datasources.PartitionDirectory
+
+  override def rootPaths: Seq[org.apache.hadoop.fs.Path] = Seq(root)
+
+  override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    Seq(PartitionDirectory(
+      org.apache.spark.sql.catalyst.InternalRow.empty,
+      prune(dataFilters).toArray))
+
+  override def inputFiles: Array[String] =
+    files.map(_.getPath.toString).toArray
+
+  override def refresh(): Unit = ()
+
+  override def sizeInBytes: Long = files.map(_.getLen).sum
+
+  override def partitionSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Nil)
 }

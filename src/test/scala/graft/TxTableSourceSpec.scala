@@ -312,6 +312,112 @@ class TxTableSourceSpec extends SparkSpec {
       s"column pruning did not reach the scan:\n$physical")
   }
 
+  /** Files the executed plan's parquet scan ACTUALLY selected (the
+    * post-pruning listing), unwrapping AQE. Run the frame first. */
+  private def filesScanned(q: DataFrame): Long = {
+    q.collect()
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case other => other
+    }
+    val scans = unwrap(q.queryExecution.executedPlan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty, "no parquet scan in the plan")
+    scans.map(_.metrics("numFiles").value).sum
+  }
+
+  test("format and SQL reads skip files via manifest zone maps; " +
+      "statuses ride the commit log") {
+    val (t, dir) = freshTable("txsrc_skip")
+    // four commits, one file each, disjoint id ranges: deterministic
+    // per-file [min,max]
+    t.overwrite(df(0 until 1000).coalesce(1))
+    t.append(df(1000 until 2000).coalesce(1))
+    t.append(df(2000 until 3000).coalesce(1))
+    t.append(df(3000 until 4000).coalesce(1))
+    // commit-time statuses: size/mtime recorded per entry, matching disk
+    val entries = t.fileEntries(3)
+    assert(entries.size == 4)
+    entries.foreach { e =>
+      val f = new java.io.File(s"$dir/${e.path}")
+      assert(e.bytes == f.length(), s"${e.path}: manifest bytes ${e.bytes}")
+      assert(e.mtimeMs == f.lastModified(), s"${e.path}: manifest mtime")
+    }
+    // format read: an interior range touches exactly one file of four
+    val one = spark.read.format(fmt).load(dir)
+      .where(col("id") >= 1200L && col("id") <= 1300L)
+    assert(filesScanned(one) == 1, "zone maps must isolate the one file")
+    assert(one.count() == 101)
+    // SQL seam: an open range touches the two top files
+    val two = spark.sql(s"SELECT id, score FROM txtable.`$dir` WHERE id >= 2500")
+    assert(filesScanned(two) == 2)
+    assert(two.count() == 1500)
+    // unconstrained read scans everything — pruning never drops files
+    // a predicate didn't exclude
+    assert(filesScanned(spark.read.format(fmt).load(dir)) == 4)
+    // a non-extractable predicate keeps all files but stays correct
+    val odd = spark.sql(
+      s"SELECT count(*) AS n FROM txtable.`$dir` WHERE id % 2 = 1")
+    assert(odd.head().getLong(0) == 2000L)
+  }
+
+  test("manifest-planned scans work on bucketed, partitioned, and " +
+      "legacy (no recorded sizes) tables") {
+    import spark.implicits._
+    // bucketed: __bucket stays internal, skipping still applies
+    val (tb, bdir) = freshTable("txsrc_skip_bkt")
+    tb.overwriteBucketed(df(0 until 100), bucketCols = Seq("id"), nBuckets = 4)
+    val b = spark.read.format(fmt).load(bdir)
+    assert(!b.columns.contains("__bucket"))
+    assert(b.count() == 100)
+    // partitioned: the layout column is a data column with
+    // min = max = value stats, so equality on it prunes to the
+    // partition's files through the SAME zone-map path
+    val (tp, pdir) = freshTable("txsrc_skip_part")
+    tp.overwrite((0 until 90).map(i =>
+        (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value").coalesce(1),
+      partitionBy = Seq("event_type"))
+    val clicks = spark.read.format(fmt).load(pdir)
+      .where(col("event_type") === "click")
+    assert(filesScanned(clicks) == 1, "partition-value stats must prune")
+    assert(clicks.count() == 30)
+    // legacy manifests (entries without bytes/mtime): the reader falls
+    // back to getFileStatus per file — copy the table, strip the
+    // recorded sizes out of every log JSON, read through the format
+    val (tl, ldir) = freshTable("txsrc_skip_legacy")
+    tl.overwrite(df(0 until 50).coalesce(1))
+    tl.append(df(50 until 60).coalesce(1))
+    val legacyDir = EventsStream.scratchDir("txsrc_skip_legacy_copy") + "/t"
+    def copyAll(src: java.io.File, dst: java.io.File): Unit = {
+      if (src.isDirectory) {
+        dst.mkdirs()
+        src.listFiles().foreach(c => copyAll(c, new java.io.File(dst, c.getName)))
+      } else java.nio.file.Files.copy(src.toPath, dst.toPath)
+    }
+    copyAll(new java.io.File(ldir), new java.io.File(legacyDir))
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else Seq(f)
+    // hadoop's LocalFileSystem wrote .crc sidecars alongside the log
+    // JSONs — they'd fail the checksum after the edit below
+    walk(new java.io.File(legacyDir)).filter(_.getName.endsWith(".crc"))
+      .foreach(_.delete())
+    walk(new java.io.File(legacyDir)).filter(_.getName.endsWith(".json"))
+      .foreach { f =>
+        val stripped = scala.io.Source.fromFile(f).getLines()
+          .filterNot(l => l.contains("\"bytes\"") || l.contains("\"mtime\""))
+          .mkString("\n")
+        java.nio.file.Files.writeString(f.toPath, stripped)
+      }
+    val legacy = spark.read.format(fmt).load(legacyDir)
+    assert(legacy.count() == 60)
+    assert(legacy.select(sum("id")).head.getLong(0) == (0 until 60).sum)
+  }
+
   test("SQL entry point: SELECT ... FROM txtable.`dir` [VERSION AS OF n]") {
     val (t, dir) = freshTable("txsrc_sql")
     t.overwrite(df(0 until 20))  // v0
