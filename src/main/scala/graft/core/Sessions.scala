@@ -27,9 +27,21 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.cbo.enabled", "true")
       .config("spark.sql.cbo.joinReorder.enabled", "true")
-      // The fixtures' events table uses parquet TIMESTAMP(NANOS);
-      // read as long and convert (see Tables.withEventTs).
+      // Older fixture generations stored events.ts as parquet
+      // TIMESTAMP(NANOS); read those as long and convert (see
+      // Tables.withEventTs). Current fixtures are plain micros, which
+      // this flag leaves untouched.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Fixture timestamps are tz-NAIVE parquet micros (isAdjustedToUTC
+      // = false). Spark 4 infers those as TIMESTAMP_NTZ by default,
+      // which breaks epoch arithmetic (`cast(ts as double)` is illegal
+      // on NTZ) and silently forks semantics between readers that
+      // declare a schema and readers that infer one. Read them as
+      // ordinary TimestampType instead — with the session timezone
+      // pinned to UTC above, a naive fixture timestamp IS the UTC
+      // instant, which is also exactly how the DuckDB oracle reads
+      // the same file.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Custom codegen kernels as SQL functions (graft_cosine, ...).
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
 

@@ -16,11 +16,15 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects. Sessions set
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (see
-    * [[graft.core.Sessions]]) so it arrives as a long; truncate to
-    * microseconds — Spark's native timestamp precision. */
+  /** Older fixture generations stored `ts` as parquet
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects;
+    * Sessions set `spark.sql.legacy.parquet.nanosAsLong=true` (see
+    * [[graft.core.Sessions]]) so it arrived as a long, truncated here
+    * to microseconds — Spark's native timestamp precision. Current
+    * fixtures store plain tz-naive micros, which (with NTZ inference
+    * disabled and the session timezone pinned UTC) arrive as ordinary
+    * TimestampType needing no conversion — this normalizer keeps both
+    * generations readable. */
   private def withEventTs(df: DataFrame): DataFrame =
     if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr(

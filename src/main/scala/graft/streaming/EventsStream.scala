@@ -21,21 +21,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStream {
 
-  /** The events fixture stores ts as TIMESTAMP(NANOS) (read as long
-    * under nanosAsLong, converted in [[graft.core.Tables.events]]);
-    * for streaming file sources we declare the long and convert the
-    * same way. */
+  /** Streaming twin of [[graft.core.Tables.events]]. File streaming
+    * sources need a declared schema, and the events fixture's `ts`
+    * physical type has varied across fixture generations
+    * (TIMESTAMP(NANOS) → long under nanosAsLong; current fixtures are
+    * plain micros → TimestampType) — so take the schema from ONE batch
+    * footer read of the same file and normalize `ts` exactly the way
+    * the batch reader does. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val schema = "event_id LONG, ts LONG, user_id LONG, event_type STRING, " +
-      "value DOUBLE, props STRING"
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // the fixture is a single file in a dir of other tables; the file
     // streaming source requires a directory path, so stream the dir
     // with a glob filter
-    spark.readStream
+    val raw = spark.readStream
       .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    else raw
   }
 
   /** Tumbling 1-hour window counts/sums with a 1-hour watermark —
