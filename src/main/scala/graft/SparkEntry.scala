@@ -417,6 +417,68 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x12: merge-on-read DELETE (deletion vectors) — the delete lands
+    // a (file, row-position) side-file instead of rewriting data files
+    // (TxTableSpec pins the byte-identity); reads serve scan-minus-DV.
+    // The gate reads the table back through the handle AND the format
+    // path would give the same answer (spec-pinned); oracle = the
+    // surviving rows' aggregate
+    "x12_tx_delete_dv"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = cachedAsset(s, s"tx_dv|$d") {
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_dv") + "/t",
+          deletionVectors = true)
+        t0.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartitionByRange(8, col("o_orderkey")))
+        t0.deleteWhere(col("o_orderkey") % 5 === 0)
+        t0
+      }
+      // idempotent for re-evaluation: re-deleting already-vectored
+      // rows is a no-op commit
+      t.deleteWhere(col("o_orderkey") % 5 === 0)
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x13: full-clause MERGE — conditional DELETE + arithmetic UPDATE
+    // + explicit-assignment INSERT in one statement over a bucketed
+    // table (the complete WHEN [NOT] MATCHED grammar; the oracle
+    // replays the three clauses relationally)
+    "x13_tx_merge_clauses" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.core.TxTable.{srcCol, MergeDelete, MergeInsert, MergeUpdate}
+      val t = cachedAsset(s, s"tx_mrgcl|$d") {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_mrgcl") + "/t")
+        t0.overwriteBucketed(o, bucketCols = Seq("o_orderkey"), nBuckets = 16)
+        val src = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            (col("o_orderkey") % 2 === 0).as("kill"))
+          .unionByName(o.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 100000000L).as("k"),
+              col("o_totalprice").as("p"), lit(false).as("kill")))
+        t0.mergeClauses(src, Map("o_orderkey" -> srcCol("k")),
+          matched = Seq(
+            MergeDelete(Some(srcCol("kill"))),
+            MergeUpdate(None, Map(
+              "o_totalprice" -> (col("o_totalprice") + srcCol("p"))))),
+          notMatched = Seq(MergeInsert(None, Map(
+            "o_orderpriority" -> lit("INSERTED"),
+            "o_totalprice" -> srcCol("p")))))
+        t0
+      }
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -1180,6 +1242,35 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x12's oracle: the rows surviving the deletion-vector DELETE
+    "x12_tx_delete_dv" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 5 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x13's oracle replays the clause merge relationally: matched+kill
+    // rows drop, matched rows double (price + source price of the same
+    // row), shifted keys insert under the INSERTED label
+    "x13_tx_merge_clauses" ->
+      """WITH m AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p,
+        |         (o_orderkey % 2 = 0) AS kill
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM (
+        |  SELECT o.o_orderpriority,
+        |         CASE WHEN m.k IS NOT NULL THEN o.o_totalprice + m.p
+        |              ELSE o.o_totalprice END AS price
+        |  FROM orders o LEFT JOIN m ON o.o_orderkey = m.k
+        |  WHERE m.k IS NULL OR NOT m.kill
+        |  UNION ALL
+        |  SELECT 'INSERTED', o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 1
+        |)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

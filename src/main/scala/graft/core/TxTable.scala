@@ -119,7 +119,8 @@ import org.apache.spark.sql.types.{ByteType, DecimalType, DoubleType, FloatType,
   * coercion is how corpora rot.
   */
 final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
-    statsOnWrite: Boolean, changeDataFeed: Boolean) {
+    statsOnWrite: Boolean, changeDataFeed: Boolean,
+    deletionVectors: Boolean) {
   import TxTable._
 
   private def logDir  = new Path(root, LogDirName)
@@ -449,7 +450,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * [[readWhereRange]] does, with no special API). Split planning,
     * row-group pushdown, column pruning, and vectorized decode are
     * the stock parquet source's own over the pruned list. */
+  /** True iff snapshot `v` carries any deletion vector — such a
+    * snapshot's live rows are scan-minus-DV, which no bare file list
+    * can express (the format/streaming seams branch on this). */
+  private[graft] def snapshotHasDv(v: Long): Boolean =
+    manifest(v).files.exists(_.dvPath.isDefined)
+
   private[graft] def scanRelation(v: Long): org.apache.spark.sql.sources.BaseRelation = {
+    if (snapshotHasDv(v))
+      return org.apache.spark.sql.graft.StreamShims.dataFrameRelation(
+        readVersion(v))
     val m = manifest(v)
     val full = StructType.fromDDL(m.schemaDdl)
     val visible = StructType(full.fields.filterNot(f =>
@@ -469,13 +479,60 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       })
   }
 
-  private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame = {
+  /** Root-relative data-file path extracted from `_metadata.file_path`
+    * — the SAME expression computes the DV file's path column at
+    * delete time and the probe column at read time, so the anti-join
+    * key matches by construction (no URI-scheme normalization to get
+    * wrong, and relative paths keep the table relocatable). Sound
+    * because every data file lives under exactly one `data/` level
+    * (write-id dirs are UUIDs; partition dirs are `__pt_`/`__bucket=`
+    * prefixed), so the LAST `/data/` segment is the table's. */
+  private def relDataPath: Column =
+    org.apache.spark.sql.functions.regexp_extract(
+      col("_metadata.file_path"), "^.*/(data/.*)$", 1)
+
+  private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame =
+    readEntriesTagged(m, entries, None)
+
+  /** [[readEntries]], optionally tagging every row with its source
+    * file's full metadata path (`tag`) — the discovery surface for
+    * predicate DML, which cannot use `input_file_name()` because a
+    * deletion-vector read is a multi-source plan (scan ⋈ DV). */
+  private def readEntriesTagged(m: Manifest, entries: Seq[FileEntry],
+      tag: Option[String]): DataFrame = {
     val schema = StructType.fromDDL(m.schemaDdl)
+    val (dved, plain) = entries.partition(_.dvPath.isDefined)
+    def scan(es: Seq[FileEntry]) = {
+      val df = spark.read.schema(schema)
+        .parquet(es.map(f => new Path(root, f.path).toString): _*)
+      tag.fold(df)(c => df.withColumn(c, col("_metadata.file_path")))
+    }
+    val tagType = org.apache.spark.sql.types.StructField(
+      tag.getOrElse(""), StringType)
+    val emptySchema =
+      if (tag.isEmpty) schema else StructType(schema.fields :+ tagType)
     val df0 =
       if (entries.isEmpty) spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      else spark.read.schema(schema)
-        .parquet(entries.map(f => new Path(root, f.path).toString): _*)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
+      else if (dved.isEmpty) scan(plain)
+      else {
+        // merge-on-read: rows listed in the entries' deletion vectors
+        // are excluded by a broadcast anti-join on (file, position) —
+        // DV cardinality is the number of DELETED rows, model-sized
+        // next to the data. Files without a DV take the plain path
+        // (zero overhead); stale DV rows for files no longer in this
+        // snapshot cannot match anything.
+        val dv = spark.read.parquet(dved.flatMap(_.dvPath).distinct
+            .map(p => new Path(root, p).toString): _*)
+          .select(col(DvPathCol), col(DvPosCol))
+        val kept = scan(dved)
+          .withColumn(DvPathCol, relDataPath)
+          .withColumn(DvPosCol, col("_metadata.row_index"))
+          .join(org.apache.spark.sql.functions.broadcast(dv),
+            Seq(DvPathCol, DvPosCol), "left_anti")
+          .drop(DvPathCol, DvPosCol)
+        if (plain.isEmpty) kept else kept.unionByName(scan(plain))
+      }
     // shadow layout columns (should never surface — explicit schema +
     // leaf-file paths) and the bucket column are plumbing, not data
     val df = df0.drop(df0.columns.filter(_.startsWith(PartShadowPrefix)): _*)
@@ -721,15 +778,21 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     mergeOp(OpMerge, source, txn, sourceIsPinned)(resolve)
 
   private def mergeOp(op: String, source: DataFrame,
-      txn: Option[(String, Long)], sourceIsPinned: Boolean = false)(
+      txn: Option[(String, Long)], sourceIsPinned: Boolean = false,
+      checkSourceSchema: Boolean = true, touchAllBuckets: Boolean = false)(
       resolve: (DataFrame, DataFrame) => DataFrame): Long = {
     val v = latestVersion.getOrElse(
       sys.error(s"$root: merge needs an existing bucketed table"))
     val m = manifest(v)
     val spec = m.bucketSpec.getOrElse(
       sys.error(s"$root is not bucketed — overwriteBucketed first"))
-    requireCompatible(StructType.fromDDL(m.schemaDdl),
-      source.schema, allowNew = false)
+    // clause merges ([[mergeClauses]]) feed a source whose payload
+    // columns are deliberately NOT table columns (prefixed namespace);
+    // their key columns carry the table names, which is all the
+    // bucket routing below needs
+    if (checkSourceSchema)
+      requireCompatible(StructType.fromDDL(m.schemaDdl),
+        source.schema, allowNew = false)
     // pin ONE evaluation of the source (localCheckpoint, the
     // probeSignatureIndex discipline): it feeds both the touched-
     // bucket set and the resolve — a non-deterministic source
@@ -757,10 +820,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       }
     try {
       // buckets the source touches: bounded by nBuckets, collected as
-      // a model-sized driver list (the c10/probe-id discipline)
-      val touched: Set[String] = touched0.getOrElse(
-        src.select(col(BucketCol)).distinct()
-          .collect().map(_.getInt(0).toString).toSet)
+      // a model-sized driver list (the c10/probe-id discipline).
+      // touchAllBuckets (WHEN NOT MATCHED BY SOURCE semantics: every
+      // target row participates) reads and rewrites the whole table —
+      // the documented price of a by-source clause, exactly Delta's.
+      val touched: Set[String] =
+        if (touchAllBuckets) (0 until spec.n).map(_.toString).toSet
+        else touched0.getOrElse(
+          src.select(col(BucketCol)).distinct()
+            .collect().map(_.getInt(0).toString).toSet)
       val (affected, untouched) =
         m.files.partition(f => f.partition.get(BucketCol).exists(touched))
       val existing = readEntries(m, affected)
@@ -861,6 +929,159 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** Full-clause MERGE — the complete `MERGE INTO t USING s ON keys
+    * WHEN [NOT] MATCHED [BY SOURCE] [AND cond] THEN ...` surface,
+    * executed as ONE full-outer join over the touched buckets with
+    * per-row first-true-clause action selection (the Delta execution
+    * shape). Conventions:
+    *
+    *   - `sourceKeys`: for each table bucket key, the SOURCE
+    *     expression it equates to (the ON conjuncts) — routing hashes
+    *     these, so only buckets holding source keys are read unless a
+    *     by-source clause forces the whole table.
+    *   - In clause conditions / assignment values, TARGET columns are
+    *     referenced by their plain names and SOURCE columns as
+    *     [[TxTable.srcCol]]`(name)` (internally a prefixed
+    *     namespace, so same-named columns never collide).
+    *   - Clauses evaluate in the given order; the FIRST one whose
+    *     condition holds applies; no applicable clause keeps the
+    *     target row (matched / by-source) or drops the source row
+    *     (not matched). NULL conditions count false.
+    *   - Matched/by-source UPDATE assignments may not touch bucket
+    *     keys (rows would re-route into buckets the plan never read —
+    *     use [[updateWhere]] for relocations). Multiple source rows
+    *     matching one target row raise at execution (ambiguous merge,
+    *     the SQL rule).
+    *
+    * CDC through a `changeDataFeed=true` handle and auto-rebase on
+    * racing commits are inherited from the merge core. */
+  def mergeClauses(source: DataFrame,
+      sourceKeys: Map[String, Column],
+      matched: Seq[TxTable.MergeClause] = Nil,
+      notMatched: Seq[TxTable.MergeClause] = Nil,
+      notMatchedBySource: Seq[TxTable.MergeClause] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
+    import TxTable.{MergeDelete, MergeInsert, MergeUpdate, SrcPrefix}
+    import org.apache.spark.sql.functions.{coalesce, count => fcount, lit => flit, raise_error, when}
+    val m = latestVersion.map(manifest).getOrElse(
+      sys.error(s"$root: merge needs an existing bucketed table"))
+    val spec = m.bucketSpec.getOrElse(
+      sys.error(s"$root is not bucketed — overwriteBucketed first"))
+    val keys = spec.cols
+    val tableSchema = StructType.fromDDL(m.schemaDdl)
+    val tableCols = tableSchema.fieldNames.filterNot(_ == BucketCol).toSeq
+    require(keys.forall(sourceKeys.contains),
+      s"ON must equate every bucket key (${keys.mkString(", ")}) to a " +
+        s"source expression — got ${sourceKeys.keys.mkString(", ")}")
+    matched.foreach {
+      case MergeInsert(_, _) => sys.error("WHEN MATCHED takes UPDATE/DELETE")
+      case MergeUpdate(_, set) => require(
+        !set.keys.exists(k => keys.exists(_.equalsIgnoreCase(k))),
+        "MERGE cannot update a bucket key column (rows would re-route " +
+          "outside the planned buckets) — use updateWhere for relocations")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case MergeInsert(_, _) => ()
+      case _ => sys.error("WHEN NOT MATCHED takes INSERT only")
+    }
+    notMatchedBySource.foreach {
+      case MergeInsert(_, _) =>
+        sys.error("WHEN NOT MATCHED BY SOURCE takes UPDATE/DELETE")
+      case MergeUpdate(_, set) => require(
+        !set.keys.exists(k => keys.exists(_.equalsIgnoreCase(k))),
+        "MERGE cannot update a bucket key column — use updateWhere")
+      case _ => ()
+    }
+    // source payload moves into the prefixed namespace; the key
+    // columns materialize UNDER TABLE NAMES from the ON expressions —
+    // all the routing (withBucket) and the join below need
+    val prefixed = source.columns.foldLeft(source)(
+      (d, c) => d.withColumnRenamed(c, SrcPrefix + c))
+    val keyed = keys.foldLeft(prefixed)(
+      (d, k) => d.withColumn(k, sourceKeys(k)))
+    val presT = "__t_present"; val presS = "__s_present"; val dupS = "__s_dup"
+    mergeOp(OpMerge, keyed, txn, checkSourceSchema = false,
+        touchAllBuckets = notMatchedBySource.nonEmpty) { (existing, src) =>
+      val t = existing.withColumn(presT, flit(true))
+      val s = src.withColumn(presS, flit(true))
+        .withColumn(dupS, fcount(flit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(keys.map(col): _*)))
+      val j = t.join(s, keys.toSeq, "full_outer")
+      val isM = col(presT).isNotNull && col(presS).isNotNull
+      val isS = col(presT).isNull && col(presS).isNotNull
+      val isT = col(presT).isNotNull && col(presS).isNull
+      def condOf(cl: TxTable.MergeClause): Column =
+        coalesce(cl.cond.getOrElse(flit(true)), flit(false))
+      // first-true clause index per branch (-1 = none applies)
+      def firstIdx(cls: Seq[TxTable.MergeClause]): Column =
+        cls.zipWithIndex.foldRight(flit(-1): Column) {
+          case ((cl, i), rest) => when(condOf(cl), flit(i)).otherwise(rest)
+        }
+      val mIdx = firstIdx(matched)
+      val nIdx = firstIdx(notMatched)
+      val bIdx = firstIdx(notMatchedBySource)
+      def clauseValue(cl: TxTable.MergeClause, c: String): Column = cl match {
+        case MergeUpdate(_, set) =>
+          if (set.isEmpty) // UPDATE SET * = every column from source
+            (if (keys.exists(_.equalsIgnoreCase(c))) col(c)
+             else col(SrcPrefix + c))
+          else set.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c) => v
+          }.getOrElse(col(c))
+        case MergeInsert(_, values) =>
+          if (values.isEmpty) col(SrcPrefix + c) // INSERT * = by name
+          else values.collectFirst {
+            case (k, v) if k.equalsIgnoreCase(c) => v
+          }.getOrElse(flit(null).cast(tableSchema(c).dataType))
+        case MergeDelete(_) => col(c) // value irrelevant: row drops
+      }
+      // drop decision; the matched branch FIRST enforces the SQL
+      // cardinality rule — a target row matched by >1 source rows is
+      // ambiguous the moment any matched clause applies, raised inside
+      // the row evaluation itself (no extra pass, the Delta rule)
+      val drop =
+        when(isM,
+          when(col(dupS) > 1 && mIdx =!= -1,
+            raise_error(flit(s"MERGE into $root: a target row matches " +
+              "more than one source row — deduplicate the source on " +
+              "the keys")).cast("boolean"))
+          .otherwise(matched.zipWithIndex.foldRight(flit(false): Column) {
+            case ((cl, i), rest) => when(mIdx === i,
+              flit(cl.isInstanceOf[MergeDelete])).otherwise(rest)
+          }))
+        .when(isS, nIdx === -1)
+        .otherwise(notMatchedBySource.zipWithIndex
+          .foldRight(flit(false): Column) {
+            case ((cl, i), rest) => when(bIdx === i,
+              flit(cl.isInstanceOf[MergeDelete])).otherwise(rest)
+          })
+      def valueOf(c: String): Column = {
+        val keep = col(c)
+        val mVal = matched.zipWithIndex.foldRight(keep) {
+          case ((cl, i), rest) => when(mIdx === i, clauseValue(cl, c))
+            .otherwise(rest)
+        }
+        val sVal = notMatched.zipWithIndex.foldRight(keep) {
+          case ((cl, i), rest) => when(nIdx === i, clauseValue(cl, c))
+            .otherwise(rest)
+        }
+        val bVal = notMatchedBySource.zipWithIndex.foldRight(keep) {
+          case ((cl, i), rest) => when(bIdx === i, clauseValue(cl, c))
+            .otherwise(rest)
+        }
+        // key columns exist coalesced on BOTH sides already; for the
+        // insert branch the joined key IS the source key
+        when(isM, mVal)
+          .when(isS, if (keys.exists(_.equalsIgnoreCase(c))) keep else sVal)
+          .otherwise(bVal).cast(tableSchema(c).dataType).as(c)
+      }
+      j.where(org.apache.spark.sql.functions.not(coalesce(drop, flit(false))))
+        .select(tableCols.map(valueOf): _*)
+    }
+  }
+
   /** Row-level DELETE by key (copy-on-write) — the GDPR/CDC surface:
     * `keys` holds the key columns of rows to remove; only buckets
     * containing those keys are read and rewritten, every other file
@@ -942,7 +1163,128 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * file passing the zone-map candidate test; anything else is a
     * loud conflict (rerun re-plans against the new snapshot). */
   def deleteWhere(cond: Column): Long =
-    rewriteWhere(OpDelete, cond)(matching => matching.limit(0))
+    if (deletionVectors) deleteWhereMoR(cond)
+    else rewriteWhere(OpDelete, cond)(matching => matching.limit(0))
+
+  /** Merge-on-read DELETE (the `deletionVectors=true` handle path):
+    * the same three-step planning as the copy-on-write delete, but
+    * instead of rewriting the affected files it lands ONE parquet
+    * side-file of (data-file path, row position) pairs and re-tags the
+    * affected entries to reference it — write cost O(matching rows),
+    * never O(bytes of touched files). A file already carrying a DV
+    * gets the accumulated union (its previously deleted positions are
+    * excluded from the discovery scan, so they cannot re-enter). Reads
+    * exclude DV rows via a broadcast anti-join (see readEntries);
+    * compact/rewrites of a DV'd file purge its vector. CDF handles
+    * capture the deleted rows exactly like the copy-on-write path.
+    * Zero matches commit nothing. Concurrency: same auto-rebase rule
+    * as the copy-on-write delete — a racing commit is harmless iff it
+    * left the affected entries untouched and added nothing the
+    * predicate's zone-map candidate test could match. */
+  private def deleteWhereMoR(cond: Column): Long = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, count => fcount, first => ffirst, lit => flit}
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root has no committed snapshots"))
+    val m = manifest(v)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
+    val candidate = candidateFilter(schema, analyzedPredicate(schema, cond).toSeq)
+    val candidates = m.files.filter(candidate)
+    if (candidates.isEmpty) return v
+    // discovery scan over the candidates, position-tagged; rows
+    // already deleted by the candidates' existing DVs are excluded so
+    // re-deleting is a no-op and vectors never hold duplicates. The
+    // full metadata path rides along because the DV key is the RAW
+    // symmetric extraction (possibly URI-encoded) while manifest
+    // entries hold decoded paths — the driver maps between the two
+    // through URI parsing, never by re-encoding.
+    val fullCol = "__dv_file"
+    val tagged0 = spark.read.schema(schema)
+      .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
+      .withColumn(fullCol, col("_metadata.file_path"))
+      .withColumn(DvPathCol, relDataPath)
+      .withColumn(DvPosCol, col("_metadata.row_index"))
+    val priorDvPaths = candidates.flatMap(_.dvPath).distinct
+    val tagged =
+      if (priorDvPaths.isEmpty) tagged0
+      else tagged0.join(broadcast(
+          spark.read.parquet(priorDvPaths.map(p =>
+            new Path(root, p).toString): _*)
+            .select(col(DvPathCol), col(DvPosCol))),
+        Seq(DvPathCol, DvPosCol), "left_anti")
+    val matching = tagged.where(hit)
+    // per-file deleted-row counts drive the affected set, the entries'
+    // dvRows bookkeeping, AND the raw↔decoded path mapping — one
+    // driver action, ≤ one row per candidate file
+    val stats = matching.groupBy(col(DvPathCol))
+      .agg(fcount(flit(1)).as("n"), ffirst(col(fullCol)).as("full"))
+      .collect()
+    if (stats.isEmpty) return v // zero matches: no commit at all
+    val rawToRel = stats.map(r => r.getString(0) ->
+      relativize(new Path(new java.net.URI(r.getAs[String]("full"))))).toMap
+    val freshCounts = stats.map(r =>
+      rawToRel(r.getString(0)) -> r.getAs[Long]("n")).toMap
+    val affectedRaw = rawToRel.keySet
+    val affectedPaths = rawToRel.values.toSet
+    val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
+    val fresh = matching.select(col(DvPathCol), col(DvPosCol))
+    // the new vector: fresh deletions ∪ the affected files' PRIOR
+    // vectors (one DV per entry — later deletes replace, never chain);
+    // prior rows of UNaffected files stay served by their old DV file,
+    // which remains live while any entry references it
+    val priorOfAffected = affected.flatMap(_.dvPath).distinct
+    val dvContent =
+      if (priorOfAffected.isEmpty) fresh
+      else fresh.unionByName(
+        spark.read.parquet(priorOfAffected.map(p =>
+          new Path(root, p).toString): _*)
+          .select(col(DvPathCol), col(DvPosCol))
+          .where(col(DvPathCol).isin(affectedRaw.toSeq: _*)))
+    // one file: a vector is deleted-row-sized metadata, not data
+    val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
+      withStats = false)
+    val dvFile = dvEntries match {
+      case Seq(one) => one.path
+      case other    => sys.error(s"$root: DV write produced ${other.size} files")
+    }
+    val priorRows = affected.map(f => f.path -> f.dvRows).toMap
+    val retagged = affected.map(f => f.copy(
+      dvPath = Some(dvFile),
+      dvRows = priorRows.getOrElse(f.path, 0L) + freshCounts(f.path)))
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!changeDataFeed) None
+      else Some(writeDataFiles(
+        readEntries(m, affected).where(hit)
+          .withColumn(ChangeTypeCol, flit("delete")),
+        Nil, withStats = false)._1)
+    commit { latest =>
+      val cur = latest.getOrElse(sys.error(s"$root vanished during delete — rerun"))
+      if (cur.version == m.version)
+        Pending(OpDelete, untouched ++ retagged, m.schemaDdl,
+          m.partitionCols, m.bucketSpec, None, cdcFiles)
+      else {
+        require(cur.schemaDdl == m.schemaDdl &&
+            cur.bucketSpec == m.bucketSpec &&
+            cur.partitionCols == m.partitionCols,
+          s"concurrent schema/layout change during delete on $root — rerun")
+        val curByPath = cur.files.map(f => f.path -> f).toMap
+        // the affected ENTRIES (path + current DV) must be untouched —
+        // a racing MoR delete re-tagging the same file is a genuine
+        // conflict (both built vectors against the same prior state)
+        require(affected.forall(f => curByPath.get(f.path).contains(f)),
+          s"concurrent commit touched files matching the delete predicate " +
+            s"on $root — rerun")
+        val basePaths = m.files.map(_.path).toSet
+        val intruding = cur.files.filter(f => !basePaths(f.path)).filter(candidate)
+        require(intruding.isEmpty,
+          s"concurrent commit added possibly-matching rows during delete " +
+            s"on $root — rerun")
+        Pending(OpDelete,
+          cur.files.filterNot(f => affectedPaths(f.path)) ++ retagged,
+          m.schemaDdl, m.partitionCols, m.bucketSpec, None, cdcFiles)
+      }
+    }
+  }
 
   /** Row-level UPDATE by predicate — `UPDATE t SET col = expr, ...
     * WHERE cond`, copy-on-write exactly like [[deleteWhere]] (same
@@ -983,10 +1325,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
     val candidate = candidateFilter(schema, analyzedPredicate(schema, cond).toSeq)
     val candidates = m.files.filter(candidate)
+    val srcCol = "__src_file"
     val affectedPaths: Set[String] =
       if (candidates.isEmpty) Set.empty
-      else readEntries(m, candidates).where(hit)
-        .select(input_file_name()).distinct().collect()
+      else readEntriesTagged(m, candidates, Some(srcCol)).where(hit)
+        .select(col(srcCol)).distinct().collect()
         .map(r => relativize(new Path(new java.net.URI(r.getString(0))))).toSet
     if (affectedPaths.isEmpty) return v // zero matches: no commit at all
     val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
@@ -1387,17 +1730,21 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // live at the expiry-forced checkpoint below it (removed files
     // never re-enter: write-once paths). One pass over the log, no
     // per-version snapshot reconstruction.
+    // deletion-vector side-files are live exactly as long as an entry
+    // referencing them is — same rule as data files
+    def withDv(es: Seq[FileEntry]): Seq[String] =
+      es.map(_.path) ++ es.flatMap(_.dvPath)
     val live: Set[String] = versions.flatMap { v =>
       // CDC files are referenced ONLY by their commit's delta — they
       // live exactly as long as the log entry that could serve them
       val entryPaths = logEntry(v) match {
-        case Left(full)   => full.files.map(_.path)
+        case Left(full)   => withDv(full.files)
         case Right(delta) =>
-          delta.add.map(_.path) ++ delta.cdc.getOrElse(Nil).map(_.path)
+          withDv(delta.add) ++ delta.cdc.getOrElse(Nil).map(_.path)
       }
       val ckptPaths =
         if (fs.exists(checkpointPath(v)))
-          Manifest.fromJson(readLogFile(checkpointPath(v))).files.map(_.path)
+          withDv(Manifest.fromJson(readLogFile(checkpointPath(v))).files)
         else Nil
       entryPaths ++ ckptPaths
     }.toSet
@@ -1555,16 +1902,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
       val m = Manifest(v, p.operation, p.schemaDdl, p.files,
         p.partitionCols, p.bucketSpec, txns)
-      // the delta: composed files vs the previous snapshot, by path —
-      // carried-by-reference entries keep their path and drop out of
-      // both sides; the log write is ∝ files CHANGED, never ∝ table
+      // the delta: composed files vs the previous snapshot — entries
+      // carried by reference (identical ENTRY, not just path: a MoR
+      // delete re-tags an unchanged path with a new deletion vector)
+      // drop out of both sides; a changed entry appears in add AND its
+      // path in remove, so replay replaces it. The log write is
+      // ∝ files CHANGED, never ∝ table.
       val prevFiles = latest.map(_.files).getOrElse(Nil)
-      val prevPaths = prevFiles.map(_.path).toSet
-      val newPaths = p.files.map(_.path).toSet
+      val prevByPath = prevFiles.map(f => f.path -> f).toMap
+      val newByPath = p.files.map(f => f.path -> f).toMap
       val delta = CommitDelta(v, p.operation, p.schemaDdl, p.partitionCols,
         p.bucketSpec, p.txn,
-        add = p.files.filterNot(f => prevPaths(f.path)),
-        remove = prevFiles.map(_.path).filterNot(newPaths),
+        add = p.files.filterNot(f => prevByPath.get(f.path).contains(f)),
+        remove = prevFiles.filterNot(f =>
+          newByPath.get(f.path).contains(f)).map(_.path),
         cdc = p.cdcFiles)
       val deltaBytes = delta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
@@ -1666,6 +2017,38 @@ object TxTable {
   /** Transient z-value column during [[TxTable.compactZOrder]]. */
   private val ZTmpCol = "__zorder"
 
+  /** Deletion-vector file columns: the root-relative data-file path
+    * and the row's position within that file (parquet row index). */
+  private[core] val DvPathCol = "__dv_path"
+  private[core] val DvPosCol = "__dv_pos"
+
+  /** Clause-merge source namespace: inside [[TxTable.mergeClauses]]
+    * the source's columns are renamed under this prefix before the
+    * join, so same-named target/source columns never collide and a
+    * clause expression addresses either side unambiguously. */
+  private[graft] val SrcPrefix = "__src_"
+
+  /** Reference a SOURCE column inside [[TxTable.mergeClauses]]
+    * conditions and assignment values (target columns use plain
+    * `col(name)`). */
+  def srcCol(name: String): Column =
+    org.apache.spark.sql.functions.col(SrcPrefix + name)
+
+  /** One `WHEN ... THEN ...` clause of [[TxTable.mergeClauses]]. The
+    * optional condition is evaluated over target columns (plain
+    * names) and source columns ([[srcCol]]); NULL counts false. */
+  sealed trait MergeClause { def cond: Option[Column] }
+  /** UPDATE SET — empty `set` means `SET *` (every table column from
+    * the same-named source column). */
+  final case class MergeUpdate(cond: Option[Column],
+      set: Map[String, Column]) extends MergeClause
+  /** INSERT — empty `values` means `INSERT *` (by name); unassigned
+    * columns insert NULL; key columns always come from the ON
+    * expressions. */
+  final case class MergeInsert(cond: Option[Column],
+      values: Map[String, Column]) extends MergeClause
+  final case class MergeDelete(cond: Option[Column]) extends MergeClause
+
   /** Row-change classification column in CDC files / [[TxTable.changeFeed]]
     * output: insert | update_preimage | update_postimage | delete —
     * the Delta change-data-feed column contract. */
@@ -1736,12 +2119,23 @@ object TxTable {
     * row-level changes ACROSS rewrites — the Delta
     * `enableChangeDataFeed` discipline (writer-side property; commits
     * made without it feed-reset as before). */
+  /** `deletionVectors=true` makes [[TxTable.deleteWhere]] through THIS
+    * handle MERGE-ON-READ: instead of rewriting every file holding a
+    * matching row (copy-on-write — O(bytes of touched files) for a
+    * one-row GDPR delete), the delete lands a parquet side-file of
+    * (file, row-position) pairs and the commit re-tags the affected
+    * entries; reads exclude the listed rows via a broadcast anti-join.
+    * Delete cost becomes O(matching rows); the read-side overhead is
+    * confined to DV-carrying files and disappears at the next
+    * [[TxTable.compact]]/rewrite of those files (which purges the DV).
+    * The Delta/Iceberg deletion-vector discipline. */
   def apply(spark: SparkSession, path: String,
-      statsOnWrite: Boolean = true, changeDataFeed: Boolean = false): TxTable = {
+      statsOnWrite: Boolean = true, changeDataFeed: Boolean = false,
+      deletionVectors: Boolean = false): TxTable = {
     val root = new Path(path)
     new TxTable(spark, root,
       root.getFileSystem(spark.sparkContext.hadoopConfiguration), statsOnWrite,
-      changeDataFeed)
+      changeDataFeed, deletionVectors)
   }
 
   /** True iff `path` carries a TxTable commit log. */
@@ -1790,13 +2184,24 @@ object TxTable {
     * size/mtime captured from the commit-time listing — what lets the
     * scan plan file splits WITHOUT re-stat-ing 10⁶ files per query
     * (`bytes < 0` = legacy entry, reader falls back to one
-    * getFileStatus). */
+    * getFileStatus).
+    *
+    * `dvPath`/`dvRows`: merge-on-read deletion vector — a parquet
+    * side-file of (data-file path, row position) pairs whose rows are
+    * EXCLUDED from every read of this entry (see
+    * [[TxTable.deleteWhere]] through a `deletionVectors=true` handle).
+    * At most one DV per entry: a later MoR delete on the same file
+    * replaces the reference with the accumulated union. Zone-map
+    * stats stay those of the physical file — a superset of the live
+    * rows, so pruning remains sound. */
   private[graft] final case class FileEntry(path: String,
       partition: Map[String, String],
       min: Map[String, String] = Map.empty,
       max: Map[String, String] = Map.empty,
       bytes: Long = -1L,
-      mtimeMs: Long = 0L)
+      mtimeMs: Long = 0L,
+      dvPath: Option[String] = None,
+      dvRows: Long = 0L)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -1913,6 +2318,11 @@ object TxTable {
           val mo = fo.putObject("max")
           f.max.foreach { case (k, v) => mo.put(k, v) }
         }
+        f.dvPath.foreach { p =>
+          fo.put("dv", p)
+          fo.put("dv_rows", f.dvRows)
+          ()
+        }
       }
 
     def strMap(node: JsonNode, field: String): Map[String, String] =
@@ -1931,7 +2341,9 @@ object TxTable {
           else FileEntry(f.get("path").asText(), strMap(f, "partition"),
             strMap(f, "min"), strMap(f, "max"),
             Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L),
-            Option(f.get("mtime")).map(_.asLong()).getOrElse(0L))
+            Option(f.get("mtime")).map(_.asLong()).getOrElse(0L),
+            Option(f.get("dv")).map(_.asText()),
+            Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L))
         }
       }.getOrElse(Seq.empty)
 

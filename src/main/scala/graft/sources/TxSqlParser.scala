@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression, Literal}
 import org.apache.spark.sql.catalyst.parser.ParserInterface
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateStarAction, UpdateTable}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.types.{DataType, StructType}
 
 import graft.core.TxTable
@@ -44,18 +44,27 @@ import graft.core.TxTable
   * {{{
   *   DELETE FROM txtable.`/t` WHERE o_totalprice < 1000
   *   UPDATE txtable.`/t` SET flag = 'X', v = v * 2 WHERE k % 5 = 0
-  *   MERGE INTO txtable.`/t` USING src ON t.k = src.k
-  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  *   MERGE INTO txtable.`/t` t USING src s ON t.k = s.k
+  *     WHEN MATCHED AND s.op = 'del' THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET v = t.v + s.dv
+  *     WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT (k, v) VALUES (s.k, s.dv)
+  *     WHEN NOT MATCHED BY SOURCE THEN DELETE
   *   OPTIMIZE txtable.`/t` [ZORDER BY (a, b)]
   *   VACUUM txtable.`/t` [RETAIN 168 HOURS]
   *   RESTORE TABLE txtable.`/t` TO VERSION AS OF 3
   * }}}
   *
-  * MERGE supports exactly the canonical upsert form (star actions,
-  * ON = equality over the table's bucket keys) — anything else errors
-  * loudly with the supported shape named. Column references in
-  * WHERE/SET must be unqualified (they bind against the table frame,
-  * not a named alias scope). */
+  * MERGE supports the full clause grammar — conditional
+  * UPDATE/DELETE/INSERT (star or explicit assignments) plus NOT
+  * MATCHED BY SOURCE — via [[graft.core.TxTable.mergeClauses]]; the
+  * bare star upsert keeps the specialized anti-join resolver. ON must
+  * equate every bucket key of the (key-bucketed) target to a source
+  * expression: routing hashes those, so only buckets holding source
+  * keys are touched (a by-source clause forces the full table — the
+  * Delta cost model). In clause expressions, alias-qualified
+  * references bind by alias; unqualified ones bind target-first.
+  * UPDATE/DELETE WHERE/SET column references must be unqualified
+  * (they bind against the table frame, not a named alias scope). */
 final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
@@ -84,6 +93,66 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case s: SubqueryAlias => txPath(s.child)
     case _                => None
   }
+
+  /** The alias a MERGE target/source carries, if any. */
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case _                    => None
+  }
+
+  /** The ON condition as (bucket-key name → SOURCE-side expression):
+    * each conjunct must be an equality with a recognizable target-key
+    * side — explicitly target-qualified, or an unqualified bucket-key
+    * name (with the explicitly source-qualified side, or any other
+    * expression, as the source side). */
+  private def onCondNames(onCond: Expression, tAlias: Option[String],
+      sAlias: Option[String], keys: Seq[String]): Map[String, Expression] = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    // classification: Some(key) when the side can be the target's key
+    // column; an explicitly source-qualified side never is
+    def targetKey(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, c) if sAlias.exists(_.equalsIgnoreCase(q)) => None
+        case Seq(q, c) if tAlias.exists(_.equalsIgnoreCase(q)) &&
+          keys.exists(_.equalsIgnoreCase(c)) => Some(c)
+        case Seq(c) if keys.exists(_.equalsIgnoreCase(c)) => Some(c)
+        case _ => None
+      }
+      case _ => None
+    }
+    def explicitlyTarget(e: Expression): Boolean = e match {
+      case a: UnresolvedAttribute => a.nameParts match {
+        case Seq(q, _) => tAlias.exists(_.equalsIgnoreCase(q))
+        case _         => false
+      }
+      case _ => false
+    }
+    conjuncts(onCond).map {
+      case EqualTo(l, r) =>
+        val (tSide, sSide) =
+          if (explicitlyTarget(l)) (l, r)
+          else if (explicitlyTarget(r)) (r, l)
+          else if (targetKey(l).isDefined) (l, r)
+          else if (targetKey(r).isDefined) (r, l)
+          else sys.error("MERGE INTO txtable ON needs a target bucket-key " +
+            s"side per equality — got ${EqualTo(l, r).sql}")
+        targetKey(tSide).getOrElse(sys.error(
+          s"MERGE INTO txtable ON: ${tSide.sql} is not a bucket key " +
+            s"(${keys.mkString(", ")})")).toLowerCase -> sSide
+      case e => sys.error("MERGE INTO txtable ON must be a conjunction " +
+        s"of key equalities t.k = <source expr> — got ${e.sql}")
+    }.toMap
+  }
+
+  private def requireOnIsKeys(onNames: Set[String], keys: Seq[String],
+      tx: TxTable): Unit =
+    require(onNames == keys.map(_.toLowerCase).toSet,
+      s"MERGE INTO txtable ON keys $onNames must equal the table's " +
+        s"bucket keys ${keys.mkString(", ")}")
 
   /** One-row result relation of an eagerly-executed DML verb. */
   private def dmlResult(op: String, version: Long): LogicalPlan = {
@@ -123,41 +192,77 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case MergeIntoTable(t, source, onCond, matched, notMatched,
         notMatchedBySource, _) if txPath(t).isDefined =>
       val tx = TxTable(session, txPath(t).get)
-      // canonical upsert only: UPDATE SET * / INSERT *, no extra
-      // clauses — the shape TxTable.upsert implements
-      val canonical = (matched, notMatched, notMatchedBySource) match {
-        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
-          true
-        case _ => false
-      }
-      require(canonical,
-        "MERGE INTO txtable supports exactly: WHEN MATCHED THEN UPDATE " +
-          "SET * WHEN NOT MATCHED THEN INSERT * (no clause conditions, " +
-          "no NOT MATCHED BY SOURCE) — use the Scala TxTable.merge API " +
-          "for custom resolution")
-      // ON must be equality over the table's bucket keys — the merge
-      // routing contract; qualifiers are ignored (single target, single
-      // source), the NAME pairs must agree and cover the key set
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
-          conjuncts(l) ++ conjuncts(r)
-        case x => Seq(x)
-      }
-      val onNames = conjuncts(onCond).map {
-        case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-            if a.nameParts.last.equalsIgnoreCase(b.nameParts.last) =>
-          a.nameParts.last.toLowerCase
-        case e => sys.error("MERGE INTO txtable ON must be a conjunction " +
-          s"of key equalities t.k = s.k — got ${e.sql}")
-      }.toSet
       val keys = tx.bucketKeys.getOrElse(sys.error(
         s"${tx.location} is not bucketed — MERGE needs a key-bucketed " +
           "table (overwriteBucketed / bucketBy write option)"))
-      require(onNames == keys.map(_.toLowerCase).toSet,
-        s"MERGE INTO txtable ON keys $onNames must equal the table's " +
-          s"bucket keys ${keys.mkString(", ")}")
-      dmlResult("merge", tx.upsert(
-        org.apache.spark.sql.graft.StreamShims.ofRows(session, source)))
+      val srcDf = org.apache.spark.sql.graft.StreamShims.ofRows(session, source)
+      val tAlias = aliasOf(t)
+      val sAlias = aliasOf(source)
+      // the canonical star upsert takes the specialized resolver (one
+      // anti-join ∪ source); every other clause combination routes
+      // through the general clause engine
+      (matched, notMatched, notMatchedBySource) match {
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+          requireOnIsKeys(
+            onCondNames(onCond, tAlias, sAlias, keys).keySet, keys, tx)
+          dmlResult("merge", tx.upsert(srcDf))
+        case _ =>
+          val tCols = tx.read().schema.fieldNames.map(_.toLowerCase).toSet
+          val sCols = srcDf.columns.map(_.toLowerCase).toSet
+          // rewrite a clause expression into the clause engine's flat
+          // namespace: target columns keep their names, source columns
+          // move under the source prefix; qualifiers resolve by alias,
+          // unqualified names target-first (the SQL shadowing rule a
+          // single-target single-source merge needs)
+          def mapAttr(a: UnresolvedAttribute): UnresolvedAttribute =
+            a.nameParts match {
+              case Seq(q, c) if sAlias.exists(_.equalsIgnoreCase(q)) =>
+                UnresolvedAttribute(Seq(TxTable.SrcPrefix + c))
+              case Seq(q, c) if tAlias.exists(_.equalsIgnoreCase(q)) =>
+                UnresolvedAttribute(Seq(c))
+              case Seq(c) if tCols.contains(c.toLowerCase) => a
+              case Seq(c) if sCols.contains(c.toLowerCase) =>
+                UnresolvedAttribute(Seq(TxTable.SrcPrefix + c))
+              case _ => sys.error(s"MERGE INTO txtable: cannot resolve " +
+                s"${a.name} against the target or the source")
+            }
+          def mapped(e: Expression) = column(e.transform {
+            case a: UnresolvedAttribute => mapAttr(a)
+          })
+          def targetColOf(key: Expression): String = key match {
+            case a: UnresolvedAttribute => a.nameParts match {
+              case Seq(c)    => c
+              case Seq(q, c) if tAlias.forall(_.equalsIgnoreCase(q)) => c
+              case _ => sys.error(s"MERGE SET/INSERT target ${a.name} " +
+                "must be a target column")
+            }
+            case e => sys.error(s"unsupported MERGE assignment target ${e.sql}")
+          }
+          def clauseOf(a: MergeAction): TxTable.MergeClause = a match {
+            case UpdateAction(cond, assigns, _) => TxTable.MergeUpdate(
+              cond.map(mapped),
+              assigns.map(x => targetColOf(x.key) -> mapped(x.value)).toMap)
+            case UpdateStarAction(cond) =>
+              TxTable.MergeUpdate(cond.map(mapped), Map.empty)
+            case DeleteAction(cond) => TxTable.MergeDelete(cond.map(mapped))
+            case InsertAction(cond, assigns) => TxTable.MergeInsert(
+              cond.map(mapped),
+              assigns.map(x => targetColOf(x.key) -> mapped(x.value)).toMap)
+            case InsertStarAction(cond) =>
+              TxTable.MergeInsert(cond.map(mapped), Map.empty)
+            case other => sys.error(s"unsupported MERGE action $other")
+          }
+          val on = onCondNames(onCond, tAlias, sAlias, keys)
+          requireOnIsKeys(on.keySet, keys, tx)
+          val sourceKeys = on.map { case (k, srcSide) =>
+            // keep the table key's canonical spelling
+            keys.find(_.equalsIgnoreCase(k)).getOrElse(k) -> mapped(srcSide)
+          }
+          dmlResult("merge", tx.mergeClauses(srcDf, sourceKeys,
+            matched = matched.map(clauseOf),
+            notMatched = notMatched.map(clauseOf),
+            notMatchedBySource = notMatchedBySource.map(clauseOf)))
+      }
     case p => rewriteRelations(p)
   }
 

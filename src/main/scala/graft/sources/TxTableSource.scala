@@ -234,11 +234,16 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
       case (None, true)     => sys.error("changeFeed source without " +
         "sinceVersion — unreachable, the provider requires it")
     }
-    // pin the declared column order, then mark the scan leaves
-    // streaming (MicroBatchExecution asserts isStreaming=true on V1
-    // batch plans before grafting them into the streaming plan)
-    StreamShims.markStreaming(
-      batch.select(schema.fieldNames.map(col).toIndexedSeq: _*))
+    // pin the declared column order, then mark the plan streaming
+    // (MicroBatchExecution asserts isStreaming=true on V1 batch plans
+    // before grafting them into the streaming plan). A deletion-vector
+    // snapshot read is scan ⋈ anti-join — flagging every leaf would
+    // make it a stream-stream join, so wrap it as ONE streaming leaf
+    // over the batch-executed RDD instead.
+    val ordered = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    if (from.isEmpty && !changeFeed && table.snapshotHasDv(endV))
+      StreamShims.asStreamingBatch(ordered)
+    else StreamShims.markStreaming(ordered)
   }
 
   override def commit(end: OffsetV1): Unit = ()

@@ -93,6 +93,13 @@ object StreamShims {
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression)
       : org.apache.spark.sql.Column = ExpressionUtils.column(e)
 
+  /** The inverse: a Column's catalyst expression — what the clause-
+    * merge engine needs to rewrite source-namespace attribute
+    * references before resolution. */
+  def exprOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    ExpressionUtils.expression(c)
+
   /** A (possibly unresolved) logical plan as a DataFrame — resolves
     * the USING side of `MERGE INTO txtable` (a view name or subquery)
     * through the session's own analyzer. */
@@ -115,6 +122,73 @@ object StreamShims {
         r.copy(isStreaming = true)(spark, None, None)
     }
     Dataset.ofRows(spark, plan)
+  }
+
+  /** A batch DataFrame as a SINGLE streaming-flagged leaf: the plan
+    * executes as ordinary batch and its `InternalRow` RDD is rewrapped
+    * under one streaming `LogicalRDD`. For getBatch frames whose plan
+    * is NOT pure scan leaves — a deletion-vector snapshot read is a
+    * parquet scan ⋈ anti-join — where [[markStreaming]] would flag
+    * BOTH relations and turn the DV lookup into a stream-stream join. */
+  def asStreamingBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[ClassicSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
+
+  /** A DataFrame exposed as a V1 [[org.apache.spark.sql.sources.BaseRelation]]
+    * — the batch-format read path for snapshots that can NOT be served
+    * as a bare parquet file list (deletion-vector snapshots: the live
+    * rows are scan-minus-DV, a row-level anti-join no `FileIndex` can
+    * express). Column pruning and the translatable pushed filters are
+    * forwarded INTO the DataFrame, so parquet pushdown/pruning still
+    * happen inside the inner plan; untranslatable filters are left to
+    * Spark (every filter is reported unhandled — re-application above
+    * the scan is harmless and keeps correctness independent of the
+    * translation's coverage). */
+  def dataFrameRelation(df0: DataFrame): org.apache.spark.sql.sources.BaseRelation =
+    new org.apache.spark.sql.sources.BaseRelation
+      with org.apache.spark.sql.sources.PrunedFilteredScan {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.sources
+    private val spark = df0.sparkSession.asInstanceOf[ClassicSession]
+    override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
+    override def schema: org.apache.spark.sql.types.StructType = df0.schema
+    override def needConversion: Boolean = false
+    override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
+      filters
+    private def columnOfFilter(f: sources.Filter): Option[org.apache.spark.sql.Column] =
+      f match {
+        case sources.EqualTo(a, v)            => Some(F.col(a) === F.lit(v))
+        case sources.EqualNullSafe(a, v)      => Some(F.col(a) <=> F.lit(v))
+        case sources.GreaterThan(a, v)        => Some(F.col(a) > F.lit(v))
+        case sources.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+        case sources.LessThan(a, v)           => Some(F.col(a) < F.lit(v))
+        case sources.LessThanOrEqual(a, v)    => Some(F.col(a) <= F.lit(v))
+        case sources.In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+        case sources.IsNull(a)                => Some(F.col(a).isNull)
+        case sources.IsNotNull(a)             => Some(F.col(a).isNotNull)
+        case sources.StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
+        case sources.StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
+        case sources.StringContains(a, v)     => Some(F.col(a).contains(v))
+        case sources.And(l, r) =>
+          for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc && rc
+        case sources.Or(l, r) =>
+          for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc || rc
+        case sources.Not(c)                   => columnOfFilter(c).map(!_)
+        case _                                => None
+      }
+    override def buildScan(requiredColumns: Array[String],
+        filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+      val filtered = filters.flatMap(columnOfFilter)
+        .foldLeft(df0)((d, c) => d.where(c))
+      // exactly the requested columns — an empty request (count(*))
+      // must produce zero-width rows, not full ones
+      val pruned = filtered.select(
+        requiredColumns.toIndexedSeq.map(filtered.col): _*)
+      pruned.queryExecution.toRdd
+        .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+    }
   }
 }
 

@@ -470,16 +470,38 @@ class TxTableSourceSpec extends SparkSpec {
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     assert(t.read().count() == 100) // 90 + 10 (95..99 were deleted above)
     assert(t.read().where(col("name") === "M").count() == 10)
-    // non-canonical merge shapes refuse loudly
-    val bad = intercept[Exception](spark.sql(
-      s"""MERGE INTO txtable.`$dir` t USING mergesrc s ON t.id = s.id
-         |WHEN MATCHED THEN DELETE""".stripMargin))
-    assert(bad.getMessage.contains("UPDATE SET *"))
+    // full clause grammar: conditional DELETE + arithmetic UPDATE +
+    // explicit-assignment INSERT in one statement
+    df(98 until 108).withColumn("kill", col("id") % 2 === 0)
+      .createOrReplaceTempView("clausesrc")
+    spark.sql(
+      s"""MERGE INTO txtable.`$dir` t USING clausesrc s ON t.id = s.id
+         |WHEN MATCHED AND s.kill THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET score = t.score + s.score
+         |WHEN NOT MATCHED AND NOT s.kill THEN
+         |  INSERT (id, name, score) VALUES (s.id, 'C', s.score * 10)""".stripMargin)
+    // matched 98..104 (7 rows): evens 98,100,102,104 delete; odds
+    // 99,101,103 double their score; unmatched 105..107: odds 105,107
+    // insert as 'C', 106 filtered by the insert condition
+    assert(t.read().where(col("id").isin(98L, 100L, 102L, 104L)).count() == 0)
+    assert(t.read().where(col("id") === 99L).head.getDouble(2) ==
+      99 * 10.0 * 2)
+    assert(t.read().where(col("name") === "C").count() == 2)
+    assert(t.read().where(col("id") === 106L).count() == 0)
+    assert(t.read().where(col("id") === 105L).head.getDouble(2) ==
+      105 * 10.0 * 10)
+    // WHEN NOT MATCHED BY SOURCE prunes rows absent from the source
+    spark.sql(
+      s"""MERGE INTO txtable.`$dir` t USING clausesrc s ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE AND t.id < 5 THEN DELETE""".stripMargin)
+    assert(t.read().where(col("id") < 5L).count() == 0)
+    assert(t.read().where(col("id") === 10L).count() == 1)
+    // ON not covering the bucket keys still refuses
     val badKeys = intercept[Exception](spark.sql(
       s"""MERGE INTO txtable.`$dir` t USING mergesrc s ON t.name = s.name
          |WHEN MATCHED THEN UPDATE SET *
          |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
-    assert(badKeys.getMessage.contains("bucket keys"))
+    assert(badKeys.getMessage.contains("bucket key"))
     // non-txtable DML still parses to Spark's own plan (and fails
     // resolution the standard way, not through our seam)
     intercept[Exception](spark.sql("DELETE FROM nosuch_table WHERE 1=1"))

@@ -941,4 +941,219 @@ class TxTableSpec extends SparkSpec {
     assert(t.vacuum(minAgeMs = 0).nonEmpty, "v1's orphaned file sweeps")
     assert(t.read().count() == 100, "restored content intact after vacuum")
   }
+
+  test("deletion-vector delete: no data file rewritten, reads exclude " +
+      "the rows, vectors accumulate") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dv") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true)
+    t.overwrite((0 until 8000).map(i => (i.toLong, s"n$i", i * 1.0))
+      .toDF("id", "name", "score").repartitionByRange(8, col("id")))
+    val before = t.fileEntries(0).map(_.path)
+    val sizes = before.map(p => p -> new java.io.File(s"$dir/$p").length()).toMap
+    val mtimes = before.map(p => p -> new java.io.File(s"$dir/$p").lastModified()).toMap
+    val v1 = t.deleteWhere(col("id") < 500L)
+    assert(v1 == 1)
+    assert(t.read().count() == 7500)
+    assert(t.read().agg(min("id")).head.getLong(0) == 500L)
+    // EVERY data file carried byte-identical — merge-on-read never
+    // rewrites; the affected entry just gained a vector reference
+    val after = t.fileEntries(1)
+    assert(after.map(_.path).toSet == before.toSet,
+      "MoR delete must not add or remove data files")
+    before.foreach { p =>
+      val f = new java.io.File(s"$dir/$p")
+      assert(f.length() == sizes(p) && f.lastModified() == mtimes(p),
+        s"data file $p was rewritten by a MoR delete")
+    }
+    val dved = after.filter(_.dvPath.isDefined)
+    assert(dved.map(_.dvRows).sum == 500,
+      s"vector bookkeeping: expected 500 deleted rows, got ${dved.map(_.dvRows)}")
+    // time travel ignores the vector's commit
+    assert(t.readVersion(0).count() == 8000)
+    // second delete overlapping the SAME file accumulates (union, no chain)
+    val v2 = t.deleteWhere(col("id") >= 500L && col("id") < 700L)
+    assert(v2 == 2 && t.read().count() == 7300)
+    assert(t.read().agg(min("id")).head.getLong(0) == 700L)
+    assert(t.fileEntries(2).map(_.dvRows).sum == 700)
+    assert(t.fileEntries(2).forall(f => f.dvPath.size <= 1),
+      "one vector per entry — later deletes replace, never chain")
+    // re-deleting already-deleted rows is a no-op: no commit
+    assert(t.deleteWhere(col("id") < 700L) == v2)
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    val dn = EventsStream.scratchDir("tx_dv_null") + "/t"
+    val tn = TxTable(spark, dn, deletionVectors = true)
+    tn.overwrite(Seq((1L, "a"), (2L, null), (3L, "x")).toDF("id", "tag"))
+    tn.deleteWhere(col("tag") === "x")
+    assert(tn.read().count() == 2)
+    assert(tn.read().where(col("tag").isNull).count() == 1)
+  }
+
+  test("deletion vectors: format + SQL reads exclude rows; compact purges " +
+      "vectors; vacuum lifecycle") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dv_fmt") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true)
+    t.overwrite((0 until 4000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartitionByRange(4, col("id")))
+    t.deleteWhere(col("id") < 300L)
+    // batch format read: count + pushed filter both see scan-minus-DV
+    val fmt = spark.read.format("txtable").load(dir)
+    assert(fmt.count() == 3700)
+    assert(fmt.where(col("id") < 1000L).count() == 700)
+    assert(fmt.agg(sum("id")).head.getLong(0) ==
+      (300L until 4000L).sum)
+    // SQL seam over the same snapshot
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+      .head.getLong(0) == 3700)
+    assert(spark.sql(
+        s"SELECT count(*) AS n FROM txtable.`$dir` WHERE id >= 3000")
+      .head.getLong(0) == 1000)
+    // streaming initial-snapshot read excludes the vector rows too
+    val sq = spark.readStream.format("txtable").load(dir)
+      .groupBy().agg(count(lit(1)).as("n"), sum("id").as("s"))
+    val streamed = EventsStream.runAvailableNow(spark, sq, "dv_snap",
+      org.apache.spark.sql.streaming.OutputMode.Complete())
+    assert(streamed.head.getLong(0) == 3700)
+    // copy-on-write UPDATE on a DV'd file must not resurrect deleted
+    // rows, and the rewritten file drops its vector
+    t.updateWhere(col("id") === 350L, Map("score" -> lit(-1.0)))
+    assert(t.read().count() == 3700)
+    assert(t.read().agg(min("id")).head.getLong(0) == 300L)
+    assert(t.read().where(col("score") === -1.0).count() == 1)
+    val afterUpdate = t.fileEntries(t.versions.last)
+    assert(afterUpdate.count(_.dvPath.isDefined) == 0 ||
+      afterUpdate.filter(_.dvPath.isDefined).forall(_.dvRows > 0))
+    // compact purges every vector: same rows, no dv references
+    t.compact()
+    val compacted = t.fileEntries(t.versions.last)
+    assert(compacted.forall(_.dvPath.isEmpty),
+      "compact must rewrite vectors away")
+    assert(t.read().count() == 3700)
+    assert(t.read().agg(min("id")).head.getLong(0) == 300L)
+    // vector files survive vacuum while their log entries live...
+    assert(t.vacuum(minAgeMs = 0).isEmpty ||
+      t.read().count() == 3700, "premature sweep broke the table")
+    // ...and sweep once history expires
+    t.expireSnapshots(keepLast = 1)
+    t.vacuum(minAgeMs = 0)
+    assert(t.read().count() == 3700, "table intact after expiry+vacuum")
+  }
+
+  test("mergeClauses: conditional update/delete/insert, first-true clause " +
+      "wins, untouched buckets carried") {
+    import spark.implicits._
+    import TxTable.{srcCol, MergeDelete, MergeInsert, MergeUpdate}
+    val (t, dir) = freshTable("tx_mrg_cl")
+    t.overwriteBucketed((0 until 1000).map(i =>
+        (i.toLong, i * 1.0, "base")).toDF("id", "score", "status"),
+      Seq("id"), nBuckets = 16)
+    val before = t.fileEntries(0).map(_.path)
+    val sizes = before.map(p => p -> new java.io.File(s"$dir/$p").length()).toMap
+    // source under DIFFERENT column names: sid routes via the ON map
+    val src = Seq(
+      (3L, 100.0, false),   // matched, not killed -> score += delta
+      (7L, 0.0, true),      // matched, killed     -> delete
+      (2000L, 5.0, false),  // not matched         -> insert as "new"
+      (3000L, 9.0, true)    // not matched, killed  -> insert too (cond on insert clause filters kills)
+    ).toDF("sid", "delta", "kill")
+    t.mergeClauses(src,
+      sourceKeys = Map("id" -> srcCol("sid")),
+      matched = Seq(
+        MergeDelete(Some(srcCol("kill") === true)),
+        MergeUpdate(None, Map("score" -> (col("score") + srcCol("delta"))))),
+      notMatched = Seq(
+        MergeInsert(Some(srcCol("kill") === false),
+          Map("score" -> srcCol("delta"), "status" -> lit("new")))))
+    val out = t.read()
+    assert(out.count() == 1000, "1000 - 1 deleted + 1 inserted")
+    assert(out.where(col("id") === 3L).head.getDouble(1) == 103.0)
+    assert(out.where(col("id") === 7L).count() == 0, "killed row deleted")
+    val ins = out.where(col("id") === 2000L).head
+    assert(ins.getDouble(1) == 5.0 && ins.getString(2) == "new")
+    assert(out.where(col("id") === 3000L).count() == 0,
+      "insert clause condition must filter")
+    assert(out.where(col("status") === "base").count() == 999,
+      "the update touches score only — every surviving original row keeps status")
+    // untouched buckets byte-identical (no by-source clause)
+    val after = t.fileEntries(1).map(_.path)
+    val carried = after.toSet.intersect(before.toSet)
+    assert(carried.nonEmpty)
+    carried.foreach(p => assert(
+      new java.io.File(s"$dir/$p").length() == sizes(p)))
+    // WHEN NOT MATCHED BY SOURCE THEN DELETE: full-table semantics —
+    // keep only ids present in the source
+    t.mergeClauses(Seq(3L, 2000L).toDF("sid"),
+      sourceKeys = Map("id" -> srcCol("sid")),
+      notMatchedBySource = Seq(MergeDelete(None)))
+    assert(t.read().select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 2000L))
+    // ambiguous source (two rows per key) raises at execution
+    val dup = Seq((3L, 1.0, false), (3L, 2.0, false)).toDF("sid", "delta", "kill")
+    val ex = intercept[Exception] {
+      t.mergeClauses(dup, Map("id" -> srcCol("sid")),
+        matched = Seq(MergeUpdate(None,
+          Map("score" -> srcCol("delta")))))
+    }
+    assert(ex.getMessage.contains("more than one source row") ||
+      Option(ex.getCause).exists(_.getMessage.contains("more than one source row")))
+    // updating a bucket key is refused up front
+    val ex2 = intercept[Exception] {
+      t.mergeClauses(src, Map("id" -> srcCol("sid")),
+        matched = Seq(MergeUpdate(None, Map("id" -> lit(0L)))))
+    }
+    assert(ex2.getMessage.contains("bucket key"))
+  }
+
+  test("mergeClauses SET */INSERT * equals upsert; CDF captures the " +
+      "clause-merge rows") {
+    import spark.implicits._
+    import TxTable.{srcCol, MergeInsert, MergeUpdate}
+    val dirA = EventsStream.scratchDir("tx_mrg_star_a") + "/t"
+    val dirB = EventsStream.scratchDir("tx_mrg_star_b") + "/t"
+    val base = (0 until 500).map(i => (i.toLong, i * 1.0)).toDF("id", "score")
+    val src = (490 until 510).map(i => (i.toLong, -1.0)).toDF("id", "score")
+    val ta = TxTable(spark, dirA); ta.overwriteBucketed(base, Seq("id"), 8)
+    val tb = TxTable(spark, dirB); tb.overwriteBucketed(base, Seq("id"), 8)
+    ta.upsert(src)
+    tb.mergeClauses(src, Map("id" -> srcCol("id")),
+      matched = Seq(MergeUpdate(None, Map.empty)),      // SET *
+      notMatched = Seq(MergeInsert(None, Map.empty)))   // INSERT *
+    assert(ta.read().exceptAll(tb.read()).count() == 0)
+    assert(tb.read().exceptAll(ta.read()).count() == 0)
+    // CDF handle: the clause merge lands pre/post images like upsert
+    val tc = TxTable(spark, dirB, changeDataFeed = true)
+    val v = tc.mergeClauses(Seq((5L, 99.0)).toDF("id", "score"),
+      Map("id" -> srcCol("id")),
+      matched = Seq(MergeUpdate(None, Map("score" -> srcCol("score")))))
+    val feed = tc.changeFeed(v - 1)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_preimage")
+      .count() == 1)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_postimage")
+      .where(col("score") === 99.0).count() == 1)
+  }
+
+  test("deletion-vector delete through a CDF handle captures the rows; " +
+      "bucketed merge interop") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dv_cdf") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true, changeDataFeed = true)
+    t.overwriteBucketed((0 until 1000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score"), Seq("id"), nBuckets = 8)
+    val v1 = t.deleteWhere(col("id") < 10L)
+    assert(t.read().count() == 990)
+    // the feed serves the deleted rows as row-level delete records
+    val feed = t.changeFeed(v1 - 1)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "delete").count() == 10)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "delete")
+      .agg(max("id")).head.getLong(0) == 9L)
+    // a merge into the DV'd bucketed table reads DV-filtered state and
+    // purges the vectors of the buckets it rewrites
+    t.upsert(Seq((5L, -5.0), (500L, -500.0)).toDF("id", "score"))
+    val rows = t.read()
+    assert(rows.where(col("id") === 5L).head.getDouble(1) == -5.0,
+      "upsert must re-insert a previously DV-deleted key")
+    assert(rows.where(col("id") === 500L).head.getDouble(1) == -500.0)
+    assert(rows.count() == 991, "990 live + resurrected id=5")
+  }
 }
