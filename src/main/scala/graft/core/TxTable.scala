@@ -302,7 +302,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val removed = d.remove.toSet
     Manifest(d.version, d.operation, d.schemaDdl,
       prev.files.filterNot(f => removed(f.path)) ++ d.add,
-      d.partitionCols, d.bucketSpec, prev.txns ++ d.txn)
+      d.partitionCols, d.bucketSpec, prev.txns ++ d.txn, d.properties)
   }
 
   /** File entries of snapshot `v` (path + partition values) — the
@@ -342,6 +342,48 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * own prior commit here and no-ops. Reads one manifest. */
   def lastTxn(appId: String): Option[Long] =
     latestVersion.flatMap(v => manifest(v).txns.get(appId))
+
+  // ---- table properties ---------------------------------------------------
+
+  /** The latest snapshot's table properties (persisted in every log
+    * entry's header, carried forward across commits). */
+  def properties: Map[String, String] =
+    latestVersion.map(manifest(_).properties).getOrElse(Map.empty)
+
+  /** Merge `kv` into the table properties — a METADATA-ONLY commit
+    * (file list untouched). Recognized keys change behavior for EVERY
+    * writer, whatever its handle flags (the Delta table-property
+    * discipline): [[TxTable.PropDeletionVectors]],
+    * [[TxTable.PropChangeDataFeed]], [[TxTable.PropStatsOnWrite]]. An
+    * explicit property outranks the handle flag; unset falls back. */
+  def setProperties(kv: Map[String, String]): Long = commit { latest =>
+    val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+    Pending(TxTable.OpSetProperties, cur.files, cur.schemaDdl,
+      cur.partitionCols, cur.bucketSpec, None, None,
+      Some(cur.properties ++ kv))
+  }
+
+  /** Remove property keys (missing keys are ignored) — metadata-only
+    * commit like [[setProperties]]. */
+  def unsetProperties(keys: Seq[String]): Long = commit { latest =>
+    val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+    Pending(TxTable.OpSetProperties, cur.files, cur.schemaDdl,
+      cur.partitionCols, cur.bucketSpec, None, None,
+      Some(cur.properties -- keys))
+  }
+
+  private def boolProp(m: Manifest, key: String): Option[Boolean] =
+    m.properties.get(key).map(v => java.lang.Boolean.parseBoolean(v.trim))
+
+  /** Effective feature flags: table property if present, else this
+    * handle's constructor flag. */
+  private def effDv(m: Manifest): Boolean =
+    boolProp(m, TxTable.PropDeletionVectors).getOrElse(deletionVectors)
+  private def effCdf(m: Manifest): Boolean =
+    boolProp(m, TxTable.PropChangeDataFeed).getOrElse(changeDataFeed)
+  private def effStats: Boolean =
+    (for { v <- latestVersion; b <- boolProp(manifest(v),
+      TxTable.PropStatsOnWrite) } yield b).getOrElse(statsOnWrite)
 
   // ---- reads --------------------------------------------------------------
 
@@ -842,7 +884,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // buckets, like the merge itself; rows the merge left
       // byte-identical produce NO change rows (exceptAll drops them).
       val cdcFiles: Option[Seq[FileEntry]] =
-        if (!changeDataFeed) None
+        if (!effCdf(m)) None
         else Some {
           val keys = spec.cols
           val rewritten = readEntries(m, files)
@@ -1115,7 +1157,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(m.partitionCols.nonEmpty, s"$root is not partitioned")
     val matching = m.files.filter(f => pred(f.partition)).map(_.path).toSet
     val cdcFiles: Option[Seq[FileEntry]] =
-      if (!changeDataFeed) None
+      if (!effCdf(m)) None
       else {
         val dropped = m.files.filter(f => pred(f.partition))
         if (dropped.isEmpty) Some(Nil) // CDF commit that changed nothing
@@ -1163,7 +1205,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * file passing the zone-map candidate test; anything else is a
     * loud conflict (rerun re-plans against the new snapshot). */
   def deleteWhere(cond: Column): Long =
-    if (deletionVectors) deleteWhereMoR(cond)
+    if (latestVersion.map(v => effDv(manifest(v))).getOrElse(deletionVectors))
+      deleteWhereMoR(cond)
     else rewriteWhere(OpDelete, cond)(matching => matching.limit(0))
 
   /** Merge-on-read DELETE (the `deletionVectors=true` handle path):
@@ -1252,7 +1295,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       dvPath = Some(dvFile),
       dvRows = priorRows.getOrElse(f.path, 0L) + freshCounts(f.path)))
     val cdcFiles: Option[Seq[FileEntry]] =
-      if (!changeDataFeed) None
+      if (!effCdf(m)) None
       else Some(writeDataFiles(
         readEntries(m, affected).where(hit)
           .withColumn(ChangeTypeCol, flit("delete")),
@@ -1350,7 +1393,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // CDC: deterministic re-reads of immutable parquet — the captured
     // rows are exactly what the rewrite dropped/replaced
     val cdcFiles: Option[Seq[FileEntry]] =
-      if (!changeDataFeed) None
+      if (!effCdf(m)) None
       else Some {
         val changes =
           if (op == OpDelete) matching.withColumn(ChangeTypeCol, flit("delete"))
@@ -1555,6 +1598,35 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       require(latest.exists(_.version == m.version),
         s"concurrent commit during compact of $root — rerun compact")
       Pending(OpCompact, files, schemaDdlOf(schema), m.partitionCols, spec, None)
+    }
+  }
+
+  /** Purge deletion vectors: rewrite ONLY the files whose deleted
+    * fraction (dvRows / rows) reaches `minDeletedFraction`, dropping
+    * their vectors; every other file — vectored or not — carries by
+    * reference. The `REORG TABLE ... APPLY (PURGE)` maintenance verb:
+    * reclaims the space and the read-side anti-join of heavily
+    * deleted files without paying a full [[compact]]. Files with an
+    * unknown row count (stats-off writes) purge whenever they carry a
+    * vector — the conservative direction. Commits as a compact
+    * (dataChange=false: the rows a reader sees are identical before
+    * and after), so change feeds skip it. */
+  def purgeDeletes(minDeletedFraction: Double = 0.05): Long = {
+    require(minDeletedFraction >= 0 && minDeletedFraction <= 1,
+      "minDeletedFraction must be in [0, 1]")
+    val v = latestVersion.getOrElse(sys.error(s"$root: nothing to purge"))
+    val m = manifest(v)
+    val (purge, keep) = m.files.partition(f => f.dvPath.isDefined &&
+      (f.rows <= 0 || f.dvRows.toDouble / f.rows >= minDeletedFraction))
+    if (purge.isEmpty) return v
+    val rewritten = readEntries(m, purge) // DV-applied: survivors only
+    val data = m.bucketSpec.map(withBucket(rewritten, _)).getOrElse(rewritten)
+    val (files, _) = writeDataFiles(data, m.partitionCols)
+    commit { latest =>
+      require(latest.exists(_.version == m.version),
+        s"concurrent commit during purgeDeletes of $root — rerun")
+      Pending(OpCompact, keep ++ files, m.schemaDdl, m.partitionCols,
+        m.bucketSpec, None)
     }
   }
 
@@ -1811,32 +1883,34 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
     }
     val stats =
-      if (statsOnWrite && withStats) collectFileStats(dst, df.schema)
-      else Map.empty[String, (Map[String, String], Map[String, String])]
+      if (effStats && withStats) collectFileStats(dst, df.schema)
+      else Map.empty[String, (Map[String, String], Map[String, String], Long)]
     val it = fs.listFiles(dst, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
-        val (mins, maxs) = stats.getOrElse(rel, (Map.empty[String, String], Map.empty[String, String]))
+        val (mins, maxs, n) = stats.getOrElse(rel,
+          (Map.empty[String, String], Map.empty[String, String], -1L))
         entries += FileEntry(rel, parsePartition(rel), mins, maxs,
-          st.getLen, st.getModificationTime)
+          st.getLen, st.getModificationTime, rows = n)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
   }
 
   /** One aggregation pass over a fresh write dir: per file, min/max of
-    * every stats-eligible column, string-encoded. */
+    * every stats-eligible column (string-encoded) plus the row count
+    * — the bookkeeping [[purgeDeletes]]' deleted-fraction threshold
+    * and file-level planning read for free. */
   private def collectFileStats(dst: Path,
-      schema: StructType): Map[String, (Map[String, String], Map[String, String])] = {
+      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long)] = {
     import org.apache.spark.sql.functions.{input_file_name, length => flen,
       min => fmin, max => fmax, substring, when}
     val fields = schema.fields.filter(f => statsEligible(f.dataType))
       .filterNot(_.name == BucketCol)
     val statCols = fields.map(_.name)
-    if (statCols.isEmpty) return Map.empty
     val aggs = fields.flatMap { f =>
       val c = f.name
       f.dataType match {
@@ -1853,9 +1927,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           fmax(col(c)).cast("string").as(s"max_$c"))
       }
     }
+    val countAgg = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)).as("__rows")
+    val allAggs = countAgg +: aggs.toSeq
     spark.read.schema(schema).parquet(dst.toString)
       .groupBy(input_file_name().as("__file"))
-      .agg(aggs.head, aggs.tail: _*)
+      .agg(allAggs.head, allAggs.tail: _*)
       .collect() // one row per fresh file — model-sized
       .map { row =>
         val file = relativize(new Path(new java.net.URI(row.getString(0))))
@@ -1863,7 +1940,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           .map(c -> _)).toMap
         val maxs = statCols.flatMap(c => Option(row.getAs[String](s"max_$c"))
           .map(c -> _)).toMap
-        file -> (mins, maxs)
+        file -> ((mins, maxs, row.getAs[Long]("__rows")))
       }.toMap
   }
 
@@ -1900,8 +1977,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // exactly-once bookkeeping: carry every app's latest batchId
       // forward, then fold in this commit's tag
       val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
+      val props = p.properties.getOrElse(
+        latest.map(_.properties).getOrElse(Map.empty))
       val m = Manifest(v, p.operation, p.schemaDdl, p.files,
-        p.partitionCols, p.bucketSpec, txns)
+        p.partitionCols, p.bucketSpec, txns, props)
       // the delta: composed files vs the previous snapshot — entries
       // carried by reference (identical ENTRY, not just path: a MoR
       // delete re-tags an unchanged path with a new deletion vector)
@@ -1916,7 +1995,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         add = p.files.filterNot(f => prevByPath.get(f.path).contains(f)),
         remove = prevFiles.filterNot(f =>
           newByPath.get(f.path).contains(f)).map(_.path),
-        cdc = p.cdcFiles)
+        cdc = p.cdcFiles,
+        properties = props)
       val deltaBytes = delta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -2100,6 +2180,14 @@ object TxTable {
   private[graft] def evictState(key: String): Unit = { stateCache.remove(key); () }
   private[core] def cachedStateFor(key: String): Option[CachedState] =
     Option(stateCache.get(key))
+  /** Table-property keys with engine-recognized behavior (any other
+    * key is carried verbatim for the user). A property set on the
+    * table outranks every handle's constructor flag. */
+  val PropDeletionVectors = "graft.deletionVectors"
+  val PropChangeDataFeed = "graft.changeDataFeed"
+  val PropStatsOnWrite = "graft.statsOnWrite"
+
+  private val OpSetProperties = "setproperties"
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
   private val OpCompact = "compact"
@@ -2201,7 +2289,8 @@ object TxTable {
       bytes: Long = -1L,
       mtimeMs: Long = 0L,
       dvPath: Option[String] = None,
-      dvRows: Long = 0L)
+      dvRows: Long = 0L,
+      rows: Long = -1L)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -2263,10 +2352,14 @@ object TxTable {
     * list, so plain reads don't see them). `Some(Nil)` ≠ `None`: a
     * CDF-enabled commit that changed no rows serves an EMPTY change
     * set, while a commit with no CDC recording resets the feed. */
+  /** `properties = None` inherits the previous snapshot's map
+    * verbatim (the normal case — only [[TxTable.setProperties]]/
+    * [[TxTable.unsetProperties]] pass a replacement). */
   private final case class Pending(operation: String, files: Seq[FileEntry],
       schemaDdl: String, partitionCols: Seq[String],
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
-      cdcFiles: Option[Seq[FileEntry]] = None)
+      cdcFiles: Option[Seq[FileEntry]] = None,
+      properties: Option[Map[String, String]] = None)
 
   /** Shared JSON plumbing for the two log-entry shapes. */
   private[core] object LogFormat {
@@ -2284,7 +2377,8 @@ object TxTable {
 
     def putHeader(node: ObjectNode, version: Long, operation: String,
         schemaDdl: String, partitionCols: Seq[String],
-        bucketSpec: Option[BucketSpec]): Unit = {
+        bucketSpec: Option[BucketSpec],
+        properties: Map[String, String]): Unit = {
       node.put("version", version)
       node.put("operation", operation)
       node.put("schema_ddl", schemaDdl)
@@ -2296,6 +2390,11 @@ object TxTable {
         val bc = node.putArray("bucket_cols")
         b.cols.foreach(bc.add)
         node.put("n_buckets", b.n)
+        ()
+      }
+      if (properties.nonEmpty) {
+        val po = node.putObject("properties")
+        properties.foreach { case (k, v) => po.put(k, v) }
         ()
       }
     }
@@ -2323,6 +2422,8 @@ object TxTable {
           fo.put("dv_rows", f.dvRows)
           ()
         }
+        if (f.rows >= 0) fo.put("rows", f.rows)
+        ()
       }
 
     def strMap(node: JsonNode, field: String): Map[String, String] =
@@ -2343,11 +2444,13 @@ object TxTable {
             Option(f.get("bytes")).map(_.asLong()).getOrElse(-1L),
             Option(f.get("mtime")).map(_.asLong()).getOrElse(0L),
             Option(f.get("dv")).map(_.asText()),
-            Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L))
+            Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L),
+            Option(f.get("rows")).map(_.asLong()).getOrElse(-1L))
         }
       }.getOrElse(Seq.empty)
 
-    def readHeader(n: JsonNode): (Long, String, String, Seq[String], Option[BucketSpec]) = {
+    def readHeader(n: JsonNode): (Long, String, String, Seq[String],
+        Option[BucketSpec], Map[String, String]) = {
       val partCols = Option(n.get("partition_cols")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
       val bucket = Option(n.get("bucket_cols")).map { a =>
@@ -2355,7 +2458,8 @@ object TxTable {
           n.get("n_buckets").asInt())
       }
       (n.get("version").asLong(), n.get("operation").asText(),
-        n.get("schema_ddl").asText(), partCols, bucket)
+        n.get("schema_ddl").asText(), partCols, bucket,
+        strMap(n, "properties"))
     }
   }
 
@@ -2368,12 +2472,13 @@ object TxTable {
       schemaDdl: String, partitionCols: Seq[String],
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
       add: Seq[FileEntry], remove: Seq[String],
-      cdc: Option[Seq[FileEntry]] = None) {
+      cdc: Option[Seq[FileEntry]] = None,
+      properties: Map[String, String] = Map.empty) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
       LogFormat.putHeader(node, version, operation, schemaDdl,
-        partitionCols, bucketSpec)
+        partitionCols, bucketSpec, properties)
       txn.foreach { case (app, batch) =>
         val t = node.putObject("txn")
         t.put("app", app)
@@ -2392,14 +2497,15 @@ object TxTable {
 
   private[core] object CommitDelta {
     def fromNode(n: com.fasterxml.jackson.databind.JsonNode): CommitDelta = {
-      val (version, op, ddl, partCols, bucket) = LogFormat.readHeader(n)
+      val (version, op, ddl, partCols, bucket, props) = LogFormat.readHeader(n)
       val txn = Option(n.get("txn")).map(t =>
         (t.get("app").asText(), t.get("batch").asLong()))
       val remove = Option(n.get("remove")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
       CommitDelta(version, op, ddl, partCols, bucket, txn,
         LogFormat.readFileArray(n, "add"), remove,
-        Option(n.get("cdc")).map(_ => LogFormat.readFileArray(n, "cdc")))
+        Option(n.get("cdc")).map(_ => LogFormat.readFileArray(n, "cdc")),
+        props)
     }
   }
 
@@ -2412,12 +2518,13 @@ object TxTable {
       schemaDdl: String, files: Seq[FileEntry],
       partitionCols: Seq[String] = Nil,
       bucketSpec: Option[BucketSpec] = None,
-      txns: Map[String, Long] = Map.empty) {
+      txns: Map[String, Long] = Map.empty,
+      properties: Map[String, String] = Map.empty) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
       LogFormat.putHeader(node, version, operation, schemaDdl,
-        partitionCols, bucketSpec)
+        partitionCols, bucketSpec, properties)
       if (txns.nonEmpty) {
         val tn = node.putObject("txns")
         txns.foreach { case (k, v) => tn.put(k, v) }
@@ -2433,7 +2540,7 @@ object TxTable {
       fromNode(new com.fasterxml.jackson.databind.ObjectMapper().readTree(json))
 
     def fromNode(n: com.fasterxml.jackson.databind.JsonNode): Manifest = {
-      val (version, op, ddl, partCols, bucket) = LogFormat.readHeader(n)
+      val (version, op, ddl, partCols, bucket, props) = LogFormat.readHeader(n)
       val txns = Option(n.get("txns")).map { t =>
         val it = t.fields()
         val b = Map.newBuilder[String, Long]
@@ -2441,7 +2548,7 @@ object TxTable {
         b.result()
       }.getOrElse(Map.empty[String, Long])
       Manifest(version, op, ddl, LogFormat.readFileArray(n, "files"),
-        partCols, bucket, txns)
+        partCols, bucket, txns, props)
     }
   }
 }

@@ -94,6 +94,17 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case _                => None
   }
 
+  /** Same for table-verb targets, which parse as `UnresolvedTable`
+    * (ALTER) or `UnresolvedTableOrView` (SHOW) rather than
+    * `UnresolvedRelation`. */
+  private def txTablePath(plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
+    case _ => txPath(plan)
+  }
+
   /** The alias a MERGE target/source carries, if any. */
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(id, _) => Some(id.name)
@@ -168,6 +179,25 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     // parquet-location write BYPASSING the commit log (the files
     // would land as unreferenced orphans and vacuum away) — refuse
     // with the supported path named
+    // table properties: ALTER TABLE ... SET/UNSET TBLPROPERTIES and
+    // SHOW TBLPROPERTIES route onto the metadata-commit API; a
+    // recognized property (graft.deletionVectors / changeDataFeed /
+    // statsOnWrite) changes behavior for every writer of the table
+    case org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(
+        child, props) if txTablePath(child).isDefined =>
+      dmlResult("setproperties",
+        TxTable(session, txTablePath(child).get).setProperties(props))
+    case org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties(
+        child, keys, _) if txTablePath(child).isDefined =>
+      dmlResult("setproperties",
+        TxTable(session, txTablePath(child).get).unsetProperties(keys))
+    case org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties(
+        child, key, _) if txTablePath(child).isDefined => {
+      import session.implicits._
+      val all = TxTable(session, txTablePath(child).get).properties
+      key.fold(all)(k => all.view.filterKeys(_ == k).toMap)
+        .toSeq.sortBy(_._1).toDF("key", "value").queryExecution.logical
+    }
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.table.isInstanceOf[UnresolvedRelation] &&
           isTx(i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier) =>
@@ -304,6 +334,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*VACUUM\s+txtable\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?;?\s*""".r
   private val RestoreVerb =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  /** `REORG TABLE ... APPLY (PURGE)` — rewrite files whose deletion
+    * vectors cross the threshold (default 5%), dropping the vectors. */
+  private val ReorgPurge =
+    """(?is)\s*REORG\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeHistory(path) =>
@@ -325,6 +359,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       Seq((path, n)).toDF("location", "files_deleted").queryExecution.logical
     case RestoreVerb(path, version) =>
       dmlResult("restore", TxTable(session, path).restore(version.toLong))
+    case ReorgPurge(path) =>
+      dmlResult("reorg", TxTable(session, path).purgeDeletes())
     case _ => rewrite(delegate.parsePlan(sqlText))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

@@ -86,16 +86,26 @@ final class TxTableSourceProvider extends StreamSourceProvider
           parameters.get(OptBuckets).map(_.toInt).getOrElse(16))
       else t.overwrite(data, partitionBy)
     val exists = TxTable.isTable(spark, path)
+    var wrote = false
     mode match {
-      case SaveMode.Overwrite                 => fullWrite()
-      case SaveMode.Append if exists          => t.append(data); ()
-      case SaveMode.Append                    => fullWrite()
+      case SaveMode.Overwrite                 => fullWrite(); wrote = true
+      case SaveMode.Append if exists          => t.append(data); wrote = true
+      case SaveMode.Append                    => fullWrite(); wrote = true
       case SaveMode.ErrorIfExists if exists   =>
         sys.error(s"$path is already a TxTable (SaveMode.ErrorIfExists)")
-      case SaveMode.ErrorIfExists             => fullWrite()
+      case SaveMode.ErrorIfExists             => fullWrite(); wrote = true
       case SaveMode.Ignore if exists          => ()
-      case SaveMode.Ignore                    => fullWrite()
+      case SaveMode.Ignore                    => fullWrite(); wrote = true
     }
+    // feature-flag options persist as table properties (one extra
+    // metadata commit, only when requested and actually written)
+    val props = Seq(
+      OptDeletionVectors -> TxTable.PropDeletionVectors,
+      OptChangeDataFeed  -> TxTable.PropChangeDataFeed,
+      OptStatsOnWrite    -> TxTable.PropStatsOnWrite)
+      .flatMap { case (opt, prop) => parameters.get(opt).map(prop -> _) }
+      .toMap
+    if (wrote && props.nonEmpty) { t.setProperties(props); () }
     createRelation(sqlContext, parameters)
   }
 
@@ -342,6 +352,13 @@ object TxTableSource {
   val OptBuckets = "buckets"
   /** Streaming sink: txn app id for exactly-once commit tags. */
   val OptTxnAppId = "txnAppId"
+  /** Batch writes: feature flags persisted as TABLE PROPERTIES on the
+    * written snapshot — `deletionVectors`, `changeDataFeed`,
+    * `statsOnWrite` (boolean strings). A property binds every future
+    * writer, whatever its handle flags. */
+  val OptDeletionVectors = "deletionVectors"
+  val OptChangeDataFeed = "changeDataFeed"
+  val OptStatsOnWrite = "statsOnWrite"
 
   private[sources] def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", sys.error(

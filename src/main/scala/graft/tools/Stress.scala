@@ -16,7 +16,7 @@ import graft.ops.Dedup
 object Stress {
   def main(args: Array[String]): Unit = {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
-    // optional section selector: "dedup" | "upsert" | "all" (default)
+    // optional section selector: "dedup" | "upsert" | "delete" | "all"
     val mode = args.drop(1).headOption.filterNot(_.forall(_.isDigit))
       .getOrElse("all")
     val numArgs = args.drop(1).filter(_.forall(_.isDigit))
@@ -37,7 +37,7 @@ object Stress {
       df.write.format("noop").mode("overwrite").save()
       println(f"[stress] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
-    for (f <- factors if mode != "upsert") {
+    for (f <- factors if mode == "all" || mode == "dedup") {
       val c = replicate(base, "doc_id", f).cache(); c.count()
       val cFull = replicate(docsFull, "doc_id", f).cache(); cFull.count()
       val e = replicate(embBase, "vec_id", f).cache(); e.count()
@@ -110,7 +110,7 @@ object Stress {
         else f.length()
       sz(new java.io.File(p))
     }
-    for (f <- factors if mode != "dedup") {
+    for (f <- factors if mode == "all" || mode == "upsert") {
       val state = latestPerKey(
         (1 until f).foldLeft(evBase) { (acc, i) =>
           acc.unionAll(evBase.withColumn("key", col("key") + i * 10000000L))
@@ -140,6 +140,41 @@ object Stress {
       println(s"[stress] s8_bytes_rewritten x$f: $newBytes " +
         s"(${after.count(!before(_))} of ${after.size} files)")
       state.unpersist()
+    }
+    // row-level delete cost: copy-on-write vs deletion vectors. A
+    // FIXED tiny delete (a handful of rows, spread so every file
+    // holds one) against state 1x/2x/4x — the CoW rewrite must grow
+    // ~linearly with the table (it rewrites every touched file) while
+    // the MoR commit stays flat (one KB-scale vector side-file), the
+    // O(bytes-of-touched-files) vs O(matching-rows) contrast that
+    // decides whether a one-row GDPR delete is affordable at 100 TB.
+    for (f <- factors if mode == "all" || mode == "delete") {
+      val state = latestPerKey(
+        (1 until f).foldLeft(evBase) { (acc, i) =>
+          acc.unionAll(evBase.withColumn("key", col("key") + i * 10000000L))
+        }).repartitionByRange(16, col("key")).localCheckpoint(true)
+      val nKeys = state.count()
+      val pred = col("key") % 99991 === 7 // ~1 row per 100k, every file
+      println(s"[stress] === delete x$f ($nKeys keys, spread predicate) ===")
+      val cDir = graft.streaming.EventsStream.scratchDir(s"stress_delc_$f") + "/t"
+      val tc = graft.core.TxTable(spark, cDir)
+      tc.overwrite(state)
+      val cBefore = tc.fileEntries(tc.latestVersion.get).map(_.path).toSet
+      timeAction(s"del_cow x$f") { tc.deleteWhere(pred); () }
+      val cAfter = tc.fileEntries(tc.latestVersion.get).map(_.path)
+      val cBytes = cAfter.filterNot(cBefore)
+        .map(p => new java.io.File(s"$cDir/$p").length()).sum
+      println(s"[stress] del_cow_bytes x$f: $cBytes " +
+        s"(${cAfter.count(!cBefore(_))} files rewritten)")
+      val mDir = graft.streaming.EventsStream.scratchDir(s"stress_delm_$f") + "/t"
+      val tm = graft.core.TxTable(spark, mDir, deletionVectors = true)
+      tm.overwrite(state)
+      timeAction(s"del_mor x$f") { tm.deleteWhere(pred); () }
+      val mEntries = tm.fileEntries(tm.latestVersion.get)
+      val dvBytes = mEntries.flatMap(_.dvPath).distinct
+        .map(p => new java.io.File(s"$mDir/$p").length()).sum
+      println(s"[stress] del_mor_bytes x$f: $dvBytes " +
+        s"(${mEntries.map(_.dvRows).sum} rows vectored, data files untouched)")
     }
     spark.stop()
   }

@@ -1133,6 +1133,126 @@ class TxTableSpec extends SparkSpec {
       .where(col("score") === 99.0).count() == 1)
   }
 
+  test("purgeDeletes rewrites only files over the deleted-fraction " +
+      "threshold; REORG SQL verb; feeds skip the purge") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_purge") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true)
+    t.overwrite((0 until 8000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartitionByRange(8, col("id"))) // ~1000 rows/file
+    // ~40% of file 0, a handful of rows of the others' neighbors
+    t.deleteWhere(col("id") < 400L)
+    t.deleteWhere(col("id") % 1000 === 999L) // one row in each file
+    val before = t.fileEntries(t.versions.last)
+    val vectoredBefore = before.filter(_.dvPath.isDefined)
+    assert(vectoredBefore.size >= 2,
+      "both deletes should leave vectors on several files")
+    assert(before.forall(_.rows > 0), "row counts recorded on write")
+    val overThreshold = vectoredBefore.count(f =>
+      f.dvRows.toDouble / f.rows >= 0.1)
+    assert(overThreshold >= 1, "the 40%-deleted file must cross 10%")
+    val v = t.purgeDeletes(minDeletedFraction = 0.1)
+    val after = t.fileEntries(v)
+    // exactly the over-threshold files rewrote; the rest carried with
+    // their vectors intact
+    assert(after.count(_.dvPath.isDefined) ==
+      vectoredBefore.size - overThreshold)
+    assert(after.forall(f => f.dvPath.isEmpty ||
+      f.dvRows.toDouble / f.rows < 0.1))
+    val carried = after.map(_.path).toSet.intersect(before.map(_.path).toSet)
+    assert(carried.size == before.size - overThreshold,
+      "under-threshold files carry by reference")
+    assert(t.read().count() == 8000 - 400 - 8) // the two deletes are disjoint
+    assert(t.read().where(col("id") < 400L).count() == 0)
+    assert(t.read().where(col("id") === 1999L).count() == 0)
+    // the purge is dataChange=false: an append-consumer feed window
+    // across it serves ONLY the append, no reset
+    val vA = t.append(Seq((50000L, 1.0)).toDF("id", "score"))
+    val changes = t.changesSince(v - 1) // window: purge + append
+    assert(changes.count() == 1 && changes.head.getLong(0) == 50000L)
+    // SQL REORG verb
+    t.deleteWhere(col("id") >= 7500L && col("id") < 8000L)
+    val r = spark.sql(s"REORG TABLE txtable.`$dir` APPLY (PURGE)")
+    assert(r.head.getString(0) == "reorg")
+    assert(t.fileEntries(t.versions.last).forall(f =>
+      f.dvPath.isEmpty || f.dvRows.toDouble / math.max(f.rows, 1) < 0.05))
+    // 7592 survivors + 1 appended - 499 newly deleted (7999 was gone)
+    assert(t.read().count() == 8000 - 400 - 8 + 1 - 499)
+  }
+
+  test("table properties: metadata-only commits, carried across writes, " +
+      "recognized flags bind every handle") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_props") + "/t"
+    val t = TxTable(spark, dir) // plain handle: no feature flags
+    t.overwrite((0 until 4000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartitionByRange(4, col("id")))
+    assert(t.properties.isEmpty)
+    def dataFiles(): Set[String] = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+          .toSeq.flatMap(walk)
+        else Seq(f.getPath)
+      walk(new java.io.File(s"$dir/data")).toSet
+    }
+    val disk = dataFiles()
+    val v1 = t.setProperties(Map(
+      TxTable.PropDeletionVectors -> "true", "team" -> "ingest"))
+    assert(v1 == 1 && dataFiles() == disk,
+      "setProperties must be a metadata-only commit")
+    assert(t.properties == Map(
+      TxTable.PropDeletionVectors -> "true", "team" -> "ingest"))
+    // the property binds THIS plain handle: deleteWhere goes
+    // merge-on-read — no data file rewritten
+    t.deleteWhere(col("id") < 100L)
+    assert(t.read().count() == 3900)
+    assert(dataFiles().intersect(disk) == disk,
+      "property-driven MoR delete must not rewrite data files")
+    // properties carry across ordinary commits and survive cold log
+    // reconstruction
+    t.append(Seq((9999L, 1.0)).toDF("id", "score"))
+    t.invalidateCachedState()
+    assert(t.properties("team") == "ingest")
+    // unset falls back to handle behavior (copy-on-write again)
+    t.unsetProperties(Seq(TxTable.PropDeletionVectors))
+    assert(!t.properties.contains(TxTable.PropDeletionVectors))
+    t.deleteWhere(col("id") === 9999L)
+    assert(t.read().count() == 3900)
+    assert(t.history().count(_._2 == "setproperties") == 2)
+  }
+
+  test("table properties via SQL: ALTER SET/UNSET TBLPROPERTIES, SHOW, " +
+      "and writer options persist flags") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_props_sql") + "/t"
+    // writer option persists the property at creation
+    (0 until 2000).map(i => (i.toLong, i * 1.0)).toDF("id", "score")
+      .repartitionByRange(4, col("id"))
+      .write.format("txtable")
+      .option("deletionVectors", "true").save(dir)
+    val t = TxTable(spark, dir)
+    assert(t.properties(TxTable.PropDeletionVectors) == "true")
+    // SQL SHOW TBLPROPERTIES
+    val shown = spark.sql(s"SHOW TBLPROPERTIES txtable.`$dir`")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown(TxTable.PropDeletionVectors) == "true")
+    // SQL DELETE through the parser seam (plain handle) honors it
+    val before = t.fileEntries(t.versions.last).map(_.path).toSet
+    spark.sql(s"DELETE FROM txtable.`$dir` WHERE id < 50")
+    assert(t.read().count() == 1950)
+    assert(t.fileEntries(t.versions.last).map(_.path).toSet == before,
+      "SQL DELETE must ride the deletion-vector path under the property")
+    // ALTER UNSET then SET round-trips through SQL
+    spark.sql(s"ALTER TABLE txtable.`$dir` UNSET TBLPROPERTIES " +
+      s"('${TxTable.PropDeletionVectors}')")
+    assert(!TxTable(spark, dir).properties.contains(TxTable.PropDeletionVectors))
+    spark.sql(s"ALTER TABLE txtable.`$dir` SET TBLPROPERTIES " +
+      s"('data.owner' = 'data-eng')")
+    val p = spark.sql(
+      s"SHOW TBLPROPERTIES txtable.`$dir` ('data.owner')").collect()
+    assert(p.length == 1 && p(0).getString(1) == "data-eng")
+  }
+
   test("deletion-vector delete through a CDF handle captures the rows; " +
       "bucketed merge interop") {
     import spark.implicits._
