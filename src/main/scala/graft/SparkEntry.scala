@@ -444,6 +444,33 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x14: Bloom-filter file skipping — a hash-shuffled layout where
+    // every file's [min,max] spans the whole key domain (zone maps
+    // prune nothing on a point probe); per-file blooms built by the
+    // property-designated compaction isolate the equality read to ~1
+    // file (file-count pinned in TxTableSourceSpec; here the RESULT
+    // gates against the point-lookup twin)
+    "x14_tx_bloom_skip"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = cachedAsset(s, s"tx_bloom|$d") {
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_bloom") + "/t")
+        t0.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .repartition(8))
+        t0.setProperties(Map(
+          graft.core.TxTable.PropBloomColumns -> "o_orderkey"))
+        t0.compact(targetFileBytes = 256 * 1024)
+        t0
+      }
+      // the probe key is the table's own minimum — model-sized driver
+      // value, deterministic at every SF
+      val k = Tables.orders(s, d).agg(min("o_orderkey")).head.getLong(0)
+      s.read.format("txtable").load(t.location)
+        .where(col("o_orderkey") === k)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+    }),
     // x13: full-clause MERGE — conditional DELETE + arithmetic UPDATE
     // + explicit-assignment INSERT in one statement over a bucketed
     // table (the complete WHEN [NOT] MATCHED grammar; the oracle
@@ -1250,6 +1277,12 @@ object SparkEntry {
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 5 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x14's oracle: the point lookup at the minimum key
+    "x14_tx_bloom_skip" ->
+      """SELECT o_orderpriority,
+        |  round(o_totalprice, 2) AS o_totalprice
+        |FROM orders
+        |WHERE o_orderkey = (SELECT min(o_orderkey) FROM orders)""".stripMargin,
     // x13's oracle replays the clause merge relationally: matched+kill
     // rows drop, matched rows double (price + source price of the same
     // row), shifted keys insert under the INSERTED label

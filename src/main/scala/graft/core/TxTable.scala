@@ -384,6 +384,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def effStats: Boolean =
     (for { v <- latestVersion; b <- boolProp(manifest(v),
       TxTable.PropStatsOnWrite) } yield b).getOrElse(statsOnWrite)
+  private def effBloomCols: Seq[String] =
+    latestVersion.map(v => manifest(v).properties
+        .getOrElse(TxTable.PropBloomColumns, ""))
+      .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+  private def effBloomBits: Int = {
+    val m = latestVersion.flatMap(v => manifest(v).properties
+        .get(TxTable.PropBloomBits)).map(_.trim.toInt)
+      .getOrElse(TxTable.BloomDefaultBits)
+    require(m > 0 && m % 8 == 0, s"$root: ${TxTable.PropBloomBits} must " +
+      "be a positive multiple of 8")
+    m
+  }
 
   // ---- reads --------------------------------------------------------------
 
@@ -1224,7 +1236,33 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * as the copy-on-write delete — a racing commit is harmless iff it
     * left the affected entries untouched and added nothing the
     * predicate's zone-map candidate test could match. */
-  private def deleteWhereMoR(cond: Column): Long = {
+  private def deleteWhereMoR(cond: Column): Long =
+    morRewrite(OpDelete, cond, None)
+
+  /** Merge-on-read UPDATE: the matching rows' positions land in the
+    * vector exactly like [[deleteWhereMoR]] (hiding the pre-update
+    * rows), and the SET-applied replacements append as NEW data files
+    * (layout recomputed from the new values — relocation across
+    * partitions/buckets works by construction). Write cost
+    * O(matching rows), data files byte-identical. */
+  private def updateWhereMoR(cond: Column, set: Map[String, Column]): Long =
+    morRewrite(OpUpdate, cond, Some { matching =>
+      val fields = matching.schema.fieldNames
+        .filterNot(_.startsWith(PartShadowPrefix))
+      val resolved = set.map { case (k, vcol) =>
+        fields.find(_.equalsIgnoreCase(k)).getOrElse(
+          sys.error(s"$root has no column $k to update")) -> vcol
+      }
+      // one select = simultaneous assignment (the SQL rule)
+      matching.select(fields.filterNot(_ == BucketCol).map(n =>
+        resolved.getOrElse(n, matching.col(s"`$n`")).as(n)).toIndexedSeq: _*)
+    })
+
+  /** Shared merge-on-read core: vector the matching rows' positions;
+    * `replace` (None = DELETE) maps them to replacement rows appended
+    * as new files. */
+  private def morRewrite(op: String, cond: Column,
+      replace: Option[DataFrame => DataFrame]): Long = {
     import org.apache.spark.sql.functions.{broadcast, coalesce, count => fcount, first => ffirst, lit => flit}
     val v = latestVersion.getOrElse(
       sys.error(s"$root has no committed snapshots"))
@@ -1294,36 +1332,64 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val retagged = affected.map(f => f.copy(
       dvPath = Some(dvFile),
       dvRows = priorRows.getOrElse(f.path, 0L) + freshCounts(f.path)))
+    // UPDATE: the SET-applied replacements append as new files with
+    // the layout recomputed from the NEW values
+    val cleanMatching = matching.drop(fullCol, DvPathCol, DvPosCol)
+    val newFiles: Seq[FileEntry] = replace match {
+      case None => Nil
+      case Some(f) =>
+        val replaced = f(cleanMatching.drop(BucketCol))
+        requireCompatible(schema, replaced.schema, allowNew = false)
+        val replacedNames = replaced.schema.fieldNames.toSet
+        val droppedCols = schema.fieldNames.filterNot(n =>
+          n == BucketCol || replacedNames.contains(n))
+        require(droppedCols.isEmpty,
+          s"$op dropped column(s) ${droppedCols.mkString(", ")} — " +
+            "rewritten rows must keep every table column")
+        val data = m.bucketSpec.map(withBucket(replaced, _)).getOrElse(replaced)
+        writeDataFiles(data, m.partitionCols)._1
+    }
     val cdcFiles: Option[Seq[FileEntry]] =
       if (!effCdf(m)) None
-      else Some(writeDataFiles(
-        readEntries(m, affected).where(hit)
-          .withColumn(ChangeTypeCol, flit("delete")),
-        Nil, withStats = false)._1)
+      else Some {
+        val changes = replace match {
+          case None => cleanMatching.drop(BucketCol)
+            .withColumn(ChangeTypeCol, flit("delete"))
+          case Some(_) =>
+            val post = readEntries(
+              Manifest(m.version, op, m.schemaDdl, Nil, m.partitionCols,
+                m.bucketSpec), newFiles)
+            cleanMatching.drop(BucketCol)
+              .withColumn(ChangeTypeCol, flit("update_preimage"))
+              .unionByName(post.withColumn(ChangeTypeCol,
+                flit("update_postimage")))
+        }
+        writeDataFiles(changes, Nil, withStats = false)._1
+      }
     commit { latest =>
-      val cur = latest.getOrElse(sys.error(s"$root vanished during delete — rerun"))
+      val cur = latest.getOrElse(sys.error(s"$root vanished during $op — rerun"))
       if (cur.version == m.version)
-        Pending(OpDelete, untouched ++ retagged, m.schemaDdl,
+        Pending(op, untouched ++ retagged ++ newFiles, m.schemaDdl,
           m.partitionCols, m.bucketSpec, None, cdcFiles)
       else {
         require(cur.schemaDdl == m.schemaDdl &&
             cur.bucketSpec == m.bucketSpec &&
             cur.partitionCols == m.partitionCols,
-          s"concurrent schema/layout change during delete on $root — rerun")
+          s"concurrent schema/layout change during $op on $root — rerun")
         val curByPath = cur.files.map(f => f.path -> f).toMap
         // the affected ENTRIES (path + current DV) must be untouched —
-        // a racing MoR delete re-tagging the same file is a genuine
+        // a racing MoR write re-tagging the same file is a genuine
         // conflict (both built vectors against the same prior state)
         require(affected.forall(f => curByPath.get(f.path).contains(f)),
-          s"concurrent commit touched files matching the delete predicate " +
+          s"concurrent commit touched files matching the $op predicate " +
             s"on $root — rerun")
         val basePaths = m.files.map(_.path).toSet
         val intruding = cur.files.filter(f => !basePaths(f.path)).filter(candidate)
         require(intruding.isEmpty,
-          s"concurrent commit added possibly-matching rows during delete " +
+          s"concurrent commit added possibly-matching rows during $op " +
             s"on $root — rerun")
-        Pending(OpDelete,
-          cur.files.filterNot(f => affectedPaths(f.path)) ++ retagged,
+        Pending(op,
+          cur.files.filterNot(f => affectedPaths(f.path)) ++ retagged ++ newFiles,
           m.schemaDdl, m.partitionCols, m.bucketSpec, None, cdcFiles)
       }
     }
@@ -1341,6 +1407,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * hold by construction. */
   def updateWhere(cond: Column, set: Map[String, Column]): Long = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
+    if (latestVersion.map(v => effDv(manifest(v))).getOrElse(deletionVectors))
+      return updateWhereMoR(cond, set)
     rewriteWhere(OpUpdate, cond) { matching =>
       val fields = matching.schema.fieldNames
       val resolved = set.map { case (k, v) =>
@@ -1460,6 +1528,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : FileEntry => Boolean = {
     val constraints = rangeConstraintsOf(schema, preds)
+    val eqHashes = equalityHashesOf(schema, preds)
     f => constraints.forall {
       case (field, lo, hi) =>
         try
@@ -1470,6 +1539,36 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         // unparsable stat/bound keeps the file — pruning must never
         // drop rows (the readWhereRange discipline)
         catch { case _: IllegalArgumentException => true }
+    } && eqHashes.forall { case (c, h) =>
+      // files without a filter for the column are kept; a definite
+      // bloom miss is a sound prune (no false negatives)
+      f.bloom.get(c).forall(enc => TxTable.bloomMightContain(enc, h))
+    }
+  }
+
+  /** Equality conjuncts usable for Bloom probes: a DIRECT attribute
+    * (casts change the value space the write-side hash saw) equated
+    * to a non-null literal of EXACTLY the column's type. The hash is
+    * Spark's own xxhash64 of the literal, evaluated driver-side —
+    * identical by construction to what the write-side aggregation
+    * hashed for matching values. */
+  private def equalityHashesOf(schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Long)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, Literal, XxHash64}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    def mk(a: Attribute, l: Literal): Option[(String, Long)] =
+      schema.fields.find(_.name == a.name)
+        .filter(f => f.dataType == l.dataType && l.value != null)
+        .map(f => f.name ->
+          new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+    preds.flatMap(conjuncts).flatMap {
+      case EqualTo(a: Attribute, l: Literal) => mk(a, l)
+      case EqualTo(l: Literal, a: Attribute) => mk(a, l)
+      case _ => None
     }
   }
 
@@ -1884,17 +1983,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     val stats =
       if (effStats && withStats) collectFileStats(dst, df.schema)
-      else Map.empty[String, (Map[String, String], Map[String, String], Long)]
+      else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String])]
     val it = fs.listFiles(dst, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     while (it.hasNext) {
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
-        val (mins, maxs, n) = stats.getOrElse(rel,
-          (Map.empty[String, String], Map.empty[String, String], -1L))
+        val (mins, maxs, n, blooms) = stats.getOrElse(rel,
+          (Map.empty[String, String], Map.empty[String, String], -1L,
+            Map.empty[String, String]))
         entries += FileEntry(rel, parsePartition(rel), mins, maxs,
-          st.getLen, st.getModificationTime, rows = n)
+          st.getLen, st.getModificationTime, rows = n, bloom = blooms)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
@@ -1905,7 +2005,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * — the bookkeeping [[purgeDeletes]]' deleted-fraction threshold
     * and file-level planning read for free. */
   private def collectFileStats(dst: Path,
-      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long)] = {
+      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long, Map[String, String])] = {
     import org.apache.spark.sql.functions.{input_file_name, length => flen,
       min => fmin, max => fmax, substring, when}
     val fields = schema.fields.filter(f => statsEligible(f.dataType))
@@ -1929,7 +2029,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     val countAgg = org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("__rows")
-    val allAggs = countAgg +: aggs.toSeq
+    // per-file Bloom filters for the property-designated columns,
+    // built over Spark's own xxhash64 in the SAME aggregation pass
+    val mBits = effBloomBits
+    val bloomCols = effBloomCols
+      .flatMap(c => schema.fields.find(_.name.equalsIgnoreCase(c)))
+      .map(_.name).filterNot(_ == BucketCol)
+    val bloomUdaf = org.apache.spark.sql.functions.udaf(
+      new BloomAgg(mBits), org.apache.spark.sql.Encoders.scalaLong)
+    val bloomAggs = bloomCols.map(c => bloomUdaf(
+      org.apache.spark.sql.functions.xxhash64(col(c))).as(s"bloom_$c"))
+    val allAggs = (countAgg +: aggs.toSeq) ++ bloomAggs
     spark.read.schema(schema).parquet(dst.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(allAggs.head, allAggs.tail: _*)
@@ -1940,7 +2050,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           .map(c -> _)).toMap
         val maxs = statCols.flatMap(c => Option(row.getAs[String](s"max_$c"))
           .map(c -> _)).toMap
-        file -> ((mins, maxs, row.getAs[Long]("__rows")))
+        val blooms = bloomCols.map(c => c -> bloomEncode(
+          row.getAs[Array[Byte]](s"bloom_$c"), mBits)).toMap
+        file -> ((mins, maxs, row.getAs[Long]("__rows"), blooms))
       }.toMap
   }
 
@@ -2187,6 +2299,63 @@ object TxTable {
   val PropChangeDataFeed = "graft.changeDataFeed"
   val PropStatsOnWrite = "graft.statsOnWrite"
 
+  /** Comma-separated columns to build per-file Bloom filters for at
+    * write time (equality-probe file skipping on layouts where range
+    * stats cannot prune); `PropBloomBits` sizes the filter (bits,
+    * default 8192 ≈ 1 KB per column per file — size to expected rows
+    * per file × ~10 bits; blooms ride the manifest, so budget
+    * manifest/checkpoint bytes accordingly — a sidecar-index layout
+    * is the 10⁶-file evolution, as in Delta/Iceberg). */
+  val PropBloomColumns = "graft.bloomFilterColumns"
+  val PropBloomBits = "graft.bloomFilterBits"
+
+  /** Bloom encoding/probing over xxhash64 values (Spark's own
+    * `xxhash64` with its default seed, so the write-side column hash
+    * and the planning-side literal hash agree by construction).
+    * Double hashing: k index streams from one 64-bit value. */
+  private[core] val BloomDefaultBits = 8192
+  private[core] val BloomHashes = 4
+  private[core] def bloomPositions(h: Long, m: Int): Seq[Int] = {
+    val h2 = (h * 0x9E3779B97F4A7C15L) | 1L
+    (0 until BloomHashes).map(i =>
+      (((h + i * h2) & Long.MaxValue) % m).toInt)
+  }
+  private[core] def bloomEncode(bits: Array[Byte], m: Int): String =
+    s"$BloomHashes:$m:" + java.util.Base64.getEncoder.encodeToString(bits)
+  /** Membership test against an encoded filter; malformed encodings
+    * keep the file (pruning must never drop rows). */
+  private[core] def bloomMightContain(encoded: String, h: Long): Boolean =
+    try {
+      val parts = encoded.split(":", 3)
+      val m = parts(1).toInt
+      val bits = java.util.Base64.getDecoder.decode(parts(2))
+      bloomPositions(h, m).forall { pos =>
+        (bits(pos >>> 3) & (1 << (pos & 7))) != 0
+      }
+    } catch { case _: RuntimeException => true }
+
+  /** Per-file Bloom aggregator over pre-hashed (xxhash64) values. */
+  private[core] final class BloomAgg(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Long, Array[Byte], Array[Byte]] {
+    override def zero: Array[Byte] = new Array[Byte](m >>> 3)
+    override def reduce(b: Array[Byte], h: Long): Array[Byte] = {
+      bloomPositions(h, m).foreach { pos =>
+        b(pos >>> 3) = (b(pos >>> 3) | (1 << (pos & 7))).toByte
+      }
+      b
+    }
+    override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < a.length) { a(i) = (a(i) | b(i)).toByte; i += 1 }
+      a
+    }
+    override def finish(r: Array[Byte]): Array[Byte] = r
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    override def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+  }
+
   private val OpSetProperties = "setproperties"
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
@@ -2290,7 +2459,8 @@ object TxTable {
       mtimeMs: Long = 0L,
       dvPath: Option[String] = None,
       dvRows: Long = 0L,
-      rows: Long = -1L)
+      rows: Long = -1L,
+      bloom: Map[String, String] = Map.empty)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -2423,6 +2593,10 @@ object TxTable {
           ()
         }
         if (f.rows >= 0) fo.put("rows", f.rows)
+        if (f.bloom.nonEmpty) {
+          val bo = fo.putObject("bloom")
+          f.bloom.foreach { case (k, v) => bo.put(k, v) }
+        }
         ()
       }
 
@@ -2445,7 +2619,8 @@ object TxTable {
             Option(f.get("mtime")).map(_.asLong()).getOrElse(0L),
             Option(f.get("dv")).map(_.asText()),
             Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L),
-            Option(f.get("rows")).map(_.asLong()).getOrElse(-1L))
+            Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
+            strMap(f, "bloom"))
         }
       }.getOrElse(Seq.empty)
 

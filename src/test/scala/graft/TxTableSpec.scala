@@ -1015,8 +1015,8 @@ class TxTableSpec extends SparkSpec {
     val streamed = EventsStream.runAvailableNow(spark, sq, "dv_snap",
       org.apache.spark.sql.streaming.OutputMode.Complete())
     assert(streamed.head.getLong(0) == 3700)
-    // copy-on-write UPDATE on a DV'd file must not resurrect deleted
-    // rows, and the rewritten file drops its vector
+    // UPDATE on a DV'd file (merge-on-read under this handle) must
+    // not resurrect deleted rows
     t.updateWhere(col("id") === 350L, Map("score" -> lit(-1.0)))
     assert(t.read().count() == 3700)
     assert(t.read().agg(min("id")).head.getLong(0) == 300L)
@@ -1131,6 +1131,56 @@ class TxTableSpec extends SparkSpec {
       .count() == 1)
     assert(feed.where(col(TxTable.ChangeTypeCol) === "update_postimage")
       .where(col("score") === 99.0).count() == 1)
+  }
+
+  test("merge-on-read UPDATE: vector hides the pre-image, replacements " +
+      "append, relocation and CDF work") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dv_upd") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true, changeDataFeed = true)
+    t.overwrite((0 until 4000).map(i => (i.toLong, i * 1.0, i % 3))
+      .toDF("id", "score", "grp").repartitionByRange(4, col("id")))
+    val before = t.fileEntries(0).map(_.path)
+    val sizes = before.map(p => p -> new java.io.File(s"$dir/$p").length()).toMap
+    val v1 = t.updateWhere(col("id") === 1234L, Map("score" -> lit(-1.0)))
+    // every original data file byte-identical; the replacement row
+    // appended as a new file; the old position vectored
+    val after = t.fileEntries(v1)
+    before.foreach { p =>
+      assert(new java.io.File(s"$dir/$p").length() == sizes(p),
+        s"MoR update must not rewrite $p")
+    }
+    assert(after.map(_.path).toSet.intersect(before.toSet) == before.toSet)
+    assert(after.size == before.size + 1, "one appended replacement file")
+    assert(after.map(_.dvRows).sum == 1)
+    assert(t.read().count() == 4000)
+    assert(t.read().where(col("id") === 1234L).head.getDouble(1) == -1.0)
+    // CDF captured the pre/post images
+    val feed = t.changeFeed(v1 - 1)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_preimage")
+      .head.getDouble(1) == 1234.0)
+    assert(feed.where(col(TxTable.ChangeTypeCol) === "update_postimage")
+      .head.getDouble(1) == -1.0)
+    // a later MoR delete accumulates into the same vector machinery
+    t.deleteWhere(col("id") === 1234L)
+    assert(t.read().where(col("id") === 1234L).count() == 0)
+    assert(t.read().count() == 3999)
+    // relocation: updating a hive-partition column moves the row via
+    // vector + append, partition pruning still serves it
+    val pdir = EventsStream.scratchDir("tx_dv_upd_part") + "/t"
+    val tp = TxTable(spark, pdir, deletionVectors = true)
+    tp.overwrite((0 until 90).map(i =>
+        (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value"), partitionBy = Seq("event_type"))
+    val pBefore = tp.fileEntries(tp.versions.last).map(_.path).toSet
+    tp.updateWhere(col("id") === 0L, Map("event_type" -> lit("purchase")))
+    assert(tp.fileEntries(tp.versions.last).map(_.path).toSet
+      .intersect(pBefore) == pBefore, "no partition file rewritten")
+    assert(tp.readWhere(p => p("event_type") == "purchase")
+      .where(col("id") === 0L).count() == 1, "row relocated to the new partition")
+    assert(tp.readWhere(p => p("event_type") == "click")
+      .where(col("id") === 0L).count() == 0)
+    assert(tp.read().count() == 90)
   }
 
   test("purgeDeletes rewrites only files over the deleted-fraction " +
