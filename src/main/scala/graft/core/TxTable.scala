@@ -511,9 +511,25 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     manifest(v).files.exists(_.dvPath.isDefined)
 
   private[graft] def scanRelation(v: Long): org.apache.spark.sql.sources.BaseRelation = {
-    if (snapshotHasDv(v))
+    if (snapshotHasDv(v)) {
+      // deletion-vector snapshots cannot be a bare parquet file list
+      // (live rows = scan minus DV), but file-level skipping still
+      // applies: the relation rebuilds its DataFrame PER QUERY from
+      // the pushed filters, zone-map/bloom-pruning the entry list
+      // before the DV anti-join plan is even constructed
+      val m = manifest(v)
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val visible = StructType(schema.fields.filterNot(f =>
+        f.name == BucketCol || f.name.startsWith(PartShadowPrefix)).toSeq)
       return org.apache.spark.sql.graft.StreamShims.dataFrameRelation(
-        readVersion(v))
+        StructType(visible.fields.map(_.copy(nullable = true)).toSeq),
+        spark,
+        filters => {
+          val keep = candidateFilter(schema,
+            sourcesToCatalyst(schema, filters))
+          readEntries(m, m.files.filter(keep))
+        })
+    }
     val m = manifest(v)
     val full = StructType.fromDDL(m.schemaDdl)
     val visible = StructType(full.fields.filterNot(f =>
@@ -1529,6 +1545,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       : FileEntry => Boolean = {
     val constraints = rangeConstraintsOf(schema, preds)
     val eqHashes = equalityHashesOf(schema, preds)
+    val inLists = inConstraintsOf(schema, preds)
     f => constraints.forall {
       case (field, lo, hi) =>
         try
@@ -1543,6 +1560,103 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // files without a filter for the column are kept; a definite
       // bloom miss is a sound prune (no false negatives)
       f.bloom.get(c).forall(enc => TxTable.bloomMightContain(enc, h))
+    } && inLists.forall { case (field, values) =>
+      // IN-list: the file survives iff SOME value could be present —
+      // inside the [min,max] range AND (when a bloom exists) possibly
+      // in the filter. Disjunction of the per-value tests, each sound.
+      values.exists { case (b, h) =>
+        val rangeOk = try
+          b.forall(bs =>
+            f.max.get(field.name).forall(mx =>
+              statCmp(field.dataType, mx, bs) >= 0) &&
+            f.min.get(field.name).forall(mn =>
+              statCmp(field.dataType, mn, bs) <= 0))
+          catch { case _: IllegalArgumentException => true }
+        val bloomOk = h.forall(hv =>
+          f.bloom.get(field.name).forall(enc =>
+            TxTable.bloomMightContain(enc, hv)))
+        rangeOk && bloomOk
+      }
+    }
+  }
+
+  /** Pushed V1 source filters as catalyst conjuncts for the candidate
+    * test — only shapes the constraint extractors understand convert
+    * (EqualTo/comparisons/In over direct columns with non-null
+    * values); everything else (Or, string predicates, null tests)
+    * contributes no constraint, which keeps pruning conservative. */
+  private[graft] def sourcesToCatalyst(schema: StructType,
+      filters: Seq[org.apache.spark.sql.sources.Filter])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.sources
+    def ref(name: String) = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .map(f => (AttributeReference(f.name, f.dataType)(), f.dataType))
+    def lit(v: Any, dt: org.apache.spark.sql.types.DataType) =
+      try Some(Literal.create(v, dt))
+      catch { case _: RuntimeException => None }
+    filters.flatMap {
+      case sources.EqualTo(c, v) if v != null => for {
+        (a, dt) <- ref(c); l <- lit(v, dt) } yield EqualTo(a, l)
+      case sources.GreaterThan(c, v) if v != null => for {
+        (a, dt) <- ref(c); l <- lit(v, dt) } yield GreaterThan(a, l)
+      case sources.GreaterThanOrEqual(c, v) if v != null => for {
+        (a, dt) <- ref(c); l <- lit(v, dt) } yield GreaterThanOrEqual(a, l)
+      case sources.LessThan(c, v) if v != null => for {
+        (a, dt) <- ref(c); l <- lit(v, dt) } yield LessThan(a, l)
+      case sources.LessThanOrEqual(c, v) if v != null => for {
+        (a, dt) <- ref(c); l <- lit(v, dt) } yield LessThanOrEqual(a, l)
+      case sources.In(c, vs) if vs != null && vs.nonEmpty =>
+        ref(c).flatMap { case (a, dt) =>
+          val ls = vs.toSeq.filter(_ != null).flatMap(v => lit(v, dt))
+          if (ls.isEmpty) None else Some(In(a, ls))
+        }
+      case _ => None
+    }
+  }
+
+  /** IN-list conjuncts (both the `In` and optimizer-converted `InSet`
+    * shapes) over a DIRECT attribute: per value, an optional
+    * statCmp-space bound (range test) and an optional xxhash64 (bloom
+    * test when the value's type matches the column exactly). Empty or
+    * null-only lists contribute no constraint. */
+  private def inConstraintsOf(schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(org.apache.spark.sql.types.StructField, Seq[(Option[String], Option[Long])])] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, Attribute, Expression, In, InSet, Literal, XxHash64}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    def boundStr(l: Literal): Option[String] = l match {
+      case Literal(null, _) => None
+      case Literal(x, dt)   => dt match {
+        case StringType => Some(x.toString)
+        case FloatType  => Some(x.asInstanceOf[Float].toDouble.toString)
+        case ByteType | ShortType | IntegerType | LongType | DoubleType |
+             _: DecimalType => Some(x.toString)
+        case org.apache.spark.sql.types.DateType =>
+          Some(java.time.LocalDate.ofEpochDay(
+            x.asInstanceOf[Int].toLong).toString)
+        case _ => None
+      }
+    }
+    def mk(a: Attribute, lits: Seq[Literal]) =
+      schema.fields.find(_.name == a.name).map { f =>
+        f -> lits.filter(_.value != null).map { l =>
+          val hash =
+            if (l.dataType == f.dataType)
+              Some(new XxHash64(Seq(l)).eval(null).asInstanceOf[Long])
+            else None
+          (boundStr(l), hash)
+        }
+      }.filter(_._2.nonEmpty)
+    preds.flatMap(conjuncts).flatMap {
+      case In(a: Attribute, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        mk(a, vs.map(_.asInstanceOf[Literal]))
+      case InSet(a: Attribute, hset) =>
+        mk(a, hset.toSeq.map(v => Literal(v, a.dataType))) // internal reps
+      case _ => None
     }
   }
 

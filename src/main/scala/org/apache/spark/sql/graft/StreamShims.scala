@@ -147,13 +147,22 @@ object StreamShims {
     * the scan is harmless and keeps correctness independent of the
     * translation's coverage). */
   def dataFrameRelation(df0: DataFrame): org.apache.spark.sql.sources.BaseRelation =
+    dataFrameRelation(df0.schema, df0.sparkSession, _ => df0)
+
+  /** The filter-driven variant: `build` constructs the DataFrame PER
+    * QUERY from the pushed filters, so the caller can prune its file
+    * list (zone maps / blooms) before the plan exists. */
+  def dataFrameRelation(relSchema: org.apache.spark.sql.types.StructType,
+      session: org.apache.spark.sql.SparkSession,
+      build: Seq[org.apache.spark.sql.sources.Filter] => DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation =
     new org.apache.spark.sql.sources.BaseRelation
       with org.apache.spark.sql.sources.PrunedFilteredScan {
     import org.apache.spark.sql.{functions => F}
     import org.apache.spark.sql.sources
-    private val spark = df0.sparkSession.asInstanceOf[ClassicSession]
+    private val spark = session.asInstanceOf[ClassicSession]
     override def sqlContext: org.apache.spark.sql.SQLContext = spark.sqlContext
-    override def schema: org.apache.spark.sql.types.StructType = df0.schema
+    override def schema: org.apache.spark.sql.types.StructType = relSchema
     override def needConversion: Boolean = false
     override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
       filters
@@ -180,6 +189,7 @@ object StreamShims {
       }
     override def buildScan(requiredColumns: Array[String],
         filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+      val df0 = build(filters.toSeq)
       val filtered = filters.flatMap(columnOfFilter)
         .foldLeft(df0)((d, c) => d.where(c))
       // exactly the requested columns — an empty request (count(*))

@@ -363,12 +363,43 @@ class TxTableSourceSpec extends SparkSpec {
     val sqlProbe = spark.sql(
       s"SELECT count(*) AS n FROM txtable.`$dir` WHERE id = 2000")
     assert(sqlProbe.head.getLong(0) == 1)
+    // IN-list probes skip through the same filters (both the In and
+    // the optimizer's InSet shape — a long list converts)
+    val inProbe = spark.read.format(fmt).load(dir)
+      .where(col("id").isin(10L, 2000L, 3999L))
+    assert(inProbe.count() == 3)
+    assert(filesScanned(inProbe) <= 4,
+      "a 3-value IN should touch at most value-count + FP files")
+    val inMiss = spark.read.format(fmt).load(dir)
+      .where(col("id").isin((100000L until 100040L): _*))
+    assert(inMiss.count() == 0)
+    assert(filesScanned(inMiss) <= 1, "an all-absent IN list skips everything")
     // correctness unharmed: full scan still serves everything
     assert(spark.read.format(fmt).load(dir).count() == 4000)
     // predicate DML planning shares the candidate test: a MoR-style
     // delete of one key only discovers in bloom-kept files
     t.deleteWhere(col("id") === 1234L)
     assert(spark.read.format(fmt).load(dir).count() == 3999)
+    // the DV snapshot's per-query relation still file-prunes: the
+    // pushed equality translates back to a catalyst constraint and
+    // the bloom isolates the probe before the anti-join plan exists
+    val tblSchema = new org.apache.spark.sql.types.StructType()
+      .add("id", org.apache.spark.sql.types.LongType)
+      .add("score", org.apache.spark.sql.types.DoubleType)
+    val exprs = t.sourcesToCatalyst(tblSchema,
+      Seq(org.apache.spark.sql.sources.EqualTo("id", 2000L)))
+    assert(exprs.size == 1)
+    val kept = t.fileEntries(t.versions.last)
+      .filter(t.candidateFilter(tblSchema, exprs))
+    assert(kept.size <= 2,
+      s"bloom pruning must survive the DV snapshot — kept ${kept.size}")
+    // and the DV-relation read stays correct under pushed filters
+    val dvProbe = spark.read.format(fmt).load(dir)
+      .where(col("id") === 2000L)
+    assert(dvProbe.count() == 1)
+    assert(spark.read.format(fmt).load(dir)
+      .where(col("id").isin(10L, 1234L, 2000L)).count() == 2,
+      "the vectored row stays deleted through the pruned relation")
   }
 
   test("format and SQL reads skip files via manifest zone maps; " +
