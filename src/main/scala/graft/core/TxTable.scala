@@ -1559,7 +1559,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     } && eqHashes.forall { case (c, h) =>
       // files without a filter for the column are kept; a definite
       // bloom miss is a sound prune (no false negatives)
-      f.bloom.get(c).forall(enc => TxTable.bloomMightContain(enc, h))
+      bloomsOf(f).get(c).forall(enc => TxTable.bloomMightContain(enc, h))
     } && inLists.forall { case (field, values) =>
       // IN-list: the file survives iff SOME value could be present —
       // inside the [min,max] range AND (when a bloom exists) possibly
@@ -1573,7 +1573,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
               statCmp(field.dataType, mn, bs) <= 0))
           catch { case _: IllegalArgumentException => true }
         val bloomOk = h.forall(hv =>
-          f.bloom.get(field.name).forall(enc =>
+          bloomsOf(f).get(field.name).forall(enc =>
             TxTable.bloomMightContain(enc, hv)))
         rangeOk && bloomOk
       }
@@ -2018,7 +2018,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // deletion-vector side-files are live exactly as long as an entry
     // referencing them is — same rule as data files
     def withDv(es: Seq[FileEntry]): Seq[String] =
-      es.map(_.path) ++ es.flatMap(_.dvPath)
+      es.map(_.path) ++ es.flatMap(_.dvPath) ++ es.flatMap(_.bloomSidecar)
     val live: Set[String] = versions.flatMap { v =>
       // CDC files are referenced ONLY by their commit's delta — they
       // live exactly as long as the log entry that could serve them
@@ -2098,6 +2098,28 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val stats =
       if (effStats && withStats) collectFileStats(dst, df.schema)
       else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String])]
+    // sidecar mode: the write batch's blooms land in ONE JSON beside
+    // the data files (path → col → filter), entries carry only its
+    // path — manifest/checkpoint bytes stay O(entries) however many
+    // columns are bloomed
+    val sidecar: Option[String] =
+      if (!bloomSidecarMode || !stats.exists(_._2._4.nonEmpty)) None
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val node = om.createObjectNode()
+        stats.foreach { case (rel, (_, _, _, blooms)) =>
+          if (blooms.nonEmpty) {
+            val fo = node.putObject(rel)
+            blooms.foreach { case (c, enc) => fo.put(c, enc) }
+          }
+        }
+        val p = new Path(dst, "_blooms.json")
+        val out = fs.create(p, false)
+        try out.write(om.writeValueAsString(node)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        Some(relativize(p))
+      }
     val it = fs.listFiles(dst, true)
     val entries = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
     while (it.hasNext) {
@@ -2108,11 +2130,44 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           (Map.empty[String, String], Map.empty[String, String], -1L,
             Map.empty[String, String]))
         entries += FileEntry(rel, parsePartition(rel), mins, maxs,
-          st.getLen, st.getModificationTime, rows = n, bloom = blooms)
+          st.getLen, st.getModificationTime, rows = n,
+          bloom = if (sidecar.isDefined) Map.empty else blooms,
+          bloomSidecar = if (blooms.nonEmpty) sidecar else None)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
   }
+
+  private def bloomSidecarMode: Boolean =
+    latestVersion.flatMap(v => manifest(v).properties
+      .get(TxTable.PropBloomStorage)).exists(_.trim.equalsIgnoreCase("sidecar"))
+
+  /** Blooms for one entry: inline, or resolved through its sidecar
+    * (loaded once per JVM — write-once content). Unreadable sidecars
+    * yield no filters, which keeps the file (pruning stays sound). */
+  private def bloomsOf(f: FileEntry): Map[String, String] =
+    if (f.bloom.nonEmpty) f.bloom
+    else f.bloomSidecar.fold(Map.empty[String, String]) { rel =>
+      val key = fs.makeQualified(new Path(root, rel)).toString
+      TxTable.sidecarCache.computeIfAbsent(key, _ =>
+        try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(readLogFile(new Path(root, rel)))
+          val it = n.fields()
+          val b = Map.newBuilder[String, Map[String, String]]
+          while (it.hasNext) {
+            val e = it.next()
+            val cit = e.getValue.fields()
+            val cb = Map.newBuilder[String, String]
+            while (cit.hasNext) {
+              val ce = cit.next(); cb += ce.getKey -> ce.getValue.asText()
+            }
+            b += e.getKey -> cb.result()
+          }
+          b.result()
+        } catch { case _: java.io.IOException => Map.empty }
+      ).getOrElse(f.path, Map.empty)
+    }
 
   /** One aggregation pass over a fresh write dir: per file, min/max of
     * every stats-eligible column (string-encoded) plus the row count
@@ -2422,6 +2477,18 @@ object TxTable {
     * is the 10⁶-file evolution, as in Delta/Iceberg). */
   val PropBloomColumns = "graft.bloomFilterColumns"
   val PropBloomBits = "graft.bloomFilterBits"
+  /** Where Bloom filters live: `manifest` (default — inline in every
+    * log entry, simplest, right for modest file counts) or `sidecar`
+    * (one JSON per write batch referenced by path — manifest and
+    * checkpoint bytes stay O(entries), the Delta/Iceberg
+    * index-sidecar discipline for 10⁶-file tables; planning loads a
+    * sidecar once per JVM, driver-side, no Spark job). */
+  val PropBloomStorage = "graft.bloomFilterStorage"
+
+  /** JVM-wide sidecar cache — sidecar files are write-once, so any
+    * loaded content is valid forever. Keyed by qualified path. */
+  private val sidecarCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Map[String, String]]]()
 
   /** Bloom encoding/probing over xxhash64 values (Spark's own
     * `xxhash64` with its default seed, so the write-side column hash
@@ -2574,7 +2641,8 @@ object TxTable {
       dvPath: Option[String] = None,
       dvRows: Long = 0L,
       rows: Long = -1L,
-      bloom: Map[String, String] = Map.empty)
+      bloom: Map[String, String] = Map.empty,
+      bloomSidecar: Option[String] = None)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -2711,6 +2779,7 @@ object TxTable {
           val bo = fo.putObject("bloom")
           f.bloom.foreach { case (k, v) => bo.put(k, v) }
         }
+        f.bloomSidecar.foreach { p => fo.put("bloom_sidecar", p); () }
         ()
       }
 
@@ -2734,7 +2803,8 @@ object TxTable {
             Option(f.get("dv")).map(_.asText()),
             Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L),
             Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
-            strMap(f, "bloom"))
+            strMap(f, "bloom"),
+            Option(f.get("bloom_sidecar")).map(_.asText()))
         }
       }.getOrElse(Seq.empty)
 

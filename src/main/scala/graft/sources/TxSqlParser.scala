@@ -322,6 +322,9 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * delegate: Spark's grammar has no HISTORY clause to extend. */
   private val DescribeHistory =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  /** One-row table summary (the Delta DESCRIBE DETAIL shape). */
+  private val DescribeDetail =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   /** Maintenance verbs Spark's grammar lacks entirely — matched ahead
     * of the delegate like DESCRIBE HISTORY. `OPTIMIZE` = compaction
@@ -340,6 +343,21 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*REORG\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case DescribeDetail(path) =>
+      import session.implicits._
+      val t = TxTable(session, path)
+      val v = t.latestVersion.getOrElse(
+        sys.error(s"$path has no committed snapshots"))
+      val fsz = t.fileEntries(v)
+      Seq((path, v, fsz.size.toLong,
+        fsz.map(f => math.max(f.bytes, 0L)).sum,
+        fsz.map(_.dvRows).sum,
+        t.bucketKeys.map(_.mkString(",")).getOrElse(""),
+        t.properties.map { case (k, pv) => s"$k=$pv" }.toSeq.sorted
+          .mkString(";")))
+        .toDF("location", "version", "num_files", "size_bytes",
+          "dv_rows", "bucket_keys", "properties")
+        .queryExecution.logical
     case DescribeHistory(path) =>
       import session.implicits._
       TxTable(session, path).history().reverse

@@ -329,6 +329,24 @@ class TxTableSourceSpec extends SparkSpec {
     scans.map(_.metrics("numFiles").value).sum
   }
 
+  test("DESCRIBE DETAIL summarizes location, version, files, DV rows, " +
+      "layout, and properties") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_detail")
+    t.overwriteBucketed(df(0 until 100), bucketCols = Seq("id"), nBuckets = 4)
+    val t2 = graft.core.TxTable(spark, dir, deletionVectors = true)
+    t2.setProperties(Map("team" -> "ingest"))
+    t2.deleteWhere(col("id") < 10L)
+    val d = spark.sql(s"DESCRIBE DETAIL txtable.`$dir`").head()
+    assert(d.getString(0) == dir)
+    assert(d.getLong(1) == t.versions.last)
+    assert(d.getLong(2) == t.fileEntries(t.versions.last).size.toLong)
+    assert(d.getLong(3) > 0, "size_bytes from the manifest")
+    assert(d.getLong(4) == 10L, "vectored rows surface")
+    assert(d.getString(5) == "id")
+    assert(d.getString(6).contains("team=ingest"))
+  }
+
   test("bloom filters skip equality probes on shuffled layouts where " +
       "zone maps cannot") {
     import spark.implicits._

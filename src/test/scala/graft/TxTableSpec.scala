@@ -1183,6 +1183,72 @@ class TxTableSpec extends SparkSpec {
     assert(tp.read().count() == 90)
   }
 
+  test("bloom sidecar storage: filters move out of the log, pruning and " +
+      "vacuum lifecycle unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal}
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructType => ST}
+    val dir = EventsStream.scratchDir("tx_bloom_side") + "/t"
+    val t = TxTable(spark, dir)
+    t.overwrite((0 until 4000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartition(8))
+    t.setProperties(Map(
+      TxTable.PropBloomColumns -> "id",
+      TxTable.PropBloomStorage -> "sidecar"))
+    t.compact(targetFileBytes = 8192)
+    val entries = t.fileEntries(t.versions.last)
+    assert(entries.forall(_.bloom.isEmpty),
+      "sidecar mode must keep filters OUT of the log entries")
+    assert(entries.forall(_.bloomSidecar.isDefined))
+    assert(entries.map(_.bloomSidecar.get).distinct.size == 1,
+      "one sidecar per write batch, shared by its files")
+    // pruning works through the sidecar exactly like inline
+    val schema = new ST().add("id", LongType).add("score", DoubleType)
+    val probe = Seq(EqualTo(
+      AttributeReference("id", LongType)(), Literal(2000L)))
+    val kept = entries.count(t.candidateFilter(schema, probe))
+    assert(kept <= 2, s"sidecar blooms must prune — kept $kept of ${entries.size}")
+    assert(t.read().where(col("id") === 2000L).count() == 1)
+    // the sidecar survives vacuum while referenced, sweeps with expiry
+    val side = s"$dir/${entries.head.bloomSidecar.get}"
+    t.vacuum(minAgeMs = 0)
+    assert(new java.io.File(side).exists(), "referenced sidecar must survive")
+    t.overwrite(Seq((1L, 1.0)).toDF("id", "score"))
+    t.expireSnapshots(keepLast = 1)
+    t.vacuum(minAgeMs = 0)
+    assert(!new java.io.File(side).exists(),
+      "expired sidecar must sweep with its entries")
+  }
+
+  test("concurrent MoR deletes: disjoint files auto-rebase, same-file " +
+      "race conflicts loudly") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_dv_race") + "/t"
+    val t = TxTable(spark, dir, deletionVectors = true)
+    t.overwrite((0 until 8000).map(i => (i.toLong, i * 1.0))
+      .toDF("id", "score").repartitionByRange(8, col("id")))
+    // disjoint ranges → disjoint files: both threads must land
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = TxTable(spark, dir, deletionVectors = true)
+          .deleteWhere(col("id") < 100L)
+      })
+      val fb = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = TxTable(spark, dir, deletionVectors = true)
+          .deleteWhere(col("id") >= 7900L)
+      })
+      fa.get(); fb.get()
+    } finally pool.shutdown()
+    assert(t.versions.length == 3, "both MoR deletes must commit")
+    assert(t.read().count() == 7800)
+    assert(t.read().agg(min("id")).head.getLong(0) == 100L)
+    assert(t.read().agg(max("id")).head.getLong(0) == 7899L)
+    // same-file sequential deletes still accumulate (no self-conflict)
+    t.deleteWhere(col("id") < 200L)
+    assert(t.read().count() == 7700)
+  }
+
   test("purgeDeletes rewrites only files over the deleted-fraction " +
       "threshold; REORG SQL verb; feeds skip the purge") {
     import spark.implicits._
