@@ -1865,6 +1865,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * columns, the curve serves the rest. Bucketed tables are refused:
     * the bucket function owns the file mapping. The rewrite commits
     * like any [[compact]] — readers flip manifests, never block. */
+  /** The OPTIMIZE entry point: z-order along the table's
+    * [[TxTable.PropZOrderColumns]] property when set (the table
+    * remembers its own clustering policy — maintenance jobs need no
+    * per-table configuration), plain [[compact]] otherwise. */
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val zcols = latestVersion.map(v => manifest(v).properties
+        .getOrElse(TxTable.PropZOrderColumns, ""))
+      .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    if (zcols.nonEmpty) compactZOrder(zcols, targetFileBytes)
+    else compact(targetFileBytes)
+  }
+
   def compactZOrder(zCols: Seq[String],
       targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     require(zCols.size >= 2 && zCols.size <= 3,
@@ -2484,6 +2496,10 @@ object TxTable {
     * index-sidecar discipline for 10⁶-file tables; planning loads a
     * sidecar once per JVM, driver-side, no Spark job). */
   val PropBloomStorage = "graft.bloomFilterStorage"
+  /** Comma-separated default z-order curve columns: a bare `OPTIMIZE`
+    * (SQL) or [[TxTable.optimize]] clusters along these instead of a
+    * plain compaction — the table remembers its own layout policy. */
+  val PropZOrderColumns = "graft.zorderColumns"
 
   /** JVM-wide sidecar cache — sidecar files are write-once, so any
     * loaded content is valid forever. Keyed by qualified path. */

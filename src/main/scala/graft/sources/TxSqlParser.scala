@@ -364,8 +364,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         .toDF("version", "operation", "n_files").queryExecution.logical
     case Optimize(path, zcols) =>
       val t = TxTable(session, path)
+      // a bare OPTIMIZE honors the table's own clustering policy
+      // (graft.zorderColumns property) — explicit ZORDER BY overrides
       val v =
-        if (zcols == null) t.compact()
+        if (zcols == null) t.optimize()
         else t.compactZOrder(zcols.split(',').toSeq
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
       dmlResult("optimize", v)

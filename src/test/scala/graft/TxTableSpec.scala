@@ -1183,6 +1183,36 @@ class TxTableSpec extends SparkSpec {
     assert(tp.read().count() == 90)
   }
 
+  test("optimize honors the table's z-order property; explicit ZORDER BY " +
+      "overrides") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_opt_prop") + "/t"
+    val t = TxTable(spark, dir)
+    // a row-major grid: x-sorted files skip nothing on y until z-ordered
+    t.overwrite((0 until 64).flatMap(x => (0 until 64).map(y =>
+        (x.toLong, y.toLong, s"v$x-$y")))
+      .toDF("x", "y", "v").repartitionByRange(8, col("x")))
+    t.setProperties(Map(TxTable.PropZOrderColumns -> "x, y"))
+    // small target keeps several files so the skip is observable
+    t.optimize(targetFileBytes = 4096)
+    assert(t.history().last._2 == "compact")
+    // both curve dimensions now skip on range reads
+    val nAll = t.fileEntries(t.versions.last).size
+    assert(nAll >= 4, s"expected several optimized files, got $nAll")
+    def scanned(c: String) = {
+      val reads = t.readWhereRange(c, 0L, 7L)
+      assert(reads.count() == 8 * 64)
+      reads.inputFiles.length
+    }
+    assert(scanned("x") < nAll && scanned("y") < nAll,
+      "the property-driven optimize must z-order BOTH dimensions")
+    assert(t.read().count() == 64 * 64)
+    // the bare SQL verb rides the same property-aware entry point
+    val r = spark.sql(s"OPTIMIZE txtable.`$dir`").head()
+    assert(r.getString(0) == "optimize")
+    assert(t.read().count() == 64 * 64)
+  }
+
   test("bloom sidecar storage: filters move out of the log, pruning and " +
       "vacuum lifecycle unchanged") {
     import spark.implicits._
