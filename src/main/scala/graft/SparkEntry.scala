@@ -471,6 +471,32 @@ object SparkEntry {
         .select(col("o_orderpriority"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
     }),
+    // x15: column mapping — RENAME/DROP/ADD COLUMN as metadata-only
+    // commits (physical parquet names frozen at column birth; a
+    // dropped column's physical name retires, so the re-added
+    // c_acctbal starts all-NULL instead of resurrecting the old
+    // bytes); the append then fills the fresh column for odd keys.
+    // The oracle replays the same history relationally.
+    "x15_tx_column_mapping" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_colmap") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val c = Tables.customer(s, d)
+      t.overwrite(c.where(col("c_custkey") % 2 === 0)
+        .select("c_custkey", "c_mktsegment", "c_acctbal"))
+      t.renameColumn("c_mktsegment", "segment")
+      t.dropColumn("c_acctbal")
+      t.addColumn("c_acctbal", org.apache.spark.sql.types.DoubleType)
+      t.append(c.where(col("c_custkey") % 2 === 1)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"),
+          col("c_acctbal")))
+      t.read()
+        .groupBy("segment")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_acctbal")).as("n_with_balance"),
+          Relational.decSum(col("c_acctbal")).as("sum_balance"))
+        .orderBy("segment")
+    }),
     // x13: full-clause MERGE — conditional DELETE + arithmetic UPDATE
     // + explicit-assignment INSERT in one statement over a bucketed
     // table (the complete WHEN [NOT] MATCHED grammar; the oracle
@@ -756,6 +782,65 @@ object SparkEntry {
     }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
     "t7_term_weights"    -> ((s, d) => TextOps.termWeights(Tables.documents(s, d))),
+    // t8: sequence packing — concat-and-chunk per bounded stratum
+    // (lang × contiguous doc_id band): windows stay task-sized and
+    // strata pack in parallel, the per-shard packing a tokenizer
+    // pipeline runs at 100 TB (never a global sort). Gated on per-lang
+    // chunk statistics against the identical window replay in DuckDB.
+    "t8_seq_pack"        -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+        .withColumn("band", floor(col("doc_id") / 1000))
+      val packed = graft.ops.Corpus.packSequences(
+        docs, "text", budget = 2048, strata = Seq("lang", "band"),
+        orderCol = "doc_id")
+      packed.groupBy("lang", "band", "chunk")
+        .agg(count(lit(1)).as("docs_in_chunk"),
+          sum(col("n_tokens")).as("chunk_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("docs_in_chunk")).as("n_docs"),
+          sum(col("chunk_tokens")).as("n_tokens"),
+          max(col("docs_in_chunk")).as("max_docs_per_chunk"),
+          sum(when(col("chunk_tokens") > 2048, 1L).otherwise(0L))
+            .as("n_overfull"))
+        .orderBy("lang")
+    }),
+    // t9: PII redaction — email/phone patterns in the RE2 ∩ Java
+    // common subset, so DuckDB replays the SAME regexes and the
+    // redacted text is bit-identical; the fixture corpus carries no
+    // PII, so the gate plants a deterministic contact line per doc
+    // (one map-side projection either way, zero shuffle)
+    "t9_pii_redact"      -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val planted = Tables.documents(s, d)
+        .withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or +1-555-"), col("doc_id"),
+          lit("-0199 now")))
+      graft.ops.Corpus.redactPii(planted, "text")
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_emails")).as("emails_redacted"),
+          sum(col("n_phones")).as("phones_redacted"),
+          sum(length(col("text_redacted"))).as("redacted_chars"))
+        .orderBy("lang", "source")
+    }),
+    // t10: domain mixing — deterministic per-source rate sampling via
+    // a fixed congruential mix of doc_id (scan-side filter, no
+    // shuffle, reproducible across engines; a production variant
+    // swaps in xxhash64 — same shape, no SQL twin). Sources without a
+    // rate keep everything.
+    "t10_domain_mix"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val mixed = graft.ops.Corpus.weightedSample(
+        Tables.documents(s, d), "doc_id", "source",
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+      mixed.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source")
+    }),
     // the composed cleaning pipeline (quality → langid → exact dedup
     // → near-dup cluster dedup), gated end-to-end
     "p1_clean_corpus"    -> ((s, d) =>
@@ -1230,6 +1315,19 @@ object SparkEntry {
         |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE)
         |    AS sum_balance
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x15's oracle replays the alter history relationally: even keys
+    // went in before c_acctbal was dropped and re-added (their
+    // balances read back NULL from the fresh physical column), odd
+    // keys appended after carry real balances under the renamed
+    // segment column
+    "x15_tx_column_mapping" ->
+      """SELECT c_mktsegment AS segment, count(*) AS n_rows,
+        |  count(CASE WHEN c_custkey % 2 = 1 THEN c_acctbal END)
+        |    AS n_with_balance,
+        |  CAST(round(sum(CASE WHEN c_custkey % 2 = 1
+        |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE)
+        |    AS sum_balance
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     // x4's oracle recomputes the merged table relationally: target
     // rows whose key the source does not claim, plus all source rows
     "x4_tx_merge" ->
@@ -1452,6 +1550,69 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(weight, 6) AS weight,
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // t8: identical window replay — chunk = floor(tokens-before/2048)
+    // within (lang, band), then the same two-level rollup
+    "t8_seq_pack" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(floor(doc_id / 1000.0) AS BIGINT) AS band,
+        |    doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT lang, band, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY lang, band ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2048.0) AS BIGINT) AS chunk
+        |  FROM d),
+        |c AS (
+        |  SELECT lang, band, chunk, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS chunk_tokens
+        |  FROM p GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_chunks,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens,
+        |  CAST(max(n_docs) AS BIGINT) AS max_docs_per_chunk,
+        |  CAST(sum(CASE WHEN chunk_tokens > 2048 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_overfull
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // t9: the same planted contact line, the same regexes (RE2 ∩ Java
+    // subset), redaction replayed with the 'g' flag
+    "t9_pii_redact" ->
+      """WITH planted AS (
+        |  SELECT lang, source,
+        |    text || ' contact user' || doc_id ||
+        |      '@mail.example.com or +1-555-' || doc_id || '-0199 now'
+        |      AS text
+        |  FROM documents),
+        |red AS (
+        |  SELECT lang, source,
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+        |    len(regexp_extract_all(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9-]{7,}[0-9]')) AS n_phones,
+        |    regexp_replace(
+        |      regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\+?[0-9][0-9-]{7,}[0-9]', '<PHONE>', 'g') AS text_redacted
+        |  FROM planted)
+        |SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS emails_redacted,
+        |  CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
+        |  CAST(sum(length(text_redacted)) AS BIGINT) AS redacted_chars
+        |FROM red GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t10: the congruential mix replayed in plain arithmetic
+    "t10_domain_mix" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE (doc_id * 2654435761 + 12345) % 1000 <
+        |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
+        |    WHEN 'src2' THEN 250 WHEN 'src3' THEN 100 ELSE 1000 END
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "p1_clean_corpus" ->
       s"""WITH RECURSIVE
         |t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),

@@ -302,7 +302,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val removed = d.remove.toSet
     Manifest(d.version, d.operation, d.schemaDdl,
       prev.files.filterNot(f => removed(f.path)) ++ d.add,
-      d.partitionCols, d.bucketSpec, prev.txns ++ d.txn, d.properties)
+      d.partitionCols, d.bucketSpec, prev.txns ++ d.txn, d.properties,
+      d.colMap, d.retired)
   }
 
   /** File entries of snapshot `v` (path + partition values) — the
@@ -330,6 +331,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
 
   /** The table's root directory as given to [[TxTable.apply]]. */
   def location: String = root.toString
+
+  /** True iff the latest snapshot carries any logical→physical column
+    * rename (read relations then cannot be bare parquet file lists). */
+  private[graft] def hasColumnMapping: Boolean =
+    latestVersion.exists(v => manifest(v).colMap.nonEmpty)
 
   /** The key columns of a bucketed layout, if any — what
     * [[merge]]/[[upsert]]/[[deleteKeys]] route on (and what a SQL
@@ -370,6 +376,131 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     Pending(TxTable.OpSetProperties, cur.files, cur.schemaDdl,
       cur.partitionCols, cur.bucketSpec, None, None,
       Some(cur.properties -- keys))
+  }
+
+  // ---- schema evolution verbs (column mapping) ----------------------------
+
+  /** Logical columns that own the table's physical layout or write-side
+    * index configuration — rename/drop would break bucket routing,
+    * partition-dir naming, or the property→column binding (Delta
+    * refuses the same). Lower-cased for case-insensitive checks. */
+  private def layoutProtected(m: Manifest): Set[String] = {
+    def propCols(key: String): Seq[String] = m.properties.getOrElse(key, "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    (m.partitionCols ++ m.bucketSpec.map(_.cols).getOrElse(Nil) ++
+      propCols(TxTable.PropBloomColumns) ++
+      propCols(TxTable.PropZOrderColumns)).map(_.toLowerCase).toSet
+  }
+
+  private def requirePlainIdentifier(name: String): Unit =
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"'$name' is not a plain column identifier")
+
+  /** `ALTER TABLE ... RENAME COLUMN old TO new` — a METADATA-ONLY
+    * commit (zero data read or written): the physical parquet name is
+    * frozen at column birth, so the rename just rebinds the logical
+    * name in the snapshot's column mapping. Reads of any version use
+    * that version's own mapping (time travel sees historical names);
+    * stats/bloom keys stay physical, so zone-map and Bloom skipping
+    * keep working on the renamed column. Layout columns
+    * (partition/bucket/bloom/z-order-designated) are refused — their
+    * names bind the physical layout. Change-feed consumers reset (the
+    * downstream frame shape changed). */
+  def renameColumn(oldName: String, newName: String): Long = commit { latest =>
+    val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(oldName))
+      .getOrElse(sys.error(s"$root has no column $oldName"))
+    requirePlainIdentifier(newName)
+    require(field.name != BucketCol,
+      s"$root: $oldName is internal plumbing")
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(newName)),
+      s"$root already has a column $newName")
+    require(!layoutProtected(cur).contains(field.name.toLowerCase),
+      s"$root: $oldName is a partition/bucket/bloom/z-order layout " +
+        "column — renaming would break layout routing; rewrite the " +
+        "table into the new layout instead")
+    val phys = cur.colMap.getOrElse(field.name, field.name)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == field.name) f.copy(name = newName) else f).toSeq)
+    val newMap = (cur.colMap - field.name) ++
+      (if (newName == phys) Map.empty[String, String]
+       else Map(newName -> phys))
+    Pending(TxTable.OpAlterColumn, cur.files, newSchema.toDDL,
+      cur.partitionCols, cur.bucketSpec, None,
+      colMap = Some(newMap), retired = Some(cur.retired))
+  }
+
+  /** `ALTER TABLE ... DROP COLUMN` — METADATA-ONLY: the column leaves
+    * the logical schema and its physical name is RETIRED (old data
+    * files still carry the bytes until they naturally rewrite, but no
+    * read ever requests the column again, and a later column of the
+    * same logical name gets a fresh physical name so the stale data
+    * cannot resurrect). Layout columns are refused; so is dropping
+    * the last data column. */
+  def dropColumn(name: String): Long = commit { latest =>
+    val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name))
+      .getOrElse(sys.error(s"$root has no column $name"))
+    require(field.name != BucketCol, s"$root: $name is internal plumbing")
+    require(!layoutProtected(cur).contains(field.name.toLowerCase),
+      s"$root: $name is a partition/bucket/bloom/z-order layout column " +
+        "— dropping would break layout routing")
+    val remaining = schema.fields.filterNot(_.name == field.name)
+    require(remaining.exists(_.name != BucketCol),
+      s"$root: cannot drop the last data column")
+    val phys = cur.colMap.getOrElse(field.name, field.name)
+    Pending(TxTable.OpAlterColumn, cur.files,
+      StructType(remaining.toSeq).toDDL, cur.partitionCols, cur.bucketSpec,
+      None, colMap = Some(cur.colMap - field.name),
+      retired = Some((cur.retired :+ phys).distinct))
+  }
+
+  /** `ALTER TABLE ... ADD COLUMN` — METADATA-ONLY: the new column is
+    * nullable (old files null-backfill by the ordinary
+    * schema-evolution read rule) and receives a physical name
+    * guaranteed unused by any live OR retired column, so re-adding a
+    * previously dropped name starts from all-NULL instead of
+    * resurrecting stale bytes. */
+  def addColumn(name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = commit { latest =>
+    val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
+    val schema = StructType.fromDDL(cur.schemaDdl)
+    requirePlainIdentifier(name)
+    require(!schema.fields.exists(_.name.equalsIgnoreCase(name)),
+      s"$root already has a column $name")
+    val physInUse = schema.fields.map(f =>
+      cur.colMap.getOrElse(f.name, f.name)).toSet ++ cur.retired
+    val phys =
+      if (!physInUse.exists(_.equalsIgnoreCase(name))) name
+      else name + "_" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(8)
+    val newSchema = StructType(schema.fields.toSeq :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    val newMap = cur.colMap ++
+      (if (phys == name) Map.empty[String, String] else Map(name -> phys))
+    Pending(TxTable.OpAlterColumn, cur.files, newSchema.toDDL,
+      cur.partitionCols, cur.bucketSpec, None,
+      colMap = Some(newMap), retired = Some(cur.retired))
+  }
+
+  /** Append/overwrite widening guard under column mapping: a NEW
+    * logical column whose identity-physical name is already taken —
+    * retired by a drop, or serving as another column's physical name
+    * — must come in through [[addColumn]] (which assigns a fresh
+    * physical name); an identity write would collide with stale or
+    * foreign bytes in existing files. */
+  private def requireFreshNamesAddressable(m: Manifest,
+      incoming: StructType): Unit = {
+    val known = StructType.fromDDL(m.schemaDdl).fieldNames.toSet
+    val reservedPhys = m.retired ++ m.colMap.values
+    val clash = incoming.fieldNames.filterNot(known.contains)
+      .filter(n => reservedPhys.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"$root: column(s) ${clash.mkString(", ")} reuse the physical name " +
+        "of a dropped/renamed column — ALTER TABLE ADD COLUMN first " +
+        "(assigns a fresh physical name)")
   }
 
   private def boolProp(m: Manifest, key: String): Option[Boolean] =
@@ -476,12 +607,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     // each bound prunes independently (a truncated-away string max
     // still leaves the min usable); unparsable stats keep the file —
-    // pruning must never drop rows
+    // pruning must never drop rows. Stats are keyed by the column's
+    // PHYSICAL name (frozen at birth), which survives renames.
+    val statKey = physNameOf(m, name)
     val kept = m.files.filter { f =>
       try
-        f.max.get(name).forall(mx =>
+        f.max.get(statKey).forall(mx =>
           statCmp(field.dataType, mx, blo.toString) >= 0) &&
-        f.min.get(name).forall(mn =>
+        f.min.get(statKey).forall(mn =>
           statCmp(field.dataType, mn, bhi.toString) <= 0)
       // IllegalArgumentException covers NumberFormatException AND the
       // date/timestamp parse failures — unparsable stat or bound
@@ -511,12 +644,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     manifest(v).files.exists(_.dvPath.isDefined)
 
   private[graft] def scanRelation(v: Long): org.apache.spark.sql.sources.BaseRelation = {
-    if (snapshotHasDv(v)) {
+    if (snapshotHasDv(v) || manifest(v).colMap.nonEmpty) {
       // deletion-vector snapshots cannot be a bare parquet file list
-      // (live rows = scan minus DV), but file-level skipping still
-      // applies: the relation rebuilds its DataFrame PER QUERY from
-      // the pushed filters, zone-map/bloom-pruning the entry list
-      // before the DV anti-join plan is even constructed
+      // (live rows = scan minus DV), and column-mapped snapshots
+      // cannot either (parquet columns carry physical names; the
+      // relation must surface logical ones) — but file-level skipping
+      // still applies: the relation rebuilds its DataFrame PER QUERY
+      // from the pushed filters, zone-map/bloom-pruning the entry list
+      // before the plan is even constructed
       val m = manifest(v)
       val schema = StructType.fromDDL(m.schemaDdl)
       val visible = StructType(schema.fields.filterNot(f =>
@@ -526,7 +661,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         spark,
         filters => {
           val keep = candidateFilter(schema,
-            sourcesToCatalyst(schema, filters))
+            sourcesToCatalyst(schema, filters), physNameOf(m, _))
           readEntries(m, m.files.filter(keep))
         })
     }
@@ -561,6 +696,46 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     org.apache.spark.sql.functions.regexp_extract(
       col("_metadata.file_path"), "^.*/(data/.*)$", 1)
 
+  // ---- column mapping -----------------------------------------------------
+  // Physical parquet column names are FROZEN at column birth; RENAME/
+  // DROP/ADD COLUMN are metadata-only commits that edit the snapshot's
+  // logical schema + colMap. Everything internal (data files, manifest
+  // stats/bloom keys) stays keyed by PHYSICAL name; translation happens
+  // at exactly two choke points — readEntriesTagged (physical read →
+  // logical rename) and writeDataFiles (logical frame → physical
+  // rename) — plus the stat-lookup sites, which map a queried logical
+  // column to its physical stats key.
+
+  /** Physical stats/parquet name of logical column `name` in snapshot
+    * `m` (identity when never renamed). */
+  private def physNameOf(m: Manifest, name: String): String =
+    m.colMap.getOrElse(name, name)
+
+  /** The snapshot's PHYSICAL read schema: logical fields renamed to
+    * their parquet names. */
+  private def physSchemaOf(m: Manifest): StructType = {
+    val logical = StructType.fromDDL(m.schemaDdl)
+    if (m.colMap.isEmpty) logical
+    else StructType(logical.fields.map(f =>
+      f.copy(name = m.colMap.getOrElse(f.name, f.name))).toSeq)
+  }
+
+  /** Rename columns by map in ONE projection (a `withColumnRenamed`
+    * chain could collide mid-chain on swap-shaped maps); columns not
+    * in the map — plumbing, `_change_type` — pass through. */
+  private def renameByMap(df: DataFrame, map: Map[String, String]): DataFrame =
+    if (map.isEmpty || !df.columns.exists(map.contains)) df
+    else df.select(df.columns.map(c =>
+      map.get(c).map(t => col(s"`$c`").as(t)).getOrElse(col(s"`$c`"))).toIndexedSeq: _*)
+
+  /** Physical frame → logical names (the read boundary). */
+  private def toLogicalDf(df: DataFrame, m: Manifest): DataFrame =
+    renameByMap(df, m.colMap.map(_.swap))
+
+  /** Logical frame → physical names (the write boundary). */
+  private def toPhysicalDf(df: DataFrame, m: Manifest): DataFrame =
+    renameByMap(df, m.colMap)
+
   private def readEntries(m: Manifest, entries: Seq[FileEntry]): DataFrame =
     readEntriesTagged(m, entries, None)
 
@@ -570,7 +745,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * deletion-vector read is a multi-source plan (scan ⋈ DV). */
   private def readEntriesTagged(m: Manifest, entries: Seq[FileEntry],
       tag: Option[String]): DataFrame = {
-    val schema = StructType.fromDDL(m.schemaDdl)
+    // data files carry PHYSICAL column names; the frame surfaces
+    // LOGICAL ones (renamed below, after the DV plumbing resolves)
+    val schema = physSchemaOf(m)
     val (dved, plain) = entries.partition(_.dvPath.isDefined)
     def scan(es: Seq[FileEntry]) = {
       val df = spark.read.schema(schema)
@@ -579,8 +756,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     val tagType = org.apache.spark.sql.types.StructField(
       tag.getOrElse(""), StringType)
+    // the empty frame never touches parquet — logical names directly
+    val logicalSchema = StructType.fromDDL(m.schemaDdl)
     val emptySchema =
-      if (tag.isEmpty) schema else StructType(schema.fields :+ tagType)
+      if (tag.isEmpty) logicalSchema
+      else StructType(logicalSchema.fields :+ tagType)
     val df0 =
       if (entries.isEmpty) spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], emptySchema)
@@ -605,7 +785,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       }
     // shadow layout columns (should never surface — explicit schema +
     // leaf-file paths) and the bucket column are plumbing, not data
-    val df = df0.drop(df0.columns.filter(_.startsWith(PartShadowPrefix)): _*)
+    val logical = toLogicalDf(df0, m)
+    val df = logical.drop(
+      logical.columns.filter(_.startsWith(PartShadowPrefix)): _*)
     if (m.bucketSpec.isDefined) df.drop(BucketCol) else df
   }
 
@@ -687,7 +869,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val header = entryOrReset(to) match {
         case Left(full) => full
         case Right(d)   => Manifest(d.version, d.operation, d.schemaDdl,
-          files, d.partitionCols, d.bucketSpec)
+          files, d.partitionCols, d.bucketSpec, colMap = d.colMap,
+          retired = d.retired)
       }
       readEntries(header, files)
     }
@@ -725,7 +908,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             if (d.add.isEmpty) None
             else Some(readEntries(
                 Manifest(d.version, d.operation, d.schemaDdl, d.add,
-                  d.partitionCols, d.bucketSpec), d.add)
+                  d.partitionCols, d.bucketSpec, colMap = d.colMap,
+                  retired = d.retired), d.add)
               .withColumn(ChangeTypeCol, lit("insert"))
               .withColumn(CommitVersionCol, lit(v)))
           case Right(d) if d.operation == OpCompact =>
@@ -751,12 +935,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             val files = d.cdc.get
             if (files.isEmpty) None // CDF commit that changed nothing
             else {
+              // CDC files carry the commit's PHYSICAL column names
+              // (written through the same boundary as data files) —
+              // read physically, rename with the commit's own mapping
               val base = StructType.fromDDL(d.schemaDdl).fields
                 .filterNot(_.name == BucketCol)
-              val schema = StructType(base :+
+                .map(f => f.copy(name = d.colMap.getOrElse(f.name, f.name)))
+              val schema = StructType(base.toSeq :+
                 org.apache.spark.sql.types.StructField(ChangeTypeCol, StringType))
-              Some(spark.read.schema(schema)
-                .parquet(files.map(f => new Path(root, f.path).toString): _*)
+              Some(renameByMap(spark.read.schema(schema)
+                  .parquet(files.map(f => new Path(root, f.path).toString): _*),
+                  d.colMap.map(_.swap))
                 .withColumn(CommitVersionCol, lit(v)))
             }
           case e =>
@@ -783,15 +972,32 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * values the manifest records per file (see class doc). */
   def overwrite(df: DataFrame, partitionBy: Seq[String] = Nil,
       txn: Option[(String, Long)] = None): Long = {
+    val mapAtWrite = currentColMap
     val (files, schema) = writeDataFiles(df, partitionBy)
     commit { latest =>
       latest.foreach(m => requireCompatible(
         StructType.fromDDL(m.schemaDdl), schema, allowNew = true))
+      latest.foreach(m => requireFreshNamesAddressable(m, schema))
+      requireMappingStable(latest, mapAtWrite, "overwrite")
       Pending(OpOverwrite, files, mergedDdl(latest, schema), partitionBy,
         latest.flatMap(_.bucketSpec).filter(_ => partitionBy == Seq(BucketCol)),
         txn)
     }
   }
+
+  /** The live snapshot's column mapping — what [[writeDataFiles]] will
+    * physicalize against right now. */
+  private def currentColMap: Map[String, String] =
+    latestVersion.map(manifest(_).colMap).getOrElse(Map.empty)
+
+  /** Data files already written with `mapAtWrite` must not commit under
+    * a DIFFERENT mapping (a racing ALTER COLUMN between write and
+    * commit would leave them carrying stale physical names — reads
+    * would silently null-backfill the renamed column). */
+  private def requireMappingStable(latest: Option[Manifest],
+      mapAtWrite: Map[String, String], op: String): Unit =
+    require(latest.map(_.colMap).getOrElse(Map.empty) == mapAtWrite,
+      s"concurrent column rename/drop during $op to $root — retry $op")
 
   /** Replace the table with a KEY-BUCKETED layout: rows are hashed on
     * `bucketCols` into `nBuckets` partitions so that [[merge]] /
@@ -802,8 +1008,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       txn: Option[(String, Long)] = None): Long = {
     require(bucketCols.nonEmpty && nBuckets > 0, "bucketCols and nBuckets required")
     val spec = BucketSpec(bucketCols, nBuckets)
+    val mapAtWrite = currentColMap
     val (files, schema) = writeDataFiles(withBucket(df, spec), Seq(BucketCol))
     commit { latest =>
+      requireMappingStable(latest, mapAtWrite, "overwriteBucketed")
       Pending(OpOverwrite, files, schemaDdlOf(schema), Seq(BucketCol),
         Some(spec), txn)
     }
@@ -819,11 +1027,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val current = latestVersion.map(manifest)
     val spec = current.flatMap(_.bucketSpec)
     val parts = current.map(_.partitionCols).getOrElse(Nil)
+    val mapAtWrite = current.map(_.colMap).getOrElse(Map.empty)
     val data = spec.map(withBucket(df, _)).getOrElse(df)
     val (files, schema) = writeDataFiles(data, parts)
     commit { latest =>
       latest.foreach(m => requireCompatible(
         StructType.fromDDL(m.schemaDdl), schema, allowNew = true))
+      latest.foreach(m => requireFreshNamesAddressable(m, schema))
+      requireMappingStable(latest, mapAtWrite, "append")
       require(latest.map(_.partitionCols).getOrElse(Nil) == parts &&
           latest.flatMap(_.bucketSpec) == spec,
         s"concurrent layout change during append to $root — retry append")
@@ -1285,7 +1496,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val m = manifest(v)
     val schema = StructType.fromDDL(m.schemaDdl)
     val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
-    val candidate = candidateFilter(schema, analyzedPredicate(schema, cond).toSeq)
+    val candidate = candidateFilter(schema,
+      analyzedPredicate(schema, cond).toSeq, physNameOf(m, _))
     val candidates = m.files.filter(candidate)
     if (candidates.isEmpty) return v
     // discovery scan over the candidates, position-tagged; rows
@@ -1296,19 +1508,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // entries hold decoded paths — the driver maps between the two
     // through URI parsing, never by re-encoding.
     val fullCol = "__dv_file"
-    val tagged0 = spark.read.schema(schema)
+    val tagged0 = spark.read.schema(physSchemaOf(m))
       .parquet(candidates.map(f => new Path(root, f.path).toString): _*)
       .withColumn(fullCol, col("_metadata.file_path"))
       .withColumn(DvPathCol, relDataPath)
       .withColumn(DvPosCol, col("_metadata.row_index"))
     val priorDvPaths = candidates.flatMap(_.dvPath).distinct
-    val tagged =
+    val taggedPhys =
       if (priorDvPaths.isEmpty) tagged0
       else tagged0.join(broadcast(
           spark.read.parquet(priorDvPaths.map(p =>
             new Path(root, p).toString): _*)
             .select(col(DvPathCol), col(DvPosCol))),
         Seq(DvPathCol, DvPosCol), "left_anti")
+    val tagged = toLogicalDf(taggedPhys, m)
     val matching = tagged.where(hit)
     // per-file deleted-row counts drive the affected set, the entries'
     // dvRows bookkeeping, AND the raw↔decoded path mapping — one
@@ -1374,7 +1587,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           case Some(_) =>
             val post = readEntries(
               Manifest(m.version, op, m.schemaDdl, Nil, m.partitionCols,
-                m.bucketSpec), newFiles)
+                m.bucketSpec, colMap = m.colMap, retired = m.retired),
+              newFiles)
             cleanMatching.drop(BucketCol)
               .withColumn(ChangeTypeCol, flit("update_preimage"))
               .unionByName(post.withColumn(ChangeTypeCol,
@@ -1450,7 +1664,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val m = manifest(v)
     val schema = StructType.fromDDL(m.schemaDdl)
     val hit = coalesce(cond, flit(false)) // NULL predicate keeps the row
-    val candidate = candidateFilter(schema, analyzedPredicate(schema, cond).toSeq)
+    val candidate = candidateFilter(schema,
+      analyzedPredicate(schema, cond).toSeq, physNameOf(m, _))
     val candidates = m.files.filter(candidate)
     val srcCol = "__src_file"
     val affectedPaths: Set[String] =
@@ -1541,17 +1756,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * + auto-rebase test and the scan-time file skipping of the
     * txtable read relation. */
   private[graft] def candidateFilter(schema: StructType,
-      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      physOf: String => String = identity)
       : FileEntry => Boolean = {
     val constraints = rangeConstraintsOf(schema, preds)
     val eqHashes = equalityHashesOf(schema, preds)
     val inLists = inConstraintsOf(schema, preds)
     f => constraints.forall {
       case (field, lo, hi) =>
+        val key = physOf(field.name)
         try
-          lo.forall(b => f.max.get(field.name).forall(mx =>
+          lo.forall(b => f.max.get(key).forall(mx =>
             statCmp(field.dataType, mx, b) >= 0)) &&
-          hi.forall(b => f.min.get(field.name).forall(mn =>
+          hi.forall(b => f.min.get(key).forall(mn =>
             statCmp(field.dataType, mn, b) <= 0))
         // unparsable stat/bound keeps the file — pruning must never
         // drop rows (the readWhereRange discipline)
@@ -1559,21 +1776,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     } && eqHashes.forall { case (c, h) =>
       // files without a filter for the column are kept; a definite
       // bloom miss is a sound prune (no false negatives)
-      bloomsOf(f).get(c).forall(enc => TxTable.bloomMightContain(enc, h))
+      bloomsOf(f).get(physOf(c)).forall(enc =>
+        TxTable.bloomMightContain(enc, h))
     } && inLists.forall { case (field, values) =>
       // IN-list: the file survives iff SOME value could be present —
       // inside the [min,max] range AND (when a bloom exists) possibly
       // in the filter. Disjunction of the per-value tests, each sound.
+      val key = physOf(field.name)
       values.exists { case (b, h) =>
         val rangeOk = try
           b.forall(bs =>
-            f.max.get(field.name).forall(mx =>
+            f.max.get(key).forall(mx =>
               statCmp(field.dataType, mx, bs) >= 0) &&
-            f.min.get(field.name).forall(mn =>
+            f.min.get(key).forall(mn =>
               statCmp(field.dataType, mn, bs) <= 0))
           catch { case _: IllegalArgumentException => true }
         val bloomOk = h.forall(hv =>
-          bloomsOf(f).get(field.name).forall(enc =>
+          bloomsOf(f).get(key).forall(enc =>
             TxTable.bloomMightContain(enc, hv)))
         rangeOk && bloomOk
       }
@@ -1785,8 +2004,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val cur = latest.getOrElse(sys.error(s"$root has no committed snapshots"))
       require(version <= cur.version,
         s"$root: cannot restore to version $version — latest is ${cur.version}")
+      // the restored files read with the TARGET's column mapping;
+      // retired names stay the UNION (never resurrect a physical name
+      // any retained history ever dropped)
       Pending(OpRestore, target.files, target.schemaDdl,
-        target.partitionCols, target.bucketSpec, None)
+        target.partitionCols, target.bucketSpec, None,
+        colMap = Some(target.colMap),
+        retired = Some((cur.retired ++ target.retired).distinct))
     }
   }
 
@@ -2100,15 +2324,22 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       withStats: Boolean = true): (Seq[FileEntry], StructType) = {
     val writeId = java.util.UUID.randomUUID().toString.take(12)
     val dst = new Path(dataDir, s"w-$writeId")
-    if (partitionCols.isEmpty) df.write.parquet(dst.toString)
+    // data files carry PHYSICAL column names (the column-mapping
+    // boundary — incoming frames are logical; columns outside the map,
+    // including brand-new ones and _change_type, pass through).
+    // Partition/bucket layout columns are rename-refused, so shadow
+    // naming below is unaffected. Stats keys come out physical, which
+    // is exactly how the prune-time lookups resolve them.
+    val phys = latestVersion.map(v => toPhysicalDf(df, manifest(v))).getOrElse(df)
+    if (partitionCols.isEmpty) phys.write.parquet(dst.toString)
     else {
       val shadows = partitionCols.map(c => PartShadowPrefix + c)
-      val shadowed = partitionCols.foldLeft(df)(
+      val shadowed = partitionCols.foldLeft(phys)(
         (d, c) => d.withColumn(PartShadowPrefix + c, col(c)))
       shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
     }
     val stats =
-      if (effStats && withStats) collectFileStats(dst, df.schema)
+      if (effStats && withStats) collectFileStats(dst, phys.schema)
       else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String])]
     // sidecar mode: the write batch's blooms land in ONE JSON beside
     // the data files (path → col → filter), entries carry only its
@@ -2272,8 +2503,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
       val props = p.properties.getOrElse(
         latest.map(_.properties).getOrElse(Map.empty))
+      val colMap = p.colMap.getOrElse(
+        latest.map(_.colMap).getOrElse(Map.empty))
+      val retired = p.retired.getOrElse(
+        latest.map(_.retired).getOrElse(Nil))
       val m = Manifest(v, p.operation, p.schemaDdl, p.files,
-        p.partitionCols, p.bucketSpec, txns, props)
+        p.partitionCols, p.bucketSpec, txns, props, colMap, retired)
       // the delta: composed files vs the previous snapshot — entries
       // carried by reference (identical ENTRY, not just path: a MoR
       // delete re-tags an unchanged path with a new deletion vector)
@@ -2289,7 +2524,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         remove = prevFiles.filterNot(f =>
           newByPath.get(f.path).contains(f)).map(_.path),
         cdc = p.cdcFiles,
-        properties = props)
+        properties = props,
+        colMap = colMap,
+        retired = retired)
       val deltaBytes = delta.toJson.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       val tmp = new Path(logDir, s".tmp-${java.util.UUID.randomUUID()}.json")
       val out = fs.create(tmp, false)
@@ -2554,6 +2791,7 @@ object TxTable {
   }
 
   private val OpSetProperties = "setproperties"
+  private[core] val OpAlterColumn = "alterschema"
   private val OpOverwrite = "overwrite"
   private val OpAppend = "append"
   private val OpCompact = "compact"
@@ -2723,11 +2961,16 @@ object TxTable {
   /** `properties = None` inherits the previous snapshot's map
     * verbatim (the normal case — only [[TxTable.setProperties]]/
     * [[TxTable.unsetProperties]] pass a replacement). */
+  /** `colMap`/`retired = None` inherit the previous snapshot's values
+    * (the normal case — only the ALTER COLUMN verbs and [[TxTable.restore]]
+    * pass replacements). */
   private final case class Pending(operation: String, files: Seq[FileEntry],
       schemaDdl: String, partitionCols: Seq[String],
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
       cdcFiles: Option[Seq[FileEntry]] = None,
-      properties: Option[Map[String, String]] = None)
+      properties: Option[Map[String, String]] = None,
+      colMap: Option[Map[String, String]] = None,
+      retired: Option[Seq[String]] = None)
 
   /** Shared JSON plumbing for the two log-entry shapes. */
   private[core] object LogFormat {
@@ -2746,7 +2989,9 @@ object TxTable {
     def putHeader(node: ObjectNode, version: Long, operation: String,
         schemaDdl: String, partitionCols: Seq[String],
         bucketSpec: Option[BucketSpec],
-        properties: Map[String, String]): Unit = {
+        properties: Map[String, String],
+        colMap: Map[String, String] = Map.empty,
+        retired: Seq[String] = Nil): Unit = {
       node.put("version", version)
       node.put("operation", operation)
       node.put("schema_ddl", schemaDdl)
@@ -2763,6 +3008,16 @@ object TxTable {
       if (properties.nonEmpty) {
         val po = node.putObject("properties")
         properties.foreach { case (k, v) => po.put(k, v) }
+        ()
+      }
+      if (colMap.nonEmpty) {
+        val cm = node.putObject("column_mapping")
+        colMap.foreach { case (k, v) => cm.put(k, v) }
+        ()
+      }
+      if (retired.nonEmpty) {
+        val rc = node.putArray("retired_columns")
+        retired.foreach(rc.add)
         ()
       }
     }
@@ -2836,6 +3091,13 @@ object TxTable {
         n.get("schema_ddl").asText(), partCols, bucket,
         strMap(n, "properties"))
     }
+
+    /** Column-mapping header fields (logical→physical map + retired
+      * physical names) — absent on pre-mapping logs. */
+    def readMapping(n: JsonNode): (Map[String, String], Seq[String]) =
+      (strMap(n, "column_mapping"),
+        Option(n.get("retired_columns")).map(a =>
+          (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty))
   }
 
   /** One commit's log entry: the files it ADDED (with partition values
@@ -2848,12 +3110,14 @@ object TxTable {
       bucketSpec: Option[BucketSpec], txn: Option[(String, Long)],
       add: Seq[FileEntry], remove: Seq[String],
       cdc: Option[Seq[FileEntry]] = None,
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
       LogFormat.putHeader(node, version, operation, schemaDdl,
-        partitionCols, bucketSpec, properties)
+        partitionCols, bucketSpec, properties, colMap, retired)
       txn.foreach { case (app, batch) =>
         val t = node.putObject("txn")
         t.put("app", app)
@@ -2877,10 +3141,11 @@ object TxTable {
         (t.get("app").asText(), t.get("batch").asLong()))
       val remove = Option(n.get("remove")).map(a =>
         (0 until a.size()).map(a.get(_).asText())).getOrElse(Seq.empty)
+      val (colMap, retired) = LogFormat.readMapping(n)
       CommitDelta(version, op, ddl, partCols, bucket, txn,
         LogFormat.readFileArray(n, "add"), remove,
         Option(n.get("cdc")).map(_ => LogFormat.readFileArray(n, "cdc")),
-        props)
+        props, colMap, retired)
     }
   }
 
@@ -2889,17 +3154,26 @@ object TxTable {
     * as a checkpoint). JSON via Jackson (ships with Spark). Files are
     * objects carrying partition values; plain-string entries from
     * pre-partitioning manifests still parse (empty partition map). */
+  /** `colMap`: logical column name → PHYSICAL parquet column name, for
+    * exactly the columns where the two differ (the column-mapping
+    * discipline: physical names are frozen at column birth, renames
+    * are pure metadata). `retired`: physical names of dropped columns
+    * — still present in old data files, never addressable again (a
+    * re-added column of the same logical name gets a FRESH physical
+    * name, so stale data cannot resurrect). */
   private[core] final case class Manifest(version: Long, operation: String,
       schemaDdl: String, files: Seq[FileEntry],
       partitionCols: Seq[String] = Nil,
       bucketSpec: Option[BucketSpec] = None,
       txns: Map[String, Long] = Map.empty,
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      colMap: Map[String, String] = Map.empty,
+      retired: Seq[String] = Nil) {
     def toJson: String = {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val node = om.createObjectNode()
       LogFormat.putHeader(node, version, operation, schemaDdl,
-        partitionCols, bucketSpec, properties)
+        partitionCols, bucketSpec, properties, colMap, retired)
       if (txns.nonEmpty) {
         val tn = node.putObject("txns")
         txns.foreach { case (k, v) => tn.put(k, v) }
@@ -2922,8 +3196,9 @@ object TxTable {
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
         b.result()
       }.getOrElse(Map.empty[String, Long])
+      val (colMap, retired) = LogFormat.readMapping(n)
       Manifest(version, op, ddl, LogFormat.readFileArray(n, "files"),
-        partCols, bucket, txns, props)
+        partCols, bucket, txns, props, colMap, retired)
     }
   }
 }

@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines — the steps
+  * between a cleaned document table and a tokenizer-ready dataset
+  * (the reference's pipelines stop at cleaned parquet; these are the
+  * standard downstream moves every large pretraining corpus needs).
+  *
+  * All three are built from codegen'd built-ins with DuckDB-twin
+  * semantics, so each carries an exact SQL oracle:
+  *
+  *   - [[packSequences]]: concat-and-chunk sequence packing. Documents
+  *     are laid head-to-tail in a deterministic order and cut into
+  *     fixed token-budget chunks; a document belongs to the chunk
+  *     where its first token lands. Packing runs INSIDE bounded
+  *     strata (e.g. language × contiguous doc_id band), so the window
+  *     state per task is bounded and strata pack in parallel — the
+  *     per-shard packing real pipelines use, not a global sort.
+  *   - [[redactPii]]: email/phone redaction with per-document match
+  *     counts — one map-side projection, zero shuffle.
+  *   - [[weightedSample]]: per-domain deterministic rate sampling (the
+  *     domain-mixing step): keep a document iff a multiplicative mix
+  *     of its id falls under the domain's rate. Embarrassingly
+  *     parallel — a scan-side filter, no shuffle, reproducible across
+  *     runs and engines. (A production variant would swap the mixer
+  *     for xxhash64 — same shape, no SQL twin; the c3 precedent.)
+  */
+object Corpus {
+
+  /** Whitespace token count — the packing currency. Single-space
+    * tokenization matches the fixture corpus and the DuckDB twin
+    * (`len(string_split(text, ' '))`). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** Assign each document to its packed chunk: within each stratum
+    * (the partition keys), documents concatenate in `orderCol` order
+    * and chunk `k` holds tokens `[k·budget, (k+1)·budget)`; a document
+    * lands in the chunk containing its FIRST token. Adds
+    * `n_tokens` and `chunk`. Long documents may overflow their chunk
+    * (they are not split — the document-level packing contract);
+    * `budget` should exceed the longest document. */
+  def packSequences(docs: DataFrame, textCol: String, budget: Int,
+      strata: Seq[String], orderCol: String): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("chunk",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
+  }
+
+  /** Email + phone-number redaction: returns the frame with
+    * `<textCol>_redacted`, `n_emails`, `n_phones`. Patterns are in the
+    * RE2 ∩ Java-regex common subset, so the DuckDB oracle applies the
+    * SAME expressions — the redacted text is bit-identical across
+    * engines. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
+
+  def redactPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails",
+        size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))
+      .withColumn("n_phones",
+        size(regexp_extract_all(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          lit(PhonePattern), lit(0))))
+      .withColumn(s"${textCol}_redacted",
+        regexp_replace(
+          regexp_replace(col(textCol), EmailPattern, "<EMAIL>"),
+          PhonePattern, "<PHONE>"))
+
+  /** Deterministic per-domain rate sampling (domain mixing): keep a
+    * row iff `mix(id) mod 1000 < rate·1000` for its domain's rate
+    * (domains absent from `rates` keep everything). The mixer is a
+    * fixed odd-multiplier congruential hash — reproducible, order-
+    * free, and expressible in ANSI SQL, so the oracle replays it
+    * exactly. One scan, no shuffle: each task filters its own rows. */
+  val MixMultiplier = 2654435761L // Knuth's 2^32/φ, odd → mod-1000 mixing
+  val MixSalt = 12345L
+
+  def mixBucket(id: Column): Column =
+    pmod(id * MixMultiplier + MixSalt, lit(1000L))
+
+  def weightedSample(df: DataFrame, idCol: String, domainCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val keep = rates.foldLeft(lit(1000L): Column) {
+      case (acc, (domain, rate)) =>
+        when(col(domainCol) === domain, lit((rate * 1000).toLong))
+          .otherwise(acc)
+    }
+    df.where(mixBucket(col(idCol)) < keep)
+  }
+}

@@ -198,6 +198,35 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       key.fold(all)(k => all.view.filterKeys(_ == k).toMap)
         .toSeq.sortBy(_._1).toDF("key", "value").queryExecution.logical
     }
+    // schema evolution verbs — metadata-only commits through the
+    // column-mapping API (physical names frozen, zero data rewritten)
+    case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
+        child, column, newName) if txTablePath(child).isDefined =>
+      require(column.name.length == 1,
+        s"ALTER TABLE txtable RENAME COLUMN supports top-level columns — " +
+          s"got ${column.name.mkString(".")}")
+      dmlResult("alterschema", TxTable(session, txTablePath(child).get)
+        .renameColumn(column.name.head, newName))
+    case org.apache.spark.sql.catalyst.plans.logical.DropColumns(
+        child, columns, _) if txTablePath(child).isDefined =>
+      val t = TxTable(session, txTablePath(child).get)
+      val v = columns.map { c =>
+        require(c.name.length == 1,
+          s"ALTER TABLE txtable DROP COLUMN supports top-level columns — " +
+            s"got ${c.name.mkString(".")}")
+        t.dropColumn(c.name.head)
+      }.last
+      dmlResult("alterschema", v)
+    case org.apache.spark.sql.catalyst.plans.logical.AddColumns(
+        child, cols) if txTablePath(child).isDefined =>
+      val t = TxTable(session, txTablePath(child).get)
+      val v = cols.map { c =>
+        require(c.path.isEmpty && c.position.isEmpty && c.default.isEmpty,
+          "ALTER TABLE txtable ADD COLUMN supports plain top-level " +
+            "nullable columns (no FIRST/AFTER, no DEFAULT)")
+        t.addColumn(c.colName, c.dataType)
+      }.last
+      dmlResult("alterschema", v)
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.table.isInstanceOf[UnresolvedRelation] &&
           isTx(i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier) =>

@@ -149,6 +149,13 @@ final class TxTableSourceProvider extends StreamSourceProvider
             s"at or before $ts — oldest retained commit is newer " +
             "(expired history cannot be time-traveled)")))
         case None => parameters.get(OptSinceVersion).map(_.toLong) match {
+          // under column mapping the window's parquet columns carry
+          // physical names — a rebuilt file-list relation with the
+          // logical schema would null them out; serve the (already
+          // renamed) frame through the filter-forwarding relation
+          case Some(s) if t.hasColumnMapping =>
+            org.apache.spark.sql.graft.StreamShims
+              .dataFrameRelation(t.changesSince(s))
           case Some(s) => org.apache.spark.sql.graft.StreamShims
             .batchParquetRelation(t.changesSince(s))
           case None => t.scanRelation(t.latestVersion.getOrElse(

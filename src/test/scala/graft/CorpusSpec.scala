@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Corpus
+
+/** Corpus-assembly operators: sequence packing, PII redaction,
+  * weighted domain sampling. */
+class CorpusSpec extends SparkSpec {
+
+  private def docs(rows: Seq[(Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang")
+  }
+
+  test("packSequences: concat-and-chunk in order, chunk = floor(tokens-before/budget)") {
+    // tokens: 3, 4, 2, 5 — budget 6: cum-before 0,3,7,9 → chunks 0,0,1,1
+    val d = docs(Seq(
+      (1L, "a b c", "en"),
+      (2L, "a b c d", "en"),
+      (3L, "a b", "en"),
+      (4L, "a b c d e", "en")))
+    val p = Corpus.packSequences(d, "text", budget = 6,
+      strata = Seq("lang"), orderCol = "doc_id")
+      .select("doc_id", "n_tokens", "chunk").collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2)))).toMap
+    assert(p(1L) == ((3, 0L)) && p(2L) == ((4, 0L)))
+    assert(p(3L) == ((2, 1L)) && p(4L) == ((5, 1L)))
+  }
+
+  test("packSequences: strata pack independently (no cross-lang bleed)") {
+    val d = docs(Seq(
+      (1L, "a b c d e", "en"), (2L, "a b c", "en"),
+      (10L, "x y z w v", "de"), (11L, "x y", "de")))
+    val p = Corpus.packSequences(d, "text", budget = 5,
+      strata = Seq("lang"), orderCol = "doc_id")
+    // each lang starts its own chunk 0; second doc starts at cum 5 → chunk 1
+    val chunks = p.select("doc_id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chunks == Map(1L -> 0L, 2L -> 1L, 10L -> 0L, 11L -> 1L))
+  }
+
+  test("packSequences: an oversized document overflows its chunk but is never split") {
+    val d = docs(Seq((1L, ("w " * 9).trim, "en"), (2L, "a b", "en")))
+    val p = Corpus.packSequences(d, "text", budget = 4,
+      strata = Seq("lang"), orderCol = "doc_id")
+      .select("doc_id", "chunk").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p(1L) == 0L)       // starts at 0, overflows
+    assert(p(2L) == 2L)       // next doc starts at token 9 → chunk 2
+  }
+
+  test("redactPii replaces every email and phone and counts matches") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "mail a.b+c@foo.example.org and x@y.io call +1-555-123-4567 done"),
+      (2L, "no pii here at all"))
+      .toDF("doc_id", "text")
+    val r = Corpus.redactPii(d, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Int]("n_emails"), x.getAs[Int]("n_phones"),
+          x.getAs[String]("text_redacted")))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 1)
+    assert(r(1L)._3 == "mail <EMAIL> and <EMAIL> call <PHONE> done")
+    assert(r(2L) == ((0, 0, "no pii here at all")))
+  }
+
+  test("weightedSample: deterministic, rate-monotone, unlisted domains untouched") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "domain")
+    def kept(rates: Map[String, Double]) =
+      Corpus.weightedSample(d, "id", "domain", rates)
+        .groupBy("domain").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = kept(Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.1))
+    assert(k("src0") == 500, "rate 1.0 keeps everything")
+    assert(k("src3") == 500, "unlisted domain keeps everything")
+    assert(math.abs(k("src1") - 250) < 60, s"rate 0.5 ≈ half, got ${k("src1")}")
+    assert(k("src2") < k("src1"), "lower rate keeps fewer")
+    // reproducible: same input → identical sample
+    assert(kept(Map("src1" -> 0.5))("src1") == k("src1"))
+  }
+}
