@@ -497,6 +497,28 @@ object SparkEntry {
           Relational.decSum(col("c_acctbal")).as("sum_balance"))
         .orderBy("segment")
     }),
+    // x16: the SQL WRITE path end-to-end — CTAS materializes a new
+    // commit-logged table, ADD CONSTRAINT validates + arms the write
+    // invariant, INSERT INTO appends by position through the commit
+    // log; the read-back aggregate must equal the relational union of
+    // the two writes
+    "x16_tx_sql_write"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_sqlw") + "/t"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .where(col("o_orderkey") % 3 === 0)
+        .createOrReplaceTempView("x16_src")
+      s.sql(s"CREATE TABLE txtable.`$dir` AS " +
+        "SELECT * FROM x16_src WHERE o_orderkey % 2 = 0")
+      s.sql(s"ALTER TABLE txtable.`$dir` ADD CONSTRAINT price_pos " +
+        "CHECK (o_totalprice > 0)")
+      s.sql(s"INSERT INTO txtable.`$dir` " +
+        "SELECT * FROM x16_src WHERE o_orderkey % 2 = 1")
+      s.sql(s"SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) " +
+        s"AS sum_price FROM txtable.`$dir` GROUP BY 1 ORDER BY 1")
+    }),
     // x13: full-clause MERGE — conditional DELETE + arithmetic UPDATE
     // + explicit-assignment INSERT in one statement over a bucketed
     // table (the complete WHEN [NOT] MATCHED grammar; the oracle
@@ -1328,6 +1350,13 @@ object SparkEntry {
         |    THEN CAST(c_acctbal AS DECIMAL(18,2)) END), 2) AS DOUBLE)
         |    AS sum_balance
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x16's oracle: CTAS evens ∪ INSERT odds = every key ≡ 0 (mod 3)
+    "x16_tx_sql_write" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x4's oracle recomputes the merged table relationally: target
     // rows whose key the source does not claim, plus all source rows
     "x4_tx_merge" ->

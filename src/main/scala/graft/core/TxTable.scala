@@ -337,6 +337,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private[graft] def hasColumnMapping: Boolean =
     latestVersion.exists(v => manifest(v).colMap.nonEmpty)
 
+  /** The latest snapshot's hive-partition layout columns (empty for
+    * flat/bucketed tables) — what an INSERT OVERWRITE must preserve. */
+  def partitionColumns: Seq[String] =
+    latestVersion.map(manifest(_).partitionCols).getOrElse(Nil)
+      .filterNot(_ == BucketCol)
+
   /** The key columns of a bucketed layout, if any — what
     * [[merge]]/[[upsert]]/[[deleteKeys]] route on (and what a SQL
     * MERGE's ON clause must equal). */
@@ -420,6 +426,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       s"$root: $oldName is a partition/bucket/bloom/z-order layout " +
         "column — renaming would break layout routing; rewrite the " +
         "table into the new layout instead")
+    requireNotConstrained(cur, field.name, "renaming it")
     val phys = cur.colMap.getOrElse(field.name, field.name)
     val newSchema = StructType(schema.fields.map(f =>
       if (f.name == field.name) f.copy(name = newName) else f).toSeq)
@@ -447,6 +454,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(!layoutProtected(cur).contains(field.name.toLowerCase),
       s"$root: $name is a partition/bucket/bloom/z-order layout column " +
         "— dropping would break layout routing")
+    requireNotConstrained(cur, field.name, "dropping it")
     val remaining = schema.fields.filterNot(_.name == field.name)
     require(remaining.exists(_.name != BucketCol),
       s"$root: cannot drop the last data column")
@@ -502,6 +510,85 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         "of a dropped/renamed column — ALTER TABLE ADD COLUMN first " +
         "(assigns a fresh physical name)")
   }
+
+  // ---- CHECK constraints (write invariants) -------------------------------
+
+  /** The table's CHECK constraints (name → SQL condition), persisted
+    * as `graft.constraints.<name>` properties. */
+  def constraints: Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
+        k.stripPrefix(TxTable.PropConstraintPrefix) -> v
+    }
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (cond)` — persists the
+    * condition as a table property after verifying EVERY existing row
+    * satisfies it (one scan, refused otherwise — the Delta
+    * discipline). From then on every write through any handle runs
+    * the check INSIDE the write job (a codegen'd guard predicate, no
+    * extra pass): a violating row fails the write before anything
+    * commits. SQL NULL semantics: a condition evaluating NULL passes
+    * (only FALSE violates). */
+  def addCheckConstraint(name: String, conditionSql: String): Long = {
+    requirePlainIdentifier(name)
+    val key = TxTable.PropConstraintPrefix + name
+    require(!properties.contains(key),
+      s"$root already has a constraint $name")
+    import org.apache.spark.sql.functions.{coalesce, expr, lit}
+    val violations = read()
+      .where(coalesce(expr(conditionSql), lit(true)) === false)
+      .limit(1).count()
+    require(violations == 0,
+      s"$root: existing rows violate CHECK ($conditionSql) — clean the " +
+        "data before adding the constraint")
+    setProperties(Map(key -> conditionSql))
+  }
+
+  /** Drop a CHECK constraint (missing names are ignored — the
+    * IF EXISTS default; SQL routes its own refusal). */
+  def dropConstraint(name: String): Long =
+    unsetProperties(Seq(TxTable.PropConstraintPrefix + name))
+
+  /** Columns a constraint condition references (top-level names) —
+    * what rename/drop must refuse to break. */
+  private def constraintColumns(conditionSql: String): Set[String] = {
+    val parsed = org.apache.spark.sql.graft.StreamShims
+      .parseExpression(spark, conditionSql)
+    parsed.collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.head.toLowerCase
+    }.toSet
+  }
+
+  private def requireNotConstrained(m: Manifest, colName: String,
+      verb: String): Unit =
+    m.properties.foreach { case (k, v) =>
+      if (k.startsWith(TxTable.PropConstraintPrefix))
+        require(!constraintColumns(v).contains(colName.toLowerCase),
+          s"$root: column $colName is referenced by CHECK constraint " +
+            s"${k.stripPrefix(TxTable.PropConstraintPrefix)} ($v) — drop " +
+            s"the constraint before $verb")
+    }
+
+  /** The write-side invariant guard: every constraint becomes a
+    * codegen'd predicate evaluated in the write pass itself; a
+    * violating row raises with the constraint name, condition, and
+    * the row as JSON. Applied to LOGICAL frames (constraints speak
+    * logical names) before physical renaming. */
+  private def withInvariants(df: DataFrame, cs: Map[String, String]): DataFrame =
+    if (cs.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{coalesce, concat, expr, lit, raise_error, struct, to_json, when}
+      cs.foldLeft(df) { case (d, (name, sql)) =>
+        d.where(
+          when(coalesce(expr(sql), lit(true)) === false,
+            raise_error(concat(
+              lit(s"CHECK constraint $name violated: ($sql) on row "),
+              to_json(struct(d.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))))
+              .cast("boolean"))
+          .otherwise(lit(true)))
+      }
+    }
 
   private def boolProp(m: Manifest, key: String): Option[Boolean] =
     m.properties.get(key).map(v => java.lang.Boolean.parseBoolean(v.trim))
@@ -1143,7 +1230,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             .unionByName(ins.join(delK, keys, "left_anti")
               .withColumn(ChangeTypeCol,
                 org.apache.spark.sql.functions.lit("insert")))
-          writeDataFiles(changes, Nil, withStats = false)._1
+          writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
         }
       requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
       // the ⊆ check above lets a resolver that DROPS a column pass;
@@ -1403,7 +1490,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         else Some(writeDataFiles(
           readEntries(m, dropped).withColumn(ChangeTypeCol,
             org.apache.spark.sql.functions.lit("delete")),
-          Nil, withStats = false)._1)
+          Nil, withStats = false, enforce = false)._1)
       }
     commit { latest =>
       val cur = latest.getOrElse(
@@ -1552,7 +1639,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           .where(col(DvPathCol).isin(affectedRaw.toSeq: _*)))
     // one file: a vector is deleted-row-sized metadata, not data
     val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
-      withStats = false)
+      withStats = false, enforce = false)
     val dvFile = dvEntries match {
       case Seq(one) => one.path
       case other    => sys.error(s"$root: DV write produced ${other.size} files")
@@ -1594,7 +1681,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
               .unionByName(post.withColumn(ChangeTypeCol,
                 flit("update_postimage")))
         }
-        writeDataFiles(changes, Nil, withStats = false)._1
+        writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
       }
     commit { latest =>
       val cur = latest.getOrElse(sys.error(s"$root vanished during $op — rerun"))
@@ -1699,7 +1786,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           else matching.withColumn(ChangeTypeCol, flit("update_preimage"))
             .unionByName(
               replaced.withColumn(ChangeTypeCol, flit("update_postimage")))
-        writeDataFiles(changes, Nil, withStats = false)._1
+        writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
       }
     commit { latest =>
       val cur = latest.getOrElse(sys.error(s"$root vanished during $op — rerun"))
@@ -2014,6 +2101,56 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** SHALLOW CLONE this table's latest snapshot into `targetDir` — a
+    * METADATA-ONLY commit in the TARGET's log whose file entries point
+    * at THIS table's data files by absolute path (zero bytes copied;
+    * cloning a 100 TB table costs one manifest write). The clone then
+    * evolves independently: its own appends/merges/deletes land under
+    * its own `data/` dir and commit to its own log; the source is
+    * never touched. Stats/blooms/DV references carry, so pruning and
+    * merge-on-read work on the clone from the first read. Properties,
+    * column mapping, constraints, and layout carry too.
+    *
+    * The standard shallow-clone caveat applies (exactly Delta's):
+    * [[vacuum]] on the SOURCE does not know about clones — vacuuming
+    * source files still referenced by a clone breaks the clone. Clone
+    * for experiments/dev-branches, compact-into-independence (a
+    * [[compact]] on the clone rewrites everything clone-local), or
+    * keep source retention ≥ clone lifetime. The clone's own vacuum
+    * is safe: it sweeps only the clone's `data/` dir, where source
+    * files never live. */
+  def cloneTo(targetDir: String): Long = {
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root has no committed snapshots to clone"))
+    val m = manifest(v)
+    val target = TxTable(spark, targetDir)
+    require(target.latestVersion.isEmpty,
+      s"$targetDir is already a TxTable — clone into a fresh directory")
+    // scheme-less absolute paths (same filesystem as the clone — the
+    // local/HDFS case; a cross-filesystem clone would need full URIs
+    // and a per-entry FileSystem, out of scope): `relativize` keeps
+    // foreign absolute paths verbatim, so predicate-DML discovery and
+    // DV keys on the clone match its manifest entries by construction
+    val absRoot = fs.makeQualified(root).toUri.getPath
+    val absolute = m.files.map { f =>
+      f.copy(path = s"$absRoot/${f.path}",
+        dvPath = f.dvPath.map(p => s"$absRoot/$p"),
+        bloomSidecar = f.bloomSidecar.map(p => s"$absRoot/$p"))
+    }
+    target.commitClone(m, absolute)
+  }
+
+  /** Target-side half of [[cloneTo]]: publish the source snapshot's
+    * header + absolute file list as this table's version 0. */
+  private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
+    commit { latest =>
+      require(latest.isEmpty,
+        s"$root gained a snapshot during clone — clone into a fresh directory")
+      Pending(TxTable.OpClone, files, src.schemaDdl, src.partitionCols,
+        src.bucketSpec, None, None, Some(src.properties),
+        colMap = Some(src.colMap), retired = Some(src.retired))
+    }
+
   /** Rewrite the current snapshot into ~`targetFileBytes` files and
     * commit the rewrite as a new snapshot — the transactional twin of
     * [[ParquetIOManager.compact]]'s rename swap: here there is no
@@ -2092,13 +2229,65 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   /** The OPTIMIZE entry point: z-order along the table's
     * [[TxTable.PropZOrderColumns]] property when set (the table
     * remembers its own clustering policy — maintenance jobs need no
-    * per-table configuration), plain [[compact]] otherwise. */
+    * per-table configuration; clustering is global by nature, so it
+    * rewrites the snapshot), INCREMENTAL small-file compaction
+    * ([[compactSmall]]) otherwise — the Delta OPTIMIZE semantics:
+    * maintenance cost ∝ small-file debt, never O(table). */
   def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val zcols = latestVersion.map(v => manifest(v).properties
         .getOrElse(TxTable.PropZOrderColumns, ""))
       .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
     if (zcols.nonEmpty) compactZOrder(zcols, targetFileBytes)
-    else compact(targetFileBytes)
+    else compactSmall(targetFileBytes)
+  }
+
+  /** Incremental bin-packing compaction (what a bare Delta `OPTIMIZE`
+    * actually does): rewrite ONLY the files below `targetFileBytes` —
+    * plus any file carrying a deletion vector, whose rewrite also
+    * purges the vector — into ~targetFileBytes outputs; every
+    * already-compact file carries into the new snapshot by reference,
+    * byte-identical. On a 10⁶-file table a nightly OPTIMIZE therefore
+    * costs O(yesterday's small appends), not O(table) — the property
+    * that makes routine maintenance affordable at scale ([[compact]]
+    * stays available as the full rewrite). Needs at least `minFiles`
+    * qualifying files (rewriting one buys nothing); otherwise commits
+    * NOTHING and returns the current version. Commits as a compact
+    * (dataChange=false: visible rows identical), so change feeds skip
+    * it. Partitioned/bucketed layouts are preserved — rewritten rows
+    * re-shadow their partition dirs and recompute their buckets from
+    * the data. */
+  def compactSmall(targetFileBytes: Long = 128L * 1024 * 1024,
+      minFiles: Int = 2, smallFileBytes: Long = -1L): Long = {
+    require(minFiles >= 2, "minFiles < 2 would rewrite lone files for nothing")
+    // the debt cutoff sits BELOW the output target (half by default —
+    // the Delta minFileSize/maxFileSize split): an output at ~target
+    // must never re-qualify as debt, or every OPTIMIZE would rewrite
+    // yesterday's outputs forever
+    val cutoff = if (smallFileBytes > 0) smallFileBytes else targetFileBytes / 2
+    val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
+    val m = manifest(v)
+    def sizeOf(f: FileEntry): Long =
+      if (f.bytes >= 0) f.bytes
+      else fs.getFileStatus(new Path(root, f.path)).getLen
+    val (small, keep) = m.files.partition(f =>
+      sizeOf(f) < cutoff || f.dvPath.isDefined)
+    if (small.size < minFiles) return v
+    val base = readEntries(m, small) // DV-applied: survivors only
+    val spec = m.bucketSpec
+    val laid = spec.map(withBucket(base, _)).getOrElse(base)
+    val n = math.max(1, math.ceil(
+      small.map(sizeOf).sum.toDouble / targetFileBytes).toInt)
+    val rep =
+      if (m.partitionCols.nonEmpty)
+        laid.repartition(n, m.partitionCols.map(col): _*)
+      else laid.repartition(n)
+    val (files, _) = writeDataFiles(rep, m.partitionCols)
+    commit { latest =>
+      require(latest.exists(_.version == m.version),
+        s"concurrent commit during compactSmall of $root — rerun")
+      Pending(OpCompact, keep ++ files, m.schemaDdl, m.partitionCols,
+        spec, None)
+    }
   }
 
   def compactZOrder(zCols: Seq[String],
@@ -2321,16 +2510,28 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * re-types them against the snapshot schema. */
   private def writeDataFiles(df: DataFrame,
       partitionCols: Seq[String],
-      withStats: Boolean = true): (Seq[FileEntry], StructType) = {
+      withStats: Boolean = true,
+      enforce: Boolean = true): (Seq[FileEntry], StructType) = {
     val writeId = java.util.UUID.randomUUID().toString.take(12)
     val dst = new Path(dataDir, s"w-$writeId")
+    // CHECK constraints ride the write job as codegen'd guards over
+    // the LOGICAL frame (internal side-files — CDC images, deletion
+    // vectors — pass enforce=false: different schemas, and their rows
+    // are records OF changes, not table rows)
+    val latestM = latestVersion.map(manifest)
+    val checked =
+      if (!enforce) df
+      else withInvariants(df, latestM.map(m => m.properties.collect {
+        case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
+          k.stripPrefix(TxTable.PropConstraintPrefix) -> v
+      }).getOrElse(Map.empty))
     // data files carry PHYSICAL column names (the column-mapping
     // boundary — incoming frames are logical; columns outside the map,
     // including brand-new ones and _change_type, pass through).
     // Partition/bucket layout columns are rename-refused, so shadow
     // naming below is unaffected. Stats keys come out physical, which
     // is exactly how the prune-time lookups resolve them.
-    val phys = latestVersion.map(v => toPhysicalDf(df, manifest(v))).getOrElse(df)
+    val phys = latestM.map(m => toPhysicalDf(checked, m)).getOrElse(checked)
     if (partitionCols.isEmpty) phys.write.parquet(dst.toString)
     else {
       val shadows = partitionCols.map(c => PartShadowPrefix + c)
@@ -2482,8 +2683,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         }
       }.toMap
 
-  private def relativize(p: Path): String =
-    p.toUri.getPath.stripPrefix(root.toUri.getPath).stripPrefix("/")
+  /** Root-relative path for files under this table's root; files
+    * OUTSIDE it (shallow-clone sources) keep their absolute path —
+    * which is exactly how the manifest references them, so path
+    * comparisons (DML discovery, DV bookkeeping) agree either way. */
+  private def relativize(p: Path): String = {
+    val abs = p.toUri.getPath
+    val rootPath = root.toUri.getPath.stripSuffix("/")
+    if (abs.startsWith(rootPath + "/")) abs.stripPrefix(rootPath + "/")
+    else abs
+  }
 
   /** Optimistic-concurrency commit loop: compose the next snapshot
     * against the CURRENT latest, publish its DELTA as version N; on
@@ -2724,6 +2933,10 @@ object TxTable {
     * per file × ~10 bits; blooms ride the manifest, so budget
     * manifest/checkpoint bytes accordingly — a sidecar-index layout
     * is the 10⁶-file evolution, as in Delta/Iceberg). */
+  /** Prefix of CHECK-constraint properties: `graft.constraints.<name>`
+    * → SQL condition enforced inside every write job. */
+  val PropConstraintPrefix = "graft.constraints."
+
   val PropBloomColumns = "graft.bloomFilterColumns"
   val PropBloomBits = "graft.bloomFilterBits"
   /** Where Bloom filters live: `manifest` (default — inline in every
@@ -2799,6 +3012,7 @@ object TxTable {
   private val OpDelete = "delete"
   private val OpUpdate = "update"
   private val OpRestore = "restore"
+  private val OpClone = "clone"
 
   /** `statsOnWrite=false` skips the one-pass min/max collection per
     * write — the high-rate streaming-ingest tradeoff (no zone maps on

@@ -102,6 +102,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
         if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
+    // ADD CONSTRAINT wraps its target in the grammar-built validation
+    // scan (Filter(NOT cond, relation)) — look through it
+    case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+      txTablePath(f.child)
     case _ => txPath(plan)
   }
 
@@ -198,6 +202,27 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       key.fold(all)(k => all.view.filterKeys(_ == k).toMap)
         .toSeq.sortBy(_._1).toDF("key", "value").queryExecution.logical
     }
+    // CHECK constraints — ALTER TABLE ADD CONSTRAINT name CHECK (...)
+    // validates existing rows then persists; every later write
+    // enforces inside the write job. The grammar emits
+    // AddCheckConstraint for CHECK and AddConstraint for the PK/FK
+    // shapes (informational elsewhere — unsupported here).
+    case a: org.apache.spark.sql.catalyst.plans.logical.AddCheckConstraint
+        if txTablePath(a.child).isDefined =>
+      dmlResult("addconstraint",
+        TxTable(session, txTablePath(a.child).get)
+          .addCheckConstraint(a.checkConstraint.name,
+            a.checkConstraint.condition))
+    case org.apache.spark.sql.catalyst.plans.logical.AddConstraint(
+        child, tc) if txTablePath(child).isDefined =>
+      sys.error("ALTER TABLE txtable supports CHECK constraints only — " +
+        s"got ${tc.getClass.getSimpleName}")
+    case org.apache.spark.sql.catalyst.plans.logical.DropConstraint(
+        child, name, ifExists, _) if txTablePath(child).isDefined =>
+      val t = TxTable(session, txTablePath(child).get)
+      require(ifExists || t.constraints.contains(name),
+        s"${t.location} has no constraint $name")
+      dmlResult("dropconstraint", t.dropConstraint(name))
     // schema evolution verbs — metadata-only commits through the
     // column-mapping API (physical names frozen, zero data rewritten)
     case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
@@ -227,11 +252,78 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         t.addColumn(c.colName, c.dataType)
       }.last
       dmlResult("alterschema", v)
+    // INSERT INTO / INSERT OVERWRITE route onto the commit-log API
+    // (by-POSITION against the table's logical schema, the SQL rule;
+    // INSERT (cols...) assigns the named columns and NULL-fills the
+    // rest). A direct write to the spliced parquet relation would
+    // bypass the log entirely — this interception is what makes the
+    // verb safe.
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.table.isInstanceOf[UnresolvedRelation] &&
           isTx(i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier) =>
-      sys.error("INSERT INTO txtable.`dir` would bypass the commit log — " +
-        "write through df.write.format(\"txtable\").mode(\"append\")")
+      val path = i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier(1)
+      val t = TxTable(session, path)
+      require(i.partitionSpec.isEmpty,
+        "INSERT INTO txtable with a PARTITION spec is not supported — " +
+          "the layout routes from the data (hive-shadow discipline); " +
+          "include the partition column in the SELECT")
+      val q = org.apache.spark.sql.graft.StreamShims.ofRows(session, i.query)
+      val target = t.read().schema.fields
+      val aligned =
+        if (i.userSpecifiedCols.nonEmpty) {
+          require(i.userSpecifiedCols.length == q.columns.length,
+            s"INSERT column list names ${i.userSpecifiedCols.length} columns " +
+              s"but the query produces ${q.columns.length}")
+          val byName = i.userSpecifiedCols.map(_.toLowerCase)
+            .zip(q.columns).toMap
+          q.select(target.map { f =>
+            byName.get(f.name.toLowerCase) match {
+              case Some(src) => q.col(s"`$src`").cast(f.dataType).as(f.name)
+              case None => org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+        } else {
+          require(q.columns.length == target.length,
+            s"INSERT INTO txtable.`$path` by position needs " +
+              s"${target.length} columns, query produces ${q.columns.length}")
+          q.select(q.columns.zip(target).map { case (src, f) =>
+            q.col(s"`$src`").cast(f.dataType).as(f.name)
+          }.toIndexedSeq: _*)
+        }
+      if (i.overwrite) {
+        require(t.bucketKeys.isEmpty,
+          "INSERT OVERWRITE a key-bucketed txtable is not supported — " +
+            "use the Scala overwriteBucketed API")
+        dmlResult("overwrite",
+          t.overwrite(aligned, t.partitionColumns))
+      } else dmlResult("append", t.append(aligned))
+    // CREATE TABLE txtable.`dir` [PARTITIONED BY (...)] AS SELECT —
+    // materialize a query as a NEW commit-logged table (refuses an
+    // existing one unless IF NOT EXISTS)
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+        if c.name.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier] &&
+          isTx(c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier].nameParts) =>
+      val path = c.name
+        .asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier]
+        .nameParts(1)
+      val exists = TxTable.isTable(session, path)
+      if (exists && c.ignoreIfExists)
+        dmlResult("createtable", TxTable(session, path).latestVersion.getOrElse(0L))
+      else {
+        require(!exists, s"$path is already a TxTable — " +
+          "use INSERT OVERWRITE or CREATE TABLE IF NOT EXISTS")
+        val partitionBy = c.partitioning.map { tr =>
+          require(tr.name == "identity" && tr.references.length == 1 &&
+              tr.references.head.fieldNames.length == 1,
+            s"CREATE TABLE txtable supports PARTITIONED BY (col, ...) " +
+              s"only — got $tr")
+          tr.references.head.fieldNames.head
+        }
+        val q = org.apache.spark.sql.graft.StreamShims.ofRows(session, c.query)
+        dmlResult("createtable",
+          TxTable(session, path).overwrite(q, partitionBy))
+      }
     case DeleteFromTable(t, cond) if txPath(t).isDefined =>
       dmlResult("delete",
         TxTable(session, txPath(t).get).deleteWhere(column(cond)))
@@ -370,6 +462,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * vectors cross the threshold (default 5%), dropping the vectors. */
   private val ReorgPurge =
     """(?is)\s*REORG\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  /** `CREATE TABLE txtable.`t2` SHALLOW CLONE txtable.`t1`` —
+    * zero-copy metadata clone (Spark's grammar has no CLONE verb —
+    * matched ahead of the delegate like the other maintenance verbs). */
+  private val ShallowClone =
+    """(?is)\s*CREATE\s+TABLE\s+txtable\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeDetail(path) =>
@@ -410,6 +507,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       dmlResult("restore", TxTable(session, path).restore(version.toLong))
     case ReorgPurge(path) =>
       dmlResult("reorg", TxTable(session, path).purgeDeletes())
+    case ShallowClone(target, source) =>
+      dmlResult("clone", TxTable(session, source).cloneTo(target))
     case _ => rewrite(delegate.parsePlan(sqlText))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

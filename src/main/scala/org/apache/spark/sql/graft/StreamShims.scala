@@ -100,6 +100,13 @@ object StreamShims {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     ExpressionUtils.expression(c)
 
+  /** Parse a SQL expression string to its catalyst tree NOW (the
+    * `functions.expr` Column defers parsing to analysis, so its tree
+    * cannot be inspected for referenced attributes). */
+  def parseExpression(spark: org.apache.spark.sql.SparkSession, sql: String)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    spark.asInstanceOf[ClassicSession].sessionState.sqlParser.parseExpression(sql)
+
   /** A (possibly unresolved) logical plan as a DataFrame — resolves
     * the USING side of `MERGE INTO txtable` (a view name or subquery)
     * through the session's own analyzer. */

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.TxTable
+import graft.streaming.EventsStream
+
+/** CHECK constraints on TxTable — write invariants enforced inside
+  * the write job (the Delta constraint discipline): ADD validates
+  * existing rows, every later write through ANY handle raises on a
+  * violating row before anything commits, NULL conditions pass. */
+class ConstraintSpec extends SparkSpec {
+
+  private def freshTable(name: String): (TxTable, String) = {
+    val dir = EventsStream.scratchDir(name) + "/t"
+    (TxTable(spark, dir), dir)
+  }
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"name_$i", i * 10.0)).toDF("id", "name", "score")
+  }
+
+  test("add validates existing rows; violating appends fail before committing") {
+    val (t, _) = freshTable("ck_basic")
+    t.overwrite(df(0 until 10))
+    t.addCheckConstraint("score_nonneg", "score >= 0")
+    assert(t.constraints == Map("score_nonneg" -> "score >= 0"))
+    val vBefore = t.latestVersion.get
+    import spark.implicits._
+    val bad = Seq((99L, "bad", -5.0)).toDF("id", "name", "score")
+    val e = intercept[Exception] { t.append(bad) }
+    assert(e.getMessage.contains("score_nonneg"),
+      s"violation must name the constraint — got ${e.getMessage}")
+    assert(t.latestVersion.get == vBefore, "failed write must not commit")
+    assert(t.read().count() == 10)
+    // a clean append still lands
+    t.append(df(10 until 12))
+    assert(t.read().count() == 12)
+  }
+
+  test("adding a constraint existing rows violate refuses") {
+    val (t, _) = freshTable("ck_preexisting")
+    t.overwrite(df(0 until 10))
+    val e = intercept[IllegalArgumentException] {
+      t.addCheckConstraint("id_small", "id < 5")
+    }
+    assert(e.getMessage.contains("existing rows violate"))
+    assert(t.constraints.isEmpty)
+  }
+
+  test("NULL conditions pass (SQL CHECK semantics); updates and merges enforce too") {
+    import spark.implicits._
+    val (t, _) = freshTable("ck_null")
+    t.overwrite(Seq((1L, Some(5.0)), (2L, None)).toDF("id", "v"))
+    t.addCheckConstraint("v_pos", "v > 0") // NULL v passes
+    t.append(Seq((3L, None: Option[Double])).toDF("id", "v"))
+    assert(t.read().count() == 3)
+    // updateWhere producing a violation fails
+    val e = intercept[Exception] {
+      t.updateWhere(col("id") === 1L, Map("v" -> lit(-1.0)))
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(t.read().where(col("v") === 5.0).count() == 1, "update rolled back")
+  }
+
+  test("constraint binds every writer via the property, not the handle") {
+    val (t, dir) = freshTable("ck_handle")
+    t.overwrite(df(0 until 5))
+    t.addCheckConstraint("score_nonneg", "score >= 0")
+    // an unrelated fresh handle enforces it too
+    val other = TxTable(spark, dir)
+    import spark.implicits._
+    val e = intercept[Exception] {
+      other.append(Seq((9L, "x", -1.0)).toDF("id", "name", "score"))
+    }
+    assert(e.getMessage.contains("score_nonneg"))
+  }
+
+  test("rename/drop of a constrained column refuses; dropping the constraint frees it") {
+    val (t, _) = freshTable("ck_colguard")
+    t.overwrite(df(0 until 5))
+    t.addCheckConstraint("score_nonneg", "score >= 0")
+    assert(intercept[IllegalArgumentException] {
+      t.renameColumn("score", "points")
+    }.getMessage.contains("score_nonneg"))
+    assert(intercept[IllegalArgumentException] {
+      t.dropColumn("score")
+    }.getMessage.contains("score_nonneg"))
+    t.dropConstraint("score_nonneg")
+    t.renameColumn("score", "points")
+    assert(t.read().columns.contains("points"))
+  }
+
+  test("SQL verbs: ADD CONSTRAINT CHECK enforces, DROP CONSTRAINT releases") {
+    val (t, dir) = freshTable("ck_sql")
+    t.overwrite(df(0 until 5))
+    spark.sql(s"ALTER TABLE txtable.`$dir` ADD CONSTRAINT id_pos CHECK (id >= 0)")
+    assert(t.constraints.contains("id_pos"))
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO txtable.`$dir` VALUES (-1, 'neg', 0.0)")
+    }
+    assert(e.getMessage.contains("id_pos"))
+    spark.sql(s"ALTER TABLE txtable.`$dir` DROP CONSTRAINT id_pos")
+    spark.sql(s"INSERT INTO txtable.`$dir` VALUES (-1, 'neg', 0.0)")
+    assert(t.read().count() == 6)
+    // dropping a missing constraint without IF EXISTS refuses
+    assert(intercept[Exception] {
+      spark.sql(s"ALTER TABLE txtable.`$dir` DROP CONSTRAINT nosuch")
+    }.getMessage.contains("no constraint"))
+  }
+}

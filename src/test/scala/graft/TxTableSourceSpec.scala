@@ -526,15 +526,17 @@ class TxTableSourceSpec extends SparkSpec {
     val j = spark.sql(
       s"SELECT t.id, g.tag FROM txtable.`$dir` t JOIN tags g USING (id) ORDER BY id")
     assert(j.count() == 2)
-    // INSERT would bypass the commit log: refused with the fix named
-    val ie = intercept[Exception](
-      spark.sql(s"INSERT INTO txtable.`$dir` VALUES (9, 'x', 1.0)"))
-    assert(ie.getMessage.contains("bypass the commit log"))
+    // INSERT routes onto the commit log (by-position append commit)
+    val ins = spark.sql(s"INSERT INTO txtable.`$dir` VALUES (9, 'x', 1.0)")
+    assert(ins.head().getString(0) == "append")
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+      .head().getLong(0) == 4L)
     // the audit verb: newest commit first
     val h = spark.sql(s"DESCRIBE HISTORY txtable.`$dir`")
     assert(h.columns.toSeq == Seq("version", "operation", "n_files"))
     assert(h.select("version", "operation").as[(Long, String)].collect().toSeq
-      .take(3) == Seq((2L, "overwrite"), (1L, "append"), (0L, "overwrite")))
+      .take(4) == Seq((3L, "append"), (2L, "overwrite"), (1L, "append"),
+        (0L, "overwrite")))
   }
 
   test("SQL DML verbs: DELETE / UPDATE / MERGE INTO route onto the commit log") {
@@ -636,5 +638,64 @@ class TxTableSourceSpec extends SparkSpec {
       .start()
     q.awaitTermination()
     assert(spark.read.parquet(s"$out/rows").count() == 4)
+  }
+
+  test("SQL INSERT INTO: by-position, column-list with NULL fill, OVERWRITE, guards") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_insert")
+    t.overwrite(df(0 until 5))
+    // by position: columns align to the table schema in order
+    spark.sql(s"INSERT INTO txtable.`$dir` SELECT 100, 'hundred', 5.5")
+    assert(t.read().count() == 6)
+    assert(t.read().where($"id" === 100L).head.getAs[String]("name") == "hundred")
+    // column list: named columns assign, the rest NULL-fill
+    spark.sql(s"INSERT INTO txtable.`$dir` (id, score) VALUES (200, 7.5)")
+    val r200 = t.read().where($"id" === 200L).head
+    assert(r200.getAs[Double]("score") == 7.5 && r200.isNullAt(1))
+    // arity mismatch refuses loudly
+    val bad = intercept[Exception](
+      spark.sql(s"INSERT INTO txtable.`$dir` VALUES (1, 'x')"))
+    assert(bad.getMessage.contains("by position"))
+    // INSERT OVERWRITE replaces the snapshot; history stays
+    spark.sql(s"INSERT OVERWRITE txtable.`$dir` SELECT 1, 'only', 0.0")
+    assert(t.read().count() == 1)
+    assert(t.readVersion(t.latestVersion.get - 1).count() == 7)
+  }
+
+  test("SQL INSERT OVERWRITE preserves a hive-partitioned layout") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_insover_pt")
+    t.overwrite((0 until 20).map(i => (s"p${i % 2}", i.toLong)).toDF("pt", "v"),
+      partitionBy = Seq("pt"))
+    spark.sql(s"INSERT OVERWRITE txtable.`$dir` SELECT 'p9', 99")
+    assert(t.read().count() == 1)
+    // the layout survived: the new snapshot still prunes by partition
+    assert(t.readWhere(p => p.get("pt").contains("p9")).count() == 1)
+    assert(t.readWhere(p => p.get("pt").contains("p0")).count() == 0)
+  }
+
+  test("SQL CTAS creates a commit-logged table; IF NOT EXISTS is a no-op on a live one") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("txsql_ctas") + "/t"
+    val res = spark.sql(
+      s"CREATE TABLE txtable.`$dir` AS SELECT id, id * 2 AS dbl FROM range(10)")
+    assert(res.head().getString(0) == "createtable")
+    val t = TxTable(spark, dir)
+    assert(t.read().count() == 10)
+    assert(t.read().agg(org.apache.spark.sql.functions.sum($"dbl"))
+      .head.getLong(0) == 90L)
+    // a second CREATE refuses; IF NOT EXISTS no-ops
+    val dup = intercept[Exception](spark.sql(
+      s"CREATE TABLE txtable.`$dir` AS SELECT 1 AS x"))
+    assert(dup.getMessage.contains("already"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS txtable.`$dir` AS SELECT 1 AS x")
+    assert(t.read().count() == 10, "IF NOT EXISTS must not overwrite")
+    // partitioned CTAS lays out hive dirs
+    val dir2 = EventsStream.scratchDir("txsql_ctas_pt") + "/t"
+    spark.sql(s"CREATE TABLE txtable.`$dir2` PARTITIONED BY (par) AS " +
+      "SELECT id, CAST(id % 3 AS STRING) AS par FROM range(30)")
+    val t2 = TxTable(spark, dir2)
+    assert(t2.read().count() == 30)
+    assert(t2.readWhere(p => p.get("par").contains("1")).count() == 10)
   }
 }

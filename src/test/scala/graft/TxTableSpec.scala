@@ -111,6 +111,43 @@ class TxTableSpec extends SparkSpec {
     assert(r.where(col("score").isNull).count() == 3)
   }
 
+  test("compactSmall bin-packs only the small files; compact files carry byte-identically") {
+    val (t, dir) = freshTable("tx_csmall")
+    t.overwrite(df(0 until 2000))          // one ~compact file
+    t.compact(targetFileBytes = 16 * 1024) // normalize into ≥1 sized file(s)
+    val vBase = t.latestVersion.get
+    val bigFiles = t.readVersion(vBase).inputFiles.toSet
+    // small-file debt: 6 tiny appends
+    (0 until 6).foreach(i => t.append(df(5000 + i until 5001 + i)))
+    val vOpt = t.compactSmall(targetFileBytes = 16 * 1024)
+    assert(vOpt > vBase + 5)
+    val after = t.read()
+    assert(after.count() == 2006)
+    // the compact files carried by reference — same paths serve reads
+    assert(bigFiles.subsetOf(after.inputFiles.toSet),
+      "already-compact files must carry into the optimized snapshot untouched")
+    // the 6 tiny files collapsed into one output
+    assert(after.inputFiles.length == bigFiles.size + 1,
+      s"expected ${bigFiles.size}+1 files, got ${after.inputFiles.length}")
+    // change feed skips it (dataChange=false), the appends still serve
+    assert(t.history().last._2 == "compact")
+    // a second pass finds < minFiles small files → no new commit
+    assert(t.compactSmall(targetFileBytes = 16 * 1024) == vOpt)
+  }
+
+  test("compactSmall purges deletion vectors of the files it rewrites") {
+    val (t, _) = freshTable("tx_csmall_dv")
+    val dv = graft.core.TxTable(spark, t.location, deletionVectors = true)
+    dv.overwrite(df(0 until 100))
+    dv.append(df(100 until 110))
+    dv.deleteWhere(col("id") < 5L) // vectors the first file
+    assert(dv.read().count() == 105)
+    val v = dv.compactSmall(targetFileBytes = 16 * 1024)
+    assert(dv.read().count() == 105)
+    // no entry carries a vector anymore: rewrite purged them
+    assert(!dv.snapshotHasDv(v), "compactSmall must purge rewritten files' DVs")
+  }
+
   test("compact rewrites as a new snapshot; history intact until expiry+vacuum") {
     val (t, dir) = freshTable("tx_compact")
     t.overwrite(df(0 until 1000).repartition(16)) // 16 small files
