@@ -848,6 +848,24 @@ object SparkEntry {
           sum(length(col("text_redacted"))).as("redacted_chars"))
         .orderBy("lang", "source")
     }),
+    // t11: repetition quality signals (Gopher-rule family) —
+    // duplicated-word and duplicated-bigram fractions per doc via
+    // higher-order array functions (map-side, no shuffle, no UDF);
+    // per-doc fractions round to 6dp and aggregate in exact decimal
+    // so the DuckDB list-lambda replay hashes identically
+    "t11_rep_signals"    -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Corpus.repetitionSignals(Tables.documents(s, d), "text")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("dup_word_frac").cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_dup_word_frac"),
+          round(sum(col("dup_bigram_frac").cast("decimal(18,6)")), 6)
+            .cast("double").as("sum_dup_bigram_frac"),
+          sum(when(col("dup_word_frac") > 0.55, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .orderBy("lang")
+    }),
     // t10: domain mixing — deterministic per-source rate sampling via
     // a fixed congruential mix of doc_id (scan-side filter, no
     // shuffle, reproducible across engines; a production variant
@@ -1633,6 +1651,29 @@ object SparkEntry {
         |  CAST(sum(n_phones) AS BIGINT) AS phones_redacted,
         |  CAST(sum(length(text_redacted)) AS BIGINT) AS redacted_chars
         |FROM red GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // t11: the same list-lambda arithmetic replayed in DuckDB
+    "t11_rep_signals" ->
+      """WITH sig AS (
+        |  SELECT lang, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |    round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+        |      / CAST(n AS DOUBLE), 6) AS dwf,
+        |    CASE WHEN n < 2 THEN 0.0 ELSE
+        |      round(1.0 - CAST(len(list_distinct(
+        |        list_transform(range(1, n), i -> w[i] || ' ' || w[i + 1])))
+        |        AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) END AS dbf
+        |  FROM sig)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(round(sum(CAST(dwf AS DECIMAL(18,6))), 6) AS DOUBLE)
+        |    AS sum_dup_word_frac,
+        |  CAST(round(sum(CAST(dbf AS DECIMAL(18,6))), 6) AS DOUBLE)
+        |    AS sum_dup_bigram_frac,
+        |  CAST(sum(CASE WHEN dwf > 0.55 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // t10: the congruential mix replayed in plain arithmetic
     "t10_domain_mix" ->
       """SELECT source, count(*) AS n_docs,

@@ -84,6 +84,28 @@ object Corpus {
   def mixBucket(id: Column): Column =
     pmod(id * MixMultiplier + MixSalt, lit(1000L))
 
+  /** Repetition quality signals (the Gopher-rule family): fraction of
+    * duplicated words and duplicated word-bigrams per document — high
+    * values mark boilerplate/spam for downstream filtering. Pure
+    * higher-order array functions over the token list: one map-side
+    * projection, zero shuffle, zero UDF; a DuckDB list-lambda replay
+    * is bit-identical. Adds `dup_word_frac` / `dup_bigram_frac`
+    * (0.0 for docs too short to have bigrams). */
+  def repetitionSignals(df: DataFrame, textCol: String): DataFrame = {
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val bigrams = zip_with(
+      slice(words, lit(1), n - 1), slice(words, lit(2), n - 1),
+      (a, b) => concat(a, lit(" "), b))
+    df.withColumn("dup_word_frac",
+        round(lit(1.0) - size(array_distinct(words)).cast("double") /
+          n.cast("double"), 6))
+      .withColumn("dup_bigram_frac",
+        when(n < 2, lit(0.0)).otherwise(
+          round(lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+            (n - 1).cast("double"), 6)))
+  }
+
   def weightedSample(df: DataFrame, idCol: String, domainCol: String,
       rates: Map[String, Double]): DataFrame = {
     val keep = rates.foldLeft(lit(1000L): Column) {

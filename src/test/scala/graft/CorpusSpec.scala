@@ -64,6 +64,21 @@ class CorpusSpec extends SparkSpec {
     assert(r(2L) == ((0, 0, "no pii here at all")))
   }
 
+  test("repetitionSignals: duplicated word/bigram fractions, short-doc guard") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a a a a"),          // 4 words 1 distinct → dwf 0.75; bigrams "a a"×3 → dbf 2/3
+      (2L, "x y z w"),          // all distinct → 0.0; bigrams distinct → 0.0
+      (3L, "solo"))             // 1 word → dwf 0.0, no bigrams → dbf 0.0
+      .toDF("doc_id", "text")
+    val r = graft.ops.Corpus.repetitionSignals(d, "text").collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        ((x.getAs[Double]("dup_word_frac"), x.getAs[Double]("dup_bigram_frac")))).toMap
+    assert(r(1L) == ((0.75, 0.666667)))
+    assert(r(2L) == ((0.0, 0.0)))
+    assert(r(3L) == ((0.0, 0.0)))
+  }
+
   test("weightedSample: deterministic, rate-monotone, unlisted domains untouched") {
     import spark.implicits._
     val d = (0L until 2000L).map(i => (i, s"src${i % 4}")).toDF("id", "domain")
