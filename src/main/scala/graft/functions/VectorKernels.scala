@@ -44,6 +44,23 @@ object VectorKernels {
     s
   }
 
+  /** Asymmetric-distance (ADC) score: Σ_sub lut[sub·ksub + codes[sub]].
+    * The per-pair cost of a PQ scan — `m` table lookups instead of a
+    * `dim`-element dot product ([[PqCodebook]] builds the per-query
+    * lut). Codes beyond the lut's range score 0 (never produced by
+    * [[PqCodebook.encode]]; guards codegen against malformed input). */
+  def adcDot(codes: ArrayData, lut: ArrayData, ksub: Int): Double = {
+    val m = codes.numElements()
+    val nl = lut.numElements()
+    var s = 0.0; var sub = 0
+    while (sub < m) {
+      val slot = sub * ksub + codes.getInt(sub)
+      if (slot < nl) s += lut.getDouble(slot)
+      sub += 1
+    }
+    s
+  }
+
   /** Signed-random-projection b-bit signature: bit p = sign of
     * Σᵢ ±vᵢ with the sign from the parity of xxhash64(p, i) —
     * bit-identical to the HOF spelling it replaces
@@ -395,5 +412,88 @@ final class LangProfileIndex(profiles: Seq[(String, Seq[String])])
       li += 1
     }
     new GenericArrayData(acc)
+  }
+}
+
+/** Product-quantization codebook (Jégou/Douze/Schmid, "Product
+  * Quantization for Nearest Neighbor Search", PAMI 2011 — public):
+  * the vector space splits into `m` contiguous subspaces of `dsub`
+  * dims; each subspace carries ≤ `ksub` centroids (k-means-trained),
+  * and a vector encodes as `m` small codes — `m` bytes standing in
+  * for `4·dsub·m` float bytes (32× at dim 64 / m 8). Query-side, a
+  * per-query lookup table of sub-dot-products turns each candidate
+  * score into `m` table adds ([[VectorKernels.adcDot]]) — the
+  * asymmetric-distance scan that makes exhaustive ranking affordable
+  * over a compressed corpus that fits in memory at 100 TB raw.
+  *
+  * `flat((sub·ksub + code)·dsub + i)` = coordinate `i` of centroid
+  * `code` in subspace `sub`; `counts(sub)` ≤ ksub is the live
+  * centroid count (Lloyd rounds may empty cells — unassigned slots
+  * stay zero and are never encoded). Ships to executors inside the
+  * serialized plan via `ctx.addReferenceObj`, like [[CentroidIndex]].
+  */
+final class PqCodebook(val dsub: Int, val ksub: Int,
+    val counts: Array[Int], val flat: Array[Float]) extends Serializable {
+  val m: Int = counts.length
+  require(m >= 1, "empty codebook")
+  require(flat.length == m * ksub * dsub, "flat length mismatch")
+  require(counts.forall(c => c >= 1 && c <= ksub), "invalid live counts")
+
+  def dim: Int = m * dsub
+
+  /** Encode: per subspace, the L2-argmin centroid (tie → lowest
+    * code). Missing trailing dims (ragged input) read as 0. */
+  def encode(v: ArrayData): ArrayData = {
+    val codes = new Array[Int](m)
+    val nv = v.numElements()
+    var sub = 0
+    while (sub < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < counts(sub)) {
+        val base = (sub * ksub + c) * dsub
+        var d = 0.0
+        var i = 0
+        while (i < dsub) {
+          val off = sub * dsub + i
+          val x = (if (off < nv) v.getFloat(off).toDouble else 0.0) -
+            flat(base + i).toDouble
+          d += x * x
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(sub) = best
+      sub += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** Per-query ADC table: lut[sub·ksub + code] = Σᵢ q[sub·dsub+i] ·
+    * centroid[i] — computed ONCE per query, reused for every
+    * candidate. Dead slots stay 0 (never looked up). */
+  def lut(q: ArrayData): ArrayData = {
+    val t = new Array[Double](m * ksub)
+    val nq = q.numElements()
+    var sub = 0
+    while (sub < m) {
+      var c = 0
+      while (c < counts(sub)) {
+        val base = (sub * ksub + c) * dsub
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val off = sub * dsub + i
+          if (off < nq) s += q.getFloat(off).toDouble * flat(base + i).toDouble
+          i += 1
+        }
+        t(sub * ksub + c) = s
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(t)
   }
 }

@@ -106,6 +106,28 @@ object Corpus {
             (n - 1).cast("double"), 6)))
   }
 
+  /** Deterministic train/val/test split assignment: each row's split
+    * comes from [[mixBucket]] of its id against cumulative per-mille
+    * thresholds — order-free, shuffle-free, reproducible across runs,
+    * engines, and table growth (a row's split never changes when new
+    * rows arrive — the property a rolling-ingest corpus needs; a
+    * random() split reassigns everything every run). Adds `split`. */
+  def splitAssign(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)] =
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))): DataFrame = {
+    require(splits.size >= 2, "need at least two splits")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val b = mixBucket(col(idCol))
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * 1000))
+    val expr = splits.init.zip(cum.init).foldRight(
+      lit(splits.last._1): Column) { case (((name, _), hi), acc) =>
+      when(b < hi, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
+
   def weightedSample(df: DataFrame, idCol: String, domainCol: String,
       rates: Map[String, Double]): DataFrame = {
     val keep = rates.foldLeft(lit(1000L): Column) {

@@ -462,4 +462,26 @@ object Dedup {
     edges.unpersist()
     out
   }
+
+  /** C14 — canonical-document selection: after clustering (c11 /
+    * [[dupClusters]]), keep ONE representative per duplicate cluster
+    * — the longest text, ties to the lowest doc_id (the standard
+    * "keep best duplicate" dedup finisher; swap the `len` expression
+    * for any quality score with the same shape). One equi join of the
+    * (small) cluster assignment against the doc table plus one
+    * map-side-partial `max_by` aggregation — no window holding a
+    * cluster's members in one partition, so a pathological mega-
+    * cluster (the spam case) still aggregates distributed. */
+  def canonicalDocs(clusters: DataFrame, docs: DataFrame): DataFrame =
+    clusters
+      .join(docs.select(col("doc_id"),
+        length(col("text")).cast("int").as("len")), "doc_id")
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("doc_id").as("canon_doc_id"),
+            col("len").as("canon_len")),
+          struct(col("len"), -col("doc_id"))).as("c"))
+      .select(col("cluster_id"), col("c.canon_doc_id"),
+        col("c.canon_len"), col("n_members"))
+      .orderBy("cluster_id")
 }

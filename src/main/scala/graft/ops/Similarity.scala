@@ -340,6 +340,127 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Unit-normalize the embedding column (floats; zero vectors pass
+    * through unchanged) — dot products of unit vectors ARE cosines,
+    * which is what lets the PQ ADC scan rank by inner product. One
+    * map-side projection; runs once per row, outside any pair loop,
+    * so the interpreted HOF `transform` is fine here. */
+  def unitVectors(emb: DataFrame): DataFrame = {
+    val nrm = l2Norm(col("embedding"))
+    emb.select(col("vec_id"),
+      when(nrm === 0.0, col("embedding"))
+        .otherwise(transform(col("embedding"),
+          x => (x / nrm).cast("float"))).as("embedding"))
+  }
+
+  /** Train a product-quantization codebook
+    * ([[graft.functions.PqCodebook]]): split the space into `m`
+    * contiguous subspaces, k-means each to ≤ `ksub` centroids. Lloyd
+    * assignment reuses the [[graft.functions.PqEncode]] kernel itself
+    * (ALL m subspaces assigned in one codegen pass per row), means
+    * reduce per (subspace, code, coordinate) — the collect is
+    * m·ksub·dsub model cells (the codebook, like MLlib's KMeans
+    * centers), never the corpus. Deterministic strided seeding; empty
+    * cells keep their previous centroid. At 100 TB you train on a
+    * sample — identical plumbing. */
+  def pqTrainCodebook(emb: DataFrame, m: Int = 8, ksub: Int = 16,
+      iters: Int = 3): graft.functions.PqCodebook = {
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val n = emb.count()
+    val stride = math.max(1L, n / ksub)
+    // seed: ksub strided vectors, sliced into every subspace
+    val seeds = emb.where(col("vec_id") % stride === 0)
+      .orderBy("vec_id").limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(seeds.length == ksub,
+      s"seeding produced ${seeds.length} < $ksub vectors")
+    val counts = Array.fill(m)(ksub)
+    val flat = new Array[Float](m * ksub * dsub)
+    for (sub <- 0 until m; c <- 0 until ksub; i <- 0 until dsub)
+      flat((sub * ksub + c) * dsub + i) =
+        if (sub * dsub + i < seeds(c).length) seeds(c)(sub * dsub + i) else 0f
+    var cb = new graft.functions.PqCodebook(dsub, ksub, counts, flat)
+    for (_ <- 1 to iters) {
+      val cells = emb
+        .select(col("embedding"),
+          posexplode(graft.functions.GraftFunctions
+            .pqEncode(col("embedding"), cb)).as(Seq("sub", "code")))
+        .select(col("sub"), col("code"),
+          posexplode(slice(col("embedding"), col("sub") * dsub + 1,
+            lit(dsub))).as(Seq("pos", "x")))
+        .groupBy("sub", "code", "pos")
+        .agg(avg(col("x")).as("mean"))
+        .collect()
+      val next = cb.flat.clone()
+      cells.foreach { r =>
+        next((r.getInt(0) * ksub + r.getInt(1)) * dsub + r.getInt(2)) =
+          r.getDouble(3).toFloat
+      }
+      cb = new graft.functions.PqCodebook(dsub, ksub, counts, next)
+    }
+    cb
+  }
+
+  /** Encode the corpus against a trained codebook: one `m`-code array
+    * per vector — `m` bytes standing in for `4·dim` (32× at dim 64 /
+    * m 8). This is what a 100 TB embedding store keeps hot; the raw
+    * vectors stay on disk for the refine step only. */
+  def pqEncode(emb: DataFrame,
+      cb: graft.functions.PqCodebook): DataFrame =
+    emb.select(col("vec_id"),
+      graft.functions.GraftFunctions.pqEncode(col("embedding"), cb)
+        .as("codes"))
+
+  /** C13 — PQ/ADC ANN with exact re-rank: the compressed-corpus scale
+    * path for [[annTopK]].
+    *
+    * The corpus is scanned as `m`-byte PQ codes; each (query,
+    * candidate) costs `m` table adds against the query's one-time
+    * lookup table ([[graft.functions.AdcDot]]) instead of a `dim`-dot
+    * — an 8× FLOP cut here and, more importantly at scale, a 32×
+    * working-set cut. The ADC top `refine·k` then re-ranks EXACTLY
+    * (true cosine over the raw vectors of just those candidates), so
+    * precision of the emitted scores is exact and recall is bounded
+    * only by the candidate stage. Composes with IVF the obvious way
+    * (encode each inverted list; probe then ADC-scan the probed
+    * lists). Recall < 1 by construction → gated as a recall bound
+    * like c7/c10; per-pair behavior pinned in PqSpec. */
+  def annTopKPq(emb: DataFrame, k: Int = 10, queryStride: Int = 100,
+      m: Int = 16, ksub: Int = 16, iters: Int = 3, refine: Int = 8,
+      codebookOverride: Option[graft.functions.PqCodebook] = None): DataFrame = {
+    val unit = unitVectors(emb)
+    val cb = codebookOverride.getOrElse(pqTrainCodebook(unit, m, ksub, iters))
+    val codes = pqEncode(unit, cb)
+    val luts = unit.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"),
+        graft.functions.GraftFunctions.pqLut(col("embedding"), cb).as("lut"))
+    val adcScored = codes
+      .join(broadcast(luts), col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.adcDot(col("codes"), col("lut"), ksub)
+          .as("cos"))
+    val cand = topKPerQuery(adcScored, k * refine)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: raw vectors touched ONLY for the refine·k
+    // candidates per query — same scoring expression as annTopK, so
+    // emitted cosines are bit-identical to the exact path's
+    val queries = emb.where(col("vec_id") % queryStride === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        l2Norm(col("embedding")).as("qnrm"))
+    val rescored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        l2Norm(col("embedding")).as("cnrm"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(queries), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("cnrm")))
+          .as("cos"))
+    topKPerQuery(rescored, k)
+  }
+
   /** Signed-random-projection b-bit signature (deterministic
     * hyperplanes from xxhash64 of (plane, dim)): bit p = sign of
     * Σᵢ hᵢₚ·vᵢ where hᵢₚ ∈ {−1,+1}. Hamming distance on signatures

@@ -94,4 +94,31 @@ class CorpusSpec extends SparkSpec {
     // reproducible: same input → identical sample
     assert(kept(Map("src1" -> 0.5))("src1") == k("src1"))
   }
+
+  test("splitAssign: deterministic, proportional, stable under growth") {
+    import spark.implicits._
+    val d = (0L until 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val counts = Corpus.splitAssign(d, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 2000)
+    assert(math.abs(counts("train") - 1600) < 120, s"train ${counts("train")}")
+    assert(math.abs(counts("val") - 200) < 80, s"val ${counts("val")}")
+    assert(math.abs(counts("test") - 200) < 80, s"test ${counts("test")}")
+    // stability: a row's split never changes when the table grows —
+    // the rolling-ingest contract (random() splits fail this)
+    val small = Corpus.splitAssign(d.where($"doc_id" < 500), "doc_id")
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = Corpus.splitAssign(d, "doc_id")
+      .where($"doc_id" < 500)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(small == full)
+    // custom fractions + validation
+    val two = Corpus.splitAssign(d, "doc_id", Seq(("a", 0.5), ("b", 0.5)))
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two.keySet == Set("a", "b"))
+    intercept[IllegalArgumentException] {
+      Corpus.splitAssign(d, "doc_id", Seq(("a", 0.5), ("b", 0.2)))
+    }
+  }
 }

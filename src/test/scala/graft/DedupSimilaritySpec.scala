@@ -288,4 +288,18 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(a == b)
   }
+
+  test("canonicalDocs: longest text wins, ties break to lowest doc_id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "cluster_id")
+    val docs = Seq(
+      (1L, "short"), (2L, "the longest text here"), (3L, "mid text"),
+      (10L, "same len"), (11L, "same len"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.canonicalDocs(clusters, docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((2L, 21, 3L)), "longest member is canonical")
+    assert(r(10L) == ((10L, 8, 2L)), "equal lengths tie to lowest doc_id")
+  }
 }

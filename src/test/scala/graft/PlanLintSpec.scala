@@ -23,6 +23,12 @@ class PlanLintSpec extends SparkSpec {
       // (the scalar-subquery shape; a nested loop over one row is a
       // constant) — not a data-dependent nested loop
       "t7_term_weights",
+      // c13's ADC stage is an exhaustive broadcast scan BY DESIGN —
+      // the same O(n·q) shape as c6, but each pair costs m table
+      // adds over 16-byte codes instead of a 64-dim dot over 256-byte
+      // vectors (the 32× working-set cut is the point); IVF
+      // composition is the sublinear path, c7/c10
+      "c13_pq_ann",
       // q31's tolerance gate zips two 1-ROW aggregates (sketch
       // estimate × exact distinct) — same scalar shape; Catalyst
       // folds any constant equi-key back to a cross join
