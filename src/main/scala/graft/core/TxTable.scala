@@ -2159,7 +2159,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
     val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
     val m = manifest(v)
-    val n = targetFileCount(m, targetFileBytes)
+    val n = targetFileCount(m, targetFileBytes, m.files)
     val spec = m.bucketSpec
     val base = readVersion(v)
     val laid = spec.map(withBucket(base, _)).getOrElse(base)
@@ -2233,13 +2233,31 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * rewrites the snapshot), INCREMENTAL small-file compaction
     * ([[compactSmall]]) otherwise — the Delta OPTIMIZE semantics:
     * maintenance cost ∝ small-file debt, never O(table). */
-  def optimize(targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+  def optimize(targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionEq: Map[String, String] = Map.empty): Long = {
     val zcols = latestVersion.map(v => manifest(v).properties
         .getOrElse(TxTable.PropZOrderColumns, ""))
       .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty).toSeq
-    if (zcols.nonEmpty) compactZOrder(zcols, targetFileBytes)
-    else compactSmall(targetFileBytes)
+    if (zcols.nonEmpty) compactZOrder(zcols, targetFileBytes, partitionEq)
+    else compactSmall(targetFileBytes, partitionEq = partitionEq)
   }
+
+  /** Validate + case-normalize an OPTIMIZE WHERE partition-equality
+    * scope against the layout (the Delta rule: the predicate may
+    * reference partition columns only — anything else must error, not
+    * silently rewrite the whole table). */
+  private def resolvePartitionScope(m: Manifest,
+      partitionEq: Map[String, String]): Map[String, String] =
+    partitionEq.map { case (k, v) =>
+      m.partitionCols.find(_.equalsIgnoreCase(k)).getOrElse(sys.error(
+        s"$root: OPTIMIZE WHERE references '$k' — only partition " +
+          s"columns (${m.partitionCols.mkString(", ")}) can scope a " +
+          "compaction; non-partition predicates would make file " +
+          "selection row-dependent")) -> v
+    }
+
+  private def inScope(f: FileEntry, scope: Map[String, String]): Boolean =
+    scope.forall { case (k, v) => f.partition.get(k).contains(v) }
 
   /** Incremental bin-packing compaction (what a bare Delta `OPTIMIZE`
     * actually does): rewrite ONLY the files below `targetFileBytes` —
@@ -2257,7 +2275,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * re-shadow their partition dirs and recompute their buckets from
     * the data. */
   def compactSmall(targetFileBytes: Long = 128L * 1024 * 1024,
-      minFiles: Int = 2, smallFileBytes: Long = -1L): Long = {
+      minFiles: Int = 2, smallFileBytes: Long = -1L,
+      partitionEq: Map[String, String] = Map.empty): Long = {
     require(minFiles >= 2, "minFiles < 2 would rewrite lone files for nothing")
     // the debt cutoff sits BELOW the output target (half by default —
     // the Delta minFileSize/maxFileSize split): an output at ~target
@@ -2266,11 +2285,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val cutoff = if (smallFileBytes > 0) smallFileBytes else targetFileBytes / 2
     val v = latestVersion.getOrElse(sys.error(s"$root: nothing to compact"))
     val m = manifest(v)
+    // OPTIMIZE WHERE: out-of-scope partitions carry by reference —
+    // a nightly per-partition OPTIMIZE on a date-partitioned table
+    // touches yesterday's dir only, never the historical tail
+    val scope = resolvePartitionScope(m, partitionEq)
     def sizeOf(f: FileEntry): Long =
       if (f.bytes >= 0) f.bytes
       else fs.getFileStatus(new Path(root, f.path)).getLen
     val (small, keep) = m.files.partition(f =>
-      sizeOf(f) < cutoff || f.dvPath.isDefined)
+      inScope(f, scope) && (sizeOf(f) < cutoff || f.dvPath.isDefined))
     if (small.size < minFiles) return v
     val base = readEntries(m, small) // DV-applied: survivors only
     val spec = m.bucketSpec
@@ -2291,7 +2314,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   }
 
   def compactZOrder(zCols: Seq[String],
-      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      partitionEq: Map[String, String] = Map.empty): Long = {
     require(zCols.size >= 2 && zCols.size <= 3,
       "z-order needs 2..3 columns (16-bit ranks × stride stay " +
         "inside a positive long)")
@@ -2303,7 +2327,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(zCols.forall(c => !m.partitionCols.exists(_.equalsIgnoreCase(c))),
       s"$root: z-order columns overlap the partition layout — partition " +
         "pruning already serves those; curve the remaining dimensions")
-    val base = readVersion(v)
+    // OPTIMIZE WHERE ... ZORDER BY: only the scoped partitions
+    // re-cluster (curve bounds come from their own values — the curve
+    // is per-partition anyway); everything else carries by reference
+    val scope = resolvePartitionScope(m, partitionEq)
+    val (scoped, carried) = m.files.partition(inScope(_, scope))
+    require(scoped.nonEmpty,
+      s"$root: OPTIMIZE WHERE matches no files (scope $scope)")
+    val base = readEntries(m, scoped)
     import org.apache.spark.sql.functions.{lit => flit, min => fmin, max => fmax}
     val tableSchema = StructType.fromDDL(m.schemaDdl)
     // per-type MONOTONE numeric projection — the curve only needs
@@ -2361,7 +2392,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       org.apache.spark.sql.functions.shiftleft(
         spread(rank16(c, i), zCols.size), i)
     }.reduce(_ bitwiseOR _)
-    val n = targetFileCount(m, targetFileBytes)
+    val n = targetFileCount(m, targetFileBytes, scoped)
     // partition values lead the clustering keys so each write task
     // holds whole (partition, z-range) runs: files stay per-partition
     // AND z-tight within it
@@ -2371,16 +2402,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       .sortWithinPartitions(clusterKeys: _*)
       .drop(ZTmpCol)
     val (files, schema) = writeDataFiles(clustered, m.partitionCols)
+    // carried (out-of-scope) entries keep the table schema; a full
+    // rewrite takes the written files' schema as before
+    val ddl = if (carried.isEmpty) schemaDdlOf(schema) else m.schemaDdl
     commit { latest =>
       require(latest.exists(_.version == m.version),
         s"concurrent commit during z-order compact of $root — rerun")
-      Pending(OpCompact, files, schemaDdlOf(schema), m.partitionCols, None, None)
+      Pending(OpCompact, carried ++ files, ddl, m.partitionCols, None, None)
     }
   }
 
-  /** Shared compaction sizing: rewrite into ~targetFileBytes files. */
-  private def targetFileCount(m: Manifest, targetFileBytes: Long): Int = {
-    val bytes = m.files.map(f => fs.getFileStatus(new Path(root, f.path)).getLen).sum
+  /** Shared compaction sizing: rewrite `files` into ~targetFileBytes
+    * outputs. */
+  private def targetFileCount(m: Manifest, targetFileBytes: Long,
+      files: Seq[FileEntry]): Int = {
+    val bytes = files.map(f =>
+      if (f.bytes >= 0) f.bytes
+      else fs.getFileStatus(new Path(root, f.path)).getLen).sum
     math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
   }
 

@@ -453,7 +453,21 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * -file sweep with the standard RETAIN n HOURS horizon; `RESTORE
     * ... VERSION AS OF n` = metadata-only rewind commit. */
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+txtable\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+txtable\s*\.\s*`([^`]+)`\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+
+  /** `OPTIMIZE ... WHERE` scope: partition-equality conjuncts only
+    * (`k = 'v' AND k2 = v2` — the Delta restriction; TxTable rejects
+    * non-partition columns). */
+  private val PartEqTerm =
+    """\s*`?([\w.]+)`?\s*=\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
+  private def parsePartitionEq(cond: String): Map[String, String] =
+    cond.split("(?i)\\s+AND\\s+").map {
+      case PartEqTerm(k, v1, v2, v3) =>
+        k -> Seq(v1, v2, v3).find(_ != null).get
+      case t => sys.error(
+        s"OPTIMIZE WHERE supports only partition-equality conjuncts " +
+          s"(k = 'v' AND ...), got: $t")
+    }.toMap
   private val VacuumVerb =
     """(?is)\s*VACUUM\s+txtable\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?;?\s*""".r
   private val RestoreVerb =
@@ -488,14 +502,18 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       import session.implicits._
       TxTable(session, path).history().reverse
         .toDF("version", "operation", "n_files").queryExecution.logical
-    case Optimize(path, zcols) =>
+    case Optimize(path, where, zcols) =>
       val t = TxTable(session, path)
+      val scope =
+        if (where == null) Map.empty[String, String]
+        else parsePartitionEq(where)
       // a bare OPTIMIZE honors the table's own clustering policy
       // (graft.zorderColumns property) — explicit ZORDER BY overrides
       val v =
-        if (zcols == null) t.optimize()
+        if (zcols == null) t.optimize(partitionEq = scope)
         else t.compactZOrder(zcols.split(',').toSeq
-          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty))
+          .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
+          partitionEq = scope)
       dmlResult("optimize", v)
     case VacuumVerb(path, hours) =>
       import session.implicits._

@@ -135,6 +135,60 @@ class TxTableSpec extends SparkSpec {
     assert(t.compactSmall(targetFileBytes = 16 * 1024) == vOpt)
   }
 
+  test("OPTIMIZE WHERE: only the scoped partition compacts; the rest carries byte-identically") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_copt_where")
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p, i * 1.0)).toDF("id", "grp", "v")
+    t.overwrite(part(0 until 50, "a"), partitionBy = Seq("grp"))
+    // small-file debt in BOTH partitions
+    (0 until 4).foreach { i =>
+      t.append(part(100 + i until 101 + i, "a"))
+      t.append(part(200 + i until 201 + i, "b"))
+    }
+    val nBefore = t.read().count()
+    def parts(v: Long) = t.fileEntries(v)
+      .groupBy(_.partition.getOrElse("grp", "?"))
+      .view.mapValues(_.map(_.path).toSet).toMap
+    val before = parts(t.latestVersion.get)
+    val v = t.compactSmall(targetFileBytes = 16 * 1024,
+      partitionEq = Map("grp" -> "a"))
+    val after = parts(v)
+    assert(t.read().count() == nBefore)
+    // b untouched — the SAME manifest entries carry by reference
+    assert(after("b") == before("b"),
+      "out-of-scope partition must carry by reference")
+    // a's debt collapsed into one output
+    assert(after("a") != before("a"))
+    assert(after("a").size == 1, s"expected 1 packed a-file, ${after("a")}")
+    assert(t.history().last._2 == "compact" && t.latestVersion.get == v)
+    // non-partition predicate refuses loudly
+    val e = intercept[RuntimeException](
+      t.compactSmall(partitionEq = Map("v" -> "1.0")))
+    assert(e.getMessage.contains("partition"))
+  }
+
+  test("SQL OPTIMIZE WHERE routes the partition scope") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_copt_where_sql")
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p, i * 1.0)).toDF("id", "grp", "v")
+    t.overwrite(part(0 until 20, "a"), partitionBy = Seq("grp"))
+    (0 until 3).foreach { i =>
+      t.append(part(100 + i until 101 + i, "a"))
+      t.append(part(200 + i until 201 + i, "b"))
+    }
+    def parts(v: Long) = t.fileEntries(v)
+      .groupBy(_.partition.getOrElse("grp", "?"))
+      .view.mapValues(_.map(_.path).toSet).toMap
+    val before = parts(t.latestVersion.get)
+    spark.sql(s"OPTIMIZE txtable.`$dir` WHERE grp = 'a'").collect()
+    val after = parts(t.latestVersion.get)
+    assert(after("b") == before("b"))
+    assert(after("a").size == 1)
+    assert(t.read().count() == 26)
+  }
+
   test("compactSmall purges deletion vectors of the files it rewrites") {
     val (t, _) = freshTable("tx_csmall_dv")
     val dv = graft.core.TxTable(spark, t.location, deletionVectors = true)
