@@ -274,6 +274,29 @@ object SparkEntry {
         Similarity.annTopKIvfFromIndex(s, dir, queries, idx),
         s.read.parquet(exactAnnBaseline(s, d)))
     }),
+    // the full IVF-PQ composition (FAISS IVFPQ): coarse lists as
+    // parquet partitions + PQ codes inside them, probes partition-
+    // pruned, ADC scan + exact re-rank — the persisted index is 16×
+    // smaller than the corpus, the billion-vector shape. Gated like
+    // c10 as a recall bound (measured 0.63-0.88 across sf at
+    // nProbe=6); index+codebook are a cached per-session asset
+    "c15_ivfpq_persisted" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val emb = Tables.embeddings(s, d)
+      val (dir, idx, cb) = cachedAsset(s, s"ivfpqindex|$d") {
+        val centroids = emb.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val p = graft.streaming.EventsStream.scratchDir("graft_ivfpq_index")
+        val (i, c) = Similarity.buildIvfPqIndex(emb, centroids, p)
+        (p, i, c)
+      }
+      val queries = emb.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.recallVsExact(
+        Similarity.annTopKIvfPqFromIndex(s, dir, queries, idx, cb, emb,
+          nProbe = 6),
+        s.read.parquet(exactAnnBaseline(s, d)))
+    }),
     // product-quantization ANN (codes = 16 bytes/vector vs 256 raw;
     // ADC candidate scan + exact re-rank), gated like c7/c10 as a
     // recall bound vs the exact baseline — the codebook is a cached
@@ -1904,6 +1927,9 @@ object SparkEntry {
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "c13_pq_ann" ->
+      """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    "c15_ivfpq_persisted" ->
       """SELECT count(DISTINCT vec_id) AS n_queries, true AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "c9_vector_norms" ->

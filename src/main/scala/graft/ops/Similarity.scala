@@ -461,6 +461,112 @@ object Similarity {
     topKPerQuery(rescored, k)
   }
 
+  /** Build and PERSIST an IVF-PQ index (the FAISS IVFPQ composition —
+    * Jégou et al. 2011): unit-normalized vectors assign to coarse
+    * centroids (inverted lists = parquet partitions, as
+    * [[buildIvfIndex]]), but each list stores `m`-code PQ rows
+    * instead of raw vectors — the 100 TB shape, where the index is
+    * 16× smaller than the corpus and a probe reads only its lists'
+    * CODES. The codebook persists alongside (`_pq_codebook.json`) so
+    * a fresh session can search without retraining. Returns the
+    * coarse quantizer. */
+  def buildIvfPqIndex(emb: DataFrame, centroids: DataFrame, path: String,
+      m: Int = 16, ksub: Int = 16,
+      iters: Int = 3): (graft.functions.CentroidIndex, graft.functions.PqCodebook) = {
+    val unit = unitVectors(emb)
+    val cb = pqTrainCodebook(unit, m, ksub, iters)
+    val idx = centroidIndex(centroids)
+    val coded = assignCentroids(emb, idx)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(pqEncode(unit, cb), "vec_id")
+    new graft.core.ParquetIOManager(emb.sparkSession)
+      .write(coded.repartition(col("centroid_id")), path,
+        partitionBy = Seq("centroid_id"))
+    savePqCodebook(emb.sparkSession, cb, s"$path/_pq_codebook.json")
+    (idx, cb)
+  }
+
+  /** ANN top-k over a persisted IVF-PQ index: probe the coarse
+    * quantizer, scan ONLY the probed partitions' code lists (ADC —
+    * `m` table adds per candidate over 16-byte rows), exact-re-rank
+    * the ADC top `refine·k` against the raw corpus. Per-query IO =
+    * probed lists' codes + refine·k raw vectors — at 1000 executors
+    * and 10⁹ vectors the probe never touches the raw corpus beyond
+    * the re-rank point reads. */
+  def annTopKIvfPqFromIndex(spark: org.apache.spark.sql.SparkSession,
+      indexPath: String, queries: DataFrame,
+      idx: graft.functions.CentroidIndex, cb: graft.functions.PqCodebook,
+      emb: DataFrame, k: Int = 10, nProbe: Int = 4,
+      refine: Int = 8): DataFrame = {
+    val probedIds = queries.select(
+        explode(graft.functions.GraftFunctions
+          .nearestCentroids(col("qv"), idx, nProbe)).as("centroid_id"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    val luts = unitVectors(queries
+        .select(col("query_id").as("vec_id"), col("qv").as("embedding")))
+      .select(col("vec_id").as("query_id"),
+        graft.functions.GraftFunctions.pqLut(col("embedding"), cb).as("lut"))
+    val probes = queries.select(col("query_id"),
+        explode(graft.functions.GraftFunctions
+          .nearestCentroids(col("qv"), idx, nProbe)).as("centroid_id"))
+      .join(luts, "query_id")
+    val coded = spark.read.option("basePath", indexPath).parquet(indexPath)
+      .where(col("centroid_id").isin(probedIds: _*))
+    val adcScored = coded
+      .join(broadcast(probes), Seq("centroid_id"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        graft.functions.GraftFunctions.adcDot(col("codes"), col("lut"), cb.ksub)
+          .as("cos"))
+    val cand = topKPerQuery(adcScored, k * refine)
+      .select("query_id", "neighbor_id")
+    val qv = queries.select(col("query_id"), col("qv"),
+      l2Norm(col("qv")).as("qnrm"))
+    val rescored = emb
+      .select(col("vec_id").as("neighbor_id"), col("embedding"),
+        l2Norm(col("embedding")).as("cnrm"))
+      .join(broadcast(cand), Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (dot(col("qv"), col("embedding")) / (col("qnrm") * col("cnrm")))
+          .as("cos"))
+    topKPerQuery(rescored, k)
+  }
+
+  /** Codebook persistence: tiny JSON (m·ksub·dsub floats — the model),
+    * so a search session needs no training pass. */
+  def savePqCodebook(spark: org.apache.spark.sql.SparkSession,
+      cb: graft.functions.PqCodebook, file: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val json = s"""{"dsub":${cb.dsub},"ksub":${cb.ksub},""" +
+      s""""counts":[${cb.counts.mkString(",")}],""" +
+      s""""flat":[${cb.flat.mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def loadPqCodebook(spark: org.apache.spark.sql.SparkSession,
+      file: String): graft.functions.PqCodebook = {
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    def arr(key: String): Array[String] = {
+      val i = json.indexOf(s""""$key":[""") + key.length + 4
+      json.substring(i, json.indexOf(']', i)).split(',').map(_.trim)
+        .filter(_.nonEmpty)
+    }
+    def num(key: String): Int = {
+      val i = json.indexOf(s""""$key":""") + key.length + 3
+      json.substring(i).takeWhile(_.isDigit).toInt
+    }
+    new graft.functions.PqCodebook(num("dsub"), num("ksub"),
+      arr("counts").map(_.toInt), arr("flat").map(_.toFloat))
+  }
+
   /** Signed-random-projection b-bit signature (deterministic
     * hyperplanes from xxhash64 of (plane, dim)): bit p = sign of
     * Σᵢ hᵢₚ·vᵢ where hᵢₚ ∈ {−1,+1}. Hamming distance on signatures

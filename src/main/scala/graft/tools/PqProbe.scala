@@ -15,12 +15,26 @@ object PqProbe {
     val ksub = args.lift(2).map(_.toInt).getOrElse(16)
     val iters = args.lift(3).map(_.toInt).getOrElse(3)
     val refine = args.lift(4).map(_.toInt).getOrElse(4)
+    val nProbe = args.lift(5).map(_.toInt)
     val spark = Sessions.local()
     val emb = Tables.embeddings(spark, d)
     val exact = Similarity.annTopK(emb)
     val t0 = System.nanoTime()
-    val approx = Similarity.annTopKPq(emb, m = m, ksub = ksub,
-      iters = iters, refine = refine)
+    // 6th arg = nProbe switches to the persisted IVF-PQ path
+    val approx = nProbe match {
+      case None => Similarity.annTopKPq(emb, m = m, ksub = ksub,
+        iters = iters, refine = refine)
+      case Some(np) =>
+        val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+        val centroids = emb.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+        val (idx, cb) = Similarity.buildIvfPqIndex(emb, centroids, dir,
+          m = m, ksub = ksub, iters = iters)
+        val queries = emb.where(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+        Similarity.annTopKIvfPqFromIndex(spark, dir, queries, idx, cb, emb,
+          nProbe = np, refine = refine)
+    }
     val hits = exact.select("query_id", "neighbor_id")
       .join(approx.select(col("query_id"), col("neighbor_id"),
         lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")

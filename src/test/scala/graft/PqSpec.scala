@@ -111,4 +111,41 @@ class PqSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-4f)
     }
   }
+
+  test("persisted IVF-PQ: probes prune partitions, recall clears the bound") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    val centroids = emb.where(col("vec_id") % 40 === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+    val (idx, cb2) = Similarity.buildIvfPqIndex(emb, centroids, dir, m = 16)
+    // index layout: one partition dir per inverted list, codes only
+    val listDirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("centroid_id="))
+    assert(listDirs.nonEmpty)
+    val queries = emb.where(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val approx = Similarity.annTopKIvfPqFromIndex(spark, dir, queries,
+      idx, cb2, emb, nProbe = 6)
+    // partition pruning reaches the code scan: the probed-id filter
+    // must appear as PartitionFilters in the executed plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("centroid_id"), "probe scan must partition-prune")
+    val exact = Similarity.annTopK(emb)
+    val r = exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("hit")), Seq("query_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).as("total"),
+        sum(coalesce(col("hit"), lit(0))).as("hits")).head()
+    val recall = r.getLong(1).toDouble / r.getLong(0)
+    assert(recall >= 0.6, s"ivfpq recall $recall below spec floor 0.6")
+  }
+
+  test("codebook JSON save/load roundtrips exactly") {
+    val f = java.nio.file.Files.createTempDirectory("pqcb").toString + "/cb.json"
+    Similarity.savePqCodebook(spark, cb, f)
+    val back = Similarity.loadPqCodebook(spark, f)
+    assert(back.m == cb.m && back.ksub == cb.ksub && back.dsub == cb.dsub)
+    assert(back.counts.toSeq == cb.counts.toSeq)
+    assert(back.flat.toSeq == cb.flat.toSeq)
+  }
 }
