@@ -1849,7 +1849,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val constraints = rangeConstraintsOf(schema, preds)
     val eqHashes = equalityHashesOf(schema, preds)
     val inLists = inConstraintsOf(schema, preds)
-    f => constraints.forall {
+    val nullTests = nullConstraintsOf(schema, preds)
+    f => nullTests.forall { case (name, wantNull) =>
+      // null-count skipping: IS NULL prunes files recording ZERO
+      // nulls; IS NOT NULL prunes all-null files. Absent counts
+      // (legacy entries, stats off) keep the file
+      f.nulls.get(physOf(name)) match {
+        case None     => true
+        case Some(nc) =>
+          if (wantNull) nc > 0
+          else f.rows < 0 || nc < f.rows
+      }
+    } && constraints.forall {
       case (field, lo, hi) =>
         val key = physOf(field.name)
         try
@@ -1886,6 +1897,28 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** Top-level `IS [NOT] NULL` conjuncts over direct columns — the
+    * sound inputs for null-count skipping. Note Spark inserts an
+    * implicit `IsNotNull` under every comparison, so all-null files
+    * prune on almost any filtered scan. */
+  private def nullConstraintsOf(schema: StructType,
+      preds: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      And, Attribute, Expression, IsNotNull, IsNull}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x         => Seq(x)
+    }
+    preds.flatMap(conjuncts).flatMap {
+      case IsNull(a: Attribute) =>
+        schema.fields.find(_.name == a.name).map(f => (f.name, true))
+      case IsNotNull(a: Attribute) =>
+        schema.fields.find(_.name == a.name).map(f => (f.name, false))
+      case _ => None
+    }
+  }
+
   /** Pushed V1 source filters as catalyst conjuncts for the candidate
     * test — only shapes the constraint extractors understand convert
     * (EqualTo/comparisons/In over direct columns with non-null
@@ -1917,6 +1950,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           val ls = vs.toSeq.filter(_ != null).flatMap(v => lit(v, dt))
           if (ls.isEmpty) None else Some(In(a, ls))
         }
+      case sources.IsNull(c) => ref(c).map { case (a, _) =>
+        org.apache.spark.sql.catalyst.expressions.IsNull(a) }
+      case sources.IsNotNull(c) => ref(c).map { case (a, _) =>
+        org.apache.spark.sql.catalyst.expressions.IsNotNull(a) }
       case _ => None
     }
   }
@@ -2579,7 +2616,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     val stats =
       if (effStats && withStats) collectFileStats(dst, phys.schema)
-      else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String])]
+      else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])]
     // sidecar mode: the write batch's blooms land in ONE JSON beside
     // the data files (path → col → filter), entries carry only its
     // path — manifest/checkpoint bytes stay O(entries) however many
@@ -2589,7 +2626,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val node = om.createObjectNode()
-        stats.foreach { case (rel, (_, _, _, blooms)) =>
+        stats.foreach { case (rel, (_, _, _, blooms, _)) =>
           if (blooms.nonEmpty) {
             val fo = node.putObject(rel)
             blooms.foreach { case (c, enc) => fo.put(c, enc) }
@@ -2608,13 +2645,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
-        val (mins, maxs, n, blooms) = stats.getOrElse(rel,
+        val (mins, maxs, n, blooms, nulls) = stats.getOrElse(rel,
           (Map.empty[String, String], Map.empty[String, String], -1L,
-            Map.empty[String, String]))
+            Map.empty[String, String], Map.empty[String, Long]))
         entries += FileEntry(rel, parsePartition(rel), mins, maxs,
           st.getLen, st.getModificationTime, rows = n,
           bloom = if (sidecar.isDefined) Map.empty else blooms,
-          bloomSidecar = if (blooms.nonEmpty) sidecar else None)
+          bloomSidecar = if (blooms.nonEmpty) sidecar else None,
+          nulls = nulls)
       }
     }
     (entries.sortBy(_.path).toSeq, df.schema)
@@ -2656,7 +2694,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * — the bookkeeping [[purgeDeletes]]' deleted-fraction threshold
     * and file-level planning read for free. */
   private def collectFileStats(dst: Path,
-      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long, Map[String, String])] = {
+      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])] = {
     import org.apache.spark.sql.functions.{input_file_name, length => flen,
       min => fmin, max => fmax, substring, when}
     val fields = schema.fields.filter(f => statsEligible(f.dataType))
@@ -2680,6 +2718,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     val countAgg = org.apache.spark.sql.functions.count(
       org.apache.spark.sql.functions.lit(1)).as("__rows")
+    // per-column null counts ride the same pass: count(c) = non-null
+    // rows, so nulls = __rows - count(c). A null count of ZERO is the
+    // valuable case (IS NULL prunes the file), so every stats column
+    // records one - absence distinguishes legacy/stats-off entries
+    val nullAggs = fields.map(f => org.apache.spark.sql.functions
+      .count(col(f.name)).as(s"nn_${f.name}"))
     // per-file Bloom filters for the property-designated columns,
     // built over Spark's own xxhash64 in the SAME aggregation pass
     val mBits = effBloomBits
@@ -2690,7 +2734,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       new BloomAgg(mBits), org.apache.spark.sql.Encoders.scalaLong)
     val bloomAggs = bloomCols.map(c => bloomUdaf(
       org.apache.spark.sql.functions.xxhash64(col(c))).as(s"bloom_$c"))
-    val allAggs = (countAgg +: aggs.toSeq) ++ bloomAggs
+    val allAggs = (countAgg +: aggs.toSeq) ++ nullAggs ++ bloomAggs
     spark.read.schema(schema).parquet(dst.toString)
       .groupBy(input_file_name().as("__file"))
       .agg(allAggs.head, allAggs.tail: _*)
@@ -2703,7 +2747,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           .map(c -> _)).toMap
         val blooms = bloomCols.map(c => c -> bloomEncode(
           row.getAs[Array[Byte]](s"bloom_$c"), mBits)).toMap
-        file -> ((mins, maxs, row.getAs[Long]("__rows"), blooms))
+        val rows = row.getAs[Long]("__rows")
+        val nulls = statCols.map(c =>
+          c -> (rows - row.getAs[Long](s"nn_$c"))).toMap
+        file -> ((mins, maxs, rows, blooms, nulls))
       }.toMap
   }
 
@@ -3148,7 +3195,8 @@ object TxTable {
       dvRows: Long = 0L,
       rows: Long = -1L,
       bloom: Map[String, String] = Map.empty,
-      bloomSidecar: Option[String] = None)
+      bloomSidecar: Option[String] = None,
+      nulls: Map[String, Long] = Map.empty)
 
   /** Columns whose min/max ride the manifest: orderable scalars whose
     * string encoding round-trips (numerics via BigDecimal, strings via
@@ -3303,6 +3351,10 @@ object TxTable {
           f.bloom.foreach { case (k, v) => bo.put(k, v) }
         }
         f.bloomSidecar.foreach { p => fo.put("bloom_sidecar", p); () }
+        if (f.nulls.nonEmpty) {
+          val no = fo.putObject("nulls")
+          f.nulls.foreach { case (k, v) => no.put(k, v) }
+        }
         ()
       }
 
@@ -3311,6 +3363,14 @@ object TxTable {
         val it = p.fields()
         val b = Map.newBuilder[String, String]
         while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+        b.result()
+      }.getOrElse(Map.empty)
+
+    def longMap(node: JsonNode, field: String): Map[String, Long] =
+      Option(node.get(field)).map { p =>
+        val it = p.fields()
+        val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
         b.result()
       }.getOrElse(Map.empty)
 
@@ -3327,7 +3387,8 @@ object TxTable {
             Option(f.get("dv_rows")).map(_.asLong()).getOrElse(0L),
             Option(f.get("rows")).map(_.asLong()).getOrElse(-1L),
             strMap(f, "bloom"),
-            Option(f.get("bloom_sidecar")).map(_.asText()))
+            Option(f.get("bloom_sidecar")).map(_.asText()),
+            longMap(f, "nulls"))
         }
       }.getOrElse(Seq.empty)
 

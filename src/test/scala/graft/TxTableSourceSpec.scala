@@ -698,4 +698,40 @@ class TxTableSourceSpec extends SparkSpec {
     assert(t2.read().count() == 30)
     assert(t2.readWhere(p => p.get("par").contains("1")).count() == 10)
   }
+
+  test("null-count stats skip files on IS NULL / IS NOT NULL, and " +
+      "all-null files on any comparison") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsrc_nulls")
+    // three one-file appends: all-null note, no-null note, mixed
+    t.overwrite((0 until 100).map(i => (i.toLong, null: String))
+      .toDF("id", "note").coalesce(1))
+    t.append((100 until 200).map(i => (i.toLong, s"n$i"))
+      .toDF("id", "note").coalesce(1))
+    t.append((200 until 300).map(i =>
+        (i.toLong, if (i % 2 == 0) s"n$i" else null))
+      .toDF("id", "note").coalesce(1))
+    val r = spark.read.format(fmt).load(dir)
+    assert(filesScanned(r) == 3, "unconstrained scan reads all files")
+    // IS NULL: the no-null file (zero recorded nulls) skips
+    val isNull = r.where(col("note").isNull)
+    assert(isNull.count() == 150)
+    assert(filesScanned(r.where(col("note").isNull)) == 2,
+      "a zero-null file must skip an IS NULL scan")
+    // IS NOT NULL: the all-null file skips
+    assert(filesScanned(r.where(col("note").isNotNull)) == 2,
+      "an all-null file must skip an IS NOT NULL scan")
+    // any comparison implies IsNotNull -> the all-null file skips too
+    assert(filesScanned(r.where(col("note") > "n")) == 2,
+      "a comparison's implicit IsNotNull must skip the all-null file")
+    assert(r.where(col("note").isNotNull).count() == 150)
+    // legacy entries without null counts stay readable and unpruned
+    val plain = graft.core.TxTable(spark, dir, statsOnWrite = false)
+    plain.append((300 until 310).map(i => (i.toLong, null: String))
+      .toDF("id", "note").coalesce(1))
+    val r2 = spark.read.format(fmt).load(dir)
+    assert(filesScanned(r2.where(col("note").isNotNull)) == 3,
+      "entries without null counts must be kept")
+    assert(r2.where(col("note").isNull).count() == 160)
+  }
 }
