@@ -919,6 +919,15 @@ object SparkEntry {
     // shuffle, reproducible across engines; a production variant
     // swaps in xxhash64 — same shape, no SQL twin). Sources without a
     // rate keep everything.
+    // composite Gopher-rule quality gate: per-doc keep/reject with
+    // the FIRST failing rule named — all integer/double arithmetic,
+    // replayed exactly by the oracle's CASE chain
+    "t13_quality_gate"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      graft.ops.Corpus.qualityGate(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("keep"), col("reason"))
+        .orderBy("doc_id")
+    }),
     // deterministic train/val/test assignment (hash-split, stable
     // under table growth), reduced to per-(split, lang) counts the
     // arithmetic oracle replays exactly
@@ -1662,6 +1671,31 @@ object SparkEntry {
         |SELECT cluster_id, doc_id AS canon_doc_id, len AS canon_len,
         |       n_members
         |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+    "t13_quality_gate" ->
+      """WITH sig AS (
+        |  SELECT doc_id,
+        |    length(text) AS nc,
+        |    len(string_split(text, ' ')) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |      AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS sym_ratio,
+        |    round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS DOUBLE) / len(string_split(text, ' ')), 6) AS dup_frac
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nc = 0 THEN 'empty'
+        |         WHEN n < 5 THEN 'too_short'
+        |         WHEN n > 10000 THEN 'too_long'
+        |         WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'word_len'
+        |         WHEN sym_ratio > 0.25 THEN 'symbol_ratio'
+        |         WHEN dup_frac > 0.5 THEN 'repetition'
+        |    END AS reason
+        |  FROM sig)
+        |SELECT doc_id, reason IS NULL AS keep, reason
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t12_split_assign" ->
       """SELECT CASE WHEN (doc_id * 2654435761 + 12345) % 1000 < 800
         |         THEN 'train'

@@ -2507,7 +2507,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * than the horizon die. Tests pass 0; production keeps the
     * default (the Delta-vacuum retention discipline,
     * `pipes/utils.py:85-89`). Returns deleted paths. */
-  def vacuum(minAgeMs: Long = 7L * 24 * 3600 * 1000): Seq[String] = {
+  def vacuum(minAgeMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): Seq[String] = {
     // live = every path referenced by any retained snapshot. With a
     // delta log that's the union of retained ADDS plus retained
     // checkpoint/legacy-full listings — sound because a path present
@@ -2541,14 +2542,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           sweep(st.getPath)
           // the retention horizon protects in-flight writers' freshly
           // created (momentarily empty) write dirs exactly like files
-          if (st.getModificationTime < cutoff &&
+          if (!dryRun && st.getModificationTime < cutoff &&
               fs.listStatus(st.getPath).isEmpty) {
             fs.delete(st.getPath, false); ()
           }
         } else {
           val rel = relativize(st.getPath)
           if (!live.contains(rel) && st.getModificationTime < cutoff) {
-            fs.delete(st.getPath, false)
+            if (!dryRun) fs.delete(st.getPath, false)
             deleted += rel
           }
         }
@@ -2557,7 +2558,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp-") &&
           st.getModificationTime < cutoff) {
-        fs.delete(st.getPath, false)
+        if (!dryRun) fs.delete(st.getPath, false)
         deleted += relativize(st.getPath)
       }
     }

@@ -128,6 +128,37 @@ object Corpus {
     df.withColumn("split", expr)
   }
 
+  /** Composite document quality gate (the Gopher-rule battery,
+    * Rae et al. 2021 §A1.1 — public): token-count window, mean word
+    * length window, symbol ratio, duplicated-word fraction. First
+    * failing rule names the `reason` (null = keep) so corpus triage
+    * can histogram WHY documents die, not just how many — the shape
+    * every production cleaning pipeline reports. One map-side
+    * projection over codegen'd built-ins, zero shuffle; every signal
+    * is integer/double arithmetic a DuckDB twin replays exactly. */
+  def qualityGate(df: DataFrame, textCol: String,
+      minTokens: Int = 5, maxTokens: Int = 10000,
+      minWordLen: Double = 2.0, maxWordLen: Double = 12.0,
+      maxSymbolRatio: Double = 0.25, maxDupWordFrac: Double = 0.5): DataFrame = {
+    val text = col(textCol)
+    val words = split(text, " ")
+    val n = size(words)
+    val meanLen = (length(text) - (n - lit(1))).cast("double") / n
+    val symRatio = (length(text) -
+      length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))).cast("double") /
+      length(text)
+    val dupFrac = round(lit(1.0) -
+      size(array_distinct(words)).cast("double") / n.cast("double"), 6)
+    val reason = when(length(text) === 0, "empty")
+      .when(n < minTokens, "too_short")
+      .when(n > maxTokens, "too_long")
+      .when(meanLen < minWordLen || meanLen > maxWordLen, "word_len")
+      .when(symRatio > maxSymbolRatio, "symbol_ratio")
+      .when(dupFrac > maxDupWordFrac, "repetition")
+    df.withColumn("reason", reason)
+      .withColumn("keep", reason.isNull)
+  }
+
   def weightedSample(df: DataFrame, idCol: String, domainCol: String,
       rates: Map[String, Double]): DataFrame = {
     val keep = rates.foldLeft(lit(1000L): Column) {

@@ -469,7 +469,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           s"(k = 'v' AND ...), got: $t")
     }.toMap
   private val VacuumVerb =
-    """(?is)\s*VACUUM\s+txtable\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?;?\s*""".r
+    """(?is)\s*VACUUM\s+txtable\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*""".r
+  /** `SHOW PARTITIONS` straight from the manifest — zero filesystem
+    * listing, per-partition file/byte/row totals at any table size. */
+  private val ShowPartitions =
+    """(?is)\s*SHOW\s+PARTITIONS\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
   private val RestoreVerb =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   /** `REORG TABLE ... APPLY (PURGE)` — rewrite files whose deletion
@@ -515,12 +519,27 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
           partitionEq = scope)
       dmlResult("optimize", v)
-    case VacuumVerb(path, hours) =>
+    case VacuumVerb(path, hours, dry) =>
       import session.implicits._
       val minAge =
         if (hours == null) 7L * 24 * 3600 * 1000 else hours.toLong * 3600 * 1000
-      val n = TxTable(session, path).vacuum(minAge).length.toLong
+      val n = TxTable(session, path)
+        .vacuum(minAge, dryRun = dry != null).length.toLong
       Seq((path, n)).toDF("location", "files_deleted").queryExecution.logical
+    case ShowPartitions(path) =>
+      import session.implicits._
+      val t = TxTable(session, path)
+      val v = t.latestVersion.getOrElse(
+        sys.error(s"$path has no committed snapshots"))
+      val rows = t.fileEntries(v)
+        .groupBy(_.partition.toSeq.sortBy(_._1)
+          .map { case (k, pv) => s"$k=$pv" }.mkString("/"))
+        .map { case (part, fsz) =>
+          (part, fsz.size.toLong, fsz.map(f => math.max(f.bytes, 0L)).sum,
+            fsz.map(f => math.max(f.rows, 0L)).sum)
+        }.toSeq.sortBy(_._1)
+      rows.toDF("partition", "num_files", "size_bytes", "rows")
+        .queryExecution.logical
     case RestoreVerb(path, version) =>
       dmlResult("restore", TxTable(session, path).restore(version.toLong))
     case ReorgPurge(path) =>

@@ -121,4 +121,25 @@ class CorpusSpec extends SparkSpec {
       Corpus.splitAssign(d, "doc_id", Seq(("a", 0.5), ("b", 0.2)))
     }
   }
+
+  test("qualityGate: first failing rule names the reason") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "one two three four five six seven"),          // keep
+      (2L, "too short"),                                   // too_short
+      (3L, "a b c d e f"),                                 // word_len (mean 1.0)
+      (4L, "@@@@ #### $$$$ %%%% ^^^^ &&&&"),               // word_len? mean 4... symbol_ratio
+      (5L, "spam spam spam spam spam spam spam spam"),     // repetition
+      (6L, ""))                                            // empty
+      .toDF("doc_id", "text")
+    val byName = graft.ops.Corpus.qualityGate(docs, "text")
+      .select("doc_id", "keep", "reason").collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), Option(x.getString(2))))).toMap
+    assert(byName(1L) == ((true, None)))
+    assert(byName(2L) == ((false, Some("too_short"))))
+    assert(byName(3L) == ((false, Some("word_len"))))
+    assert(byName(4L) == ((false, Some("symbol_ratio"))))
+    assert(byName(5L) == ((false, Some("repetition"))))
+    assert(byName(6L) == ((false, Some("empty"))))
+  }
 }

@@ -734,4 +734,30 @@ class TxTableSourceSpec extends SparkSpec {
       "entries without null counts must be kept")
     assert(r2.where(col("note").isNull).count() == 160)
   }
+
+  test("SHOW PARTITIONS and VACUUM DRY RUN") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_showpart")
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p)).toDF("id", "grp")
+    t.overwrite(part(0 until 30, "a"), partitionBy = Seq("grp"))
+    t.append(part(100 until 110, "b"))
+    val parts = spark.sql(s"SHOW PARTITIONS txtable.`$dir`").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(parts.keySet == Set("grp=a", "grp=b"))
+    assert(parts("grp=a")._2 == 30 && parts("grp=b")._2 == 10,
+      "per-partition row totals from the manifest")
+    // orphan a file, then DRY RUN: reported but NOT deleted
+    t.overwrite(part(0 until 5, "a"), partitionBy = Seq("grp"))
+    t.expireSnapshots(keepLast = 1)
+    val dry = spark.sql(
+      s"VACUUM txtable.`$dir` RETAIN 0 HOURS DRY RUN").head().getLong(1)
+    assert(dry > 0, "dry run reports deletable files")
+    assert(t.read().count() == 5)
+    val wet = spark.sql(s"VACUUM txtable.`$dir` RETAIN 0 HOURS").head().getLong(1)
+    assert(wet == dry, "dry run predicted exactly the real sweep")
+    assert(spark.sql(
+      s"VACUUM txtable.`$dir` RETAIN 0 HOURS DRY RUN").head().getLong(1) == 0)
+    assert(t.read().count() == 5)
+  }
 }
