@@ -1158,9 +1158,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // columns are deliberately NOT table columns (prefixed namespace);
     // their key columns carry the table names, which is all the
     // bucket routing below needs
+    // schema evolution (the reference's schema.autoMerge.enabled,
+    // resources/spark.py:68-69, as a TABLE property): a source with
+    // NEW columns widens the table schema at commit; untouched
+    // buckets' files lack the column and null-backfill on read (the
+    // append-widening machinery). Off = the strict refusal below.
+    val autoMerge = boolProp(m, TxTable.PropSchemaAutoMerge).getOrElse(false)
     if (checkSourceSchema)
       requireCompatible(StructType.fromDDL(m.schemaDdl),
-        source.schema, allowNew = false)
+        source.schema, allowNew = autoMerge)
     // pin ONE evaluation of the source (localCheckpoint, the
     // probeSignatureIndex discipline): it feeds both the touched-
     // bucket set and the resolve — a non-deterministic source
@@ -1232,7 +1238,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
                 org.apache.spark.sql.functions.lit("insert")))
           writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
         }
-      requireCompatible(StructType.fromDDL(m.schemaDdl), schema, allowNew = false)
+      requireCompatible(StructType.fromDDL(m.schemaDdl), schema,
+        allowNew = autoMerge)
+      if (autoMerge) requireFreshNamesAddressable(m, schema)
       // the ⊆ check above lets a resolver that DROPS a column pass;
       // the commit would keep m.schemaDdl and reads would silently
       // null-backfill that column in the rewritten buckets while
@@ -1244,11 +1252,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       require(dropped.isEmpty,
         s"merge resolver dropped column(s) ${dropped.mkString(", ")} — " +
           "resolved rows must keep every table column")
+      val ddl = if (autoMerge) mergedDdl(Some(m), schema) else m.schemaDdl
       commit { latest =>
         val cur = latest.getOrElse(
           sys.error(s"$root vanished during merge — rerun merge"))
         if (cur.version == m.version)
-          Pending(op, untouched ++ files, m.schemaDdl, Seq(BucketCol),
+          Pending(op, untouched ++ files, ddl, Seq(BucketCol),
             Some(spec), txn, cdcFiles)
         else {
           // AUTO-REBASE (optimistic concurrency with logical conflict
@@ -1276,7 +1285,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             s"concurrent commit added rows to merged buckets of $root — " +
               "rerun merge")
           Pending(op, curFiles.filterNot(f => affectedPaths(f.path)) ++ files,
-            m.schemaDdl, Seq(BucketCol), Some(spec), txn, cdcFiles)
+            ddl, Seq(BucketCol), Some(spec), txn, cdcFiles)
         }
       }
     } finally { if (!sourceIsPinned) { src.unpersist(); () } }
@@ -1291,9 +1300,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val keys = latestVersion.map(manifest).flatMap(_.bucketSpec)
       .getOrElse(sys.error(s"$root is not bucketed")).cols
     merge(source, txn, sourceIsPinned) { (existing, src) =>
+      // allowMissingColumns: under schemaAutoMerge a widened source's
+      // new column null-backfills the kept rows (and a subset source
+      // null-fills its own missing columns, the append discipline)
       existing.join(src.select(keys.map(col): _*).distinct(),
           keys, "left_anti")
-        .unionByName(src)
+        .unionByName(src, allowMissingColumns = true)
     }
   }
 
@@ -3010,6 +3022,10 @@ object TxTable {
     * table outranks every handle's constructor flag. */
   val PropDeletionVectors = "graft.deletionVectors"
   val PropChangeDataFeed = "graft.changeDataFeed"
+  /** `true` = a merge source with new columns widens the table schema
+    * at commit (the reference's `schema.autoMerge.enabled` spark conf
+    * as a per-table property); default strict. */
+  val PropSchemaAutoMerge = "graft.schemaAutoMerge"
   val PropStatsOnWrite = "graft.statsOnWrite"
 
   /** Comma-separated columns to build per-file Bloom filters for at

@@ -1513,4 +1513,33 @@ class TxTableSpec extends SparkSpec {
     assert(rows.where(col("id") === 500L).head.getDouble(1) == -500.0)
     assert(rows.count() == 991, "990 live + resurrected id=5")
   }
+
+  test("schemaAutoMerge: a widened merge source evolves the schema; strict refuses") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_automerge")
+    t.overwriteBucketed(
+      (0 until 40).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      bucketCols = Seq("id"), nBuckets = 8)
+    val widened = Seq((1L, 10.0, "fresh"), (1000L, -1.0, "new"))
+      .toDF("id", "v", "tag")
+    // strict (default): new source column refuses
+    val e = intercept[IllegalArgumentException](t.upsert(widened))
+    assert(e.getMessage.toLowerCase.contains("column") ||
+      e.getMessage.contains("tag"))
+    // property on: the merge widens
+    t.setProperties(Map("graft.schemaAutoMerge" -> "true"))
+    t.upsert(widened)
+    val r = t.read()
+    assert(r.columns.contains("tag"))
+    assert(r.count() == 41)
+    assert(r.where(col("id") === 1L).head().getAs[String]("tag") == "fresh")
+    assert(r.where(col("id") === 1000L).head().getAs[String]("tag") == "new")
+    // rows in untouched buckets null-backfill the new column
+    assert(r.where(col("tag").isNull).count() == 39)
+    // and a later subset-source upsert still works (null-fills tag)
+    t.upsert(Seq((2L, 22.0)).toDF("id", "v"))
+    val r2 = t.read()
+    assert(r2.where(col("id") === 2L).head().getAs[Double]("v") == 22.0)
+    assert(r2.where(col("id") === 2L).head().getAs[String]("tag") == null)
+  }
 }
