@@ -762,6 +762,18 @@ object SparkEntry {
       BucketedGraphOps.persistAllCached(s, d)
       BucketedGraphOps.graphAggr(s)
     }),
+    // bounded-round k-core peel over the customer–supplier graph:
+    // the iterative-algorithm shape (degree → filter → repeat) in
+    // exact integer arithmetic, oracle = an unrolled CTE chain
+    "g4_kcore"           -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.steps.GraphOps.kCorePeel(e, k = 20, rounds = 6)
+    }),
     // S-tier: Structured Streaming (availableNow over the fixture —
     // same result contract as the batch q20, same oracle)
     "s1_stream_rollup"   -> ((s, d) => {
@@ -1101,10 +1113,37 @@ object SparkEntry {
     }),
   )
 
+  /** g4's oracle: the k-core peel unrolled — each round keeps edges
+    * whose BOTH endpoints had degree ≥ k in the previous round's
+    * list; generated so the round count provably matches the Spark
+    * op's (the langid generated-oracle precedent). */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val base =
+      """e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    UNION ALL
+        |    SELECT 's' || l_suppkey, 'c' || o_custkey
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey))""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      val p = s"e${i - 1}"
+      s"""e$i AS (SELECT e.src, e.dst FROM $p e
+         |  WHERE e.src IN (SELECT src FROM $p GROUP BY src
+         |                  HAVING count(*) >= $k)
+         |    AND e.dst IN (SELECT src FROM $p GROUP BY src
+         |                  HAVING count(*) >= $k))""".stripMargin
+    }
+    (Seq("WITH " + base) ++ steps).mkString(",\n") +
+      s"\nSELECT src AS node_id, count(*) AS degree FROM e$rounds " +
+      "GROUP BY 1 ORDER BY 1"
+  }
+
   /** DuckDB-equivalent ANSI SQL per query (same column names/types).
     * Omitted for approximate/non-SQL-expressible ops → driver records
     * a weaker rows-only check (q18). */
   def oracleSql: Map[String, String] = Map(
+    "g4_kcore" -> kcoreOracle(20, 6),
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity
         |FROM lineitem ORDER BY 1, 2""".stripMargin,

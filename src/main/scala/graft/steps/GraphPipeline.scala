@@ -77,6 +77,41 @@ object GraphOps {
         round(sum(col("weight").cast("decimal(18,2)")), 2).cast("double")
           .as("total_weight"))
       .orderBy("src_nation", "dst_nation")
+
+  /** G4 — bounded-round k-core peel over an undirected edge list: each
+    * round drops every node of degree < k (with its edges); after
+    * `rounds` rounds the survivors and their degrees come back. A
+    * FIXED round count (not run-to-convergence) keeps the result
+    * deterministic and SQL-replayable by an unrolled CTE chain — the
+    * iterative-graph-algorithm shape (degrees → semi-join filter →
+    * repeat) that PageRank/label-propagation share, in exact integer
+    * arithmetic so the oracle hashes bit-for-bit (a float PageRank
+    * would diverge in ulps under Spark's partial-agg ordering). Each
+    * round is one aggregation + two semi joins on the edge key;
+    * `localCheckpoint` keeps the per-round plan flat (the
+    * [[graft.ops.Dedup.dupClusters]] discipline). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k and rounds must be positive")
+    // symmetric closure: degree = outgoing count in the closed list
+    var e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .where(col("deg") >= k).select("src")
+      val next = e
+        .join(keep, Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      e.unpersist()
+      e = next
+    }
+    val out = e.groupBy(col("src").as("node_id"))
+      .agg(count(lit(1)).as("degree"))
+      .orderBy("node_id")
+    out
+  }
 }
 
 /** Bucket-aligned graph pipeline — the shuffle-free-join story for

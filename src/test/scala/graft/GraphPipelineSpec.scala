@@ -72,4 +72,22 @@ class GraphPipelineSpec extends SparkSpec {
     assert(BucketedGraphOps.graphAggr(spark).collect().toSeq ==
       baseline.collect().toSeq)
   }
+
+  test("kCorePeel: tails strip, the core survives, cascade needs rounds") {
+    import spark.implicits._
+    // triangle a-b-c (2-core) with a path d-e hanging off c:
+    // round 1 drops e (deg 1), round 2 drops d (deg 1 after e left)
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val r = graft.steps.GraphOps.kCorePeel(edges, k = 2, rounds = 3)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set("a", "b", "c"), s"core only, got ${r.keySet}")
+    assert(r.values.toSet == Set(2L), "each core node keeps degree 2")
+    // one round is NOT enough for the cascade - d still in
+    val r1 = graft.steps.GraphOps.kCorePeel(edges, k = 2, rounds = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(r1.contains("d") && !r1.contains("e"))
+    // k above the max degree empties the graph
+    assert(graft.steps.GraphOps.kCorePeel(edges, k = 10, rounds = 2).isEmpty)
+  }
 }
