@@ -98,6 +98,10 @@ object GraphOps {
       .distinct()
       .localCheckpoint(true)
     for (_ <- 1 to rounds) {
+      // the keep-set is node-sized: small enough to broadcast on the
+      // fixtures (AQE converts both semi joins map-side at runtime),
+      // but O(nodes) at web scale — so no broadcast HINT: the
+      // runtime decision is the one that stays correct at 100×
       val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
         .where(col("deg") >= k).select("src")
       val next = e
