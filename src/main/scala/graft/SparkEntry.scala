@@ -777,6 +777,32 @@ object SparkEntry {
       // at every fixture scale without emptying the smallest
       graft.steps.GraphOps.kCorePeel(e, k = 10, rounds = 6)
     }),
+    // the raw-crawl-to-corpus composition: gzipped WARC members →
+    // record parse → payload decode → Gopher quality gate → triage
+    // rollup — one dataflow from crawl bytes to a gated corpus (the
+    // reference pipeline's whole point). Oracle runs the gate's CASE
+    // chain directly on `documents`: w1/w2 pin byte fidelity, so the
+    // WARC detour must reproduce it exactly
+    "w3_warc_ingest"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = cachedAsset(s, s"warc_gz|$d") {
+        val w = graft.streaming.EventsStream.scratchDir("graft_warc_gz")
+        graft.sources.WarcRecords.write(
+          Tables.documents(s, d).select(
+            concat(lit("https://"), col("source"),
+              lit(".example.com/doc/"), col("doc_id")).as("uri"),
+            encode(col("text"), "UTF-8").as("payload")),
+          w, gzip = true)
+        w
+      }
+      val docs = graft.sources.WarcRecords.read(s, dir)
+        .select(decode(col("payload"), "UTF-8").as("text"))
+      graft.ops.Corpus.qualityGate(docs, "text")
+        .groupBy("reason")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"))
+        .orderBy(col("reason").asc_nulls_first)
+    }),
     // S-tier: Structured Streaming (availableNow over the fixture —
     // same result contract as the batch q20, same oracle)
     "s1_stream_rollup"   -> ((s, d) => {
@@ -1738,6 +1764,31 @@ object SparkEntry {
         |  FROM sig)
         |SELECT doc_id, reason IS NULL AS keep, reason
         |FROM r ORDER BY doc_id""".stripMargin,
+    "w3_warc_ingest" ->
+      """WITH sig AS (
+        |  SELECT length(text) AS nc,
+        |    len(string_split(text, ' ')) AS n,
+        |    CAST(length(text) - (len(string_split(text, ' ')) - 1)
+        |      AS DOUBLE) / len(string_split(text, ' ')) AS mean_len,
+        |    CAST(length(text) -
+        |      length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+        |      AS DOUBLE) / length(text) AS sym_ratio,
+        |    round(1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+        |      AS DOUBLE) / len(string_split(text, ' ')), 6) AS dup_frac
+        |  FROM documents),
+        |r AS (
+        |  SELECT nc,
+        |    CASE WHEN nc = 0 THEN 'empty'
+        |         WHEN n < 5 THEN 'too_short'
+        |         WHEN n > 10000 THEN 'too_long'
+        |         WHEN mean_len < 2.0 OR mean_len > 12.0 THEN 'word_len'
+        |         WHEN sym_ratio > 0.25 THEN 'symbol_ratio'
+        |         WHEN dup_frac > 0.5 THEN 'repetition'
+        |    END AS reason
+        |  FROM sig)
+        |SELECT reason, count(*) AS n_docs,
+        |  CAST(sum(nc) AS BIGINT) AS sum_chars
+        |FROM r GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "t12_split_assign" ->
       """SELECT CASE WHEN (doc_id * 2654435761 + 12345) % 1000 < 800
         |         THEN 'train'
