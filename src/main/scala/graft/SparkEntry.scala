@@ -1058,6 +1058,35 @@ object SparkEntry {
     // snapshot, so the sunk rows ≡ the whole table (oracle = plain
     // batch aggregate); warm re-runs find no new versions and the
     // checkpoint moves nothing.
+    // the two-hop incremental medallion: commit-logged BRONZE table
+    // streamed (microbatch = version window) through a row transform
+    // into a commit-logged SILVER table with exactly-once batchId
+    // commits — the multi-hop pipeline shape the reference chains
+    // assets for, end to end through this engine's own source AND
+    // sink. Oracle ≡ the batch transform on the source table.
+    "s10_tx_medallion"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val bronze = appendOnlyTxAsset(s, d)
+      val out = cachedAsset(s, s"tx_silver|$d") {
+        graft.streaming.EventsStream.scratchDir("graft_tx_silver")
+      }
+      val q = s.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(bronze.location)
+        .where(col("o_totalprice") > 100000)
+        .withColumn("price_band", floor(col("o_totalprice") / 50000))
+        .writeStream.format("txtable")
+        .option("path", s"$out/t")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("txtable").load(s"$out/t")
+        .groupBy("o_orderpriority", "price_band")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority", "price_band")
+    }),
     "s9_tx_stream_read"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val t = appendOnlyTxAsset(s, d)
@@ -1657,6 +1686,14 @@ object SparkEntry {
     "s8_upsert_tx"            -> upsertOracle,
     // s9 streams the FULL append-only history (initial snapshot +
     // appends = every order), so the oracle is the plain batch twin
+    "s10_tx_medallion" ->
+      """SELECT o_orderpriority,
+        |  CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s9_tx_stream_read" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
