@@ -318,6 +318,27 @@ object SparkEntry {
     // the PRE-overwrite snapshot after a second overwrite committed:
     // time travel + snapshot isolation gated against an oracle that
     // recomputes version 0's content from the source table.
+    // selective overwrite (Delta replaceWhere): recompute ONE
+    // partition atomically — delete-matching + insert in a single
+    // commit; untouched partitions carry by reference
+    "x17_tx_replace_where" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_replw") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      t.overwrite(o, partitionBy = Seq("o_orderpriority"))
+      // recompute the URGENT partition: +1000.0 uplift (IEEE-exact on
+      // both engines — a ×-then-round would diverge on .xx5 halves)
+      t.replaceWhere(
+        o.where(col("o_orderpriority") === "1-URGENT")
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0),
+        col("o_orderpriority") === "1-URGENT")
+      t.read().groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "x1_tx_time_travel"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val dir = graft.streaming.EventsStream.scratchDir("graft_tx_tt") + "/t"
@@ -1686,6 +1707,16 @@ object SparkEntry {
     "s8_upsert_tx"            -> upsertOracle,
     // s9 streams the FULL append-only history (initial snapshot +
     // appends = every order), so the oracle is the plain batch twin
+    "x17_tx_replace_where" ->
+      """WITH n AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderpriority = '1-URGENT'
+        |         THEN o_totalprice + 1000.0 ELSE o_totalprice END AS p
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "s10_tx_medallion" ->
       """SELECT o_orderpriority,
         |  CAST(floor(o_totalprice / 50000) AS BIGINT) AS price_band,

@@ -1755,7 +1755,27 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * `replaceMatching` maps the matching rows of the affected files
     * to their replacement (empty for delete, reassigned for update);
     * non-matching rows of those files are kept verbatim. */
-  private def rewriteWhere(op: String, cond: Column)(
+  /** Selective overwrite (the Delta `replaceWhere`): atomically
+    * delete every row matching `cond` and insert `source` — one
+    * commit, so readers never see the in-between state. Every
+    * incoming row is REQUIRED to satisfy the predicate (the Delta
+    * rule: otherwise "replace partition X" could silently write into
+    * partition Y); subset-schema sources null-fill like append. The
+    * planning, zone-map candidate pruning, CDC capture (delete +
+    * insert images), and auto-rebase all come from the shared
+    * predicate-rewrite core. */
+  def replaceWhere(source: DataFrame, cond: Column): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit => flit, not}
+    val offending = source.where(not(coalesce(cond, flit(false))))
+      .limit(1).count()
+    require(offending == 0,
+      s"$root: every replaceWhere source row must satisfy the " +
+        "predicate — found rows outside it (write them with append)")
+    rewriteWhere(OpReplace, cond, Some(source))(matching => matching.limit(0))
+  }
+
+  private def rewriteWhere(op: String, cond: Column,
+      insert: Option[DataFrame] = None)(
       replaceMatching: DataFrame => DataFrame): Long = {
     import org.apache.spark.sql.functions.{coalesce, input_file_name, lit => flit, not}
     val v = latestVersion.getOrElse(
@@ -1772,7 +1792,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       else readEntriesTagged(m, candidates, Some(srcCol)).where(hit)
         .select(col(srcCol)).distinct().collect()
         .map(r => relativize(new Path(new java.net.URI(r.getString(0))))).toSet
-    if (affectedPaths.isEmpty) return v // zero matches: no commit at all
+    // zero matches: no commit at all — unless an insert side makes
+    // this a replaceWhere, which must still land its rows
+    if (affectedPaths.isEmpty && insert.isEmpty) return v
+    insert.foreach { i =>
+      requireCompatible(schema, i.schema, allowNew = false) }
     val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
     val existing = readEntries(m, affected)
     val matching = existing.where(hit)
@@ -1784,7 +1808,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(droppedCols.isEmpty,
       s"$op dropped column(s) ${droppedCols.mkString(", ")} — " +
         "rewritten rows must keep every table column")
-    val newRows = existing.where(not(hit)).unionByName(replaced)
+    val newRows = insert.foldLeft(
+      existing.where(not(hit)).unionByName(replaced))(
+      (acc, i) => acc.unionByName(i, allowMissingColumns = true))
     val spec = m.bucketSpec
     val data = spec.map(withBucket(newRows, _)).getOrElse(newRows)
     val (files, _) = writeDataFiles(data, m.partitionCols)
@@ -1793,11 +1819,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val cdcFiles: Option[Seq[FileEntry]] =
       if (!effCdf(m)) None
       else Some {
-        val changes =
-          if (op == OpDelete) matching.withColumn(ChangeTypeCol, flit("delete"))
-          else matching.withColumn(ChangeTypeCol, flit("update_preimage"))
+        val base =
+          if (op == OpUpdate) matching.withColumn(ChangeTypeCol,
+              flit("update_preimage"))
             .unionByName(
               replaced.withColumn(ChangeTypeCol, flit("update_postimage")))
+          else matching.withColumn(ChangeTypeCol, flit("delete"))
+        val changes = insert.foldLeft(base)((acc, i) =>
+          acc.unionByName(i.withColumn(ChangeTypeCol, flit("insert")),
+            allowMissingColumns = true))
         writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
       }
     commit { latest =>
@@ -3113,6 +3143,7 @@ object TxTable {
   private val OpMerge = "merge"
   private val OpDelete = "delete"
   private val OpUpdate = "update"
+  private val OpReplace = "replace"
   private val OpRestore = "restore"
   private val OpClone = "clone"
 

@@ -1542,4 +1542,38 @@ class TxTableSpec extends SparkSpec {
     assert(r2.where(col("id") === 2L).head().getAs[Double]("v") == 22.0)
     assert(r2.where(col("id") === 2L).head().getAs[String]("tag") == null)
   }
+
+  test("replaceWhere: atomic partition recompute, untouched files carry, offenders refuse") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_replw")
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p, i * 1.0)).toDF("id", "grp", "v")
+    t.overwrite(part(0 until 20, "a").unionByName(part(100 until 110, "b")),
+      partitionBy = Seq("grp"))
+    val bBefore = t.fileEntries(t.latestVersion.get)
+      .filter(_.partition.get("grp").contains("b")).map(_.path).toSet
+    // recompute a: fresh rows, one commit
+    val v = t.replaceWhere(part(500 until 505, "a"), col("grp") === "a")
+    val r = t.read()
+    assert(r.where(col("grp") === "a").count() == 5)
+    assert(r.where(col("grp") === "b").count() == 10)
+    assert(t.fileEntries(v).filter(_.partition.get("grp").contains("b"))
+      .map(_.path).toSet == bBefore, "out-of-scope partition carries")
+    assert(t.history().last._2 == "replace")
+    // a source row OUTSIDE the predicate refuses before any commit
+    val e = intercept[IllegalArgumentException](
+      t.replaceWhere(part(0 until 1, "zzz"), col("grp") === "a"))
+    assert(e.getMessage.contains("satisfy"))
+    assert(t.latestVersion.get == v, "refusal must not commit")
+    // zero existing matches + insert still lands (first write wins)
+    val v2 = t.replaceWhere(part(900 until 903, "c"), col("grp") === "c")
+    assert(v2 > v && t.read().where(col("grp") === "c").count() == 3)
+    // CDF capture: delete images for the replaced rows, inserts for new
+    val cdf = graft.core.TxTable(spark, t.location, changeDataFeed = true)
+    val v3 = cdf.replaceWhere(part(700 until 702, "c"), col("grp") === "c")
+    val changes = cdf.changeFeed(v3 - 1, Some(v3))
+    val byType = changes.groupBy("_change_type").count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(byType == Map("delete" -> 3, "insert" -> 2), s"got $byType")
+  }
 }
