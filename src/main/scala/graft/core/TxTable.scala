@@ -1128,7 +1128,33 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       Pending(OpAppend, latest.map(_.files).getOrElse(Nil) ++ files,
         mergedDdl(latest, schema), parts, spec, txn)
     }
-  }
+  } match { case v => maybeAutoCompact(); v }
+
+  /** Post-append auto-compaction (the Delta `autoOptimize.autoCompact`
+    * discipline as the `graft.autoCompact` table property): when the
+    * snapshot has accumulated ≥ [[TxTable.AutoCompactMinFiles]]
+    * small files, fold them with [[compactSmall]] right after the
+    * append commits. BEST-EFFORT by contract — the append has already
+    * committed, so a compaction failure (e.g. losing a commit race)
+    * must never surface to the writer; the debt just waits for the
+    * next append or a manual OPTIMIZE. The compact is its own
+    * dataChange=false commit, so change feeds skip it. */
+  private def maybeAutoCompact(): Unit =
+    try latestVersion.foreach { v =>
+      val m = manifest(v)
+      if (boolProp(m, TxTable.PropAutoCompact).getOrElse(false)) {
+        def sizeOf(f: FileEntry): Long =
+          if (f.bytes >= 0) f.bytes
+          else fs.getFileStatus(new Path(root, f.path)).getLen
+        val target = 128L * 1024 * 1024
+        val small = m.files.count(f =>
+          sizeOf(f) < target / 2 || f.dvPath.isDefined)
+        if (small >= TxTable.AutoCompactMinFiles) {
+          compactSmall(targetFileBytes = target,
+            minFiles = TxTable.AutoCompactMinFiles); ()
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Row-level MERGE, copy-on-write at file granularity. Requires a
     * bucketed table ([[overwriteBucketed]]). `resolve` receives
@@ -3056,6 +3082,13 @@ object TxTable {
     * at commit (the reference's `schema.autoMerge.enabled` spark conf
     * as a per-table property); default strict. */
   val PropSchemaAutoMerge = "graft.schemaAutoMerge"
+  /** `true` = appends fold accumulated small-file debt automatically
+    * (best-effort post-commit [[TxTable.compactSmall]]). */
+  val PropAutoCompact = "graft.autoCompact"
+  /** Small files that must accumulate before an auto-compact fires —
+    * low enough to keep streaming-append tables tidy, high enough
+    * that the compact amortizes over many appends. */
+  val AutoCompactMinFiles = 8
   val PropStatsOnWrite = "graft.statsOnWrite"
 
   /** Comma-separated columns to build per-file Bloom filters for at

@@ -1576,4 +1576,25 @@ class TxTableSpec extends SparkSpec {
       .map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(byType == Map("delete" -> 3, "insert" -> 2), s"got $byType")
   }
+
+  test("autoCompact property: appends fold their own small-file debt") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_autocompact")
+    def one(i: Int) = Seq((i.toLong, s"n$i")).toDF("id", "name")
+    t.overwrite(one(0))
+    // off: debt accumulates one file per append
+    (1 to 9).foreach(i => t.append(one(i)))
+    assert(t.fileEntries(t.latestVersion.get).size == 10)
+    t.setProperties(Map("graft.autoCompact" -> "true"))
+    // on: the next append trips the threshold and folds the debt
+    t.append(one(10))
+    val entries = t.fileEntries(t.latestVersion.get)
+    assert(entries.size < 10, s"debt folded, got ${entries.size} files")
+    assert(t.history().last._2 == "compact", "auto-compact is its own commit")
+    assert(t.read().count() == 11, "no rows lost")
+    // below threshold: appends stay append-only
+    t.append(one(11))
+    assert(t.history().last._2 == "append")
+    assert(t.read().count() == 12)
+  }
 }
