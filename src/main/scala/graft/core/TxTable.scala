@@ -2528,12 +2528,21 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   }
 
   /** Commit history, oldest first — the DESCRIBE HISTORY surface
-    * (version, operation, file count) a transactional table owes its
-    * operators; reads only the (small) manifests. */
-  def history(): Seq[(Long, String, Int)] =
+    * (version, operation, live file count, files/bytes ADDED by the
+    * commit — the per-commit write cost, straight from its delta)
+    * a transactional table owes its operators; reads only the
+    * (small) log entries. Self-contained entries (v0 overwrites,
+    * legacy full manifests) count their whole listing as added. */
+  def history(): Seq[(Long, String, Int, Int, Long)] =
     versions.map { v =>
       val m = manifest(v)
-      (m.version, m.operation, m.files.size)
+      val (nAdd, bAdd) = logEntry(v) match {
+        case Right(d)   => (d.add.size,
+          d.add.map(f => math.max(f.bytes, 0L)).sum)
+        case Left(full) => (full.files.size,
+          full.files.map(f => math.max(f.bytes, 0L)).sum)
+      }
+      (m.version, m.operation, m.files.size, nAdd, bAdd)
     }
 
   // ---- maintenance --------------------------------------------------------

@@ -474,6 +474,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * listing, per-partition file/byte/row totals at any table size. */
   private val ShowPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  /** Selective overwrite (the Delta SQL form — not Spark grammar, so
+    * matched ahead of the delegate): atomic delete-matching + insert
+    * via [[TxTable.replaceWhere]]. */
+  private val InsertReplaceWhere =
+    """(?is)\s*INSERT\s+INTO\s+txtable\s*\.\s*`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*?);?\s*""".r
   private val RestoreVerb =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   /** `REORG TABLE ... APPLY (PURGE)` — rewrite files whose deletion
@@ -505,7 +510,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case DescribeHistory(path) =>
       import session.implicits._
       TxTable(session, path).history().reverse
-        .toDF("version", "operation", "n_files").queryExecution.logical
+        .toDF("version", "operation", "n_files", "added_files",
+          "added_bytes").queryExecution.logical
     case Optimize(path, where, zcols) =>
       val t = TxTable(session, path)
       val scope =
@@ -526,6 +532,19 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       val n = TxTable(session, path)
         .vacuum(minAge, dryRun = dry != null).length.toLong
       Seq((path, n)).toDF("location", "files_deleted").queryExecution.logical
+    case InsertReplaceWhere(path, condSql, selectSql) =>
+      val t = TxTable(session, path)
+      val q = org.apache.spark.sql.graft.StreamShims.ofRows(
+        session, delegate.parsePlan(selectSql))
+      val target = t.read().schema.fields
+      require(q.columns.length == target.length,
+        s"INSERT INTO txtable.`$path` REPLACE WHERE by position needs " +
+          s"${target.length} columns, query produces ${q.columns.length}")
+      val aligned = q.select(q.columns.zip(target).map { case (src, f) =>
+        q.col(s"`$src`").cast(f.dataType).as(f.name)
+      }.toIndexedSeq: _*)
+      dmlResult("replace",
+        t.replaceWhere(aligned, column(delegate.parseExpression(condSql))))
     case ShowPartitions(path) =>
       import session.implicits._
       val t = TxTable(session, path)

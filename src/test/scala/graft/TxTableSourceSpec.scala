@@ -533,7 +533,13 @@ class TxTableSourceSpec extends SparkSpec {
       .head().getLong(0) == 4L)
     // the audit verb: newest commit first
     val h = spark.sql(s"DESCRIBE HISTORY txtable.`$dir`")
-    assert(h.columns.toSeq == Seq("version", "operation", "n_files"))
+    assert(h.columns.toSeq == Seq("version", "operation", "n_files",
+      "added_files", "added_bytes"))
+    // per-commit write cost from the delta: the one-row INSERT (v3)
+    // added exactly its own file, never the table's listing
+    assert(h.where(col("version") === 3)
+      .select("added_files").head.getInt(0) == 1)
+    assert(h.select(min("added_bytes")).head.getLong(0) > 0)
     assert(h.select("version", "operation").as[(Long, String)].collect().toSeq
       .take(4) == Seq((3L, "append"), (2L, "overwrite"), (1L, "append"),
         (0L, "overwrite")))
@@ -759,5 +765,27 @@ class TxTableSourceSpec extends SparkSpec {
     assert(spark.sql(
       s"VACUUM txtable.`$dir` RETAIN 0 HOURS DRY RUN").head().getLong(1) == 0)
     assert(t.read().count() == 5)
+  }
+
+  test("SQL INSERT INTO ... REPLACE WHERE recomputes the predicate slice atomically") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsql_replw")
+    t.overwrite(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "grp", "v"), partitionBy = Seq("grp"))
+    spark.sql(
+      s"""INSERT INTO txtable.`$dir` REPLACE WHERE grp = 'a'
+         |SELECT * FROM VALUES (10L, 'a', 10.0), (11L, 'a', 11.0)
+         |AS src(id, grp, v)""".stripMargin).collect()
+    val r = t.read()
+    assert(r.where(col("grp") === "a").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    assert(r.where(col("grp") === "b").count() == 1)
+    assert(t.history().last._2 == "replace")
+    // offender through SQL refuses too
+    val e = intercept[Exception](spark.sql(
+      s"""INSERT INTO txtable.`$dir` REPLACE WHERE grp = 'a'
+         |SELECT * FROM VALUES (99L, 'zzz', 0.0) AS src(id, grp, v)"""
+        .stripMargin).collect())
+    assert(e.getMessage.contains("satisfy"))
   }
 }
