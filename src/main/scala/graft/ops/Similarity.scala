@@ -246,6 +246,21 @@ object Similarity {
     idx
   }
 
+  /** Incrementally extend a persisted IVF index with NEW vectors: the
+    * batch assigns through the SAME frozen quantizer and appends into
+    * its lists' partition dirs — cost ∝ |batch|, the index never
+    * rebuilds, and probes pick the new rows up on their next scan
+    * (the c12 rolling-ingest contract, ANN flavor). The quantizer
+    * stays frozen by design: centroids drift only on an explicit
+    * rebuild, exactly like FAISS's add-after-train. */
+  def appendToIvfIndex(emb: DataFrame,
+      idx: graft.functions.CentroidIndex, path: String): Unit =
+    assignCentroids(emb, idx)
+      .repartition(col("centroid_id"))
+      .write.option("compression", "gzip")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("centroid_id").parquet(path)
+
   /** ANN top-k over a PERSISTED IVF index: compute each query's probe
     * set, then scan only those centroid partitions (the probed-id set
     * is model-sized — ≤ |centroids| — and becomes a partition-pruning

@@ -89,4 +89,24 @@ class IvfIndexSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("incremental index append: rolling ingest matches the full rebuild") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    // build on the "old" 80%, then append the 20% batch
+    val old = emb.where(col("vec_id") % 5 =!= 0)
+    val batch = emb.where(col("vec_id") % 5 === 0)
+    val idx = Similarity.buildIvfIndex(old, centroids, dir)
+    Similarity.appendToIvfIndex(batch, idx, dir)
+    val incremental =
+      Similarity.annTopKIvfFromIndex(spark, dir, queries, idx)
+        .collect().toSeq
+    // identical to an index built over the WHOLE corpus in one shot
+    val dir2 = java.nio.file.Files.createTempDirectory("ivffull").toString
+    val idx2 = Similarity.buildIvfIndex(emb, centroids, dir2)
+    val full = Similarity.annTopKIvfFromIndex(spark, dir2, queries, idx2)
+      .collect().toSeq
+    assert(incremental == full)
+    assert(incremental.nonEmpty)
+  }
 }
