@@ -2684,7 +2684,29 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // Partition/bucket layout columns are rename-refused, so shadow
     // naming below is unaffected. Stats keys come out physical, which
     // is exactly how the prune-time lookups resolve them.
-    val phys = latestM.map(m => toPhysicalDf(checked, m)).getOrElse(checked)
+    val phys0 = latestM.map(m => toPhysicalDf(checked, m)).getOrElse(checked)
+    // optimizeWrite (the Delta autoOptimize.optimizeWrite discipline):
+    // coalesce the write DOWN to ~128 MB outputs when the optimizer's
+    // size estimate says the data is small relative to its task count
+    // — a 32-task job writing 2 MB lands 1 file, not 32. Coalesce
+    // only (never repartition UP): a wrong estimate can cost write
+    // parallelism, never correctness or a shuffle. In-memory
+    // estimates overshoot parquet bytes, so files land under target —
+    // the safe side. Unknown/huge estimates leave the write alone.
+    val phys = {
+      val on = latestM.exists(m =>
+        boolProp(m, TxTable.PropOptimizeWrite).getOrElse(false))
+      if (!on) phys0
+      else {
+        val est = phys0.queryExecution.optimizedPlan.stats.sizeInBytes
+        if (est <= 0 || !est.isValidLong) phys0
+        else {
+          val target = 128L * 1024 * 1024
+          val n = math.max(1L, (est.toLong + target - 1) / target).toInt
+          if (n < phys0.rdd.getNumPartitions) phys0.coalesce(n) else phys0
+        }
+      }
+    }
     if (partitionCols.isEmpty) phys.write.parquet(dst.toString)
     else {
       val shadows = partitionCols.map(c => PartShadowPrefix + c)
@@ -3094,6 +3116,9 @@ object TxTable {
   /** `true` = appends fold accumulated small-file debt automatically
     * (best-effort post-commit [[TxTable.compactSmall]]). */
   val PropAutoCompact = "graft.autoCompact"
+  /** `true` = writes coalesce to ~128 MB outputs when the size
+    * estimate allows (never repartitions up — see writeDataFiles). */
+  val PropOptimizeWrite = "graft.optimizeWrite"
   /** Small files that must accumulate before an auto-compact fires —
     * low enough to keep streaming-append tables tidy, high enough
     * that the compact amortizes over many appends. */

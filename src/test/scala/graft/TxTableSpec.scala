@@ -1597,4 +1597,19 @@ class TxTableSpec extends SparkSpec {
     assert(t.history().last._2 == "append")
     assert(t.read().count() == 12)
   }
+
+  test("optimizeWrite property: small writes coalesce, never repartition up") {
+    import spark.implicits._
+    val (t, _) = freshTable("tx_optwrite")
+    val wide = spark.range(0, 2000, 1, 32)
+      .select(col("id"), concat(lit("n"), col("id")).as("name"))
+    // off: one file per task
+    t.overwrite(wide)
+    assert(t.fileEntries(t.latestVersion.get).size == 32)
+    t.setProperties(Map("graft.optimizeWrite" -> "true"))
+    t.overwrite(wide)
+    val n = t.fileEntries(t.latestVersion.get).size
+    assert(n < 32, s"small write must coalesce, got $n files")
+    assert(t.read().count() == 2000)
+  }
 }
