@@ -176,6 +176,37 @@ object Stress {
       println(s"[stress] del_mor_bytes x$f: $dvBytes " +
         s"(${mEntries.map(_.dvRows).sum} rows vectored, data files untouched)")
     }
+    // ANN scaling: exact broadcast scan vs PQ/ADC scan vs persisted
+    // IVF-PQ probe as the corpus replicates — the exact path grows
+    // O(corpus × queries × dim); the ADC scan does the same pair
+    // count at m table-adds per pair over 16-byte codes (FLOP and
+    // working-set cut); the IVF-PQ probe reads only probed lists'
+    // codes, so its growth should sit well under both.
+    for (f <- factors if mode == "ann") {
+      import graft.ops.Similarity
+      val e = (1 until f).foldLeft(embBase) { (acc, i) =>
+        acc.unionAll(embBase.withColumn("vec_id", col("vec_id") + i * 10000000L))
+      }.localCheckpoint(true)
+      val nv = e.count()
+      println(s"[stress] === ann x$f ($nv vectors) ===")
+      val unit = Similarity.unitVectors(e).localCheckpoint(true)
+      val cb = Similarity.pqTrainCodebook(unit, m = 16)
+      time(s"ann_exact x$f", Similarity.annTopK(e))
+      time(s"ann_pq_adc x$f",
+        Similarity.annTopKPq(e, codebookOverride = Some(cb)))
+      val dir = graft.streaming.EventsStream.scratchDir(s"stress_ivfpq_$f")
+      val centroids = e.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      var built: (graft.functions.CentroidIndex, graft.functions.PqCodebook) = null
+      timeAction(s"ann_ivfpq_build x$f") {
+        built = Similarity.buildIvfPqIndex(e, centroids, dir); ()
+      }
+      val queries = e.where(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      time(s"ann_ivfpq_probe x$f",
+        Similarity.annTopKIvfPqFromIndex(spark, dir, queries,
+          built._1, built._2, e, nProbe = 6))
+    }
     spark.stop()
   }
 }
