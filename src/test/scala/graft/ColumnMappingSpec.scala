@@ -210,4 +210,28 @@ class ColumnMappingSpec extends SparkSpec {
     val v0 = spark.read.format("txtable").option("versionAsOf", 0).load(dir)
     assert(v0.columns.toSeq == Seq("id", "name", "score"))
   }
+
+  test("schemaAutoMerge refuses a retired physical name instead of resurrecting") {
+    import spark.implicits._
+    val dir = graft.streaming.EventsStream.scratchDir("cm_automerge") + "/t"
+    val t = graft.core.TxTable(spark, dir)
+    t.overwriteBucketed(
+      (0 until 20).map(i => (i.toLong, i * 1.0, s"t$i")).toDF("id", "v", "tag"),
+      bucketCols = Seq("id"), nBuckets = 4)
+    t.dropColumn("tag") // physical name 'tag' retires with stale bytes on disk
+    t.setProperties(Map("graft.schemaAutoMerge" -> "true"))
+    val e = intercept[IllegalArgumentException] {
+      t.upsert(Seq((1L, 10.0, "fresh")).toDF("id", "v", "tag"))
+    }
+    assert(e.getMessage.contains("ADD COLUMN"),
+      s"must refuse the retired name loudly, got: ${e.getMessage}")
+    // the sanctioned route works: ADD COLUMN assigns a fresh physical
+    // name, then the automerge upsert lands with no resurrection
+    t.addColumn("tag", org.apache.spark.sql.types.StringType)
+    t.upsert(Seq((1L, 10.0, "fresh")).toDF("id", "v", "tag"))
+    val r = t.read()
+    assert(r.where(col("id") === 1L).head().getAs[String]("tag") == "fresh")
+    assert(r.where(col("id") =!= 1L && col("tag").isNotNull).count() == 0,
+      "dropped column's stale bytes must not resurrect")
+  }
 }

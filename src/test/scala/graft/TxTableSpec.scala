@@ -1612,4 +1612,31 @@ class TxTableSpec extends SparkSpec {
     assert(n < 32, s"small write must coalesce, got $n files")
     assert(t.read().count() == 2000)
   }
+
+  test("OPTIMIZE WHERE ... ZORDER BY re-clusters only the scoped partition") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_zorder_where")
+    def grid(p: String) = (0 until 400).map { i =>
+      (p, (i % 20).toDouble, (i / 20).toDouble, i.toLong)
+    }.toDF("grp", "x", "y", "id")
+    t.overwrite(grid("a").unionByName(grid("b"))
+      .repartitionByRange(8, col("grp"), col("x")), partitionBy = Seq("grp"))
+    val bBefore = t.fileEntries(t.latestVersion.get)
+      .filter(_.partition.get("grp").contains("b")).map(_.path).toSet
+    spark.sql(
+      s"OPTIMIZE txtable.`$dir` WHERE grp = 'a' ZORDER BY (x, y)")
+    val after = t.fileEntries(t.latestVersion.get)
+    assert(after.filter(_.partition.get("grp").contains("b"))
+      .map(_.path).toSet == bBefore,
+      "out-of-scope partition must carry byte-identically")
+    assert(after.exists(f => f.partition.get("grp").contains("a") &&
+      !bBefore(f.path)), "scoped partition re-clustered")
+    // content identical, schema preserved
+    assert(t.read().count() == 800)
+    assert(t.read().where(col("grp") === "a").agg(sum("id")).head.getLong(0) ==
+      (0 until 400).sum)
+    assert(t.read().schema.fieldNames.toSeq ==
+      Seq("grp", "x", "y", "id"))
+    assert(t.history().last._2 == "compact")
+  }
 }
