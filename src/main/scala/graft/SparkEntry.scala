@@ -798,6 +798,27 @@ object SparkEntry {
       // at every fixture scale without emptying the smallest
       graft.steps.GraphOps.kCorePeel(e, k = 10, rounds = 6)
     }),
+    // JSONL interchange (the LLM-data lingua franca): documents out
+    // through the gzip JSONL sink, back through the schema'd reader,
+    // aggregated — text with newlines/quotes must survive the JSON
+    // escaping round trip exactly (oracle reads the parquet source)
+    "w4_jsonl_roundtrip" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = cachedAsset(s, s"jsonl|$d") {
+        val p = graft.streaming.EventsStream.scratchDir("graft_jsonl")
+        new graft.core.ParquetIOManager(s).writeJsonLines(
+          Tables.documents(s, d).select("doc_id", "lang", "text"), p)
+        p
+      }
+      new graft.core.ParquetIOManager(s)
+        .readJsonLines(dir, "doc_id LONG, lang STRING, text STRING")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(when(col("text").contains("\n") ||
+            col("text").contains("\""), 1L).otherwise(0L)).as("n_escaped"))
+        .orderBy("lang")
+    }),
     // the raw-crawl-to-corpus composition: gzipped WARC members →
     // record parse → payload decode → Gopher quality gate → triage
     // rollup — one dataflow from crawl bytes to a gated corpus (the
@@ -1832,6 +1853,12 @@ object SparkEntry {
         |  FROM sig)
         |SELECT doc_id, reason IS NULL AS keep, reason
         |FROM r ORDER BY doc_id""".stripMargin,
+    "w4_jsonl_roundtrip" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CASE WHEN contains(text, chr(10)) OR
+        |    contains(text, '"') THEN 1 ELSE 0 END) AS BIGINT) AS n_escaped
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "w3_warc_ingest" ->
       """WITH sig AS (
         |  SELECT length(text) AS nc,
