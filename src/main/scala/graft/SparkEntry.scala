@@ -233,6 +233,17 @@ object SparkEntry {
     // the recursive-CTE oracle computes components of the same graph)
     "c11_dup_clusters"   -> ((s, d) =>
       Dedup.dupClusters(Dedup.minHashLshPairs(Tables.documents(s, d)))),
+    // benchmark decontamination: training docs sharing 5-gram spans
+    // with the held-out "eval" slice (doc_id % 17 == 0); overlap
+    // counts are hash-invariant, so the oracle replays with string
+    // shingles
+    "c16_decontaminate"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocs(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0))
+    }),
     // canonical-document selection: the dedup finisher — one
     // representative per c11 cluster (longest text, ties to lowest
     // doc_id); oracle = the c11 recursive-CTE components + a window
@@ -1797,6 +1808,18 @@ object SparkEntry {
         |          JOIN edges e ON e.src = r.doc)
         |SELECT doc AS doc_id, min(root) AS cluster_id
         |FROM reach GROUP BY doc ORDER BY 1""".stripMargin,
+    "c16_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |         w[i+3] || ' ' || w[i+4] AS s
+        |       FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN b USING (s)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
     "c14_canonical_docs" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

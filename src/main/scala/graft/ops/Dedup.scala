@@ -463,6 +463,32 @@ object Dedup {
     out
   }
 
+  /** C16 — benchmark decontamination: flag training documents sharing
+    * ≥ `minShared` distinct word `n`-grams with an evaluation set
+    * (the GPT-3/Pile decontamination step — training on eval text
+    * silently inflates benchmarks). The benchmark's distinct shingle
+    * set is eval-set-sized — SMALL by definition — so it broadcasts
+    * and the corpus streams past it once, embarrassingly parallel:
+    * the join that stays right at 100 TB of training text. Shingles
+    * are the hashed kernel's ([[hashedShingles]] — 64-bit, per-doc
+    * distinct); overlap COUNTS are hash-invariant, so the DuckDB twin
+    * replays them with string shingles (the c4 precedent). */
+  def contaminatedDocs(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 5, minShared: Int = 3): DataFrame = {
+    val bShingles = benchmark
+      .where(size(split(col("text"), " ")) >= n)
+      .select(explode(hashedShingles(col("text"), n)).as("sh"))
+      .distinct()
+    docs
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
+      .join(broadcast(bShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** C14 — canonical-document selection: after clustering (c11 /
     * [[dupClusters]]), keep ONE representative per duplicate cluster
     * — the longest text, ties to the lowest doc_id (the standard

@@ -302,4 +302,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r(1L) == ((2L, 21, 3L)), "longest member is canonical")
     assert(r(10L) == ((10L, 8, 2L)), "equal lengths tie to lowest doc_id")
   }
+
+  test("contaminatedDocs: planted eval spans flag, clean docs pass") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog tonight"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      // verbatim 9-token span from the benchmark -> 5 shared 5-grams
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"),
+      // shares tokens but never 5 consecutive -> clean
+      (2L, "quick dog brown lazy fox the jumps tonight over words"),
+      // too short for 5-grams -> clean by construction
+      (3L, "tiny doc"))
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.contaminatedDocs(docs, bench).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.keySet == Set(1L), s"only the verbatim-span doc flags, got $r")
+    assert(r(1L) >= 3, "shares at least minShared 5-grams")
+    // threshold respected: raising minShared above the overlap clears it
+    assert(graft.ops.Dedup.contaminatedDocs(docs, bench, minShared = 50).isEmpty)
+  }
 }
