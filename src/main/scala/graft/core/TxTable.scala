@@ -2247,6 +2247,45 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
 
   /** Target-side half of [[cloneTo]]: publish the source snapshot's
     * header + absolute file list as this table's version 0. */
+  /** In-place import of a bare parquet directory (Delta's CONVERT TO
+    * DELTA): commit a v0 snapshot referencing the existing files
+    * WHERE THEY ARE — zero bytes copied, and every transactional
+    * surface (time travel, DML, OPTIMIZE, the format/SQL seam) works
+    * from that commit on. One stats pass (the usual one-pass
+    * aggregation) gives the converted files zone maps unless
+    * `statsOnWrite=false`. Flat directories only: external hive
+    * layouts carry their partition values as bare `k=v` dirs, which
+    * this log records as data columns, not layout — repartition
+    * through overwrite if you need partition pruning. Vacuum treats
+    * converted originals like any referenced file: root-level
+    * parquet files join the sweep once nothing references them. */
+  private[core] def convertInPlace(): Long = {
+    require(latestVersion.isEmpty,
+      s"$root is already a TxTable — CONVERT is for bare parquet dirs")
+    val files = fs.listStatus(root).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    require(files.nonEmpty, s"$root holds no parquet files to convert")
+    val df = spark.read.parquet(root.toString)
+    val schema = df.schema
+    val stats =
+      if (statsOnWrite) collectFileStats(root, schema)
+      else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])]
+    val entries = files.map { st =>
+      val rel = relativize(st.getPath)
+      val (mins, maxs, n, blooms, nulls) = stats.getOrElse(rel,
+        (Map.empty[String, String], Map.empty[String, String], -1L,
+          Map.empty[String, String], Map.empty[String, Long]))
+      FileEntry(rel, Map.empty, mins, maxs, st.getLen,
+        st.getModificationTime, rows = n, bloom = blooms, nulls = nulls)
+    }.toSeq.sortBy(_.path)
+    commit { latest =>
+      require(latest.isEmpty,
+        s"$root: a commit raced the CONVERT — the directory is " +
+          "already a TxTable")
+      Pending(OpConvert, entries, schemaDdlOf(schema), Nil, None, None)
+    }
+  }
+
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
       require(latest.isEmpty,
@@ -2632,6 +2671,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         }
       }
     sweep(dataDir)
+    // converted-in-place originals live at the ROOT — same liveness
+    // rule once nothing references them
+    fs.listStatus(root).foreach { st =>
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rel = relativize(st.getPath)
+        if (!live.contains(rel) && st.getModificationTime < cutoff) {
+          if (!dryRun) fs.delete(st.getPath, false)
+          deleted += rel
+        }
+      }
+    }
     if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
       if (st.getPath.getName.startsWith(".tmp-") &&
           st.getModificationTime < cutoff) {
@@ -3211,6 +3261,7 @@ object TxTable {
   private val OpDelete = "delete"
   private val OpUpdate = "update"
   private val OpReplace = "replace"
+  private val OpConvert = "convert"
   private val OpRestore = "restore"
   private val OpClone = "clone"
 
@@ -3242,6 +3293,15 @@ object TxTable {
     new TxTable(spark, root,
       root.getFileSystem(spark.sparkContext.hadoopConfiguration), statsOnWrite,
       changeDataFeed, deletionVectors)
+  }
+
+  /** In-place import: see [[TxTable.convertInPlace]]. Returns the
+    * handle over the freshly converted table. */
+  def convert(spark: SparkSession, path: String,
+      statsOnWrite: Boolean = true): TxTable = {
+    val t = TxTable(spark, path, statsOnWrite = statsOnWrite)
+    t.convertInPlace()
+    t
   }
 
   /** True iff `path` carries a TxTable commit log. */

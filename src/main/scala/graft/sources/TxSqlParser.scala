@@ -474,6 +474,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * listing, per-partition file/byte/row totals at any table size. */
   private val ShowPartitions =
     """(?is)\s*SHOW\s+PARTITIONS\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+  /** In-place import of a bare parquet dir (the Delta `CONVERT TO
+    * DELTA parquet.`path`` shape). */
+  private val ConvertVerb =
+    """(?is)\s*CONVERT\s+TO\s+TXTABLE\s+parquet\s*\.\s*`([^`]+)`\s*;?\s*""".r
+
   /** Selective overwrite (the Delta SQL form — not Spark grammar, so
     * matched ahead of the delegate): atomic delete-matching + insert
     * via [[TxTable.replaceWhere]]. */
@@ -532,6 +537,9 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       val n = TxTable(session, path)
         .vacuum(minAge, dryRun = dry != null).length.toLong
       Seq((path, n)).toDF("location", "files_deleted").queryExecution.logical
+    case ConvertVerb(path) =>
+      dmlResult("convert",
+        TxTable.convert(session, path).latestVersion.getOrElse(0L))
     case InsertReplaceWhere(path, condSql, selectSql) =>
       val t = TxTable(session, path)
       val q = org.apache.spark.sql.graft.StreamShims.ofRows(

@@ -788,4 +788,17 @@ class TxTableSourceSpec extends SparkSpec {
         .stripMargin).collect())
     assert(e.getMessage.contains("satisfy"))
   }
+
+  test("SQL CONVERT TO TXTABLE imports a bare parquet dir") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("txsql_convert")
+    (0 until 30).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val r = spark.sql(s"CONVERT TO TXTABLE parquet.`$dir`").head()
+    assert(r.getString(0) == "convert" && r.getLong(1) == 0L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+      .head().getLong(0) == 30)
+    spark.sql(s"DELETE FROM txtable.`$dir` WHERE id < 10")
+    assert(spark.read.format(fmt).load(dir).count() == 20)
+  }
 }

@@ -1639,4 +1639,44 @@ class TxTableSpec extends SparkSpec {
       Seq("grp", "x", "y", "id"))
     assert(t.history().last._2 == "compact")
   }
+
+  test("CONVERT: in-place import of a bare parquet dir, zero bytes copied") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_convert")
+    (0 until 100).map(i => (i.toLong, s"n$i", i * 2.0))
+      .toDF("id", "name", "score").repartition(4)
+      .write.mode("overwrite").parquet(dir)
+    val originals = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getName -> f.lastModified()).toMap
+    val t = graft.core.TxTable.convert(spark, dir)
+    assert(t.latestVersion.contains(0L))
+    assert(t.read().count() == 100)
+    assert(t.history().last._2 == "convert")
+    // zero-copy: the original files serve v0, byte-untouched
+    originals.foreach { case (name, mtime) =>
+      val f = new java.io.File(dir, name)
+      assert(f.exists() && f.lastModified() == mtime, s"$name touched")
+    }
+    // stats landed: an interior range scan skips files via zone maps
+    assert(t.fileEntries(0L).forall(_.min.nonEmpty))
+    // the whole transactional surface works from v0 on
+    t.append(Seq((200L, "x", 1.0)).toDF("id", "name", "score"))
+    assert(t.read().count() == 101)
+    assert(t.readVersion(0L).count() == 100, "time travel to the import")
+    t.deleteWhere(col("id") === 200L)
+    assert(t.read().count() == 100)
+    // double-convert refuses
+    val e = intercept[IllegalArgumentException](
+      graft.core.TxTable.convert(spark, dir))
+    assert(e.getMessage.contains("already"))
+    // vacuum: originals stay while referenced; after an overwrite +
+    // expiry they join the sweep like any dead file
+    t.overwrite(Seq((1L, "y", 0.0)).toDF("id", "name", "score"))
+    t.expireSnapshots(keepLast = 1)
+    val swept = t.vacuum(0)
+    assert(originals.keySet.forall(n => swept.exists(_.endsWith(n))),
+      "unreferenced converted originals must be vacuumable")
+    assert(t.read().count() == 1)
+  }
 }
