@@ -768,7 +768,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       preds => {
         val keep = candidateFilter(full, preds)
         m.files.zip(statuses).collect { case (e, st) if keep(e) => st }
-      })
+      },
+      // metadata-answered count(*): sound exactly when every entry
+      // recorded its row count (no DV snapshots reach this branch)
+      exactRowCount =
+        if (m.files.forall(_.rows >= 0)) Some(m.files.map(_.rows).sum)
+        else None)
   }
 
   /** Root-relative data-file path extracted from `_metadata.file_path`

@@ -322,6 +322,10 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
     // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
     ext.injectPostHocResolutionRule(session =>
       new graft.plans.DevSampleRule(session))
+    // metadata-answered count(*) over commit-logged tables — zero
+    // files opened when the manifest already knows the total
+    ext.injectOptimizerRule(session =>
+      new graft.plans.MetadataCountRule(session))
     // SQL entry point for commit-logged tables:
     // SELECT ... FROM txtable.`/dir` [VERSION AS OF n]
     ext.injectParser((session, delegate) =>

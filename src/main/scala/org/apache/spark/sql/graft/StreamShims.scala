@@ -55,10 +55,11 @@ object StreamShims {
       dataSchema: org.apache.spark.sql.types.StructType,
       files: Seq[org.apache.hadoop.fs.FileStatus],
       prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-        Seq[org.apache.hadoop.fs.FileStatus])
+        Seq[org.apache.hadoop.fs.FileStatus],
+      exactRowCount: Option[Long] = None)
       : org.apache.spark.sql.sources.BaseRelation =
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new ManifestFileIndex(root, files, prune),
+      new ManifestFileIndex(root, files, prune, exactRowCount),
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
       // nullable like every Spark file source: schema evolution means
       // old files may lack a column the manifest schema declares NOT
@@ -220,7 +221,12 @@ object StreamShims {
 final class ManifestFileIndex(root: org.apache.hadoop.fs.Path,
     files: Seq[org.apache.hadoop.fs.FileStatus],
     prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
-      Seq[org.apache.hadoop.fs.FileStatus])
+      Seq[org.apache.hadoop.fs.FileStatus],
+    /** Exact live row count from the commit log, when every entry
+      * recorded one and no deletion vector hides rows — what lets an
+      * optimizer rule answer a bare `count(*)` without any scan
+      * ([[graft.plans.MetadataCountRule]]). */
+    val exactRowCount: Option[Long] = None)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.execution.datasources.PartitionDirectory

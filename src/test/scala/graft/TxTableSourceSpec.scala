@@ -801,4 +801,49 @@ class TxTableSourceSpec extends SparkSpec {
     spark.sql(s"DELETE FROM txtable.`$dir` WHERE id < 10")
     assert(spark.read.format(fmt).load(dir).count() == 20)
   }
+
+  test("count(*) answers from the manifest: zero files scanned") {
+    import spark.implicits._
+    val (t, dir) = freshTable("txsrc_metacount")
+    t.overwrite(df(0 until 500).repartition(4))
+    t.append(df(500 until 520))
+    def scansIn(q: DataFrame): Int = {
+      q.collect()
+      // recurse through AQE wrappers: a materialized stage's plan is
+      // NOT among its children, so a plain collect misses scans under
+      // exchanges
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allScans(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          allScans(s.plan)
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+        case other => other.children.flatMap(allScans)
+      }
+      allScans(q.queryExecution.executedPlan).size
+    }
+    val bare = spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+    assert(bare.head().getLong(0) == 520)
+    assert(scansIn(bare) == 0, "bare count(*) must fold to the manifest")
+    // a filter keeps the scan (and stays correct)
+    val filtered = spark.sql(
+      s"SELECT count(*) AS n FROM txtable.`$dir` WHERE id < 100")
+    assert(filtered.head().getLong(0) == 100)
+    assert(scansIn(filtered) == 1)
+    // count(col) must see nulls -> scans
+    t.append(Seq((9999L, null.asInstanceOf[String], 0.0))
+      .toDF("id", "name", "score"))
+    val countCol = spark.sql(s"SELECT count(name) AS n FROM txtable.`$dir`")
+    assert(countCol.head().getLong(0) == 520)
+    assert(scansIn(countCol) == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+      .head().getLong(0) == 521)
+    // a DV snapshot hides rows the manifest totals cannot see -> the
+    // relation carries no exact count, and the result stays correct
+    val dv = TxTable(spark, dir, deletionVectors = true)
+    dv.deleteWhere(col("id") < 10L)
+    assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
+      .head().getLong(0) == 511)
+  }
 }
