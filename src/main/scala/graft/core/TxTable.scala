@@ -773,7 +773,36 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // recorded its row count (no DV snapshots reach this branch)
       exactRowCount =
         if (m.files.forall(_.rows >= 0)) Some(m.files.map(_.rows).sum)
-        else None)
+        else None,
+      // metadata-answered min/max: integer/floating columns where
+      // EVERY entry carries both stats (an absent stat usually means
+      // an all-null or legacy file — min/max can't fold over those;
+      // strings can't fold at all: their max stat is truncation-
+      // dropped). Values parse once here, typed for the rule.
+      exactMinMax = visible.fields.collect {
+        case f if (f.dataType match {
+            case IntegerType | LongType | DoubleType | FloatType |
+                 ShortType | ByteType => true
+            case _ => false
+          }) && m.files.nonEmpty &&
+          m.files.forall(e => e.min.contains(f.name) &&
+            e.max.contains(f.name)) =>
+          def parse(b: BigDecimal): Any = f.dataType match {
+            case IntegerType => b.toIntExact
+            case LongType    => b.toLongExact
+            case DoubleType  => b.toDouble
+            case FloatType   => b.toFloat
+            case ShortType   => b.toShortExact
+            case ByteType    => b.toByteExact
+          }
+          try {
+            val mins = m.files.map(e => BigDecimal(e.min(f.name)))
+            val maxs = m.files.map(e => BigDecimal(e.max(f.name)))
+            Some(f.name -> ((parse(mins.min), parse(maxs.max))))
+          } catch {
+            case _: NumberFormatException | _: ArithmeticException => None
+          }
+      }.flatten.toMap)
   }
 
   /** Root-relative data-file path extracted from `_metadata.file_path`

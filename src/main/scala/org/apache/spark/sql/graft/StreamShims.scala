@@ -56,10 +56,11 @@ object StreamShims {
       files: Seq[org.apache.hadoop.fs.FileStatus],
       prune: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         Seq[org.apache.hadoop.fs.FileStatus],
-      exactRowCount: Option[Long] = None)
+      exactRowCount: Option[Long] = None,
+      exactMinMax: Map[String, (Any, Any)] = Map.empty)
       : org.apache.spark.sql.sources.BaseRelation =
     org.apache.spark.sql.execution.datasources.HadoopFsRelation(
-      new ManifestFileIndex(root, files, prune, exactRowCount),
+      new ManifestFileIndex(root, files, prune, exactRowCount, exactMinMax),
       partitionSchema = org.apache.spark.sql.types.StructType(Nil),
       // nullable like every Spark file source: schema evolution means
       // old files may lack a column the manifest schema declares NOT
@@ -226,7 +227,12 @@ final class ManifestFileIndex(root: org.apache.hadoop.fs.Path,
       * recorded one and no deletion vector hides rows — what lets an
       * optimizer rule answer a bare `count(*)` without any scan
       * ([[graft.plans.MetadataCountRule]]). */
-    val exactRowCount: Option[Long] = None)
+    val exactRowCount: Option[Long] = None,
+    /** Exact global (min, max) per numeric column whose stats every
+      * entry carries — the zone maps ARE the answer for a bare
+      * global min/max (nulls never contribute to either side, and a
+      * stat-less all-null file blocks the fold). */
+    val exactMinMax: Map[String, (Any, Any)] = Map.empty)
     extends org.apache.spark.sql.execution.datasources.FileIndex {
   import org.apache.spark.sql.catalyst.expressions.Expression
   import org.apache.spark.sql.execution.datasources.PartitionDirectory

@@ -839,11 +839,23 @@ class TxTableSourceSpec extends SparkSpec {
     assert(scansIn(countCol) == 1)
     assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
       .head().getLong(0) == 521)
+    // global min/max over a numeric column folds too (zone maps ARE
+    // the answer), including mixed with count(*)
+    val mm = spark.sql(
+      s"SELECT min(id) AS lo, max(id) AS hi, count(*) AS n FROM txtable.`$dir`")
+    assert(mm.head() == org.apache.spark.sql.Row(0L, 9999L, 521L))
+    assert(scansIn(mm) == 0, "min/max/count must fold to the manifest")
+    // min over a STRING never folds (max stats truncation-dropped)
+    val sm = spark.sql(s"SELECT min(name) AS lo FROM txtable.`$dir`")
+    assert(sm.head().getString(0) == "name_0")
+    assert(scansIn(sm) == 1)
     // a DV snapshot hides rows the manifest totals cannot see -> the
     // relation carries no exact count, and the result stays correct
     val dv = TxTable(spark, dir, deletionVectors = true)
     dv.deleteWhere(col("id") < 10L)
     assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$dir`")
       .head().getLong(0) == 511)
+    assert(spark.sql(s"SELECT min(id) AS lo FROM txtable.`$dir`")
+      .head().getLong(0) == 10L, "post-DV min must come from a scan")
   }
 }
