@@ -2279,6 +2279,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     target.commitClone(m, absolute)
   }
 
+  /** DEEP clone: same metadata carry as [[cloneTo]], but every live
+    * file (data + DV + bloom sidecars) physically COPIES into the
+    * target's own tree — a self-contained replica with no lifetime
+    * coupling to the source (the shallow clone's source-vacuum caveat
+    * disappears at the price of the bytes). Stats/properties/
+    * constraints/mapping carry through the same header path. */
+  def deepCloneTo(targetDir: String): Long = {
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root has no committed snapshots to clone"))
+    val m = manifest(v)
+    val target = TxTable(spark, targetDir)
+    require(target.latestVersion.isEmpty,
+      s"$targetDir is already a TxTable — clone into a fresh directory")
+    val tRoot = new Path(targetDir)
+    val tFs = tRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def copyRel(rel: String): String = {
+      val srcP = new Path(root, rel)
+      val dstP = new Path(tRoot, rel)
+      tFs.mkdirs(dstP.getParent)
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, srcP, tFs, dstP, false, spark.sparkContext.hadoopConfiguration)
+      rel
+    }
+    val copied = m.files.map { f =>
+      f.copy(path = copyRel(f.path),
+        dvPath = f.dvPath.map(copyRel),
+        bloomSidecar = f.bloomSidecar.map(copyRel))
+    }
+    target.commitClone(m, copied)
+  }
+
   /** Target-side half of [[cloneTo]]: publish the source snapshot's
     * header + absolute file list as this table's version 0. */
   /** In-place import of a bare parquet directory (Delta's CONVERT TO

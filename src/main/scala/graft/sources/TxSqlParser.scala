@@ -486,6 +486,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     """(?is)\s*INSERT\s+INTO\s+txtable\s*\.\s*`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*?);?\s*""".r
   private val RestoreVerb =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  private val RestoreTsVerb =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
   /** `REORG TABLE ... APPLY (PURGE)` — rewrite files whose deletion
     * vectors cross the threshold (default 5%), dropping the vectors. */
   private val ReorgPurge =
@@ -494,7 +496,7 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * zero-copy metadata clone (Spark's grammar has no CLONE verb —
     * matched ahead of the delegate like the other maintenance verbs). */
   private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+txtable\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    """(?is)\s*CREATE\s+TABLE\s+txtable\s*\.\s*`([^`]+)`\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case DescribeDetail(path) =>
@@ -569,10 +571,22 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         .queryExecution.logical
     case RestoreVerb(path, version) =>
       dmlResult("restore", TxTable(session, path).restore(version.toLong))
+    case RestoreTsVerb(path, ts) =>
+      val t = TxTable(session, path)
+      val millis = java.sql.Timestamp.valueOf(
+        ts.replace("T", " ")).getTime
+      val v = t.versionAt(millis).getOrElse(sys.error(
+        s"$path has no snapshot committed at or before $ts — oldest " +
+          "retained commit is newer (expired history cannot be restored)"))
+      dmlResult("restore", t.restore(v))
     case ReorgPurge(path) =>
       dmlResult("reorg", TxTable(session, path).purgeDeletes())
-    case ShallowClone(target, source) =>
-      dmlResult("clone", TxTable(session, source).cloneTo(target))
+    case ShallowClone(target, kind, source) =>
+      // bare CLONE = deep (the Delta default); SHALLOW stays zero-copy
+      val deep = kind == null || kind.trim.equalsIgnoreCase("DEEP")
+      dmlResult("clone",
+        if (deep) TxTable(session, source).deepCloneTo(target)
+        else TxTable(session, source).cloneTo(target))
     case _ => rewrite(delegate.parsePlan(sqlText))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

@@ -100,4 +100,29 @@ class CloneSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) AS n FROM txtable.`$cloneDir`")
       .head().getLong(0) == 20L)
   }
+
+  test("DEEP CLONE copies every live file; no lifetime coupling to the source") {
+    import spark.implicits._
+    val src0 = EventsStream.scratchDir("clone_deep_src") + "/t"
+    val s = graft.core.TxTable(spark, src0)
+    s.overwrite((0 until 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    val dst = EventsStream.scratchDir("clone_deep_dst") + "/t"
+    spark.sql(s"CREATE TABLE txtable.`$dst` DEEP CLONE txtable.`$src0`")
+    val c = graft.core.TxTable(spark, dst)
+    assert(c.read().count() == 50)
+    // every entry lives under the CLONE's root (no absolute source refs)
+    assert(c.fileEntries(c.latestVersion.get).forall(f =>
+      !f.path.startsWith("/") || f.path.startsWith(dst)))
+    // the source can die entirely; the deep clone keeps serving
+    s.overwrite(Seq((999L, 0.0)).toDF("id", "v"))
+    s.expireSnapshots(keepLast = 1)
+    s.vacuum(0)
+    assert(c.read().count() == 50, "deep clone survives source vacuum")
+    // RESTORE ... TIMESTAMP AS OF resolves through the publish clock
+    c.append(Seq((100L, 1.0)).toDF("id", "v"))
+    val ts = new java.sql.Timestamp(System.currentTimeMillis() + 60000)
+    spark.sql(
+      s"RESTORE TABLE txtable.`$dst` TO TIMESTAMP AS OF '$ts'").collect()
+    assert(c.read().count() == 51, "at-or-after-latest timestamp = latest")
+  }
 }
