@@ -49,9 +49,15 @@ import graft.core.TxTable
   *     WHEN MATCHED THEN UPDATE SET v = t.v + s.dv
   *     WHEN NOT MATCHED AND s.op <> 'del' THEN INSERT (k, v) VALUES (s.k, s.dv)
   *     WHEN NOT MATCHED BY SOURCE THEN DELETE
-  *   OPTIMIZE txtable.`/t` [ZORDER BY (a, b)]
-  *   VACUUM txtable.`/t` [RETAIN 168 HOURS]
+  *   INSERT INTO txtable.`/t` REPLACE WHERE part = 'x' SELECT ...
+  *   OPTIMIZE txtable.`/t` [WHERE part = 'x'] [ZORDER BY (a, b)]
+  *   VACUUM txtable.`/t` [RETAIN 168 HOURS] [DRY RUN]
   *   RESTORE TABLE txtable.`/t` TO VERSION AS OF 3
+  *   RESTORE TABLE txtable.`/t` TO TIMESTAMP AS OF '2026-01-01 00:00:00'
+  *   SHOW PARTITIONS txtable.`/t`
+  *   CONVERT TO TXTABLE parquet.`/dir`
+  *   CREATE TABLE txtable.`/t2` [SHALLOW|DEEP] CLONE txtable.`/t`
+  *   REORG TABLE txtable.`/t` APPLY (PURGE)
   * }}}
   *
   * MERGE supports the full clause grammar — conditional
