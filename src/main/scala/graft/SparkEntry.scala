@@ -634,6 +634,42 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x18: the SAME full-clause MERGE as x13 into a NON-bucketed,
+    // hive-partitioned table — the file-granular predicate-planned
+    // merge core (zone-map/Bloom candidates → discovery scan →
+    // copy-on-write of matching files); identical answer, layout-
+    // independent semantics
+    "x18_tx_merge_files" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      import graft.core.TxTable.{srcCol, MergeDelete, MergeInsert, MergeUpdate}
+      val t = cachedAsset(s, s"tx_mrgfl|$d") {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val t0 = graft.core.TxTable(s,
+          graft.streaming.EventsStream.scratchDir("graft_tx_mrgfl") + "/t")
+        t0.overwrite(o, partitionBy = Seq("o_orderpriority"))
+        val src = o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey").as("k"), col("o_totalprice").as("p"),
+            (col("o_orderkey") % 2 === 0).as("kill"))
+          .unionByName(o.where(col("o_orderkey") % 1000 === 1)
+            .select((col("o_orderkey") + 100000000L).as("k"),
+              col("o_totalprice").as("p"), lit(false).as("kill")))
+        t0.mergeClauses(src, Map("o_orderkey" -> srcCol("k")),
+          matched = Seq(
+            MergeDelete(Some(srcCol("kill"))),
+            MergeUpdate(None, Map(
+              "o_totalprice" -> (col("o_totalprice") + srcCol("p"))))),
+          notMatched = Seq(MergeInsert(None, Map(
+            "o_orderpriority" -> lit("INSERTED"),
+            "o_totalprice" -> srcCol("p")))))
+        t0
+      }
+      t.read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -1650,6 +1686,27 @@ object SparkEntry {
     // rows drop, matched rows double (price + source price of the same
     // row), shifted keys insert under the INSERTED label
     "x13_tx_merge_clauses" ->
+      """WITH m AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS p,
+        |         (o_orderkey % 2 = 0) AS kill
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM (
+        |  SELECT o.o_orderpriority,
+        |         CASE WHEN m.k IS NOT NULL THEN o.o_totalprice + m.p
+        |              ELSE o.o_totalprice END AS price
+        |  FROM orders o LEFT JOIN m ON o.o_orderkey = m.k
+        |  WHERE m.k IS NULL OR NOT m.kill
+        |  UNION ALL
+        |  SELECT 'INSERTED', o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 1
+        |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x18's oracle: identical clause replay to x13 — the engine must
+    // produce the same answer regardless of target layout
+    "x18_tx_merge_files" ->
       """WITH m AS (
         |  SELECT o_orderkey AS k, o_totalprice AS p,
         |         (o_orderkey % 2 = 0) AS kill

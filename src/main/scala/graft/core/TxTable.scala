@@ -1351,22 +1351,207 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     } finally { if (!sourceIsPinned) { src.unpersist(); () } }
   }
 
+  /** The non-bucketed twin of [[mergeOp]]: row-level MERGE into a flat
+    * or hive-partitioned table, copy-on-write at FILE granularity,
+    * planned like predicate DML instead of bucket routing (Delta's own
+    * merge shape for unclustered tables — the reference merges into
+    * any Delta layout, `resources/spark.py:65-67`). `keys` are the ON
+    * equi-key TABLE columns the source carries under the table names.
+    * Planning narrows in three sound steps:
+    *
+    *  1. ONE bounded aggregation over the pinned source collects, per
+    *     key column, min/max and an approximate distinct count; small
+    *     key sets re-collect exactly and become IN-list constraints
+    *     (which probe per-file Bloom filters), larger ones degrade to
+    *     [min,max] zone-map ranges. Files failing the candidate test
+    *     provably hold no source key.
+    *  2. ONE discovery scan semi-joins the candidate files with the
+    *     distinct source keys — only files ACTUALLY holding matching
+    *     rows become affected (parquet row-group pushdown serves it).
+    *  3. `resolve` sees exactly the affected files' rows; its output
+    *     (replacements + inserts) is rewritten with the table's own
+    *     hive layout. Every other file is carried by reference,
+    *     byte-identical. Cost ∝ |source| + |rows in matching files|.
+    *
+    * CDC capture, schema evolution, and the auto-rebase concurrency
+    * rule mirror [[mergeOp]]; the intruding-file test reuses the same
+    * candidate filter that planned the merge. */
+  private def mergeOpFiles(op: String, source: DataFrame, keys: Seq[String],
+      txn: Option[(String, Long)], sourceIsPinned: Boolean = false,
+      checkSourceSchema: Boolean = true, touchAllFiles: Boolean = false)(
+      resolve: (DataFrame, DataFrame) => DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.expressions.{
+      AttributeReference, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.functions.{
+      approx_count_distinct, max => fmax, min => fmin}
+    val v = latestVersion.getOrElse(
+      sys.error(s"$root: merge needs an existing table"))
+    val m = manifest(v)
+    require(m.bucketSpec.isEmpty,
+      s"internal: bucketed $root routes through mergeOp")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val keyFields = keys.map(k => schema.fields
+      .find(_.name.equalsIgnoreCase(k))
+      .getOrElse(sys.error(s"$root has no merge key column $k")))
+    val keyNames = keyFields.map(_.name)
+    val autoMerge = boolProp(m, TxTable.PropSchemaAutoMerge).getOrElse(false)
+    if (checkSourceSchema)
+      requireCompatible(schema, source.schema, allowNew = autoMerge)
+    // pin ONE evaluation (the mergeOp discipline): the source feeds
+    // candidate pruning, discovery, AND the resolve
+    val src = if (sourceIsPinned) source else source.localCheckpoint(true)
+    try {
+      // step 1: the candidate test (also the rebase intruder test)
+      val candidate: FileEntry => Boolean =
+        if (touchAllFiles) _ => true
+        else {
+          val aggs = keyFields.flatMap { f => Seq(
+            fmin(col(s"`${f.name}`")).as(s"mn_${f.name}"),
+            fmax(col(s"`${f.name}`")).as(s"mx_${f.name}"),
+            approx_count_distinct(col(s"`${f.name}`")).as(s"nd_${f.name}")) }
+          val row = src.agg(aggs.head, aggs.tail: _*).head()
+          // a key whose source values are ALL null (or an empty
+          // source) matches nothing — no file is a candidate, the
+          // merge reduces to its pure-insert branch
+          if (keyFields.exists(f => row.getAs[Any](s"mn_${f.name}") == null))
+            _ => false
+          else {
+            val preds = keyFields.flatMap { f =>
+              val attr = AttributeReference(f.name, f.dataType)()
+              val smallSet: Option[Seq[Any]] =
+                if (row.getAs[Long](s"nd_${f.name}") > TxTable.MergeInListCap)
+                  None
+                else {
+                  val vs = src.select(col(s"`${f.name}`"))
+                    .where(col(s"`${f.name}`").isNotNull).distinct()
+                    .limit(TxTable.MergeInListCap + 1)
+                    .collect().map(_.get(0)).toSeq
+                  if (vs.size > TxTable.MergeInListCap) None else Some(vs)
+                }
+              smallSet match {
+                case Some(vs) =>
+                  Seq(In(attr, vs.map(x => Literal.create(x, f.dataType))))
+                case None => Seq(
+                  GreaterThanOrEqual(attr,
+                    Literal.create(row.getAs[Any](s"mn_${f.name}"), f.dataType)),
+                  LessThanOrEqual(attr,
+                    Literal.create(row.getAs[Any](s"mx_${f.name}"), f.dataType)))
+              }
+            }
+            candidateFilter(schema, preds, physNameOf(m, _))
+          }
+        }
+      val candidates = m.files.filter(candidate)
+      // step 2: discovery — which candidates actually hold source keys
+      val srcFileCol = "__src_file"
+      val affectedPaths: Set[String] =
+        if (touchAllFiles) m.files.map(_.path).toSet
+        else if (candidates.isEmpty) Set.empty
+        else {
+          val keyFrame = src
+            .select(keyNames.map(k => col(s"`$k`")): _*).distinct()
+          readEntriesTagged(m, candidates, Some(srcFileCol))
+            .join(keyFrame, keyNames, "left_semi")
+            .select(col(srcFileCol)).distinct().collect()
+            .map(r => relativize(new Path(new java.net.URI(r.getString(0)))))
+            .toSet
+        }
+      val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
+      // step 3: resolve over the affected files' rows only
+      val existing = readEntries(m, affected)
+      val resolved = resolve(existing, src)
+      val (files, outSchema) = writeDataFiles(resolved, m.partitionCols)
+      // change-data-feed: identical classification to mergeOp, keyed
+      // on the merge keys; cost ∝ affected files
+      val cdcFiles: Option[Seq[FileEntry]] =
+        if (!effCdf(m)) None
+        else Some {
+          val rewritten = readEntries(m, files)
+          val del = existing.exceptAll(rewritten)
+          val ins = rewritten.exceptAll(existing)
+          val delK = del.select(keyNames.map(col): _*).distinct()
+          val insK = ins.select(keyNames.map(col): _*).distinct()
+          val changes = del.join(insK, keyNames, "left_semi")
+            .withColumn(ChangeTypeCol,
+              org.apache.spark.sql.functions.lit("update_preimage"))
+            .unionByName(del.join(insK, keyNames, "left_anti")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("delete")))
+            .unionByName(ins.join(delK, keyNames, "left_semi")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("update_postimage")))
+            .unionByName(ins.join(delK, keyNames, "left_anti")
+              .withColumn(ChangeTypeCol,
+                org.apache.spark.sql.functions.lit("insert")))
+          writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
+        }
+      requireCompatible(schema, outSchema, allowNew = autoMerge)
+      if (autoMerge) requireFreshNamesAddressable(m, outSchema)
+      val resolvedNames = outSchema.fieldNames.toSet
+      val dropped = schema.fieldNames
+        .filterNot(n => n == BucketCol || resolvedNames.contains(n))
+      require(dropped.isEmpty,
+        s"merge resolver dropped column(s) ${dropped.mkString(", ")} — " +
+          "resolved rows must keep every table column")
+      val ddl = if (autoMerge) mergedDdl(Some(m), outSchema) else m.schemaDdl
+      commit { latest =>
+        val cur = latest.getOrElse(
+          sys.error(s"$root vanished during merge — rerun merge"))
+        if (cur.version == m.version)
+          Pending(op, untouched ++ files, ddl, m.partitionCols, None,
+            txn, cdcFiles)
+        else {
+          // auto-rebase (the mergeOp discipline, file flavor): a
+          // racing commit is harmless iff it left our affected files
+          // untouched AND added nothing the candidate test could
+          // match (an added file passing it might hold source keys —
+          // a serial execution would have merged into it)
+          require(cur.schemaDdl == m.schemaDdl && cur.bucketSpec.isEmpty &&
+              cur.partitionCols == m.partitionCols,
+            s"concurrent schema/layout change during merge into $root — " +
+              "rerun merge")
+          require(affectedPaths.subsetOf(cur.files.map(_.path).toSet),
+            s"concurrent commit rewrote files being merged in $root — " +
+              "rerun merge")
+          val basePaths = m.files.map(_.path).toSet
+          val intruding = cur.files
+            .filter(f => !basePaths(f.path)).filter(candidate)
+          require(intruding.isEmpty,
+            s"concurrent commit added possibly-matching rows to $root — " +
+              "rerun merge")
+          Pending(op, cur.files.filterNot(f => affectedPaths(f.path)) ++ files,
+            ddl, m.partitionCols, None, txn, cdcFiles)
+        }
+      }
+    } finally { if (!sourceIsPinned) { src.unpersist(); () } }
+  }
+
   /** MERGE INTO t USING source ON keys WHEN MATCHED THEN UPDATE SET *
     * WHEN NOT MATCHED THEN INSERT * — source rows replace same-key
-    * rows, new keys insert; source must be unique per key. Rewrites
-    * only the buckets containing source keys. */
+    * rows, new keys insert; source must be unique per key. Bucketed
+    * tables rewrite only the buckets containing source keys;
+    * non-bucketed tables pass the ON key columns via `keys` and
+    * rewrite only the FILES containing source keys (zone-map/Bloom
+    * planned, [[mergeOpFiles]]). */
   def upsert(source: DataFrame, txn: Option[(String, Long)] = None,
-      sourceIsPinned: Boolean = false): Long = {
-    val keys = latestVersion.map(manifest).flatMap(_.bucketSpec)
-      .getOrElse(sys.error(s"$root is not bucketed")).cols
-    merge(source, txn, sourceIsPinned) { (existing, src) =>
+      sourceIsPinned: Boolean = false, keys: Seq[String] = Nil): Long = {
+    val spec = latestVersion.map(manifest).flatMap(_.bucketSpec)
+    val onKeys = spec.map(_.cols).getOrElse {
+      require(keys.nonEmpty,
+        s"$root is not bucketed — upsert needs explicit key columns " +
+          "(keys = ...)")
+      keys
+    }
+    val resolve: (DataFrame, DataFrame) => DataFrame = { (existing, src) =>
       // allowMissingColumns: under schemaAutoMerge a widened source's
       // new column null-backfills the kept rows (and a subset source
       // null-fills its own missing columns, the append discipline)
-      existing.join(src.select(keys.map(col): _*).distinct(),
-          keys, "left_anti")
+      existing.join(src.select(onKeys.map(col): _*).distinct(),
+          onKeys, "left_anti")
         .unionByName(src, allowMissingColumns = true)
     }
+    if (spec.isDefined) merge(source, txn, sourceIsPinned)(resolve)
+    else mergeOpFiles(OpMerge, source, onKeys, txn, sourceIsPinned)(resolve)
   }
 
   /** Full-clause MERGE — the complete `MERGE INTO t USING s ON keys
@@ -1404,15 +1589,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     import TxTable.{MergeDelete, MergeInsert, MergeUpdate, SrcPrefix}
     import org.apache.spark.sql.functions.{coalesce, count => fcount, lit => flit, raise_error, when}
     val m = latestVersion.map(manifest).getOrElse(
-      sys.error(s"$root: merge needs an existing bucketed table"))
-    val spec = m.bucketSpec.getOrElse(
-      sys.error(s"$root is not bucketed — overwriteBucketed first"))
-    val keys = spec.cols
+      sys.error(s"$root: merge needs an existing table"))
+    val specOpt = m.bucketSpec
     val tableSchema = StructType.fromDDL(m.schemaDdl)
+    // bucketed: the ON keys must cover the bucket keys (routing hashes
+    // them). Non-bucketed: the ON conjuncts themselves define the join
+    // keys — any table columns ([[mergeOpFiles]] plans by zone map)
+    val keys = specOpt.map(_.cols).getOrElse(
+      sourceKeys.keys.toSeq.map(k => tableSchema.fields
+        .find(_.name.equalsIgnoreCase(k))
+        .getOrElse(sys.error(s"$root has no ON key column $k")).name))
     val tableCols = tableSchema.fieldNames.filterNot(_ == BucketCol).toSeq
-    require(keys.forall(sourceKeys.contains),
+    require(keys.forall(k => sourceKeys.keys.exists(_.equalsIgnoreCase(k))),
       s"ON must equate every bucket key (${keys.mkString(", ")}) to a " +
         s"source expression — got ${sourceKeys.keys.mkString(", ")}")
+    def srcExprOf(k: String): Column = sourceKeys.collectFirst {
+      case (n, e) if n.equalsIgnoreCase(k) => e
+    }.get
     matched.foreach {
       case MergeInsert(_, _) => sys.error("WHEN MATCHED takes UPDATE/DELETE")
       case MergeUpdate(_, set) => require(
@@ -1439,10 +1632,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val prefixed = source.columns.foldLeft(source)(
       (d, c) => d.withColumnRenamed(c, SrcPrefix + c))
     val keyed = keys.foldLeft(prefixed)(
-      (d, k) => d.withColumn(k, sourceKeys(k)))
+      (d, k) => d.withColumn(k, srcExprOf(k)))
     val presT = "__t_present"; val presS = "__s_present"; val dupS = "__s_dup"
-    mergeOp(OpMerge, keyed, txn, checkSourceSchema = false,
-        touchAllBuckets = notMatchedBySource.nonEmpty) { (existing, src) =>
+    val resolve: (DataFrame, DataFrame) => DataFrame = { (existing, src) =>
       val t = existing.withColumn(presT, flit(true))
       val s = src.withColumn(presS, flit(true))
         .withColumn(dupS, fcount(flit(1)).over(
@@ -1520,6 +1712,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       j.where(org.apache.spark.sql.functions.not(coalesce(drop, flit(false))))
         .select(tableCols.map(valueOf): _*)
     }
+    if (specOpt.isDefined)
+      mergeOp(OpMerge, keyed, txn, checkSourceSchema = false,
+        touchAllBuckets = notMatchedBySource.nonEmpty)(resolve)
+    else
+      mergeOpFiles(OpMerge, keyed, keys, txn, checkSourceSchema = false,
+        touchAllFiles = notMatchedBySource.nonEmpty)(resolve)
   }
 
   /** Row-level DELETE by key (copy-on-write) — the GDPR/CDC surface:
@@ -3238,6 +3436,11 @@ object TxTable {
     * low enough to keep streaming-append tables tidy, high enough
     * that the compact amortizes over many appends. */
   val AutoCompactMinFiles = 8
+
+  /** Largest per-key distinct-value set a non-bucketed MERGE collects
+    * for IN-list candidate pruning (which consults per-file Blooms);
+    * bigger key sets degrade to [min,max] zone-map ranges. */
+  val MergeInListCap = 1024
   val PropStatsOnWrite = "graft.statsOnWrite"
 
   /** Comma-separated columns to build per-file Bloom filters for at

@@ -349,9 +349,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case MergeIntoTable(t, source, onCond, matched, notMatched,
         notMatchedBySource, _) if txPath(t).isDefined =>
       val tx = TxTable(session, txPath(t).get)
-      val keys = tx.bucketKeys.getOrElse(sys.error(
-        s"${tx.location} is not bucketed — MERGE needs a key-bucketed " +
-          "table (overwriteBucketed / bucketBy write option)"))
+      // bucketed: ON must equate the bucket keys (routing hashes
+      // them). Non-bucketed: ANY table columns may key the merge —
+      // the file-granular core plans by zone map/Bloom instead
+      val bucketKeysOpt = tx.bucketKeys
+      val keys = bucketKeysOpt.getOrElse(tx.read().schema.fieldNames.toSeq)
       val srcDf = org.apache.spark.sql.graft.StreamShims.ofRows(session, source)
       val tAlias = aliasOf(t)
       val sAlias = aliasOf(source)
@@ -359,9 +361,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       // anti-join ∪ source); every other clause combination routes
       // through the general clause engine
       (matched, notMatched, notMatchedBySource) match {
-        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq()) =>
+        case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)), Seq())
+            if bucketKeysOpt.isDefined =>
           requireOnIsKeys(
-            onCondNames(onCond, tAlias, sAlias, keys).keySet, keys, tx)
+            onCondNames(onCond, tAlias, sAlias, keys).keySet,
+            bucketKeysOpt.get, tx)
           dmlResult("merge", tx.upsert(srcDf))
         case _ =>
           val tCols = tx.read().schema.fieldNames.map(_.toLowerCase).toSet
@@ -410,7 +414,7 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
             case other => sys.error(s"unsupported MERGE action $other")
           }
           val on = onCondNames(onCond, tAlias, sAlias, keys)
-          requireOnIsKeys(on.keySet, keys, tx)
+          bucketKeysOpt.foreach(bk => requireOnIsKeys(on.keySet, bk, tx))
           val sourceKeys = on.map { case (k, srcSide) =>
             // keep the table key's canonical spelling
             keys.find(_.equalsIgnoreCase(k)).getOrElse(k) -> mapped(srcSide)

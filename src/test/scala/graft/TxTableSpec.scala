@@ -340,6 +340,111 @@ class TxTableSpec extends SparkSpec {
       s"merge read $readFiles of $allFiles files — not pruned to touched buckets")
   }
 
+  test("non-bucketed upsert: file-granular copy-on-write, zone-map planned") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_merge_flat")
+    // 8 range-disjoint files — zone maps separate them cleanly
+    val base = (0 until 1000).map(i => (i.toLong, s"v$i", i * 1.0))
+      .toDF("id", "name", "score").repartitionByRange(8, col("id"))
+    t.overwrite(base)
+    val before = t.fileEntries(0).map(_.path)
+    assert(before.size == 8)
+    val sizesBefore = before.map(p =>
+      p -> new java.io.File(s"$dir/$p").length()).toMap
+    val mtimesBefore = before.map(p =>
+      p -> new java.io.File(s"$dir/$p").lastModified()).toMap
+    // keys 0..9 live in ONE range file; 2000+ are fresh inserts
+    val src = ((0 until 10).map(i => (i.toLong, "UPDATED", -1.0)) ++
+      (0 until 5).map(i => (2000L + i, "NEW", 99.0)))
+      .toDF("id", "name", "score")
+    val v1 = t.upsert(src, keys = Seq("id"))
+    assert(v1 == 1)
+    val after = t.fileEntries(1).map(_.path)
+    val carried = after.toSet.intersect(before.toSet)
+    val rewritten = before.toSet.diff(after.toSet)
+    assert(rewritten.size == 1,
+      s"zone maps must confine the merge to the one file holding 0..9 — " +
+        s"rewrote ${rewritten.size} of ${before.size}")
+    carried.foreach { p =>
+      val f = new java.io.File(s"$dir/$p")
+      assert(f.length() == sizesBefore(p) && f.lastModified() == mtimesBefore(p),
+        s"untouched file $p was rewritten")
+    }
+    val r = t.read()
+    assert(r.count() == 1005)
+    assert(r.where(col("name") === "UPDATED").count() == 10)
+    assert(r.where(col("name") === "NEW").count() == 5)
+    assert(r.where(col("id") === 500L).select("name").head.getString(0) == "v500")
+    assert(t.readVersion(0).where(col("name") === "UPDATED").count() == 0)
+  }
+
+  test("non-bucketed mergeClauses on a hive-partitioned table + SQL MERGE INTO") {
+    import spark.implicits._
+    import graft.core.TxTable.{srcCol, MergeDelete, MergeInsert, MergeUpdate}
+    val (t, dir) = freshTable("tx_merge_hive")
+    val base = (0 until 300).map(i =>
+      (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value")
+    t.overwrite(base, partitionBy = Seq("event_type"))
+    // conditional delete (kill=true), arithmetic update, labeled insert
+    val src = ((0 until 30).map(i => (i * 3L, 10.0, i % 2 == 0)) ++
+      Seq((9000L, 1.5, false), (9001L, 2.5, false)))
+      .toDF("k", "delta", "kill")
+    t.mergeClauses(src, Map("id" -> srcCol("k")),
+      matched = Seq(
+        MergeDelete(Some(srcCol("kill"))),
+        MergeUpdate(None, Map("value" -> (col("value") + srcCol("delta"))))),
+      notMatched = Seq(MergeInsert(None, Map(
+        "event_type" -> lit("inserted"), "value" -> srcCol("delta")))))
+    val r = t.read()
+    // matched kill: ids 0,6,12,...,87 (i even → key i*3) drop = 15 rows
+    assert(r.count() == 300 - 15 + 2)
+    assert(r.where(col("id") === 3L).select("value").head.getDouble(0) == 13.0)
+    assert(r.where(col("id") === 0L).count() == 0)
+    assert(r.where(col("event_type") === "inserted").count() == 2)
+    // hive layout preserved: the insert landed under its own partition dir
+    assert(new java.io.File(s"$dir/data").listFiles().exists(_.getName
+      .contains("event_type=inserted")) ||
+      t.fileEntries(1).exists(_.partition.get("event_type").contains("inserted")))
+
+    // SQL MERGE INTO the same (non-bucketed) table
+    src.toDF("k", "delta", "kill").createOrReplaceTempView("mrg_src_flat")
+    spark.sql(s"MERGE INTO txtable.`$dir` t USING mrg_src_flat s " +
+      "ON t.id = s.k " +
+      "WHEN MATCHED AND s.kill THEN DELETE " +
+      "WHEN MATCHED THEN UPDATE SET value = t.value + s.delta " +
+      "WHEN NOT MATCHED THEN INSERT (id, event_type, value) " +
+      "VALUES (s.k, 'sqlins', s.delta)")
+    val r2 = t.read()
+    // second pass: surviving matched odd-i keys update again; killed
+    // keys (even i) re-insert under 'sqlins'; 9000/9001 update again
+    assert(r2.where(col("id") === 3L).select("value").head.getDouble(0) == 23.0)
+    assert(r2.where(col("event_type") === "sqlins").count() == 15)
+    assert(r2.where(col("id") === 9000L).select("value").head.getDouble(0) == 3.0)
+  }
+
+  test("non-bucketed merge: CDF capture and star-upsert SQL route") {
+    import spark.implicits._
+    val dir = EventsStream.scratchDir("tx_merge_flat_cdf") + "/t"
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    t.overwrite((0 until 100).map(i => (i.toLong, s"v$i"))
+      .toDF("id", "name").repartitionByRange(4, col("id")))
+    // CDF as a TABLE property so the SQL verb's own handle sees it
+    t.setProperties(Map(TxTable.PropChangeDataFeed -> "true"))
+    Seq((7L, "UP"), (500L, "NEW")).toDF("id", "name")
+      .createOrReplaceTempView("mrg_star_flat")
+    spark.sql(s"MERGE INTO txtable.`$dir` t USING mrg_star_flat s " +
+      "ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(t.read().count() == 101)
+    assert(t.read().where(col("id") === 7L).select("name").head.getString(0) == "UP")
+    val feed = t.changeFeed(1).where(col("_commit_version") === 2)
+    val types = feed.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(types == Map("update_preimage" -> 1L, "update_postimage" -> 1L,
+      "insert" -> 1L), s"got $types")
+  }
+
   test("deleteKeys is copy-on-write; deletePartitions is metadata-only") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_delete")
