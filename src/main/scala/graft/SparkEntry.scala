@@ -670,6 +670,26 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // x19: the named-catalog seam — CREATE TABLE name USING txtable
+    // (CTAS), then INSERT / DELETE / SELECT address the commit-logged
+    // table BY NAME (the reference's session-catalog Delta usage);
+    // same relational answer as the path-addressed verbs
+    "x19_tx_named_catalog" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      s.sql("DROP TABLE IF EXISTS graft_named_orders")
+      val dir = graft.streaming.EventsStream.scratchDir("graft_tx_named") + "/t"
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .createOrReplaceTempView("x19_src")
+      s.sql(s"CREATE TABLE graft_named_orders USING txtable LOCATION '$dir' " +
+        "AS SELECT * FROM x19_src WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graft_named_orders " +
+        "SELECT * FROM x19_src WHERE o_orderkey % 2 = 1")
+      s.sql("DELETE FROM graft_named_orders WHERE o_orderkey % 7 = 0")
+      s.sql("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) " +
+        "AS sum_price FROM graft_named_orders GROUP BY 1 ORDER BY 1")
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -1724,6 +1744,13 @@ object SparkEntry {
         |  SELECT 'INSERTED', o_totalprice
         |  FROM orders WHERE o_orderkey % 1000 = 1
         |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x19's oracle: full orders minus the deleted residue class
+    "x19_tx_named_catalog" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

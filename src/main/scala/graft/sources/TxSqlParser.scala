@@ -77,6 +77,28 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private def isTx(id: Seq[String]): Boolean =
     id.length == 2 && id.head.equalsIgnoreCase("txtable")
 
+  private def catalog = graft.core.TxCatalog(session)
+
+  /** txtable location of a multipart identifier: the reserved
+    * `txtable.`path`` namespace, or a catalog-registered `[db.]name`
+    * (`CREATE TABLE name USING txtable LOCATION ...`). Unregistered
+    * names resolve to None and fall through to Spark's own catalog —
+    * temp views and managed tables are never shadowed. */
+  private def resolveTx(id: Seq[String]): Option[String] =
+    if (isTx(id)) Some(id(1))
+    else if (id.nonEmpty && id.length <= 2)
+      catalog.lookup(id.mkString("."))
+    else None
+
+  /** Location for the regex-matched maintenance verbs, which accept
+    * either `txtable.`path`` (group 1) or a bare `[db.]name` (group 2,
+    * catalog-resolved — must be registered). */
+  private def verbTarget(path: String, name: String): String =
+    if (path != null) path
+    else catalog.lookup(name).getOrElse(sys.error(
+      s"$name is not a registered txtable name — " +
+        "CREATE TABLE name USING txtable LOCATION '...' first"))
+
   private def relationFor(path: String, version: Option[Long],
       tsMillis: Option[Long] = None): LogicalPlan = {
     val t = TxTable(session, path)
@@ -92,10 +114,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     org.apache.spark.sql.graft.StreamShims.relationPlan(t.scanRelation(v))
   }
 
-  /** The `txtable.`dir`` path of a DML target, unwrapping an alias. */
+  /** The `txtable.`dir`` path (or catalog-resolved name) of a DML
+    * target, unwrapping an alias. */
   private def txPath(plan: LogicalPlan): Option[String] = plan match {
-    case u: UnresolvedRelation if isTx(u.multipartIdentifier) =>
-      Some(u.multipartIdentifier(1))
+    case u: UnresolvedRelation => resolveTx(u.multipartIdentifier)
     case s: SubqueryAlias => txPath(s.child)
     case _                => None
   }
@@ -104,10 +126,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * (ALTER) or `UnresolvedTableOrView` (SHOW) rather than
     * `UnresolvedRelation`. */
   private def txTablePath(plan: LogicalPlan): Option[String] = plan match {
-    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
-        if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
-    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
-        if isTx(t.multipartIdentifier) => Some(t.multipartIdentifier(1))
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      resolveTx(t.multipartIdentifier)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+      resolveTx(t.multipartIdentifier)
     // ADD CONSTRAINT wraps its target in the grammar-built validation
     // scan (Filter(NOT cond, relation)) — look through it
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
@@ -174,6 +196,67 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     require(onNames == keys.map(_.toLowerCase).toSet,
       s"MERGE INTO txtable ON keys $onNames must equal the table's " +
         s"bucket keys ${keys.mkString(", ")}")
+
+  /** Does a CREATE TABLE spec declare `USING txtable`? */
+  private def providerIsTx(spec: Any): Boolean = spec match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+      s.provider.exists(_.equalsIgnoreCase("txtable"))
+    case _ => false
+  }
+
+  private def specLocation(spec: Any): Option[String] = spec match {
+    case s: org.apache.spark.sql.catalyst.plans.logical.UnresolvedTableSpec =>
+      s.location
+    case _ => None
+  }
+
+  /** `[db.]name` of an UnresolvedIdentifier CREATE target (≤2 parts,
+    * not the reserved txtable namespace). */
+  private def namedIdent(plan: LogicalPlan): Option[String] = plan match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if u.nameParts.nonEmpty && u.nameParts.length <= 2 &&
+          !isTx(u.nameParts) =>
+      Some(u.nameParts.mkString("."))
+    case _ => None
+  }
+
+  /** Warehouse-derived location for a named table created without
+    * LOCATION (`warehouse/db/name`). */
+  private def defaultLocation(name: String): String = {
+    val wh = session.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh),
+      name.toLowerCase.replace('.', '/')).toString
+  }
+
+  /** Name parts of a DROP TABLE target. */
+  private def dropTarget(plan: LogicalPlan): Option[String] = plan match {
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView
+        if t.multipartIdentifier.length <= 2 =>
+      Some(t.multipartIdentifier.mkString("."))
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+        if t.multipartIdentifier.length <= 2 =>
+      Some(t.multipartIdentifier.mkString("."))
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+        if u.nameParts.length <= 2 =>
+      Some(u.nameParts.mkString("."))
+    case _ => None
+  }
+
+  /** Session-timezone-aware parse of a RESTORE/time-travel timestamp
+    * literal — Catalyst's own string→timestamp cast under
+    * `spark.sql.session.timeZone`, so date-only strings
+    * ('2026-01-01') and zone-naive timestamps behave exactly like
+    * `TIMESTAMP AS OF` in SQL (Delta semantics), not like the JVM
+    * default zone. */
+  private def parseSessionTs(s: String): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    val zone = session.sessionState.conf.sessionLocalTimeZone
+    val micros = Cast(
+      Literal.create(s.trim, org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.TimestampType, Some(zone)).eval(null)
+    require(micros != null, s"cannot parse timestamp literal '$s'")
+    micros.asInstanceOf[Long] / 1000L
+  }
 
   /** One-row result relation of an eagerly-executed DML verb. */
   private def dmlResult(op: String, version: Long): LogicalPlan = {
@@ -266,8 +349,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     // verb safe.
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.table.isInstanceOf[UnresolvedRelation] &&
-          isTx(i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier) =>
-      val path = i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier(1)
+          resolveTx(i.table.asInstanceOf[UnresolvedRelation]
+            .multipartIdentifier).isDefined =>
+      val path = resolveTx(
+        i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier).get
       val t = TxTable(session, path)
       require(i.partitionSpec.isEmpty,
         "INSERT INTO txtable with a PARTITION spec is not supported — " +
@@ -330,6 +415,76 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         dmlResult("createtable",
           TxTable(session, path).overwrite(q, partitionBy))
       }
+    // CREATE TABLE name USING txtable [LOCATION '/dir'] — register a
+    // NAME for a commit-logged table (the metastore role; external-
+    // table semantics). An existing txtable at the location registers
+    // as-is (declared columns ignored — the log owns the schema); a
+    // fresh location needs declared columns and commits an empty v0.
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTable
+        if providerIsTx(c.tableSpec) &&
+          namedIdent(c.name).isDefined =>
+      val name = namedIdent(c.name).get
+      val loc = specLocation(c.tableSpec)
+        .getOrElse(defaultLocation(name))
+      if (TxTable.isTable(session, loc)) {
+        catalog.register(name, loc, c.ignoreIfExists)
+        dmlResult("createtable",
+          TxTable(session, loc).latestVersion.getOrElse(0L))
+      } else {
+        require(c.columns.nonEmpty,
+          s"CREATE TABLE $name USING txtable on a fresh location needs " +
+            "a column list (or point LOCATION at an existing txtable)")
+        val schema = StructType(c.columns.map(cd =>
+          org.apache.spark.sql.types.StructField(cd.name, cd.dataType)))
+        val partitionBy = c.partitioning.map { tr =>
+          require(tr.name == "identity" && tr.references.length == 1 &&
+              tr.references.head.fieldNames.length == 1,
+            s"CREATE TABLE USING txtable supports PARTITIONED BY " +
+              s"(col, ...) only — got $tr")
+          tr.references.head.fieldNames.head
+        }
+        val empty = session.createDataFrame(
+          session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        val v = TxTable(session, loc).overwrite(empty, partitionBy)
+        catalog.register(name, loc, c.ignoreIfExists)
+        dmlResult("createtable", v)
+      }
+    // CREATE TABLE name USING txtable [LOCATION ...] AS SELECT —
+    // named CTAS: materialize + register
+    case c: org.apache.spark.sql.catalyst.plans.logical.CreateTableAsSelect
+        if providerIsTx(c.tableSpec) &&
+          c.name.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier] &&
+          !isTx(c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier].nameParts) =>
+      val name = namedIdent(c.name).getOrElse(
+        sys.error("CREATE TABLE USING txtable supports [db.]name targets"))
+      val loc = specLocation(c.tableSpec).getOrElse(defaultLocation(name))
+      val exists = TxTable.isTable(session, loc) ||
+        catalog.lookup(name).isDefined
+      if (exists && c.ignoreIfExists) {
+        catalog.register(name, loc, ifNotExists = true)
+        dmlResult("createtable",
+          TxTable(session, loc).latestVersion.getOrElse(0L))
+      } else {
+        require(!exists, s"$name / $loc already exists — " +
+          "use INSERT OVERWRITE or CREATE TABLE IF NOT EXISTS")
+        val partitionBy = c.partitioning.map { tr =>
+          require(tr.name == "identity" && tr.references.length == 1 &&
+              tr.references.head.fieldNames.length == 1,
+            s"CREATE TABLE USING txtable supports PARTITIONED BY " +
+              s"(col, ...) only — got $tr")
+          tr.references.head.fieldNames.head
+        }
+        val q = org.apache.spark.sql.graft.StreamShims.ofRows(session, c.query)
+        val v = TxTable(session, loc).overwrite(q, partitionBy)
+        catalog.register(name, loc)
+        dmlResult("createtable", v)
+      }
+    // DROP TABLE name — unregister the NAME, leave the data (external-
+    // table semantics, the Delta rule for LOCATION-backed tables)
+    case d: org.apache.spark.sql.catalyst.plans.logical.DropTable
+        if dropTarget(d.child).exists(n => catalog.lookup(n).isDefined) =>
+      catalog.drop(dropTarget(d.child).get)
+      dmlResult("droptable", 0L)
     case DeleteFromTable(t, cond) if txPath(t).isDefined =>
       dmlResult("delete",
         TxTable(session, txPath(t).get).deleteWhere(column(cond)))
@@ -429,33 +584,39 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
 
   private def rewriteRelations(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case RelationTimeTravel(u: UnresolvedRelation, None, Some(v))
-        if isTx(u.multipartIdentifier) && v.forall(_.isDigit) =>
-      relationFor(u.multipartIdentifier(1), Some(v.toLong))
+        if resolveTx(u.multipartIdentifier).isDefined && v.forall(_.isDigit) =>
+      relationFor(resolveTx(u.multipartIdentifier).get, Some(v.toLong))
     case RelationTimeTravel(u: UnresolvedRelation, Some(Literal(v, dt)), None)
-        if isTx(u.multipartIdentifier) =>
+        if resolveTx(u.multipartIdentifier).isDefined =>
       // the timestamp slot carries either grammar: an INTEGER literal
       // is a version (some grammars route VERSION AS OF here), a
       // string/timestamp literal is TIMESTAMP AS OF
+      val path = resolveTx(u.multipartIdentifier).get
       dt match {
         case org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType =>
-          relationFor(u.multipartIdentifier(1), Some(v.toString.toLong))
+          relationFor(path, Some(v.toString.toLong))
         case _ =>
-          relationFor(u.multipartIdentifier(1), None,
+          relationFor(path, None,
             Some(TxTableSource.parseTsMillis(v.toString)))
       }
-    case u: UnresolvedRelation if isTx(u.multipartIdentifier) =>
-      relationFor(u.multipartIdentifier(1), None)
+    case u: UnresolvedRelation if resolveTx(u.multipartIdentifier).isDefined =>
+      relationFor(resolveTx(u.multipartIdentifier).get, None)
   }
+
+  /** Target alternation for the regex verbs: `txtable.`path`` (first
+    * group) or a bare catalog-registered `[db.]name` (second group) —
+    * every maintenance verb accepts both, like its Delta twin. */
+  private val Tgt = """(?:txtable\s*\.\s*`([^`]+)`|`?([\w][\w.]*)`?)"""
 
   /** `DESCRIBE HISTORY txtable.`dir`` — the commit-log audit verb
     * (version, operation, n_files), newest first. Handled BEFORE the
     * delegate: Spark's grammar has no HISTORY clause to extend. */
   private val DescribeHistory =
-    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+""" + Tgt + """\s*;?\s*""").r
   /** One-row table summary (the Delta DESCRIBE DETAIL shape). */
   private val DescribeDetail =
-    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Tgt + """\s*;?\s*""").r
 
   /** Maintenance verbs Spark's grammar lacks entirely — matched ahead
     * of the delegate like DESCRIBE HISTORY. `OPTIMIZE` = compaction
@@ -463,7 +624,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * -file sweep with the standard RETAIN n HOURS horizon; `RESTORE
     * ... VERSION AS OF n` = metadata-only rewind commit. */
   private val Optimize =
-    """(?is)\s*OPTIMIZE\s+txtable\s*\.\s*`([^`]+)`\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+""" + Tgt +
+      """\s*(?:WHERE\s+(.+?)\s*)??(?:ZORDER\s+BY\s*\(([^)]+)\)\s*)?;?\s*""").r
 
   /** `OPTIMIZE ... WHERE` scope: partition-equality conjuncts only
     * (`k = 'v' AND k2 = v2` — the Delta restriction; TxTable rejects
@@ -479,11 +641,12 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           s"(k = 'v' AND ...), got: $t")
     }.toMap
   private val VacuumVerb =
-    """(?is)\s*VACUUM\s+txtable\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*""".r
+    ("""(?is)\s*VACUUM\s+""" + Tgt +
+      """\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*""").r
   /** `SHOW PARTITIONS` straight from the manifest — zero filesystem
     * listing, per-partition file/byte/row totals at any table size. */
   private val ShowPartitions =
-    """(?is)\s*SHOW\s+PARTITIONS\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*SHOW\s+PARTITIONS\s+""" + Tgt + """\s*;?\s*""").r
   /** In-place import of a bare parquet dir (the Delta `CONVERT TO
     * DELTA parquet.`path`` shape). */
   private val ConvertVerb =
@@ -493,24 +656,32 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * matched ahead of the delegate): atomic delete-matching + insert
     * via [[TxTable.replaceWhere]]. */
   private val InsertReplaceWhere =
-    """(?is)\s*INSERT\s+INTO\s+txtable\s*\.\s*`([^`]+)`\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*?);?\s*""".r
+    ("""(?is)\s*INSERT\s+INTO\s+""" + Tgt +
+      """\s+REPLACE\s+WHERE\s+(.+?)\s+(SELECT\b.*?);?\s*""").r
   private val RestoreVerb =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Tgt +
+      """\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
   private val RestoreTsVerb =
-    """(?is)\s*RESTORE\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""".r
+    ("""(?is)\s*RESTORE\s+(?:TABLE\s+)?""" + Tgt +
+      """\s+(?:TO\s+)?TIMESTAMP\s+AS\s+OF\s+'([^']+)'\s*;?\s*""").r
   /** `REORG TABLE ... APPLY (PURGE)` — rewrite files whose deletion
     * vectors cross the threshold (default 5%), dropping the vectors. */
   private val ReorgPurge =
-    """(?is)\s*REORG\s+(?:TABLE\s+)?txtable\s*\.\s*`([^`]+)`\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+    ("""(?is)\s*REORG\s+(?:TABLE\s+)?""" + Tgt +
+      """\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""").r
   /** `CREATE TABLE txtable.`t2` SHALLOW CLONE txtable.`t1`` —
     * zero-copy metadata clone (Spark's grammar has no CLONE verb —
-    * matched ahead of the delegate like the other maintenance verbs). */
+    * matched ahead of the delegate like the other maintenance verbs).
+    * A NAMED clone target lands at the warehouse-derived location and
+    * registers the name. */
   private val ShallowClone =
-    """(?is)\s*CREATE\s+TABLE\s+txtable\s*\.\s*`([^`]+)`\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+txtable\s*\.\s*`([^`]+)`\s*;?\s*""".r
+    ("""(?is)\s*CREATE\s+TABLE\s+""" + Tgt +
+      """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case DescribeDetail(path) =>
+    case DescribeDetail(p, n) =>
       import session.implicits._
+      val path = verbTarget(p, n)
       val t = TxTable(session, path)
       val v = t.latestVersion.getOrElse(
         sys.error(s"$path has no committed snapshots"))
@@ -524,13 +695,13 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         .toDF("location", "version", "num_files", "size_bytes",
           "dv_rows", "bucket_keys", "properties")
         .queryExecution.logical
-    case DescribeHistory(path) =>
+    case DescribeHistory(p, n) =>
       import session.implicits._
-      TxTable(session, path).history().reverse
+      TxTable(session, verbTarget(p, n)).history().reverse
         .toDF("version", "operation", "n_files", "added_files",
           "added_bytes").queryExecution.logical
-    case Optimize(path, where, zcols) =>
-      val t = TxTable(session, path)
+    case Optimize(p, n, where, zcols) =>
+      val t = TxTable(session, verbTarget(p, n))
       val scope =
         if (where == null) Map.empty[String, String]
         else parsePartitionEq(where)
@@ -542,8 +713,9 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           .map(_.trim.stripPrefix("`").stripSuffix("`")).filter(_.nonEmpty),
           partitionEq = scope)
       dmlResult("optimize", v)
-    case VacuumVerb(path, hours, dry) =>
+    case VacuumVerb(p, nm, hours, dry) =>
       import session.implicits._
+      val path = verbTarget(p, nm)
       val minAge =
         if (hours == null) 7L * 24 * 3600 * 1000 else hours.toLong * 3600 * 1000
       val n = TxTable(session, path)
@@ -552,7 +724,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case ConvertVerb(path) =>
       dmlResult("convert",
         TxTable.convert(session, path).latestVersion.getOrElse(0L))
-    case InsertReplaceWhere(path, condSql, selectSql) =>
+    case InsertReplaceWhere(p, nm, condSql, selectSql) =>
+      val path = verbTarget(p, nm)
       val t = TxTable(session, path)
       val q = org.apache.spark.sql.graft.StreamShims.ofRows(
         session, delegate.parsePlan(selectSql))
@@ -565,8 +738,9 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       }.toIndexedSeq: _*)
       dmlResult("replace",
         t.replaceWhere(aligned, column(delegate.parseExpression(condSql))))
-    case ShowPartitions(path) =>
+    case ShowPartitions(p, nm) =>
       import session.implicits._
+      val path = verbTarget(p, nm)
       val t = TxTable(session, path)
       val v = t.latestVersion.getOrElse(
         sys.error(s"$path has no committed snapshots"))
@@ -579,24 +753,31 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         }.toSeq.sortBy(_._1)
       rows.toDF("partition", "num_files", "size_bytes", "rows")
         .queryExecution.logical
-    case RestoreVerb(path, version) =>
-      dmlResult("restore", TxTable(session, path).restore(version.toLong))
-    case RestoreTsVerb(path, ts) =>
+    case RestoreVerb(p, nm, version) =>
+      dmlResult("restore",
+        TxTable(session, verbTarget(p, nm)).restore(version.toLong))
+    case RestoreTsVerb(p, nm, ts) =>
+      val path = verbTarget(p, nm)
       val t = TxTable(session, path)
-      val millis = java.sql.Timestamp.valueOf(
-        ts.replace("T", " ")).getTime
+      val millis = parseSessionTs(ts)
       val v = t.versionAt(millis).getOrElse(sys.error(
         s"$path has no snapshot committed at or before $ts — oldest " +
           "retained commit is newer (expired history cannot be restored)"))
       dmlResult("restore", t.restore(v))
-    case ReorgPurge(path) =>
-      dmlResult("reorg", TxTable(session, path).purgeDeletes())
-    case ShallowClone(target, kind, source) =>
-      // bare CLONE = deep (the Delta default); SHALLOW stays zero-copy
+    case ReorgPurge(p, nm) =>
+      dmlResult("reorg", TxTable(session, verbTarget(p, nm)).purgeDeletes())
+    case ShallowClone(tp, tn, kind, sp, sn) =>
+      // bare CLONE = deep (the Delta default); SHALLOW stays zero-copy.
+      // A NAMED target clones to the warehouse-derived location and
+      // registers the name.
+      val source = verbTarget(sp, sn)
+      val target = if (tp != null) tp else defaultLocation(tn)
       val deep = kind == null || kind.trim.equalsIgnoreCase("DEEP")
-      dmlResult("clone",
+      val v =
         if (deep) TxTable(session, source).deepCloneTo(target)
-        else TxTable(session, source).cloneTo(target))
+        else TxTable(session, source).cloneTo(target)
+      if (tp == null) catalog.register(tn, target)
+      dmlResult("clone", v)
     case _ => rewrite(delegate.parsePlan(sqlText))
   }
   override def parseQuery(sqlText: String): LogicalPlan =

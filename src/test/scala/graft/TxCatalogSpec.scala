@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{TxCatalog, TxTable}
+import graft.streaming.EventsStream
+
+/** Named-catalog txtable tables: `CREATE TABLE name USING txtable
+  * LOCATION ...` registers a name every SQL verb then resolves —
+  * SELECT / time travel / INSERT / UPDATE / DELETE / MERGE /
+  * maintenance verbs address the table BI-style, by name instead of
+  * path (the reference's session-catalog Delta usage,
+  * resources/spark.py:65-67). External-table semantics: DROP TABLE
+  * unregisters the name, data stays. */
+class TxCatalogSpec extends SparkSpec {
+
+  private def df(ids: Range) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"name_$i", i * 10.0)).toDF("id", "name", "score")
+  }
+
+  test("register + SELECT/INSERT/DML/maintenance by name; DROP keeps data") {
+    val dir = EventsStream.scratchDir("txcat_basic") + "/t"
+    TxTable(spark, dir).overwrite(df(0 until 100))
+    spark.sql(s"CREATE TABLE cat_events USING txtable LOCATION '$dir'")
+    // SELECT by name hits the manifest-planned relation
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events").head.getLong(0) == 100)
+    // INSERT INTO by name commits through the log
+    spark.sql("INSERT INTO cat_events SELECT 1000, 'new', 1.5")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events").head.getLong(0) == 101)
+    // time travel by name
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events VERSION AS OF 0")
+      .head.getLong(0) == 100)
+    // predicate DML by name
+    spark.sql("UPDATE cat_events SET name = 'X' WHERE id = 7")
+    assert(spark.sql("SELECT name FROM cat_events WHERE id = 7")
+      .head.getString(0) == "X")
+    spark.sql("DELETE FROM cat_events WHERE id >= 990 AND id <= 1000")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events").head.getLong(0) == 100)
+    // maintenance verbs by name
+    assert(spark.sql("DESCRIBE HISTORY cat_events").count() >= 4)
+    spark.sql("OPTIMIZE cat_events")
+    assert(spark.sql("DESCRIBE DETAIL cat_events")
+      .select("location").head.getString(0) == dir)
+    // MERGE by name (non-bucketed file-granular core)
+    import spark.implicits._
+    Seq((7L, "MERGED", -1.0), (5000L, "INS", 2.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("cat_src")
+    spark.sql("MERGE INTO cat_events t USING cat_src s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+    assert(spark.sql("SELECT name FROM cat_events WHERE id = 7")
+      .head.getString(0) == "MERGED")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_events").head.getLong(0) == 101)
+    // DROP unregisters the NAME; the data and log stay (external rule)
+    spark.sql("DROP TABLE cat_events")
+    assert(TxCatalog(spark).lookup("cat_events").isEmpty)
+    assert(TxTable(spark, dir).read().count() == 101)
+    // the name no longer resolves through our seam
+    intercept[Exception] { spark.sql("SELECT * FROM cat_events").collect() }
+  }
+
+  test("CTAS by name (default warehouse location) + db.name + IF NOT EXISTS") {
+    spark.sql("DROP TABLE IF EXISTS graftdb.cat_ctas")
+    spark.sql("CREATE TABLE graftdb.cat_ctas USING txtable AS " +
+      "SELECT id, id * 2 AS twice FROM range(50)")
+    assert(spark.sql("SELECT sum(twice) AS s FROM graftdb.cat_ctas")
+      .head.getLong(0) == 2450)
+    // IF NOT EXISTS is a no-op on the registered name
+    spark.sql("CREATE TABLE IF NOT EXISTS graftdb.cat_ctas USING txtable AS " +
+      "SELECT id, id AS twice FROM range(1)")
+    assert(spark.sql("SELECT count(*) AS n FROM graftdb.cat_ctas")
+      .head.getLong(0) == 50)
+    val loc = TxCatalog(spark).lookup("graftdb.cat_ctas").get
+    assert(loc.contains("graftdb"), s"default location should derive from db.name: $loc")
+    spark.sql("DROP TABLE graftdb.cat_ctas")
+  }
+
+  test("CREATE with column list on a fresh location commits an empty v0") {
+    val dir = EventsStream.scratchDir("txcat_fresh") + "/t"
+    spark.sql("CREATE TABLE cat_fresh (k BIGINT, part STRING, v DOUBLE) " +
+      s"USING txtable PARTITIONED BY (part) LOCATION '$dir'")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_fresh").head.getLong(0) == 0)
+    spark.sql("INSERT INTO cat_fresh VALUES (1, 'a', 1.0), (2, 'b', 2.0)")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_fresh").head.getLong(0) == 2)
+    // hive layout honored from the declared PARTITIONED BY
+    assert(TxTable(spark, dir).partitionColumns == Seq("part"))
+    assert(spark.sql("SHOW PARTITIONS cat_fresh").count() == 2)
+    spark.sql("DROP TABLE cat_fresh")
+  }
+
+  test("unregistered names fall through; temp views are never shadowed") {
+    import spark.implicits._
+    Seq((1, "tv")).toDF("id", "tag").createOrReplaceTempView("cat_not_ours")
+    assert(spark.sql("SELECT tag FROM cat_not_ours").head.getString(0) == "tv")
+  }
+
+  test("named CLONE registers the target at a warehouse location") {
+    val dir = EventsStream.scratchDir("txcat_clone") + "/t"
+    TxTable(spark, dir).overwrite(df(0 until 10))
+    spark.sql(s"CREATE TABLE cat_clone_src USING txtable LOCATION '$dir'")
+    spark.sql("DROP TABLE IF EXISTS cat_clone_dst")
+    spark.sql("CREATE TABLE cat_clone_dst SHALLOW CLONE cat_clone_src")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_clone_dst").head.getLong(0) == 10)
+    // clone is independent: writes to the clone never touch the source
+    spark.sql("INSERT INTO cat_clone_dst SELECT 99, 'c', 0.0")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_clone_src").head.getLong(0) == 10)
+    spark.sql("DROP TABLE cat_clone_dst")
+    spark.sql("DROP TABLE cat_clone_src")
+  }
+}
