@@ -8,19 +8,27 @@ import org.apache.spark.sql.SparkSession
   * (`resources/spark.py:65-67`): BI-style SQL addresses tables by NAME
   * (`events`, `db.events`), not by path. The registry is one JSON file
   * under the session's warehouse dir mapping lowercase
-  * `[db.]name` → table location; every parser verb resolves names
+  * `[db.]name` → (location, managed); every parser verb resolves names
   * through it before falling back to Spark's own catalog (unregistered
   * names pass through untouched, so temp views and managed tables are
   * unaffected).
   *
-  * Registration is `CREATE TABLE name USING txtable LOCATION '/dir'`
-  * — external-table semantics: DROP TABLE unregisters the NAME and
-  * leaves the commit-logged data untouched (the Delta external-table
-  * rule). Writes are atomic (tmp + rename, the commit-log discipline)
-  * so concurrent sessions never read a torn registry; lookups cache on
-  * the file's modification time, so steady-state resolution costs zero
-  * IO. */
+  * Managed vs external (the SQL-standard split Delta follows):
+  * `CREATE TABLE name USING txtable LOCATION '/dir'` is EXTERNAL —
+  * DROP TABLE unregisters the name and leaves the commit-logged data.
+  * Created WITHOUT a location, the table is MANAGED at the
+  * warehouse-derived path and DROP TABLE deletes its directory.
+  * A registration whose location no longer holds a txtable (a wiped
+  * scratch dir) is stale and silently re-points — names never wedge
+  * on vanished data.
+  *
+  * Writes are atomic (tmp + rename, the commit-log discipline) so
+  * concurrent sessions never read a torn registry; lookups cache on
+  * the file's modification time, so steady-state resolution costs
+  * zero IO. */
 final class TxCatalog private (spark: SparkSession) {
+
+  import TxCatalog.Entry
 
   private val fileP: Path = {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
@@ -29,19 +37,19 @@ final class TxCatalog private (spark: SparkSession) {
   private lazy val fs = fileP.getFileSystem(
     spark.sessionState.newHadoopConf())
 
-  @volatile private var cache: (Long, Map[String, String]) = (-1L, Map.empty)
+  @volatile private var cache: (Long, Map[String, Entry]) = (-1L, Map.empty)
 
   private def norm(name: String): String = name.toLowerCase
 
-  /** The current name → location map (mtime-cached). */
-  def tables: Map[String, String] = {
+  /** The current name → entry map (mtime-cached). */
+  def tables: Map[String, Entry] = {
     val mtime =
       try { if (fs.exists(fileP)) fs.getFileStatus(fileP).getModificationTime else -1L }
       catch { case scala.util.control.NonFatal(_) => -1L }
     val (cachedAt, m) = cache
     if (mtime == cachedAt) m
     else {
-      val fresh: Map[String, String] =
+      val fresh: Map[String, Entry] =
         if (mtime < 0) Map.empty
         else try {
           val in = fs.open(fileP)
@@ -55,9 +63,14 @@ final class TxCatalog private (spark: SparkSession) {
           val node = new com.fasterxml.jackson.databind.ObjectMapper()
             .readTree(bytes)
           val it = node.fields()
-          val b = Map.newBuilder[String, String]
+          val b = Map.newBuilder[String, Entry]
           while (it.hasNext) {
-            val e = it.next(); b += e.getKey -> e.getValue.asText()
+            val e = it.next()
+            val v = e.getValue
+            b += e.getKey -> (
+              if (v.isTextual) Entry(v.asText(), managed = false)
+              else Entry(v.get("location").asText(),
+                v.get("managed").asBoolean(false)))
           }
           b.result()
         } catch { case scala.util.control.NonFatal(_) => Map.empty }
@@ -66,35 +79,53 @@ final class TxCatalog private (spark: SparkSession) {
     }
   }
 
-  def lookup(name: String): Option[String] = tables.get(norm(name))
+  def entry(name: String): Option[Entry] = tables.get(norm(name))
+  def lookup(name: String): Option[String] = entry(name).map(_.location)
 
-  def register(name: String, location: String,
+  def register(name: String, location: String, managed: Boolean = false,
       ifNotExists: Boolean = false): Unit = {
     val key = norm(name)
     val cur = tables
     cur.get(key) match {
-      case Some(loc) if loc == location => () // idempotent re-register
-      case Some(loc) if ifNotExists    => ()
-      case Some(loc) =>
-        sys.error(s"table $name is already registered at $loc — " +
+      case Some(e) if e.location == location => () // idempotent re-register
+      case Some(_) if ifNotExists            => ()
+      case Some(e) if !TxTable.isTable(spark, e.location) =>
+        // stale: the registered location no longer holds a txtable
+        write(cur + (key -> Entry(location, managed)))
+      case Some(e) =>
+        sys.error(s"table $name is already registered at ${e.location} — " +
           "DROP TABLE it first to re-point the name")
-      case None => write(cur + (key -> location))
+      case None => write(cur + (key -> Entry(location, managed)))
     }
   }
 
-  /** Unregister `name`; returns whether it existed. Data is untouched
-    * (external-table semantics). */
+  /** Unregister `name`; a MANAGED table's directory is deleted
+    * (SQL-managed semantics), an external table's data stays. Returns
+    * whether the name existed. */
   def drop(name: String): Boolean = {
     val key = norm(name)
     val cur = tables
-    if (!cur.contains(key)) false
-    else { write(cur - key); true }
+    cur.get(key) match {
+      case None => false
+      case Some(e) =>
+        write(cur - key)
+        if (e.managed) {
+          val p = new Path(e.location)
+          try { p.getFileSystem(spark.sessionState.newHadoopConf())
+            .delete(p, true); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        true
+    }
   }
 
-  private def write(m: Map[String, String]): Unit = {
+  private def write(m: Map[String, Entry]): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.createObjectNode()
-    m.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    m.toSeq.sortBy(_._1).foreach { case (k, e) =>
+      val o = node.putObject(k)
+      o.put("location", e.location); o.put("managed", e.managed); ()
+    }
     val dir = fileP.getParent
     if (!fs.exists(dir)) fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-catalog-${java.util.UUID.randomUUID()}.json")
@@ -103,7 +134,8 @@ final class TxCatalog private (spark: SparkSession) {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, fileP)) {
-      // a racing writer published first: re-read, merge, retry once
+      // a racing writer published first: replace (last write wins —
+      // the name-level require above already screened conflicts)
       fs.delete(fileP, false)
       if (!fs.rename(tmp, fileP)) {
         fs.delete(tmp, false)
@@ -115,6 +147,10 @@ final class TxCatalog private (spark: SparkSession) {
 }
 
 object TxCatalog {
+  /** One registered table: its location and whether the catalog OWNS
+    * the data (managed — created without LOCATION). */
+  final case class Entry(location: String, managed: Boolean)
+
   private val instances =
     new java.util.concurrent.ConcurrentHashMap[String, TxCatalog]()
   def apply(spark: SparkSession): TxCatalog = {

@@ -2024,12 +2024,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * predicate-rewrite core. */
   def replaceWhere(source: DataFrame, cond: Column): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit => flit, not}
-    val offending = source.where(not(coalesce(cond, flit(false))))
-      .limit(1).count()
-    require(offending == 0,
-      s"$root: every replaceWhere source row must satisfy the " +
-        "predicate — found rows outside it (write them with append)")
-    rewriteWhere(OpReplace, cond, Some(source))(matching => matching.limit(0))
+    // pin ONE evaluation (the merge discipline): the source feeds the
+    // predicate guard, the data write, AND the CDC insert images — a
+    // non-deterministic source re-evaluated between them could commit
+    // rows outside the predicate or CDC images that mismatch the data
+    val pinned = source.localCheckpoint(true)
+    try {
+      val offending = pinned.where(not(coalesce(cond, flit(false))))
+        .limit(1).count()
+      require(offending == 0,
+        s"$root: every replaceWhere source row must satisfy the " +
+          "predicate — found rows outside it (write them with append)")
+      rewriteWhere(OpReplace, cond, Some(pinned))(matching => matching.limit(0))
+    } finally { pinned.unpersist(); () }
   }
 
   private def rewriteWhere(op: String, cond: Column,
@@ -2500,12 +2507,24 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         fs, srcP, tFs, dstP, false, spark.sparkContext.hadoopConfiguration)
       rel
     }
-    val copied = m.files.map { f =>
-      f.copy(path = copyRel(f.path),
-        dvPath = f.dvPath.map(copyRel),
-        bloomSidecar = f.bloomSidecar.map(copyRel))
-    }
-    target.commitClone(m, copied)
+    // the byte movement is the whole cost of a deep clone — run the
+    // per-file copies on a bounded pool instead of a serial driver
+    // loop (each worker opens its own streams; FileUtil.copy itself
+    // is thread-safe per file). Entries publish AFTER every copy
+    // lands, in the single commitClone below.
+    val rels: Seq[String] = m.files.flatMap(f =>
+      Seq(f.path) ++ f.dvPath ++ f.bloomSidecar).distinct
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+    try {
+      val futures = rels.map(rel => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          override def call(): String = copyRel(rel)
+        }))
+      futures.foreach(_.get()) // propagate the first copy failure
+    } finally pool.shutdown()
+    // entries carry unchanged: the copy preserved relative paths
+    target.commitClone(m, m.files)
   }
 
   /** Target-side half of [[cloneTo]]: publish the source snapshot's
@@ -2739,6 +2758,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // is per-partition anyway); everything else carries by reference
     val scope = resolvePartitionScope(m, partitionEq)
     val (scoped, carried) = m.files.partition(inScope(_, scope))
+    // a bare OPTIMIZE of an empty z-ordered table (zero files, or only
+    // empty files — an empty overwrite still lands one) is a clean
+    // no-op; the error is reserved for an explicit WHERE that matches
+    // nothing
+    if (partitionEq.isEmpty && (m.files.isEmpty ||
+        (scoped.forall(_.rows <= 0) && readEntries(m, scoped).isEmpty)))
+      return v
     require(scoped.nonEmpty,
       s"$root: OPTIMIZE WHERE matches no files (scope $scope)")
     val base = readEntries(m, scoped)

@@ -424,10 +424,11 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         if providerIsTx(c.tableSpec) &&
           namedIdent(c.name).isDefined =>
       val name = namedIdent(c.name).get
-      val loc = specLocation(c.tableSpec)
-        .getOrElse(defaultLocation(name))
+      val explicitLoc = specLocation(c.tableSpec)
+      val loc = explicitLoc.getOrElse(defaultLocation(name))
       if (TxTable.isTable(session, loc)) {
-        catalog.register(name, loc, c.ignoreIfExists)
+        catalog.register(name, loc, managed = explicitLoc.isEmpty,
+          ifNotExists = c.ignoreIfExists)
         dmlResult("createtable",
           TxTable(session, loc).latestVersion.getOrElse(0L))
       } else {
@@ -446,7 +447,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         val empty = session.createDataFrame(
           session.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         val v = TxTable(session, loc).overwrite(empty, partitionBy)
-        catalog.register(name, loc, c.ignoreIfExists)
+        catalog.register(name, loc, managed = explicitLoc.isEmpty,
+          ifNotExists = c.ignoreIfExists)
         dmlResult("createtable", v)
       }
     // CREATE TABLE name USING txtable [LOCATION ...] AS SELECT —
@@ -457,11 +459,13 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           !isTx(c.name.asInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier].nameParts) =>
       val name = namedIdent(c.name).getOrElse(
         sys.error("CREATE TABLE USING txtable supports [db.]name targets"))
-      val loc = specLocation(c.tableSpec).getOrElse(defaultLocation(name))
+      val explicitLoc = specLocation(c.tableSpec)
+      val loc = explicitLoc.getOrElse(defaultLocation(name))
       val exists = TxTable.isTable(session, loc) ||
-        catalog.lookup(name).isDefined
+        catalog.lookup(name).exists(l => TxTable.isTable(session, l))
       if (exists && c.ignoreIfExists) {
-        catalog.register(name, loc, ifNotExists = true)
+        catalog.register(name, loc, managed = explicitLoc.isEmpty,
+          ifNotExists = true)
         dmlResult("createtable",
           TxTable(session, loc).latestVersion.getOrElse(0L))
       } else {
@@ -476,7 +480,7 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         }
         val q = org.apache.spark.sql.graft.StreamShims.ofRows(session, c.query)
         val v = TxTable(session, loc).overwrite(q, partitionBy)
-        catalog.register(name, loc)
+        catalog.register(name, loc, managed = explicitLoc.isEmpty)
         dmlResult("createtable", v)
       }
     // DROP TABLE name — unregister the NAME, leave the data (external-
@@ -630,16 +634,27 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   /** `OPTIMIZE ... WHERE` scope: partition-equality conjuncts only
     * (`k = 'v' AND k2 = v2` — the Delta restriction; TxTable rejects
     * non-partition columns). */
-  private val PartEqTerm =
-    """\s*`?([\w.]+)`?\s*=\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
-  private def parsePartitionEq(cond: String): Map[String, String] =
-    cond.split("(?i)\\s+AND\\s+").map {
-      case PartEqTerm(k, v1, v2, v3) =>
-        k -> Seq(v1, v2, v3).find(_ != null).get
+  private def parsePartitionEq(cond: String): Map[String, String] = {
+    // parse with Spark's own expression grammar (quote-aware — a
+    // quoted value containing ' and ' can never mis-split) and accept
+    // exactly the equality-conjunct shape
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    def litStr(v: Any): String = v match {
+      case null => sys.error("OPTIMIZE WHERE partition value may not be NULL")
+      case x    => x.toString
+    }
+    conjuncts(delegate.parseExpression(cond)).map {
+      case EqualTo(a: UnresolvedAttribute, Literal(v, _)) => a.name -> litStr(v)
+      case EqualTo(Literal(v, _), a: UnresolvedAttribute) => a.name -> litStr(v)
       case t => sys.error(
         s"OPTIMIZE WHERE supports only partition-equality conjuncts " +
-          s"(k = 'v' AND ...), got: $t")
+          s"(k = 'v' AND ...), got: ${t.sql}")
     }.toMap
+  }
   private val VacuumVerb =
     ("""(?is)\s*VACUUM\s+""" + Tgt +
       """\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*""").r
@@ -776,7 +791,7 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       val v =
         if (deep) TxTable(session, source).deepCloneTo(target)
         else TxTable(session, source).cloneTo(target)
-      if (tp == null) catalog.register(tn, target)
+      if (tp == null) catalog.register(tn, target, managed = true)
       dmlResult("clone", v)
     case _ => rewrite(delegate.parsePlan(sqlText))
   }

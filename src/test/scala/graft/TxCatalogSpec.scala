@@ -97,6 +97,7 @@ class TxCatalogSpec extends SparkSpec {
   test("named CLONE registers the target at a warehouse location") {
     val dir = EventsStream.scratchDir("txcat_clone") + "/t"
     TxTable(spark, dir).overwrite(df(0 until 10))
+    spark.sql("DROP TABLE IF EXISTS cat_clone_src")
     spark.sql(s"CREATE TABLE cat_clone_src USING txtable LOCATION '$dir'")
     spark.sql("DROP TABLE IF EXISTS cat_clone_dst")
     spark.sql("CREATE TABLE cat_clone_dst SHALLOW CLONE cat_clone_src")

@@ -189,6 +189,39 @@ class TxTableSpec extends SparkSpec {
     assert(t.read().count() == 26)
   }
 
+  test("OPTIMIZE WHERE is quote-aware; RESTORE accepts date-only literals") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_opt_quote")
+    def part(ids: Range, p: String) =
+      ids.map(i => (i.toLong, p, i * 1.0)).toDF("id", "grp", "v")
+    // a partition VALUE containing ' and ' — the regex split trap
+    t.overwrite(part(0 until 10, "x and y"), partitionBy = Seq("grp"))
+    t.append(part(10 until 12, "x and y"))
+    t.append(part(20 until 22, "z"))
+    spark.sql(s"OPTIMIZE txtable.`$dir` WHERE grp = 'x and y'").collect()
+    val byPart = t.fileEntries(t.latestVersion.get)
+      .groupBy(_.partition.getOrElse("grp", "?"))
+    assert(byPart("x and y").size == 1, "scoped partition must compact")
+    assert(t.read().count() == 14)
+    // RESTORE ... TIMESTAMP AS OF with a date-only literal (session-TZ
+    // cast path): tomorrow's date resolves to the latest snapshot
+    val tomorrow = java.time.LocalDate.now().plusDays(1).toString
+    spark.sql(
+      s"RESTORE TABLE txtable.`$dir` TO TIMESTAMP AS OF '$tomorrow'")
+    assert(t.read().count() == 14)
+  }
+
+  test("bare OPTIMIZE of an empty z-ordered table is a no-op") {
+    import spark.implicits._
+    val (t, dir) = freshTable("tx_zorder_empty")
+    t.overwrite(Seq.empty[(Long, Long, Double)].toDF("x", "y", "v"))
+    t.setProperties(Map(graft.core.TxTable.PropZOrderColumns -> "x,y"))
+    val v = t.latestVersion.get
+    spark.sql(s"OPTIMIZE txtable.`$dir`").collect() // must not throw
+    assert(t.read().count() == 0)
+    assert(t.latestVersion.get == v, "empty-table OPTIMIZE must not commit")
+  }
+
   test("compactSmall purges deletion vectors of the files it rewrites") {
     val (t, _) = freshTable("tx_csmall_dv")
     val dv = graft.core.TxTable(spark, t.location, deletionVectors = true)
