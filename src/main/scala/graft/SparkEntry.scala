@@ -244,6 +244,35 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 =!= 0),
         docs.where(col("doc_id") % 17 === 0))
     }),
+    // substring-level exact dedup (Lee et al.): duplicated 20-token
+    // spans removed corpus-wide, first occurrence kept. Corpus =
+    // documents + PLANTED copies (every 10th doc re-emits 25 of its
+    // tokens between fresh sentinels under doc_id+1e6); gated on the
+    // affected docs' token counts + md5 of the cleaned text — the
+    // DuckDB twin replays the same shingle cover with string shingles
+    "c17_span_dedup"     -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.documents(s, d).select("doc_id", "text")
+      val planted = base
+        .where(col("doc_id") % 10 === 0 &&
+          size(split(col("text"), " ")) >= 25)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(lit("plantA "),
+            array_join(slice(split(col("text"), " "), 1, 25), " "),
+            lit(" plantB")).as("text"))
+      // fully-emptied docs (exact dup of a whole doc) are excluded on
+      // BOTH sides: span dedup reports them, but the SQL twin's
+      // string_agg group has no rows to emit — gate on the partially-
+      // cleaned docs, whose text md5 is the strong signal
+      Dedup.dedupSpans(base.unionByName(planted), k = 20)
+        .where(col("tokens_after") > 0 &&
+          col("tokens_after") < col("tokens_before"))
+        .select(col("doc_id"),
+          col("tokens_before").cast("long").as("tokens_before"),
+          col("tokens_after").cast("long").as("tokens_after"),
+          md5(col("text")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
     // canonical-document selection: the dedup finisher — one
     // representative per c11 cluster (longest text, ties to lowest
     // doc_id); oracle = the c11 recursive-CTE components + a window
@@ -1904,6 +1933,57 @@ object SparkEntry {
         |FROM sh JOIN b USING (s)
         |WHERE doc_id % 17 <> 0
         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    // c17's oracle replays the shingle-cover span dedup with STRING
+    // shingles (hash-invariant grouping): same planted corpus, same
+    // canonical-first rule, same cover removal, md5 of the rebuilt
+    // text; fully-emptied docs excluded on both sides
+    "c17_span_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         'plantA ' ||
+        |         array_to_string((string_split(text, ' '))[1:25], ' ') ||
+        |         ' plantB'
+        |  FROM documents
+        |  WHERE doc_id % 10 = 0 AND len(string_split(text, ' ')) >= 25
+        |),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |occ0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 19 + 1)) AS i
+        |  FROM toks WHERE len(t) >= 20
+        |),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS s
+        |  FROM occ0
+        |),
+        |dup AS (
+        |  SELECT s, min((doc_id, pos)) AS canon
+        |  FROM occ GROUP BY s HAVING count(*) > 1
+        |),
+        |spans AS (
+        |  SELECT o.doc_id, list(o.pos) AS sp
+        |  FROM occ o JOIN dup d USING (s)
+        |  WHERE (o.doc_id, o.pos) <> d.canon
+        |  GROUP BY o.doc_id
+        |),
+        |idx AS (
+        |  SELECT doc_id, len(t) AS nb, t, unnest(range(1, len(t) + 1)) AS i
+        |  FROM toks
+        |),
+        |kept AS (
+        |  SELECT x.doc_id, x.nb AS tokens_before, x.t[x.i] AS tok, x.i
+        |  FROM idx x LEFT JOIN spans sp ON sp.doc_id = x.doc_id
+        |  WHERE sp.sp IS NULL
+        |     OR len(list_filter(sp.sp,
+        |          p -> x.i - 1 >= p AND x.i - 1 < p + 20)) = 0
+        |)
+        |SELECT doc_id, tokens_before, count(*) AS tokens_after,
+        |       md5(string_agg(tok, ' ' ORDER BY i)) AS text_md5
+        |FROM kept
+        |GROUP BY doc_id, tokens_before
+        |HAVING count(*) < tokens_before
+        |ORDER BY doc_id""".stripMargin,
     "c14_canonical_docs" ->
       """WITH RECURSIVE
         |t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

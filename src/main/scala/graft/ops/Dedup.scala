@@ -489,6 +489,61 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C17 — substring-level exact dedup (the Lee-et-al "Deduplicating
+    * Training Data" span dedup, shingle-cover form): remove every
+    * duplicated run of `k` consecutive tokens that also appears
+    * elsewhere in the corpus, keeping exactly the FIRST occurrence
+    * (lexicographic (doc_id, pos)) — the highest-impact dedup for LLM
+    * corpora after doc-level, because boilerplate/license/header spans
+    * repeat across millions of otherwise-distinct pages.
+    *
+    * Plan shape (the c16 shingle discipline, positional flavor):
+    * positional k-token shingles hash map-side in ONE lambda
+    * projection (no shingle strings shuffle — 8-byte keys);
+    * one aggregation per shingle finds occurrence count and the
+    * canonical occurrence via lexicographic `min` — a partial-agg
+    * cell per shingle, never a posting LIST, so a pathological hot
+    * shingle (the 100 TB boilerplate case) costs O(1) state instead
+    * of a mega-bucket; non-canonical occurrences of duplicated
+    * shingles ship back as per-doc removal-span lists (duplicated-
+    * mass-sized — the shuffle is ∝ duplicated text, not corpus²);
+    * one map-side lambda filter drops covered token positions and
+    * rebuilds the cleaned text. Returns every doc with
+    * (tokens_before, tokens_after, text); unaffected docs pass
+    * through with text byte-identical.
+    *
+    * The DuckDB twin replays the same definition with STRING shingles
+    * (hash-invariant grouping, the c4/c16 precedent). */
+  def dedupSpans(docs: DataFrame, k: Int = 20): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      split(col("text"), " ").as("__toks"))
+    val occ = toks
+      .where(size(col("__toks")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(__toks) - $k), i -> named_struct(" +
+          s"'pos', i, 'h', xxhash64(array_join(slice(__toks, i + 1, $k), ' '))))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
+    val dup = occ.groupBy("h")
+      .agg(count(lit(1)).as("n"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("n") > 1)
+    val spans = occ.join(dup, "h")
+      .where(!(col("doc_id") === col("canon.doc_id") &&
+        col("pos") === col("canon.pos")))
+      .groupBy("doc_id")
+      .agg(collect_list(col("pos")).as("__spans"))
+    toks.join(spans, Seq("doc_id"), "left")
+      .withColumn("__kept", expr(
+        s"filter(transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), " +
+          s"x -> __spans IS NULL OR " +
+          s"NOT exists(__spans, p -> x.i >= p AND x.i < p + $k))"))
+      .select(col("doc_id"),
+        size(col("__toks")).as("tokens_before"),
+        size(col("__kept")).as("tokens_after"),
+        array_join(expr("transform(__kept, x -> x.t)"), " ").as("text"))
+  }
+
   /** C14 — canonical-document selection: after clustering (c11 /
     * [[dupClusters]]), keep ONE representative per duplicate cluster
     * — the longest text, ties to the lowest doc_id (the standard

@@ -49,6 +49,11 @@ object Stress {
       // replicas form one clique → the pair graph is the worst case
       // for the component loop (df-caps bound the clique fan-out)
       time(s"c11_clusters x$f", Dedup.dupClusters(Dedup.minHashLshPairs(c)))
+      // span dedup under mass duplication: every replica's every
+      // 20-shingle is a duplicate, i.e. the removal-span shuffle is
+      // maximal — growth should track duplicated MASS (≈ linear in f),
+      // never pairs² (the min-agg canonical rule has no posting lists)
+      time(s"c17_spans x$f", Dedup.dedupSpans(c))
       // persisted-signature-index path (c12): index the corpus, probe
       // a 10% "daily batch" — probe cost must track batch size, so
       // its growth across factors should stay well below the builds'

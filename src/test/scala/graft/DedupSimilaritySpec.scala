@@ -322,4 +322,34 @@ class DedupSimilaritySpec extends SparkSpec {
     // threshold respected: raising minShared above the overlap clears it
     assert(graft.ops.Dedup.contaminatedDocs(docs, bench, minShared = 50).isEmpty)
   }
+
+  test("dedupSpans: planted cross-doc span removed once, first occurrence kept") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val span = words("dup", 6) // a 6-token span duplicated across docs
+    val docs = Seq(
+      (1L, s"${words("a", 4)} $span ${words("b", 3)}"),   // canonical holder
+      (2L, s"${words("c", 5)} $span ${words("e", 4)}"),   // loses the span
+      (3L, words("z", 12)),                               // untouched
+      (4L, span))                                         // exact span only: empties
+      .toDF("doc_id", "text")
+    val r = graft.ops.Dedup.dedupSpans(docs, k = 6).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2), x.getString(3))).toMap
+    // doc 1 is the lexicographic first occurrence — byte-identical
+    assert(r(1L)._3 == s"${words("a", 4)} $span ${words("b", 3)}")
+    assert(r(1L)._1 == r(1L)._2)
+    // doc 2 loses exactly the 6 copied tokens, neighbors survive
+    assert(r(2L)._3 == s"${words("c", 5)} ${words("e", 4)}")
+    assert(r(2L)._2 == r(2L)._1 - 6)
+    // doc 3 untouched, doc 4 fully emptied
+    assert(r(3L)._3 == words("z", 12))
+    assert(r(4L)._2 == 0 && r(4L)._3 == "")
+    // idempotent: re-running on the CLEANED corpus removes nothing
+    val cleaned = graft.ops.Dedup.dedupSpans(docs, k = 6)
+      .where(col("tokens_after") > 0).select("doc_id", "text")
+    val again = graft.ops.Dedup.dedupSpans(cleaned, k = 6).collect()
+    assert(again.forall(x => x.getInt(1) == x.getInt(2)),
+      "second pass must be a fixpoint")
+  }
 }
