@@ -36,6 +36,15 @@ object SparkEntry {
         .getOrElseUpdate(key, build).asInstanceOf[A]
     }
 
+  /** FIXED location of the c3 oracle seam: the SimHash kernel's
+    * per-token hashes (xxhash64, seed 42 — identical to Spark's
+    * `xxhash64` builtin by construction) for the gate corpus's
+    * vocabulary, written by the c3 gate itself. The DuckDB oracle
+    * reads this parquet and reconstructs every fingerprint from it —
+    * model and oracle share the hash data, so they cannot drift (the
+    * t1 langid precedent). */
+  val C3VocabDir = "/tmp/graft_c3_vocab"
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -179,7 +188,22 @@ object SparkEntry {
     // C-tier: dedup / similarity (north_star extension surface)
     "c1_exact_dedup"     -> ((s, d) => Dedup.exactDedup(Tables.documents(s, d))),
     "c2_minhash_neardup" -> ((s, d) => Dedup.minHashLshPairs(Tables.documents(s, d))),
-    "c3_simhash_neardup" -> ((s, d) => Dedup.simHashPairs(Tables.documents(s, d))),
+    // c3 now HASH-GATES (no_oracle retired): the gate first emits the
+    // corpus vocabulary's token→xxhash64 table to [[C3VocabDir]]; the
+    // DuckDB twin reconstructs the Charikar fingerprints, pigeonhole
+    // chunks, df-capped buckets, and exact Hamming verification from
+    // that shared asset — pure SQL over shared data, zero drift
+    "c3_simhash_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      cachedAsset(s, s"c3vocab|$d") {
+        Tables.documents(s, d)
+          .select(explode(split(col("text"), " ")).as("tok")).distinct()
+          .withColumn("h", xxhash64(col("tok")))
+          .coalesce(1).write.mode("overwrite").parquet(C3VocabDir)
+        C3VocabDir
+      }
+      Dedup.simHashPairs(Tables.documents(s, d))
+    }),
     "c4_ngram_jaccard"   -> ((s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d))),
     "c5_cosine_neardup"  -> ((s, d) => Similarity.cosineNearDupPairs(Tables.embeddings(s, d))),
     "c6_ann_topk"        -> ((s, d) => Similarity.annTopK(Tables.embeddings(s, d))),
@@ -2283,6 +2307,45 @@ object SparkEntry {
     // c2 (MinHash-LSH) and c4 (exact) share the exact-Jaccard oracle:
     // LSH recall at the fixture's planted J≈0.99 is 1 − (1−J⁴)³² ≈ 1.
     "c2_minhash_neardup" -> ngramJaccardOracle,
+    // c3's oracle reconstructs the Charikar SimHash end-to-end from
+    // the SHARED token→xxhash64 vocabulary the gate emits to
+    // [[C3VocabDir]] (the t1 generated-oracle precedent): per-bit ±1
+    // frequency votes → fingerprint (bit 63 via the signed HUGEINT
+    // fold) → 4×16-bit pigeonhole chunks → df-capped buckets → exact
+    // Hamming ≤ 3 — pure SQL over shared data, zero drift
+    "c3_simhash_neardup" ->
+      s"""WITH vocab AS (
+         |  SELECT tok, h FROM read_parquet('${C3VocabDir}/*.parquet')),
+         |toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |         sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM toks JOIN vocab USING (tok), unnest(range(0, 64)) AS u(j)
+         |  GROUP BY doc_id, j),
+         |fp AS (
+         |  SELECT doc_id, CAST(sum(CASE WHEN v > 0 THEN
+         |      CASE WHEN j = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+         |           ELSE CAST(1 AS HUGEINT) << j END
+         |    ELSE 0 END) AS BIGINT) AS fp
+         |  FROM votes GROUP BY doc_id),
+         |banded AS (
+         |  SELECT doc_id, fp, c AS chunk, (fp >> (c * 16)) & 65535 AS chunk_val
+         |  FROM fp, unnest(range(0, 4)) AS u(c)),
+         |bsz AS (
+         |  SELECT chunk, chunk_val, count(*) AS n
+         |  FROM banded GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         bit_count(xor(a.fp, b.fp)) AS hamming
+         |  FROM banded a
+         |  JOIN banded b ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val
+         |              AND a.doc_id < b.doc_id
+         |  JOIN bsz s ON s.chunk = a.chunk AND s.chunk_val = a.chunk_val
+         |  WHERE s.n BETWEEN 2 AND 5000)
+         |SELECT doc_a, doc_b, CAST(hamming AS INT) AS hamming
+         |FROM pairs WHERE hamming <= 3 ORDER BY doc_a, doc_b""".stripMargin,
     "c4_ngram_jaccard"   -> ngramJaccardOracle,
     // c12 = the same exact-Jaccard pair oracle, restricted to pairs
     // with at least one "new batch" (doc_id % 10 = 0) member

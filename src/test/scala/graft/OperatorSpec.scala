@@ -78,16 +78,15 @@ class OperatorSpec extends SparkSpec {
         s"${row.getAs[Long]("exact_global_users")}")
   }
 
-  test("oracle coverage: every query has an oracle or a documented rows-only") {
+  test("oracle coverage: every query has an oracle — no_oracle count is ZERO") {
     // q18/q31/c7/c10 graduated to tolerance/recall-bound hash gates
-    // in round 5; m1/m3 and c8 in round 6 (real codecs made decode
-    // results oracle-expressible; c8's exact all-pairs ground truth
-    // became a cached asset, so the quadratic scan stays out of the
-    // measured path). The irreducible remainder is c3 alone: its
-    // SimHash is xxhash64-seeded and DuckDB has no xxhash64 twin.
-    val rowsOnly = Set("c3_simhash_neardup")
+    // in round 5; m1/m3 and c8 in round 6; and in round 7 the last
+    // holdout c3 graduated too — its gate emits the kernel's
+    // token→xxhash64 vocabulary as a shared parquet asset and the
+    // DuckDB twin reconstructs the fingerprints from it (the t1
+    // generated-oracle precedent), so no rows-only gates remain.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == rowsOnly, s"unexpected rows-only: ${missing -- rowsOnly}")
+    assert(missing.isEmpty, s"unexpected rows-only: $missing")
     // and no orphan oracles
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
   }
