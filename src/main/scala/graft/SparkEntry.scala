@@ -45,6 +45,26 @@ object SparkEntry {
     * t1 langid precedent). */
   val C3VocabDir = "/tmp/graft_c3_vocab"
 
+  /** FIXED location of the t14/t8 BPE model seam (the c3 vocab
+    * precedent): the corpus-trained merge table (rank, left, right),
+    * written by the BPE gates; the DuckDB oracle replays encoding
+    * from it — one string `replace()` per rank. */
+  val BpeModelDir = "/tmp/graft_bpe_model"
+
+  /** Corpus-trained BPE model, once per (session, dir); training is
+    * ingest-time work (the registerCatalog discipline), so the gates
+    * time ENCODING, and the merges land at [[BpeModelDir]] for the
+    * oracle replay. */
+  private def bpeModel(s: SparkSession, d: String): graft.functions.BpeModel =
+    cachedAsset(s, s"bpe|$d") {
+      // 40 merges against the fixture's small vocabulary leaves real
+      // SUBWORD splits (200+ would collapse every word to one piece —
+      // a degenerate gate); production corpora would use 30k+
+      val m = graft.ops.Bpe.train(Tables.documents(s, d), nMerges = 40)
+      graft.ops.Bpe.save(s, m, BpeModelDir)
+      m
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1055,18 +1075,41 @@ object SparkEntry {
     }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
     "t7_term_weights"    -> ((s, d) => TextOps.termWeights(Tables.documents(s, d))),
+    // t14: corpus-trained deterministic BPE — the real subword
+    // tokenizer (train = distributed word count + driver greedy over
+    // the bounded vocab; encode = rank-ordered merge passes in a
+    // codegen kernel). Gated per distinct word on piece count + the
+    // pieces themselves; the oracle replays encoding from the
+    // persisted merges table with one replace() per rank
+    "t14_bpe_tokenize"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val model = bpeModel(s, d)
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .where(col("word") =!= "").distinct()
+        .select(col("word"),
+          graft.ops.Bpe.encodeWord(col("word"), model).as("p"))
+        .select(col("word"), size(col("p")).cast("long").as("n_pieces"),
+          array_join(col("p"), " ").as("pieces"))
+        .orderBy("word")
+    }),
     // t8: sequence packing — concat-and-chunk per bounded stratum
     // (lang × contiguous doc_id band): windows stay task-sized and
     // strata pack in parallel, the per-shard packing a tokenizer
-    // pipeline runs at 100 TB (never a global sort). Gated on per-lang
-    // chunk statistics against the identical window replay in DuckDB.
+    // pipeline runs at 100 TB (never a global sort). Budgets are
+    // counted in REAL BPE tokens since round 7 (the t14 model rides
+    // the packing expression); gated on per-lang chunk statistics
+    // against the identical window replay in DuckDB, whose token
+    // counts come from the same merges-table replay as t14.
     "t8_seq_pack"        -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      val model = bpeModel(s, d)
       val docs = Tables.documents(s, d)
         .withColumn("band", floor(col("doc_id") / 1000))
       val packed = graft.ops.Corpus.packSequences(
         docs, "text", budget = 2048, strata = Seq("lang", "band"),
-        orderCol = "doc_id")
+        orderCol = "doc_id",
+        counter = t => graft.ops.Bpe.tokenCount(t, model).cast("long"))
       packed.groupBy("lang", "band", "chunk")
         .agg(count(lit(1)).as("docs_in_chunk"),
           sum(col("n_tokens")).as("chunk_tokens"))
@@ -2129,13 +2172,30 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(weight, 6) AS weight,
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // t14: full BPE-encode replay from the persisted merges table
+    "t14_bpe_tokenize" ->
+      s"""WITH RECURSIVE
+         |$bpeReplayCtes
+         |SELECT word, CAST(len(pl) AS BIGINT) AS n_pieces,
+         |       array_to_string(pl, ' ') AS pieces
+         |FROM bpe_final ORDER BY word""".stripMargin,
     // t8: identical window replay — chunk = floor(tokens-before/2048)
-    // within (lang, band), then the same two-level rollup
+    // within (lang, band) — with n_tokens now the BPE piece count
+    // from the same merges-table replay as t14
     "t8_seq_pack" ->
-      """WITH d AS (
-        |  SELECT lang, CAST(floor(doc_id / 1000.0) AS BIGINT) AS band,
-        |    doc_id, len(string_split(text, ' ')) AS n_tokens
-        |  FROM documents),
+      s"""WITH RECURSIVE
+        |$bpeReplayCtes,
+        |db AS (
+        |  SELECT doc_id, lang, CAST(floor(doc_id / 1000.0) AS BIGINT) AS band,
+        |    text FROM documents),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM db),
+        |dcnt AS (
+        |  SELECT dw.doc_id, CAST(sum(len(f.pl)) AS BIGINT) AS n_tokens
+        |  FROM dw JOIN bpe_final f USING (word) GROUP BY 1),
+        |d AS (
+        |  SELECT db.lang, db.band, db.doc_id, dcnt.n_tokens
+        |  FROM db JOIN dcnt USING (doc_id)),
         |p AS (
         |  SELECT lang, band, n_tokens,
         |    CAST(floor(coalesce(sum(n_tokens) OVER (
@@ -2535,6 +2595,36 @@ object SparkEntry {
   /** CTE block scoring every language's profile per doc; expects a
     * CTE `d(doc_id, lang, t)` with `t = lower(text)`. Unigram and
     * trigram windows mirror LangProfileIndex's sweep exactly. */
+  /** Shared BPE-replay CTEs (t14/t8): reconstruct every word's
+    * subword pieces from the persisted merges table — symbols
+    * represented as ' sym ' runs so one left-to-right non-overlapping
+    * `replace()` per rank IS the kernel's merge pass; recursion steps
+    * rank 0..n-1 (rank order is topological — see BpeModel scaladoc).
+    * Yields `bpe_final(word, pl)`. Callers must open WITH RECURSIVE. */
+  private val bpeReplayCtes: String =
+    s"""bpe_merges AS (
+       |  SELECT rank,
+       |         ' ' || "left" || '  ' || "right" || ' ' AS pat,
+       |         ' ' || "left" || "right" || ' ' AS rep
+       |  FROM read_parquet('${BpeModelDir}/*.parquet')),
+       |bpe_nm AS (SELECT count(*) AS n FROM bpe_merges),
+       |bpe_words AS (
+       |  SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+       |  FROM documents),
+       |bpe_init AS (
+       |  SELECT word,
+       |    ' ' || array_to_string(string_split_regex(word, ''), '  ') ||
+       |    '  ▁ ' AS s0
+       |  FROM bpe_words WHERE word <> ''),
+       |bpe_enc AS (
+       |  SELECT word, s0 AS s, 0 AS r FROM bpe_init
+       |  UNION ALL
+       |  SELECT e.word, replace(e.s, m.pat, m.rep), e.r + 1
+       |  FROM bpe_enc e JOIN bpe_merges m ON m.rank = e.r),
+       |bpe_final AS (
+       |  SELECT word, string_split(trim(replace(s, '  ', ' ')), ' ') AS pl
+       |  FROM bpe_enc, bpe_nm WHERE r = bpe_nm.n)""".stripMargin
+
   private val langScoreCtes: String =
     s"""pos AS (SELECT doc_id, t, unnest(range(1, length(t)+1)) AS i FROM d),
        |grams AS (SELECT doc_id, substr(t, i, 1) AS g FROM pos

@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{SparkSessionExtensions, SparkSessionExtensionsProvider}
@@ -252,6 +253,40 @@ case class AdcDot(left: Expression, right: Expression, ksub: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** BPE-encode one word against a plan-shipped [[BpeModel]] —
+  * array<string> of subword pieces. Model rides `ctx.addReferenceObj`
+  * (the [[NearestCentroid]] discipline); stays in whole-stage codegen. */
+case class BpeEncodeWord(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_encode"
+  override protected def nullSafeEval(w: Any): Any =
+    model.encodeData(w.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.encodeData($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Total BPE piece count over a whitespace-token array — the token
+  * budget currency for sequence packing, one memoized kernel pass per
+  * document. */
+case class BpeCountTokens(child: Expression, model: BpeModel)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_bpe_count"
+  override protected def nullSafeEval(tokens: Any): Any =
+    model.countTokens(tokens.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.countTokens($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_simhash"
@@ -279,6 +314,10 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, n: Int): Column =
     col(ShingleHashes(ex(tokens), n))
   def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def bpeEncodeWord(word: Column, model: BpeModel): Column =
+    col(BpeEncodeWord(ex(word), model))
+  def bpeCountTokens(tokens: Column, model: BpeModel): Column =
+    col(BpeCountTokens(ex(tokens), model))
   def nearestCentroid(v: Column, index: CentroidIndex): Column =
     col(NearestCentroid(ex(v), index))
   def nearestCentroids(v: Column, index: CentroidIndex, n: Int): Column =

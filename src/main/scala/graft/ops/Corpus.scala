@@ -43,11 +43,12 @@ object Corpus {
     * (they are not split — the document-level packing contract);
     * `budget` should exceed the longest document. */
   def packSequences(docs: DataFrame, textCol: String, budget: Int,
-      strata: Seq[String], orderCol: String): DataFrame = {
+      strata: Seq[String], orderCol: String,
+      counter: Column => Column = tokenCount): DataFrame = {
     val w = Window.partitionBy(strata.map(col): _*).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .withColumn("n_tokens", tokenCount(col(textCol)))
+      .withColumn("n_tokens", counter(col(textCol)))
       .withColumn("chunk",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) / budget))
   }
