@@ -1292,6 +1292,49 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority", "price_band")
     }),
+    // s11: CDC-mode streaming WITHOUT sinceVersion — the Delta CDF
+    // consumer contract: the first run serves the full snapshot as
+    // inserts at the pinned version, subsequent runs serve row-level
+    // changes (merge pre/post images, deletes); gated on the
+    // change-typed rollup of BOTH runs vs a relational reconstruction
+    "s11_tx_cdc_snapshot" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val out = cachedAsset(s, s"tx_cdc_snap|$d") {
+        val o = Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        val dir = graft.streaming.EventsStream.scratchDir("graft_tx_cdc_snap")
+        val t0 = graft.core.TxTable(s, dir + "/t", changeDataFeed = true)
+        t0.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
+          bucketCols = Seq("o_orderkey"), nBuckets = 16)          // v0
+        t0.append(o.where(col("o_orderkey") % 3 === 0))           // v1
+        def drain(): Unit = {
+          val q = s.readStream
+            .format(classOf[graft.sources.TxTableSourceProvider].getName)
+            .option(graft.sources.TxTableSource.OptChangeFeed, "true")
+            .load(dir + "/t")
+            .writeStream.format("parquet")
+            .option("path", s"$dir/rows")
+            .option("checkpointLocation", s"$dir/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination()
+        }
+        drain() // run 1: full snapshot at v1, tagged insert
+        t0.upsert(o.where(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), lit("MERGED").as("o_orderpriority"),
+            col("o_totalprice")))                                 // v2
+        t0.deleteKeys(o.where(col("o_orderkey") % 7 === 0)
+          .select("o_orderkey"))                                  // v3
+        drain() // run 2: row-level changes v2..v3
+        dir
+      }
+      s.read.parquet(s"$out/rows")
+        .groupBy(col(graft.core.TxTable.ChangeTypeCol).as("change_type"),
+          col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("change_type", "o_orderpriority")
+    }),
     "s9_tx_stream_read"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val t = appendOnlyTxAsset(s, d)
@@ -1937,6 +1980,31 @@ object SparkEntry {
         |    AS sum_price
         |FROM orders WHERE o_totalprice > 100000
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s11's oracle: snapshot-as-inserts at v1 ∪ v2 merge images ∪ v3
+    // deletes at their then-current content
+    "s11_tx_cdc_snapshot" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, o_orderpriority, o_totalprice
+        |  FROM o
+        |  UNION ALL
+        |  SELECT 'update_preimage', o_orderpriority, o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', 'MERGED', o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'delete',
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'MERGED'
+        |              ELSE o_orderpriority END,
+        |         o_totalprice
+        |  FROM o WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT change_type, o_orderpriority, count(*) AS n_rows,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "s9_tx_stream_read" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)

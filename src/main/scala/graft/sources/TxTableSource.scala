@@ -176,9 +176,6 @@ final class TxTableSourceProvider extends StreamSourceProvider
     val spark = sqlContext.sparkSession
     val cdf = parameters.get(OptChangeFeed).exists(_.toBoolean)
     val since = parameters.get(OptSinceVersion).map(_.toLong)
-    require(!cdf || since.isDefined,
-      s"$OptChangeFeed=true needs $OptSinceVersion: row-level change " +
-        "capture starts at a known version, not at an initial snapshot")
     new TxTableSource(TxTable(spark, pathOf(parameters)),
       sourceSchemaFor(sqlContext, parameters), since, cdf,
       parameters.get(OptMaxVersions).map(_.toLong))
@@ -248,8 +245,16 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
       case (Some(s), true)  => table.changeFeed(s, Some(endV))
       case (Some(s), false) => table.changesSince(s, Some(endV))
       case (None, false)    => table.readVersion(endV)
-      case (None, true)     => sys.error("changeFeed source without " +
-        "sinceVersion — unreachable, the provider requires it")
+      // initial-snapshot-then-CDC (the Delta CDF consumer contract):
+      // batch 0 serves the full snapshot AT the pinned offset version
+      // with every row tagged an insert at that version; later batches
+      // serve row-level changes — a consumer needs no separate
+      // backfill query and no sinceVersion bookkeeping
+      case (None, true)     =>
+        import org.apache.spark.sql.functions.lit
+        table.readVersion(endV)
+          .withColumn(TxTable.ChangeTypeCol, lit("insert"))
+          .withColumn(TxTable.CommitVersionCol, lit(endV))
     }
     // pin the declared column order, then mark the plan streaming
     // (MicroBatchExecution asserts isStreaming=true on V1 batch plans
@@ -258,7 +263,7 @@ final class TxTableSource(table: TxTable, override val schema: StructType,
     // make it a stream-stream join, so wrap it as ONE streaming leaf
     // over the batch-executed RDD instead.
     val ordered = batch.select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    if (from.isEmpty && !changeFeed && table.snapshotHasDv(endV))
+    if (from.isEmpty && table.snapshotHasDv(endV))
       StreamShims.asStreamingBatch(ordered)
     else StreamShims.markStreaming(ordered)
   }

@@ -144,14 +144,54 @@ class TxTableSourceSpec extends SparkSpec {
       .select("id").as[Long].head() == 5L)
   }
 
-  test("changeFeed mode requires sinceVersion") {
-    val (t, dir) = freshTable("txsrc_cdf_req")
-    t.overwrite(df(0 until 3))
-    val e = intercept[Exception] {
-      val out = EventsStream.scratchDir("txsrc_cdf_req_out")
-      drain(dir, out, Map(TxTableSource.OptChangeFeed -> "true"))
+  test("changeFeed without sinceVersion: initial snapshot as inserts, then CDC") {
+    import spark.implicits._
+    val (_, dir) = freshTable("txsrc_cdf_snap")
+    val t = TxTable(spark, dir, changeDataFeed = true)
+    t.overwriteBucketed(df(0 until 10), Seq("id"), nBuckets = 2) // v0
+    t.append(df(10 until 12))                                    // v1
+    val out = EventsStream.scratchDir("txsrc_cdf_snap_out")
+    def run(): Unit = {
+      val q = spark.readStream.format(fmt)
+        .option(TxTableSource.OptChangeFeed, "true")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
-    assert(e.getMessage.contains("sinceVersion"))
+    run()
+    val snap = spark.read.parquet(s"$out/rows")
+    // batch 0: the FULL snapshot at v1, every row an insert AT v1
+    assert(snap.count() == 12)
+    assert(snap.groupBy(TxTable.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap == Map("insert" -> 12L))
+    assert(snap.select(TxTable.CommitVersionCol).distinct()
+      .as[Long].collect().toSeq == Seq(1L))
+    // later commits stream as ROW-LEVEL changes on the next run
+    t.upsert(Seq((0L, "name_0", 999.0)).toDF("id", "name", "score")) // v2
+    t.deleteKeys(Seq(5L).toDF("id"))                                 // v3
+    run()
+    val all = spark.read.parquet(s"$out/rows")
+    val byType = all.groupBy(TxTable.ChangeTypeCol).count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("insert" -> 12L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L), s"got $byType")
+    // snapshot ⊕ changes reconstructs the live table exactly
+    val reconstructed = all
+      .where(col(TxTable.ChangeTypeCol).isin("insert", "update_postimage"))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col(TxTable.CommitVersionCol).desc)))
+      .where(col("rk") === 1).drop("rk")
+      .join(all.where(col(TxTable.ChangeTypeCol) === "delete")
+        .select("id"), Seq("id"), "left_anti")
+      .select("id", "name", "score")
+    assert(reconstructed.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(reconstructed).isEmpty,
+      "snapshot + CDC must reconstruct the live table")
   }
 
   test("batch read: default latest, versionAsOf time travel, sinceVersion window") {
