@@ -1130,7 +1130,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(bucketCols.nonEmpty && nBuckets > 0, "bucketCols and nBuckets required")
     val spec = BucketSpec(bucketCols, nBuckets)
     val mapAtWrite = currentColMap
-    val (files, schema) = writeDataFiles(withBucket(df, spec), Seq(BucketCol))
+    val (files, schema) = writeDataFiles(bucketedWriteFrame(df, spec), Seq(BucketCol))
     commit { latest =>
       requireMappingStable(latest, mapAtWrite, "overwriteBucketed")
       Pending(OpOverwrite, files, schemaDdlOf(schema), Seq(BucketCol),
@@ -1149,7 +1149,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val spec = current.flatMap(_.bucketSpec)
     val parts = current.map(_.partitionCols).getOrElse(Nil)
     val mapAtWrite = current.map(_.colMap).getOrElse(Map.empty)
-    val data = spec.map(withBucket(df, _)).getOrElse(df)
+    val data = spec.map(bucketedWriteFrame(df, _)).getOrElse(df)
     val (files, schema) = writeDataFiles(data, parts)
     commit { latest =>
       latest.foreach(m => requireCompatible(
@@ -1267,7 +1267,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         m.files.partition(f => f.partition.get(BucketCol).exists(touched))
       val existing = readEntries(m, affected)
       val resolved = resolve(existing, src.drop(BucketCol))
-      val (files, schema) = writeDataFiles(withBucket(resolved, spec), Seq(BucketCol))
+      val (files, schema) = writeDataFiles(bucketedWriteFrame(resolved, spec), Seq(BucketCol))
       // change-data-feed: row-level diff of the touched buckets,
       // computed against the files JUST WRITTEN (single resolver
       // evaluation — the written data is the truth), classified by the
@@ -2077,7 +2077,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       existing.where(not(hit)).unionByName(replaced))(
       (acc, i) => acc.unionByName(i, allowMissingColumns = true))
     val spec = m.bucketSpec
-    val data = spec.map(withBucket(newRows, _)).getOrElse(newRows)
+    val data = spec.map(bucketedWriteFrame(newRows, _)).getOrElse(newRows)
     val (files, _) = writeDataFiles(data, m.partitionCols)
     // CDC: deterministic re-reads of immutable parquet — the captured
     // rows are exactly what the rewrite dropped/replaced
@@ -2986,6 +2986,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def withBucket(df: DataFrame, spec: BucketSpec): DataFrame =
     df.withColumn(BucketCol,
       pmod(hash(spec.cols.map(col): _*), org.apache.spark.sql.functions.lit(spec.n)))
+
+  /** Bucketed WRITE frame: route rows so each bucket lands in ONE
+    * task — files per commit = touched buckets, never tasks × buckets
+    * (without this, a 32-partition resolve writing 16 bucket dirs
+    * lands up to 512 near-empty files per merge commit, and every
+    * subsequent batch pays their footers: the s8 microbatch-constant
+    * killer). Write parallelism = bucket count, which is the
+    * CLUSTERED BY contract — size `nBuckets` for the table, the
+    * exchange is batch-plus-touched-bucket-sized. */
+  private def bucketedWriteFrame(df: DataFrame, spec: BucketSpec): DataFrame = {
+    val b = withBucket(df, spec)
+    b.repartition(spec.n, col(BucketCol))
+  }
 
   /** Land `df` as immutable parquet files in a fresh write dir;
     * returns (file entries with partition values + per-file column

@@ -443,6 +443,11 @@ object EventsStream {
   private def withStatePartitions[A](spark: SparkSession, n: Int = 8)(f: => A): A = {
     val confs = Seq(
       "spark.sql.shuffle.partitions" -> n.toString,
+      // microbatch bodies are small fixed-shape plans with no joins:
+      // AQE buys nothing and costs a re-optimization + an extra stage
+      // job per shuffle per batch — measurable against the per-batch
+      // constant (batch results are identical either way)
+      "spark.sql.adaptive.enabled" -> "false",
       "spark.sql.streaming.stateStore.providerClass" ->
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
       // snapshot upload every N commits instead of a full snapshot
