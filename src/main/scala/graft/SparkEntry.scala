@@ -271,6 +271,21 @@ object SparkEntry {
           // exact scan uses, so every emitted pair must be exact
           (col("n_srp") === col("n_hit")).as("precision_exact"))
     }),
+    // c18: WIDE-signature SRP at the production near-dup threshold
+    // (0.9) — corpus = embeddings ∪ exact twins under shifted ids;
+    // 32×16-bit bands make twin recall ≈ 1 while orthogonal mass
+    // never buckets (collision-bound candidates — the 64-bit c8
+    // signature cannot express this configuration). Verification is
+    // exact, so the gate hash-matches the DuckDB exact all-pairs scan
+    // of the same constructed corpus outright.
+    "c18_srp_wide"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = base.unionByName(base
+        .where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      Similarity.srpNearDupPairsWide(corpus, threshold = 0.9)
+    }),
     "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
     // duplicate-cluster assignment: transitive closure over the
     // MinHash pair graph (c2's pairs ≡ the exact-Jaccard oracle, so
@@ -2495,6 +2510,22 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // c8's oracle: exact pair count at the SRP threshold (the c5
     // construction at 0.4) + the recall/precision bounds as constants
+    // c18's oracle: the exact all-pairs scan over the same twins
+    // construction — the wide-SRP recall at cos ≈ 1 is 1 by the LSH
+    // formula, and verification is exact, so the gate must match the
+    // exact pair set outright (no recall bound needed)
+    "c18_srp_wide" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, embedding::DOUBLE[] AS v
+        |  FROM base WHERE vec_id % 5 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
+        |ORDER BY 1, 2""".stripMargin,
     "c8_srp_neardup" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
         |SELECT count(*) AS n_exact, true AS recall_ok,

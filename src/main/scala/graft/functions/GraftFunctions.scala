@@ -86,6 +86,23 @@ case class SrpSignature(child: Expression, bits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Wide SRP banding — one chunk per band, bands×bitsPerBand effective
+  * signature bits (see [[VectorKernels.srpBandChunks]]). */
+case class SrpBandChunks(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(bands >= 1 && bitsPerBand >= 1 && bitsPerBand <= 64,
+    s"bands >= 1 and bitsPerBand in [1,64] required, got $bands x $bitsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp_band_chunks"
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.srpBandChunks(v.asInstanceOf[ArrayData], bands, bitsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.srpBandChunks($c, $bands, $bitsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 case class MinHashBands(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must be a multiple of bands")
@@ -309,6 +326,8 @@ object GraftFunctions {
   def vecSum(a: Column): Column = col(VecSum(ex(a)))
   def vecL2Norm(a: Column): Column = col(VecL2Norm(ex(a)))
   def srpSignature(v: Column, bits: Int): Column = col(SrpSignature(ex(v), bits))
+  def srpBandChunks(v: Column, bands: Int, bitsPerBand: Int): Column =
+    col(SrpBandChunks(ex(v), bands, bitsPerBand))
   def minHashBands(shingles: Column, numHashes: Int, bands: Int): Column =
     col(MinHashBands(ex(shingles), numHashes, bands))
   def shingleHashes(tokens: Column, n: Int): Column =

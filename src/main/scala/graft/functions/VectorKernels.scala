@@ -89,6 +89,42 @@ object VectorKernels {
     sig
   }
 
+  /** WIDE signed-random-projection banding: one chunk value per band,
+    * bit p = band·bitsPerBand + j hashed exactly like
+    * [[srpSignature]] — the effective signature is bands×bitsPerBand
+    * bits with no 64-bit packing limit. The width matters for REAL
+    * near-dup thresholds: at cos ≥ 0.9 a band needs ≥16 bits before
+    * unrelated pairs stop colliding (0.5¹⁶ ≈ 1.5e-5 per band), and
+    * recall then needs ~32 such bands — 512 signature bits, which the
+    * packed-long variant cannot express. Emitting chunks directly
+    * also removes the shift/mask extraction from the query plan. */
+  def srpBandChunks(v: ArrayData, bands: Int, bitsPerBand: Int): ArrayData = {
+    val n = v.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var chunk = 0L
+      var j = 0
+      while (j < bitsPerBand) {
+        val p = b * bitsPerBand + j
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          var h = XXH64.hashInt(p, 42L)
+          h = XXH64.hashInt(i, h)
+          val x = v.getFloat(i).toDouble
+          s += (if ((h & 1L) == 1L) x else -x)
+          i += 1
+        }
+        chunk = (chunk << 1) | (if (s > 0) 1L else 0L)
+        j += 1
+      }
+      out(b) = chunk
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def vecL2Norm(a: ArrayData): Double = {
     val n = a.numElements()
     var s = 0.0; var i = 0

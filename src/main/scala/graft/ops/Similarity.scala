@@ -339,8 +339,45 @@ object Similarity {
         .agg(collect_list(col("vec_id")).as("ids"))
         .where(size(col("ids")) > 1),
       maxBucket, "graft_c8_hot_buckets", "vec_a", "vec_b")
-    // exact verification with per-vector norms computed in the joined
-    // projections (dot kernel per candidate pair, bit-identical)
+    verifyCosinePairs(emb, cand, threshold)
+  }
+
+  /** C18 — WIDE-signature SRP near-dup: the production configuration
+    * of [[srpNearDupPairs]] for real near-dup thresholds. At cos ≥
+    * 0.9 a band needs ≥16 bits before unrelated pairs stop colliding
+    * (collision ≈ 0.5¹⁶ per band for orthogonal pairs) and recall
+    * then needs ~32 such bands — 512 effective signature bits, which
+    * the packed-64-bit variant cannot express (its key space
+    * saturates and candidate emission goes quadratic as the corpus
+    * grows: the 10× bench point showed exactly that cliff on the
+    * low-threshold c8 gate). The kernel emits per-band chunk values
+    * directly, so bucketing is one posexplode — no shift/mask
+    * extraction. Candidates stay collision-bound: duplicated-vector
+    * cliques emit pairs (the point), orthogonal mass never buckets
+    * together. Recall at cos c: 1 − (1 − p^r)^k with p = 1 − acos(c)/π
+    * — ≈ 0.999 for exact twins, ≈ 0.94 at 0.95, by design dropping
+    * fast below the threshold. Low-threshold similarity (the c8 0.4
+    * gate) is NOT this operator's regime — that is the IVF/PQ path. */
+  def srpNearDupPairsWide(emb: DataFrame, threshold: Double = 0.9,
+      bands: Int = 32, bitsPerBand: Int = 16,
+      maxBucket: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq)): DataFrame = {
+    val banded = emb.select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.srpBandChunks(
+        col("embedding"), bands, bitsPerBand)).as(Seq("band", "chunk")))
+    val cand = graft.ops.Dedup.cappedBucketPairs(
+      banded.groupBy("band", "chunk")
+        .agg(collect_list(col("vec_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      maxBucket, "graft_c18_hot_buckets", "vec_a", "vec_b")
+    verifyCosinePairs(emb, cand, threshold)
+  }
+
+  /** Shared exact-verification tail of the SRP family: candidates →
+    * (vec_a, vec_b, cosine ≥ threshold), cosine from the codegen dot
+    * kernel with per-vector norms computed in the joined projections
+    * — emitted pairs are bit-identical to the exact scan's. */
+  private def verifyCosinePairs(emb: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
     val withNrm = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
     cand

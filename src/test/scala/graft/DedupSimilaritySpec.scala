@@ -323,6 +323,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.ops.Dedup.contaminatedDocs(docs, bench, minShared = 50).isEmpty)
   }
 
+  test("srp wide: twin recall 1, orthogonal mass never buckets") {
+    import spark.implicits._
+    // 40 orthogonal unit vectors (distinct basis dims) + exact twins
+    // of every 4th — the only cos >= 0.9 pairs are the twins
+    val dim = 64
+    def basis(i: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == i % dim) 1.0f else 0.0f)
+    val base = (0 until 40).map(i => (i.toLong, basis(i)))
+    val twins = (0 until 40 by 4).map(i => (1000L + i, basis(i)))
+    val emb = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.srpNearDupPairsWide(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // exactly the 10 twin pairs, each at cosine 1.0
+    assert(pairs.length == 10, s"got ${pairs.toSeq}")
+    assert(pairs.forall { case (a, b, c) => c == 1.0 && b == 1000L + a })
+    // collision-bound: orthogonal pairs generate no verified output
+    // AND (the scale property) no candidate buckets — every bucket
+    // with >1 member holds only twins
+    val banded = emb.select(col("vec_id"),
+      posexplode(graft.functions.GraftFunctions.srpBandChunks(
+        col("embedding"), 32, 16)).as(Seq("band", "chunk")))
+    val fat = banded.groupBy("band", "chunk")
+      .agg(collect_list("vec_id").as("ids"))
+      .where(size(col("ids")) > 2) // > twin-pair size
+      .count()
+    assert(fat == 0, "orthogonal vectors must not share wide buckets")
+  }
+
   test("dedupSpans: planted cross-doc span removed once, first occurrence kept") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =
