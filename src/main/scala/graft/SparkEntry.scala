@@ -286,6 +286,21 @@ object SparkEntry {
         .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
       Similarity.srpNearDupPairsWide(corpus, threshold = 0.9)
     }),
+    // c19: SemDeDup — cluster-bounded semantic dedup over the same
+    // twins construction as c18 (centroids = the deterministic
+    // vec_id%40 slice of the base, so the oracle replays assignment
+    // by the same cosine-desc/id-asc rule, pairs within clusters,
+    // and components via the c11 recursive CTE)
+    "c19_semdedup"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val base = Tables.embeddings(s, d).select("vec_id", "embedding")
+      val corpus = base.unionByName(base
+        .where(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 10000000L).as("vec_id"), col("embedding")))
+      val centroids = base.where(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cv"))
+      Similarity.semDedup(corpus, centroids, threshold = 0.95)
+    }),
     "c9_vector_norms"    -> ((s, d) => Similarity.vectorNorms(Tables.embeddings(s, d))),
     // duplicate-cluster assignment: transitive closure over the
     // MinHash pair graph (c2's pairs ≡ the exact-Jaccard oracle, so
@@ -914,6 +929,16 @@ object SparkEntry {
     // T-tier: text analysis
     "t1_langid"          -> ((s, d) => TextOps.langId(Tables.documents(s, d))),
     "t2_quality"         -> ((s, d) => TextOps.qualityScore(Tables.documents(s, d))),
+    // t15: CCNet-style LM-perplexity filter — bigram LM with add-k
+    // smoothing trained on the doc_id%7 reference slice, every doc
+    // scored by avg negative log-prob (monotone in perplexity); the
+    // reference-sized model broadcasts, the corpus streams past once
+    "t15_lm_perplexity"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      TextOps.lmPerplexity(docs, docs.where(col("doc_id") % 7 === 0))
+        .withColumn("flagged", (col("avg_nll") > 3.8).cast("boolean"))
+    }),
     "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     // G-tier: the reference's flagship pipeline shape (nodes → edges
@@ -2510,6 +2535,46 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // c8's oracle: exact pair count at the SRP threshold (the c5
     // construction at 0.4) + the recall/precision bounds as constants
+    // c19's oracle: deterministic-centroid assignment replay (cosine
+    // desc, centroid id asc — the kernel's max_by ordering), pairs
+    // within clusters, recursive-CTE components, min-id keeper
+    "c19_semdedup" ->
+      """WITH RECURSIVE
+        |base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 10000000, v FROM base WHERE vec_id % 5 = 0),
+        |cent AS (
+        |  SELECT vec_id AS centroid_id, v AS cv FROM base
+        |  WHERE vec_id % 40 = 0),
+        |asg AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT c.vec_id, ct.centroid_id,
+        |      row_number() OVER (PARTITION BY c.vec_id
+        |        ORDER BY list_cosine_similarity(c.v, ct.cv) DESC,
+        |                 ct.centroid_id ASC) AS rn
+        |    FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+        |pairs AS (
+        |  SELECT x.vec_id AS da, y.vec_id AS db
+        |  FROM asg x
+        |  JOIN asg y ON x.centroid_id = y.centroid_id
+        |            AND x.vec_id < y.vec_id
+        |  JOIN corpus cx ON cx.vec_id = x.vec_id
+        |  JOIN corpus cy ON cy.vec_id = y.vec_id
+        |  WHERE round(list_cosine_similarity(cx.v, cy.v), 6) >= 0.95),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION SELECT db, da FROM pairs),
+        |verts AS (SELECT DISTINCT src AS doc FROM edges),
+        |reach AS (SELECT doc, doc AS root FROM verts
+        |          UNION
+        |          SELECT e.dst, r.root FROM reach r
+        |          JOIN edges e ON e.src = r.doc),
+        |grp AS (SELECT doc AS vec_id, min(root) AS dup_root
+        |        FROM reach GROUP BY doc)
+        |SELECT g.vec_id, a.centroid_id, g.dup_root,
+        |       (g.vec_id = g.dup_root) AS kept
+        |FROM grp g JOIN asg a USING (vec_id) ORDER BY g.vec_id""".stripMargin,
     // c18's oracle: the exact all-pairs scan over the same twins
     // construction — the wide-SRP recall at cos ≈ 1 is 1 by the LSH
     // formula, and verification is exact, so the gate must match the
@@ -2601,6 +2666,41 @@ object SparkEntry {
          |SELECT doc_id, lang, s_en, s_de, s_es, s_fr, s_zh,
          |  ${langArgmaxCase(l => "s_" + l)} AS lang_pred
          |FROM s ORDER BY doc_id""".stripMargin,
+    // t15's oracle replays the bigram LM relationally: reference
+    // counts, add-k smoothing, per-pair ln rounded to 6dp, DECIMAL
+    // sum — identical arithmetic, shared relational model
+    "t15_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ref AS (SELECT * FROM toks WHERE doc_id % 7 = 0),
+        |runi AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM ref) GROUP BY 1),
+        |rbi AS (
+        |  SELECT w1, w2, count(*) AS c2
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM ref, unnest(range(1, len(t))) AS g(i))
+        |  GROUP BY 1, 2),
+        |v AS (SELECT count(*) + 1 AS v FROM runi),
+        |dp AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS g(i)),
+        |sc AS (
+        |  SELECT dp.doc_id,
+        |    round(ln((coalesce(b.c2, 0) + 0.1) /
+        |             (coalesce(u.c1, 0) + 0.1 * v.v)), 6) AS lp
+        |  FROM dp
+        |  LEFT JOIN rbi b ON b.w1 = dp.w1 AND b.w2 = dp.w2
+        |  LEFT JOIN runi u ON u.w1 = dp.w1
+        |  CROSS JOIN v),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_pairs,
+        |    CAST(round(-sum(CAST(lp AS DECIMAL(18,6))) / count(*), 6)
+        |      AS DOUBLE) AS avg_nll
+        |  FROM sc GROUP BY 1)
+        |SELECT doc_id, n_pairs, avg_nll,
+        |       (avg_nll > 3.8) AS flagged
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,

@@ -372,6 +372,46 @@ object Similarity {
     verifyCosinePairs(emb, cand, threshold)
   }
 
+  /** C19 — semantic deduplication (SemDeDup, Abbas et al. 2023):
+    * embedding-space near-duplicate REMOVAL at corpus scale. Hash
+    * dedup misses paraphrases; all-pairs cosine is quadratic.
+    * SemDeDup bounds the pairwise work by clustering:
+    *
+    *  1. one argmax-kernel pass assigns every vector to its nearest
+    *     centroid (the IVF assign step — no corpus × k blowup);
+    *  2. pairs are examined WITHIN clusters only — cost Σ|cluster|²,
+    *     controlled by the centroid count, never corpus²;
+    *  3. cosine ≥ `threshold` pairs form duplicate groups (connected
+    *     components via the c11 label-propagation machinery); the
+    *     lowest vec_id per group is kept (swap in any quality rank).
+    *
+    * Returns every MEMBER of a duplicate group:
+    * (vec_id, centroid_id, dup_root, kept) — vectors in no group
+    * are implicitly kept. Fully SQL-replayable: deterministic
+    * centroids + the same assignment ordering (cosine desc, id asc)
+    * + a recursive-CTE component replay. */
+  def semDedup(emb: DataFrame, centroids: DataFrame,
+      threshold: Double = 0.95): DataFrame = {
+    val idx = centroidIndex(centroids)
+    val assigned = assignCentroids(emb, idx)
+      .withColumn("nrm", l2Norm(col("embedding")))
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("doc_a"),
+      col("embedding").as("ea"), col("nrm").as("na"))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("doc_b"),
+      col("embedding").as("eb"), col("nrm").as("nb"))
+    val pairs = a.join(b, Seq("centroid_id"))
+      .where(col("doc_a") < col("doc_b"))
+      .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    graft.ops.Dedup.dupClusters(pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id").as("dup_root"))
+      .join(assigned.select(col("vec_id"), col("centroid_id")), "vec_id")
+      .select(col("vec_id"), col("centroid_id"), col("dup_root"),
+        (col("vec_id") === col("dup_root")).as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Shared exact-verification tail of the SRP family: candidates →
     * (vec_a, vec_b, cosine ≥ threshold), cosine from the codegen dot
     * kernel with per-vector norms computed in the joined projections

@@ -201,6 +201,54 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** T15 — n-gram LM perplexity filtering (the CCNet step: score
+    * every document against a language model trained on a trusted
+    * reference slice; junk scores high and is dropped — the standard
+    * quality filter between heuristics and model-based scoring).
+    * Model = word-bigram LM with add-`k` smoothing over the
+    * reference: P(w2|w1) = (c(w1,w2)+k) / (c(w1)+k·V), V = reference
+    * vocabulary + 1 OOV slot. Score = average negative log-prob of
+    * the document's adjacent word pairs (monotone in perplexity —
+    * exp(avg_nll) — without the cross-engine exp).
+    *
+    * Scale shape: the model is REFERENCE-sized (bounded vocabulary),
+    * so both scoring joins broadcast and the corpus streams past
+    * once, embarrassingly parallel — the c16 decontamination
+    * discipline. Determinism: per-pair log-probs round to 6dp and
+    * sum as DECIMAL (the t2 discipline), so the DuckDB twin replays
+    * the identical arithmetic from the same relational model. */
+  def lmPerplexity(docs: DataFrame, reference: DataFrame,
+      k: Double = 0.1): DataFrame = {
+    def pairs(df: DataFrame, keep: Column*): DataFrame = df
+      .withColumn("__t", split(col("text"), " "))
+      .where(size(col("__t")) >= 2)
+      .select(keep :+ explode(expr(
+        "transform(sequence(1, size(__t) - 1), i -> " +
+          "named_struct('w1', element_at(__t, i), " +
+          "'w2', element_at(__t, i + 1)))")).as("p"): _*)
+      .select(keep :+ col("p.w1") :+ col("p.w2"): _*)
+    val bigrams = pairs(reference)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val unigrams = reference
+      .select(explode(split(col("text"), " ")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    // V is a MODEL-sized scalar (the c10 probe-id discipline): one
+    // bounded driver count instead of a 1-row nested-loop join in
+    // every scoring plan
+    val v = unigrams.count() + 1L
+    pairs(docs, col("doc_id"))
+      .join(broadcast(bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(unigrams), Seq("w1"), "left")
+      .withColumn("lp", round(
+        log((coalesce(col("c2"), lit(0L)) + lit(k)) /
+            (coalesce(col("c1"), lit(0L)) + lit(k) * lit(v))), 6))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        round(-sum(col("lp").cast("decimal(18,6)")) / count(lit(1)), 6)
+          .cast("double").as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
   def stringBattery(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

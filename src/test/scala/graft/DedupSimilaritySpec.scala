@@ -323,6 +323,47 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.ops.Dedup.contaminatedDocs(docs, bench, minShared = 50).isEmpty)
   }
 
+  test("semDedup: twins collapse within clusters, min-id kept, cluster-bounded") {
+    import spark.implicits._
+    val dim = 8
+    def vec(i: Int, eps: Float = 0f): Seq[Float] =
+      (0 until dim).map(j => (if (j == i % dim) 1.0f else 0.0f) + eps * j)
+    // two centroids (orthogonal); members near each; twins of 1 and 11
+    val centroids = Seq((0L, vec(0)), (100L, vec(4))).toDF("centroid_id", "cv")
+    val emb = Seq(
+      (1L, vec(0)), (2L, vec(0, 0.01f)),   // cluster 0: 2 is a near-dup of 1
+      (11L, vec(4)), (12L, vec(4, 0.01f)), // cluster 100: same shape
+      (21L, vec(1)))                       // lone member, no dup
+      .toDF("vec_id", "embedding")
+    val r = graft.ops.Similarity.semDedup(emb, centroids, threshold = 0.95)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getBoolean(3)))
+    // only the two dup groups appear; roots are the min ids; the lone
+    // member is implicitly kept (absent)
+    assert(r.toSet == Set((1L, 0L, 1L, true), (2L, 0L, 1L, false),
+      (11L, 100L, 11L, true), (12L, 100L, 11L, false)), s"got ${r.toSeq}")
+  }
+
+  test("lmPerplexity: word-soup junk scores above reference-like text") {
+    import spark.implicits._
+    val ref = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"),
+      (3L, "the cat ran to the dog")).toDF("doc_id", "text")
+    val docs = ref.unionByName(Seq(
+      (10L, "the cat sat on the rug"),     // in-distribution
+      (11L, "zq xv qj wk zz yy")).toDF("doc_id", "text")) // junk
+    val r = graft.ops.TextOps.lmPerplexity(docs, ref)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r(10L) < r(11L),
+      s"junk must score higher: in-dist ${r(10L)} vs junk ${r(11L)}")
+    assert(r(1L) < r(11L))
+    // scores are deterministic across invocations
+    val r2 = graft.ops.TextOps.lmPerplexity(docs, ref)
+      .collect().map(x => x.getLong(0) -> x.getDouble(2)).toMap
+    assert(r == r2)
+  }
+
   test("srp wide: twin recall 1, orthogonal mass never buckets") {
     import spark.implicits._
     // 40 orthogonal unit vectors (distinct basis dims) + exact twins
