@@ -1201,9 +1201,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * its start; if another commit lands first, it fails (rerun) —
     * same discipline as [[compact]]. */
   def merge(source: DataFrame, txn: Option[(String, Long)] = None,
-      sourceIsPinned: Boolean = false)(
+      sourceIsPinned: Boolean = false, keys: Seq[String] = Nil)(
       resolve: (DataFrame, DataFrame) => DataFrame): Long =
-    mergeOp(OpMerge, source, txn, sourceIsPinned)(resolve)
+    if (latestVersion.map(manifest).flatMap(_.bucketSpec).isDefined)
+      mergeOp(OpMerge, source, txn, sourceIsPinned)(resolve)
+    else {
+      require(keys.nonEmpty,
+        s"$root is not bucketed — merge needs explicit key columns " +
+          "(keys = ...) for file-granular planning")
+      mergeOpFiles(OpMerge, source, keys, txn, sourceIsPinned)(resolve)
+    }
 
   private def mergeOp(op: String, source: DataFrame,
       txn: Option[(String, Long)], sourceIsPinned: Boolean = false,
@@ -1726,12 +1733,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * is carried by reference. DELETE FROM t WHERE key IN (...) at
     * file granularity. */
   def deleteKeys(keys: DataFrame, txn: Option[(String, Long)] = None,
-      sourceIsPinned: Boolean = false): Long = {
-    val cols = latestVersion.map(manifest).flatMap(_.bucketSpec)
-      .getOrElse(sys.error(s"$root is not bucketed")).cols
-    mergeOp(OpDelete, keys, txn, sourceIsPinned) { (existing, src) =>
+      sourceIsPinned: Boolean = false, keyCols: Seq[String] = Nil): Long = {
+    val spec = latestVersion.map(manifest).flatMap(_.bucketSpec)
+    val cols = spec.map(_.cols).getOrElse {
+      require(keyCols.nonEmpty,
+        s"$root is not bucketed — deleteKeys needs explicit key " +
+          "columns (keyCols = ...)")
+      keyCols
+    }
+    val resolve: (DataFrame, DataFrame) => DataFrame = { (existing, src) =>
       existing.join(src.select(cols.map(col): _*).distinct(), cols, "left_anti")
     }
+    if (spec.isDefined) mergeOp(OpDelete, keys, txn, sourceIsPinned)(resolve)
+    else mergeOpFiles(OpDelete, keys, cols, txn, sourceIsPinned)(resolve)
   }
 
   /** Partition-level DELETE: drop every file whose partition values

@@ -478,6 +478,54 @@ class TxTableSpec extends SparkSpec {
       "insert" -> 1L), s"got $types")
   }
 
+  test("non-bucketed merge: deleteKeys, auto-rebase, and schema widening") {
+    import spark.implicits._
+    // deleteKeys on a flat table routes through the file-granular core
+    val (t, _) = freshTable("tx_flat_delkeys")
+    t.overwrite(df(0 until 100).repartitionByRange(4, col("id")))
+    t.deleteKeys(Seq(7L, 13L, 2000L).toDF("id"), keyCols = Seq("id"))
+    assert(t.read().count() == 98)
+    assert(t.read().where(col("id").isin(7L, 13L)).count() == 0)
+    intercept[IllegalArgumentException] {
+      t.deleteKeys(Seq(1L).toDF("id")) // no keyCols on a flat table
+    }
+
+    // auto-rebase: a racing commit into DIFFERENT key ranges is
+    // harmless (merge recomposes); one into the SAME candidate range
+    // conflicts loudly
+    val (t2, dir2) = freshTable("tx_flat_rebase")
+    t2.overwrite(df(0 until 1000).repartitionByRange(8, col("id")))
+    val other = TxTable(spark, dir2)
+    // interleave: our merge plans against v0, the racer commits new
+    // high-range rows first; candidate pruning (source keys 0..9)
+    // proves the added file can't match → auto-rebase keeps BOTH
+    var raced = false
+    val v = t2.merge(Seq((7L, "UP", -1.0)).toDF("id", "name", "score"),
+        sourceIsPinned = true, keys = Seq("id")) { (existing, src) =>
+      if (!raced) { raced = true; other.append(df(5000 until 5100)) }
+      existing.join(src.select("id").distinct(), Seq("id"), "left_anti")
+        .unionByName(src)
+    }
+    assert(v == 2, "merge must auto-rebase over the racing append")
+    assert(t2.read().count() == 1100)
+    assert(t2.read().where(col("id") === 7L).select("name").head
+      .getString(0) == "UP")
+
+    // schemaAutoMerge: a widened source through the file-granular
+    // merge widens the table; untouched files null-backfill
+    val (t3, dir3) = freshTable("tx_flat_automerge")
+    t3.overwrite(df(0 until 100).repartitionByRange(4, col("id")))
+    t3.setProperties(Map(TxTable.PropSchemaAutoMerge -> "true"))
+    val t3b = TxTable(spark, dir3)
+    t3b.upsert(Seq((7L, "UP", -1.0, "extra"))
+      .toDF("id", "name", "score", "tag"), keys = Seq("id"))
+    val r = t3b.read()
+    assert(r.schema.fieldNames.contains("tag"))
+    assert(r.where(col("id") === 7L).select("tag").head.getString(0) == "extra")
+    assert(r.where(col("id") === 8L).select("tag").head.isNullAt(0) ||
+      r.where(col("id") === 8L).select("tag").head.getString(0) == null)
+  }
+
   test("deleteKeys is copy-on-write; deletePartitions is metadata-only") {
     import spark.implicits._
     val (t, dir) = freshTable("tx_delete")
