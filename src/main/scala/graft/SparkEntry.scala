@@ -1239,6 +1239,12 @@ object SparkEntry {
     // → near-dup cluster dedup), gated end-to-end
     "p1_clean_corpus"    -> ((s, d) =>
       graft.steps.CleanCorpus.run(Tables.documents(s, d))),
+    // p2: the PRETRAINING pipeline composition — span dedup → LM
+    // perplexity filter → split assignment → BPE-budget packing, one
+    // dataflow; the oracle replays the full chain (c17 cover + t15
+    // LM + t12 hash split + t8 window over replayed BPE counts)
+    "p2_pretrain_pipeline" -> ((s, d) =>
+      graft.steps.PretrainCorpus.run(Tables.documents(s, d), bpeModel(s, d))),
     // stream-static join: stream enriched against a batch-computed
     // high-value-user dim (stateless per-microbatch hash join),
     // drained to parquet and rolled up — equals the batch semi-join
@@ -2389,6 +2395,101 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 1000 WHEN 'src1' THEN 500
         |    WHEN 'src2' THEN 250 WHEN 'src3' THEN 100 ELSE 1000 END
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // p2's oracle: the four stage replays composed in one statement —
+    // span-dedup cover (c17), bigram-LM scoring over the CLEANED
+    // corpus (t15), the congruential hash split (t12), and the pack
+    // window over BPE counts from the shared merges replay (t8/t14)
+    "p2_pretrain_pipeline" ->
+      s"""WITH RECURSIVE
+        |$bpeReplayCtes,
+        |p2toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |p2occ0 AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) - 19 + 1)) AS i
+        |  FROM p2toks WHERE len(t) >= 20),
+        |p2occ AS (
+        |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+19], ' ') AS s
+        |  FROM p2occ0),
+        |p2dup AS (
+        |  SELECT s, min((doc_id, pos)) AS canon
+        |  FROM p2occ GROUP BY s HAVING count(*) > 1),
+        |p2spans AS (
+        |  SELECT o.doc_id, list(o.pos) AS sp
+        |  FROM p2occ o JOIN p2dup d USING (s)
+        |  WHERE (o.doc_id, o.pos) <> d.canon GROUP BY o.doc_id),
+        |p2idx AS (
+        |  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM p2toks),
+        |p2kept AS (
+        |  SELECT x.doc_id, x.t[x.i] AS tok, x.i
+        |  FROM p2idx x LEFT JOIN p2spans sp ON sp.doc_id = x.doc_id
+        |  WHERE sp.sp IS NULL
+        |     OR len(list_filter(sp.sp,
+        |          p -> x.i - 1 >= p AND x.i - 1 < p + 20)) = 0),
+        |p2clean AS (
+        |  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.i) AS text
+        |  FROM p2kept k GROUP BY k.doc_id),
+        |p2docs AS (
+        |  SELECT c.doc_id, c.text, d.lang
+        |  FROM p2clean c JOIN documents d USING (doc_id)),
+        |p2ct AS (SELECT doc_id, string_split(text, ' ') AS t FROM p2docs),
+        |p2ref AS (SELECT * FROM p2ct WHERE doc_id % 7 = 0),
+        |p2runi AS (
+        |  SELECT w1, count(*) AS c1
+        |  FROM (SELECT unnest(t) AS w1 FROM p2ref) GROUP BY 1),
+        |p2rbi AS (
+        |  SELECT w1, w2, count(*) AS c2
+        |  FROM (SELECT t[i] AS w1, t[i+1] AS w2
+        |        FROM p2ref, unnest(range(1, len(t))) AS g(i)) GROUP BY 1, 2),
+        |p2v AS (SELECT count(*) + 1 AS v FROM p2runi),
+        |p2dp AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM p2ct, unnest(range(1, len(t))) AS g(i)),
+        |p2sc AS (
+        |  SELECT p2dp.doc_id,
+        |    round(ln((coalesce(b.c2, 0) + 0.1) /
+        |             (coalesce(u.c1, 0) + 0.1 * p2v.v)), 6) AS lp
+        |  FROM p2dp
+        |  LEFT JOIN p2rbi b ON b.w1 = p2dp.w1 AND b.w2 = p2dp.w2
+        |  LEFT JOIN p2runi u ON u.w1 = p2dp.w1
+        |  CROSS JOIN p2v),
+        |p2nll AS (
+        |  SELECT doc_id,
+        |    CAST(round(-sum(CAST(lp AS DECIMAL(18,6))) / count(*), 6)
+        |      AS DOUBLE) AS avg_nll
+        |  FROM p2sc GROUP BY 1),
+        |p2keep AS (
+        |  SELECT c.doc_id, c.lang, c.text
+        |  FROM p2docs c JOIN p2nll n USING (doc_id)
+        |  WHERE n.avg_nll <= 3.8),
+        |p2dw AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM p2keep),
+        |p2cnt AS (
+        |  SELECT p2dw.doc_id, CAST(sum(len(f.pl)) AS BIGINT) AS n_tokens
+        |  FROM p2dw JOIN bpe_final f USING (word) GROUP BY 1),
+        |p2sb AS (
+        |  SELECT k.doc_id, k.lang,
+        |    CASE WHEN (k.doc_id * 2654435761 + 12345) % 1000 < 800
+        |           THEN 'train'
+        |         WHEN (k.doc_id * 2654435761 + 12345) % 1000 < 900
+        |           THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(floor(k.doc_id / 1000.0) AS BIGINT) AS band,
+        |    c.n_tokens
+        |  FROM p2keep k JOIN p2cnt c USING (doc_id)),
+        |p2p AS (
+        |  SELECT split, lang, band, n_tokens,
+        |    CAST(floor(coalesce(sum(n_tokens) OVER (
+        |      PARTITION BY split, lang, band ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      / 2048.0) AS BIGINT) AS chunk
+        |  FROM p2sb),
+        |p2c AS (
+        |  SELECT split, lang, band, chunk, count(*) AS dc,
+        |    CAST(sum(n_tokens) AS BIGINT) AS ct
+        |  FROM p2p GROUP BY 1, 2, 3, 4)
+        |SELECT split, lang, count(*) AS n_chunks,
+        |  CAST(sum(dc) AS BIGINT) AS n_docs,
+        |  CAST(sum(ct) AS BIGINT) AS n_tokens
+        |FROM p2c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "p1_clean_corpus" ->
       s"""WITH RECURSIVE
         |t AS (SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents),
