@@ -978,6 +978,19 @@ object SparkEntry {
       // at every fixture scale without emptying the smallest
       graft.steps.GraphOps.kCorePeel(e, k = 10, rounds = 6)
     }),
+    // g5: bounded-iteration PageRank in exact integer micro-units —
+    // the second iterative-graph shape (mass propagation vs g4's
+    // peel), zero float order-sensitivity, oracle = the identical
+    // arithmetic unrolled per iteration
+    "g5_pagerank"        -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+      graft.steps.GraphOps.pageRank(e, iters = 5)
+    }),
     // JSONL interchange (the LLM-data lingua franca): documents out
     // through the gzip JSONL sink, back through the schema'd reader,
     // aggregated — text with newlines/quotes must survive the JSON
@@ -1497,10 +1510,39 @@ object SparkEntry {
       "GROUP BY 1 ORDER BY 1"
   }
 
+  /** g5's oracle: the integer-micro PageRank unrolled per iteration —
+    * `//` is DuckDB's integer division, matching Spark's `div`
+    * exactly on the positive 64-bit values the spec bounds. */
+  private def pagerankOracle(iters: Int): String = {
+    val base =
+      """e0 AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |    UNION ALL
+        |    SELECT 's' || l_suppkey, 'c' || o_custkey
+        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)),
+        |deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY 1),
+        |pr0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM deg)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT e.dst AS node,
+         |    CAST(150000 + (850000 * sum(p.pr // d.outdeg)) // 1000000
+         |      AS BIGINT) AS pr
+         |  FROM e0 e
+         |  JOIN pr${i - 1} p ON p.node = e.src
+         |  JOIN deg d ON d.src = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }
+    (Seq("WITH " + base) ++ steps).mkString(",\n") +
+      s"\nSELECT node AS node_id, pr AS pr_micro FROM pr$iters ORDER BY 1"
+  }
+
   /** DuckDB-equivalent ANSI SQL per query (same column names/types).
     * Omitted for approximate/non-SQL-expressible ops → driver records
     * a weaker rows-only check (q18). */
   def oracleSql: Map[String, String] = Map(
+    "g5_pagerank" -> pagerankOracle(5),
     "g4_kcore" -> kcoreOracle(10, 6),
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

@@ -116,6 +116,50 @@ object GraphOps {
       .orderBy("node_id")
     out
   }
+
+  /** G5 — bounded-iteration PageRank over the symmetric edge closure
+    * in EXACT integer micro-units: ranks live in millionths
+    * (pr₀ = 1 000 000 per node), each step is
+    * pr' = 150 000 + (850 000 · Σ_in ⌊pr/outdeg⌋) div 1 000 000 —
+    * every operation is 64-bit integer division/multiplication, so
+    * the result is a pure function of the graph with NO float
+    * summation-order sensitivity (the k-core discipline), and the
+    * DuckDB oracle unrolls the identical arithmetic. Each iteration
+    * is one join + one aggregation on the edge key — the classic
+    * iterative-graph shuffle shape; `localCheckpoint` per round keeps
+    * the plan flat (the [[graft.ops.Dedup.dupClusters]] discipline).
+    * Symmetric closure ⇒ no dangling nodes and every node receives
+    * mass; 64-bit headroom holds to ~10¹¹-node graphs
+    * (850 000 · n · 10⁶ < 2⁶³). */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be positive")
+    val e = edges.select(col("src"), col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    val withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .localCheckpoint(true)
+    var pr = e.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(150000L) + expr("(850000 * s) div 1000000")).as("pr"))
+        .localCheckpoint(true)
+      pr.unpersist()
+      pr = next
+    }
+    val out = pr.select(col("node").as("node_id"),
+      col("pr").as("pr_micro")).orderBy("node_id")
+    e.unpersist(); withDeg.unpersist()
+    out
+  }
 }
 
 /** Bucket-aligned graph pipeline — the shuffle-free-join story for

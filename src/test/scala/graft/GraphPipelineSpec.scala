@@ -90,4 +90,26 @@ class GraphPipelineSpec extends SparkSpec {
     // k above the max degree empties the graph
     assert(graft.steps.GraphOps.kCorePeel(edges, k = 10, rounds = 2).isEmpty)
   }
+
+  test("pageRank: exact integer micro-units match the hand computation") {
+    import spark.implicits._
+    // star a-{b,c}: closure outdeg a=2, b=1, c=1; pr0 = 1e6 each
+    // iter1: a ← b+c = 2e6 → 150000 + 850000*2e6 div 1e6 = 1850000
+    //        b,c ← a/2 = 500000 → 150000 + 425000 = 575000
+    // iter2: a ← 575000+575000 → 150000 + 977500 = 1127500
+    //        b,c ← 1850000 div 2 = 925000 → 150000 + 786250 = 936250
+    val edges = Seq(("a", "b"), ("a", "c")).toDF("src", "dst")
+    val r1 = graft.steps.GraphOps.pageRank(edges, iters = 1)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r1 == Map("a" -> 1850000L, "b" -> 575000L, "c" -> 575000L),
+      s"got $r1")
+    val r2 = graft.steps.GraphOps.pageRank(edges, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == Map("a" -> 1127500L, "b" -> 936250L, "c" -> 936250L),
+      s"got $r2")
+    // determinism: identical rerun, bit-for-bit
+    val r2b = graft.steps.GraphOps.pageRank(edges, iters = 2)
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(r2 == r2b)
+  }
 }
