@@ -391,19 +391,22 @@ object Similarity {
     * centroids + the same assignment ordering (cosine desc, id asc)
     * + a recursive-CTE component replay. */
   def semDedup(emb: DataFrame, centroids: DataFrame,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxCluster: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq)): DataFrame = {
     val idx = centroidIndex(centroids)
     val assigned = assignCentroids(emb, idx)
-      .withColumn("nrm", l2Norm(col("embedding")))
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("doc_a"),
-      col("embedding").as("ea"), col("nrm").as("na"))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("doc_b"),
-      col("embedding").as("eb"), col("nrm").as("nb"))
-    val pairs = a.join(b, Seq("centroid_id"))
-      .where(col("doc_a") < col("doc_b"))
-      .where(round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6)
-        >= threshold)
-      .select(col("doc_a"), col("doc_b"))
+    // candidate pairs through the df-capped bucket machinery (the
+    // c2/c8 discipline): a pathological mega-cluster — the spam case
+    // where one centroid absorbs a constant fraction of the corpus —
+    // is dropped with an OBSERVED count instead of silently going
+    // quadratic; verification is the shared exact-cosine tail
+    val cand = graft.ops.Dedup.cappedBucketPairs(
+      assigned.groupBy("centroid_id")
+        .agg(collect_list(col("vec_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      maxCluster, "graft_c19_hot_clusters", "vec_a", "vec_b")
+    val pairs = verifyCosinePairs(emb, cand, threshold)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     graft.ops.Dedup.dupClusters(pairs)
       .select(col("doc_id").as("vec_id"), col("cluster_id").as("dup_root"))
       .join(assigned.select(col("vec_id"), col("centroid_id")), "vec_id")

@@ -54,6 +54,16 @@ object Stress {
       // maximal — growth should track duplicated MASS (≈ linear in f),
       // never pairs² (the min-agg canonical rule has no posting lists)
       time(s"c17_spans x$f", Dedup.dedupSpans(c))
+      // wide-SRP + SemDeDup under mass duplication: replica cliques
+      // are exactly the worst case the cap bounds — growth should
+      // track clique OUTPUT (∝ f² per base pair, the result itself),
+      // never uncapped corpus²
+      time(s"c18_srp_wide x$f",
+        graft.ops.Similarity.srpNearDupPairsWide(e))
+      time(s"c19_semdedup x$f", graft.ops.Similarity.semDedup(e,
+        e.where(col("vec_id") % 40 === 0)
+          .select(col("vec_id").as("centroid_id"),
+            col("embedding").as("cv"))))
       // persisted-signature-index path (c12): index the corpus, probe
       // a 10% "daily batch" — probe cost must track batch size, so
       // its growth across factors should stay well below the builds'
