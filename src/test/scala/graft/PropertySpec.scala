@@ -66,6 +66,34 @@ class PropertySpec extends AnyFunSuite {
       backoff(p, lo) <= backoff(p, hi) && backoff(p, hi) <= p.maxWaitSeconds
     })
   }
+
+  private val bpeCorpusGen: Gen[List[String]] = Gen.nonEmptyListOf(for {
+    n <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString).map(_.take(30))
+
+  test("BPE: pieces always concatenate back to word + end marker") {
+    check(Prop.forAll(bpeCorpusGen, Gen.choose(0, 40)) { (words, nMerges) =>
+      val wf = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+      val m = graft.functions.BpeModel.train(wf, nMerges)
+      words.distinct.forall { w =>
+        val p = m.encodeWord(w)
+        p.nonEmpty && p.forall(_.nonEmpty) &&
+          p.mkString("") == w + graft.functions.BpeModel.EndMark
+      }
+    })
+  }
+
+  test("BPE: training is invariant under word-frequency input order") {
+    check(Prop.forAll(bpeCorpusGen, Gen.choose(1, 30)) { (words, nMerges) =>
+      val wf = words.groupBy(identity).view
+        .mapValues(_.size.toLong).toSeq
+      val a = graft.functions.BpeModel.train(wf, nMerges).merges.toSeq
+      val b = graft.functions.BpeModel.train(wf.reverse, nMerges).merges.toSeq
+      a == b
+    })
+  }
 }
 
 /** Randomized as-of join equivalence: the window-carry implementation
@@ -95,5 +123,27 @@ class AsOfJoinRandomSpec extends SparkSpec {
       .toMap
     assert(got.size == left.size)
     assert(got == expected)
+  }
+
+  test("pageRank hand-model == DataFrame op on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map(_ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}"))
+      .filter(e => e._1 != e._2).distinct
+    // driver-side reference of the identical integer-micro spec
+    val closed = (edges ++ edges.map(_.swap)).distinct
+    val outdeg = closed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var pr = closed.map(_._1).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val in = closed.groupBy(_._2).view.mapValues(
+        _.map { case (u, _) => pr(u) / outdeg(u) }.sum).toMap
+      pr = pr.keys.map(v =>
+        v -> (150000L + (850000L * in.getOrElse(v, 0L)) / 1000000L)).toMap
+    }
+    val got = graft.steps.GraphOps.pageRank(
+      edges.toSeq.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == pr, s"mismatch: ${got.toSeq.sorted} vs ${pr.toSeq.sorted}")
   }
 }
