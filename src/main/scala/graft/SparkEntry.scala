@@ -991,6 +991,18 @@ object SparkEntry {
           concat(lit("s"), col("l_suppkey")).as("dst"))
       graft.steps.GraphOps.pageRank(e, iters = 5)
     }),
+    // g6: co-occurrence projection + triangle census — the supplier
+    // co-purchase graph (two suppliers adjacent iff they share a
+    // customer, hot-customer df-capped) and its exactly-once-ordered
+    // triangle count; pure integer arithmetic, identical SQL twin
+    "g6_triangles"       -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val inc = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
+        .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("left"), col("l_suppkey").as("right"))
+      graft.steps.GraphOps.triangleCensus(inc)
+    }),
     // JSONL interchange (the LLM-data lingua franca): documents out
     // through the gzip JSONL sink, back through the schema'd reader,
     // aggregated — text with newlines/quotes must survive the JSON
@@ -1543,6 +1555,26 @@ object SparkEntry {
     * a weaker rows-only check (q18). */
   def oracleSql: Map[String, String] = Map(
     "g5_pagerank" -> pagerankOracle(5),
+    // g6's oracle: the identical projection + ordered triangle join
+    "g6_triangles" ->
+      """WITH inc AS (
+        |  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |keep AS (SELECT l FROM inc GROUP BY l HAVING count(*) <= 10000),
+        |pr AS (SELECT inc.l, inc.r FROM inc JOIN keep USING (l)),
+        |co AS (
+        |  SELECT DISTINCT x.r AS a, y.r AS b
+        |  FROM pr x JOIN pr y ON x.l = y.l AND x.r < y.r),
+        |tri AS (
+        |  SELECT 1 AS one
+        |  FROM co ab
+        |  JOIN co bc ON ab.b = bc.a
+        |  JOIN co ac ON ac.a = ab.a AND ac.b = bc.b)
+        |SELECT
+        |  (SELECT count(*) FROM
+        |    (SELECT a FROM co UNION SELECT b FROM co)) AS n_nodes,
+        |  (SELECT count(*) FROM co) AS n_edges,
+        |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin,
     "g4_kcore" -> kcoreOracle(10, 6),
     "q01_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity

@@ -160,6 +160,50 @@ object GraphOps {
     e.unpersist(); withDeg.unpersist()
     out
   }
+
+  /** G6 — bipartite co-occurrence projection + triangle census: from
+    * (left, right) incidence edges, build the RIGHT-side co-occurrence
+    * graph (two right nodes adjacent iff they share a left neighbor —
+    * the co-purchase/co-citation projection every graph pipeline
+    * derives from transactional data), then count its triangles with
+    * the canonical ordered two-join (a < b < c — each triangle
+    * counted exactly once, O(m^1.5)-shaped work). `maxLeftDegree`
+    * df-caps hot left nodes before the pair blow-up (a celebrity
+    * customer touching every supplier would alone emit |right|²
+    * pairs — the c2 posting-cap discipline; dropped rows observable
+    * via the returned metric discipline of [[graft.ops.Dedup]]).
+    * Exact integer arithmetic throughout — the oracle is the
+    * identical relational spelling. */
+  def triangleCensus(incidence: DataFrame,
+      maxLeftDegree: Int = 10000): DataFrame = {
+    val inc = incidence.select(col("left"), col("right")).distinct()
+    val keep = inc.groupBy("left").agg(count(lit(1)).as("d"))
+      .where(col("d") <= maxLeftDegree).select("left")
+    val pruned = inc.join(keep, Seq("left"), "left_semi")
+    val co = pruned.alias("x")
+      .join(pruned.alias("y"), Seq("left"))
+      .where(col("x.right") < col("y.right"))
+      .select(col("x.right").as("a"), col("y.right").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val tri = co.alias("ab")
+      .join(co.alias("bc"), col("ab.b") === col("bc.a"))
+      .select(col("ab.a").as("ta"), col("ab.b").as("tb"),
+        col("bc.b").as("tc"))
+      .join(co.alias("ac"),
+        col("ta") === col("ac.a") && col("tc") === col("ac.b"), "left_semi")
+    // one row (nodes, edges, triangles) via a tagged union + ONE
+    // aggregation — no constant-side nested-loop joins in the plan
+    val nodes = co.select(col("a").as("n"))
+      .unionAll(co.select(col("b").as("n"))).distinct()
+    nodes.select(lit("n").as("k"))
+      .unionAll(co.select(lit("e").as("k")))
+      .unionAll(tri.select(lit("t").as("k")))
+      .agg(
+        sum(when(col("k") === "n", 1L).otherwise(0L)).as("n_nodes"),
+        sum(when(col("k") === "e", 1L).otherwise(0L)).as("n_edges"),
+        sum(when(col("k") === "t", 1L).otherwise(0L)).as("n_triangles"))
+  }
 }
 
 /** Bucket-aligned graph pipeline — the shuffle-free-join story for

@@ -112,4 +112,25 @@ class GraphPipelineSpec extends SparkSpec {
       .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
     assert(r2 == r2b)
   }
+
+  test("triangleCensus: sparse hand graph, hot-left df-cap") {
+    import spark.implicits._
+    // co-edges: AB (l1), BC (l2), AC (l3), CD (l4) → one triangle ABC
+    val inc = Seq(("l1", "A"), ("l1", "B"), ("l2", "B"), ("l2", "C"),
+      ("l3", "A"), ("l3", "C"), ("l4", "C"), ("l4", "D"))
+      .toDF("left", "right")
+    val r = graft.steps.GraphOps.triangleCensus(inc).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 4L, 1L)),
+      s"got $r")
+    // a celebrity left node touching everything would manufacture a
+    // clique; the df-cap drops it and the census is unchanged
+    val celeb = inc.unionAll(
+      Seq("A", "B", "C", "D", "E").map(("l5", _)).toDF("left", "right"))
+    val capped = graft.steps.GraphOps.triangleCensus(celeb,
+      maxLeftDegree = 3).head
+    assert((capped.getLong(0), capped.getLong(1), capped.getLong(2)) ==
+      ((4L, 4L, 1L)), s"got $capped")
+    val uncapped = graft.steps.GraphOps.triangleCensus(celeb).head
+    assert(uncapped.getLong(2) > 1L, "uncapped celebrity forms a clique")
+  }
 }
