@@ -1555,16 +1555,20 @@ object SparkEntry {
     * a weaker rows-only check (q18). */
   def oracleSql: Map[String, String] = Map(
     "g5_pagerank" -> pagerankOracle(5),
-    // g6's oracle: the identical projection + ordered triangle join
+    // g6's oracle: the identical weighted projection + ordered
+    // triangle join (share ≥ 8/10 of the max share)
     "g6_triangles" ->
       """WITH inc AS (
         |  SELECT DISTINCT o_custkey AS l, l_suppkey AS r
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |keep AS (SELECT l FROM inc GROUP BY l HAVING count(*) <= 10000),
         |pr AS (SELECT inc.l, inc.r FROM inc JOIN keep USING (l)),
-        |co AS (
-        |  SELECT DISTINCT x.r AS a, y.r AS b
-        |  FROM pr x JOIN pr y ON x.l = y.l AND x.r < y.r),
+        |co0 AS (
+        |  SELECT x.r AS a, y.r AS b, count(*) AS c
+        |  FROM pr x JOIN pr y ON x.l = y.l AND x.r < y.r
+        |  GROUP BY 1, 2),
+        |mx AS (SELECT max(c) AS m FROM co0),
+        |co AS (SELECT a, b FROM co0, mx WHERE c * 10 >= 8 * mx.m),
         |tri AS (
         |  SELECT 1 AS one
         |  FROM co ab

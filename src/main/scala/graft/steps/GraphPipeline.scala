@@ -175,17 +175,31 @@ object GraphOps {
     * Exact integer arithmetic throughout — the oracle is the
     * identical relational spelling. */
   def triangleCensus(incidence: DataFrame,
-      maxLeftDegree: Int = 10000): DataFrame = {
+      maxLeftDegree: Int = 10000, minShareTenths: Int = 8): DataFrame = {
     val inc = incidence.select(col("left"), col("right")).distinct()
     val keep = inc.groupBy("left").agg(count(lit(1)).as("d"))
       .where(col("d") <= maxLeftDegree).select("left")
     val pruned = inc.join(keep, Seq("left"), "left_semi")
-    val co = pruned.alias("x")
+    // WEIGHTED projection (the co-occurrence-analysis norm): keep a
+    // pair iff its shared-neighbor count reaches minShareTenths/10 of
+    // the maximum share — an sf-independent sparsifier in exact
+    // integer arithmetic (an UNweighted projection of transactional
+    // data degenerates toward a complete graph, whose triangle join
+    // is n³ no matter the algorithm). The max is one model-sized
+    // driver scalar (the c10 discipline).
+    val co0 = pruned.alias("x")
       .join(pruned.alias("y"), Seq("left"))
       .where(col("x.right") < col("y.right"))
-      .select(col("x.right").as("a"), col("y.right").as("b"))
-      .distinct()
+      .groupBy(col("x.right").as("a"), col("y.right").as("b"))
+      .agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
+    val maxShare = Option(co0.agg(max(col("c"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val co = co0
+      .where(col("c") * 10 >= lit(minShareTenths) * lit(maxShare))
+      .select("a", "b")
+      .localCheckpoint(true)
+    co0.unpersist()
     val tri = co.alias("ab")
       .join(co.alias("bc"), col("ab.b") === col("bc.a"))
       .select(col("ab.a").as("ta"), col("ab.b").as("tb"),

@@ -130,7 +130,14 @@ class GraphPipelineSpec extends SparkSpec {
       maxLeftDegree = 3).head
     assert((capped.getLong(0), capped.getLong(1), capped.getLong(2)) ==
       ((4L, 4L, 1L)), s"got $capped")
-    val uncapped = graft.steps.GraphOps.triangleCensus(celeb).head
-    assert(uncapped.getLong(2) > 1L, "uncapped celebrity forms a clique")
+    // without the cap, the weighted projection still filters the
+    // celebrity-only pairs (share 1 < 8/10 of max share 2); dropping
+    // the share threshold too lets the planted clique through
+    val weighted = graft.steps.GraphOps.triangleCensus(celeb).head
+    assert(weighted.getLong(2) == 1L, s"share threshold holds: $weighted")
+    val loose = graft.steps.GraphOps.triangleCensus(celeb,
+      minShareTenths = 1).head
+    assert(loose.getLong(2) > 1L,
+      s"uncapped + unthresholded celebrity forms a clique: $loose")
   }
 }
