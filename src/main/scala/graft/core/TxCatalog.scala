@@ -22,9 +22,12 @@ import org.apache.spark.sql.SparkSession
   * scratch dir) is stale and silently re-points — names never wedge
   * on vanished data.
   *
-  * Writes are atomic (tmp + rename, the commit-log discipline) so
-  * concurrent sessions never read a torn registry; lookups cache on
-  * the file's modification time, so steady-state resolution costs
+  * Reads are atomic (tmp + rename publish — never a torn registry)
+  * and mutations are serialized through an exclusive lock file
+  * (put-if-absent create, the commit-log discipline) with a fresh
+  * read-merge inside the critical section, so two sessions
+  * registering different names both land. Lookups cache on the
+  * file's modification time, so steady-state resolution costs
   * zero IO. */
 final class TxCatalog private (spark: SparkSession) {
 
@@ -83,19 +86,18 @@ final class TxCatalog private (spark: SparkSession) {
   def lookup(name: String): Option[String] = entry(name).map(_.location)
 
   def register(name: String, location: String, managed: Boolean = false,
-      ifNotExists: Boolean = false): Unit = {
+      ifNotExists: Boolean = false): Unit = mutate { cur =>
     val key = norm(name)
-    val cur = tables
     cur.get(key) match {
-      case Some(e) if e.location == location => () // idempotent re-register
-      case Some(_) if ifNotExists            => ()
+      case Some(e) if e.location == location => None // idempotent re-register
+      case Some(_) if ifNotExists            => None
       case Some(e) if !TxTable.isTable(spark, e.location) =>
         // stale: the registered location no longer holds a txtable
-        write(cur + (key -> Entry(location, managed)))
+        Some(cur + (key -> Entry(location, managed)))
       case Some(e) =>
         sys.error(s"table $name is already registered at ${e.location} — " +
           "DROP TABLE it first to re-point the name")
-      case None => write(cur + (key -> Entry(location, managed)))
+      case None => Some(cur + (key -> Entry(location, managed)))
     }
   }
 
@@ -103,12 +105,15 @@ final class TxCatalog private (spark: SparkSession) {
     * (SQL-managed semantics), an external table's data stays. Returns
     * whether the name existed. */
   def drop(name: String): Boolean = {
-    val key = norm(name)
-    val cur = tables
-    cur.get(key) match {
+    var dropped: Option[Entry] = None
+    mutate { cur =>
+      val key = norm(name)
+      dropped = cur.get(key)
+      dropped.map(_ => cur - key)
+    }
+    dropped match {
       case None => false
       case Some(e) =>
-        write(cur - key)
         if (e.managed) {
           val p = new Path(e.location)
           try { p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -116,6 +121,46 @@ final class TxCatalog private (spark: SparkSession) {
           catch { case scala.util.control.NonFatal(_) => () }
         }
         true
+    }
+  }
+
+  /** Run one atomic read-modify-write of the registry. The transform
+    * sees the CURRENT on-disk map (cache bypassed) and returns the new
+    * map, or None for a no-op. Mutations are serialized by an exclusive
+    * lock file (`fs.create(…, overwrite=false)` is atomic — the commit
+    * log's put-if-absent discipline) so two sessions registering
+    * DIFFERENT names both land; a plain last-write-wins publish would
+    * silently drop one. In-JVM threads additionally serialize on the
+    * per-warehouse singleton. A lock older than 60 s is presumed
+    * abandoned (crashed session) and broken. */
+  private def mutate(f: Map[String, Entry] => Option[Map[String, Entry]])
+      : Unit = this.synchronized {
+    val dir = fileP.getParent
+    if (!fs.exists(dir)) fs.mkdirs(dir)
+    val lock = new Path(dir, "_graft_catalog.lock")
+    var acquired = false
+    var attempts = 0
+    while (!acquired) {
+      try { fs.create(lock, false).close(); acquired = true }
+      catch {
+        case _: java.io.IOException =>
+          attempts += 1
+          try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime > 60000L)
+              fs.delete(lock, false)
+          } catch { case scala.util.control.NonFatal(_) => () }
+          if (attempts > 3000)
+            sys.error(s"could not acquire catalog lock $lock")
+          Thread.sleep(10)
+      }
+    }
+    try {
+      cache = (-1L, Map.empty) // force a fresh read under the lock
+      f(tables).foreach(write)
+    } finally {
+      try { fs.delete(lock, false); () }
+      catch { case scala.util.control.NonFatal(_) => () }
     }
   }
 
@@ -134,8 +179,9 @@ final class TxCatalog private (spark: SparkSession) {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (!fs.rename(tmp, fileP)) {
-      // a racing writer published first: replace (last write wins —
-      // the name-level require above already screened conflicts)
+      // dest exists (rename won't clobber); we hold the mutation lock,
+      // so this is the PREVIOUS registry version, not a racing writer —
+      // safe to replace
       fs.delete(fileP, false)
       if (!fs.rename(tmp, fileP)) {
         fs.delete(tmp, false)

