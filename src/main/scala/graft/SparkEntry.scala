@@ -793,6 +793,38 @@ object SparkEntry {
         "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) " +
         "AS sum_price FROM graft_named_orders GROUP BY 1 ORDER BY 1")
     }),
+    // x20: the DataSource-V2 catalog (spark.sql.catalog.graft) — two
+    // co-bucketed txtables addressed BY CATALOG NAME join as a
+    // storage-partitioned join: the scan reports the __bucket layout
+    // as KeyGroupedPartitioning, so the fact-fact join plans with
+    // ZERO shuffle on either side (asserted by GraftCatalogSpec; the
+    // 100 TB posture for the dominant fact-fact shuffle). Gated on
+    // the relational answer
+    "x20_tx_v2_catalog" -> ((s, d) => {
+      cachedAsset(s, s"tx_v2cat|$d") {
+        val dirO = graft.streaming.EventsStream.scratchDir("graft_v2_o") + "/t"
+        val dirL = graft.streaming.EventsStream.scratchDir("graft_v2_l") + "/t"
+        graft.core.TxTable(s, dirO).overwriteBucketed(
+          Tables.orders(s, d)
+            .select("o_orderkey", "o_orderpriority", "o_totalprice"),
+          bucketCols = Seq("o_orderkey"), nBuckets = 16)
+        graft.core.TxTable(s, dirL).overwriteBucketed(
+          Tables.lineitem(s, d).select("l_orderkey", "l_quantity"),
+          bucketCols = Seq("l_orderkey"), nBuckets = 16)
+        s.sql("DROP TABLE IF EXISTS graft_v2_orders")
+        s.sql("DROP TABLE IF EXISTS graft_v2_lines")
+        s.sql(s"CREATE TABLE graft_v2_orders USING txtable LOCATION '$dirO'")
+        s.sql(s"CREATE TABLE graft_v2_lines USING txtable LOCATION '$dirL'")
+        ()
+      }
+      s.sql("""SELECT o.o_orderpriority, count(*) AS n_lines,
+              |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2)
+              |    AS DOUBLE) AS sum_qty
+              |FROM graft.default.graft_v2_orders o
+              |JOIN graft.default.graft_v2_lines l
+              |  ON o.o_orderkey = l.l_orderkey
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -2020,6 +2052,14 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x20's oracle: the plain relational join — the V2 catalog and
+    // its storage-partitioned plan must not change the answer
+    "x20_tx_v2_catalog" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

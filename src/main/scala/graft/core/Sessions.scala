@@ -44,6 +44,15 @@ object Sessions {
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // Custom codegen kernels as SQL functions (graft_cosine, ...).
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // The DataSource-V2 catalog over txtables: SHOW TABLES /
+      // DESCRIBE enumeration plus storage-partitioned joins — the
+      // scan reports the bucketed layout as KeyGroupedPartitioning,
+      // and the two v2.bucketing flags let the planner join two
+      // co-bucketed txtables with ZERO shuffle (pushPartValues aligns
+      // bucket sets when one side is missing buckets).
+      .config("spark.sql.catalog.graft", "graft.sources.GraftCatalog")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
 
   /** Local session sized from env (driver runs local[32]). */
   def local(): SparkSession = {

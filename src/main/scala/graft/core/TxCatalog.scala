@@ -124,6 +124,24 @@ final class TxCatalog private (spark: SparkSession) {
     }
   }
 
+  /** Re-point `oldName`'s registration to `newName` (same location,
+    * same managed flag — the data does not move). False if `oldName`
+    * is not registered; refuses to clobber an existing `newName`. */
+  def rename(oldName: String, newName: String): Boolean = {
+    var ok = false
+    mutate { cur =>
+      cur.get(norm(oldName)) match {
+        case None => None
+        case Some(e) =>
+          require(!cur.contains(norm(newName)),
+            s"$newName is already registered — DROP TABLE it first")
+          ok = true
+          Some(cur - norm(oldName) + (norm(newName) -> e))
+      }
+    }
+    ok
+  }
+
   /** Run one atomic read-modify-write of the registry. The transform
     * sees the CURRENT on-disk map (cache bypassed) and returns the new
     * map, or None for a no-op. Mutations are serialized by an exclusive

@@ -805,6 +805,52 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       }.flatten.toMap)
   }
 
+  /** Planning payload for the DataSource-V2 catalog read path
+    * ([[graft.sources.GraftCatalog]]): the snapshot's visible schema,
+    * per-file statuses (manifest-recorded — zero directory listing),
+    * the bucket layout, and the zone-map file filter — the same
+    * ingredients [[scanRelation]] splices into the V1 seam, shaped
+    * for a V2 `Batch`. Refuses DV-bearing and column-mapped
+    * snapshots: their live rows are not a bare parquet file list
+    * (scan-minus-DV / physical renames) — those read through the
+    * txtable format and SQL seam, which handle them. */
+  private[graft] def v2ScanInfo(v: Long): TxTable.V2ScanInfo = {
+    require(!snapshotHasDv(v),
+      s"$root@v$v carries deletion vectors — the graft catalog serves " +
+        "bare parquet snapshots only; REORG TABLE ... APPLY (PURGE) " +
+        "first, or read through the txtable format/SQL seam")
+    val m = manifest(v)
+    require(m.colMap.isEmpty,
+      s"$root@v$v carries column mapping — read through the txtable " +
+        "format/SQL seam")
+    val full = StructType.fromDDL(m.schemaDdl)
+    val visible = StructType(full.fields.filterNot(f =>
+      f.name == BucketCol || f.name.startsWith(PartShadowPrefix))
+      .map(_.copy(nullable = true)).toSeq)
+    val statuses = m.files.map { f =>
+      val p = new Path(root, f.path)
+      if (f.bytes >= 0)
+        new org.apache.hadoop.fs.FileStatus(
+          f.bytes, false, 1, 134217728L, f.mtimeMs, fs.makeQualified(p))
+      else fs.getFileStatus(p)
+    }
+    TxTable.V2ScanInfo(v, visible, m.files.zip(statuses),
+      f => f.partition.get(BucketCol).map(_.toInt),
+      m.bucketSpec.map(s => (s.cols, s.n)),
+      filters => candidateFilter(full, sourcesToCatalyst(full, filters)),
+      exactRowCount =
+        if (m.files.forall(_.rows >= 0)) Some(m.files.map(_.rows).sum)
+        else None)
+  }
+
+  /** Overwrite preserving the CURRENT layout (bucketed or hive) — the
+    * V2 writer's TRUNCATE-then-insert. */
+  private[graft] def overwriteSameLayout(df: DataFrame): Long =
+    latestVersion.map(manifest).flatMap(_.bucketSpec) match {
+      case Some(spec) => overwriteBucketed(df, spec.cols, spec.n)
+      case None       => overwrite(df, partitionColumns)
+    }
+
   /** Root-relative data-file path extracted from `_metadata.file_path`
     * — the SAME expression computes the DV file's path column at
     * delete time and the probe column at read time, so the anti-join
@@ -3747,6 +3793,18 @@ object TxTable {
 
   /** Key-bucketing spec for copy-on-write merges. */
   private[graft] final case class BucketSpec(cols: Seq[String], n: Int)
+
+  /** What the DataSource-V2 catalog scan needs from a snapshot —
+    * see [[TxTable.v2ScanInfo]]. `keep` turns the scan's pushed V1
+    * filters into the zone-map file predicate. */
+  private[graft] final case class V2ScanInfo(
+      version: Long,
+      visibleSchema: StructType,
+      files: Seq[(FileEntry, org.apache.hadoop.fs.FileStatus)],
+      bucketOf: FileEntry => Option[Int],
+      bucketSpec: Option[(Seq[String], Int)],
+      keep: Seq[org.apache.spark.sql.sources.Filter] => (FileEntry => Boolean),
+      exactRowCount: Option[Long])
 
   /** What a write operation asks the commit loop to publish.
     * `cdcFiles`: row-level change files (written out-of-line, referenced

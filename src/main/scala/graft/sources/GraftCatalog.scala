@@ -1,0 +1,445 @@
+package graft.sources
+
+import java.util.OptionalLong
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Murmur3Hash, Pmod}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.core.{TxCatalog, TxTable}
+
+/** DataSource-V2 `TableCatalog` over commit-logged txtables —
+  * registered as `spark.sql.catalog.graft`, backed by the SAME
+  * name registry the SQL seam uses ([[graft.core.TxCatalog]]), so
+  * `graft.default.events` and the bare `events` resolve to one table.
+  * What the V2 route adds over the parser seam (the reference's
+  * session-catalog Delta usage, resources/spark.py:65-67):
+  *
+  *   - catalog enumeration: `SHOW TABLES IN graft`, `DESCRIBE TABLE
+  *     graft.default.t`, `SHOW NAMESPACES IN graft` — third-party
+  *     tools that walk the catalog see txtables;
+  *   - '''storage-partitioned joins''': the scan reports the bucketed
+  *     layout as `KeyGroupedPartitioning(bucket(n, keys))` with every
+  *     input partition carrying its bucket id, so a plain SQL join of
+  *     two bucketed txtables on their bucket keys plans with ZERO
+  *     shuffle on either side — at 100 TB the fact-fact joins (graph
+  *     build, state-table merges) are the dominant shuffle, and this
+  *     makes the engine's own layout visible to the planner (the
+  *     `BucketedTables` guarantee, through the engine's own format);
+  *   - time travel through the V2 API: `VERSION AS OF` /
+  *     `TIMESTAMP AS OF` route to `loadTable(ident, version)`.
+  *
+  * Requires `spark.sql.sources.v2.bucketing.enabled=true` (set by
+  * [[graft.core.Sessions]]). Execution is Spark's own parquet reader
+  * factory — vectorized decode, row-group pushdown — over the
+  * manifest's file list with zone-map file skipping; only PLANNING is
+  * the commit log's ([[org.apache.spark.sql.graft.V2Shims]]).
+  *
+  * Boundary (documented, enforced with a clear error): snapshots
+  * carrying deletion vectors or column mapping are not a bare parquet
+  * file list and read through the txtable format/SQL seam instead —
+  * the V2 route serves the plain/bucketed/hive-partitioned layouts
+  * that storage-partitioned joins and catalog enumeration need. */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
+
+  private var catalogName: String = "graft"
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+  override def defaultNamespace(): Array[String] = Array("default")
+
+  private def spark: SparkSession = SparkSession.active
+  private def registry: TxCatalog = TxCatalog(spark)
+
+  /** Registry key of an identifier: the bare name lives in namespace
+    * `default`, a `db.name` key in namespace `db`. Some exec nodes
+    * (RenameTableExec's target) pass the catalog name as the leading
+    * namespace segment — strip it. */
+  private def keyOf(ident: Identifier): String = {
+    val ns = ident.namespace.toSeq match {
+      case head +: rest if head.equalsIgnoreCase(catalogName) => rest
+      case other                                              => other
+    }
+    ns match {
+      case Seq()          => ident.name
+      case Seq("default") => ident.name
+      case parts          => (parts :+ ident.name).mkString(".")
+    }
+  }
+  private def identOf(key: String): Identifier = {
+    val parts = key.split('.')
+    if (parts.length == 1) Identifier.of(Array("default"), key)
+    else Identifier.of(parts.init, parts.last)
+  }
+  private def nsOf(key: String): Seq[String] = {
+    val parts = key.split('.')
+    if (parts.length == 1) Seq("default") else parts.init.toSeq
+  }
+
+  // ---- TableCatalog -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val keys = registry.tables.keys.toSeq.sorted
+    val wanted = namespace.toSeq
+    val hit =
+      if (wanted.isEmpty) keys
+      else {
+        if (wanted != Seq("default") && !keys.exists(nsOf(_) == wanted))
+          throw new NoSuchNamespaceException(namespace)
+        keys.filter(nsOf(_) == wanted)
+      }
+    hit.map(identOf).toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    registry.lookup(keyOf(ident)).exists(TxTable.isTable(spark, _))
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  /** `VERSION AS OF` — the V2 time-travel hook. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    require(version.forall(_.isDigit),
+      s"graft catalog versions are commit numbers, got '$version'")
+    loadPinned(ident, Some(version.toLong))
+  }
+
+  /** `TIMESTAMP AS OF` — micros since epoch, session-zone resolved
+    * upstream by Spark. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val loc = locationOf(ident)
+    val tx = TxTable(spark, loc)
+    val v = tx.versionAt(timestampMicros / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    new GraftTable(spark, loc, fullName(ident), Some(v))
+  }
+
+  private def locationOf(ident: Identifier): String =
+    registry.lookup(keyOf(ident)).filter(TxTable.isTable(spark, _))
+      .getOrElse(throw new NoSuchTableException(ident))
+
+  private def loadPinned(ident: Identifier, v: Option[Long]): Table =
+    new GraftTable(spark, locationOf(ident), fullName(ident), v)
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table =
+    createImpl(ident, columns, partitions, properties)
+
+  override def createTable(ident: Identifier, info: TableInfo): Table =
+    createImpl(ident, info.columns(), info.partitions(), info.properties())
+
+  private def createImpl(ident: Identifier, columns: Array[Column],
+      partitions: Array[Transform], properties: java.util.Map[String, String])
+      : Table = {
+    val key = keyOf(ident)
+    if (registry.lookup(key).exists(TxTable.isTable(spark, _)))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val schema = StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    val explicitLoc = Option(properties.get(TableCatalog.PROP_LOCATION))
+    val loc = explicitLoc.getOrElse {
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(wh),
+        key.toLowerCase.replace('.', '/')).toString
+    }
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // layout from the declared transforms: identity cols → hive
+    // partitioning, one bucket transform → the SPJ bucketed layout
+    val (identityCols, bucketSpecs) = partitions.partition(_.name == "identity")
+    val hiveCols = identityCols.map { t =>
+      require(t.references.length == 1 && t.references.head.fieldNames.length == 1,
+        s"unsupported partition transform $t")
+      t.references.head.fieldNames.head
+    }
+    bucketSpecs.toSeq match {
+      case Seq() =>
+        val tx = TxTable(spark, loc)
+        tx.overwrite(empty, hiveCols.toSeq)
+      case Seq(b) if b.name == "bucket" =>
+        require(hiveCols.isEmpty,
+          "graft tables are bucketed OR hive-partitioned, not both")
+        val nb = b.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.toString.toInt
+        }.getOrElse(sys.error(s"bucket transform without a count: $b"))
+        val cols = b.references.map(_.fieldNames.head).toSeq
+        TxTable(spark, loc).overwriteBucketed(empty, cols, nb)
+      case other => sys.error(s"unsupported partition transforms: $other")
+    }
+    registry.register(key, loc, managed = explicitLoc.isEmpty)
+    new GraftTable(spark, loc, fullName(ident), None)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val tx = TxTable(spark, locationOf(ident))
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property -> s.value
+    }
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property
+    }
+    val other = changes.filterNot(c =>
+      c.isInstanceOf[TableChange.SetProperty] ||
+      c.isInstanceOf[TableChange.RemoveProperty])
+    require(other.isEmpty,
+      s"graft catalog ALTER supports table properties only; use the " +
+        s"txtable SQL seam for schema evolution — got $other")
+    if (sets.nonEmpty) tx.setProperties(sets.toMap)
+    if (unsets.nonEmpty) tx.unsetProperties(unsets)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    registry.drop(keyOf(ident))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!registry.rename(keyOf(oldIdent), keyOf(newIdent)))
+      throw new NoSuchTableException(oldIdent)
+  }
+
+  // ---- SupportsNamespaces -------------------------------------------------
+
+  private def namespaces: Seq[Seq[String]] =
+    (registry.tables.keys.map(nsOf).toSeq :+ Seq("default"))
+      .distinct.sortBy(_.mkString("."))
+
+  override def listNamespaces(): Array[Array[String]] =
+    namespaces.map(_.toArray).toArray
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || namespaces.contains(namespace.toSeq)
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) Map.empty[String, String].asJava
+    else throw new NoSuchNamespaceException(namespace)
+  override def createNamespace(namespace: Array[String],
+      metadata: java.util.Map[String, String]): Unit =
+    () // namespaces materialize with their first table (registry-derived)
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    false // registry-derived; dropping the tables drops the namespace
+
+  // ---- FunctionCatalog ----------------------------------------------------
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name.equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The `bucket` partition function the planner resolves when checking
+  * storage-partitioned-join compatibility: bucket id =
+  * `pmod(murmur3_hash(keys), n)` — BYTE-IDENTICAL to the layout
+  * writer ([[graft.core.TxTable]] `withBucket`: `pmod(hash(cols), n)`,
+  * Spark's Murmur3 with seed 42), so evaluated transform values agree
+  * with the ids recorded in the manifest. Both join sides load this
+  * function from the same catalog; `canonicalName` equality is the
+  * planner's compatibility test. */
+object GraftBucketFunction extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, keys...): pmod(murmur3_hash(keys...), n) — the txtable bucket id"
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length >= 2 &&
+      inputType.fields.head.dataType == IntegerType,
+      s"bucket(n, keys...) needs an int bucket count + key columns, got $inputType")
+    new Bound(inputType)
+  }
+
+  final class Bound(input: StructType) extends ScalarFunction[java.lang.Integer]
+      with Serializable {
+    override def inputTypes(): Array[DataType] = input.fields.map(_.dataType)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = "bucket"
+    override def canonicalName(): String = "graft.bucket"
+    override def isResultNullable: Boolean = false
+    @transient private lazy val eval = {
+      val keys = input.fields.toSeq.zipWithIndex.drop(1).map { case (f, i) =>
+        BoundReference(i, f.dataType, nullable = true)
+      }
+      Pmod(new Murmur3Hash(keys), BoundReference(0, IntegerType, nullable = false))
+    }
+    override def produceResult(row: InternalRow): java.lang.Integer =
+      eval.eval(row).asInstanceOf[Int]
+  }
+}
+
+/** One catalog-resolved txtable snapshot (pinned at load — snapshot
+  * isolation per query, the Delta rule). Reads via [[GraftScan]];
+  * writes through the V1 fallback seam onto the commit log (append /
+  * truncate / filter-overwrite → replaceWhere). */
+final class GraftTable(spark: SparkSession, location: String,
+    tableName: String, pinned: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  private val tx = TxTable(spark, location)
+  private def snap: Long = pinned.orElse(tx.latestVersion).getOrElse(
+    sys.error(s"$location has no committed snapshots"))
+
+  override def name(): String = tableName
+  override def version(): String = snap.toString
+  override def schema(): StructType =
+    try tx.v2ScanInfo(snap).visibleSchema
+    catch { case _: IllegalArgumentException => tx.readVersion(snap).schema }
+
+  override def partitioning(): Array[Transform] =
+    tx.bucketKeys match {
+      case Some(keys) =>
+        val n = tx.v2ScanInfo(snap).bucketSpec.map(_._2).getOrElse(0)
+        Array(Expressions.bucket(n, keys: _*))
+      case None =>
+        tx.partitionColumns.map(Expressions.identity).toArray
+    }
+
+  override def properties(): java.util.Map[String, String] =
+    (tx.properties ++ Map(
+      TableCatalog.PROP_LOCATION -> location,
+      TableCatalog.PROP_PROVIDER -> "txtable",
+      "version" -> snap.toString)).asJava
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, tx.v2ScanInfo(snap), tableName)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinned.isEmpty, s"$tableName: cannot write to a time-traveled snapshot")
+    new GraftWriteBuilder(spark, tx)
+  }
+}
+
+private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
+    extends WriteBuilder with SupportsOverwrite {
+  // None = append; Some(Nil) = truncate; Some(fs) = filter overwrite
+  private var overwriteFilters: Option[Seq[Filter]] = None
+  override def truncate(): WriteBuilder = { overwriteFilters = Some(Nil); this }
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteFilters =
+      if (filters.forall(_.isInstanceOf[AlwaysTrue])) Some(Nil)
+      else Some(filters.toSeq)
+    this
+  }
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          overwriteFilters match {
+            case None if !overwrite => tx.append(data); ()
+            case None | Some(Seq()) => tx.overwriteSameLayout(data); ()
+            case Some(filters) =>
+              val schema = tx.read().schema
+              val preds = tx.sourcesToCatalyst(schema, filters)
+              require(preds.length == filters.length,
+                s"untranslatable overwrite filters: $filters")
+              val cond = preds.map(
+                org.apache.spark.sql.graft.StreamShims.columnOf)
+                .reduce(_ && _)
+              tx.replaceWhere(data, cond); ()
+          }
+      }
+  }
+}
+
+private final class GraftScanBuilder(spark: SparkSession,
+    info: TxTable.V2ScanInfo, tableName: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = info.visibleSchema
+  private var pushed: Array[Filter] = Array.empty
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // recorded for zone-map file skipping + parquet row-group
+    // pushdown; ALL filters stay residual (Spark re-applies above the
+    // scan), so correctness never depends on pushdown coverage
+    pushed = filters
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan =
+    new GraftScan(spark, info, required, pushed, tableName)
+}
+
+/** Manifest-planned V2 scan: file list from the commit log (zero
+  * listing), zone-map file skipping from the pushed filters, Spark's
+  * own vectorized parquet decode — and, on bucketed layouts, the
+  * [[KeyGroupedPartitioning]] report that unlocks shuffle-free
+  * storage-partitioned joins. */
+private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
+    required: StructType, pushed: Array[Filter], tableName: String)
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportStatistics {
+
+  private lazy val kept: Seq[(TxTable.FileEntry, FileStatus)] = {
+    val keep = info.keep(pushed.toSeq)
+    info.files.filter { case (e, _) => keep(e) }
+  }
+  private lazy val byBucket: Seq[(Int, Seq[FileStatus])] =
+    kept.groupBy { case (e, _) =>
+      info.bucketOf(e).getOrElse(sys.error(
+        s"$tableName: bucketed snapshot has a file without a bucket id"))
+    }.view.mapValues(_.map(_._2)).toSeq
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft $tableName v${info.version} (${kept.size}/${info.files.size} files)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    info.bucketSpec match {
+      case Some(_) =>
+        org.apache.spark.sql.graft.V2Shims.bucketPartitions(byBucket)
+      case None =>
+        org.apache.spark.sql.graft.V2Shims.packedPartitions(spark, kept.map(_._2))
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    org.apache.spark.sql.graft.V2Shims.parquetReaderFactory(
+      spark, info.visibleSchema, required, pushed)
+
+  override def outputPartitioning(): Partitioning = info.bucketSpec match {
+    case Some((cols, n)) if kept.nonEmpty =>
+      new KeyGroupedPartitioning(
+        Array(Expressions.bucket(n, cols: _*)), byBucket.size)
+    case _ => new UnknownPartitioning(0)
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): OptionalLong =
+      OptionalLong.of(math.max(1L, kept.map(_._2.getLen).sum))
+    override def numRows(): OptionalLong =
+      // sound only when no pushed filter can drop rows the zone maps
+      // kept; with filters present the per-file counts are an upper
+      // bound, so stay silent and let Spark estimate
+      if (pushed.isEmpty && kept.forall(_._1.rows >= 0))
+        OptionalLong.of(kept.map(_._1.rows).sum)
+      else OptionalLong.empty()
+  }
+}

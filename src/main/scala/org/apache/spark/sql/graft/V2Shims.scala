@@ -1,0 +1,120 @@
+package org.apache.spark.sql.graft
+
+import org.apache.hadoop.fs.FileStatus
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.classic.{SparkSession => ClassicSession}
+import org.apache.spark.sql.connector.read.{HasPartitionKey, InputPartition, PartitionReaderFactory}
+import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetOptions
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetPartitionReaderFactory
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+/** A parquet split group that also CARRIES its bucket id — the
+  * storage-partitioned-join handshake: `BatchScanExec` reads the key
+  * through [[HasPartitionKey]], groups same-key partitions, and when
+  * both join sides report compatible `KeyGroupedPartitioning` the
+  * planner co-locates bucket-to-bucket with ZERO shuffle. Extending
+  * Spark's own [[FilePartition]] means the stock parquet reader
+  * factory consumes these unchanged. */
+final class KeyedFilePartition(index0: Int, files0: Array[PartitionedFile],
+    bucketId: Int) extends FilePartition(index0, files0) with HasPartitionKey {
+  private val key = new GenericInternalRow(Array[Any](bucketId))
+  override def partitionKey(): InternalRow = key
+}
+
+/** The `private[sql]` seam for the DataSource-V2 catalog
+  * ([[graft.sources.GraftCatalog]]): file-split planning and the
+  * parquet reader factory reuse Spark's OWN file-source machinery —
+  * vectorized decode, row-group filter pushdown, column pruning — so
+  * the catalog path adds table resolution and partitioning metadata
+  * without re-implementing any IO. Placement under
+  * `org.apache.spark.sql` follows the [[StreamShims]] discipline. */
+object V2Shims {
+
+  private def pf(st: FileStatus, start: Long, len: Long): PartitionedFile =
+    PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath),
+      start, len, Array.empty, st.getModificationTime, st.getLen)
+
+  /** Plain (non-bucketed) splits, packed exactly like Spark's file
+    * sources: files carve at `maxSplitBytes` (maxPartitionBytes
+    * bounded below by bytes/defaultParallelism with open-cost
+    * padding) and bin-pack largest-first — the parallelism/task-count
+    * balance `FileSourceScanExec` ships with. */
+  def packedPartitions(spark: SparkSession,
+      statuses: Seq[FileStatus]): Array[InputPartition] = {
+    val session = spark.asInstanceOf[ClassicSession]
+    val conf = session.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val totalBytes = statuses.map(_.getLen + openCost).sum
+    val bytesPerCore =
+      totalBytes / math.max(1, session.sparkContext.defaultParallelism)
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, bytesPerCore))
+    val splits = statuses.flatMap { st =>
+      (0L until st.getLen by math.max(1L, maxSplit)).map { off =>
+        pf(st, off, math.min(maxSplit, st.getLen - off))
+      }
+    }.sortBy(-_.length)
+    FilePartition.getFilePartitions(session, splits, maxSplit)
+      .toArray[InputPartition]
+  }
+
+  /** One keyed partition per present bucket, whole files (a bucket's
+    * rows must stay in ONE input partition for the key grouping to be
+    * sound — the same per-bucket task shape Spark's bucketed hive
+    * scan uses). */
+  def bucketPartitions(byBucket: Seq[(Int, Seq[FileStatus])])
+      : Array[InputPartition] =
+    byBucket.sortBy(_._1).zipWithIndex.map { case ((b, sts), i) =>
+      new KeyedFilePartition(i,
+        sts.map(st => pf(st, 0L, st.getLen)).toArray, b): InputPartition
+    }.toArray
+
+  /** Spark's own vectorized parquet reader factory over a manifest-
+    * decided file list: row-group/page pushdown from the scan's
+    * pushed filters, column pruning from `readSchema`, vectorized or
+    * row decode per the session conf — identical execution to a
+    * native parquet scan; only the PLANNING (which files, which
+    * buckets) is the commit log's. */
+  def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
+      readSchema: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
+    val session = spark.asInstanceOf[ClassicSession]
+    val sqlConf = session.sessionState.conf
+    // the hadoop-conf handshake ParquetScan.createReaderFactory
+    // performs for its own factory: read-support class + requested
+    // schema + the parquet semantics flags the readers consult
+    // task-side (without READ_SUPPORT_CLASS the non-vectorized path
+    // NPEs; without the requested schema pruning breaks)
+    val hconf = session.sessionState.newHadoopConf()
+    hconf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport].getName)
+    hconf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA,
+      readSchema.json)
+    hconf.set(
+      org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport.SPARK_ROW_SCHEMA,
+      readSchema.json)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(readSchema, hconf)
+    val S = org.apache.spark.sql.internal.SQLConf
+    hconf.set(S.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hconf.setBoolean(S.NESTED_SCHEMA_PRUNING_ENABLED.key,
+      sqlConf.nestedSchemaPruningEnabled)
+    hconf.setBoolean(S.CASE_SENSITIVE.key, sqlConf.caseSensitiveAnalysis)
+    hconf.setBoolean(S.PARQUET_BINARY_AS_STRING.key,
+      sqlConf.isParquetBinaryAsString)
+    hconf.setBoolean(S.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlConf.isParquetINT96AsTimestamp)
+    hconf.setBoolean(S.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlConf.legacyParquetNanosAsLong)
+    val bc = session.sparkContext.broadcast(new SerializableConfiguration(hconf))
+    ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, readSchema,
+      StructType(Nil), pushed, None,
+      new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+}
