@@ -3000,45 +3000,69 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       entryPaths ++ ckptPaths
     }.toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
-    val deleted = scala.collection.mutable.ArrayBuffer.empty[String]
-    def sweep(dir: Path): Unit =
-      if (fs.exists(dir)) fs.listStatus(dir).foreach { st =>
-        if (st.isDirectory) {
-          sweep(st.getPath)
-          // the retention horizon protects in-flight writers' freshly
-          // created (momentarily empty) write dirs exactly like files
-          if (!dryRun && st.getModificationTime < cutoff &&
-              fs.listStatus(st.getPath).isEmpty) {
-            fs.delete(st.getPath, false); ()
-          }
-        } else {
-          val rel = relativize(st.getPath)
-          if (!live.contains(rel) && st.getModificationTime < cutoff) {
-            if (!dryRun) fs.delete(st.getPath, false)
-            deleted += rel
-          }
+    // Discovery and deletion run on a bounded pool (the deepCloneTo
+    // discipline): at the 10⁶-file tables the checkpointed log is
+    // designed for, a serial driver list+delete is hours while the
+    // per-call latency — not bandwidth — is the whole cost. Three
+    // phases: (1) each top-level write dir lists its subtree in its
+    // own task (recursion stays INSIDE the task — no recursive
+    // submit-and-block against a fixed pool); (2) dead files delete
+    // in parallel chunks; (3) emptied dirs sweep bottom-up, judged by
+    // their PRE-sweep mtimes (the retention horizon protects
+    // in-flight writers' freshly created dirs exactly like files).
+    val dead = new java.util.concurrent.ConcurrentLinkedQueue[(Path, String)]()
+    val dirsSeen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Path, Long, Int)]()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+    def fileCase(st: org.apache.hadoop.fs.FileStatus): Unit = {
+      val rel = relativize(st.getPath)
+      if (!live.contains(rel) && st.getModificationTime < cutoff)
+        dead.add((st.getPath, rel))
+    }
+    def walk(st: org.apache.hadoop.fs.FileStatus, depth: Int): Unit =
+      if (st.isDirectory) {
+        dirsSeen.add((st.getPath, st.getModificationTime, depth))
+        fs.listStatus(st.getPath).foreach(walk(_, depth + 1))
+      } else fileCase(st)
+    try {
+      val top: Seq[org.apache.hadoop.fs.FileStatus] =
+        if (fs.exists(dataDir)) fs.listStatus(dataDir).toIndexedSeq else Nil
+      val walks = top.map(st => pool.submit(new Runnable {
+        override def run(): Unit = walk(st, 1)
+      }))
+      // converted-in-place originals live at the ROOT — same liveness
+      // rule once nothing references them
+      fs.listStatus(root).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) fileCase(st)
+      }
+      if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
+        if (st.getPath.getName.startsWith(".tmp-") &&
+            st.getModificationTime < cutoff)
+          dead.add((st.getPath, relativize(st.getPath)))
+      }
+      walks.foreach(_.get()) // propagate the first listing failure
+      import scala.jdk.CollectionConverters._
+      val deadSeq = dead.iterator().asScala.toIndexedSeq
+      if (!dryRun) {
+        val deletes = deadSeq.grouped(256).toSeq.map(chunk =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              chunk.foreach { case (p, _) => fs.delete(p, false) }
+          }))
+        deletes.foreach(_.get())
+        // bottom-up: a dir whose subtree just emptied dies too
+        dirsSeen.iterator().asScala.toIndexedSeq.sortBy(-_._3).foreach {
+          case (p, mtime, _) =>
+            if (mtime < cutoff &&
+                (try fs.listStatus(p).isEmpty
+                 catch { case _: java.io.FileNotFoundException => false })) {
+              fs.delete(p, false); ()
+            }
         }
       }
-    sweep(dataDir)
-    // converted-in-place originals live at the ROOT — same liveness
-    // rule once nothing references them
-    fs.listStatus(root).foreach { st =>
-      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
-        val rel = relativize(st.getPath)
-        if (!live.contains(rel) && st.getModificationTime < cutoff) {
-          if (!dryRun) fs.delete(st.getPath, false)
-          deleted += rel
-        }
-      }
-    }
-    if (fs.exists(logDir)) fs.listStatus(logDir).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-") &&
-          st.getModificationTime < cutoff) {
-        if (!dryRun) fs.delete(st.getPath, false)
-        deleted += relativize(st.getPath)
-      }
-    }
-    deleted.toSeq
+      deadSeq.map(_._2)
+    } finally pool.shutdown()
   }
 
   // ---- internals ----------------------------------------------------------

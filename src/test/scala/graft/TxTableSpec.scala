@@ -998,6 +998,35 @@ class TxTableSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/data/w-inflight").count() == 10)
   }
 
+  test("vacuum sweeps a many-file table on the pool: every dead file dies, " +
+      "live files and the snapshot survive") {
+    val (t, dir) = freshTable("tx_vacuum_many")
+    // v0: 120 files across many write dirs; the overwrite at v1
+    // orphans ALL of them — a few hundred dead files across parallel
+    // walk + chunked delete exercises every phase boundary
+    (0 until 6).foreach { b =>
+      if (b == 0) t.overwrite(df(0 until 200).repartition(20))
+      else t.append(df(b * 200 until (b + 1) * 200).repartition(20))
+    }
+    val deadExpected = t.fileEntries(5L).map(_.path).toSet
+    assert(deadExpected.size == 120)
+    t.overwrite(df(0 until 10))              // v6: all 120 now dead
+    t.expireSnapshots(keepLast = 1)
+    val dry = t.vacuum(0, dryRun = true)
+    // vacuum also sweeps unreferenced _SUCCESS markers; the parquet
+    // subset must be exactly the orphaned snapshot
+    assert(dry.filter(_.endsWith(".parquet")).toSet == deadExpected,
+      "dry run must report exactly the dead set")
+    // dry run deleted nothing
+    assert(deadExpected.forall(p => new java.io.File(s"$dir/$p").exists()))
+    val swept = t.vacuum(0)
+    assert(swept.filter(_.endsWith(".parquet")).toSet == deadExpected)
+    assert(deadExpected.forall(p => !new java.io.File(s"$dir/$p").exists()))
+    assert(t.read().count() == 10)
+    // second sweep finds nothing — the dir tree is clean
+    assert(t.vacuum(0).isEmpty)
+  }
+
   test("delta log at scale: 200 commits / 10k files — commit bytes ∝ delta, " +
       "reconstruction bounded by the checkpoint interval") {
     val (t, dir) = freshTable("tx_log_scale")
