@@ -1170,6 +1170,27 @@ object SparkEntry {
           EventsStream.scratchDir("graft_stream_join"))
         .orderBy("purchase_id", "click_id")
     }),
+    // s12: stream-stream LEFT OUTER interval join — purchases with NO
+    // click in the trailing window emit null-click rows once the
+    // watermark closes the window (the attribution funnel the inner
+    // s4 cannot express). A far-future sentinel per side flushes the
+    // drained tail (the watermark-heartbeat discipline,
+    // stageEventsWithSentinel), filtered from the output; equals the
+    // batch left interval join oracle
+    "s12_stream_left_join" -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val dir = EventsStream.scratchDir("graft_stream_ljoin")
+      val src = EventsStream.stageEventsWithSentinel(s, d, dir + "/src")
+      val schema = s.read.parquet(src).schema
+      val ev = () => s.readStream.schema(schema).parquet(src)
+      val joined = EventsStream.purchaseClickLeftJoin(
+        ev().where(col("event_type") === "purchase"),
+        ev().where(col("event_type") === "click"))
+      EventsStream.runAvailableNowToParquet(s, joined, dir)
+        .where(col("user_id") =!= EventsStream.SentinelUser)
+        .orderBy("purchase_id", "click_id")
+    }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
     "t7_term_weights"    -> ((s, d) => TextOps.termWeights(Tables.documents(s, d))),
     // t14: corpus-trained deterministic BPE — the real subword
@@ -2868,6 +2889,15 @@ object SparkEntry {
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin,
+    // s12's oracle: the batch LEFT interval join — unmatched purchases
+    // carry a NULL click_id, exactly the rows the watermark emits
+    "s12_stream_left_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON p.user_id = c.user_id
         | AND c.ts >= p.ts - INTERVAL 60 MINUTE AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin,

@@ -79,7 +79,7 @@ object Tables {
     * Idempotent and cached per (session, dir, db, histograms):
     * re-invocations (the bench runs each query 3×) don't re-scan for
     * stats. */
-  def registerCatalog(s: SparkSession, d: String, db: String = "graft",
+  def registerCatalog(s: SparkSession, d: String, db: String = "graft_stats",
       histograms: Boolean = false): Unit =
     registered.synchronized {
       val key = s"$db|$d|$histograms"

@@ -569,7 +569,7 @@ object Relational {
     * working as designed, not an artifact. */
   def q34CboStarUnhinted(s: SparkSession, d: String): DataFrame = {
     graft.core.Tables.registerCatalog(s, d)
-    def t(n: String): DataFrame = s.table(s"graft.$n")
+    def t(n: String): DataFrame = s.table(s"graft_stats.$n")
     t("lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
       .join(t("orders").select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))

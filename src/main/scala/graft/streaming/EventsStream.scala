@@ -194,6 +194,63 @@ object EventsStream {
       .select("purchase_id", "click_id", "user_id")
   }
 
+  /** S12 — watermarked stream-stream LEFT OUTER interval join: the
+    * attribution funnel every events pipeline builds — every purchase
+    * emits, joined to same-user clicks in the trailing window, and a
+    * purchase with NO click emits a null-click row once the watermark
+    * closes its window (the engine can only then prove no match will
+    * arrive). Same bounded two-sided state as the inner form
+    * ([[purchaseClickJoin]]); the null emissions are the part the
+    * inner join cannot express.
+    *
+    * Operational contract (the production gotcha): unmatched rows are
+    * emitted by the WATERMARK, so a drained/quiesced stream withholds
+    * its tail until new events advance it — pipelines that drain (or
+    * backfill with availableNow) append a far-future heartbeat per
+    * side ([[stageEventsWithSentinel]]) and filter it downstream. */
+  def purchaseClickLeftJoin(purchases: DataFrame, clicks: DataFrame,
+      windowMinutes: Int = 60): DataFrame = {
+    val p = purchases.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id"), col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES") &&
+        col("c_ts") <= col("p_ts"),
+      "left_outer")
+      .select("purchase_id", "click_id", "user_id")
+  }
+
+  /** Sentinel user id for the watermark heartbeat — callers filter
+    * `user_id === SentinelUser` out of join output. */
+  val SentinelUser: Long = -999999L
+
+  /** Stage the events fixture into `stagedDir` plus ONE far-future
+    * sentinel row per join side (purchase + click, user
+    * [[SentinelUser]], ts = max + 2 days): the watermark heartbeat
+    * that lets a drained outer join flush its unmatched tail — null
+    * emissions fire only when the watermark passes a purchase's
+    * window, and with availableNow the watermark stops at the last
+    * real event otherwise. Returns the staged path to `readStream`. */
+  def stageEventsWithSentinel(spark: SparkSession, fixtureDir: String,
+      stagedDir: String): String = {
+    val ev = graft.core.Tables.events(spark, fixtureDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 48L * 3600 * 1000)
+    val sentinels = Seq("purchase", "click").zipWithIndex.map {
+      case (tpe, i) => (-1L - i, far, SentinelUser, tpe, 0.0)
+    }
+    import spark.implicits._
+    ev.unionByName(sentinels
+        .toDF("event_id", "ts", "user_id", "event_type", "value"))
+      .write.mode("overwrite").parquet(stagedDir)
+    stagedDir
+  }
+
   /** S5 — stream-static join: the live stream enriched/filtered
     * against a BATCH-computed dimension (here: the high-value-user
     * set). Stream-static inner joins are STATELESS — every

@@ -9,7 +9,7 @@ class CboSpec extends SparkSpec {
 
   test("catalog registration feeds row and column statistics to the optimizer") {
     graft.core.Tables.registerCatalog(spark, sf)
-    val st = spark.table("graft.lineitem").queryExecution.optimizedPlan.stats
+    val st = spark.table("graft_stats.lineitem").queryExecution.optimizedPlan.stats
     assert(st.rowCount.isDefined && st.rowCount.get > 0,
       s"no rowCount statistic on graft.lineitem: $st")
     assert(st.attributeStats.nonEmpty,

@@ -32,6 +32,37 @@ class StreamingSpec extends SparkSpec {
       batch.select("event_id")).count() == 0)
   }
 
+  test("stream-stream LEFT OUTER join == batch left interval join " +
+      "(null rows emitted at watermark close)") {
+    val dir = EventsStream.scratchDir("stream_ljoin_spec")
+    val src = EventsStream.stageEventsWithSentinel(spark, sf, dir + "/src")
+    val schema = spark.read.parquet(src).schema
+    def ev() = spark.readStream.schema(schema).parquet(src)
+    val joined = EventsStream.purchaseClickLeftJoin(
+      ev().where(col("event_type") === "purchase"),
+      ev().where(col("event_type") === "click"))
+    val streamed = EventsStream
+      .runAvailableNowToParquet(spark, joined, dir)
+      .where(col("user_id") =!= EventsStream.SentinelUser)
+    val e = Tables.events(spark, sf)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = e.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 60 MINUTES") &&
+        col("c_ts") <= col("p_ts"), "left_outer")
+      .select("purchase_id", "click_id", "user_id")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(streamed).count() == 0)
+    // the outer part is real: unmatched purchases carry null clicks
+    assert(streamed.where(col("click_id").isNull).count() > 0)
+  }
+
   test("sessionization: per-user sessions respect the gap, sums preserved") {
     import spark.implicits._
     val events = Tables.events(spark, sf)
