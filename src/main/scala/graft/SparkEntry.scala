@@ -243,18 +243,24 @@ object SparkEntry {
     // c5 construction at this threshold) is a cached asset, the gate
     // hash-matches the exact pair count + a recall bound + the
     // precision-exactness SRP's cosine verification guarantees —
-    // accuracy degradation now fails the driver gate
+    // accuracy degradation now fails the driver gate.
+    // Input BOUNDED at vec_id < 2000 (identical coverage at the dev
+    // fixtures, fixed-size at any scale-up): the low-threshold 16-bit
+    // band space saturates quadratically with corpus size — BENCH_sf1
+    // measured 378 s at 10x — and this gate checks the RECALL
+    // SEMANTICS of the low-threshold regime, not its scale posture;
+    // low-threshold similarity at scale belongs to c18 (wide bands) /
+    // c13+c15 (IVF-PQ), which the bench runs unbounded
     "c8_srp_neardup"     -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val exactDir = cachedAsset(s, s"cos04_exact|$d") {
+      val bounded = Tables.embeddings(s, d).where(col("vec_id") < 2000)
+      val exactDir = cachedAsset(s, s"cos04_exact_b2k|$d") {
         val p = graft.streaming.EventsStream.scratchDir("graft_cos04_exact")
         new graft.core.ParquetIOManager(s).write(
-          Similarity.cosineNearDupPairs(Tables.embeddings(s, d),
-            threshold = 0.4), p)
+          Similarity.cosineNearDupPairs(bounded, threshold = 0.4), p)
         p
       }
-      val srp = Similarity.srpNearDupPairs(Tables.embeddings(s, d),
-        threshold = 0.4)
+      val srp = Similarity.srpNearDupPairs(bounded, threshold = 0.4)
       // ONE pass: full-outer on the pair key gives exact/hit/srp
       // counts together (no second evaluation of the SRP pipeline)
       s.read.parquet(exactDir)
@@ -2832,7 +2838,8 @@ object SparkEntry {
         |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.9
         |ORDER BY 1, 2""".stripMargin,
     "c8_srp_neardup" ->
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |           WHERE vec_id < 2000)
         |SELECT count(*) AS n_exact, true AS recall_ok,
         |       true AS precision_exact
         |FROM e a JOIN e b ON a.vec_id < b.vec_id

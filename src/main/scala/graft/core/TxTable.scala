@@ -843,6 +843,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         else None)
   }
 
+  /** Exact LIVE row count of snapshot `v` from the manifest alone
+    * (per-entry counts minus deletion-vector rows) — what feeds the
+    * relation's CBO [[org.apache.spark.sql.catalyst.plans.logical.Statistics]]
+    * so named-txtable joins broadcast/reorder WITHOUT an external
+    * ANALYZE. None when any entry predates row-count recording. */
+  private[graft] def manifestRowCount(v: Long): Option[Long] = {
+    val m = manifest(v)
+    if (m.files.forall(_.rows >= 0))
+      Some(m.files.map(f => f.rows - f.dvRows).sum)
+    else None
+  }
+
   /** Overwrite preserving the CURRENT layout (bucketed or hive) — the
     * V2 writer's TRUNCATE-then-insert. */
   private[graft] def overwriteSameLayout(df: DataFrame): Long =

@@ -111,7 +111,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
           "commit is newer (expired history cannot be time-traveled)"))))
       .getOrElse(t.latestVersion.getOrElse(
         sys.error(s"$path has no committed snapshots")))
-    org.apache.spark.sql.graft.StreamShims.relationPlan(t.scanRelation(v))
+    org.apache.spark.sql.graft.StreamShims.relationPlanWithStats(
+      t.scanRelation(v), path, t.manifestRowCount(v))
   }
 
   /** The `txtable.`dir`` path (or catalog-resolved name) of a DML

@@ -76,6 +76,35 @@ object StreamShims {
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     LogicalRelation(r)
 
+  /** [[relationPlan]] carrying the commit log's EXACT row count as
+    * CBO statistics: a V1 `BaseRelation` can only report bytes, so
+    * without this a txtable relation gets no `rowCount` and joins
+    * against named txtables miss CBO reorder/broadcast decisions
+    * unless the user separately ANALYZEs a catalog copy. The stats
+    * ride a minimal `CatalogTable` (the only stats channel
+    * `LogicalRelation.computeStats` consults); manifest counts are
+    * exact, not estimates — strictly better than ANALYZE output. */
+  def relationPlanWithStats(r: org.apache.spark.sql.sources.BaseRelation,
+      location: String, rowCount: Option[Long])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    val lr = LogicalRelation(r)
+    rowCount match {
+      case None => lr
+      case Some(n) =>
+        import org.apache.spark.sql.catalyst.catalog._
+        val ct = CatalogTable(
+          identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+            location, Some("txtable")),
+          tableType = CatalogTableType.EXTERNAL,
+          storage = CatalogStorageFormat.empty,
+          schema = r.schema,
+          provider = Some("txtable"),
+          stats = Some(CatalogStatistics(
+            sizeInBytes = BigInt(r.sizeInBytes), rowCount = Some(BigInt(n)))))
+        lr.copy(catalogTable = Some(ct))
+    }
+  }
+
   /** The inverse seam for the SINK side: a `Sink.addBatch` frame is
     * streaming-flagged and refuses `.write`, so rewrap its planned
     * execution as a batch frame over the same `InternalRow` RDD — the

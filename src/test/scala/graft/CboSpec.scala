@@ -30,6 +30,38 @@ class CboSpec extends SparkSpec {
     graft.core.Tables.registerCatalog(spark, sf)
   }
 
+  test("named txtable relations carry manifest rowCount — CBO broadcast " +
+      "with no hints and no ANALYZE") {
+    import org.apache.spark.sql.functions._
+    import graft.core.TxTable
+    import graft.streaming.EventsStream
+    val (bigDir, smallDir) = (EventsStream.scratchDir("cbo_tx_big") + "/t",
+      EventsStream.scratchDir("cbo_tx_small") + "/t")
+    TxTable(spark, bigDir).overwrite(
+      graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
+    TxTable(spark, smallDir).overwrite(
+      graft.core.Tables.orders(spark, sf)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_totalprice"))
+    Seq("cbo_tx_big", "cbo_tx_small").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    spark.sql(s"CREATE TABLE cbo_tx_big USING txtable LOCATION '$bigDir'")
+    spark.sql(s"CREATE TABLE cbo_tx_small USING txtable LOCATION '$smallDir'")
+    // the manifest's EXACT count surfaces as plan statistics — no
+    // ANALYZE ran on either table
+    val expect = TxTable(spark, smallDir).read().count()
+    val st = spark.sql("SELECT * FROM cbo_tx_small")
+      .queryExecution.optimizedPlan.stats
+    assert(st.rowCount.contains(BigInt(expect)),
+      s"manifest rowCount missing from plan stats: $st")
+    // and the un-hinted fact ⋈ dim join broadcasts the small side
+    val j = spark.sql("SELECT b.l_orderkey, s.o_totalprice FROM cbo_tx_big b " +
+      "JOIN cbo_tx_small s ON b.l_orderkey = s.o_orderkey")
+    assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(j.count() > 0)
+    Seq("cbo_tx_big", "cbo_tx_small").foreach(n => spark.sql(s"DROP TABLE $n"))
+  }
+
   test("hint-free star join broadcasts every dimension from stats alone") {
     val q = graft.ops.Relational.q34CboStarUnhinted(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
