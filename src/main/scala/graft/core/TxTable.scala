@@ -549,6 +549,74 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   def dropConstraint(name: String): Long =
     unsetProperties(Seq(TxTable.PropConstraintPrefix + name))
 
+  // ---- NOT NULL + generated columns (schema-DDL siblings of CHECK) --------
+
+  /** Columns carrying a NOT NULL invariant (persisted as
+    * `graft.notNull.<col>` properties — the CHECK discipline). */
+  def notNullColumns: Seq[String] =
+    properties.keys.collect {
+      case k if k.startsWith(TxTable.PropNotNullPrefix) =>
+        k.stripPrefix(TxTable.PropNotNullPrefix)
+    }.toSeq.sorted
+
+  /** `ALTER TABLE ... ALTER COLUMN col SET NOT NULL` — verifies no
+    * existing row is null (one scan, refused otherwise — the Delta
+    * discipline), then persists; every later write through any handle
+    * enforces inside the write job, and a write frame MISSING the
+    * column refuses outright (null backfill would violate). */
+  def setNotNull(colName: String): Long = {
+    val schema = StructType.fromDDL(
+      manifest(latestVersion.getOrElse(sys.error(s"$root has no snapshots")))
+        .schemaDdl)
+    require(schema.fields.exists(_.name.equalsIgnoreCase(colName)),
+      s"$root has no column $colName")
+    val nulls = read().where(col(s"`$colName`").isNull).limit(1).count()
+    require(nulls == 0,
+      s"$root: existing rows hold NULL in $colName — clean the data " +
+        "before adding NOT NULL")
+    setProperties(Map(TxTable.PropNotNullPrefix + colName.toLowerCase -> "true"))
+  }
+
+  /** `ALTER COLUMN col DROP NOT NULL` — releases the invariant. */
+  def dropNotNull(colName: String): Long =
+    unsetProperties(Seq(TxTable.PropNotNullPrefix + colName.toLowerCase))
+
+  /** Generated columns (name → generation expression SQL), persisted
+    * as `graft.generated.<col>` properties. */
+  def generatedColumns: Map[String, String] =
+    properties.collect {
+      case (k, v) if k.startsWith(TxTable.PropGeneratedPrefix) =>
+        k.stripPrefix(TxTable.PropGeneratedPrefix) -> v
+    }
+
+  /** Declare `colName` GENERATED ALWAYS AS (exprSql) — the Delta
+    * generated-column contract: a write that OMITS the column gets it
+    * computed inside the write job; a write that supplies it must
+    * supply exactly the generated value (enforced like CHECK, null-
+    * safe equality) or the write fails before committing. Existing
+    * rows are validated first (one scan). */
+  def addGeneratedColumn(colName: String, exprSql: String): Long = {
+    val schema = StructType.fromDDL(
+      manifest(latestVersion.getOrElse(sys.error(s"$root has no snapshots")))
+        .schemaDdl)
+    require(schema.fields.exists(_.name.equalsIgnoreCase(colName)),
+      s"$root has no column $colName — ALTER TABLE ADD COLUMN first")
+    require(!constraintColumns(exprSql).contains(colName.toLowerCase),
+      s"generation expression for $colName may not reference itself")
+    import org.apache.spark.sql.functions.expr
+    val bad = read()
+      .where(!(col(s"`$colName`") <=> expr(exprSql))).limit(1).count()
+    require(bad == 0,
+      s"$root: existing rows violate $colName = ($exprSql) — clean the " +
+        "data before declaring the generated column")
+    setProperties(Map(
+      TxTable.PropGeneratedPrefix + colName.toLowerCase -> exprSql))
+  }
+
+  /** Release a generated-column declaration (the column stays). */
+  def dropGeneratedColumn(colName: String): Long =
+    unsetProperties(Seq(TxTable.PropGeneratedPrefix + colName.toLowerCase))
+
   /** Columns a constraint condition references (top-level names) —
     * what rename/drop must refuse to break. */
   private def constraintColumns(conditionSql: String): Set[String] = {
@@ -568,6 +636,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           s"$root: column $colName is referenced by CHECK constraint " +
             s"${k.stripPrefix(TxTable.PropConstraintPrefix)} ($v) — drop " +
             s"the constraint before $verb")
+      else if (k.startsWith(TxTable.PropNotNullPrefix))
+        require(k.stripPrefix(TxTable.PropNotNullPrefix) !=
+            colName.toLowerCase,
+          s"$root: column $colName is NOT NULL — DROP NOT NULL before $verb")
+      else if (k.startsWith(TxTable.PropGeneratedPrefix)) {
+        require(k.stripPrefix(TxTable.PropGeneratedPrefix) !=
+            colName.toLowerCase,
+          s"$root: column $colName is a generated column ($v) — drop the " +
+            s"generation before $verb")
+        require(!constraintColumns(v).contains(colName.toLowerCase),
+          s"$root: column $colName is referenced by generated column " +
+            s"${k.stripPrefix(TxTable.PropGeneratedPrefix)} ($v) — drop " +
+            s"the generation before $verb")
+      }
     }
 
   /** The write-side invariant guard: every constraint becomes a
@@ -588,6 +670,45 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
               .cast("boolean"))
           .otherwise(lit(true)))
       }
+    }
+
+  /** Generated-column write semantics: compute-if-absent, enforce-if-
+    * supplied (null-safe equality, raise with the row — the
+    * [[withInvariants]] shape). Runs BEFORE invariants so a CHECK may
+    * reference a generated column. */
+  private def withGenerated(df: DataFrame, gens: Map[String, String]): DataFrame =
+    if (gens.isEmpty) df
+    else {
+      import org.apache.spark.sql.functions.{concat, expr, lit, raise_error, struct, to_json, when}
+      gens.foldLeft(df) { case (d, (name, sql)) =>
+        if (!d.columns.exists(_.equalsIgnoreCase(name)))
+          d.withColumn(name, expr(sql))
+        else d.where(
+          when(!(col(s"`$name`") <=> expr(sql)),
+            raise_error(concat(
+              lit(s"generated column $name violated: expected ($sql) on row "),
+              to_json(struct(d.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))))
+              .cast("boolean"))
+            .otherwise(lit(true)))
+      }
+    }
+
+  /** NOT NULL write guard: a null raises with the row; a frame that
+    * LACKS the column refuses outright (the null backfill an append
+    * would do is itself the violation). */
+  private def withNotNull(df: DataFrame, cols: Iterable[String]): DataFrame =
+    cols.foldLeft(df) { (d, name) =>
+      require(d.columns.exists(_.equalsIgnoreCase(name)),
+        s"$root: write frame lacks NOT NULL column $name — supply it or " +
+          s"ALTER COLUMN $name DROP NOT NULL first")
+      import org.apache.spark.sql.functions.{concat, lit, raise_error, struct, to_json, when}
+      d.where(
+        when(col(s"`$name`").isNull,
+          raise_error(concat(
+            lit(s"NOT NULL constraint violated: $name is null on row "),
+            to_json(struct(d.columns.map(c => col(s"`$c`")).toIndexedSeq: _*))))
+            .cast("boolean"))
+          .otherwise(lit(true)))
     }
 
   private def boolProp(m: Manifest, key: String): Option[Boolean] =
@@ -3122,10 +3243,23 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val latestM = latestVersion.map(manifest)
     val checked =
       if (!enforce) df
-      else withInvariants(df, latestM.map(m => m.properties.collect {
-        case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
-          k.stripPrefix(TxTable.PropConstraintPrefix) -> v
-      }).getOrElse(Map.empty))
+      else {
+        val props = latestM.map(_.properties).getOrElse(Map.empty)
+        // generated columns first (compute-if-absent), so CHECK and
+        // NOT NULL may reference them
+        val gen = withGenerated(df, props.collect {
+          case (k, v) if k.startsWith(TxTable.PropGeneratedPrefix) =>
+            k.stripPrefix(TxTable.PropGeneratedPrefix) -> v
+        })
+        val inv = withInvariants(gen, props.collect {
+          case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
+            k.stripPrefix(TxTable.PropConstraintPrefix) -> v
+        })
+        withNotNull(inv, props.keys.collect {
+          case k if k.startsWith(TxTable.PropNotNullPrefix) =>
+            k.stripPrefix(TxTable.PropNotNullPrefix)
+        })
+      }
     // data files carry PHYSICAL column names (the column-mapping
     // boundary — incoming frames are logical; columns outside the map,
     // including brand-new ones and _change_type, pass through).
@@ -3588,6 +3722,15 @@ object TxTable {
   /** Prefix of CHECK-constraint properties: `graft.constraints.<name>`
     * → SQL condition enforced inside every write job. */
   val PropConstraintPrefix = "graft.constraints."
+
+  /** `graft.notNull.<col>` — NOT NULL invariant on a column, enforced
+    * in every write job like CHECK; see [[TxTable.setNotNull]]. */
+  val PropNotNullPrefix = "graft.notNull."
+
+  /** `graft.generated.<col>` — GENERATED ALWAYS AS expression:
+    * compute-if-absent, enforce-if-supplied; see
+    * [[TxTable.addGeneratedColumn]]. */
+  val PropGeneratedPrefix = "graft.generated."
 
   val PropBloomColumns = "graft.bloomFilterColumns"
   val PropBloomBits = "graft.bloomFilterBits"

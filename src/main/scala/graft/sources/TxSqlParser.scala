@@ -313,6 +313,27 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       require(ifExists || t.constraints.contains(name),
         s"${t.location} has no constraint $name")
       dmlResult("dropconstraint", t.dropConstraint(name))
+    // ALTER COLUMN col SET NOT NULL / DROP NOT NULL — the nullability
+    // invariant rides the property channel (the CHECK discipline):
+    // SET validates existing rows then enforces in every write job
+    case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns
+        if txTablePath(a.table).isDefined =>
+      val t = TxTable(session, txTablePath(a.table).get)
+      val v = a.specs.map { sp =>
+        require(sp.column.name.length == 1,
+          "ALTER COLUMN on txtable supports top-level columns — got " +
+            sp.column.name.mkString("."))
+        require(sp.newDataType.isEmpty && sp.newComment.isEmpty &&
+            sp.newPosition.isEmpty && sp.newDefaultExpression.isEmpty,
+          "ALTER COLUMN on txtable supports SET NOT NULL / DROP NOT NULL only")
+        sp.newNullability match {
+          case Some(false) => t.setNotNull(sp.column.name.head)
+          case Some(true)  => t.dropNotNull(sp.column.name.head)
+          case None => sys.error(
+            "ALTER COLUMN on txtable supports SET NOT NULL / DROP NOT NULL only")
+        }
+      }.last
+      dmlResult("altercolumn", v)
     // schema evolution verbs — metadata-only commits through the
     // column-mapping API (physical names frozen, zero data rewritten)
     case org.apache.spark.sql.catalyst.plans.logical.RenameColumn(

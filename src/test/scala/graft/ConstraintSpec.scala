@@ -108,4 +108,83 @@ class ConstraintSpec extends SparkSpec {
       spark.sql(s"ALTER TABLE txtable.`$dir` DROP CONSTRAINT nosuch")
     }.getMessage.contains("no constraint"))
   }
+
+  test("NOT NULL: SET validates existing rows, writes enforce, DROP frees") {
+    import spark.implicits._
+    val (t, dir) = freshTable("nn_basic")
+    t.overwrite(df(0 until 10))
+    // SQL verb on the path-addressed table
+    spark.sql(s"ALTER TABLE txtable.`$dir` ALTER COLUMN name SET NOT NULL")
+    assert(t.notNullColumns == Seq("name"))
+    val vBefore = t.latestVersion.get
+    val bad = Seq((99L, null.asInstanceOf[String], 1.0))
+      .toDF("id", "name", "score")
+    val e = intercept[Exception] { t.append(bad) }
+    assert(e.getMessage.contains("NOT NULL") && e.getMessage.contains("name"),
+      s"violation must name the column — got ${e.getMessage}")
+    assert(t.latestVersion.get == vBefore, "failed write must not commit")
+    // a frame MISSING the column refuses outright (null backfill
+    // would violate silently)
+    val missing = Seq((100L, 2.0)).toDF("id", "score")
+    assert(intercept[Exception] { t.append(missing) }
+      .getMessage.contains("NOT NULL"))
+    // SQL INSERT with an explicit NULL fails; clean insert lands
+    assert(intercept[Exception] {
+      spark.sql(s"INSERT INTO txtable.`$dir` VALUES (7, NULL, 0.5)")
+    }.getMessage.contains("NOT NULL"))
+    spark.sql(s"INSERT INTO txtable.`$dir` VALUES (7, 'ok', 0.5)")
+    assert(t.read().count() == 11)
+    // rename/drop of the constrained column refuses until DROP NOT NULL
+    assert(intercept[IllegalArgumentException] { t.dropColumn("name") }
+      .getMessage.contains("NOT NULL"))
+    spark.sql(s"ALTER TABLE txtable.`$dir` ALTER COLUMN name DROP NOT NULL")
+    assert(t.notNullColumns.isEmpty)
+    t.append(Seq((101L, null.asInstanceOf[String], 3.0))
+      .toDF("id", "name", "score"))
+    assert(t.read().where(col("name").isNull).count() == 1)
+  }
+
+  test("SET NOT NULL on a column holding nulls refuses") {
+    import spark.implicits._
+    val (t, _) = freshTable("nn_preexisting")
+    t.overwrite(Seq((1L, Some(1.0)), (2L, None)).toDF("id", "v"))
+    assert(intercept[IllegalArgumentException] { t.setNotNull("v") }
+      .getMessage.contains("NULL"))
+    assert(t.notNullColumns.isEmpty)
+  }
+
+  test("generated column: compute-if-absent, enforce-if-supplied") {
+    import spark.implicits._
+    val (t, _) = freshTable("gen_basic")
+    t.overwrite(Seq((1L, 10.0, 20.0), (2L, 5.0, 10.0))
+      .toDF("id", "score", "twice"))
+    t.addGeneratedColumn("twice", "score * 2")
+    assert(t.generatedColumns == Map("twice" -> "score * 2"))
+    // a write omitting the column gets it computed inside the job
+    t.append(Seq((3L, 7.0)).toDF("id", "score"))
+    assert(t.read().where(col("id") === 3L).head.getDouble(2) == 14.0)
+    // supplying the correct value passes; a wrong one refuses
+    t.append(Seq((4L, 1.0, 2.0)).toDF("id", "score", "twice"))
+    val e = intercept[Exception] {
+      t.append(Seq((5L, 1.0, 99.0)).toDF("id", "score", "twice"))
+    }
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    assert(t.read().count() == 4)
+    // the generation SOURCE column is rename/drop-protected
+    assert(intercept[IllegalArgumentException] { t.renameColumn("score", "s2") }
+      .getMessage.contains("generated"))
+    t.dropGeneratedColumn("twice")
+    t.append(Seq((6L, 1.0, 99.0)).toDF("id", "score", "twice"))
+    assert(t.read().count() == 5)
+  }
+
+  test("declaring a generated column existing rows violate refuses") {
+    import spark.implicits._
+    val (t, _) = freshTable("gen_preexisting")
+    t.overwrite(Seq((1L, 10.0, 21.0)).toDF("id", "score", "twice"))
+    assert(intercept[IllegalArgumentException] {
+      t.addGeneratedColumn("twice", "score * 2")
+    }.getMessage.contains("violate"))
+    assert(t.generatedColumns.isEmpty)
+  }
 }
