@@ -984,6 +984,30 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       case None       => overwrite(df, partitionColumns)
     }
 
+  /** Dynamic partition overwrite (the Delta
+    * `partitionOverwriteMode=dynamic` semantics): replace exactly the
+    * hive partitions `df` touches — replaceWhere over the collected
+    * partition tuples, bounded by touched-partition count. Flat and
+    * bucketed layouts degenerate to a full overwrite (Spark's own
+    * dynamic-mode behavior for unpartitioned tables). */
+  private[graft] def overwriteDynamic(df: DataFrame): Long = {
+    val parts = partitionColumns
+    if (parts.isEmpty) overwriteSameLayout(df)
+    else {
+      import org.apache.spark.sql.functions.lit
+      val touched = df.select(parts.map(col): _*).distinct().collect()
+      if (touched.isEmpty) latestVersion.getOrElse(0L)
+      else {
+        val cond = touched.map { r =>
+          parts.zipWithIndex
+            .map { case (p, i) => col(s"`$p`") === lit(r.get(i)) }
+            .reduce(_ && _)
+        }.reduce(_ || _)
+        replaceWhere(df, cond)
+      }
+    }
+  }
+
   /** Root-relative data-file path extracted from `_metadata.file_path`
     * — the SAME expression computes the DV file's path column at
     * delete time and the probe column at read time, so the anti-join
@@ -1380,10 +1404,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * its start; if another commit lands first, it fails (rerun) —
     * same discipline as [[compact]]. */
   def merge(source: DataFrame, txn: Option[(String, Long)] = None,
-      sourceIsPinned: Boolean = false, keys: Seq[String] = Nil)(
+      sourceIsPinned: Boolean = false, keys: Seq[String] = Nil,
+      /** Skip the touched-bucket discovery job and treat EVERY bucket
+        * as touched — a correct superset plan (an untouched bucket
+        * rewrites byte-identically). Worth it when the caller knows
+        * each source batch spans the keyspace (state-table upserts):
+        * the discovery job + its planning gap is pure overhead. */
+      touchAllBuckets: Boolean = false)(
       resolve: (DataFrame, DataFrame) => DataFrame): Long =
     if (latestVersion.map(manifest).flatMap(_.bucketSpec).isDefined)
-      mergeOp(OpMerge, source, txn, sourceIsPinned)(resolve)
+      mergeOp(OpMerge, source, txn, sourceIsPinned,
+        touchAllBuckets = touchAllBuckets)(resolve)
     else {
       require(keys.nonEmpty,
         s"$root is not bucketed — merge needs explicit key columns " +

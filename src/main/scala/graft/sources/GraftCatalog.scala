@@ -325,7 +325,8 @@ final class GraftTable(spark: SparkSession, location: String,
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, tx.v2ScanInfo(snap), tableName)
@@ -337,9 +338,11 @@ final class GraftTable(spark: SparkSession, location: String,
 }
 
 private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
-    extends WriteBuilder with SupportsOverwrite {
+    extends WriteBuilder with SupportsOverwrite
+    with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   // None = append; Some(Nil) = truncate; Some(fs) = filter overwrite
   private var overwriteFilters: Option[Seq[Filter]] = None
+  private var dynamic = false
   override def truncate(): WriteBuilder = { overwriteFilters = Some(Nil); this }
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwriteFilters =
@@ -347,11 +350,15 @@ private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
       else Some(filters.toSeq)
     this
   }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true; this
+  }
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
         override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          overwriteFilters match {
+          if (dynamic) insertDynamic(data)
+          else overwriteFilters match {
             case None if !overwrite => tx.append(data); ()
             case None | Some(Seq()) => tx.overwriteSameLayout(data); ()
             case Some(filters) =>
@@ -365,6 +372,13 @@ private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
               tx.replaceWhere(data, cond); ()
           }
       }
+  }
+
+  /** Dynamic partition overwrite — shared semantics with the SQL seam
+    * ([[graft.core.TxTable]] overwriteDynamic): touched hive
+    * partitions replace, flat/bucketed layouts full-overwrite. */
+  private def insertDynamic(data: DataFrame): Unit = {
+    tx.overwriteDynamic(data); ()
   }
 }
 

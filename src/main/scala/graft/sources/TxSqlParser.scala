@@ -90,6 +90,24 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       catalog.lookup(id.mkString("."))
     else None
 
+  /** Registry location for a graft-CATALOG qualified identifier
+    * (`graft[.ns].name`) — INSERT verbs through the V2 catalog route
+    * onto the commit-log API exactly like bare names (Spark's V1
+    * write fallback has no dynamic-overwrite exec, and dynamic
+    * `partitionOverwriteMode` is a common session policy); SELECTs
+    * are NOT re-routed — they stay on the V2 relation so bucketed
+    * joins keep their storage-partitioned plans. */
+  private def resolveGraftCatalog(id: Seq[String]): Option[String] = {
+    val key = id match {
+      case Seq(c, n) if c.equalsIgnoreCase("graft")      => Some(n)
+      case Seq(c, ns, n) if c.equalsIgnoreCase("graft") &&
+          ns.equalsIgnoreCase("default")                 => Some(n)
+      case Seq(c, db, n) if c.equalsIgnoreCase("graft")  => Some(s"$db.$n")
+      case _                                             => None
+    }
+    key.flatMap(catalog.lookup)
+  }
+
   /** Location for the regex-matched maintenance verbs, which accept
     * either `txtable.`path`` (group 1) or a bare `[db.]name` (group 2,
     * catalog-resolved — must be registered). */
@@ -370,11 +388,13 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     // bypass the log entirely — this interception is what makes the
     // verb safe.
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
-        if i.table.isInstanceOf[UnresolvedRelation] &&
-          resolveTx(i.table.asInstanceOf[UnresolvedRelation]
-            .multipartIdentifier).isDefined =>
-      val path = resolveTx(
-        i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier).get
+        if i.table.isInstanceOf[UnresolvedRelation] && {
+          val mpi = i.table.asInstanceOf[UnresolvedRelation]
+            .multipartIdentifier
+          resolveTx(mpi).isDefined || resolveGraftCatalog(mpi).isDefined
+        } =>
+      val mpi = i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier
+      val path = resolveTx(mpi).orElse(resolveGraftCatalog(mpi)).get
       val t = TxTable(session, path)
       require(i.partitionSpec.isEmpty,
         "INSERT INTO txtable with a PARTITION spec is not supported — " +
@@ -408,7 +428,14 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         require(t.bucketKeys.isEmpty,
           "INSERT OVERWRITE a key-bucketed txtable is not supported — " +
             "use the Scala overwriteBucketed API")
-        dmlResult("overwrite",
+        // the Delta conf contract: under partitionOverwriteMode=dynamic
+        // a partitioned target replaces only the partitions the data
+        // touches; static (the default) replaces the table
+        val dynamic = session.conf
+          .get("spark.sql.sources.partitionOverwriteMode", "static")
+          .equalsIgnoreCase("dynamic") && t.partitionColumns.nonEmpty
+        if (dynamic) dmlResult("overwrite", t.overwriteDynamic(aligned))
+        else dmlResult("overwrite",
           t.overwrite(aligned, t.partitionColumns))
       } else dmlResult("append", t.append(aligned))
     // CREATE TABLE txtable.`dir` [PARTITIONED BY (...)] AS SELECT —

@@ -421,9 +421,12 @@ object EventsStream {
       // sourceIsPinned: a foreachBatch microbatch is offset-pinned
       // and `latest` tie-breaks on the unique event_id, so the merge
       // may re-evaluate it instead of paying a localCheckpoint write
-      // per commit (the fixed ~0.4 s/batch the round-5 audit flagged)
+      // per commit (the fixed ~0.4 s/batch the round-5 audit flagged).
+      // touchAllBuckets: an events microbatch spans the user keyspace,
+      // so bucket discovery would find the full range anyway — skip
+      // the discovery job and its planning gap (correct superset plan)
       t.merge(asState, txn = Some(UpsertAppId -> batchId),
-          sourceIsPinned = true) { (existing, src) =>
+          sourceIsPinned = true, touchAllBuckets = true) { (existing, src) =>
         latest(existing.unionByName(src))
       }
     ()

@@ -100,6 +100,42 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_write")
   }
 
+  test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces " +
+      "touched partitions only (flat table = full overwrite)") {
+    import spark.implicits._
+    val before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // hive-partitioned: only the partitions in the data are replaced
+      val dp = dir("dynpart")
+      TxTable(spark, dp).overwrite(
+        Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "c", 3.0))
+          .toDF("id", "p", "v"),
+        partitionBy = Seq("p"))
+      spark.sql("DROP TABLE IF EXISTS v2_dyn")
+      spark.sql(s"CREATE TABLE v2_dyn USING txtable LOCATION '$dp'")
+      spark.sql(
+        "INSERT OVERWRITE graft.default.v2_dyn VALUES (9, 'b', 9.0)")
+      val rows = spark.sql(
+        "SELECT id, p FROM graft.default.v2_dyn ORDER BY id")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(rows == Seq((1L, "a"), (3L, "c"), (9L, "b")),
+        s"dynamic overwrite must replace only partition b: $rows")
+      spark.sql("DROP TABLE v2_dyn")
+      // flat table: dynamic mode degenerates to a full overwrite
+      val df0 = dir("dynflat")
+      TxTable(spark, df0).overwrite(df(0 until 5, "f"))
+      spark.sql("DROP TABLE IF EXISTS v2_dynflat")
+      spark.sql(s"CREATE TABLE v2_dynflat USING txtable LOCATION '$df0'")
+      spark.sql(
+        "INSERT OVERWRITE graft.default.v2_dynflat VALUES (7, 'only', 1.0)")
+      assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_dynflat")
+        .head.getLong(0) == 1)
+      spark.sql("DROP TABLE v2_dynflat")
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", before)
+  }
+
   test("CREATE TABLE via the catalog with a bucket transform; rename; drop") {
     // purge any residue from an aborted prior run (shared registry)
     Seq("v2_ddl", "v2_ddl2", "graft.default.v2_ddl2")

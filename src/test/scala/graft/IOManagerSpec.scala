@@ -28,13 +28,19 @@ class IOManagerSpec extends SparkSpec {
     assert(io.readPartitioned(s"$dir/li", "l_returnflag" -> "all").count()
       == li.count())
     // dynamic partition overwrite replaces only the touched partition
+    // (conf restored after — a leaked session-wide dynamic mode
+    // changes INSERT OVERWRITE semantics for every later spec)
+    val prevMode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    val onlyR = li.where(col("l_returnflag") === "R").limit(10)
-    io.write(onlyR, s"$dir/li", partitionBy = Seq("l_returnflag"))
-    val after = io.read(s"$dir/li")
-    assert(after.where(col("l_returnflag") === "R").count() == 10)
-    assert(after.where(col("l_returnflag") =!= "R").count() ==
-      li.where(col("l_returnflag") =!= "R").count())
+    try {
+      val onlyR = li.where(col("l_returnflag") === "R").limit(10)
+      io.write(onlyR, s"$dir/li", partitionBy = Seq("l_returnflag"))
+      val after = io.read(s"$dir/li")
+      assert(after.where(col("l_returnflag") === "R").count() == 10)
+      assert(after.where(col("l_returnflag") =!= "R").count() ==
+        li.where(col("l_returnflag") =!= "R").count())
+    } finally
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", prevMode)
   }
 
   test("append with schema growth: mergeSchema read null-backfills old files") {
