@@ -823,7 +823,13 @@ object SparkEntry {
         s.sql(s"CREATE TABLE graft_v2_lines USING txtable LOCATION '$dirL'")
         ()
       }
-      s.sql("""SELECT o.o_orderpriority, count(*) AS n_lines,
+      // MERGE hint pins the fact-fact strategy (at fixture scale the
+      // CBO would broadcast the small side — the right call there,
+      // but this gate measures the storage-partitioned path: with
+      // both sides reporting bucket(16) KeyGroupedPartitioning the
+      // sort-merge join plans with ZERO Exchange on either side)
+      s.sql("""SELECT /*+ MERGE(o) */ o.o_orderpriority,
+              |  count(*) AS n_lines,
               |  CAST(round(sum(CAST(l.l_quantity AS DECIMAL(18,2))), 2)
               |    AS DOUBLE) AS sum_qty
               |FROM graft.default.graft_v2_orders o
