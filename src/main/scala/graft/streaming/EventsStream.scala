@@ -30,13 +30,20 @@ object EventsStream {
     * the batch reader does. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    // the fixture is a single file in a dir of other tables; the file
-    // streaming source requires a directory path, so stream the dir
-    // with a glob filter
-    val raw = spark.readStream
-      .schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    // the shipped fixture is a single FILE in a dir of other tables
+    // (stream the dir with a glob filter — the file source needs a
+    // directory path); a Spark-written fixture (MakeScaled's 10×
+    // point) is a DIRECTORY of part files — stream it directly, the
+    // glob would match nothing
+    val evPath = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+    val isDir = evPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(evPath).isDirectory
+    val raw =
+      if (isDir) spark.readStream.schema(schema).parquet(evPath.toString)
+      else spark.readStream
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir)
     if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
     else raw

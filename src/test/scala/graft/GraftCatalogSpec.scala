@@ -82,6 +82,21 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_spj_b")
   }
 
+  test("aggregation on the bucket key over a bucketed txtable plans " +
+      "with ZERO shuffle (KeyGroupedPartitioning satisfies the distribution)") {
+    val d = dir("spj_agg")
+    TxTable(spark, d).overwriteBucketed(df(0 until 500, "g"), Seq("id"), 8)
+    spark.sql("DROP TABLE IF EXISTS v2_spj_agg")
+    spark.sql(s"CREATE TABLE v2_spj_agg USING txtable LOCATION '$d'")
+    val q = spark.sql(
+      "SELECT id, sum(score) AS s FROM graft.default.v2_spj_agg GROUP BY id")
+    assert(q.count() == 500)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation should reuse the storage partitioning:\n$plan")
+    spark.sql("DROP TABLE v2_spj_agg")
+  }
+
   test("INSERT INTO / INSERT OVERWRITE through the catalog commit to the log") {
     val d = dir("write")
     TxTable(spark, d).overwrite(df(0 until 10, "w"))
