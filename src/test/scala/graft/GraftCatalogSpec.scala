@@ -97,6 +97,49 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_spj_agg")
   }
 
+  test("storage-partitioned join survives a filtered side with MISSING " +
+      "buckets (pushPartValues alignment)") {
+    val (da, db) = (dir("spjp_a"), dir("spjp_b"))
+    TxTable(spark, da).overwriteBucketed(df(0 until 300, "a"), Seq("id"), 8)
+    TxTable(spark, db).overwriteBucketed(df(0 until 300, "b"), Seq("id"), 8)
+    Seq("v2_spjp_a", "v2_spjp_b").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    spark.sql(s"CREATE TABLE v2_spjp_a USING txtable LOCATION '$da'")
+    spark.sql(s"CREATE TABLE v2_spjp_b USING txtable LOCATION '$db'")
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // id < 40 zone-map-prunes most of b's bucket files: the two
+      // sides report DIFFERENT bucket-value sets, which
+      // pushPartValues aligns instead of falling back to a shuffle
+      val j = spark.sql(
+        "SELECT a.id FROM graft.default.v2_spjp_a a JOIN " +
+          "(SELECT * FROM graft.default.v2_spjp_b WHERE id < 40) b " +
+          "ON a.id = b.id")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    Seq("v2_spjp_a", "v2_spjp_b").foreach(n => spark.sql(s"DROP TABLE $n"))
+  }
+
+  test("USE graft / spark.table / DataFrameWriterV2 all resolve") {
+    val d = dir("api")
+    TxTable(spark, d).overwrite(df(0 until 30, "u"))
+    spark.sql("DROP TABLE IF EXISTS v2_api")
+    spark.sql(s"CREATE TABLE v2_api USING txtable LOCATION '$d'")
+    // catalog-qualified through the session API
+    assert(spark.table("graft.default.v2_api").count() == 30)
+    // USE graft: unqualified names resolve in the catalog
+    spark.sql("USE graft")
+    try assert(spark.sql("SELECT count(*) AS n FROM default.v2_api")
+      .head.getLong(0) == 30)
+    finally spark.sql("USE spark_catalog")
+    // DataFrameWriterV2 append through the V1 fallback seam
+    df(100 until 110, "u").writeTo("graft.default.v2_api").append()
+    assert(spark.table("graft.default.v2_api").count() == 40)
+    spark.sql("DROP TABLE v2_api")
+  }
+
   test("INSERT INTO / INSERT OVERWRITE through the catalog commit to the log") {
     val d = dir("write")
     TxTable(spark, d).overwrite(df(0 until 10, "w"))
