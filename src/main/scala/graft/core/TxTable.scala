@@ -929,17 +929,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   /** Planning payload for the DataSource-V2 catalog read path
     * ([[graft.sources.GraftCatalog]]): the snapshot's visible schema,
     * per-file statuses (manifest-recorded — zero directory listing),
-    * the bucket layout, and the zone-map file filter — the same
-    * ingredients [[scanRelation]] splices into the V1 seam, shaped
-    * for a V2 `Batch`. Refuses DV-bearing and column-mapped
-    * snapshots: their live rows are not a bare parquet file list
-    * (scan-minus-DV / physical renames) — those read through the
-    * txtable format and SQL seam, which handle them. */
+    * the bucket layout, the zone-map file filter, and the deletion-
+    * vector surface — the same ingredients [[scanRelation]] splices
+    * into the V1 seam, shaped for a V2 `Batch`. Refuses column-mapped
+    * snapshots (parquet files carry physical names; the V2 scan
+    * serves logical ones) — those read through the txtable format and
+    * SQL seam, which handle them. */
   private[graft] def v2ScanInfo(v: Long): TxTable.V2ScanInfo = {
-    require(!snapshotHasDv(v),
-      s"$root@v$v carries deletion vectors — the graft catalog serves " +
-        "bare parquet snapshots only; REORG TABLE ... APPLY (PURGE) " +
-        "first, or read through the txtable format/SQL seam")
     val m = manifest(v)
     require(m.colMap.isEmpty,
       s"$root@v$v carries column mapping — read through the txtable " +
@@ -960,8 +956,27 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       m.bucketSpec.map(s => (s.cols, s.n)),
       filters => candidateFilter(full, sourcesToCatalyst(full, filters)),
       exactRowCount =
-        if (m.files.forall(_.rows >= 0)) Some(m.files.map(_.rows).sum)
-        else None)
+        if (m.files.forall(_.rows >= 0))
+          Some(m.files.map(f => f.rows - f.dvRows).sum)
+        else None,
+      dvOf = f => f.dvPath,
+      loadDv = () => dvPositions(v))
+  }
+
+  /** Per-data-file DELETED row positions of snapshot `v`, collected
+    * driver-side — DV cardinality is the number of deleted rows,
+    * model-sized next to the data (the same broadcast-scale
+    * assumption the V1 anti-join path makes). Keys are root-relative
+    * data paths; values sorted parquet row indexes. */
+  private[graft] def dvPositions(v: Long): Map[String, Array[Long]] = {
+    val paths = manifest(v).files.flatMap(_.dvPath).distinct
+    if (paths.isEmpty) Map.empty
+    else spark.read
+      .parquet(paths.map(p => new Path(root, p).toString): _*)
+      .select(col(DvPathCol), col(DvPosCol))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
   }
 
   /** Exact LIVE row count of snapshot `v` from the manifest alone
@@ -4006,7 +4021,9 @@ object TxTable {
 
   /** What the DataSource-V2 catalog scan needs from a snapshot —
     * see [[TxTable.v2ScanInfo]]. `keep` turns the scan's pushed V1
-    * filters into the zone-map file predicate. */
+    * filters into the zone-map file predicate; `dvOf`/`loadDv` carry
+    * the deletion-vector surface (which files have one; the per-file
+    * deleted positions, loaded once at batch-planning time). */
   private[graft] final case class V2ScanInfo(
       version: Long,
       visibleSchema: StructType,
@@ -4014,7 +4031,9 @@ object TxTable {
       bucketOf: FileEntry => Option[Int],
       bucketSpec: Option[(Seq[String], Int)],
       keep: Seq[org.apache.spark.sql.sources.Filter] => (FileEntry => Boolean),
-      exactRowCount: Option[Long])
+      exactRowCount: Option[Long],
+      dvOf: FileEntry => Option[String],
+      loadDv: () => Map[String, Array[Long]])
 
   /** What a write operation asks the commit loop to publish.
     * `cdcFiles`: row-level change files (written out-of-line, referenced

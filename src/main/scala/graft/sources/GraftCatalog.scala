@@ -48,11 +48,13 @@ import graft.core.{TxCatalog, TxTable}
   * manifest's file list with zone-map file skipping; only PLANNING is
   * the commit log's ([[org.apache.spark.sql.graft.V2Shims]]).
   *
-  * Boundary (documented, enforced with a clear error): snapshots
-  * carrying deletion vectors or column mapping are not a bare parquet
-  * file list and read through the txtable format/SQL seam instead —
-  * the V2 route serves the plain/bucketed/hive-partitioned layouts
-  * that storage-partitioned joins and catalog enumeration need. */
+  * Deletion vectors read merge-on-read through the V2 path too: a
+  * DV-bearing snapshot switches to per-file partitions whose readers
+  * ask parquet for its row-index column and drop listed positions
+  * before anything downstream sees them (bucket ids preserved, so
+  * SPJ survives a DELETE). One boundary remains, enforced with a
+  * clear error: COLUMN-MAPPED snapshots (physical renames) read
+  * through the txtable format/SQL seam. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
 
@@ -426,8 +428,22 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
   override def description(): String =
     s"graft $tableName v${info.version} (${kept.size}/${info.files.size} files)"
 
+  // merge-on-read: any kept file with a deletion vector switches the
+  // batch onto per-file partitions + the row-index-filtering reader
+  private lazy val anyDv: Boolean =
+    kept.exists { case (e, _) => info.dvOf(e).isDefined }
+
   override def planInputPartitions(): Array[InputPartition] =
-    info.bucketSpec match {
+    if (anyDv) {
+      val pos = info.loadDv()
+      kept.zipWithIndex.map { case ((e, st), i) =>
+        val deleted =
+          if (info.dvOf(e).isDefined) pos.getOrElse(e.path, Array.empty[Long])
+          else Array.empty[Long]
+        org.apache.spark.sql.graft.V2Shims.dvPartition(i, st, deleted,
+          info.bucketSpec.flatMap(_ => info.bucketOf(e)))
+      }.toArray
+    } else info.bucketSpec match {
       case Some(_) =>
         org.apache.spark.sql.graft.V2Shims.bucketPartitions(byBucket)
       case None =>
@@ -435,8 +451,12 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    org.apache.spark.sql.graft.V2Shims.parquetReaderFactory(
-      spark, info.visibleSchema, required, pushed)
+    if (anyDv)
+      org.apache.spark.sql.graft.V2Shims.dvParquetReaderFactory(
+        spark, info.visibleSchema, required, pushed)
+    else
+      org.apache.spark.sql.graft.V2Shims.parquetReaderFactory(
+        spark, info.visibleSchema, required, pushed)
 
   override def outputPartitioning(): Partitioning = info.bucketSpec match {
     case Some((cols, n)) if kept.nonEmpty =>
@@ -451,9 +471,10 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
     override def numRows(): OptionalLong =
       // sound only when no pushed filter can drop rows the zone maps
       // kept; with filters present the per-file counts are an upper
-      // bound, so stay silent and let Spark estimate
+      // bound, so stay silent and let Spark estimate. DV rows are
+      // deleted — they never reach downstream, so subtract them.
       if (pushed.isEmpty && kept.forall(_._1.rows >= 0))
-        OptionalLong.of(kept.map(_._1.rows).sum)
+        OptionalLong.of(kept.map(e => e._1.rows - e._1.dvRows).sum)
       else OptionalLong.empty()
   }
 }

@@ -27,6 +27,24 @@ final class KeyedFilePartition(index0: Int, files0: Array[PartitionedFile],
   override def partitionKey(): InternalRow = key
 }
 
+/** A single-file split carrying that file's DELETED row positions —
+  * the merge-on-read surface of the V2 catalog path: the reader asks
+  * parquet for its row-index column and drops listed positions before
+  * anything downstream sees them. One file per partition so position
+  * sets attribute unambiguously. */
+sealed class DvFilePartition(index0: Int, file0: PartitionedFile,
+    val positions: Array[Long]) extends FilePartition(index0, Array(file0))
+
+/** [[DvFilePartition]] that also carries its bucket id — DV-bearing
+  * bucketed snapshots keep storage-partitioned joins (same-key
+  * partitions group, one file each). */
+final class KeyedDvFilePartition(index0: Int, file0: PartitionedFile,
+    positions0: Array[Long], bucketId: Int)
+    extends DvFilePartition(index0, file0, positions0) with HasPartitionKey {
+  private val key = new GenericInternalRow(Array[Any](bucketId))
+  override def partitionKey(): InternalRow = key
+}
+
 /** The `private[sql]` seam for the DataSource-V2 catalog
   * ([[graft.sources.GraftCatalog]]): file-split planning and the
   * parquet reader factory reuse Spark's OWN file-source machinery —
@@ -39,6 +57,14 @@ object V2Shims {
   private def pf(st: FileStatus, start: Long, len: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath),
       start, len, Array.empty, st.getModificationTime, st.getLen)
+
+  /** One whole-file DV partition (keyed when `bucketId` is set). */
+  def dvPartition(index: Int, st: FileStatus, positions: Array[Long],
+      bucketId: Option[Int]): InputPartition = bucketId match {
+    case Some(b) =>
+      new KeyedDvFilePartition(index, pf(st, 0L, st.getLen), positions, b)
+    case None => new DvFilePartition(index, pf(st, 0L, st.getLen), positions)
+  }
 
   /** Plain (non-bucketed) splits, packed exactly like Spark's file
     * sources: files carve at `maxSplitBytes` (maxPartitionBytes
@@ -82,9 +108,20 @@ object V2Shims {
     * native parquet scan; only the PLANNING (which files, which
     * buckets) is the commit log's. */
   def parquetReaderFactory(spark: SparkSession, dataSchema: StructType,
-      readSchema: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
+      readSchema: StructType, pushed: Array[Filter],
+      forceRowBased: Boolean = false): PartitionReaderFactory = {
     val session = spark.asInstanceOf[ClassicSession]
-    val sqlConf = session.sessionState.conf
+    val sqlConf =
+      if (!forceRowBased) session.sessionState.conf
+      else {
+        // the parquet-mr row path carries the row-index generator the
+        // DV filter needs; the vectorized reader's column check
+        // rejects the generated column in this construction
+        val c = session.sessionState.conf.clone()
+        c.setConf(org.apache.spark.sql.internal.SQLConf
+          .PARQUET_VECTORIZED_READER_ENABLED, false)
+        c
+      }
     // the hadoop-conf handshake ParquetScan.createReaderFactory
     // performs for its own factory: read-support class + requested
     // schema + the parquet semantics flags the readers consult
@@ -116,5 +153,63 @@ object V2Shims {
     ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, readSchema,
       StructType(Nil), pushed, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  /** [[parquetReaderFactory]] for DV-bearing snapshots: the read
+    * schema is widened with parquet's row-index generator column
+    * (populated by the readers themselves, row-group skipping
+    * accounted for), each [[DvFilePartition]]'s listed positions are
+    * dropped with a binary search per row, and a codegen'd projection
+    * strips the index column — downstream sees exactly the live rows
+    * in the visible schema. Row-based reads only (filtering a
+    * columnar batch would mean rebuilding it); DV-bearing snapshots
+    * are the post-DELETE tail of a table's life, compacted away by
+    * REORG/OPTIMIZE. */
+  def dvParquetReaderFactory(spark: SparkSession, dataSchema: StructType,
+      readSchema: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    // the TEMPORARY column name is the readers' trigger: a field so
+    // named is generated (row-group skipping accounted for), never
+    // looked up in the file
+    val withIdx = StructType(readSchema.fields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val inner = parquetReaderFactory(spark, dataSchema, withIdx, pushed,
+      forceRowBased = true)
+    val n = readSchema.length
+    val types = readSchema.fields.map(_.dataType)
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+        val (fp, positions) = p match {
+          case d: DvFilePartition => (FilePartition(d.index, d.files), d.positions)
+          case f: FilePartition   => (f, Array.empty[Long])
+        }
+        val innerReader = inner.createReader(fp)
+        val strip = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(types.zipWithIndex.map { case (dt, i) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(i, dt, nullable = true)
+          }.toIndexedSeq)
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (innerReader.next()) {
+              val r = innerReader.get()
+              if (positions.length == 0 ||
+                  java.util.Arrays.binarySearch(positions, r.getLong(n)) < 0) {
+                cur = strip(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = innerReader.close()
+        }
+      }
+    }
   }
 }

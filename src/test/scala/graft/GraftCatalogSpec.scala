@@ -122,6 +122,55 @@ class GraftCatalogSpec extends SparkSpec {
     Seq("v2_spjp_a", "v2_spjp_b").foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("deletion-vector snapshots read merge-on-read through the catalog") {
+    val d = dir("dv")
+    val t = TxTable(spark, d, deletionVectors = true)
+    t.overwrite(df(0 until 100, "d"))
+    t.deleteWhere(col("id") % 10 === 0)   // 10 rows die via a DV
+    assert(t.fileEntries(t.latestVersion.get).exists(_.dvPath.isDefined),
+      "precondition: the delete must have produced a deletion vector")
+    spark.sql("DROP TABLE IF EXISTS v2_dv")
+    spark.sql(s"CREATE TABLE v2_dv USING txtable LOCATION '$d'")
+    // counts, rows, and filters all see only the live rows
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_dv")
+      .head.getLong(0) == 90)
+    val ids = spark.sql("SELECT id FROM graft.default.v2_dv ORDER BY id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids == (0L until 100L).filter(_ % 10 != 0))
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.default.v2_dv WHERE id < 25")
+      .head.getLong(0) == 22) // 1..24 minus 10,20 (0 deleted too)
+    // time travel to the pre-delete snapshot still serves all rows
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.default.v2_dv VERSION AS OF 0")
+      .head.getLong(0) == 100)
+    spark.sql("DROP TABLE v2_dv")
+  }
+
+  test("storage-partitioned join survives a DELETE (DV) on one side") {
+    val (da, db) = (dir("spjdv_a"), dir("spjdv_b"))
+    val ta = TxTable(spark, da, deletionVectors = true)
+    ta.overwriteBucketed(df(0 until 200, "a"), Seq("id"), 8)
+    ta.deleteWhere(col("id") % 4 === 0) // DVs inside a bucketed layout
+    assert(ta.fileEntries(ta.latestVersion.get).exists(_.dvPath.isDefined))
+    TxTable(spark, db).overwriteBucketed(df(0 until 200, "b"), Seq("id"), 8)
+    Seq("v2_spjdv_a", "v2_spjdv_b").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+    spark.sql(s"CREATE TABLE v2_spjdv_a USING txtable LOCATION '$da'")
+    spark.sql(s"CREATE TABLE v2_spjdv_b USING txtable LOCATION '$db'")
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.sql("SELECT a.id FROM graft.default.v2_spjdv_a a " +
+        "JOIN graft.default.v2_spjdv_b b ON a.id = b.id")
+      assert(j.collect().map(_.getLong(0)).sorted.toSeq ==
+        (0L until 200L).filter(_ % 4 != 0))
+      assert(!j.queryExecution.executedPlan.toString.contains("Exchange"),
+        "DV-bearing bucketed join must stay storage-partitioned")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+    Seq("v2_spjdv_a", "v2_spjdv_b").foreach(n => spark.sql(s"DROP TABLE $n"))
+  }
+
   test("USE graft / spark.table / DataFrameWriterV2 all resolve") {
     val d = dir("api")
     TxTable(spark, d).overwrite(df(0 until 30, "u"))
