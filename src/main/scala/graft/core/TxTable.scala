@@ -929,17 +929,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   /** Planning payload for the DataSource-V2 catalog read path
     * ([[graft.sources.GraftCatalog]]): the snapshot's visible schema,
     * per-file statuses (manifest-recorded — zero directory listing),
-    * the bucket layout, the zone-map file filter, and the deletion-
-    * vector surface — the same ingredients [[scanRelation]] splices
-    * into the V1 seam, shaped for a V2 `Batch`. Refuses column-mapped
-    * snapshots (parquet files carry physical names; the V2 scan
-    * serves logical ones) — those read through the txtable format and
-    * SQL seam, which handle them. */
+    * the bucket layout, the zone-map file filter, the deletion-
+    * vector surface, and the logical→physical column mapping — the
+    * same ingredients [[scanRelation]] splices into the V1 seam,
+    * shaped for a V2 `Batch`. */
   private[graft] def v2ScanInfo(v: Long): TxTable.V2ScanInfo = {
     val m = manifest(v)
-    require(m.colMap.isEmpty,
-      s"$root@v$v carries column mapping — read through the txtable " +
-        "format/SQL seam")
     val full = StructType.fromDDL(m.schemaDdl)
     val visible = StructType(full.fields.filterNot(f =>
       f.name == BucketCol || f.name.startsWith(PartShadowPrefix))
@@ -954,13 +949,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     TxTable.V2ScanInfo(v, visible, m.files.zip(statuses),
       f => f.partition.get(BucketCol).map(_.toInt),
       m.bucketSpec.map(s => (s.cols, s.n)),
-      filters => candidateFilter(full, sourcesToCatalyst(full, filters)),
+      filters => candidateFilter(full, sourcesToCatalyst(full, filters),
+        physNameOf(m, _)),
       exactRowCount =
         if (m.files.forall(_.rows >= 0))
           Some(m.files.map(f => f.rows - f.dvRows).sum)
         else None,
       dvOf = f => f.dvPath,
-      loadDv = () => dvPositions(v))
+      loadDv = () => dvPositions(v),
+      physNameOf = physNameOf(m, _))
   }
 
   /** Per-data-file DELETED row positions of snapshot `v`, collected
@@ -4033,7 +4030,12 @@ object TxTable {
       keep: Seq[org.apache.spark.sql.sources.Filter] => (FileEntry => Boolean),
       exactRowCount: Option[Long],
       dvOf: FileEntry => Option[String],
-      loadDv: () => Map[String, Array[Long]])
+      loadDv: () => Map[String, Array[Long]],
+      /** Logical → PHYSICAL column name (identity without column
+        * mapping): data files carry physical names, so the V2 reader
+        * reads physically-named fields in the logical order — rows
+        * are positional, the rename is pure metadata. */
+      physNameOf: String => String)
 
   /** What a write operation asks the commit loop to publish.
     * `cdcFiles`: row-level change files (written out-of-line, referenced

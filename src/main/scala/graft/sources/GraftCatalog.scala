@@ -52,9 +52,11 @@ import graft.core.{TxCatalog, TxTable}
   * DV-bearing snapshot switches to per-file partitions whose readers
   * ask parquet for its row-index column and drop listed positions
   * before anything downstream sees them (bucket ids preserved, so
-  * SPJ survives a DELETE). One boundary remains, enforced with a
-  * clear error: COLUMN-MAPPED snapshots (physical renames) read
-  * through the txtable format/SQL seam. */
+  * SPJ survives a DELETE). Column-mapped snapshots (renames/drops
+  * with frozen physical names) read through the V2 path as well: the
+  * reader is handed PHYSICALLY-named fields in the logical order —
+  * InternalRows are positional, so the rename is pure metadata and
+  * `readSchema()` stays logical; pushed filters rename alongside. */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
     with FunctionCatalog {
 
@@ -450,13 +452,26 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
         org.apache.spark.sql.graft.V2Shims.packedPartitions(spark, kept.map(_._2))
     }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // data files carry PHYSICAL column names (the column-mapping
+    // boundary): hand the reader physically-named fields in the
+    // logical order — InternalRows are positional, so readSchema()
+    // stays logical and the rename costs nothing. Identity without a
+    // mapping. Filters that fail to rename are dropped from the
+    // pushed set only (they are residual upstream — less row-group
+    // skipping, never wrong rows).
+    val physData = StructType(info.visibleSchema.fields.map(f =>
+      f.copy(name = info.physNameOf(f.name))))
+    val physRequired = StructType(required.fields.map(f =>
+      f.copy(name = info.physNameOf(f.name))))
+    val physPushed = pushed.flatMap(GraftScan.renameFilter(_, info.physNameOf))
     if (anyDv)
       org.apache.spark.sql.graft.V2Shims.dvParquetReaderFactory(
-        spark, info.visibleSchema, required, pushed)
+        spark, physData, physRequired, physPushed)
     else
       org.apache.spark.sql.graft.V2Shims.parquetReaderFactory(
-        spark, info.visibleSchema, required, pushed)
+        spark, physData, physRequired, physPushed)
+  }
 
   override def outputPartitioning(): Partitioning = info.bucketSpec match {
     case Some((cols, n)) if kept.nonEmpty =>
@@ -476,5 +491,38 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
       if (pushed.isEmpty && kept.forall(_._1.rows >= 0))
         OptionalLong.of(kept.map(e => e._1.rows - e._1.dvRows).sum)
       else OptionalLong.empty()
+  }
+}
+
+private object GraftScan {
+  import org.apache.spark.sql.sources
+
+  /** Rename every attribute in a pushed filter to its PHYSICAL column
+    * name (column-mapping translation for parquet row-group
+    * pushdown). None = shape not translated — the caller drops the
+    * filter from the PUSHED set only; every filter is residual
+    * upstream, so the cost is skipped skipping, never wrong rows. */
+  def renameFilter(f: sources.Filter, phys: String => String)
+      : Option[sources.Filter] = f match {
+    case sources.EqualTo(a, v)            => Some(sources.EqualTo(phys(a), v))
+    case sources.EqualNullSafe(a, v)      => Some(sources.EqualNullSafe(phys(a), v))
+    case sources.GreaterThan(a, v)        => Some(sources.GreaterThan(phys(a), v))
+    case sources.GreaterThanOrEqual(a, v) => Some(sources.GreaterThanOrEqual(phys(a), v))
+    case sources.LessThan(a, v)           => Some(sources.LessThan(phys(a), v))
+    case sources.LessThanOrEqual(a, v)    => Some(sources.LessThanOrEqual(phys(a), v))
+    case sources.In(a, vs)                => Some(sources.In(phys(a), vs))
+    case sources.IsNull(a)                => Some(sources.IsNull(phys(a)))
+    case sources.IsNotNull(a)             => Some(sources.IsNotNull(phys(a)))
+    case sources.StringStartsWith(a, v)   => Some(sources.StringStartsWith(phys(a), v))
+    case sources.StringEndsWith(a, v)     => Some(sources.StringEndsWith(phys(a), v))
+    case sources.StringContains(a, v)     => Some(sources.StringContains(phys(a), v))
+    case sources.And(l, r) =>
+      for (lf <- renameFilter(l, phys); rf <- renameFilter(r, phys))
+        yield sources.And(lf, rf)
+    case sources.Or(l, r) =>
+      for (lf <- renameFilter(l, phys); rf <- renameFilter(r, phys))
+        yield sources.Or(lf, rf)
+    case sources.Not(c) => renameFilter(c, phys).map(sources.Not)
+    case _ => None
   }
 }

@@ -171,6 +171,34 @@ class GraftCatalogSpec extends SparkSpec {
     Seq("v2_spjdv_a", "v2_spjdv_b").foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("column-mapped snapshots (RENAME COLUMN) read through the catalog") {
+    val d = dir("colmap")
+    val t = TxTable(spark, d)
+    t.overwrite(df(0 until 60, "c"))
+    // metadata-only rename freezes the physical name; data files on
+    // disk still carry 'score'
+    t.renameColumn("score", "points")
+    spark.sql("DROP TABLE IF EXISTS v2_colmap")
+    spark.sql(s"CREATE TABLE v2_colmap USING txtable LOCATION '$d'")
+    val desc = spark.sql("DESCRIBE TABLE graft.default.v2_colmap")
+      .collect().map(_.getString(0))
+    assert(desc.contains("points") && !desc.contains("score"),
+      s"logical schema must surface the rename: ${desc.toSeq}")
+    // reads, filters on the renamed column, and aggregates all work
+    assert(spark.sql(
+      "SELECT sum(points) AS s FROM graft.default.v2_colmap")
+      .head.getDouble(0) == (0 until 60).map(_ * 1.5).sum)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.default.v2_colmap WHERE points > 60")
+      .head.getLong(0) == (0 until 60).count(_ * 1.5 > 60))
+    // appends through the rename land physically renamed too
+    spark.sql("INSERT INTO graft.default.v2_colmap VALUES (100, 'x', 9.0)")
+    assert(spark.sql(
+      "SELECT points FROM graft.default.v2_colmap WHERE id = 100")
+      .head.getDouble(0) == 9.0)
+    spark.sql("DROP TABLE v2_colmap")
+  }
+
   test("USE graft / spark.table / DataFrameWriterV2 all resolve") {
     val d = dir("api")
     TxTable(spark, d).overwrite(df(0 until 30, "u"))
