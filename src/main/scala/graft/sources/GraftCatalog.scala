@@ -299,7 +299,27 @@ object GraftBucketFunction extends UnboundFunction {
   * truncate / filter-overwrite → replaceWhere). */
 final class GraftTable(spark: SparkSession, location: String,
     tableName: String, pinned: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.graft.V1StreamFallback {
+
+  /** `spark.readStream.table("graft.default.t")`: streaming reads
+    * fall back to the V1 txtable source ([[TxTableSourceProvider]])
+    * through this descriptor — version-window microbatches, initial
+    * snapshot, exactly-once offsets, all through the SAME code path
+    * as `readStream.format("txtable")`; re-implementing them as a V2
+    * MicroBatchStream would fork semantics. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        tableName.split('.').last, Some("graft")),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new java.net.URI(location)),
+        properties = Map("path" -> location)),
+      schema = schema(),
+      provider = Some("txtable"))
+  }
 
   private val tx = TxTable(spark, location)
   private def snap: Long = pinned.orElse(tx.latestVersion).getOrElse(

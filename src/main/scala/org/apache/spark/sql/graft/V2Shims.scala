@@ -27,6 +27,15 @@ final class KeyedFilePartition(index0: Int, files0: Array[PartitionedFile],
   override def partitionKey(): InternalRow = key
 }
 
+/** Public re-export of Spark's `private[sql]`
+  * [[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]]:
+  * the engine's V2 catalog table implements this so STREAMING reads
+  * (`spark.readStream.table`) fall back to the V1 txtable source —
+  * the same package-placement seam Delta uses for its streaming
+  * fallback. */
+trait V1StreamFallback
+    extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 /** A single-file split carrying that file's DELETED row positions —
   * the merge-on-read surface of the V2 catalog path: the reader asks
   * parquet for its row-index column and drops listed positions before

@@ -171,6 +171,29 @@ class GraftCatalogSpec extends SparkSpec {
     Seq("v2_spjdv_a", "v2_spjdv_b").foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("readStream.table('graft.default.t') streams through the V1 fallback") {
+    val d = dir("stream")
+    val t = TxTable(spark, d)
+    t.overwrite(df(0 until 40, "s"))   // v0: initial snapshot
+    t.append(df(100 until 120, "s"))   // v1: appended window
+    spark.sql("DROP TABLE IF EXISTS v2_stream")
+    spark.sql(s"CREATE TABLE v2_stream USING txtable LOCATION '$d'")
+    val out = EventsStream.scratchDir("v2cat_stream_out")
+    val q = spark.readStream.table("graft.default.v2_stream")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/out")
+      .option("checkpointLocation", s"$out/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val sunk = spark.read.parquet(s"$out/out")
+    assert(sunk.count() == 60, "initial snapshot + appended window")
+    assert(sunk.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      ((0L until 40L) ++ (100L until 120L)))
+    spark.sql("DROP TABLE v2_stream")
+  }
+
   test("column-mapped snapshots (RENAME COLUMN) read through the catalog") {
     val d = dir("colmap")
     val t = TxTable(spark, d)
