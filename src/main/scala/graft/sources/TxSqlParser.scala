@@ -710,6 +710,12 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private val VacuumVerb =
     ("""(?is)\s*VACUUM\s+""" + Tgt +
       """\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN\s*)?;?\s*""").r
+  /** `EXPIRE SNAPSHOTS t KEEP [LAST] n` — drop log entries older than
+    * the n most recent (the Iceberg maintenance verb; expired files
+    * become vacuumable). Spark's grammar has no such clause. */
+  private val ExpireVerb =
+    ("""(?is)\s*EXPIRE\s+SNAPSHOTS\s+""" + Tgt +
+      """\s+KEEP\s+(?:LAST\s+)?(\d+)\s*;?\s*""").r
   /** `SHOW PARTITIONS` straight from the manifest — zero filesystem
     * listing, per-partition file/byte/row totals at any table size. */
   private val ShowPartitions =
@@ -788,6 +794,15 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       val n = TxTable(session, path)
         .vacuum(minAge, dryRun = dry != null).length.toLong
       Seq((path, n)).toDF("location", "files_deleted").queryExecution.logical
+    case ExpireVerb(p, nm, keep) =>
+      import session.implicits._
+      val path = verbTarget(p, nm)
+      val dropped = TxTable(session, path).expireSnapshots(keep.toInt)
+      Seq((path, dropped.length.toLong,
+        dropped.headOption.getOrElse(-1L),
+        dropped.lastOption.getOrElse(-1L)))
+        .toDF("location", "versions_expired", "oldest", "newest")
+        .queryExecution.logical
     case ConvertVerb(path) =>
       dmlResult("convert",
         TxTable.convert(session, path).latestVersion.getOrElse(0L))

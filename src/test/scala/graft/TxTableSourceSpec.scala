@@ -664,8 +664,15 @@ class TxTableSourceSpec extends SparkSpec {
     assert(res.columns.toSeq == Seq("operation", "version"))
     assert(t.read().count() == 50)
     assert(t.history().last._2 == "restore")
+    // EXPIRE SNAPSHOTS ... KEEP 1 drops every older log entry
+    val nBefore = t.history().length
+    val exp = spark.sql(s"EXPIRE SNAPSHOTS txtable.`$dir` KEEP 1")
+    assert(exp.columns.toSeq ==
+      Seq("location", "versions_expired", "oldest", "newest"))
+    assert(exp.head().getLong(1) == nBefore - 1,
+      "all but the latest version expire")
+    assert(t.history().length == 1)
     // VACUUM RETAIN 0 HOURS sweeps the expired versions' files
-    t.expireSnapshots(keepLast = 1)
     val vac = spark.sql(s"VACUUM txtable.`$dir` RETAIN 0 HOURS")
     assert(vac.columns.toSeq == Seq("location", "files_deleted"))
     assert(vac.head().getLong(1) > 0L)
