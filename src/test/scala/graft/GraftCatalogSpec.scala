@@ -171,6 +171,44 @@ class GraftCatalogSpec extends SparkSpec {
     Seq("v2_spjdv_a", "v2_spjdv_b").foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("the served bucket function reproduces the writer's bucket ids exactly") {
+    // SPJ soundness rests on this: the function the catalog hands the
+    // planner must agree with the ids the layout writer recorded —
+    // for every type and value, not just the fixtures
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.connector.catalog.functions.ScalarFunction
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(42)
+    val n = 16
+    def bind(dt: DataType) = graft.sources.GraftBucketFunction
+      .bind(StructType(Seq(StructField("_0", IntegerType),
+        StructField("_1", dt))))
+      .asInstanceOf[ScalarFunction[java.lang.Integer]]
+    // longs (the graph/state key shape)
+    val longs = Seq.fill(300)(rnd.nextLong()) ++
+      Seq(0L, -1L, Long.MaxValue, Long.MinValue)
+    val refL = longs.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).as("b")).collect()
+    val bL = bind(LongType)
+    refL.foreach { r =>
+      assert(bL.produceResult(
+        new GenericInternalRow(Array[Any](n, r.getLong(0)))) == r.getInt(1),
+        s"long key ${r.getLong(0)}")
+    }
+    // strings (doc-id shapes)
+    val strs = Seq.fill(300)(
+      rnd.alphanumeric.take(rnd.nextInt(20)).mkString) :+ ""
+    val refS = strs.distinct.toDF("k")
+      .select(col("k"), pmod(hash(col("k")), lit(n)).as("b")).collect()
+    val bS = bind(StringType)
+    refS.foreach { r =>
+      assert(bS.produceResult(new GenericInternalRow(Array[Any](n,
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))))
+        == r.getInt(1), s"string key '${r.getString(0)}'")
+    }
+  }
+
   test("readStream.table('graft.default.t') streams through the V1 fallback") {
     val d = dir("stream")
     val t = TxTable(spark, d)
