@@ -837,6 +837,29 @@ object SparkEntry {
               |  ON o.o_orderkey = l.l_orderkey
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    // x21: the V2 catalog's DV merge-on-read — a DELETE through a
+    // deletion-vector handle hides rows without rewriting files, and
+    // the catalog read serves scan-minus-DV via per-file row-index
+    // filtering readers; gated on the relational answer (≡ the x6
+    // residue-class filter)
+    "x21_tx_v2_dv" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      cachedAsset(s, s"tx_v2dv|$d") {
+        val dir = graft.streaming.EventsStream.scratchDir("graft_v2_dv") + "/t"
+        val t = graft.core.TxTable(s, dir, deletionVectors = true)
+        t.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+        t.deleteWhere(col("o_orderkey") % 7 === 0)
+        s.sql("DROP TABLE IF EXISTS graft_v2_dv")
+        s.sql(s"CREATE TABLE graft_v2_dv USING txtable LOCATION '$dir'")
+        ()
+      }
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              |    AS DOUBLE) AS sum_price
+              |FROM graft.default.graft_v2_dv
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -2093,6 +2116,14 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_qty
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x21's oracle: DV-hidden rows are exactly the deleted residue
+    // class — same answer as a copy-on-write delete (x6)
+    "x21_tx_v2_dv" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 7 <> 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

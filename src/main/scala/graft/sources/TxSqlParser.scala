@@ -113,9 +113,13 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * catalog-resolved — must be registered). */
   private def verbTarget(path: String, name: String): String =
     if (path != null) path
-    else catalog.lookup(name).getOrElse(sys.error(
-      s"$name is not a registered txtable name — " +
-        "CREATE TABLE name USING txtable LOCATION '...' first"))
+    else catalog.lookup(name)
+      // catalog-qualified spelling (OPTIMIZE graft.default.t) resolves
+      // to the same registry entry as the bare name
+      .orElse(resolveGraftCatalog(name.split('.').toIndexedSeq))
+      .getOrElse(sys.error(
+        s"$name is not a registered txtable name — " +
+          "CREATE TABLE name USING txtable LOCATION '...' first"))
 
   private def relationFor(path: String, version: Option[Long],
       tsMillis: Option[Long] = None): LogicalPlan = {
@@ -820,7 +824,9 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       }.toIndexedSeq: _*)
       dmlResult("replace",
         t.replaceWhere(aligned, column(delegate.parseExpression(condSql))))
-    case ShowPartitions(p, nm) if p != null || catalog.lookup(nm).isDefined =>
+    case ShowPartitions(p, nm) if p != null ||
+        catalog.lookup(nm).isDefined ||
+        resolveGraftCatalog(nm.split('.').toIndexedSeq).isDefined =>
       // SHOW PARTITIONS exists in Spark's own grammar (unlike OPTIMIZE/
       // VACUUM), so an unregistered bare name falls through to the
       // delegate below — hive/parquet partitioned tables keep working

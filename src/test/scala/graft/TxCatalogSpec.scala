@@ -160,6 +160,21 @@ class TxCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_ts")
   }
 
+  test("maintenance verbs accept the catalog-qualified spelling") {
+    val dir = EventsStream.scratchDir("txcat_verbq") + "/t"
+    TxTable(spark, dir).overwrite(df(0 until 30).repartition(4))
+    spark.sql("DROP TABLE IF EXISTS cat_verbq")
+    spark.sql(s"CREATE TABLE cat_verbq USING txtable LOCATION '$dir'")
+    // OPTIMIZE / DESCRIBE HISTORY / SHOW PARTITIONS via graft.default.<n>
+    spark.sql("OPTIMIZE graft.default.cat_verbq")
+    assert(TxTable(spark, dir).history().last._2 == "compact")
+    assert(spark.sql("DESCRIBE HISTORY graft.default.cat_verbq").count() >= 2)
+    assert(spark.sql("DESCRIBE DETAIL graft.default.cat_verbq")
+      .select("location").head.getString(0) == dir)
+    assert(spark.sql("SHOW PARTITIONS graft.default.cat_verbq").count() == 1)
+    spark.sql("DROP TABLE cat_verbq")
+  }
+
   test("named CLONE registers the target at a warehouse location") {
     val dir = EventsStream.scratchDir("txcat_clone") + "/t"
     TxTable(spark, dir).overwrite(df(0 until 10))
