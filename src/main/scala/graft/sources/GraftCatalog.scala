@@ -514,7 +514,7 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
   }
 }
 
-private object GraftScan {
+private[graft] object GraftScan {
   import org.apache.spark.sql.sources
 
   /** Rename every attribute in a pushed filter to its PHYSICAL column

@@ -94,6 +94,38 @@ class PropertySpec extends AnyFunSuite {
       a == b
     })
   }
+
+  test("V2 filter renaming: structure-preserving, total on supported shapes, " +
+      "identity round-trips") {
+    import org.apache.spark.sql.sources._
+    val leafGen: Gen[Filter] = for {
+      a <- Gen.oneOf("id", "name", "score", "weird col")
+      v <- Gen.choose(-100, 100)
+      f <- Gen.oneOf[Filter](EqualTo(a, v), GreaterThan(a, v), LessThan(a, v),
+        GreaterThanOrEqual(a, v), LessThanOrEqual(a, v), EqualNullSafe(a, v),
+        In(a, Array(v, v + 1)), IsNull(a), IsNotNull(a),
+        StringStartsWith(a, "x"), StringEndsWith(a, "y"), StringContains(a, "z"))
+    } yield f
+    def treeGen(depth: Int): Gen[Filter] =
+      if (depth == 0) leafGen
+      else Gen.oneOf(leafGen,
+        for (l <- treeGen(depth - 1); r <- treeGen(depth - 1)) yield And(l, r),
+        for (l <- treeGen(depth - 1); r <- treeGen(depth - 1)) yield Or(l, r),
+        treeGen(depth - 1).map(Not))
+    val phys = Map("id" -> "c_001", "name" -> "c_002").withDefault(identity)
+    val back = Map("c_001" -> "id", "c_002" -> "name").withDefault(identity)
+    check(Prop.forAll(treeGen(3)) { f =>
+      val renamed = graft.sources.GraftScan.renameFilter(f, phys)
+      // total on every supported shape; attribute sets map exactly;
+      // the inverse mapping round-trips to the original (In carries
+      // an Array — compare via references + toString, not ==)
+      renamed.isDefined &&
+        renamed.get.references.sorted.toSeq ==
+          f.references.map(phys).sorted.toSeq &&
+        graft.sources.GraftScan.renameFilter(renamed.get, back)
+          .map(_.toString).contains(f.toString)
+    })
+  }
 }
 
 /** Randomized as-of join equivalence: the window-carry implementation
