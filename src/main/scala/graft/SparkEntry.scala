@@ -860,6 +860,34 @@ object SparkEntry {
               |FROM graft.default.graft_v2_dv
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    // x22: NATIVE V2 row-level DML — the catalog-qualified DELETE
+    // resolves through Spark's OWN DeleteFromTable path (no parser
+    // seam: txDmlPath deliberately skips 3-part names for DELETE), so
+    // the pushed condition lands in GraftTable.deleteWhere →
+    // merge-on-read DV commit; the catalog-qualified UPDATE routes
+    // through the seam (Spark only plans UPDATE natively for
+    // SupportsRowLevelOperations tables). Gated on the relational
+    // answer after both statements
+    "x22_tx_v2_dml" -> ((s, d) => {
+      cachedAsset(s, s"tx_v2dml|$d") {
+        val dir = graft.streaming.EventsStream.scratchDir("graft_v2_dml") + "/t"
+        val t = graft.core.TxTable(s, dir, deletionVectors = true)
+        t.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+        s.sql("DROP TABLE IF EXISTS graft_v2_dml")
+        s.sql(s"CREATE TABLE graft_v2_dml USING txtable LOCATION '$dir'")
+        s.sql("DELETE FROM graft.default.graft_v2_dml " +
+          "WHERE o_totalprice < 1000.0 OR o_orderpriority = '1-URGENT'")
+        s.sql("UPDATE graft.default.graft_v2_dml SET o_orderpriority = 'BULK' " +
+          "WHERE o_totalprice > 300000.0")
+        ()
+      }
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              |    AS DOUBLE) AS sum_price
+              |FROM graft.default.graft_v2_dml
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -2124,6 +2152,16 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 7 <> 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x22's oracle: replay the native delete then the seam update
+    "x22_tx_v2_dml" ->
+      """SELECT CASE WHEN o_totalprice > 300000.0 THEN 'BULK'
+        |            ELSE o_orderpriority END AS o_orderpriority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE NOT (o_totalprice < 1000.0 OR o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

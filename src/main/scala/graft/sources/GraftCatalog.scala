@@ -299,7 +299,7 @@ object GraftBucketFunction extends UnboundFunction {
   * truncate / filter-overwrite → replaceWhere). */
 final class GraftTable(spark: SparkSession, location: String,
     tableName: String, pinned: Option[Long])
-    extends Table with SupportsRead with SupportsWrite
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
     with org.apache.spark.sql.graft.V1StreamFallback {
 
   /** `spark.readStream.table("graft.default.t")`: streaming reads
@@ -351,6 +351,38 @@ final class GraftTable(spark: SparkSession, location: String,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC)
+
+  /** NATIVE V2 row-level DELETE: `DELETE FROM graft.default.t WHERE …`
+    * resolves through Spark's own `DeleteFromTable` path (no parser
+    * seam involved) and lands here as pushed V1 filters — routed onto
+    * the transactional [[TxTable.deleteWhere]], so it gets the same
+    * merge-on-read deletion-vector commit (O(matching rows), never
+    * O(bytes of touched files)) as the seam's `txtable.`dir`` verb.
+    * Conditions Spark cannot push as filters (expressions, subqueries)
+    * are rejected by [[canDeleteWhere]] — the seam spelling accepts
+    * arbitrary predicates. UPDATE/MERGE stay on the seam: Spark only
+    * plans them natively for `SupportsRowLevelOperations` tables
+    * (documented trade-off at [[TxSqlParser]]). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinned.isEmpty &&
+      filters.forall(org.apache.spark.sql.graft.StreamShims.columnOfFilter(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinned.isEmpty, s"$tableName: cannot delete from a time-traveled snapshot")
+    val cond = filters.toSeq
+      .map(f => org.apache.spark.sql.graft.StreamShims.columnOfFilter(f).getOrElse(
+        sys.error(s"$tableName: untranslatable delete filter $f")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    tx.deleteWhere(cond); ()
+  }
+
+  /** `TRUNCATE TABLE graft.default.t` — a copy-on-write commit of the
+    * empty frame (same layout), NOT a DV over every row. */
+  override def truncateTable(): Boolean = {
+    require(pinned.isEmpty, s"$tableName: cannot truncate a time-traveled snapshot")
+    tx.overwriteSameLayout(tx.read().limit(0)); true
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, tx.v2ScanInfo(snap), tableName)

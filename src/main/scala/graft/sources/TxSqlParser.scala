@@ -145,6 +145,21 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case _                => None
   }
 
+  /** UPDATE/MERGE targets additionally accept the graft-CATALOG
+    * qualified spelling (`UPDATE graft.default.t SET …`) — Spark only
+    * plans those statements natively for `SupportsRowLevelOperations`
+    * tables, so the seam routes them onto the transactional API like
+    * bare names. DELETE deliberately does NOT take this branch: the
+    * V2 table implements `SupportsDelete`, so `DELETE FROM
+    * graft.default.t` runs Spark's OWN row-level path end-to-end. */
+  private def txDmlPath(plan: LogicalPlan): Option[String] = plan match {
+    case u: UnresolvedRelation =>
+      resolveTx(u.multipartIdentifier)
+        .orElse(resolveGraftCatalog(u.multipartIdentifier))
+    case s: SubqueryAlias => txDmlPath(s.child)
+    case _                => None
+  }
+
   /** Same for table-verb targets, which parse as `UnresolvedTable`
     * (ALTER) or `UnresolvedTableOrView` (SHOW) rather than
     * `UnresolvedRelation`. */
@@ -545,7 +560,7 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case DeleteFromTable(t, cond) if txPath(t).isDefined =>
       dmlResult("delete",
         TxTable(session, txPath(t).get).deleteWhere(column(cond)))
-    case UpdateTable(t, assignments, cond) if txPath(t).isDefined =>
+    case UpdateTable(t, assignments, cond) if txDmlPath(t).isDefined =>
       val set = assignments.map {
         case Assignment(key: UnresolvedAttribute, value) =>
           require(key.nameParts.length == 1,
@@ -555,12 +570,12 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         case a => sys.error(s"unsupported SET target ${a.key.sql}")
       }.toMap
       dmlResult("update",
-        TxTable(session, txPath(t).get).updateWhere(
+        TxTable(session, txDmlPath(t).get).updateWhere(
           cond.map(column).getOrElse(
             column(Literal.TrueLiteral)), set))
     case MergeIntoTable(t, source, onCond, matched, notMatched,
-        notMatchedBySource, _) if txPath(t).isDefined =>
-      val tx = TxTable(session, txPath(t).get)
+        notMatchedBySource, _) if txDmlPath(t).isDefined =>
+      val tx = TxTable(session, txDmlPath(t).get)
       // bucketed: ON must equate the bucket keys (routing hashes
       // them). Non-bucketed: ANY table columns may key the merge —
       // the file-granular core plans by zone map/Bloom instead

@@ -174,6 +174,42 @@ object StreamShims {
       df.queryExecution.toRdd, df.schema, isStreaming = true)
   }
 
+  /** COMPLETE V1 `Filter` → `Column` translation (cf. the deliberately
+    * conservative `TxTable.sourcesToCatalyst`, which extracts only
+    * zone-map-usable constraints): every shape Spark pushes — including
+    * Or / Not / null tests / string predicates — converts, so a V2
+    * `SupportsDelete.deleteWhere` can hand the exact pushed condition
+    * to the transactional delete. `None` only for shapes with no
+    * Column equivalent (nested V2 predicates Spark failed to convert
+    * to V1 — the caller must then reject via `canDeleteWhere`). */
+  def columnOfFilter(f: org.apache.spark.sql.sources.Filter)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.{functions => F}
+    import org.apache.spark.sql.sources
+    f match {
+      case sources.EqualTo(a, v)            => Some(F.col(a) === F.lit(v))
+      case sources.EqualNullSafe(a, v)      => Some(F.col(a) <=> F.lit(v))
+      case sources.GreaterThan(a, v)        => Some(F.col(a) > F.lit(v))
+      case sources.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
+      case sources.LessThan(a, v)           => Some(F.col(a) < F.lit(v))
+      case sources.LessThanOrEqual(a, v)    => Some(F.col(a) <= F.lit(v))
+      case sources.In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
+      case sources.IsNull(a)                => Some(F.col(a).isNull)
+      case sources.IsNotNull(a)             => Some(F.col(a).isNotNull)
+      case sources.StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
+      case sources.StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
+      case sources.StringContains(a, v)     => Some(F.col(a).contains(v))
+      case sources.AlwaysTrue()             => Some(F.lit(true))
+      case sources.AlwaysFalse()            => Some(F.lit(false))
+      case sources.And(l, r) =>
+        for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc && rc
+      case sources.Or(l, r) =>
+        for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc || rc
+      case sources.Not(c)                   => columnOfFilter(c).map(!_)
+      case _                                => None
+    }
+  }
+
   /** A DataFrame exposed as a V1 [[org.apache.spark.sql.sources.BaseRelation]]
     * — the batch-format read path for snapshots that can NOT be served
     * as a bare parquet file list (deletion-vector snapshots: the live
@@ -205,26 +241,7 @@ object StreamShims {
     override def unhandledFilters(filters: Array[sources.Filter]): Array[sources.Filter] =
       filters
     private def columnOfFilter(f: sources.Filter): Option[org.apache.spark.sql.Column] =
-      f match {
-        case sources.EqualTo(a, v)            => Some(F.col(a) === F.lit(v))
-        case sources.EqualNullSafe(a, v)      => Some(F.col(a) <=> F.lit(v))
-        case sources.GreaterThan(a, v)        => Some(F.col(a) > F.lit(v))
-        case sources.GreaterThanOrEqual(a, v) => Some(F.col(a) >= F.lit(v))
-        case sources.LessThan(a, v)           => Some(F.col(a) < F.lit(v))
-        case sources.LessThanOrEqual(a, v)    => Some(F.col(a) <= F.lit(v))
-        case sources.In(a, vs)                => Some(F.col(a).isin(vs.toIndexedSeq: _*))
-        case sources.IsNull(a)                => Some(F.col(a).isNull)
-        case sources.IsNotNull(a)             => Some(F.col(a).isNotNull)
-        case sources.StringStartsWith(a, v)   => Some(F.col(a).startsWith(v))
-        case sources.StringEndsWith(a, v)     => Some(F.col(a).endsWith(v))
-        case sources.StringContains(a, v)     => Some(F.col(a).contains(v))
-        case sources.And(l, r) =>
-          for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc && rc
-        case sources.Or(l, r) =>
-          for (lc <- columnOfFilter(l); rc <- columnOfFilter(r)) yield lc || rc
-        case sources.Not(c)                   => columnOfFilter(c).map(!_)
-        case _                                => None
-      }
+      StreamShims.columnOfFilter(f)
     override def buildScan(requiredColumns: Array[String],
         filters: Array[sources.Filter]): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
       val df0 = build(filters.toSeq)

@@ -351,4 +351,78 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE graft.default.v2_ddl2")
     assert(graft.core.TxCatalog(spark).lookup("v2_ddl2").isEmpty)
   }
+
+  test("native V2 DELETE: pushed filters → DV merge-on-read; untranslatable rejects") {
+    val d = dir("ndel")
+    val t = TxTable(spark, d, deletionVectors = true)
+    t.overwrite(df(0 until 1000, "d"))
+    spark.sql("DROP TABLE IF EXISTS v2_ndel")
+    spark.sql(s"CREATE TABLE v2_ndel USING txtable LOCATION '$d'")
+    val v0 = t.latestVersion.get
+    // the catalog-qualified spelling is NOT intercepted by the parser
+    // seam — it runs Spark's own DeleteFromTable resolution into
+    // SupportsDelete.deleteWhere (pushed Or of comparisons)
+    spark.sql("DELETE FROM graft.default.v2_ndel " +
+      "WHERE id < 100 OR name = 'd_500'")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_ndel")
+      .head.getLong(0) == 899)
+    // merge-on-read: the delete committed a NEW version without
+    // rewriting data files — the base parquet of v0 is still live
+    assert(t.latestVersion.get > v0)
+    assert(TxTable(spark, d).read().count() == 899)
+    // proof this is the native path, not the seam: a condition Spark
+    // cannot push as a source filter (id % 7 = 0) is REJECTED here,
+    // while the seam's bare-name spelling accepts arbitrary predicates
+    val err = intercept[Exception] {
+      spark.sql("DELETE FROM graft.default.v2_ndel WHERE id % 7 = 0")
+    }
+    assert(err.getMessage != null)
+    spark.sql("DELETE FROM v2_ndel WHERE id % 7 = 0") // seam: fine
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_ndel")
+      .head.getLong(0) ==
+      (100 until 1000).count(i => i != 500 && i % 7 != 0))
+    spark.sql("DROP TABLE v2_ndel")
+  }
+
+  test("TRUNCATE TABLE through the catalog: empty, schema kept, re-insertable") {
+    val d = dir("trunc")
+    TxTable(spark, d).overwrite(df(0 until 50, "t"))
+    spark.sql("DROP TABLE IF EXISTS v2_trunc")
+    spark.sql(s"CREATE TABLE v2_trunc USING txtable LOCATION '$d'")
+    spark.sql("TRUNCATE TABLE graft.default.v2_trunc")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_trunc")
+      .head.getLong(0) == 0)
+    // schema survived the truncate — an insert lands on the same shape
+    spark.sql("INSERT INTO graft.default.v2_trunc VALUES (7, 'back', 7.5)")
+    val r = spark.sql(
+      "SELECT id, name, score FROM graft.default.v2_trunc").head
+    assert((r.getLong(0), r.getString(1), r.getDouble(2)) == ((7L, "back", 7.5)))
+    spark.sql("DROP TABLE v2_trunc")
+  }
+
+  test("catalog-qualified UPDATE and MERGE route onto the transactional API") {
+    import spark.implicits._
+    val d = dir("dml")
+    TxTable(spark, d).overwrite(df(0 until 100, "u"))
+    spark.sql("DROP TABLE IF EXISTS v2_dml")
+    spark.sql(s"CREATE TABLE v2_dml USING txtable LOCATION '$d'")
+    spark.sql("UPDATE graft.default.v2_dml SET score = score * 2 WHERE id < 10")
+    assert(spark.sql(
+      "SELECT CAST(round(sum(score), 1) AS DOUBLE) AS s " +
+        "FROM graft.default.v2_dml WHERE id < 10")
+      .head.getDouble(0) == (0 until 10).map(_ * 3.0).sum)
+    Seq((5L, "merged", 100.0), (200L, "new", 1.0))
+      .toDF("id", "name", "score").createOrReplaceTempView("v2_dml_src")
+    spark.sql("""MERGE INTO graft.default.v2_dml t USING v2_dml_src s
+                |ON t.id = s.id
+                |WHEN MATCHED THEN UPDATE SET score = s.score
+                |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(
+      "SELECT score FROM graft.default.v2_dml WHERE id = 5")
+      .head.getDouble(0) == 100.0)
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.default.v2_dml WHERE id = 200")
+      .head.getLong(0) == 1)
+    spark.sql("DROP TABLE v2_dml")
+  }
 }
