@@ -137,7 +137,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       .getOrElse(throw new NoSuchTableException(ident))
 
   private def loadPinned(ident: Identifier, v: Option[Long]): Table =
-    new GraftTable(spark, locationOf(ident), fullName(ident), v)
+    registry.lookup(keyOf(ident)).filter(TxTable.isTable(spark, _)) match {
+      case Some(loc) => new GraftTable(spark, loc, fullName(ident), v)
+      case None => metadataTableFor(ident, v).getOrElse(
+        throw new NoSuchTableException(ident))
+    }
+
+  /** Iceberg-style METADATA TABLES: `SELECT * FROM graft.default.t.history`
+    * (also `.files`, `.partitions`) — the trailing segment parses as the
+    * identifier's name with the real table underneath it in the
+    * namespace, so an unregistered lookup whose parent IS registered
+    * serves the commit log as a queryable relation. Fully composable
+    * (joins, filters, aggregates) where the DESCRIBE HISTORY verb is a
+    * fixed report; `VERSION AS OF` pins `.files`/`.partitions` to that
+    * snapshot's manifest. */
+  private def metadataTableFor(ident: Identifier, v: Option[Long]): Option[Table] =
+    if (GraftMetadataTable.kinds(ident.name.toLowerCase(java.util.Locale.ROOT))
+        && ident.namespace.nonEmpty) {
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      registry.lookup(keyOf(parent)).filter(TxTable.isTable(spark, _))
+        .map(loc => new GraftMetadataTable(spark, loc, fullName(ident),
+          ident.name.toLowerCase(java.util.Locale.ROOT), v))
+    } else None
 
   private def fullName(ident: Identifier): String =
     (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
@@ -577,4 +598,102 @@ private[graft] object GraftScan {
     case sources.Not(c) => renameFilter(c, phys).map(sources.Not)
     case _ => None
   }
+}
+
+/** Iceberg-style metadata tables over the commit log —
+  * `graft.default.t.history` / `.files` / `.partitions` as ordinary
+  * SELECT-able relations (loadTable resolves the trailing segment, cf.
+  * Iceberg's SparkCatalog metadata-table routing). The row sets are
+  * log-derived driver scalars — a few hundred commits / files at most
+  * per snapshot on a healthy table — so the scan is a [[LocalScan]]:
+  * no job, no partitions, the planner folds it like a local relation.
+  * Partition values render as the canonical `k=v/k2=v2` path string
+  * (sorted by key) so the relation stays flat and join-friendly. */
+private final class GraftMetadataTable(spark: SparkSession, location: String,
+    tableName: String, kind: String, pinned: Option[Long])
+    extends Table with SupportsRead {
+  import org.apache.spark.sql.connector.read.LocalScan
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val tx = TxTable(spark, location)
+  private def snap: Long = pinned.orElse(tx.latestVersion).getOrElse(
+    sys.error(s"$location has no committed snapshots"))
+
+  override def name(): String = tableName
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_added_files", IntegerType, nullable = false),
+      StructField("added_bytes", LongType, nullable = false)))
+    case "files" => StructType(Seq(
+      StructField("path", StringType, nullable = false),
+      StructField("partition", StringType, nullable = false),
+      StructField("bucket", IntegerType, nullable = true),
+      StructField("bytes", LongType, nullable = true),
+      StructField("rows", LongType, nullable = true),
+      StructField("dv_rows", LongType, nullable = false),
+      StructField("dv_path", StringType, nullable = true)))
+    case "partitions" => StructType(Seq(
+      StructField("partition", StringType, nullable = false),
+      StructField("n_files", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("bytes", LongType, nullable = false)))
+    case other => sys.error(s"unknown metadata table kind $other")
+  }
+
+  private def partString(p: Map[String, String]): String =
+    p.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString("/")
+
+  private def rowsOf(): Seq[InternalRow] = kind match {
+    case "history" =>
+      tx.history().map { case (v, op, nFiles, nAdd, bAdd) =>
+        InternalRow(v, UTF8String.fromString(op), nFiles, nAdd, bAdd)
+      }
+    case "files" =>
+      val info = tx.v2ScanInfo(snap)
+      info.files.map { case (e, st) =>
+        InternalRow(
+          UTF8String.fromString(e.path),
+          UTF8String.fromString(partString(e.partition)),
+          info.bucketOf(e).map(Int.box).orNull,
+          if (e.bytes >= 0) Long.box(e.bytes)
+          else Long.box(st.getLen),
+          if (e.rows >= 0) Long.box(e.rows) else null,
+          e.dvRows,
+          info.dvOf(e).map(UTF8String.fromString).orNull)
+      }
+    case "partitions" =>
+      val info = tx.v2ScanInfo(snap)
+      info.files.groupBy { case (e, _) => partString(e.partition) }
+        .toSeq.sortBy(_._1)
+        .map { case (p, fs) =>
+          val anyUnknown = fs.exists(_._1.rows < 0)
+          val liveRows = fs.map { case (e, _) => e.rows - e.dvRows }.sum
+          InternalRow(
+            UTF8String.fromString(p),
+            fs.size.toLong,
+            if (anyUnknown) null else Long.box(liveRows),
+            fs.map { case (e, st) =>
+              if (e.bytes >= 0) e.bytes else st.getLen }.sum)
+        }
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LocalScan {
+        override def readSchema(): StructType = GraftMetadataTable.this.schema()
+        override def rows(): Array[InternalRow] = rowsOf().toArray
+        override def description(): String = s"GraftMetadata($tableName)"
+      }
+    }
+}
+
+private object GraftMetadataTable {
+  val kinds: Set[String] = Set("history", "files", "partitions")
 }

@@ -352,6 +352,48 @@ class GraftCatalogSpec extends SparkSpec {
     assert(graft.core.TxCatalog(spark).lookup("v2_ddl2").isEmpty)
   }
 
+  test("metadata tables: .history/.files/.partitions are SELECT-able relations") {
+    import spark.implicits._
+    val d = dir("meta")
+    val t = TxTable(spark, d, deletionVectors = true)
+    t.overwrite(df(0 until 100, "m").withColumn("part",
+      (col("id") % 2).cast("string")), partitionBy = Seq("part"))
+    t.append(df(100 until 150, "m").withColumn("part", lit("9")))
+    t.deleteWhere(col("id") === 7L)
+    spark.sql("DROP TABLE IF EXISTS v2_meta")
+    spark.sql(s"CREATE TABLE v2_meta USING txtable LOCATION '$d'")
+    // history: one row per commit, composable SQL (filter + agg)
+    val hist = spark.sql(
+      "SELECT version, operation FROM graft.default.v2_meta.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(hist.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(hist.head._2 == "overwrite")
+    // files: per-file rows with partition string, rows, dv accounting
+    val files = spark.sql(
+      """SELECT partition, sum(rows) AS r, sum(dv_rows) AS dv, count(*) AS n
+        |FROM graft.default.v2_meta.files GROUP BY 1 ORDER BY 1""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(files.map(_._1).toSeq == Seq("part=0", "part=1", "part=9"))
+    assert(files.map(_._2).sum == 150)     // raw rows incl. DV-hidden
+    assert(files.map(_._3).sum == 1)       // the one deleted position
+    // partitions: live-row accounting nets out the DV
+    val parts = spark.sql(
+      "SELECT partition, rows FROM graft.default.v2_meta.partitions ORDER BY 1")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(parts.toMap == Map("part=0" -> 50L, "part=1" -> 49L, "part=9" -> 50L))
+    // VERSION AS OF pins .files to that snapshot's manifest
+    val v0files = spark.sql(
+      "SELECT sum(rows) AS r FROM graft.default.v2_meta.files VERSION AS OF 0")
+      .head.getLong(0)
+    assert(v0files == 100)
+    // joins compose: history x files is just SQL
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.default.v2_meta.history h
+        |CROSS JOIN (SELECT count(*) AS n FROM graft.default.v2_meta.files) f
+        |""".stripMargin).head.getLong(0) == 3)
+    spark.sql("DROP TABLE v2_meta")
+  }
+
   test("native V2 DELETE: pushed filters → DV merge-on-read; untranslatable rejects") {
     val d = dir("ndel")
     val t = TxTable(spark, d, deletionVectors = true)
