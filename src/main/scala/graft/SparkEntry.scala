@@ -1200,6 +1200,41 @@ object SparkEntry {
             .as("sum_value"))
         .orderBy("user_id", "session_start")
     }),
+    // s13: the SAME sessionization on Spark 4's transformWithState
+    // surface (StatefulProcessor + explicit ValueState + event-time
+    // timers, RocksDB-backed) — the arbitrary-stateful-processing v2
+    // API production pipelines migrate to; gated against the same
+    // relational oracle as s6/s2, so the two stateful APIs are pinned
+    // to identical session semantics
+    "s13_tws_sessionize" -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val sdir = EventsStream.scratchDir("graft_tws_sentinel")
+      Tables.events(s, d).agg(max(col("ts")).as("mx"))
+        .select(lit(-1L).as("event_id"),
+          (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
+          lit(-1L).as("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(s"$sdir/sentinel.parquet")
+      val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
+      val stream = EventsStream.readEventsStream(s, d)
+        .select(evCols.map(col): _*)
+        .unionAll(s.readStream
+          .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+            "event_type STRING, value DOUBLE")
+          .parquet(s"$sdir/sentinel.parquet"))
+        .as[EventsStream.Event]
+      EventsStream.runAvailableNowToParquet(s,
+          EventsStream.sessionizeTws(stream).toDF(),
+          EventsStream.scratchDir("graft_stream_tws"))
+        .where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"),
+          round(col("sum_value").cast("decimal(18,2)"), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("user_id", "session_start")
+    }),
     // streaming dedup: the fixture replayed twice (union of two file
     // streams) → dropDuplicatesWithinWatermark on event_id → the
     // deduplicated stream lands in a parquet sink (distributed write,
@@ -3094,6 +3129,7 @@ object SparkEntry {
     // s2 (batch) and s6 (streaming flatMapGroupsWithState) share the
     // sessionization oracle: same gap semantics, µs-exact bounds
     "s6_stream_sessionize" -> sessionizeOracle,
+    "s13_tws_sessionize"   -> sessionizeOracle,
     "s2_sessionize_batch"  -> sessionizeOracle,
     "t5_url_normalize" ->
       """WITH u AS (SELECT doc_id,

@@ -128,6 +128,91 @@ object EventsStream {
       }
   }
 
+  /** The SAME sessionization on Spark 4's arbitrary-stateful-processing
+    * v2 surface (`transformWithState`): a [[StatefulProcessor]] with an
+    * explicit [[org.apache.spark.sql.streaming.ValueState]] and
+    * event-time TIMERS instead of `flatMapGroupsWithState`'s implicit
+    * single-slot state + timeout. What the v2 API buys at scale:
+    * multiple named state variables per key (value/list/map), per-state
+    * TTL, and timer multiplexing — the shape long-running production
+    * pipelines migrate to; requires the RocksDB state store (set by
+    * [[withStatePartitions]]). Session semantics are bit-identical to
+    * [[sessionize]]/[[sessionizeBatch]] (micros arithmetic, same gap
+    * rule), gated against the same relational oracle (s13). */
+  def sessionizeTws(events: Dataset[Event], gapMinutes: Int = 30): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** v2 stateful sessionizer: one ValueState slot holding the open
+    * session, one registered event-time timer at its close instant.
+    * Updating the open session MOVES the timer (delete + re-register)
+    * so at most one timer per key is live; a defensive staleness check
+    * in the expiry handler keeps correctness independent of that
+    * invariant. */
+  private final class SessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, UserSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
+
+    @transient private var state: ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState], TTLConfig.NONE)
+
+    /** Timer instant for an open session: ms-rounded UP so the session
+      * never closes early (the [[sessionize]] rule). */
+    private def timerOf(s: SessionState): Long = (s.end + gapUs) / 1000 + 1
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: TimerValues): Iterator[UserSession] = {
+      val sorted = rows.toSeq.sortBy(e => tsMicros(e.ts))
+      var open = if (state.exists()) Some(state.get()) else None
+      open.foreach(s => getHandle.deleteTimer(timerOf(s)))
+      val closed = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      sorted.foreach { e =>
+        val t = tsMicros(e.ts)
+        open match {
+          case Some(s) if t - s.end <= gapUs =>
+            open = Some(SessionState(s.start, math.max(s.end, t),
+              s.nEvents + 1, s.sumValue + e.value))
+          case Some(s) =>
+            closed += UserSession(userId, microsTs(s.start),
+              microsTs(s.end), s.nEvents, s.sumValue)
+            open = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            open = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      open match {
+        case Some(s) => state.update(s); getHandle.registerTimer(timerOf(s))
+        case None    => state.clear()
+      }
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timerValues: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[UserSession] = {
+      if (state.exists()) {
+        val s = state.get()
+        // stale-timer guard: only close if THIS timer is the session's
+        if (timerOf(s) <= expired.getExpiryTimeInMs) {
+          state.clear()
+          Iterator(UserSession(userId, microsTs(s.start),
+            microsTs(s.end), s.nEvents, s.sumValue))
+        } else Iterator.empty
+      } else Iterator.empty
+    }
+  }
+
   /** Batch sessionization — same session semantics as [[sessionize]]
     * expressed relationally (lag-gap flag → running session index →
     * group), so it is SQL-oracle-checkable and serves as the batch

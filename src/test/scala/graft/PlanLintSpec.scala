@@ -40,7 +40,7 @@ class PlanLintSpec extends SparkSpec {
     Set("s1_stream_rollup", "s3_stream_dedup", "s4_stream_join",
       "s5_stream_static", "s6_stream_sessionize", "s7_foreach_batch_upsert",
       "s8_upsert_tx", "s9_tx_stream_read", "s10_tx_medallion",
-      "s11_tx_cdc_snapshot", "s12_stream_left_join")
+      "s11_tx_cdc_snapshot", "s12_stream_left_join", "s13_tws_sessionize")
 
   test("no accidental cartesian or nested-loop joins in any gated plan") {
     SparkEntry.queries.foreach { case (name, fn) =>

@@ -97,6 +97,34 @@ class StreamingSpec extends SparkSpec {
     assert(events.count() > 0) // fixture loads through the Event encoder
   }
 
+  test("transformWithState sessionization emits the same sessions as v1") {
+    import spark.implicits._
+    // same crafted set as the v1 spec: the v2 processor (explicit
+    // ValueState + event-time timers) must close exactly the same
+    // session at the same watermark
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def at(min: Long) = new java.sql.Timestamp(base.getTime + min * 60000)
+    val crafted = Seq(
+      EventsStream.Event(1, at(0), 7, "click", 1.0),
+      EventsStream.Event(2, at(10), 7, "click", 2.0),
+      EventsStream.Event(3, at(60), 7, "view", 4.0),
+      EventsStream.Event(4, at(5), 8, "click", 8.0)).toDS()
+    val dir = EventsStream.scratchDir("sess_tws")
+    crafted.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val streamIn = spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .parquet(s"$dir/events.parquet").as[EventsStream.Event]
+    val out = EventsStream.runAvailableNow(spark,
+      EventsStream.sessionizeTws(streamIn, gapMinutes = 30).toDF(),
+      "sessions_tws_crafted")
+    val rows = out.collect()
+    assert(rows.length == 1, rows.toSeq)
+    val s = rows(0)
+    assert(s.getAs[Long]("user_id") == 7)
+    assert(s.getAs[Long]("n_events") == 2)
+    assert(s.getAs[Double]("sum_value") == 3.0)
+  }
+
   test("parquet sink restart with the same checkpoint is idempotent") {
     import org.apache.spark.sql.streaming.Trigger
     // the exactly-once file-sink contract: re-running availableNow
