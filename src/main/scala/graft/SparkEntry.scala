@@ -1592,6 +1592,26 @@ object SparkEntry {
             lit(".example.com/docs/"), col("doc_id")).as("url")),
         "url").orderBy("doc_id")
     }),
+    // t16: Unicode NFC normalization as a codegen'd Catalyst
+    // expression (graft_normalize) — the fixture text is ASCII (born
+    // normalized), so the gate SYNTHESIZES combining sequences
+    // in-query (e → e+U+0301) and normalizes them back; gated on
+    // per-doc codepoint counts before/after plus an md5 of the
+    // normalized text, against DuckDB's nfc_normalize
+    "t16_nfc_normalize"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "e", "é").as("dirty"))
+        .select(col("doc_id"),
+          length(col("dirty")).cast("long").as("len_dirty"),
+          graft.functions.GraftFunctions.unicodeNormalize(col("dirty"))
+            .as("clean"))
+        .select(col("doc_id"), col("len_dirty"),
+          length(col("clean")).cast("long").as("len_clean"),
+          md5(col("clean").cast("binary")).as("h"))
+        .orderBy("doc_id")
+    }),
     // frame-sampling policy gated end-to-end: every video yields
     // min(maxFrames, duration/everyMs) frames — the oracle re-derives
     // the policy from the synthetic-media construction rules; frame
@@ -3131,6 +3151,18 @@ object SparkEntry {
     "s6_stream_sessionize" -> sessionizeOracle,
     "s13_tws_sessionize"   -> sessionizeOracle,
     "s2_sessionize_batch"  -> sessionizeOracle,
+    // t16's oracle: DuckDB's nfc_normalize over the same synthesized
+    // combining sequences (the literal below is e + U+0301)
+    "t16_nfc_normalize" ->
+      ("""WITH dirty AS (
+        |  SELECT doc_id, replace(text, 'e', 'e""".stripMargin + "́" +
+        """') AS dirty FROM documents),
+        |clean AS (
+        |  SELECT doc_id, length(dirty) AS len_dirty,
+        |         nfc_normalize(dirty) AS clean FROM dirty)
+        |SELECT doc_id, len_dirty, length(clean) AS len_clean,
+        |       md5(clean) AS h
+        |FROM clean ORDER BY doc_id""".stripMargin),
     "t5_url_normalize" ->
       """WITH u AS (SELECT doc_id,
         |  'https://www.' || source || '.example.com/docs/' || doc_id AS url

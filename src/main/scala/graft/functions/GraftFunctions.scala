@@ -317,9 +317,52 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 }
 
 /** Column-API entry points. */
+/** Static text kernels the codegen'd expressions call into. */
+object TextKernels {
+  private val Forms = java.text.Normalizer.Form.values()
+
+  /** Unicode-normalize one UTF8String. The `isNormalized` quick check
+    * makes the already-normalized case (the overwhelming majority of
+    * real corpus text) a read-only scan that returns the INPUT object
+    * — no String decode round-trip, no allocation — which is what
+    * keeps a 100 TB normalization pass cheap where text is clean and
+    * pays only where it is not. */
+  def normalize(s: UTF8String, formOrdinal: Int): UTF8String = {
+    val f = Forms(formOrdinal)
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, f)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, f))
+  }
+}
+
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a codegen'd Catalyst
+  * expression — the corpus-cleaning primitive (mojibake-adjacent
+  * combining sequences, width/compatibility folds) run inside
+  * whole-stage codegen rather than a UDF. Oracle: DuckDB
+  * `nfc_normalize` (t16). */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+  private val formOrdinal =
+    java.text.Normalizer.Form.valueOf(form.toUpperCase(java.util.Locale.ROOT))
+      .ordinal
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_normalize"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.normalize(a.asInstanceOf[UTF8String], formOrdinal)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TextKernels.normalize($c, $formOrdinal)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
+
+  /** Unicode normalization; `form` ∈ NFC | NFD | NFKC | NFKD. */
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    col(UnicodeNormalize(ex(c), form))
 
   def cosineSim(a: Column, b: Column): Column = col(CosineSim(ex(a), ex(b)))
   def dotProduct(a: Column, b: Column): Column = col(DotProduct(ex(a), ex(b)))
@@ -376,6 +419,14 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
       FunctionIdentifier("graft_vec_l2norm"),
       new ExpressionInfo(classOf[VecL2Norm].getName, "graft_vec_l2norm"),
       (args: Seq[Expression]) => VecL2Norm(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_normalize"),
+      (args: Seq[Expression]) => UnicodeNormalize(args(0),
+        // optional second arg: a foldable literal form name
+        if (args.length > 1)
+          args(1).eval(null).asInstanceOf[UTF8String].toString
+        else "NFC")))
     // dev-mode sampling over base scans (inert unless
     // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
     ext.injectPostHocResolutionRule(session =>

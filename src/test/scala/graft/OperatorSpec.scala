@@ -96,4 +96,36 @@ class OperatorSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
     assert(total == Tables.events(spark, sf).count())
   }
+
+  test("graft_normalize: all four forms match java.text.Normalizer, codegen and SQL") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // combining sequence, precomposed, ligature (NFKC-only fold),
+    // fullwidth digits, already-clean ASCII, empty
+    val combining   = "e\u0301clair"
+    val precomposed = "\u00e9clair"
+    val tricky = Seq(combining, precomposed, "ﬁle", "１２３", "plain", "")
+    val df = tricky.toDF("s")
+    for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+      val want = tricky.map(t =>
+        java.text.Normalizer.normalize(t, java.text.Normalizer.Form.valueOf(form)))
+      val got = df.select(graft.functions.GraftFunctions
+        .unicodeNormalize(col("s"), form).as("n"))
+        .collect().map(_.getString(0)).toSeq
+      assert(got == want, s"form $form")
+    }
+    // NFC folds the combining pair to the precomposed char; NFKC also
+    // folds compatibility forms — pin the semantic difference
+    assert(df.select(graft.functions.GraftFunctions
+      .unicodeNormalize(col("s")).as("n")).collect().map(_.getString(0))
+      .count(_ == precomposed) == 2)
+    // SQL registration, optional form argument, null propagation
+    df.createOrReplaceTempView("norm_in")
+    assert(spark.sql("SELECT graft_normalize(s) AS n FROM norm_in WHERE s = 'plain'")
+      .head.getString(0) == "plain")
+    assert(spark.sql("SELECT graft_normalize('ﬁle', 'NFKC') AS n")
+      .head.getString(0) == "file")
+    assert(spark.sql("SELECT graft_normalize(CAST(NULL AS STRING)) AS n")
+      .head.isNullAt(0))
+  }
 }
