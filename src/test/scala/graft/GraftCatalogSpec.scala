@@ -394,6 +394,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_meta")
   }
 
+  test("writeStream.toTable on a graft table: exactly-once txn-tagged appends") {
+    import spark.implicits._
+    val d = dir("totable")
+    TxTable(spark, s"$d/t").overwrite(Seq((1L, "a")).toDF("id", "v"))
+    spark.sql("DROP TABLE IF EXISTS v2_totable")
+    spark.sql(s"CREATE TABLE v2_totable USING txtable LOCATION '$d/t'")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$d/src")
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema("id LONG, v STRING").parquet(s"$d/src")
+        // format("txtable") is REQUIRED: toTable's V1-fallback path
+        // compares the writer's source against the table provider
+        .writeStream.format("txtable")
+        .option("checkpointLocation", s"$d/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft.default.v2_totable")
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.sql("SELECT count(*) FROM graft.default.v2_totable")
+      .head.getLong(0) == 3)
+    // restart against the same checkpoint: offsets committed, no dupes
+    runOnce()
+    assert(spark.sql("SELECT count(*) FROM graft.default.v2_totable")
+      .head.getLong(0) == 3)
+    spark.sql("DROP TABLE v2_totable")
+  }
+
   test("native V2 DELETE: pushed filters → DV merge-on-read; untranslatable rejects") {
     val d = dir("ndel")
     val t = TxTable(spark, d, deletionVectors = true)
