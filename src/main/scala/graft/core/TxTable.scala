@@ -617,6 +617,64 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   def dropGeneratedColumn(colName: String): Long =
     unsetProperties(Seq(TxTable.PropGeneratedPrefix + colName.toLowerCase))
 
+  // ---- identity columns (GENERATED BY DEFAULT AS IDENTITY) ----------------
+
+  /** Identity columns: name → (start, step, highWater). `highWater`
+    * is the largest value the table has ever minted OR ingested for
+    * the column — the commit loop advances it transactionally from
+    * the committed files' max stats, so it survives any writer. */
+  def identityColumns: Map[String, (Long, Long, Long)] =
+    properties.collect {
+      case (k, v) if k.startsWith(TxTable.PropIdentityPrefix) =>
+        val Array(s, p, h) = v.split(',').map(_.trim.toLong)
+        k.stripPrefix(TxTable.PropIdentityPrefix) -> ((s, p, h))
+    }
+
+  /** Declare `colName` GENERATED BY DEFAULT AS IDENTITY (START WITH
+    * `start` INCREMENT BY `step`): a write that OMITS the column gets
+    * values minted inside the write job; a write that supplies it
+    * passes through (the BY DEFAULT contract — which is also what
+    * lets every internal rewrite path carry existing ids untouched).
+    * Delta-documented semantics: values are unique and ascending, but
+    * NOT consecutive — minting packs (partition, row) like
+    * `monotonically_increasing_id`, so each assigning write consumes
+    * id space ~nPartitions·2³³·step; BIGINT leaves ~10⁶ such writes
+    * of headroom, and the commit advances highWater to the committed
+    * MAX, so unused reservation is reclaimed except in the last
+    * partition. Concurrency: two writers minting from the same base
+    * would collide — the commit loop detects the stale base and fails
+    * LOUDLY (rerun re-mints against the new highWater); supplied-value
+    * writers never conflict (their max folds in monotonically). */
+  def addIdentityColumn(colName: String, start: Long = 1L,
+      step: Long = 1L): Long = {
+    require(step > 0, s"identity step must be positive, got $step")
+    val m = manifest(latestVersion.getOrElse(sys.error(s"$root has no snapshots")))
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val f = schema.fields.find(_.name.equalsIgnoreCase(colName)).getOrElse(
+      sys.error(s"$root has no column $colName — ALTER TABLE ADD COLUMN first"))
+    require(f.dataType == LongType,
+      s"identity column $colName must be BIGINT, got ${f.dataType.simpleString}")
+    require(!m.properties.contains(TxTable.PropGeneratedPrefix +
+        colName.toLowerCase),
+      s"$colName is already a generated column — a column cannot be both")
+    // seed the high water from the data so the first mint can never
+    // collide with ingested values (one bounded agg over max stats —
+    // or a scan where stats are absent)
+    val existingMax: Option[Long] = {
+      import org.apache.spark.sql.functions.max
+      if (m.files.isEmpty) None
+      else Option(read().agg(max(col(s"`$colName`"))).head.get(0))
+        .map(_.asInstanceOf[Long])
+    }
+    val high0 = math.max(existingMax.getOrElse(start - step), start - step)
+    setProperties(Map(TxTable.PropIdentityPrefix + colName.toLowerCase ->
+      s"$start,$step,$high0"))
+  }
+
+  /** Release an identity declaration (the column and its values stay). */
+  def dropIdentityColumn(colName: String): Long =
+    unsetProperties(Seq(TxTable.PropIdentityPrefix + colName.toLowerCase))
+
   /** Columns a constraint condition references (top-level names) —
     * what rename/drop must refuse to break. */
   private def constraintColumns(conditionSql: String): Set[String] = {
@@ -650,6 +708,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             s"${k.stripPrefix(TxTable.PropGeneratedPrefix)} ($v) — drop " +
             s"the generation before $verb")
       }
+      else if (k.startsWith(TxTable.PropIdentityPrefix))
+        require(k.stripPrefix(TxTable.PropIdentityPrefix) !=
+            colName.toLowerCase,
+          s"$root: column $colName is an identity column — DROP IDENTITY " +
+            s"before $verb")
     }
 
   /** The write-side invariant guard: every constraint becomes a
@@ -3273,6 +3336,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * exactly Spark's ordering semantics, no parquet-footer type
     * decoding. Values ride the manifest as strings; [[readWhereRange]]
     * re-types them against the snapshot schema. */
+  /** (identity column, highWater base) of the mint performed by the
+    * last enforcing [[writeDataFiles]] on THIS handle — the commit
+    * loop's stale-base conflict check reads it. Single writer per
+    * handle (the TxTable instance is cheap and per-path; concurrent
+    * writers hold their own handles and are serialized by the commit
+    * log itself). */
+  @volatile private var pendingIdentityMint: Option[(String, Long)] = None
+
+  /** Identity minting (GENERATED BY DEFAULT AS IDENTITY): a frame
+    * that omits the column gets `high + (partitionPackedRowId+1)·step`
+    * — unique and ascending, gaps expected (the Delta contract);
+    * a frame supplying the column passes through, which is also how
+    * every internal rewrite carries existing ids untouched. */
+  private def withIdentity(df: DataFrame,
+      props: Map[String, String]): DataFrame = {
+    val ids = props.collect {
+      case (k, v) if k.startsWith(TxTable.PropIdentityPrefix) =>
+        k.stripPrefix(TxTable.PropIdentityPrefix) -> v
+    }
+    import org.apache.spark.sql.functions.{lit, monotonically_increasing_id}
+    ids.foldLeft(df) { case (d, (name, spec)) =>
+      if (d.columns.exists(_.equalsIgnoreCase(name))) d
+      else {
+        val Array(_, step, high) = spec.split(',').map(_.trim.toLong)
+        pendingIdentityMint = Some((name, high))
+        d.withColumn(name,
+          lit(high) + (monotonically_increasing_id() + lit(1L)) * lit(step))
+      }
+    }
+  }
+
   private def writeDataFiles(df: DataFrame,
       partitionCols: Seq[String],
       withStats: Boolean = true,
@@ -3284,13 +3378,18 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // vectors — pass enforce=false: different schemas, and their rows
     // are records OF changes, not table rows)
     val latestM = latestVersion.map(manifest)
+    if (enforce) pendingIdentityMint = None
     val checked =
       if (!enforce) df
       else {
         val props = latestM.map(_.properties).getOrElse(Map.empty)
-        // generated columns first (compute-if-absent), so CHECK and
+        // identity minting first (a frame omitting the column gets
+        // values), then generated columns, so both may be referenced
+        // by CHECK / NOT NULL
+        val minted = withIdentity(df, props)
+        // generated columns (compute-if-absent), so CHECK and
         // NOT NULL may reference them
-        val gen = withGenerated(df, props.collect {
+        val gen = withGenerated(minted, props.collect {
           case (k, v) if k.startsWith(TxTable.PropGeneratedPrefix) =>
             k.stripPrefix(TxTable.PropGeneratedPrefix) -> v
         })
@@ -3510,6 +3609,60 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * changed entries (O(delta) bytes); the full state rides the JVM
     * cache and, every [[TxTable.CheckpointInterval]] commits, a
     * checkpoint file. */
+  /** Transactional identity-highWater advance, applied to EVERY commit
+    * inside the loop: for each identity column, fold the committed
+    * files' max into the stored highWater — minted and supplied values
+    * alike, so the next mint can never collide with either. Runs the
+    * stale-base check for mints: a racing commit that advanced the
+    * highWater a mint was based on fails the commit LOUDLY (the only
+    * sound answer — the minted ids are already in the written files).
+    * Max comes from the manifest stats (free); files written with
+    * stats off fall back to one bounded scan of exactly those files. */
+  private def advanceIdentity(props: Map[String, String],
+      added: Seq[FileEntry], colMap: Map[String, String],
+      schemaDdl: String): Map[String, String] = {
+    val ids = props.filter(_._1.startsWith(TxTable.PropIdentityPrefix))
+    // the stale-base check applies only to commits that ADD files —
+    // a mint rides its own commit; property-only commits on a handle
+    // with a crashed earlier mint must not trip it
+    if (ids.isEmpty || added.isEmpty) props
+    else {
+      val schema = StructType.fromDDL(schemaDdl)
+      props ++ ids.map { case (k, spec) =>
+        val name = k.stripPrefix(TxTable.PropIdentityPrefix)
+        val Array(start, step, high) = spec.split(',').map(_.trim.toLong)
+        pendingIdentityMint.foreach { case (mintCol, base) =>
+          if (mintCol == name)
+            require(high == base,
+              s"$root: concurrent identity assignment on $name — " +
+                "another writer advanced the high water; rerun the write")
+        }
+        val actual = schema.fields.map(_.name)
+          .find(_.equalsIgnoreCase(name)).getOrElse(name)
+        val phys = colMap.getOrElse(actual, actual)
+        val (withStat, withoutStat) = added.partition(e =>
+          e.max.keys.exists(_.equalsIgnoreCase(phys)))
+        val statMax = withStat.map(e =>
+          BigDecimal(e.max.find(_._1.equalsIgnoreCase(phys)).get._2).toLong)
+          .reduceOption(_ max _)
+        val scanMax: Option[Long] =
+          if (withoutStat.isEmpty) None
+          else {
+            import org.apache.spark.sql.functions.max
+            val paths = withoutStat.map(e => new Path(root, e.path).toString)
+            val df = spark.read.parquet(paths: _*)
+            if (!df.columns.exists(_.equalsIgnoreCase(phys))) None
+            else Option(df.agg(max(col(s"`$phys`"))).head.get(0))
+              .map(_.asInstanceOf[Long])
+          }
+        val newHigh = (Seq(high) ++ statMax ++ scanMax).max
+        require(newHigh >= high,
+          s"$root: identity $name high-water regression ($high -> $newHigh)")
+        k -> s"$start,$step,$newHigh"
+      }
+    }
+  }
+
   private def commit(compose: Option[Manifest] => Pending): Long = {
     fs.mkdirs(logDir)
     var attempts = 0
@@ -3520,10 +3673,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       // exactly-once bookkeeping: carry every app's latest batchId
       // forward, then fold in this commit's tag
       val txns = latest.map(_.txns).getOrElse(Map.empty) ++ p.txn
-      val props = p.properties.getOrElse(
+      val props0 = p.properties.getOrElse(
         latest.map(_.properties).getOrElse(Map.empty))
       val colMap = p.colMap.getOrElse(
         latest.map(_.colMap).getOrElse(Map.empty))
+      val addedEntries = {
+        val prevByPath0 = latest.map(_.files).getOrElse(Nil)
+          .map(f => f.path -> f).toMap
+        p.files.filterNot(f => prevByPath0.get(f.path).contains(f))
+      }
+      val props = advanceIdentity(props0, addedEntries, colMap, p.schemaDdl)
       val retired = p.retired.getOrElse(
         latest.map(_.retired).getOrElse(Nil))
       val m = Manifest(v, p.operation, p.schemaDdl, p.files,
@@ -3563,6 +3722,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         !fs.exists(dst) && fs.rename(tmp, dst)
       }
       if (won) {
+        pendingIdentityMint = None
         TxTable.cacheState(cacheKey, m, deltaBytes.length.toLong)
         writeLatestHint(v)
         if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(m)
@@ -3774,6 +3934,10 @@ object TxTable {
     * compute-if-absent, enforce-if-supplied; see
     * [[TxTable.addGeneratedColumn]]. */
   val PropGeneratedPrefix = "graft.generated."
+
+  /** `graft.identity.<col>` — `start,step,highWater` of a GENERATED
+    * BY DEFAULT AS IDENTITY column; see [[TxTable.addIdentityColumn]]. */
+  val PropIdentityPrefix = "graft.identity."
 
   val PropBloomColumns = "graft.bloomFilterColumns"
   val PropBloomBits = "graft.bloomFilterBits"

@@ -428,11 +428,16 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
               s"but the query produces ${q.columns.length}")
           val byName = i.userSpecifiedCols.map(_.toLowerCase)
             .zip(q.columns).toMap
-          q.select(target.map { f =>
+          // identity columns the list omits stay OUT of the frame
+          // (not NULL-filled) so the write job mints them
+          val identCols = t.identityColumns.keySet
+          q.select(target.flatMap { f =>
             byName.get(f.name.toLowerCase) match {
-              case Some(src) => q.col(s"`$src`").cast(f.dataType).as(f.name)
-              case None => org.apache.spark.sql.functions.lit(null)
-                .cast(f.dataType).as(f.name)
+              case Some(src) =>
+                Some(q.col(s"`$src`").cast(f.dataType).as(f.name))
+              case None if identCols.contains(f.name.toLowerCase) => None
+              case None => Some(org.apache.spark.sql.functions.lit(null)
+                .cast(f.dataType).as(f.name))
             }
           }.toIndexedSeq: _*)
         } else {
@@ -693,6 +698,19 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
   private val DescribeDetail =
     ("""(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+""" + Tgt + """\s*;?\s*""").r
 
+  /** `ALTER TABLE t SET IDENTITY col [START WITH n] [STEP n]` /
+    * `ALTER TABLE t DROP IDENTITY col` — GENERATED BY DEFAULT AS
+    * IDENTITY declaration ([[TxTable.addIdentityColumn]]); Spark's
+    * ALTER grammar has no identity clause to extend, so the verbs
+    * match ahead of the delegate like the other maintenance verbs. */
+  private val SetIdentityVerb =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt +
+      """\s+SET\s+IDENTITY\s+`?(\w+)`?\s*""" +
+      """(?:START\s+WITH\s+(-?\d+)\s*)?(?:STEP\s+(\d+)\s*)?;?\s*""").r
+  private val DropIdentityVerb =
+    ("""(?is)\s*ALTER\s+TABLE\s+""" + Tgt +
+      """\s+DROP\s+IDENTITY\s+`?(\w+)`?\s*;?\s*""").r
+
   /** Maintenance verbs Spark's grammar lacks entirely — matched ahead
     * of the delegate like DESCRIBE HISTORY. `OPTIMIZE` = compaction
     * (with `ZORDER BY` = clustering rewrite); `VACUUM` = unreferenced
@@ -771,6 +789,14 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       """\s+(SHALLOW\s+|DEEP\s+)?CLONE\s+""" + Tgt + """\s*;?\s*""").r
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case SetIdentityVerb(p, n, colName, start, step) =>
+      dmlResult("setidentity", TxTable(session, verbTarget(p, n))
+        .addIdentityColumn(colName,
+          if (start == null) 1L else start.toLong,
+          if (step == null) 1L else step.toLong))
+    case DropIdentityVerb(p, n, colName) =>
+      dmlResult("dropidentity",
+        TxTable(session, verbTarget(p, n)).dropIdentityColumn(colName))
     case DescribeDetail(p, n) =>
       import session.implicits._
       val path = verbTarget(p, n)

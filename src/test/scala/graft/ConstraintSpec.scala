@@ -187,4 +187,95 @@ class ConstraintSpec extends SparkSpec {
     }.getMessage.contains("violate"))
     assert(t.generatedColumns.isEmpty)
   }
+
+  test("identity column: mint-if-absent, supplied passes, high water advances") {
+    import spark.implicits._
+    val (t, _) = freshTable("ident_basic")
+    t.overwrite(Seq((5L, "seed")).toDF("id", "v"))
+    t.addIdentityColumn("id", start = 1, step = 1)
+    // seeded from the data: next mints must clear the existing max
+    assert(t.identityColumns("id")._3 == 5L)
+    // a frame OMITTING the column gets minted values
+    t.append(Seq("a", "b", "c").toDF("v"))
+    val afterMint = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(afterMint.length == 4 && afterMint.distinct.length == 4)
+    assert(afterMint.filter(_ != 5L).forall(_ > 5L), afterMint)
+    val high1 = t.identityColumns("id")._3
+    assert(high1 == afterMint.max)
+    // BY DEFAULT: supplied values pass, and their max folds into the
+    // high water so later mints cannot collide
+    t.append(Seq((high1 + 1000L, "explicit")).toDF("id", "v"))
+    assert(t.identityColumns("id")._3 == high1 + 1000L)
+    t.append(Seq("d").toDF("v"))
+    val all = t.read().select("id").collect().map(_.getLong(0)).toSeq
+    assert(all.distinct.length == all.length)
+    assert(all.max > high1 + 1000L)
+    // internal rewrites carry ids untouched
+    val before = t.read().where(col("v") =!= "a")
+      .select("id").collect().map(_.getLong(0)).toSet
+    t.deleteWhere(col("v") === "a")
+    assert(t.read().select("id").collect().map(_.getLong(0)).toSet == before)
+    // identity column is rename/drop-protected until dropped
+    assert(intercept[IllegalArgumentException] { t.renameColumn("id", "id2") }
+      .getMessage.contains("identity"))
+    t.dropIdentityColumn("id")
+    assert(t.identityColumns.isEmpty)
+  }
+
+  test("identity declarations: BIGINT only, positive step, not on generated") {
+    import spark.implicits._
+    val (t, _) = freshTable("ident_refuse")
+    t.overwrite(Seq((1, 2.0)).toDF("n", "score"))
+    assert(intercept[Exception] { t.addIdentityColumn("n") }
+      .getMessage.contains("BIGINT"))
+    assert(intercept[Exception] { t.addIdentityColumn("missing") }
+      .getMessage.contains("no column"))
+    val (t2, _) = freshTable("ident_refuse2")
+    t2.overwrite(Seq((1L, 2.0)).toDF("id", "score"))
+    assert(intercept[Exception] { t2.addIdentityColumn("id", step = 0) }
+      .getMessage.contains("positive"))
+  }
+
+  test("identity SQL verbs: SET IDENTITY mints on INSERT, DROP IDENTITY frees") {
+    import spark.implicits._
+    val (t, dir) = freshTable("ident_sql")
+    t.overwrite(Seq((100L, "seed")).toDF("id", "v"))
+    spark.sql(s"ALTER TABLE txtable.`$dir` SET IDENTITY id START WITH 1 STEP 2")
+    assert(t.identityColumns("id") == ((1L, 2L, 100L)))
+    // an INSERT that omits the identity column mints through the seam
+    Seq("x", "y").toDF("v").createOrReplaceTempView("ident_sql_src")
+    spark.sql(s"INSERT INTO txtable.`$dir` (v) SELECT v FROM ident_sql_src")
+    val ids = spark.sql(s"SELECT id FROM txtable.`$dir`")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.length == 3 && ids.distinct.length == 3)
+    assert(ids.filter(_ != 100L).forall(_ > 100L), ids)
+    spark.sql(s"ALTER TABLE txtable.`$dir` DROP IDENTITY id")
+    assert(TxTable(spark, dir).identityColumns.isEmpty)
+  }
+
+  test("concurrent identity mints never produce duplicate ids") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val (t, dir) = freshTable("ident_race")
+    t.overwrite(Seq((0L, "seed")).toDF("id", "v"))
+    t.addIdentityColumn("id")
+    // two handles minting in parallel: either they serialize (both
+    // land, disjoint ids) or the loser's commit detects the stale
+    // mint base and fails LOUDLY — silent duplication never happens
+    val fs = (1 to 2).map { i =>
+      Future {
+        try { TxTable(spark, dir).append(
+          Seq(s"w${i}a", s"w${i}b").toDF("v")); None }
+        catch { case e: Exception => Some(e.getMessage) }
+      }
+    }
+    val errs = fs.map(Await.result(_, 120.seconds)).flatten
+    errs.foreach(m => assert(m.contains("concurrent identity"), m))
+    val ids = TxTable(spark, dir).read().select("id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.length == ids.length, s"duplicate ids: $ids")
+    assert(ids.length == 1 + (2 - errs.length) * 2)
+  }
 }
