@@ -1051,6 +1051,64 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     else None
   }
 
+  /** Column-level CBO statistics straight from the manifest —
+    * (min external string, max external string, null count) per
+    * NUMERIC column where every entry carries the stat (the
+    * [[V2ScanInfo.exactMinMax]] eligibility rule). Min/max are exact
+    * bounds of the ON-DISK rows; deletion vectors can only NARROW the
+    * live range, so as CBO estimates they are conservative, and the
+    * null count is likewise an upper bound under DVs. What this buys:
+    * filter-selectivity estimation (`FilterEstimation` interpolates
+    * over min/max) on txtable relations with zero ANALYZE — a
+    * selective range predicate shrinks the estimated join side enough
+    * to flip CBO to broadcast, q34-style, on a table nobody scanned. */
+  private[graft] def manifestColumnStats(v: Long)
+      : Map[String, (String, String, Option[Long], Option[Long])] = {
+    val m = manifest(v)
+    if (m.files.isEmpty) Map.empty
+    else {
+      val schema = StructType.fromDDL(m.schemaDdl)
+      val totalRows =
+        if (m.files.forall(_.rows >= 0)) Some(m.files.map(_.rows).sum)
+        else None
+      schema.fields.collect {
+        case f if (f.dataType match {
+            case IntegerType | LongType | DoubleType | FloatType |
+                 ShortType | ByteType => true
+            case _ => false
+          }) && {
+            val phys = physNameOf(m, f.name)
+            m.files.forall(e =>
+              e.min.contains(phys) && e.max.contains(phys))
+          } =>
+          val phys = physNameOf(m, f.name)
+          try {
+            val mins = m.files.map(e => BigDecimal(e.min(phys)))
+            val maxs = m.files.map(e => BigDecimal(e.max(phys)))
+            val nulls =
+              if (m.files.forall(_.nulls.contains(phys)))
+                Some(m.files.map(_.nulls(phys)).sum)
+              else None
+            // FilterEstimation refuses attributes without an ndv; for
+            // INTEGRAL columns min(rowCount, value span) is the
+            // uniformity-assumption estimate (exact manifests track no
+            // ndv) — floats get min/max only and their conditions fall
+            // back, never misestimate
+            val ndv = f.dataType match {
+              case IntegerType | LongType | ShortType | ByteType =>
+                val span = (maxs.max - mins.min + 1).toLong
+                totalRows.map(r => math.max(1L, math.min(r, span)))
+              case _ => None
+            }
+            Some(f.name ->
+              ((mins.min.toString, maxs.max.toString, nulls, ndv)))
+          } catch {
+            case _: NumberFormatException => None
+          }
+      }.flatten.toMap
+    }
+  }
+
   /** Overwrite preserving the CURRENT layout (bucketed or hive) — the
     * V2 writer's TRUNCATE-then-insert. */
   private[graft] def overwriteSameLayout(df: DataFrame): Long =

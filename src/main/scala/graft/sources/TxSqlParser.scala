@@ -134,7 +134,8 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
       .getOrElse(t.latestVersion.getOrElse(
         sys.error(s"$path has no committed snapshots")))
     org.apache.spark.sql.graft.StreamShims.relationPlanWithStats(
-      t.scanRelation(v), path, t.manifestRowCount(v))
+      t.scanRelation(v), path, t.manifestRowCount(v),
+      t.manifestColumnStats(v))
   }
 
   /** The `txtable.`dir`` path (or catalog-resolved name) of a DML

@@ -85,13 +85,20 @@ object StreamShims {
     * `LogicalRelation.computeStats` consults); manifest counts are
     * exact, not estimates — strictly better than ANALYZE output. */
   def relationPlanWithStats(r: org.apache.spark.sql.sources.BaseRelation,
-      location: String, rowCount: Option[Long])
+      location: String, rowCount: Option[Long],
+      colStats: Map[String, (String, String, Option[Long], Option[Long])] =
+        Map.empty)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     val lr = LogicalRelation(r)
     rowCount match {
       case None => lr
       case Some(n) =>
         import org.apache.spark.sql.catalyst.catalog._
+        val cstats = colStats.map { case (name, (mn, mx, nulls, ndv)) =>
+          name -> CatalogColumnStat(
+            distinctCount = ndv.map(BigInt(_)), min = Some(mn), max = Some(mx),
+            nullCount = nulls.map(BigInt(_)))
+        }
         val ct = CatalogTable(
           identifier = org.apache.spark.sql.catalyst.TableIdentifier(
             location, Some("txtable")),
@@ -100,7 +107,8 @@ object StreamShims {
           schema = r.schema,
           provider = Some("txtable"),
           stats = Some(CatalogStatistics(
-            sizeInBytes = BigInt(r.sizeInBytes), rowCount = Some(BigInt(n)))))
+            sizeInBytes = BigInt(r.sizeInBytes), rowCount = Some(BigInt(n)),
+            colStats = cstats)))
         lr.copy(catalogTable = Some(ct))
     }
   }

@@ -62,6 +62,39 @@ class CboSpec extends SparkSpec {
     Seq("cbo_tx_big", "cbo_tx_small").foreach(n => spark.sql(s"DROP TABLE $n"))
   }
 
+  test("manifest column stats: range-filter selectivity with zero ANALYZE") {
+    import org.apache.spark.sql.functions._
+    import graft.core.TxTable
+    import graft.streaming.EventsStream
+    val dir = EventsStream.scratchDir("cbo_colstats") + "/t"
+    TxTable(spark, dir).overwrite(
+      graft.core.Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity", "l_shipdate"))
+    // numeric column stats ride the relation straight from the
+    // manifest's zone maps — nobody ran ANALYZE on this table
+    val full = spark.sql(s"SELECT * FROM txtable.`$dir`")
+      .queryExecution.optimizedPlan.stats
+    assert(full.rowCount.isDefined && full.rowCount.get > 0)
+    val byName = full.attributeStats.map { case (a, s) => a.name -> s }
+    assert(byName.get("l_orderkey").exists(s =>
+      s.min.isDefined && s.max.isDefined),
+      s"no manifest min/max on l_orderkey: $full")
+    // FilterEstimation interpolates the range predicate over min/max:
+    // a 1%-of-keyspace filter must shrink the estimated rows hard —
+    // the signal CBO needs to flip a shuffled join to broadcast
+    val loKey = TxTable(spark, dir).read()
+      .agg(min(col("l_orderkey"))).head.getLong(0)
+    val hiKey = TxTable(spark, dir).read()
+      .agg(max(col("l_orderkey"))).head.getLong(0)
+    val cut = loKey + math.max(1L, (hiKey - loKey) / 100)
+    val filtered = spark.sql(
+      s"SELECT * FROM txtable.`$dir` WHERE l_orderkey <= $cut")
+      .queryExecution.optimizedPlan.stats
+    assert(filtered.rowCount.isDefined &&
+      filtered.rowCount.get * 5 < full.rowCount.get,
+      s"range filter not estimated selective: $filtered vs $full")
+  }
+
   test("hint-free star join broadcasts every dimension from stats alone") {
     val q = graft.ops.Relational.q34CboStarUnhinted(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
