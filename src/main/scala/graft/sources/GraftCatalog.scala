@@ -16,7 +16,7 @@ import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionRead
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{AlwaysTrue, Filter, InsertableRelation}
-import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, ShortType, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.core.{TxCatalog, TxTable}
@@ -557,13 +557,85 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
     override def sizeInBytes(): OptionalLong =
       OptionalLong.of(math.max(1L, kept.map(_._2.getLen).sum))
     override def numRows(): OptionalLong =
-      // sound only when no pushed filter can drop rows the zone maps
-      // kept; with filters present the per-file counts are an upper
-      // bound, so stay silent and let Spark estimate. DV rows are
-      // deleted — they never reach downstream, so subtract them.
-      if (pushed.isEmpty && kept.forall(_._1.rows >= 0))
+      // estimation contract (this is estimateStatistics, nothing
+      // downstream treats it as exact): with pushed filters the
+      // kept-file counts are the PRE-filter upper bound — report it,
+      // because the residual Filter node re-applies the predicate and
+      // FilterEstimation shrinks from here via the column stats below;
+      // staying silent starved that path of any rowCount at all. DV
+      // rows are deleted — they never reach downstream, so subtract.
+      if (kept.forall(_._1.rows >= 0))
         OptionalLong.of(kept.map(e => e._1.rows - e._1.dvRows).sum)
       else OptionalLong.empty()
+
+    /** Column stats folded from the kept entries' zone maps — the V2
+      * twin of the seam's manifest CatalogColumnStat feed: typed
+      * min/max bounds, summed null counts, span-capped uniformity ndv
+      * for integral columns (the estimate FilterEstimation needs;
+      * floats report min/max only). Bounds stay valid under pushed
+      * filters and DVs — both can only narrow the live set. */
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+      val totalRows =
+        if (kept.forall(_._1.rows >= 0)) Some(kept.map(_._1.rows).sum)
+        else None
+      val out = new java.util.HashMap[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        ColumnStatistics]()
+      info.visibleSchema.fields.foreach { f =>
+        val phys = info.physNameOf(f.name)
+        val integral = f.dataType match {
+          case IntegerType | LongType | ShortType | ByteType => true
+          case _                                             => false
+        }
+        val numeric = integral || (f.dataType match {
+          case DoubleType | FloatType => true
+          case _                      => false
+        })
+        if (numeric && kept.nonEmpty &&
+            kept.forall { case (e, _) =>
+              e.min.contains(phys) && e.max.contains(phys) }) {
+          try {
+            val mins = kept.map(e => BigDecimal(e._1.min(phys)))
+            val maxs = kept.map(e => BigDecimal(e._1.max(phys)))
+            def typed(b: BigDecimal): Object = f.dataType match {
+              case IntegerType => Int.box(b.toIntExact)
+              case LongType    => Long.box(b.toLongExact)
+              case ShortType   => Short.box(b.toShortExact)
+              case ByteType    => Byte.box(b.toByteExact)
+              case FloatType   => Float.box(b.toFloat)
+              case _           => Double.box(b.toDouble)
+            }
+            val (mn, mx) = (typed(mins.min), typed(maxs.max))
+            val nulls =
+              if (kept.forall(_._1.nulls.contains(phys)))
+                Some(kept.map(_._1.nulls(phys)).sum)
+              else None
+            val ndv =
+              if (!integral) None
+              else {
+                val span = (maxs.max - mins.min + 1).toLong
+                totalRows.map(r => math.max(1L, math.min(r, span)))
+              }
+            out.put(Expressions.column(f.name), new ColumnStatistics {
+              override def distinctCount(): OptionalLong =
+                ndv.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+              override def min(): java.util.Optional[Object] =
+                java.util.Optional.of(mn)
+              override def max(): java.util.Optional[Object] =
+                java.util.Optional.of(mx)
+              override def nullCount(): OptionalLong =
+                nulls.map(OptionalLong.of).getOrElse(OptionalLong.empty())
+            })
+          } catch {
+            case _: NumberFormatException | _: ArithmeticException => ()
+          }
+        }
+      }
+      out
+    }
   }
 }
 

@@ -95,6 +95,31 @@ class CboSpec extends SparkSpec {
       s"range filter not estimated selective: $filtered vs $full")
   }
 
+  test("V2 catalog scans report column stats: selectivity on graft.* reads too") {
+    import org.apache.spark.sql.functions._
+    import graft.core.TxTable
+    import graft.streaming.EventsStream
+    val dir = EventsStream.scratchDir("cbo_v2stats") + "/t"
+    TxTable(spark, dir).overwrite(
+      graft.core.Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity"))
+    spark.sql("DROP TABLE IF EXISTS cbo_v2stats")
+    spark.sql(s"CREATE TABLE cbo_v2stats USING txtable LOCATION '$dir'")
+    val full = spark.sql("SELECT * FROM graft.default.cbo_v2stats")
+      .queryExecution.optimizedPlan.stats
+    assert(full.rowCount.isDefined && full.rowCount.get > 0, s"$full")
+    val byName = full.attributeStats.map { case (a, s) => a.name -> s }
+    assert(byName.get("l_orderkey").exists(s =>
+      s.min.isDefined && s.max.isDefined && s.distinctCount.isDefined),
+      s"V2 scan reported no column stats: $full")
+    val filtered = spark.sql(
+      "SELECT * FROM graft.default.cbo_v2stats WHERE l_orderkey <= 60")
+      .queryExecution.optimizedPlan.stats
+    assert(filtered.rowCount.isDefined &&
+      filtered.rowCount.get * 5 < full.rowCount.get,
+      s"V2 range filter not estimated selective: $filtered vs $full")
+    spark.sql("DROP TABLE cbo_v2stats")
+  }
+
   test("hint-free star join broadcasts every dimension from stats alone") {
     val q = graft.ops.Relational.q34CboStarUnhinted(spark, sf)
     val plan = q.queryExecution.executedPlan.toString
