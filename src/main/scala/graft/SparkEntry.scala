@@ -114,6 +114,27 @@ object SparkEntry {
       t0
     }
 
+  /** The CDF-enabled orders table with a full insert/update/delete
+    * history — shared by the x9 Scala changeFeed gate and the x23
+    * `table_changes` TVF gate (one history, two spellings). */
+  private def cdcRowsAsset(s: SparkSession, d: String): graft.core.TxTable =
+    cachedAsset(s, s"tx_cdc_rows|$d") {
+      import org.apache.spark.sql.functions.{col, lit}
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val t0 = graft.core.TxTable(s,
+        graft.streaming.EventsStream.scratchDir("graft_tx_cdc") + "/t",
+        changeDataFeed = true)
+      t0.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
+        bucketCols = Seq("o_orderkey"), nBuckets = 16)       // v0: base
+      t0.append(o.where(col("o_orderkey") % 3 === 0))        // v1: inserts
+      t0.upsert(o.where(col("o_orderkey") % 2 === 0)
+        .withColumn("o_orderpriority", lit("MERGED")))       // v2: updates
+      t0.deleteKeys(o.where(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey"))                               // v3: deletes
+      t0
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_scan_project"   -> (Relational.q01ScanProject _),
@@ -911,21 +932,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       // full table history cached (ingest work); the CDF READ is the
       // measured operator
-      val t = cachedAsset(s, s"tx_cdc_rows|$d") {
-        val o = Tables.orders(s, d)
-          .select("o_orderkey", "o_orderpriority", "o_totalprice")
-        val t0 = graft.core.TxTable(s,
-          graft.streaming.EventsStream.scratchDir("graft_tx_cdc") + "/t",
-          changeDataFeed = true)
-        t0.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
-          bucketCols = Seq("o_orderkey"), nBuckets = 16)       // v0: base
-        t0.append(o.where(col("o_orderkey") % 3 === 0))        // v1: inserts
-        t0.upsert(o.where(col("o_orderkey") % 2 === 0)
-          .withColumn("o_orderpriority", lit("MERGED")))       // v2: updates
-        t0.deleteKeys(o.where(col("o_orderkey") % 7 === 0)
-          .select("o_orderkey"))                               // v3: deletes
-        t0
-      }
+      val t = cdcRowsAsset(s, d)
       t.changeFeed(0)
         .select(col(graft.core.TxTable.ChangeTypeCol).as("change_type"),
           col(graft.core.TxTable.CommitVersionCol).as("commit_version"),
@@ -934,6 +941,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("change_type", "commit_version", "o_orderpriority")
+    }),
+    // x23: the SAME change feed through the table_changes TVF — the
+    // Delta CDF SQL surface as a FROM-clause relation (injected table
+    // function), gated against the identical relational
+    // reconstruction as x9; one history, two spellings pinned equal
+    "x23_tx_table_changes" -> ((s, d) => {
+      val t = cdcRowsAsset(s, d)
+      s.sql(s"""SELECT _change_type AS change_type,
+               |  _commit_version AS commit_version, o_orderpriority,
+               |  count(*) AS n_rows,
+               |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+               |    AS DOUBLE) AS sum_price
+               |FROM table_changes('${t.location}', 0)
+               |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)
     }),
     // x10: SQL predicate DML — DELETE FROM / UPDATE ... WHERE routed
     // through the injected parser onto the copy-on-write rewriteWhere
@@ -2245,6 +2266,32 @@ object SparkEntry {
     // relationally: v1 appends every %3=0 order (insert), v2 upserts
     // every even key (pre-image = old row, post-image = MERGED row),
     // v3 deletes every %7=0 key at its THEN-current content
+    // x23's oracle: identical reconstruction to x9 — the TVF spelling
+    // must not change the answer
+    "x23_tx_table_changes" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders),
+        |feed AS (
+        |  SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+        |         o_orderpriority, o_totalprice
+        |  FROM o WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', 2, o_orderpriority, o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'update_postimage', 2, 'MERGED', o_totalprice
+        |  FROM o WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT 'delete', 3,
+        |         CASE WHEN o_orderkey % 2 = 0 THEN 'MERGED'
+        |              ELSE o_orderpriority END,
+        |         o_totalprice
+        |  FROM o WHERE o_orderkey % 7 = 0)
+        |SELECT change_type, commit_version, o_orderpriority,
+        |       count(*) AS n_rows,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM feed GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "x9_tx_cdf" ->
       """WITH o AS (SELECT o_orderkey, o_orderpriority, o_totalprice
         |  FROM orders),

@@ -427,6 +427,52 @@ class GraftExtensions extends SparkSessionExtensionsProvider {
         if (args.length > 1)
           args(1).eval(null).asInstanceOf[UTF8String].toString
         else "NFC")))
+    // table_changes(name_or_path, start_version [, end_version]) —
+    // the Delta CDF table-valued function: row-level changes with
+    // _change_type / _commit_version across rewrites, as a plain
+    // FROM-clause relation (joinable, filterable). The target is a
+    // registered table name (CREATE TABLE ... USING txtable), a
+    // graft.<ns>.<name> spelling, or a bare location path.
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.core.TxTable].getName, "table_changes"),
+      (args: Seq[Expression]) => {
+        def str(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+              if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"table_changes $what must be a literal, got ${other.sql}")
+        }
+        def long(e: Expression, what: String): Long =
+          str(e, what) match {
+            case s if s.forall(c => c.isDigit || c == '-') => s.toLong
+            case s => throw new IllegalArgumentException(
+              s"table_changes $what must be an integer version, got $s")
+          }
+        require(args.length == 2 || args.length == 3,
+          "table_changes(table, start_version[, end_version])")
+        val session = org.apache.spark.sql.SparkSession.active
+        val target = str(args.head, "table")
+        val path =
+          if (target.contains("/")) target
+          else {
+            val key = target.split('.').toSeq match {
+              case Seq(c, n) if c.equalsIgnoreCase("graft") => n
+              case Seq(c, "default", n) if c.equalsIgnoreCase("graft") => n
+              case Seq(c, db, n) if c.equalsIgnoreCase("graft") => s"$db.$n"
+              case _ => target
+            }
+            graft.core.TxCatalog(session).lookup(key).getOrElse(
+              throw new IllegalArgumentException(
+                s"table_changes: $target is not a registered txtable name"))
+          }
+        val t = graft.core.TxTable(session, path)
+        val from = long(args(1), "start_version")
+        val until = if (args.length == 3) Some(long(args(2), "end_version"))
+          else None
+        org.apache.spark.sql.graft.StreamShims
+          .analyzedPlan(t.changeFeed(from, until))
+      }))
     // dev-mode sampling over base scans (inert unless
     // spark.graft.devSampleFraction is set) — see plans.DevSampleRule
     ext.injectPostHocResolutionRule(session =>

@@ -146,6 +146,13 @@ object StreamShims {
       : org.apache.spark.sql.catalyst.expressions.Expression =
     spark.asInstanceOf[ClassicSession].sessionState.sqlParser.parseExpression(sql)
 
+  /** A DataFrame's ANALYZED plan — what a table-valued function
+    * builder must return (the analyzer wraps it; handing it the
+    * un-analyzed plan would re-resolve relations out of scope). */
+  def analyzedPlan(df: DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** A (possibly unresolved) logical plan as a DataFrame — resolves
     * the USING side of `MERGE INTO txtable` (a view name or subquery)
     * through the session's own analyzer. */

@@ -189,4 +189,39 @@ class TxCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE cat_clone_dst")
     spark.sql("DROP TABLE cat_clone_src")
   }
+
+  test("table_changes TVF: the CDF surface as a FROM-clause relation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = graft.streaming.EventsStream.scratchDir("cat_tvf") + "/t"
+    val t = graft.core.TxTable(spark, dir, changeDataFeed = true)
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))      // v0
+    t.append(Seq((3L, "c")).toDF("k", "v"))                    // v1
+    t.deleteWhere(col("k") === 1L)                             // v2
+    spark.sql("DROP TABLE IF EXISTS cat_tvf")
+    spark.sql(s"CREATE TABLE cat_tvf USING txtable LOCATION '$dir'")
+    // name spelling ≡ the Scala API
+    val viaSql = spark.sql(
+      "SELECT _change_type, count(*) AS n FROM table_changes('cat_tvf', 0) " +
+        "GROUP BY 1").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaApi = t.changeFeed(0).groupBy("_change_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaApi, s"$viaSql vs $viaApi")
+    assert(viaSql.getOrElse("delete", 0L) == 1L)
+    // catalog-qualified and bare-path spellings resolve too; the end
+    // version bounds the window; the relation composes (filter+join)
+    assert(spark.sql(
+      "SELECT count(*) FROM table_changes('graft.default.cat_tvf', 0, 1)")
+      .head.getLong(0) == t.changeFeed(0, Some(1)).count())
+    assert(spark.sql(
+      s"SELECT count(*) FROM table_changes('$dir', 0, 1) c " +
+        "JOIN cat_tvf x ON c.k = x.k WHERE c._change_type = 'insert'")
+      .head.getLong(0) == 1L)
+    // unregistered names refuse loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM table_changes('nope_missing', 0)").collect()
+    }
+    assert(err.getMessage.contains("not a registered"), err.getMessage)
+    spark.sql("DROP TABLE cat_tvf")
+  }
 }
