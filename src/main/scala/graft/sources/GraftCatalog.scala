@@ -214,22 +214,47 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(spark, loc, fullName(ident), None)
   }
 
+  /** V2 ALTER: table properties plus the SCHEMA-EVOLUTION changes —
+    * add / rename / drop column and SET/DROP NOT NULL route onto the
+    * same column-mapping metadata commits as the SQL seam (`ALTER
+    * TABLE graft.default.t ADD COLUMN …` works like the bare-name
+    * spelling; physical names frozen, zero data rewritten). Top-level
+    * columns only — the commit log has no nested-field mapping. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val tx = TxTable(spark, locationOf(ident))
-    val sets = changes.collect {
-      case s: TableChange.SetProperty => s.property -> s.value
+    def top(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"graft catalog ALTER $what supports top-level columns — " +
+          s"got ${fieldNames.mkString(".")}")
+      fieldNames.head
     }
-    val unsets = changes.collect {
-      case r: TableChange.RemoveProperty => r.property
+    changes.foreach {
+      case s: TableChange.SetProperty =>
+        tx.setProperties(Map(s.property -> s.value)); ()
+      case r: TableChange.RemoveProperty =>
+        tx.unsetProperties(Seq(r.property)); ()
+      case a: TableChange.AddColumn =>
+        require(a.position == null,
+          "graft catalog ALTER ADD COLUMN ignores ordering clauses — " +
+            "columns append")
+        tx.addColumn(top(a.fieldNames, "ADD COLUMN"), a.dataType); ()
+      case rn: TableChange.RenameColumn =>
+        tx.renameColumn(top(rn.fieldNames, "RENAME COLUMN"), rn.newName); ()
+      case d: TableChange.DeleteColumn =>
+        val name = top(d.fieldNames, "DROP COLUMN")
+        val exists = tx.read().schema.fieldNames
+          .exists(_.equalsIgnoreCase(name))
+        if (exists) { tx.dropColumn(name); () }
+        else require(d.ifExists != null && d.ifExists.booleanValue(),
+          s"${tx.location} has no column $name")
+      case n: TableChange.UpdateColumnNullability =>
+        val name = top(n.fieldNames, "ALTER COLUMN")
+        if (n.nullable) tx.dropNotNull(name) else tx.setNotNull(name)
+        ()
+      case other => sys.error(
+        s"graft catalog ALTER does not support $other — use the " +
+          "txtable SQL seam")
     }
-    val other = changes.filterNot(c =>
-      c.isInstanceOf[TableChange.SetProperty] ||
-      c.isInstanceOf[TableChange.RemoveProperty])
-    require(other.isEmpty,
-      s"graft catalog ALTER supports table properties only; use the " +
-        s"txtable SQL seam for schema evolution — got $other")
-    if (sets.nonEmpty) tx.setProperties(sets.toMap)
-    if (unsets.nonEmpty) tx.unsetProperties(unsets)
     loadTable(ident)
   }
 

@@ -165,10 +165,16 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     * (ALTER) or `UnresolvedTableOrView` (SHOW) rather than
     * `UnresolvedRelation`. */
   private def txTablePath(plan: LogicalPlan): Option[String] = plan match {
+    // table verbs (ALTER/SHOW/constraint DDL) accept the graft-CATALOG
+    // qualified spelling too — notably `ALTER COLUMN SET NOT NULL`,
+    // which Spark's V2 analyzer refuses outright on a nullable column
+    // (the property-channel invariant validates-then-enforces instead)
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
       resolveTx(t.multipartIdentifier)
+        .orElse(resolveGraftCatalog(t.multipartIdentifier))
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
       resolveTx(t.multipartIdentifier)
+        .orElse(resolveGraftCatalog(t.multipartIdentifier))
     // ADD CONSTRAINT wraps its target in the grammar-built validation
     // scan (Filter(NOT cond, relation)) — look through it
     case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>

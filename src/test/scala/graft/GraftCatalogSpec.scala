@@ -422,6 +422,34 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_totable")
   }
 
+  test("V2 ALTER TABLE: add/rename/drop column and NOT NULL through the catalog") {
+    import spark.implicits._
+    val d = dir("alter")
+    TxTable(spark, d).overwrite(df(0 until 20, "a"))
+    spark.sql("DROP TABLE IF EXISTS v2_alter")
+    spark.sql(s"CREATE TABLE v2_alter USING txtable LOCATION '$d'")
+    spark.sql("ALTER TABLE graft.default.v2_alter ADD COLUMN tag STRING")
+    assert(spark.table("graft.default.v2_alter").columns.contains("tag"))
+    spark.sql("ALTER TABLE graft.default.v2_alter RENAME COLUMN name TO label")
+    val cols = spark.table("graft.default.v2_alter").columns.toSeq
+    assert(cols.contains("label") && !cols.contains("name"))
+    // rename is pure metadata: the data still reads through
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.default.v2_alter WHERE label LIKE 'a_%'")
+      .head.getLong(0) == 20)
+    spark.sql("ALTER TABLE graft.default.v2_alter DROP COLUMN tag")
+    assert(!spark.table("graft.default.v2_alter").columns.contains("tag"))
+    spark.sql("ALTER TABLE graft.default.v2_alter ALTER COLUMN score SET NOT NULL")
+    val err = intercept[Exception] {
+      TxTable(spark, d).append(
+        Seq((99L, "x", None: Option[Double]))
+          .toDF("id", "label", "score"))
+    }
+    assert(err.getMessage != null)
+    spark.sql("ALTER TABLE graft.default.v2_alter ALTER COLUMN score DROP NOT NULL")
+    spark.sql("DROP TABLE v2_alter")
+  }
+
   test("native V2 DELETE: pushed filters → DV merge-on-read; untranslatable rejects") {
     val d = dir("ndel")
     val t = TxTable(spark, d, deletionVectors = true)
