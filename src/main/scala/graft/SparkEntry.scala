@@ -883,12 +883,12 @@ object SparkEntry {
     }),
     // x22: NATIVE V2 row-level DML — the catalog-qualified DELETE
     // resolves through Spark's OWN DeleteFromTable path (no parser
-    // seam: txDmlPath deliberately skips 3-part names for DELETE), so
-    // the pushed condition lands in GraftTable.deleteWhere →
-    // merge-on-read DV commit; the catalog-qualified UPDATE routes
-    // through the seam (Spark only plans UPDATE natively for
-    // SupportsRowLevelOperations tables). Gated on the relational
-    // answer after both statements
+    // seam), its pushable condition lands in GraftTable.deleteWhere →
+    // merge-on-read DV commit (the metadata-only fast path); the
+    // catalog-qualified UPDATE plans natively too, as WriteDelta
+    // through SupportsRowLevelOperations (see x24 for the full
+    // UPDATE+MERGE surface). Gated on the relational answer after
+    // both statements
     "x22_tx_v2_dml" -> ((s, d) => {
       cachedAsset(s, s"tx_v2dml|$d") {
         val dir = graft.streaming.EventsStream.scratchDir("graft_v2_dml") + "/t"
@@ -907,6 +907,49 @@ object SparkEntry {
               |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
               |    AS DOUBLE) AS sum_price
               |FROM graft.default.graft_v2_dml
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+    // x24: NATIVE V2 row-level UPDATE + MERGE — Spark's OWN
+    // RewriteUpdateTable / RewriteMergeIntoTable plan `WriteDelta`
+    // against the catalog table (SupportsRowLevelOperations +
+    // SupportsDelta; no parser seam, no GraftExtensions needed):
+    // matched rows fold into a deletion-vector commit, replacement /
+    // inserted rows write through executor-side parquet delta writers.
+    // Note the MERGE runs on an UNBUCKETED table with a full clause
+    // set (conditional DELETE, UPDATE, INSERT) — the seam's merge
+    // requires bucket-key ON; the native path has no such restriction.
+    "x24_tx_native_rowlevel" -> ((s, d) => {
+      cachedAsset(s, s"tx_native_rl|$d") {
+        val dir = graft.streaming.EventsStream.scratchDir("graft_native_rl") + "/t"
+        val t = graft.core.TxTable(s, dir)
+        t.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority", "o_totalprice"))
+        s.sql("DROP TABLE IF EXISTS graft_native_rl")
+        s.sql(s"CREATE TABLE graft_native_rl USING txtable LOCATION '$dir'")
+        Tables.orders(s, d)
+          .where("o_orderkey % 100 = 0")
+          .selectExpr("o_orderkey", "o_totalprice")
+          .unionAll(Tables.orders(s, d)
+            .where("o_orderkey % 101 = 0")
+            .selectExpr("-(o_orderkey + 1) AS o_orderkey", "o_totalprice"))
+          .createOrReplaceTempView("native_rl_src")
+        s.sql(
+          """MERGE INTO graft.default.graft_native_rl t
+            |USING native_rl_src s ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED AND s.o_totalprice < 5000.0 THEN DELETE
+            |WHEN MATCHED THEN UPDATE SET o_orderpriority = 'MERGED'
+            |WHEN NOT MATCHED THEN INSERT
+            |  (o_orderkey, o_orderpriority, o_totalprice)
+            |  VALUES (s.o_orderkey, 'NEW', s.o_totalprice)""".stripMargin)
+        s.sql("UPDATE graft.default.graft_native_rl " +
+          "SET o_totalprice = o_totalprice + 1.0 " +
+          "WHERE o_orderpriority = 'MERGED'")
+        ()
+      }
+      s.sql("""SELECT o_orderpriority, count(*) AS n_orders,
+              |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+              |    AS DOUBLE) AS sum_price
+              |FROM graft.default.graft_native_rl
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
@@ -1055,6 +1098,16 @@ object SparkEntry {
       TextOps.lmPerplexity(docs, docs.where(col("doc_id") % 7 === 0))
         .withColumn("flagged", (col("avg_nll") > 3.8).cast("boolean"))
     }),
+    // t17: inference-model column operator — a broadcast-weights
+    // linear classifier head scored per row by a codegen'd fused
+    // multiply-accumulate (the spark-nlp role; model rides the plan
+    // like the centroid/PQ/lang models). Deterministic hash head so
+    // the oracle replays the identical double arithmetic
+    // (list_reduce = the kernel's sequential accumulation).
+    "t17_model_inference" -> ((s, d) =>
+      graft.ops.Inference.classifyEmbeddings(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        graft.functions.LinearModel.hashHead(3, 64))),
     "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     // G-tier: the reference's flagship pipeline shape (nodes → edges
@@ -2239,6 +2292,32 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_totalprice < 1000.0 OR o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x24_tx_native_rowlevel" ->
+      """WITH src AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0
+        |  UNION ALL
+        |  SELECT -(o_orderkey + 1), o_totalprice FROM orders WHERE o_orderkey % 101 = 0
+        |), merged AS (
+        |  SELECT b.o_orderkey,
+        |         CASE WHEN s.o_orderkey IS NOT NULL THEN 'MERGED'
+        |              ELSE b.o_orderpriority END AS o_orderpriority,
+        |         b.o_totalprice
+        |  FROM orders b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.o_totalprice >= 5000.0
+        |  UNION ALL
+        |  SELECT s.o_orderkey, 'NEW', s.o_totalprice
+        |  FROM src s LEFT JOIN orders b ON s.o_orderkey = b.o_orderkey
+        |  WHERE b.o_orderkey IS NULL
+        |), final AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CASE WHEN o_orderpriority = 'MERGED' THEN o_totalprice + 1.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |  FROM merged
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
@@ -3134,6 +3213,26 @@ object SparkEntry {
         |SELECT doc_id, n_pairs, avg_nll,
         |       (avg_nll > 3.8) AS flagged
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // t17's oracle replays the hash head's integer weight derivation
+    // and the kernel's SEQUENTIAL double accumulation via list_reduce
+    // — logits bit-identical, argmax first-max-wins
+    "t17_model_inference" -> {
+      def logit(c: Int): String =
+        s"""list_reduce(list_transform(range(1, len(embedding)+1),
+           |    i -> embedding[i] * CAST((((($c*64 + i) * 2654435761)
+           |      % 1000003) / CAST(1000003 AS DOUBLE))
+           |      - CAST(0.5 AS DOUBLE) AS DOUBLE)),
+           |  (a, b) -> a + b) + CAST(0.01 AS DOUBLE) * ${c + 1}""".stripMargin
+      s"""WITH u AS (
+         |  SELECT vec_id, ${logit(0)} AS u0, ${logit(1)} AS u1,
+         |    ${logit(2)} AS u2
+         |  FROM embeddings)
+         |SELECT vec_id, round(u0, 6) AS logit_0, round(u1, 6) AS logit_1,
+         |  round(u2, 6) AS logit_2,
+         |  CASE WHEN u0 >= u1 AND u0 >= u2 THEN 0
+         |       WHEN u1 >= u2 THEN 1 ELSE 2 END AS pred
+         |FROM u ORDER BY vec_id""".stripMargin
+    },
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,

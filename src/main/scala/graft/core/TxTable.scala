@@ -3362,6 +3362,188 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     } finally pool.shutdown()
   }
 
+  // ---- native V2 row-level operations (SupportsDelta / WriteDelta) --------
+
+  /** Everything the V2 catalog's EXECUTOR-SIDE delta writers need,
+    * resolved once driver-side when Spark builds the
+    * `WriteDelta` write (see [[graft.sources.GraftCatalog]]'s
+    * `SupportsRowLevelOperations`): the base snapshot the operation
+    * scanned, the full file schema in PHYSICAL names (what the data
+    * files carry), the layout (hive partition columns / bucket spec),
+    * and parquet write confs for data files and deletion-vector
+    * fragments. All fields serializable — the handle itself never
+    * ships to executors. */
+  private[graft] def deltaWriteContext(baseVersion: Long)
+      : TxTable.DeltaWriteContext = {
+    val m = manifest(baseVersion)
+    val full = StructType.fromDDL(m.schemaDdl)
+    val phys = StructType(full.fields.map(f =>
+      f.copy(name = physNameOf(m, f.name))).toSeq)
+    TxTable.DeltaWriteContext(
+      rootStr = fs.makeQualified(root).toString,
+      writeId = java.util.UUID.randomUUID().toString.take(12),
+      baseVersion = baseVersion,
+      fullLogicalSchema = full,
+      physWriteSchema = phys,
+      partitionCols = m.partitionCols,
+      bucketSpec = m.bucketSpec.map(s => (s.cols, s.n)),
+      dataConf = org.apache.spark.sql.graft.V2Shims
+        .parquetWriteConf(spark, phys),
+      fragConf = org.apache.spark.sql.graft.V2Shims
+        .parquetWriteConf(spark, TxTable.dvFragSchema))
+  }
+
+  /** Publish one NATIVE row-level operation (`WriteDelta`) as a
+    * single commit: the task-written deletion-vector fragments fold —
+    * together with the affected files' PRIOR vectors — into one DV
+    * side-file (the [[deleteWhere]] merge-on-read discipline,
+    * O(changed rows) always), the task-written data files become
+    * manifest entries with full zone-map stats, CHECK / NOT NULL
+    * invariants re-validate over exactly the new rows, and CDF
+    * handles capture delete / update_preimage / update_postimage /
+    * insert images. All paths come from task COMMIT messages — stray
+    * files from aborted attempts never enter the manifest
+    * ([[entriesOfDir]]'s `only` filter).
+    *
+    * Concurrency: strict first-writer-wins against the scanned base
+    * version — unlike the seam's predicate DML, the native plan's
+    * matched set is Spark's, so there is no predicate to replay a
+    * rebase check against; any racing commit conflicts. DV keys are
+    * manifest entry paths (agreeing with the raw `_metadata` extraction
+    * for un-encoded paths, the same assumption [[morRewrite]] makes). */
+  private[graft] def commitDeltaNative(ctx: TxTable.DeltaWriteContext,
+      op: String, insertFiles: Seq[String], updateFiles: Seq[String],
+      deleteFrags: Seq[String], updateFrags: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{count => fcount, lit => flit}
+    val newPaths = insertFiles ++ updateFiles
+    val frags = deleteFrags ++ updateFrags
+    val fragTmp = new Path(root, s"tmp/dvfrag-${ctx.writeId}")
+    if (newPaths.isEmpty && frags.isEmpty) {
+      fs.delete(fragTmp, true)
+      return ctx.baseVersion
+    }
+    val m = manifest(ctx.baseVersion)
+    def readFrags(ps: Seq[String]): DataFrame =
+      spark.read.schema(TxTable.dvFragSchema)
+        .parquet(ps.map(p => new Path(root, p).toString): _*)
+
+    // -- fold fresh deletions into ONE deletion vector ----------------------
+    val (retaggedPaths, retagged, dvEntryFiles) =
+      if (frags.isEmpty) (Set.empty[String], Nil, Nil)
+      else {
+        val fresh = readFrags(frags)
+        val counts = fresh.groupBy(col(DvPathCol))
+          .agg(fcount(flit(1)).as("n")).collect()
+        val freshCounts = counts.map(r =>
+          r.getString(0) -> r.getAs[Long]("n")).toMap
+        val byPath = m.files.map(f => f.path -> f).toMap
+        freshCounts.keys.foreach(p => require(byPath.contains(p),
+          s"$root: native $op references unknown data file $p"))
+        val affected = m.files.filter(f => freshCounts.contains(f.path))
+        val priorOfAffected = affected.flatMap(_.dvPath).distinct
+        val dvContent =
+          if (priorOfAffected.isEmpty) fresh
+          else fresh.unionByName(
+            spark.read.parquet(priorOfAffected.map(p =>
+              new Path(root, p).toString): _*)
+              .select(col(DvPathCol), col(DvPosCol))
+              .where(col(DvPathCol).isin(freshCounts.keys.toSeq: _*)))
+        val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
+          withStats = false, enforce = false)
+        val dvFile = dvEntries match {
+          case Seq(one) => one.path
+          case other => sys.error(s"$root: DV write produced ${other.size} files")
+        }
+        (freshCounts.keySet,
+          affected.map(f => f.copy(dvPath = Some(dvFile),
+            dvRows = f.dvRows + freshCounts(f.path))),
+          dvEntries)
+      }
+    val _ = dvEntryFiles // referenced by the committed retagged entries
+
+    // -- new data files → manifest entries with stats ------------------------
+    val writeDst = new Path(dataDir, s"w-${ctx.writeId}")
+    val newEntries =
+      if (newPaths.isEmpty) Nil
+      else entriesOfDir(writeDst, ctx.physWriteSchema, withStats = true,
+        only = Some(newPaths.toSet))
+    require(newEntries.map(_.path).toSet == newPaths.toSet,
+      s"$root: native $op task-committed files missing on disk — " +
+        s"expected ${newPaths.size}, found ${newEntries.size}")
+
+    // -- invariant re-validation over exactly the new rows -------------------
+    if (newEntries.nonEmpty) {
+      val constraints = m.properties.collect {
+        case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
+          k.stripPrefix(TxTable.PropConstraintPrefix) -> v
+      }
+      val notNull = m.properties.keys.collect {
+        case k if k.startsWith(TxTable.PropNotNullPrefix) =>
+          k.stripPrefix(TxTable.PropNotNullPrefix)
+      }
+      if (constraints.nonEmpty || notNull.nonEmpty)
+        withNotNull(withInvariants(readEntries(m, newEntries), constraints),
+          notNull).foreach(_ => ())
+    }
+
+    // -- CDF capture ----------------------------------------------------------
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!effCdf(m)) None
+      else Some {
+        def preimages(fragPs: Seq[String], tag: String): Option[DataFrame] =
+          if (fragPs.isEmpty) None
+          else {
+            val fr = readFrags(fragPs)
+            val touched = fr.select(col(DvPathCol)).distinct()
+              .collect().map(_.getString(0)) // ≤ affected file count
+            val tagged = spark.read.schema(physSchemaOf(m))
+              .parquet(touched.map(p => new Path(root, p).toString): _*)
+              .withColumn(DvPathCol, relDataPath)
+              .withColumn(DvPosCol, col("_metadata.row_index"))
+            val hit = tagged.join(fr, Seq(DvPathCol, DvPosCol), "left_semi")
+              .drop(DvPathCol, DvPosCol)
+            Some(toLogicalDf(hit, m).drop(BucketCol)
+              .withColumn(ChangeTypeCol, flit(tag)))
+          }
+        def images(es: Seq[FileEntry], tag: String): Option[DataFrame] =
+          if (es.isEmpty) None
+          else Some(readEntries(m, es).drop(BucketCol)
+            .withColumn(ChangeTypeCol, flit(tag)))
+        val newByPath = newEntries.map(e => e.path -> e).toMap
+        val parts = Seq(
+          preimages(deleteFrags, "delete"),
+          preimages(updateFrags, "update_preimage"),
+          images(updateFiles.flatMap(newByPath.get), "update_postimage"),
+          images(insertFiles.flatMap(newByPath.get), "insert")).flatten
+        if (parts.isEmpty) Nil
+        else writeDataFiles(parts.reduce(_.unionByName(_)), Nil,
+          withStats = false, enforce = false)._1
+      }
+
+    val untouched = m.files.filterNot(f => retaggedPaths(f.path))
+    val out = commit { latest =>
+      val cur = latest.getOrElse(
+        sys.error(s"$root vanished during native $op — rerun"))
+      require(cur.version == ctx.baseVersion,
+        s"concurrent commit during native row-level $op on $root — rerun")
+      Pending(op, untouched ++ retagged ++ newEntries, m.schemaDdl,
+        m.partitionCols, m.bucketSpec, None, cdcFiles)
+    }
+    fs.delete(fragTmp, true)
+    out
+  }
+
+  /** Best-effort cleanup of a FAILED native delta write: the task-
+    * reported files plus the fragment dir. Uncommitted files are also
+    * vacuum-eligible, so a missed delete here is never a leak. */
+  private[graft] def abortDeltaNative(ctx: TxTable.DeltaWriteContext,
+      files: Seq[String]): Unit = {
+    files.foreach(p => try { fs.delete(new Path(root, p), false); () }
+      catch { case _: java.io.IOException => () })
+    try { fs.delete(new Path(root, s"tmp/dvfrag-${ctx.writeId}"), true); () }
+    catch { case _: java.io.IOException => () }
+  }
+
   // ---- internals ----------------------------------------------------------
 
   private def withBucket(df: DataFrame, spec: BucketSpec): DataFrame =
@@ -3496,8 +3678,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         (d, c) => d.withColumn(PartShadowPrefix + c, col(c)))
       shadowed.write.partitionBy(shadows: _*).parquet(dst.toString)
     }
+    (entriesOfDir(dst, phys.schema, withStats), df.schema)
+  }
+
+  /** Manifest entries for the parquet files under `dst`: per-file
+    * zone-map stats (one Spark pass), optional bloom sidecar, and the
+    * commit-time listing that freezes size/mtime into the entry.
+    * `only` (root-relative paths) restricts BOTH the stats pass and
+    * the listing to exactly those files — the native delta write's
+    * task-commit discipline, where stray files from aborted task
+    * attempts must never enter the manifest. */
+  private def entriesOfDir(dst: Path, schema: StructType,
+      withStats: Boolean, only: Option[Set[String]] = None): Seq[FileEntry] = {
     val stats =
-      if (effStats && withStats) collectFileStats(dst, phys.schema)
+      if (effStats && withStats) collectFileStats(dst, schema, only)
       else Map.empty[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])]
     // sidecar mode: the write batch's blooms land in ONE JSON beside
     // the data files (path → col → filter), entries carry only its
@@ -3527,17 +3721,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val st = it.next()
       if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
         val rel = relativize(st.getPath)
-        val (mins, maxs, n, blooms, nulls) = stats.getOrElse(rel,
-          (Map.empty[String, String], Map.empty[String, String], -1L,
-            Map.empty[String, String], Map.empty[String, Long]))
-        entries += FileEntry(rel, parsePartition(rel), mins, maxs,
-          st.getLen, st.getModificationTime, rows = n,
-          bloom = if (sidecar.isDefined) Map.empty else blooms,
-          bloomSidecar = if (blooms.nonEmpty) sidecar else None,
-          nulls = nulls)
+        if (only.forall(_.contains(rel))) {
+          val (mins, maxs, n, blooms, nulls) = stats.getOrElse(rel,
+            (Map.empty[String, String], Map.empty[String, String], -1L,
+              Map.empty[String, String], Map.empty[String, Long]))
+          entries += FileEntry(rel, parsePartition(rel), mins, maxs,
+            st.getLen, st.getModificationTime, rows = n,
+            bloom = if (sidecar.isDefined) Map.empty else blooms,
+            bloomSidecar = if (blooms.nonEmpty) sidecar else None,
+            nulls = nulls)
+        }
       }
     }
-    (entries.sortBy(_.path).toSeq, df.schema)
+    entries.sortBy(_.path).toSeq
   }
 
   private def bloomSidecarMode: Boolean =
@@ -3575,8 +3771,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * every stats-eligible column (string-encoded) plus the row count
     * — the bookkeeping [[purgeDeletes]]' deleted-fraction threshold
     * and file-level planning read for free. */
-  private def collectFileStats(dst: Path,
-      schema: StructType): Map[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])] = {
+  private def collectFileStats(dst: Path, schema: StructType,
+      only: Option[Set[String]] = None): Map[String, (Map[String, String], Map[String, String], Long, Map[String, String], Map[String, Long])] = {
     import org.apache.spark.sql.functions.{input_file_name, length => flen,
       min => fmin, max => fmax, substring, when}
     val fields = schema.fields.filter(f => statsEligible(f.dataType))
@@ -3769,16 +3965,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       try out.write(deltaBytes)
       finally out.close()
       val dst = manifestPath(v)
-      // exists+rename is NOT atomic on RawLocalFileSystem (its rename
-      // is File.renameTo, which silently replaces an existing
-      // destination on posix) — serialize the publish step JVM-wide
-      // per table root so two local writers can never both claim
-      // version N. HDFS rename is atomic fail-if-exists anyway; an
-      // object-store deployment still needs the conditional-put
-      // LogStore seam documented above.
-      val won = publishLock(fs.makeQualified(root).toString).synchronized {
-        !fs.exists(dst) && fs.rename(tmp, dst)
-      }
+      // the publish primitive is pluggable per deployment substrate —
+      // see [[LogStore]]: local roots hard-link (atomic cross-process,
+      // full-file visibility), HDFS renames (atomic fail-if-exists),
+      // object stores pick conditional-put or lock-file via the
+      // `graft.logStore` table property.
+      val store = LogStore.forRoot(fs, root,
+        latest.flatMap(_.properties.get(TxTable.PropLogStore)))
+      val won = store.putIfAbsent(fs, tmp, dst,
+        fs.makeQualified(root).toString)
       if (won) {
         pendingIdentityMint = None
         TxTable.cacheState(cacheKey, m, deltaBytes.length.toLong)
@@ -3855,11 +4050,15 @@ object TxTable {
   /** Internal bucket column carried in the data for merge routing;
     * dropped from every user-facing read. */
   private[core] val BucketCol = "__bucket"
+  /** [[BucketCol]] for the V2 catalog's delta writers. */
+  private[graft] def BucketColName: String = BucketCol
 
   /** Prefix of the shadow columns that exist only to drive
     * `partitionBy` directory layout (the original column stays in the
     * data files). */
   private val PartShadowPrefix = "__pt_"
+  /** [[PartShadowPrefix]] for the V2 catalog's delta writers. */
+  private[graft] def PartShadowPrefixName: String = PartShadowPrefix
 
   /** Transient z-value column during [[TxTable.compactZOrder]]. */
   private val ZTmpCol = "__zorder"
@@ -4006,6 +4205,9 @@ object TxTable {
     * index-sidecar discipline for 10⁶-file tables; planning loads a
     * sidecar once per JVM, driver-side, no Spark job). */
   val PropBloomStorage = "graft.bloomFilterStorage"
+  /** Commit-publish [[LogStore]] selection: `hardlink` | `rename` |
+    * `conditionalput` | `lockfile` — default by root scheme. */
+  val PropLogStore = "graft.logStore"
   /** Comma-separated default z-order curve columns: a bare `OPTIMIZE`
     * (SQL) or [[TxTable.optimize]] clusters along these instead of a
     * plain compaction — the table remembers its own layout policy. */
@@ -4237,6 +4439,33 @@ object TxTable {
 
   /** Key-bucketing spec for copy-on-write merges. */
   private[graft] final case class BucketSpec(cols: Seq[String], n: Int)
+
+  /** Schema of a deletion-vector file/fragment: (root-relative data
+    * path, parquet row index). */
+  private[graft] val dvFragSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField(DvPathCol, StringType,
+      nullable = false),
+    org.apache.spark.sql.types.StructField(DvPosCol,
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** Driver-resolved, executor-serializable context for a native
+    * `WriteDelta` (see [[TxTable.deltaWriteContext]]). `rootStr` is
+    * the qualified table root; task files land under
+    * `data/w-<writeId>/` (data) and `tmp/dvfrag-<writeId>/`
+    * (deletion-vector fragments). */
+  private[graft] final case class DeltaWriteContext(
+      rootStr: String,
+      writeId: String,
+      baseVersion: Long,
+      fullLogicalSchema: StructType,
+      physWriteSchema: StructType,
+      partitionCols: Seq[String],
+      bucketSpec: Option[(Seq[String], Int)],
+      dataConf: org.apache.spark.util.SerializableConfiguration,
+      fragConf: org.apache.spark.util.SerializableConfiguration) {
+    def dataDirStr: String = s"$rootStr/data/w-$writeId"
+    def fragDirStr: String = s"$rootStr/tmp/dvfrag-$writeId"
+  }
 
   /** What the DataSource-V2 catalog scan needs from a snapshot —
     * see [[TxTable.v2ScanInfo]]. `keep` turns the scan's pushed V1

@@ -356,6 +356,41 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
+/** Inference-model scoring: all class logits of the broadcast
+  * [[LinearModel]] head for one embedding — one codegen'd fused
+  * multiply-accumulate per row (t17). */
+case class ModelLogits(child: Expression, model: LinearModel)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "graft_model_logits"
+  override protected def nullSafeEval(v: Any): Any =
+    model.logits(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("linearModel", model,
+      classOf[LinearModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.logits($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Argmax class of [[ModelLogits]] without materializing the array —
+  * the classifier-label column. */
+case class ModelPredict(child: Expression, model: LinearModel)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_model_predict"
+  override protected def nullSafeEval(v: Any): Any =
+    model.predict(v.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("linearModel", model,
+      classOf[LinearModel].getName)
+    defineCodeGen(ctx, ev, c => s"$m.predict($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   private def col(e: Expression): Column = Bridge.column(e)
   private def ex(c: Column): Expression = Bridge.expression(c)
@@ -392,6 +427,10 @@ object GraftFunctions {
   def pqLut(v: Column, cb: PqCodebook): Column = col(PqLut(ex(v), cb))
   def adcDot(codes: Column, lut: Column, ksub: Int): Column =
     col(AdcDot(ex(codes), ex(lut), ksub))
+  def modelLogits(v: Column, model: LinearModel): Column =
+    col(ModelLogits(ex(v), model))
+  def modelPredict(v: Column, model: LinearModel): Column =
+    col(ModelPredict(ex(v), model))
 }
 
 /** SQL-name registration via SparkSessionExtensions

@@ -533,3 +533,70 @@ final class PqCodebook(val dsub: Int, val ksub: Int,
     new GenericArrayData(t)
   }
 }
+
+/** A broadcast-weights LINEAR CLASSIFIER HEAD — the inference-model
+  * column operator (the spark-nlp role in the reference's clusters,
+  * reference resources/spark.py:67): per row, one fused
+  * `nClasses × dim` multiply-accumulate over the embedding column,
+  * logits out, argmax label out. The model object rides the plan via
+  * `ctx.addReferenceObj` (plan-broadcast, like [[CentroidIndex]] /
+  * [[PqCodebook]]) — model-sized serialization once per executor,
+  * zero per-row allocation beyond the logits array. Accumulation is
+  * sequential double over float inputs (index order), so scores are
+  * reproducible bit-for-bit by any engine that evaluates
+  * `Σᵢ w[c][i]·x[i] + b[c]` left to right — the DuckDB oracle does
+  * (`list_reduce`). An ONNX-style trained head drops in by
+  * constructing this class from its weight matrix. */
+final class LinearModel(val weights: Array[Array[Double]],
+    val bias: Array[Double]) extends Serializable {
+  require(weights.nonEmpty && weights.length == bias.length,
+    s"weights ${weights.length} x dim vs bias ${bias.length}")
+  val nClasses: Int = weights.length
+  val dim: Int = weights(0).length
+
+  /** All class logits for one vector (min(dim, |v|) terms). */
+  def logits(v: ArrayData): ArrayData = {
+    val out = new Array[Double](nClasses)
+    val n = math.min(dim, v.numElements())
+    var c = 0
+    while (c < nClasses) {
+      val w = weights(c)
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += v.getFloat(i).toDouble * w(i); i += 1 }
+      out(c) = s + bias(c)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Argmax class id (first max wins — deterministic tie-break). */
+  def predict(v: ArrayData): Int = {
+    val l = logits(v)
+    var best = 0
+    var bestV = l.getDouble(0)
+    var c = 1
+    while (c < nClasses) {
+      val x = l.getDouble(c)
+      if (x > bestV) { bestV = x; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+object LinearModel {
+  /** Deterministic pseudo-random head for gates/specs: integer Knuth
+    * multiplicative hashing → [−0.5, 0.5), exactly reproducible in
+    * SQL (`((k*2654435761) % 1000003) / 1000003.0 - 0.5` with
+    * k = c·dim + i + 1). A trained model would replace this
+    * constructor, nothing downstream changes. */
+  def hashHead(nClasses: Int, dim: Int): LinearModel = {
+    val w = Array.tabulate(nClasses, dim) { (c, i) =>
+      val k = (c.toLong * dim + i + 1) * 2654435761L
+      (k % 1000003L).toDouble / 1000003.0 - 0.5
+    }
+    val b = Array.tabulate(nClasses)(c => 0.01 * (c + 1))
+    new LinearModel(w, b)
+  }
+}

@@ -290,7 +290,22 @@ object Similarity {
     * [[Dedup.minHashLshPairs]] (see [[srpSignature]]); at low
     * thresholds no sublinear method exists and the honest answer is
     * the blocked quadratic scan this plan performs. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double = 0.45,
+      maxRows: Long = 100000L): DataFrame = {
+    // O(n²) BY CONSTRUCTION — this is the exact low-threshold gate
+    // the subquadratic operators verify against, never a production
+    // path. Refuse oversized corpora instead of melting the cluster
+    // (the df-cap discipline, corpus-size flavor): the scale paths
+    // are srpNearDupPairs (c8), srpNearDupPairsWide (c18) and
+    // semDeDup (c19). The probe reads ≤ maxRows+1 rows, not the
+    // corpus.
+    val probe = emb.select(col("vec_id")).limit(
+      (math.min(maxRows, Int.MaxValue - 1L) + 1).toInt).count()
+    require(probe <= maxRows,
+      s"cosineNearDupPairs is the exact O(n²) baseline and the corpus " +
+        s"exceeds maxRows=$maxRows — use srpNearDupPairs / " +
+        s"srpNearDupPairsWide / semDeDup (the subquadratic scale " +
+        s"paths), or raise maxRows deliberately")
     // norms once per VECTOR below the join (computed in the per-side
     // projection, so the O(n²) pair loop runs the 1-FLOP/element dot
     // kernel instead of the 3-FLOP cosine — bit-identical result for

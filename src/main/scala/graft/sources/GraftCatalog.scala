@@ -346,7 +346,40 @@ object GraftBucketFunction extends UnboundFunction {
 final class GraftTable(spark: SparkSession, location: String,
     tableName: String, pinned: Option[Long])
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsMetadataColumns with SupportsRowLevelOperations
     with org.apache.spark.sql.graft.V1StreamFallback {
+
+  /** The row-id pair (`SupportsDelta.rowId`): the row's manifest
+    * entry path + parquet row index — exactly the deletion-vector
+    * key, so native UPDATE/MERGE/DELETE fold matched rows straight
+    * into a DV commit. Served by the scan's row-id reader whenever a
+    * query (user or rewrite-injected) selects them. */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graft.V2Shims.FileMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "manifest entry path of the row's data file"
+    },
+    new MetadataColumn {
+      override def name(): String = org.apache.spark.sql.graft.V2Shims.PosMetaCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = false
+      override def comment(): String = "parquet row index within the data file"
+    })
+
+  /** NATIVE V2 row-level UPDATE / MERGE / non-pushable DELETE — see
+    * [[GraftRowLevelOperation]]. Pinned at THIS load's snapshot; the
+    * commit refuses any racing writer against it. */
+  override def newRowLevelOperationBuilder(info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinned.isEmpty,
+      s"$tableName: cannot run ${info.command} against a time-traveled snapshot")
+    val base = snap
+    () => new GraftRowLevelOperation(location, tableName, base, info)
+  }
 
   /** `spark.readStream.table("graft.default.t")`: streaming reads
     * fall back to the V1 txtable source ([[TxTableSourceProvider]])
@@ -533,8 +566,22 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
   private lazy val anyDv: Boolean =
     kept.exists { case (e, _) => info.dvOf(e).isDefined }
 
+  // row-id mode: the scan under a native row-level operation (or any
+  // query selecting the metadata columns) — per-file partitions that
+  // carry the manifest entry path, readers that serve (file, pos)
+  private lazy val rowIdMode: Boolean = required.fieldNames.exists(n =>
+    n == org.apache.spark.sql.graft.V2Shims.FileMetaCol ||
+      n == org.apache.spark.sql.graft.V2Shims.PosMetaCol)
+
   override def planInputPartitions(): Array[InputPartition] =
-    if (anyDv) {
+    if (rowIdMode) {
+      val pos =
+        if (anyDv) info.loadDv() else Map.empty[String, Array[Long]]
+      kept.zipWithIndex.map { case ((e, st), i) =>
+        org.apache.spark.sql.graft.V2Shims.rowIdPartition(i, st, e.path,
+          pos.getOrElse(e.path, Array.empty[Long]))
+      }.toArray
+    } else if (anyDv) {
       val pos = info.loadDv()
       kept.zipWithIndex.map { case ((e, st), i) =>
         val deleted =
@@ -558,12 +605,18 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
     // mapping. Filters that fail to rename are dropped from the
     // pushed set only (they are residual upstream — less row-group
     // skipping, never wrong rows).
+    val metaNames = Set(org.apache.spark.sql.graft.V2Shims.FileMetaCol,
+      org.apache.spark.sql.graft.V2Shims.PosMetaCol)
     val physData = StructType(info.visibleSchema.fields.map(f =>
       f.copy(name = info.physNameOf(f.name))))
     val physRequired = StructType(required.fields.map(f =>
-      f.copy(name = info.physNameOf(f.name))))
+      if (metaNames(f.name)) f
+      else f.copy(name = info.physNameOf(f.name))))
     val physPushed = pushed.flatMap(GraftScan.renameFilter(_, info.physNameOf))
-    if (anyDv)
+    if (rowIdMode)
+      org.apache.spark.sql.graft.V2Shims.rowIdParquetReaderFactory(
+        spark, physData, physRequired, physPushed)
+    else if (anyDv)
       org.apache.spark.sql.graft.V2Shims.dvParquetReaderFactory(
         spark, physData, physRequired, physPushed)
     else
@@ -572,7 +625,9 @@ private final class GraftScan(spark: SparkSession, info: TxTable.V2ScanInfo,
   }
 
   override def outputPartitioning(): Partitioning = info.bucketSpec match {
-    case Some((cols, n)) if kept.nonEmpty =>
+    // row-id scans plan per-FILE partitions, so the per-bucket key
+    // grouping does not hold — report unknown
+    case Some((cols, n)) if kept.nonEmpty && !rowIdMode =>
       new KeyGroupedPartitioning(
         Array(Expressions.bucket(n, cols: _*)), byBucket.size)
     case _ => new UnknownPartitioning(0)

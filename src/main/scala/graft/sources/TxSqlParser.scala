@@ -146,19 +146,18 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
     case _                => None
   }
 
-  /** UPDATE/MERGE targets additionally accept the graft-CATALOG
-    * qualified spelling (`UPDATE graft.default.t SET …`) — Spark only
-    * plans those statements natively for `SupportsRowLevelOperations`
-    * tables, so the seam routes them onto the transactional API like
-    * bare names. DELETE deliberately does NOT take this branch: the
-    * V2 table implements `SupportsDelete`, so `DELETE FROM
-    * graft.default.t` runs Spark's OWN row-level path end-to-end. */
+  /** UPDATE/MERGE/DELETE targets spelled through the graft CATALOG
+    * (`UPDATE graft.default.t SET …`) deliberately do NOT take the
+    * seam: the V2 table implements `SupportsRowLevelOperations`
+    * (delta-based) + `SupportsDelete`, so Spark's OWN analyzer
+    * rewrites plan them end-to-end ([[GraftRowLevelOperation]]) — a
+    * session without GraftExtensions writes identically. Bare-name /
+    * `txtable.`dir`` spellings keep the seam (no catalog resolution
+    * exists for them). */
   private def txDmlPath(plan: LogicalPlan): Option[String] = plan match {
-    case u: UnresolvedRelation =>
-      resolveTx(u.multipartIdentifier)
-        .orElse(resolveGraftCatalog(u.multipartIdentifier))
-    case s: SubqueryAlias => txDmlPath(s.child)
-    case _                => None
+    case u: UnresolvedRelation => resolveTx(u.multipartIdentifier)
+    case s: SubqueryAlias      => txDmlPath(s.child)
+    case _                     => None
   }
 
   /** Same for table-verb targets, which parse as `UnresolvedTable`

@@ -54,6 +54,15 @@ final class KeyedDvFilePartition(index0: Int, file0: PartitionedFile,
   override def partitionKey(): InternalRow = key
 }
 
+/** A single-file split for ROW-ID reads (the `SupportsDelta` scan of
+  * native UPDATE/MERGE/complex-DELETE): carries the file's manifest
+  * entry path (what the commit's deletion-vector bookkeeping keys on)
+  * and its already-deleted positions (excluded — re-deleting a DV'd
+  * row must be a no-op, mirroring the seam's discovery scan). */
+final class RowIdFilePartition(index0: Int, file0: PartitionedFile,
+    val entryPath: String, val positions: Array[Long])
+    extends FilePartition(index0, Array(file0))
+
 /** The `private[sql]` seam for the DataSource-V2 catalog
   * ([[graft.sources.GraftCatalog]]): file-split planning and the
   * parquet reader factory reuse Spark's OWN file-source machinery —
@@ -66,6 +75,12 @@ object V2Shims {
   private def pf(st: FileStatus, start: Long, len: Long): PartitionedFile =
     PartitionedFile(InternalRow.empty, SparkPath.fromPath(st.getPath),
       start, len, Array.empty, st.getModificationTime, st.getLen)
+
+  /** One whole-file row-id partition (the native row-level-operation
+    * scan shape): entry path + already-deleted positions. */
+  def rowIdPartition(index: Int, st: FileStatus, entryPath: String,
+      positions: Array[Long]): InputPartition =
+    new RowIdFilePartition(index, pf(st, 0L, st.getLen), entryPath, positions)
 
   /** One whole-file DV partition (keyed when `bucketId` is set). */
   def dvPartition(index: Int, st: FileStatus, positions: Array[Long],
@@ -162,6 +177,132 @@ object V2Shims {
     ParquetPartitionReaderFactory(sqlConf, bc, dataSchema, readSchema,
       StructType(Nil), pushed, None,
       new ParquetOptions(Map.empty[String, String], sqlConf))
+  }
+
+  /** Metadata-column names served by the graft V2 catalog table —
+    * the `SupportsDelta.rowId()` pair: the row's manifest entry path
+    * and its physical parquet row index. Iceberg's `_file`/`_pos`
+    * shape (underscored to stay clear of user columns). */
+  val FileMetaCol = "__graft_file"
+  val PosMetaCol = "__graft_pos"
+
+  /** [[parquetReaderFactory]] for ROW-ID reads — the scan under the
+    * native row-level operations (`WriteDelta`): reads with parquet's
+    * row-index generator column, drops positions already deleted by
+    * the file's deletion vector, and serves the requested schema
+    * where [[FileMetaCol]]/[[PosMetaCol]] columns materialize from the
+    * partition's entry path / the generated index. Row-based (the
+    * same trade the DV reader makes); row-level ops read only the
+    * zone-map candidate files, so the cost is O(candidate bytes). */
+  def rowIdParquetReaderFactory(spark: SparkSession, dataSchema: StructType,
+      required: StructType, pushed: Array[Filter]): PartitionReaderFactory = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal, UnsafeProjection}
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val dataFields = required.fields.filter(f =>
+      f.name != FileMetaCol && f.name != PosMetaCol)
+    val innerSchema = StructType(dataFields :+
+      org.apache.spark.sql.types.StructField(
+        ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val inner = parquetReaderFactory(spark, dataSchema, innerSchema, pushed,
+      forceRowBased = true)
+    val idxPos = dataFields.length // the generated row-index slot
+    val dataIdx = dataFields.map(_.name).zipWithIndex.toMap
+    new PartitionReaderFactory {
+      override def supportColumnarReads(p: InputPartition): Boolean = false
+      override def createReader(p: InputPartition)
+          : org.apache.spark.sql.connector.read.PartitionReader[InternalRow] = {
+        val rp = p.asInstanceOf[RowIdFilePartition]
+        val innerReader = inner.createReader(
+          FilePartition(rp.index, rp.files))
+        val positions = rp.positions
+        val out = UnsafeProjection.create(required.fields.map { f =>
+          val e: org.apache.spark.sql.catalyst.expressions.Expression =
+            f.name match {
+              case FileMetaCol => Literal(
+                org.apache.spark.unsafe.types.UTF8String.fromString(rp.entryPath),
+                org.apache.spark.sql.types.StringType)
+              case PosMetaCol => BoundReference(idxPos,
+                org.apache.spark.sql.types.LongType, nullable = false)
+              case n => BoundReference(dataIdx(n),
+                f.dataType, nullable = true)
+            }
+          e
+        }.toIndexedSeq)
+        new org.apache.spark.sql.connector.read.PartitionReader[InternalRow] {
+          private var cur: InternalRow = _
+          override def next(): Boolean = {
+            while (innerReader.next()) {
+              val r = innerReader.get()
+              if (positions.length == 0 ||
+                  java.util.Arrays.binarySearch(positions, r.getLong(idxPos)) < 0) {
+                cur = out(r)
+                return true
+              }
+            }
+            false
+          }
+          override def get(): InternalRow = cur
+          override def close(): Unit = innerReader.close()
+        }
+      }
+    }
+  }
+
+  /** Hadoop conf prepared for EXECUTOR-SIDE parquet writes of
+    * `InternalRow`s in `schema` — the handshake Spark's own
+    * `ParquetUtils.prepareWrite` performs (write-support class, row
+    * schema, timestamp/legacy semantics, compression), packaged
+    * driver-side so [[taskParquetWriter]] can open files inside a
+    * `DeltaWriter` with byte-identical parquet semantics to the
+    * driver's `df.write.parquet`. */
+  def parquetWriteConf(spark: SparkSession, schema: StructType)
+      : SerializableConfiguration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+    import org.apache.spark.sql.internal.SQLConf
+    val session = spark.asInstanceOf[ClassicSession]
+    val sqlConf = session.sessionState.conf
+    val hconf = session.sessionState.newHadoopConf()
+    org.apache.parquet.hadoop.ParquetOutputFormat.setWriteSupportClass(
+      new org.apache.hadoop.mapreduce.Job(hconf),
+      classOf[ParquetWriteSupport])
+    hconf.set(org.apache.parquet.hadoop.ParquetOutputFormat.WRITE_SUPPORT_CLASS,
+      classOf[ParquetWriteSupport].getName)
+    ParquetWriteSupport.setSchema(schema, hconf)
+    hconf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlConf.sessionLocalTimeZone)
+    hconf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlConf.writeLegacyParquetFormat.toString)
+    hconf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlConf.parquetOutputTimestampType.toString)
+    hconf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlConf.parquetFieldIdWriteEnabled.toString)
+    hconf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlConf.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    hconf.set(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlConf.getConf(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED).toString)
+    hconf.set(SQLConf.CASE_SENSITIVE.key,
+      sqlConf.caseSensitiveAnalysis.toString)
+    hconf.set(org.apache.parquet.hadoop.ParquetOutputFormat.COMPRESSION,
+      new ParquetOptions(Map.empty[String, String], sqlConf).compressionCodecClassName)
+    new SerializableConfiguration(hconf)
+  }
+
+  /** Open one parquet file at `path` for [[InternalRow]]s under the
+    * conf [[parquetWriteConf]] built — Spark's own
+    * [[org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter]]
+    * behind a fabricated task-attempt context (the writer only reads
+    * conf through it). */
+  def taskParquetWriter(conf: SerializableConfiguration, path: String,
+      partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.execution.datasources.OutputWriter = {
+    import org.apache.hadoop.mapreduce.{JobID, TaskAttemptID, TaskID, TaskType}
+    import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+    val attempt = new TaskAttemptID(
+      new TaskID(new JobID("graft-delta", 0), TaskType.MAP, partitionId),
+      (taskId % Int.MaxValue).toInt)
+    val context = new TaskAttemptContextImpl(conf.value, attempt)
+    new org.apache.spark.sql.execution.datasources.parquet.ParquetOutputWriter(
+      path, context)
   }
 
   /** [[parquetReaderFactory]] for DV-bearing snapshots: the read

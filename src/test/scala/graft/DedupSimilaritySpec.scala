@@ -181,6 +181,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.count() == 1)
   }
 
+  test("cosine near-dup refuses oversized corpora, naming the scale paths") {
+    // the O(n²) exact baseline must not silently melt at scale: above
+    // maxRows it refuses and points at c8/c18/c19
+    val e = intercept[IllegalArgumentException] {
+      Similarity.cosineNearDupPairs(emb, threshold = 0.4, maxRows = 10L)
+        .count()
+    }
+    assert(e.getMessage.contains("srpNearDupPairs"), e.getMessage)
+    // at or under the bound: runs (result unchanged vs the default)
+    val n = emb.count()
+    assert(Similarity.cosineNearDupPairs(emb, threshold = 0.4, maxRows = n)
+      .count() ==
+      Similarity.cosineNearDupPairs(emb, threshold = 0.4).count())
+  }
+
   test("srp near-dup: perfect recall on constructed twins, exact precision") {
     // twins (cos = 1) must always be caught: all signature chunks equal
     val twins = emb.limit(5).select((col("vec_id") + 800000).as("vec_id"),

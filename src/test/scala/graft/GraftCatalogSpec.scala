@@ -468,14 +468,15 @@ class GraftCatalogSpec extends SparkSpec {
     // rewriting data files — the base parquet of v0 is still live
     assert(t.latestVersion.get > v0)
     assert(TxTable(spark, d).read().count() == 899)
-    // proof this is the native path, not the seam: a condition Spark
-    // cannot push as a source filter (id % 7 = 0) is REJECTED here,
-    // while the seam's bare-name spelling accepts arbitrary predicates
-    val err = intercept[Exception] {
-      spark.sql("DELETE FROM graft.default.v2_ndel WHERE id % 7 = 0")
-    }
-    assert(err.getMessage != null)
-    spark.sql("DELETE FROM v2_ndel WHERE id % 7 = 0") // seam: fine
+    // a condition Spark cannot push as a source filter (id % 7 = 0)
+    // no longer rejects: it routes through the row-level WriteDelta
+    // path (SupportsDelta — see GraftRowLevelSpec), still merge-on-read
+    val e = spark.sql(
+      "EXPLAIN DELETE FROM graft.default.v2_ndel WHERE id % 7 = 0")
+      .head.getString(0)
+    assert(e.contains("WriteDelta"),
+      s"untranslatable DELETE should take the row-level path:\n$e")
+    spark.sql("DELETE FROM graft.default.v2_ndel WHERE id % 7 = 0")
     assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_ndel")
       .head.getLong(0) ==
       (100 until 1000).count(i => i != 500 && i % 7 != 0))
