@@ -1630,8 +1630,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         else Some {
           val keys = spec.cols
           val rewritten = readEntries(m, files)
-          val del = existing.exceptAll(rewritten)
-          val ins = rewritten.exceptAll(existing)
+          // materialize the two diffs ONCE (change-sized): four join
+          // branches below would otherwise re-evaluate each exceptAll
+          // subtree — re-reading the touched buckets per branch (the
+          // dominant cost of a CDC-enabled merge commit, measured 6.1s
+          // vs 1.0s stats-off at sf0.1 before this checkpoint)
+          val del = existing.exceptAll(rewritten).localCheckpoint(true)
+          val ins = rewritten.exceptAll(existing).localCheckpoint(true)
           val delK = del.select(keys.map(col): _*).distinct()
           val insK = ins.select(keys.map(col): _*).distinct()
           val changes = del.join(insK, keys, "left_semi")
@@ -1817,8 +1822,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         if (!effCdf(m)) None
         else Some {
           val rewritten = readEntries(m, files)
-          val del = existing.exceptAll(rewritten)
-          val ins = rewritten.exceptAll(existing)
+          // one evaluation per diff (the mergeOp discipline): the four
+          // branches below otherwise re-read the affected files each
+          val del = existing.exceptAll(rewritten).localCheckpoint(true)
+          val ins = rewritten.exceptAll(existing).localCheckpoint(true)
           val delK = del.select(keyNames.map(col): _*).distinct()
           val insK = ins.select(keyNames.map(col): _*).distinct()
           val changes = del.join(insK, keyNames, "left_semi")
@@ -1900,8 +1907,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           onKeys, "left_anti")
         .unionByName(src, allowMissingColumns = true)
     }
-    if (spec.isDefined) merge(source, txn, sourceIsPinned)(resolve)
-    else mergeOpFiles(OpMerge, source, onKeys, txn, sourceIsPinned)(resolve)
+    if (spec.isDefined) {
+      // deletionVectors handles upsert MERGE-ON-READ: matched rows
+      // fold into a DV, the source appends — O(batch) writes, the
+      // streaming state-table path (see [[morUpsertBucketed]])
+      if (latestVersion.map(v => effDv(manifest(v))).getOrElse(deletionVectors))
+        morUpsertBucketed(source, manifest(latestVersion.get), txn,
+          sourceIsPinned)
+      else merge(source, txn, sourceIsPinned)(resolve)
+    } else mergeOpFiles(OpMerge, source, onKeys, txn, sourceIsPinned)(resolve)
   }
 
   /** Full-clause MERGE — the complete `MERGE INTO t USING s ON keys
@@ -2337,6 +2351,159 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           m.schemaDdl, m.partitionCols, m.bucketSpec, None, cdcFiles)
       }
     }
+  }
+
+  /** Merge-on-read UPSERT into a bucketed table — the
+    * `deletionVectors=true` handle path of [[upsert]]: matched target
+    * rows' positions land in ONE deletion vector (hiding them) and
+    * the whole source appends as new bucket files. Write cost
+    * O(|source| + matched rows), never O(bytes of touched buckets) —
+    * the streaming state-table shape, where the copy-on-write upsert
+    * rewrites near the whole table every microbatch (measured ~1 s
+    * per small batch at sf0.1 against ~0.3 s here). DV'd entries keep
+    * their bucket ids, so bucket-grouped reads and SPJ survive;
+    * OPTIMIZE/compaction purges the vectors and the superseded rows.
+    * CDC (CDF handles): hidden rows capture as update_preimage,
+    * matched source rows as update_postimage, unmatched as insert.
+    * Same auto-rebase rule as [[mergeOp]] (touched buckets must be
+    * left alone by racing commits). */
+  private def morUpsertBucketed(source: DataFrame, m: Manifest,
+      txn: Option[(String, Long)], sourceIsPinned: Boolean): Long = {
+    import org.apache.spark.sql.functions.{broadcast, count => fcount, first => ffirst, lit => flit}
+    val spec = m.bucketSpec.get
+    val keys = spec.cols
+    val autoMerge = boolProp(m, TxTable.PropSchemaAutoMerge).getOrElse(false)
+    requireCompatible(StructType.fromDDL(m.schemaDdl), source.schema,
+      allowNew = autoMerge)
+    val bucketed = withBucket(source, spec)
+    val (src, touched0) =
+      if (sourceIsPinned) (bucketed, None)
+      else {
+        val obs = org.apache.spark.sql.Observation()
+        val ckpt = bucketed
+          .observe(obs, org.apache.spark.sql.functions
+            .collect_set(col(BucketCol)).as("touched"))
+          .localCheckpoint(true)
+        (ckpt, Some(obs.get("touched").asInstanceOf[Seq[Int]]
+          .map(_.toString).toSet))
+      }
+    try {
+      val touched: Set[String] = touched0.getOrElse(
+        src.select(col(BucketCol)).distinct()
+          .collect().map(_.getInt(0).toString).toSet)
+      val (affected0, _) = m.files.partition(f =>
+        f.partition.get(BucketCol).exists(touched))
+      val srcKeys = src.select(keys.map(col): _*).distinct()
+      // discovery scan over the touched buckets, position-tagged,
+      // prior-DV rows excluded (the morRewrite discipline) — only
+      // rows whose key the source carries become DV entries
+      val fullCol = "__dv_file"
+      val (matchStats, matching) =
+        if (affected0.isEmpty) (Array.empty[org.apache.spark.sql.Row], null)
+        else {
+          val tagged0 = spark.read.schema(physSchemaOf(m))
+            .parquet(affected0.map(f => new Path(root, f.path).toString): _*)
+            .withColumn(fullCol, col("_metadata.file_path"))
+            .withColumn(DvPathCol, relDataPath)
+            .withColumn(DvPosCol, col("_metadata.row_index"))
+          val priorDvPaths = affected0.flatMap(_.dvPath).distinct
+          val taggedPhys =
+            if (priorDvPaths.isEmpty) tagged0
+            else tagged0.join(broadcast(
+                spark.read.parquet(priorDvPaths.map(p =>
+                  new Path(root, p).toString): _*)
+                  .select(col(DvPathCol), col(DvPosCol))),
+              Seq(DvPathCol, DvPosCol), "left_anti")
+          val matching = toLogicalDf(taggedPhys, m).join(srcKeys, keys,
+            "left_semi").localCheckpoint(true) // matched-rows-sized
+          (matching.groupBy(col(DvPathCol))
+            .agg(fcount(flit(1)).as("n"), ffirst(col(fullCol)).as("full"))
+            .collect(), matching)
+        }
+      val (retagged, affectedPaths) =
+        if (matchStats.isEmpty) (Nil, Set.empty[String])
+        else {
+          val rawToRel = matchStats.map(r => r.getString(0) ->
+            relativize(new Path(new java.net.URI(r.getAs[String]("full"))))).toMap
+          val freshCounts = matchStats.map(r =>
+            rawToRel(r.getString(0)) -> r.getAs[Long]("n")).toMap
+          val affectedRaw = rawToRel.keySet
+          val paths = rawToRel.values.toSet
+          val affected = m.files.filter(f => paths(f.path))
+          val fresh = matching.select(col(DvPathCol), col(DvPosCol))
+          val priorOfAffected = affected.flatMap(_.dvPath).distinct
+          val dvContent =
+            if (priorOfAffected.isEmpty) fresh
+            else fresh.unionByName(
+              spark.read.parquet(priorOfAffected.map(p =>
+                new Path(root, p).toString): _*)
+                .select(col(DvPathCol), col(DvPosCol))
+                .where(col(DvPathCol).isin(affectedRaw.toSeq: _*)))
+          val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
+            withStats = false, enforce = false)
+          val dvFile = dvEntries match {
+            case Seq(one) => one.path
+            case other => sys.error(s"$root: DV write produced ${other.size} files")
+          }
+          (affected.map(f => f.copy(dvPath = Some(dvFile),
+            dvRows = f.dvRows + freshCounts(f.path))), paths)
+        }
+      // the WHOLE source appends as new bucket files (batch-sized)
+      val (newFiles, outSchema) =
+        writeDataFiles(bucketedWriteFrame(src.drop(BucketCol), spec),
+          Seq(BucketCol))
+      requireCompatible(StructType.fromDDL(m.schemaDdl), outSchema,
+        allowNew = autoMerge)
+      if (autoMerge) requireFreshNamesAddressable(m, outSchema)
+      val ddl = if (autoMerge) mergedDdl(Some(m), outSchema) else m.schemaDdl
+      val cdcFiles: Option[Seq[FileEntry]] =
+        if (!effCdf(m)) None
+        else Some {
+          val pre =
+            if (matching == null) None
+            else Some(matching.drop(fullCol, DvPathCol, DvPosCol, BucketCol)
+              .withColumn(ChangeTypeCol, flit("update_preimage")))
+          val matchedKeys =
+            if (matching == null) None
+            else Some(matching.select(keys.map(col): _*).distinct())
+          val post = readEntries(m, newFiles).drop(BucketCol)
+          val postTagged = matchedKeys match {
+            case None => post.withColumn(ChangeTypeCol, flit("insert"))
+            case Some(mk) =>
+              post.join(mk, keys, "left_semi")
+                .withColumn(ChangeTypeCol, flit("update_postimage"))
+                .unionByName(post.join(mk, keys, "left_anti")
+                  .withColumn(ChangeTypeCol, flit("insert")))
+          }
+          val changes = pre.fold(postTagged)(p =>
+            p.unionByName(postTagged))
+          writeDataFiles(changes, Nil, withStats = false, enforce = false)._1
+        }
+      commit { latest =>
+        val cur = latest.getOrElse(
+          sys.error(s"$root vanished during upsert — rerun"))
+        if (cur.version == m.version)
+          Pending(OpMerge,
+            m.files.filterNot(f => affectedPaths(f.path)) ++ retagged ++ newFiles,
+            ddl, m.partitionCols, m.bucketSpec, txn, cdcFiles)
+        else {
+          require(cur.schemaDdl == m.schemaDdl && cur.bucketSpec == m.bucketSpec,
+            s"concurrent schema/layout change during upsert into $root — rerun")
+          val curByPath = cur.files.map(f => f.path -> f).toMap
+          val affected = m.files.filter(f => affectedPaths(f.path))
+          require(affected.forall(f => curByPath.get(f.path).contains(f)),
+            s"concurrent commit touched upserted buckets of $root — rerun")
+          val basePaths = m.files.map(_.path).toSet
+          val intruding = cur.files.exists(f => !basePaths(f.path) &&
+            f.partition.get(BucketCol).exists(touched))
+          require(!intruding,
+            s"concurrent commit added rows to upserted buckets of $root — rerun")
+          Pending(OpMerge,
+            cur.files.filterNot(f => affectedPaths(f.path)) ++ retagged ++ newFiles,
+            ddl, m.partitionCols, m.bucketSpec, txn, cdcFiles)
+        }
+      }
+    } finally { if (!sourceIsPinned) { src.unpersist(); () } }
   }
 
   /** Row-level UPDATE by predicate — `UPDATE t SET col = expr, ...

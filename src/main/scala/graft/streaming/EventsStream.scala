@@ -472,7 +472,12 @@ object EventsStream {
     withStatePartitions(spark) {
       // stats off: a per-microbatch min/max scan is the wrong trade
       // at streaming rates; compact through a stats-on handle later
-      // if the state table needs zone maps
+      // if the state table needs zone maps. Copy-on-write upsert by
+      // choice: at this fixture scale (buckets ≈ batch) CoW's single
+      // write job beats the merge-on-read upsert's extra per-commit
+      // jobs (measured 3.1 s vs 3.9 s warm) — open the table with
+      // deletionVectors=true when buckets ≫ batch and the rewrite
+      // bytes, not the job constants, dominate
       val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
       val q = events.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
