@@ -91,10 +91,43 @@ private final class GraftDeltaWriteBuilder(location: String,
 
 private final class GraftDeltaWrite(location: String,
     ctx: TxTable.DeltaWriteContext, opName: String,
-    dataNames: Seq[String], rowIdNames: Seq[String]) extends DeltaWrite {
+    dataNames: Seq[String], rowIdNames: Seq[String]) extends DeltaWrite
+    with RequiresDistributionAndOrdering {
   override def description(): String = s"graft delta $opName"
   override def toBatch: DeltaBatchWrite =
     new GraftDeltaBatchWrite(location, ctx, opName, dataNames, rowIdNames)
+
+  /** Cluster replacement/insert rows by the table's layout before the
+    * writers see them: without this, a 1000-task MERGE against a
+    * 1000-partition table writes up to tasks × dirs files per commit
+    * (the small-file catastrophe the driver-side writes avoid via
+    * repartition — see TxTable.bucketedWriteFrame). Bucketed layouts
+    * cluster on the catalog's own `bucket(n, keys)` transform
+    * (resolved through the FunctionCatalog — writer-identical ids);
+    * hive layouts on the partition columns; flat tables need nothing. */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (opName == "delete")
+      // a pure DELETE's plan carries only (operation, row id): cluster
+      // by the row id's file column so each file's deleted positions
+      // land in ONE task's DV fragment
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        Array(Expressions.column(V2Shims.FileMetaCol)))
+    else ctx.bucketSpec match {
+      case Some((cols, n)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.bucket(n, cols: _*)))
+      case None if ctx.partitionCols.nonEmpty =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          ctx.partitionCols.map(c =>
+            Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression
+          ).toArray)
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 }
 
 /** One message per task: the root-relative paths it committed. */
