@@ -169,6 +169,50 @@ class GraftRowLevelSpec extends SparkSpec {
       s"got $changes")
   }
 
+  test("native MERGE with NOT MATCHED BY SOURCE: full clause grammar through WriteDelta") {
+    val (t, d) = mk("bysrc", 30)
+    import spark.implicits._
+    (10 until 20).map(i => (i.toLong, s"src_$i", 0))
+      .toDF("k", "name", "grp").createOrReplaceTempView("rl_bysrc_src")
+    spark.sql(
+      s"""MERGE INTO $t t USING rl_bysrc_src s ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET name = s.name
+         |WHEN NOT MATCHED BY SOURCE AND t.k < 5 THEN DELETE
+         |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET grp = -9""".stripMargin)
+    val got = spark.sql(s"SELECT k, name, grp FROM $t ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(!got.exists(_._1 < 5), "by-source DELETE must remove k<5")
+    (10 until 20).foreach(i => assert(got.exists(g =>
+      g._1 == i && g._2 == s"src_$i"), s"k=$i not updated"))
+    got.filter(g => g._1 >= 5 && g._1 < 10).foreach(g =>
+      assert(g._3 == -9, s"by-source UPDATE missed $g"))
+    got.filter(_._1 >= 20).foreach(g =>
+      assert(g._3 == -9, s"by-source UPDATE missed $g"))
+    assert(got.length == 30 - 5)
+  }
+
+  test("native UPDATE on a COLUMN-MAPPED table writes physical names; rename is metadata-only") {
+    val d = dir("colmap")
+    import spark.implicits._
+    TxTable(spark, d).overwrite(
+      (0 until 40).map(i => (i.toLong, s"x_$i")).toDF("k", "label"))
+    spark.sql("DROP TABLE IF EXISTS rl_colmap")
+    spark.sql(s"CREATE TABLE rl_colmap USING txtable LOCATION '$d'")
+    // rename freezes the physical name; the native write must land
+    // files under the PHYSICAL column so old and new files co-read
+    spark.sql("ALTER TABLE rl_colmap RENAME COLUMN label TO tag")
+    spark.sql("UPDATE graft.default.rl_colmap SET tag = concat(tag, '+') " +
+      "WHERE k % 4 = 0")
+    val got = spark.sql(
+      "SELECT k, tag FROM graft.default.rl_colmap ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got.length == 40)
+    got.foreach { case (k, tag) =>
+      if (k % 4 == 0) assert(tag == s"x_$k+", s"k=$k tag=$tag")
+      else assert(tag == s"x_$k", s"k=$k tag=$tag")
+    }
+  }
+
   test("native UPDATE enforces CHECK constraints on the replacement rows") {
     val (t, d) = mk("check")
     // constraint DDL is a seam verb (bare-name spelling); the NATIVE
