@@ -429,7 +429,14 @@ final class GraftTable(spark: SparkSession, location: String,
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.OVERWRITE_DYNAMIC,
+      // `MERGE WITH SCHEMA EVOLUTION INTO graft.…`: Spark's
+      // ResolveMergeIntoSchemaEvolution widens the table through
+      // alterTable(AddColumn) — the same column-mapping metadata
+      // commit as ALTER TABLE ADD COLUMN — then re-resolves against
+      // the widened snapshot; without this capability the new source
+      // columns silently drop out of UPDATE */INSERT * alignment
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION)
 
   /** NATIVE V2 row-level DELETE: `DELETE FROM graft.default.t WHERE …`
     * resolves through Spark's own `DeleteFromTable` path (no parser

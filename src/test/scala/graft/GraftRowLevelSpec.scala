@@ -213,6 +213,45 @@ class GraftRowLevelSpec extends SparkSpec {
     }
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens the table through alterTable, then writes natively") {
+    val d = dir("schevo")
+    import spark.implicits._
+    TxTable(spark, d).overwrite(
+      (0 until 20).map(i => (i.toLong, s"n_$i")).toDF("k", "name"))
+    spark.sql("DROP TABLE IF EXISTS rl_schevo")
+    spark.sql(s"CREATE TABLE rl_schevo USING txtable LOCATION '$d'")
+    Seq((5L, "upd", 1.5), (100L, "new", 2.5)).toDF("k", "name", "score")
+      .createOrReplaceTempView("rl_schevo_src")
+    // WITHOUT the clause: extra source columns align-drop (standard
+    // UPDATE */INSERT * by-name alignment) — the capability alone
+    // must not auto-evolve
+    spark.sql(
+      """MERGE INTO graft.default.rl_schevo t USING rl_schevo_src s
+        |ON t.k = s.k AND t.k < 0
+        |WHEN NOT MATCHED AND s.k < 0 THEN INSERT *""".stripMargin)
+    assert(!spark.table("graft.default.rl_schevo").columns.contains("score"),
+      "plain MERGE must not evolve the schema")
+    // WITH the clause: Spark's ResolveMergeIntoSchemaEvolution calls
+    // the catalog's alterTable(AddColumn) — a column-mapping metadata
+    // commit — re-resolves, and the WriteDelta carries the new column
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft.default.rl_schevo t
+        |USING rl_schevo_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      "SELECT k, name, score FROM graft.default.rl_schevo ORDER BY k")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(got.length == 21)
+    assert(got.find(_._1 == 5L).get == ((5L, "upd", Some(1.5))))
+    assert(got.find(_._1 == 100L).get == ((100L, "new", Some(2.5))))
+    // untouched rows: files never rewritten, the new column
+    // null-backfills on read
+    assert(got.filter(g => g._1 != 5L && g._1 != 100L)
+      .forall(_._3.isEmpty))
+  }
+
   test("native UPDATE enforces CHECK constraints on the replacement rows") {
     val (t, d) = mk("check")
     // constraint DDL is a seam verb (bare-name spelling); the NATIVE
