@@ -952,6 +952,36 @@ object SparkEntry {
               |FROM graft.default.graft_native_rl
               |GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
+    // x25: native MERGE WITH SCHEMA EVOLUTION — the capability-gated
+    // widening (alterTable AddColumn metadata commit + WriteDelta
+    // carrying the new column); untouched files never rewrite and
+    // null-backfill the new column on read. Gate = the evolved table.
+    "x25_tx_schema_evolution_merge" -> ((s, d) => {
+      cachedAsset(s, s"tx_schevo|$d") {
+        val dir = graft.streaming.EventsStream.scratchDir("graft_schevo") + "/t"
+        val t = graft.core.TxTable(s, dir)
+        t.overwrite(Tables.orders(s, d)
+          .select("o_orderkey", "o_orderpriority"))
+        s.sql("DROP TABLE IF EXISTS graft_schevo")
+        s.sql(s"CREATE TABLE graft_schevo USING txtable LOCATION '$dir'")
+        Tables.orders(s, d).where("o_orderkey % 50 = 0")
+          .selectExpr("o_orderkey", "o_orderpriority", "o_totalprice")
+          .createOrReplaceTempView("schevo_src")
+        s.sql(
+          """MERGE WITH SCHEMA EVOLUTION INTO graft.default.graft_schevo t
+            |USING schevo_src s ON t.o_orderkey = s.o_orderkey
+            |WHEN MATCHED THEN UPDATE SET *
+            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        ()
+      }
+      s.sql("""SELECT o_orderpriority,
+              |  count(*) AS n_orders,
+              |  count(o_totalprice) AS n_priced,
+              |  CAST(round(sum(CAST(coalesce(o_totalprice, 0.0)
+              |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
+              |FROM graft.default.graft_schevo
+              |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
     // the change set's content
@@ -2292,6 +2322,13 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_totalprice < 1000.0 OR o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x25_tx_schema_evolution_merge" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  count(CASE WHEN o_orderkey % 50 = 0 THEN 1 END) AS n_priced,
+        |  CAST(round(sum(CAST(CASE WHEN o_orderkey % 50 = 0
+        |      THEN o_totalprice ELSE 0.0 END AS DECIMAL(18,2))), 2)
+        |    AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "x24_tx_native_rowlevel" ->
       """WITH src AS (
         |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 100 = 0

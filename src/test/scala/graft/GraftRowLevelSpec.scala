@@ -103,6 +103,18 @@ class GraftRowLevelSpec extends SparkSpec {
       (10 until 100).count(_ % 3 != 0))
   }
 
+  test("DELETE with a subquery condition routes through WriteDelta") {
+    val (t, d) = mk("subq")
+    import spark.implicits._
+    Seq(3L, 17L, 42L).toDF("bad_k").createOrReplaceTempView("rl_subq_bad")
+    // an IN-subquery can never push as a source filter — previously a
+    // hard refusal, now the row-level path
+    spark.sql(s"DELETE FROM $t WHERE k IN (SELECT bad_k FROM rl_subq_bad)")
+    val ks = spark.sql(s"SELECT k FROM $t").collect().map(_.getLong(0)).toSet
+    assert(!ks.contains(3L) && !ks.contains(17L) && !ks.contains(42L))
+    assert(ks.size == 97)
+  }
+
   test("native UPDATE on a hive-partitioned table relocates rows across partitions") {
     val d = dir("part")
     import spark.implicits._
