@@ -51,6 +51,16 @@ object SparkEntry {
     * from it — one string `replace()` per rank. */
   val BpeModelDir = "/tmp/graft_bpe_model"
 
+  /** DuckDB replay of one class-`c` logit of the t17 hash head —
+    * `list_reduce` reproduces the kernel's SEQUENTIAL double
+    * accumulation bit-for-bit (shared by the t17 and p3 oracles). */
+  private def t17LogitSql(c: Int): String =
+    s"""list_reduce(list_transform(range(1, len(embedding)+1),
+       |    i -> embedding[i] * CAST((((($c*64 + i) * 2654435761)
+       |      % 1000003) / CAST(1000003 AS DOUBLE))
+       |      - CAST(0.5 AS DOUBLE) AS DOUBLE)),
+       |  (a, b) -> a + b) + CAST(0.01 AS DOUBLE) * ${c + 1}""".stripMargin
+
   /** Corpus-trained BPE model, once per (session, dir); training is
     * ingest-time work (the registerCatalog discipline), so the gates
     * time ENCODING, and the merges land at [[BpeModelDir]] for the
@@ -1525,6 +1535,27 @@ object SparkEntry {
     // LM + t12 hash split + t8 window over replayed BPE counts)
     "p2_pretrain_pipeline" -> ((s, d) =>
       graft.steps.PretrainCorpus.run(Tables.documents(s, d), bpeModel(s, d))),
+    // p3: MODEL-FILTERED corpus composition — the t17 inference head
+    // scores every embedding (codegen kernel, map-side), the argmax
+    // class gates the documents (drop class 2), survivors aggregate
+    // per (class, lang). The "score with a model, keep what passes"
+    // shape every curated pretraining corpus runs; at 100 TB the
+    // scoring is scan + nClasses·dim FLOPs/row and the join is
+    // broadcast-or-shuffle on the doc key like any enrichment.
+    "p3_model_filter_pipeline" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val scored = graft.ops.Inference.classifyEmbeddings(
+        Tables.embeddings(s, d).select("vec_id", "embedding"),
+        graft.functions.LinearModel.hashHead(3, 64))
+        .select(col("vec_id"), col("pred"))
+      val docs = Tables.documents(s, d)
+      docs.join(scored, docs("doc_id") === scored("vec_id"))
+        .where(col("pred") =!= 2)
+        .groupBy("pred", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("ws_tokens"))
+        .orderBy("pred", "lang")
+    }),
     // stream-static join: stream enriched against a batch-computed
     // high-value-user dim (stateless per-microbatch hash join),
     // drained to parquet and rolled up — equals the batch semi-join
@@ -3253,23 +3284,33 @@ object SparkEntry {
     // t17's oracle replays the hash head's integer weight derivation
     // and the kernel's SEQUENTIAL double accumulation via list_reduce
     // — logits bit-identical, argmax first-max-wins
-    "t17_model_inference" -> {
-      def logit(c: Int): String =
-        s"""list_reduce(list_transform(range(1, len(embedding)+1),
-           |    i -> embedding[i] * CAST((((($c*64 + i) * 2654435761)
-           |      % 1000003) / CAST(1000003 AS DOUBLE))
-           |      - CAST(0.5 AS DOUBLE) AS DOUBLE)),
-           |  (a, b) -> a + b) + CAST(0.01 AS DOUBLE) * ${c + 1}""".stripMargin
+    "t17_model_inference" ->
       s"""WITH u AS (
-         |  SELECT vec_id, ${logit(0)} AS u0, ${logit(1)} AS u1,
-         |    ${logit(2)} AS u2
+         |  SELECT vec_id, ${t17LogitSql(0)} AS u0, ${t17LogitSql(1)} AS u1,
+         |    ${t17LogitSql(2)} AS u2
          |  FROM embeddings)
          |SELECT vec_id, round(u0, 6) AS logit_0, round(u1, 6) AS logit_1,
          |  round(u2, 6) AS logit_2,
          |  CASE WHEN u0 >= u1 AND u0 >= u2 THEN 0
          |       WHEN u1 >= u2 THEN 1 ELSE 2 END AS pred
-         |FROM u ORDER BY vec_id""".stripMargin
-    },
+         |FROM u ORDER BY vec_id""".stripMargin,
+    // p3 replays the t17 head, the argmax filter, the doc join and
+    // the token aggregate relationally — the whole composition
+    "p3_model_filter_pipeline" ->
+      s"""WITH u AS (
+         |  SELECT vec_id, ${t17LogitSql(0)} AS u0, ${t17LogitSql(1)} AS u1,
+         |    ${t17LogitSql(2)} AS u2
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id,
+         |    CASE WHEN u0 >= u1 AND u0 >= u2 THEN 0
+         |         WHEN u1 >= u2 THEN 1 ELSE 2 END AS pred
+         |  FROM u)
+         |SELECT pred, lang, count(*) AS n_docs,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+         |FROM documents d JOIN p ON d.doc_id = p.vec_id
+         |WHERE pred <> 2
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "t2_quality" ->
       """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
         |m AS (SELECT doc_id,
