@@ -67,9 +67,15 @@ private[graft] object LogStore {
         true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => false
-        case _: UnsupportedOperationException =>
-          // filesystem without hard links (some mounts): fall back to
-          // the JVM-serialized rename claim
+        // filesystem without hard links: providers that don't
+        // implement createLink throw UnsupportedOperationException;
+        // mounts where link(2) itself fails (FUSE/overlay/VFAT,
+        // protected_hardlinks EPERM) surface as FileSystemException —
+        // both fall back to the JVM-serialized rename claim.
+        // (FileAlreadyExistsException IS a FileSystemException, so its
+        // case must stay first.)
+        case _: UnsupportedOperationException |
+             _: java.nio.file.FileSystemException =>
           Rename.putIfAbsent(fs, tmp, dst, lockKey)
       }
   }
@@ -88,7 +94,11 @@ private[graft] object LogStore {
   }
 
   /** Direct create-exclusive streaming write — the conditional-put
-    * (S3 If-None-Match) shape. */
+    * (S3 If-None-Match) shape. A failure to CREATE is a lost race; a
+    * failure to WRITE after we created (disk full, stream error) is
+    * OUR failure — the partial dst is deleted and the error
+    * propagates, never misreported as "version taken" (which would
+    * leave a truncated manifest poisoning every future replay). */
   case object ConditionalPut extends LogStore {
     def putIfAbsent(fs: FileSystem, tmp: Path, dst: Path, lockKey: String)
         : Boolean = {
@@ -96,37 +106,76 @@ private[graft] object LogStore {
         val in = fs.open(tmp)
         try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
       }
-      val won =
-        try {
-          val out = fs.create(dst, false) // fail-if-exists = the precondition
-          try out.write(bytes) finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.io.IOException if fs.exists(dst) => false
+      val created =
+        try Some(fs.create(dst, false)) // fail-if-exists = the precondition
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => None
+          case _: java.io.IOException if fs.exists(dst) => None
         }
-      if (won || fs.exists(dst)) { fs.delete(tmp, false); () }
-      won
+      created match {
+        case None =>
+          fs.delete(tmp, false); false // lost the precondition race
+        case Some(out) =>
+          try { out.write(bytes); out.close() }
+          catch {
+            // substrates that CLAIM AT CLOSE (buffered whole-object
+            // puts — real object stores) surface the lost race here:
+            // dst belongs to the winner, never delete it
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+              try out.close() catch { case _: java.io.IOException => () }
+              fs.delete(tmp, false)
+              return false
+            case e: java.io.IOException =>
+              try out.close() catch { case _: java.io.IOException => () }
+              fs.delete(dst, false) // our partial write, our cleanup
+              throw e
+          }
+          fs.delete(tmp, false)
+          true
+      }
     }
   }
 
-  /** Lock-file protocol with stale-lock fencing: claim `<dst>.lock`
-    * by create-exclusive, re-check `dst`, copy, release. A lock older
-    * than [[staleLockMs]] is broken (its writer is presumed dead) —
-    * the fencing every external-lock commit protocol needs. */
+  /** Lock-file protocol with stale-lock breaking: claim `<dst>.lock`
+    * by create-exclusive (a unique token inside), re-verify ownership,
+    * publish, verify again, release-if-still-ours. A lock older than
+    * [[staleLockMs]] is broken (its writer is presumed dead).
+    *
+    * Honesty about fencing: breaking by age is NOT true fencing — a
+    * writer paused longer than `staleLockMs` (GC, NFS stall) can race
+    * the breaker. The ownership re-checks around the publish shrink
+    * that window to the copy itself, and the post-publish verify
+    * (dst content == our bytes, re-read) demotes a stolen publish to
+    * a LOST race instead of a double win; the residual assumption —
+    * `staleLockMs` exceeds any real pause — is the standard
+    * external-lock caveat (a store-enforced epoch/conditional-put is
+    * the airtight primitive; use [[ConditionalPut]] where one exists). */
   final case class LockFile(staleLockMs: Long = 60000L) extends LogStore {
     def putIfAbsent(fs: FileSystem, tmp: Path, dst: Path, lockKey: String)
         : Boolean = {
       val lock = new Path(dst.getParent, s".${dst.getName}.lock")
+      val token = java.util.UUID.randomUUID().toString
+      def lockHolder(): Option[String] =
+        try {
+          val in = fs.open(lock)
+          try Some(org.apache.commons.io.IOUtils.toString(in,
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.IOException => None }
+      def releaseIfOurs(): Unit =
+        if (lockHolder().contains(token)) { fs.delete(lock, false); () }
+      val bytes = {
+        val in = fs.open(tmp)
+        try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+      }
       var attempts = 0
       while (attempts < 100) {
         attempts += 1
         val acquired =
           try {
             val out = fs.create(lock, false)
-            try out.write(
-              s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}"
-                .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            try out.write(token.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
             finally out.close()
             true
           } catch {
@@ -136,16 +185,25 @@ private[graft] object LogStore {
         if (acquired) {
           try {
             if (fs.exists(dst)) return false
-            // copy (NOT rename — the substrate this store exists for
-            // has no atomic rename); the lock serializes writers, so
-            // no reader can race a half-written LATEST version past
-            // the version-claim protocol
-            org.apache.hadoop.fs.FileUtil.copy(fs, tmp, fs, dst,
-              true /* delete tmp */, fs.getConf)
+            // ownership could have been broken between create and
+            // here (we may have paused): verify before publishing
+            if (!lockHolder().contains(token)) return false
+            val out = fs.create(dst, true) // whole-object put
+            try out.write(bytes) finally out.close()
+            // stolen mid-publish? the content check decides: if the
+            // surviving dst is not OUR bytes, we lost, not won
+            val back =
+              try {
+                val in = fs.open(dst)
+                try org.apache.commons.io.IOUtils.toByteArray(in)
+                finally in.close()
+              } catch { case _: java.io.IOException => Array.empty[Byte] }
+            if (!java.util.Arrays.equals(back, bytes)) return false
+            fs.delete(tmp, false)
             return true
-          } finally { fs.delete(lock, false); () }
+          } finally releaseIfOurs()
         }
-        // lock held: stale → break it (fencing), else back off + retry
+        // lock held: stale → break it, else back off + retry
         try {
           val st = fs.getFileStatus(lock)
           if (System.currentTimeMillis() - st.getModificationTime > staleLockMs) {

@@ -3980,7 +3980,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val bloomAggs = bloomCols.map(c => bloomUdaf(
       org.apache.spark.sql.functions.xxhash64(col(c))).as(s"bloom_$c"))
     val allAggs = (countAgg +: aggs.toSeq) ++ nullAggs ++ bloomAggs
-    spark.read.schema(schema).parquet(dst.toString)
+    // `only` restricts the stats read to exactly those files — a
+    // stray partial file from a dead task attempt (native delta
+    // writes) must not fail the pass with a corrupt footer
+    val statsInput = only match {
+      case Some(rels) => spark.read.schema(schema)
+        .parquet(rels.toSeq.sorted.map(r => new Path(root, r).toString): _*)
+      case None => spark.read.schema(schema).parquet(dst.toString)
+    }
+    statsInput
       .groupBy(input_file_name().as("__file"))
       .agg(allAggs.head, allAggs.tail: _*)
       .collect() // one row per fresh file — model-sized

@@ -40,6 +40,18 @@ class OrchestratorSpec extends SparkSpec {
     assert(sched.poll(Instant.parse("2026-03-13T02:00:00Z")).isEmpty)
   }
 
+  test("sub-daily schedules key by window-start instant — the ledger never collapses a day's windows") {
+    val dir = stateDir("hourly")
+    val sched = new IntervalSchedule("hourly", Duration.ofHours(1),
+      new CursorStore(dir, "hourly"))
+    sched.poll(Instant.parse("2026-03-10T00:10:00Z")) // arm
+    val due = sched.poll(Instant.parse("2026-03-10T03:10:00Z"))
+    val keys = due.flatMap(_.partitionKey)
+    assert(keys.size == 3 && keys.distinct.size == 3,
+      s"3 hourly windows need 3 DISTINCT keys: $keys")
+    assert(keys.forall(_.contains("T")), s"sub-daily keys carry the time: $keys")
+  }
+
   test("NewFileSensor: cursors on mtime+names, restart-safe, no re-fire") {
     val dir = stateDir("files")
     val watched = s"$dir/incoming"
