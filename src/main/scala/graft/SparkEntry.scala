@@ -75,6 +75,30 @@ object SparkEntry {
       m
     }
 
+  /** The t17/p3 inference head LOADED FROM AN EXPORTED WEIGHTS FILE —
+    * the real deployment shape (a training job dumps `{"weights":…,
+    * "bias":…}`, the pipeline loads it), exercised once per session:
+    * the deterministic hash head is exported to JSON and read back via
+    * [[graft.functions.LinearModel.load]]. JSON double round-trip is
+    * bit-exact (spec-verified), so the DuckDB oracle that replays the
+    * hash derivation still hash-matches the LOADED head. */
+  private def loadedHead(s: SparkSession): graft.functions.LinearModel =
+    cachedAsset(s, "linear_head") {
+      val head = graft.functions.LinearModel.hashHead(3, 64)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.createObjectNode()
+      val w = node.putArray("weights")
+      head.weights.foreach { row => val r = w.addArray(); row.foreach(r.add) }
+      val b = node.putArray("bias")
+      head.bias.foreach(b.add)
+      val dir = graft.streaming.EventsStream.scratchDir("graft_linear_head")
+      val path = s"$dir/head.json"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        om.writeValueAsBytes(node))
+      graft.functions.LinearModel.load(path, s.sparkContext.hadoopConfiguration)
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1141,13 +1165,15 @@ object SparkEntry {
     // t17: inference-model column operator — a broadcast-weights
     // linear classifier head scored per row by a codegen'd fused
     // multiply-accumulate (the spark-nlp role; model rides the plan
-    // like the centroid/PQ/lang models). Deterministic hash head so
-    // the oracle replays the identical double arithmetic
-    // (list_reduce = the kernel's sequential accumulation).
+    // like the centroid/PQ/lang models). The head is LOADED from an
+    // exported JSON weights file (the real deployment path); its
+    // values are the deterministic hash head so the oracle replays
+    // the identical double arithmetic (list_reduce = the kernel's
+    // sequential accumulation).
     "t17_model_inference" -> ((s, d) =>
       graft.ops.Inference.classifyEmbeddings(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
-        graft.functions.LinearModel.hashHead(3, 64))),
+        loadedHead(s))),
     "t3_tokens"          -> ((s, d) => TextOps.tokenStats(Tables.documents(s, d))),
     "t4_fingerprint"     -> ((s, d) => TextOps.fingerprint(Tables.documents(s, d))),
     // G-tier: the reference's flagship pipeline shape (nodes → edges
@@ -1546,7 +1572,7 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val scored = graft.ops.Inference.classifyEmbeddings(
         Tables.embeddings(s, d).select("vec_id", "embedding"),
-        graft.functions.LinearModel.hashHead(3, 64))
+        loadedHead(s)) // exported-then-loaded weights, same oracle
         .select(col("vec_id"), col("pred"))
       val docs = Tables.documents(s, d)
       docs.join(scored, docs("doc_id") === scored("vec_id"))

@@ -127,8 +127,34 @@ private[graft] object LogStore {
               return false
             case e: java.io.IOException =>
               try out.close() catch { case _: java.io.IOException => () }
-              fs.delete(dst, false) // our partial write, our cleanup
-              throw e
+              // before cleaning up, PROVE the partial dst is ours: on
+              // claim-at-close stores a lost race can surface as a
+              // generic IOException, and deleting then would destroy
+              // the WINNER's published manifest. Read dst back:
+              //   == our bytes         → the put actually landed: won
+              //   a strict prefix      → our truncated write: clean up
+              //   anything else        → another writer's commit: lost
+              val back =
+                try {
+                  val in = fs.open(dst)
+                  try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+                  finally in.close()
+                } catch { case _: java.io.IOException => None }
+              back match {
+                case Some(b) if java.util.Arrays.equals(b, bytes) =>
+                  fs.delete(tmp, false)
+                  return true
+                case Some(b) if b.length < bytes.length &&
+                    java.util.Arrays.equals(b,
+                      java.util.Arrays.copyOfRange(bytes, 0, b.length)) =>
+                  fs.delete(dst, false) // demonstrably our partial write
+                  throw e
+                case Some(_) =>
+                  fs.delete(tmp, false)
+                  return false // the racing winner's file — untouched
+                case None =>
+                  throw e // nothing published; propagate the failure
+              }
           }
           fs.delete(tmp, false)
           true
@@ -168,8 +194,15 @@ private[graft] object LogStore {
         val in = fs.open(tmp)
         try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
       }
+      // bound the acquire loop by ELAPSED TIME relative to staleLockMs,
+      // not a fixed attempt count: a crashed writer's lock only ages
+      // out after staleLockMs, so the loop must be able to wait that
+      // long (plus margin) before declaring the lock unbreakable
+      val started = System.currentTimeMillis()
+      val deadline = started + staleLockMs + math.max(staleLockMs / 2, 5000L)
       var attempts = 0
-      while (attempts < 100) {
+      var sleepMs = 20L
+      while (System.currentTimeMillis() < deadline) {
         attempts += 1
         val acquired =
           try {
@@ -208,10 +241,15 @@ private[graft] object LogStore {
           val st = fs.getFileStatus(lock)
           if (System.currentTimeMillis() - st.getModificationTime > staleLockMs) {
             fs.delete(lock, false); ()
-          } else Thread.sleep(20L)
+          } else {
+            Thread.sleep(sleepMs)
+            sleepMs = math.min(sleepMs * 2, 500L) // back off, capped
+          }
         } catch { case _: java.io.IOException => () } // lock vanished: retry
       }
-      sys.error(s"LockFile store: could not acquire $lock after $attempts attempts")
+      sys.error(s"LockFile store: could not acquire $lock after $attempts " +
+        s"attempts over ${System.currentTimeMillis() - started} ms " +
+        s"(staleLockMs=$staleLockMs)")
     }
   }
 

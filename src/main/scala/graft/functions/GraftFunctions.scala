@@ -358,9 +358,20 @@ case class UnicodeNormalize(child: Expression, form: String)
 
 /** Inference-model scoring: all class logits of the broadcast
   * [[LinearModel]] head for one embedding — one codegen'd fused
-  * multiply-accumulate per row (t17). */
+  * multiply-accumulate per row (t17). Input MUST be array<float>:
+  * the kernel reads raw float slots, so a mistyped array<double>
+  * column must fail analysis, not silently misread bytes. */
 case class ModelLogits(child: Expression, model: LinearModel)
     extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "graft_model_logits"
   override protected def nullSafeEval(v: Any): Any =
@@ -378,6 +389,15 @@ case class ModelLogits(child: Expression, model: LinearModel)
   * the classifier-label column. */
 case class ModelPredict(child: Expression, model: LinearModel)
     extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.catalogString}")
+    }
   override def dataType: DataType = IntegerType
   override def prettyName: String = "graft_model_predict"
   override protected def nullSafeEval(v: Any): Any =

@@ -599,4 +599,40 @@ object LinearModel {
     val b = Array.tabulate(nClasses)(c => 0.01 * (c + 1))
     new LinearModel(w, b)
   }
+
+  /** Load an EXPORTED trained head from a plain JSON weights file —
+    * `{"weights": [[w00, w01, …], …], "bias": [b0, …]}` (row-major,
+    * one row per class), the shape any training framework can dump
+    * with one line (`json.dump({"weights": W.tolist(), "bias":
+    * b.tolist()})`). Resolved through the Hadoop FileSystem so the
+    * same call reads `file:`, HDFS or object-store paths. Numbers
+    * parse as IEEE doubles — the kernel then accumulates EXACTLY what
+    * the file says, so kernel-vs-driver bit-identity holds for loaded
+    * weights the same as for [[hashHead]]. */
+  def load(path: String, conf: org.apache.hadoop.conf.Configuration)
+      : LinearModel = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val bytes = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(bytes)
+    val wNode = root.get("weights")
+    val bNode = root.get("bias")
+    require(wNode != null && wNode.isArray && wNode.size() > 0,
+      s"$path: missing/empty 'weights' (expected [[double, …], …])")
+    require(bNode != null && bNode.isArray && bNode.size() == wNode.size(),
+      s"$path: 'bias' must be an array of length ${if (wNode == null) 0 else wNode.size()}")
+    val dim = wNode.get(0).size()
+    val w = Array.tabulate(wNode.size()) { c =>
+      val row = wNode.get(c)
+      require(row.isArray && row.size() == dim,
+        s"$path: weights row $c has ${row.size()} values, expected $dim")
+      Array.tabulate(dim)(i => row.get(i).asDouble())
+    }
+    val b = Array.tabulate(bNode.size())(c => bNode.get(c).asDouble())
+    new LinearModel(w, b)
+  }
 }

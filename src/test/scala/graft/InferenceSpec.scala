@@ -48,6 +48,74 @@ class InferenceSpec extends SparkSpec {
     assert(out.select("pred").distinct().count() == 3)
   }
 
+  test("load(): an exported JSON head scores bit-identically to its arrays") {
+    val trained = LinearModel.hashHead(4, 64) // stand-in for a real export
+    // export the way a training job would: one json.dump of weights+bias
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    val wArr = node.putArray("weights")
+    trained.weights.foreach { row =>
+      val r = wArr.addArray(); row.foreach(r.add)
+    }
+    val bArr = node.putArray("bias")
+    trained.bias.foreach(bArr.add)
+    val dir = java.nio.file.Files.createTempDirectory("graft-head").toString
+    val path = s"$dir/head.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      om.writeValueAsBytes(node))
+
+    val loaded = LinearModel.load(path, spark.sparkContext.hadoopConfiguration)
+    assert(loaded.nClasses == 4 && loaded.dim == 64)
+    assert(loaded.weights.zip(trained.weights).forall {
+      case (a, b) => java.util.Arrays.equals(a, b) },
+      "JSON round-trip must preserve weights bit-for-bit")
+    assert(java.util.Arrays.equals(loaded.bias, trained.bias))
+    // kernel on the LOADED head == kernel on the in-memory head, exactly
+    val both = emb.limit(100).select(
+      GraftFunctions.modelLogits(col("embedding"), loaded).as("l"),
+      GraftFunctions.modelLogits(col("embedding"), trained).as("t"))
+    assert(both.where(col("l") =!= col("t")).count() == 0)
+  }
+
+  test("load(): malformed exports refuse loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-head").toString
+    def write(name: String, json: String): String = {
+      val p = s"$dir/$name"
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), json.getBytes)
+      p
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    intercept[IllegalArgumentException] {
+      LinearModel.load(write("nw.json", """{"bias": [0.1]}"""), conf)
+    }
+    intercept[IllegalArgumentException] { // bias length mismatch
+      LinearModel.load(
+        write("bl.json", """{"weights": [[1.0, 2.0]], "bias": [0.1, 0.2]}"""),
+        conf)
+    }
+    intercept[IllegalArgumentException] { // ragged weight rows
+      LinearModel.load(
+        write("rg.json",
+          """{"weights": [[1.0, 2.0], [3.0]], "bias": [0.1, 0.2]}"""), conf)
+    }
+  }
+
+  test("a mistyped embedding column fails ANALYSIS, not silently misreads") {
+    val model = LinearModel.hashHead(3, 64)
+    val doubles = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(
+        GraftFunctions.modelLogits(col("embedding"), model)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array<float>"),
+      s"error must name the required type: ${e.getMessage}")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      doubles.select(
+        GraftFunctions.modelPredict(col("embedding"), model)).collect()
+    }
+  }
+
   test("the model rides the PLAN: one scan, zero shuffle, codegen'd") {
     val model = LinearModel.hashHead(5, 64)
     // scoring itself (no display sort): pure map over the scan

@@ -225,6 +225,124 @@ class LogStoreSpec extends SparkSpec {
     assert(fs.exists(dst) && !fs.exists(lock))
   }
 
+  test("LockFile store: a crashed writer's FRESH lock is waited out within one putIfAbsent") {
+    // the acquire loop must be bounded by ELAPSED TIME vs staleLockMs,
+    // not a fixed attempt budget: a lock whose holder died 0 ms ago
+    // only becomes breakable after staleLockMs, so a single call must
+    // be able to wait that long (the old 100×20ms ≈ 2 s budget errored
+    // out before a 3 s stale threshold could ever age the lock out)
+    val fs = nonAtomicFs()
+    val dir = new Path(scratch("lockwait"))
+    fs.mkdirs(dir)
+    val dst = new Path(dir, "vwait.json")
+    val lock = new Path(dir, s".${dst.getName}.lock")
+    val out = fs.create(lock, true); out.write("dead-now".getBytes); out.close()
+    fs.setTimes(lock, System.currentTimeMillis(), -1) // died JUST now
+    val tmp = new Path(dir, ".tmp-wait")
+    val o2 = fs.create(tmp, true); o2.write("alive".getBytes); o2.close()
+    val t0 = System.currentTimeMillis()
+    assert(LogStore.LockFile(staleLockMs = 3000L).putIfAbsent(fs, tmp, dst, "k"),
+      "the commit must succeed by waiting out + breaking the stale lock")
+    val waited = System.currentTimeMillis() - t0
+    assert(waited >= 2500L, s"must actually wait out staleLockMs, waited ${waited}ms")
+    assert(fs.exists(dst) && !fs.exists(lock))
+  }
+
+  test("ConditionalPut: a lost race surfacing as a GENERIC IOException never deletes the winner") {
+    // claim-at-close stores can report a lost race as a plain network
+    // IOException; deleting dst then would destroy the racing winner's
+    // published manifest. The store must re-read dst and, finding a
+    // complete foreign object, report a lost race with dst untouched.
+    val winnerBytes = """{"writer":"winner"}""".getBytes
+    val fs = new RawLocalFileSystem() {
+      private def lostRaceStream(f: Path): FSDataOutputStream = {
+        val local = pathToFile(f).toPath
+        new FSDataOutputStream(new java.io.OutputStream {
+          override def write(b: Int): Unit = ()
+          override def write(b: Array[Byte], o: Int, l: Int): Unit = ()
+          override def close(): Unit = {
+            // the winner's object lands; OUR put errors generically
+            java.nio.file.Files.write(local, winnerBytes)
+            throw new java.io.IOException("connection reset by peer")
+          }
+        }, null)
+      }
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+          replication: Short, blockSize: Long, progress: Progressable)
+          : FSDataOutputStream =
+        if (!overwrite && f.getName == "vrace.json") lostRaceStream(f)
+        else super.create(f, overwrite, bufferSize, replication, blockSize,
+          progress)
+      override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+          bufferSize: Int, replication: Short, blockSize: Long,
+          progress: Progressable): FSDataOutputStream =
+        if (!overwrite && f.getName == "vrace.json") lostRaceStream(f)
+        else super.create(f, permission, overwrite, bufferSize,
+          replication, blockSize, progress)
+    }
+    fs.initialize(URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(scratch("condput_lostrace"))
+    fs.mkdirs(dir)
+    val dst = new Path(dir, "vrace.json")
+    val tmp = new Path(dir, ".tmp-race")
+    val out = fs.create(tmp, true)
+    out.write("""{"writer":"us","payload":"much longer than the winner's"}"""
+      .getBytes); out.close()
+    assert(!LogStore.ConditionalPut.putIfAbsent(fs, tmp, dst, "k"),
+      "a foreign complete object at dst is a LOST RACE, not our failure")
+    val in = fs.open(dst)
+    val s = try org.apache.commons.io.IOUtils.toString(in,
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    assert(s == """{"writer":"winner"}""",
+      s"the winner's manifest must survive untouched, got: $s")
+  }
+
+  test("ConditionalPut: OUR demonstrable partial write is cleaned up and the error propagates") {
+    val fs = new RawLocalFileSystem() {
+      private def partialStream(f: Path): FSDataOutputStream = {
+        val local = pathToFile(f).toPath
+        val buf = new java.io.ByteArrayOutputStream()
+        new FSDataOutputStream(new java.io.OutputStream {
+          override def write(b: Int): Unit = buf.write(b)
+          override def write(b: Array[Byte], o: Int, l: Int): Unit =
+            buf.write(b, o, l)
+          override def close(): Unit = {
+            val all = buf.toByteArray
+            // disk-full shape: only half our bytes land, then error
+            java.nio.file.Files.write(local,
+              java.util.Arrays.copyOfRange(all, 0, all.length / 2))
+            throw new java.io.IOException("no space left on device")
+          }
+        }, null)
+      }
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+          replication: Short, blockSize: Long, progress: Progressable)
+          : FSDataOutputStream =
+        if (!overwrite && f.getName == "vpartial.json") partialStream(f)
+        else super.create(f, overwrite, bufferSize, replication, blockSize,
+          progress)
+      override def create(f: Path, permission: FsPermission, overwrite: Boolean,
+          bufferSize: Int, replication: Short, blockSize: Long,
+          progress: Progressable): FSDataOutputStream =
+        if (!overwrite && f.getName == "vpartial.json") partialStream(f)
+        else super.create(f, permission, overwrite, bufferSize,
+          replication, blockSize, progress)
+    }
+    fs.initialize(URI.create("file:///"), spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(scratch("condput_partial"))
+    fs.mkdirs(dir)
+    val dst = new Path(dir, "vpartial.json")
+    val tmp = new Path(dir, ".tmp-partial")
+    val out = fs.create(tmp, true)
+    out.write("""{"writer":"us","v":1}""".getBytes); out.close()
+    val e = intercept[java.io.IOException] {
+      LogStore.ConditionalPut.putIfAbsent(fs, tmp, dst, "k")
+    }
+    assert(e.getMessage.contains("no space left"), e.getMessage)
+    assert(!fs.exists(dst),
+      "a truncated manifest that is provably OURS must not poison replay")
+  }
+
   test("TxTable battery on the simulated object store (lockfile): 8 racing appenders, serialized versions, zero lost commits") {
     import spark.implicits._
     val root = s"nonatomic://${scratch("tx_lockfile")}/t"

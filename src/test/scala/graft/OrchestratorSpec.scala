@@ -129,6 +129,40 @@ class OrchestratorSpec extends SparkSpec {
     assert(runs.size == 2)
   }
 
+  test("Daemon.tick: one throwing trigger is isolated; a throwing job's cause lands in the ledger") {
+    val dir = stateDir("isolate")
+    val ledger = new MaterializationLedger(dir)
+    val runs = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val broken = new Trigger {
+      val name = "sensor_broken"
+      def poll(now: Instant): Seq[RunRequest] =
+        throw new java.io.IOException("directory deleted under the sensor")
+    }
+    val sched = new IntervalSchedule("daily", Duration.ofDays(1),
+      new CursorStore(dir, "d"))
+    val boom = new Trigger {
+      val name = "sensor_boom"
+      def poll(now: Instant): Seq[RunRequest] =
+        Seq(RunRequest("explodes", Some("k1"), "fire the failing job"))
+    }
+    val daemon = new Daemon(Seq(broken, sched, boom),
+      Map("daily" -> countingJob(runs),
+        "explodes" -> (_ => throw new IllegalStateException("schema drift"))),
+      ledger)
+    val t0 = Instant.parse("2026-05-01T00:30:00Z")
+    daemon.tick(t0) // arms the schedule DESPITE the broken sensor
+    val out = daemon.tick(Instant.parse("2026-05-02T00:30:00Z"))
+    // the healthy schedule fired and succeeded; the failing job ran,
+    // failed, and its exception is recorded in the ledger reason
+    assert(out.exists { case (r, ok) => r.job == "daily" && ok }, out)
+    assert(out.exists { case (r, ok) => r.job == "explodes" && !ok }, out)
+    assert(runs.flatten.toSeq == Seq("2026-05-01"))
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(dir, "ledger.jsonl"))
+    assert(lines.stream().anyMatch(l => l.contains("schema drift")),
+      s"the job's failure cause must be ledgered: $lines")
+  }
+
   test("Daemon drives the real partitioned asset end-to-end (EventsWindow)") {
     val dir = stateDir("asset")
     val ledger = new MaterializationLedger(dir)
