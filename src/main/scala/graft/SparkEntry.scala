@@ -231,6 +231,56 @@ object SparkEntry {
         |ORDER BY g_seg, g_prio, c_mktsegment NULLS FIRST,
         |  o_orderpriority NULLS FIRST""".stripMargin)
     }),
+    // q44/q45: correlated EXISTS / NOT EXISTS through the SQL-TEXT
+    // front door — the user syntax (TPC-H Q21/Q22 shape) that
+    // exercises Catalyst's subquery decorrelation (RewritePredicate
+    // Subquery → left-semi/anti hash joins; PlanLintSpec asserts no
+    // BNLJ survives the rewrite). q22/q32/q33 cover the decorrelated
+    // DataFrame spellings; these cover what a user actually types.
+    // Q21 shape: suppliers with a RETURNED line on a finished multi-
+    // supplier order where no OTHER supplier had a return — one
+    // correlated EXISTS and one correlated NOT EXISTS on the same
+    // lineitem relation, adapted to the fixture's columns.
+    "q44_exists_sql"     -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql("""SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+    }),
+    // Q22 shape: above-average-balance customers who never placed a
+    // LARGE order (every fixture customer has some order, so the
+    // correlation filters on order size to stay non-vacuous) — a
+    // correlated NOT EXISTS anti join plus a scalar subquery
+    // threshold. The threshold compares in EXACT decimal arithmetic
+    // (balance × count > sum) so Spark and DuckDB agree on boundary
+    // rows regardless of double-summation order.
+    "q45_not_exists_sql" -> ((s, d) => {
+      graft.core.Tables.registerAll(s, d)
+      s.sql("""SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0) >
+        |      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+    }),
     // non-equi (range) join reduced to an equi join by bucketing —
     // no BroadcastNestedLoopJoin (PlanLintSpec checks this gate too)
     "q37_range_join"     -> ((s, d) => {
@@ -2201,6 +2251,35 @@ object SparkEntry {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q44_exists_sql" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q45_not_exists_sql" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS totacctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |      (SELECT count(*) FROM customer WHERE c_acctbal > 0.0) >
+        |      (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2)))
+        |       FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000.0)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q43_pct_of_total" ->
       """WITH seg AS (
         |  SELECT c_mktsegment,
