@@ -99,6 +99,55 @@ object SparkEntry {
       graft.functions.LinearModel.load(path, s.sparkContext.hadoopConfiguration)
     }
 
+  /** A hand-written Delta Lake table (real parquet + authored
+    * `_delta_log` JSON, zero delta-spark involvement) CONVERTED
+    * zero-copy into a txtable, once per (session, dir) — the x26
+    * substrate. Three files, two commits, one remove: active rows =
+    * orders with o_orderkey % 3 ≠ 1. */
+  private def deltaConvertedAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"delta_conv|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_conv") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val a = fx.writeData(s, o.where(col("o_orderkey") % 3 === 0), dir, "part-a.parquet")
+      val b = fx.writeData(s, o.where(col("o_orderkey") % 3 === 1), dir, "part-b.parquet")
+      val c = fx.writeData(s, o.where(col("o_orderkey") % 3 === 2), dir, "part-c.parquet")
+      fx.commit(s, dir, 0, Seq(fx.protocolJson(), fx.metaDataJson(o.schema),
+        fx.addJson(a, stats = Some(fx.statsJson(a.rows))),
+        fx.addJson(b, stats = Some(fx.statsJson(b.rows)))))
+      fx.commit(s, dir, 1, Seq(fx.removeJson(b.relPath),
+        fx.addJson(c, stats = Some(fx.statsJson(c.rows)))))
+      graft.core.TxTable.convertFromDelta(s, dir)
+      dir
+    }
+
+  /** A PARTITIONED hand-written Delta table (partition values only in
+    * the log, hive-ish dirs, one value containing a space), once per
+    * (session, dir) — the x27 substrate for the read-only delta-log
+    * format. */
+  private def deltaPartitionedAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"delta_part|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_part") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val prios = o.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted
+      val adds = prios.zipWithIndex.map { case (p, i) =>
+        val f = fx.writeData(s,
+          o.where(col("o_orderpriority") === p).drop("o_orderpriority"),
+          dir, s"prio=$i/part-0.parquet")
+        fx.addJson(f, Map("o_orderpriority" -> p))
+      }
+      fx.commit(s, dir, 0,
+        fx.protocolJson() +:
+        fx.metaDataJson(o.schema, Seq("o_orderpriority")) +: adds.toSeq)
+      dir
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1065,6 +1114,36 @@ object SparkEntry {
               |    AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price
               |FROM graft.default.graft_schevo
               |GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+    // x26: CONVERT FROM DELTA — a Delta table authored directly
+    // against the open _delta_log protocol (JSON commits incl. a
+    // remove; NOT written by this engine) converts zero-copy into a
+    // txtable whose read replays the active file set exactly. The
+    // reference's users live on Delta (resources/spark.py:65-67);
+    // this is their first table's migration path.
+    "x26_delta_convert"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaConvertedAsset(s, d)
+      graft.core.TxTable(s, dir).read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x27: read-only delta-log format over a PARTITIONED Delta table —
+    // partition values live only in the log (not in the data files,
+    // one value even contains a space) and re-enter through the
+    // broadcast file→values join; the IN filter prunes the file list
+    // before planning.
+    "x27_delta_log_read" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaPartitionedAsset(s, d)
+      s.read.format("delta-log").load(dir)
+        .where(col("o_orderpriority").isin("1-URGENT", "4-NOT SPECIFIED"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
     }),
     // x8: change feed — a consumer that has seen version 0 reads ONLY
     // the files appended since (never rescans the table); gated on
@@ -2491,6 +2570,21 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM final GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x26 replays the Delta fixture's active set: commit 0 added
+    // keys %3∈{0,1}, commit 1 removed the %3==1 file and added %3==2
+    "x26_delta_convert" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 <> 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x27_delta_log_read" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)

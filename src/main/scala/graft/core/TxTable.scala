@@ -3092,6 +3092,59 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** CONVERT FROM DELTA: publish the Delta table's ACTIVE snapshot
+    * (parsed from the open `_delta_log` protocol, [[DeltaLog]]) as
+    * this log's version 0 — the files stay WHERE THEY ARE, zero bytes
+    * copied, and every transactional surface (time travel, DML,
+    * OPTIMIZE, the SQL seam) works from that commit on. The inverse
+    * of [[convertInPlace]] for the reference's actual substrate
+    * (Delta on S3A, reference resources/spark.py:65-67).
+    *
+    * Stats carry over where the encodings agree: numeric/date min/max
+    * and string MIN translate directly; string MAX is skipped (Delta
+    * truncates string maxes — only delta-spark's incremented form is
+    * a sound bound, and hand-written logs need not use it), and
+    * timestamps are skipped (ISO-8601 vs this log's JDBC form).
+    * Absent stats read conservatively, exactly like stats-off writes.
+    *
+    * Partitioned Delta tables REFUSE zero-copy conversion: Delta
+    * stores partition values only in the log, not in the data files,
+    * so a bare file-list snapshot would read those columns as null.
+    * Import them with one copying pass instead:
+    * `DeltaLog.read(spark, dir)` → `overwrite(df, partitionBy)`. */
+  private[core] def convertFromDeltaInPlace(): Long = {
+    require(latestVersion.isEmpty,
+      s"$root is already a TxTable — CONVERT FROM DELTA targets a " +
+        "Delta table without a graft log")
+    val snap = DeltaLog.snapshot(spark, root.toString)
+    require(snap.partitionCols.isEmpty,
+      s"$root: partitioned Delta table (${snap.partitionCols.mkString(", ")}) " +
+        "— partition values live only in the Delta log, so zero-copy " +
+        "convert would null them; import by copy instead: " +
+        "DeltaLog.read(...) then overwrite(df, partitionBy)")
+    require(snap.adds.nonEmpty, s"$root: Delta snapshot holds no live files")
+    val schema = snap.schema
+    val statOk = schema.fields.filter(f => statsEligible(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    val entries = snap.adds.map { a =>
+      def usable(kv: Map[String, String], maxSide: Boolean) = kv.filter {
+        case (k, _) => statOk.get(k).exists {
+          case org.apache.spark.sql.types.TimestampType => false
+          case StringType => !maxSide // truncated string max is unsound
+          case _ => true
+        }
+      }
+      FileEntry(a.path, Map.empty, usable(a.min, maxSide = false),
+        usable(a.max, maxSide = true), a.bytes, a.mtimeMs,
+        rows = a.rows, nulls = a.nulls.filter(kv => statOk.contains(kv._1)))
+    }.sortBy(_.path)
+    commit { latest =>
+      require(latest.isEmpty,
+        s"$root: a commit raced the CONVERT FROM DELTA")
+      Pending(OpConvert, entries, schemaDdlOf(schema), Nil, None, None)
+    }
+  }
+
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
       require(latest.isEmpty,
@@ -4489,6 +4542,16 @@ object TxTable {
       statsOnWrite: Boolean = true): TxTable = {
     val t = TxTable(spark, path, statsOnWrite = statsOnWrite)
     t.convertInPlace()
+    t
+  }
+
+  /** Zero-copy import of a Delta Lake table: see
+    * [[TxTable.convertFromDeltaInPlace]]. Returns the handle over the
+    * freshly converted table (the Delta log stays in place, untouched
+    * — this log simply takes over for graft readers/writers). */
+  def convertFromDelta(spark: SparkSession, path: String): TxTable = {
+    val t = TxTable(spark, path)
+    t.convertFromDeltaInPlace()
     t
   }
 
