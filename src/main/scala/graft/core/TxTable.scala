@@ -3692,19 +3692,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         s"expected ${newPaths.size}, found ${newEntries.size}")
 
     // -- invariant re-validation over exactly the new rows -------------------
-    if (newEntries.nonEmpty) {
-      val constraints = m.properties.collect {
-        case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
-          k.stripPrefix(TxTable.PropConstraintPrefix) -> v
-      }
-      val notNull = m.properties.keys.collect {
-        case k if k.startsWith(TxTable.PropNotNullPrefix) =>
-          k.stripPrefix(TxTable.PropNotNullPrefix)
-      }
-      if (constraints.nonEmpty || notNull.nonEmpty)
-        withNotNull(withInvariants(readEntries(m, newEntries), constraints),
-          notNull).foreach(_ => ())
-    }
+    validateNewRows(m, newEntries)
 
     // -- CDF capture ----------------------------------------------------------
     val cdcFiles: Option[Seq[FileEntry]] =
@@ -3751,6 +3739,186 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     fs.delete(fragTmp, true)
     out
+  }
+
+  /** Publish a NATIVE V2 batch write (plain append / full overwrite)
+    * as one commit — the executor-side writer path ([[GraftRowLevel]]'s
+    * task parquet writers with layout routing) applied to the
+    * `AppendData` / `OverwriteByExpression(true)` plans, retiring the
+    * `V1Write`/`InsertableRelation` fallback for them: per-task commit
+    * messages carry exactly the written files, stats/invariants/CDF
+    * run once on the driver, stray files from aborted attempts never
+    * enter the manifest.
+    *
+    *  - append: delegates to [[commitDeltaNative]] with only inserts —
+    *    an append IS a delta write with an empty removal set (same
+    *    entry building, invariant re-validation, CDF insert images,
+    *    first-writer-wins against the scanned base).
+    *  - replaceAll: the new files REPLACE the snapshot (the
+    *    `INSERT OVERWRITE` / truncate-overwrite semantics); CDF is not
+    *    captured, matching the driver-side overwrite (a rewrite is the
+    *    change feed's documented reset point). An empty task output is
+    *    a legitimate truncate. */
+  private[graft] def commitBatchNative(ctx: TxTable.DeltaWriteContext,
+      files: Seq[String], replaceAll: Boolean): Long = {
+    if (!replaceAll)
+      return commitDeltaNative(ctx, OpAppend, files, Nil, Nil, Nil)
+    val m = manifest(ctx.baseVersion)
+    val newEntries = nativeEntries(ctx, files)
+    validateNewRows(m, newEntries)
+    commit { latest =>
+      val cur = latest.getOrElse(
+        sys.error(s"$root vanished during native overwrite — rerun"))
+      require(cur.version == ctx.baseVersion,
+        s"concurrent commit during native overwrite of $root — rerun")
+      Pending(OpOverwrite, newEntries, m.schemaDdl, m.partitionCols,
+        m.bucketSpec, None)
+    }
+  }
+
+  /** Native `OverwriteByExpression(cond)` — the replaceWhere
+    * semantics with the SOURCE already on disk as task-written files:
+    * the predicate guard re-reads the immutable new files (every
+    * inserted row must satisfy `cond`, the Delta rule), existing
+    * files are planned through the same zone-map candidate filter +
+    * tagged-scan discovery as [[rewriteWhere]], survivors of affected
+    * files rewrite copy-on-write, untouched files carry by reference,
+    * and CDC captures delete + insert images. */
+  private[graft] def commitReplaceWhereNative(ctx: TxTable.DeltaWriteContext,
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      files: Seq[String]): Long = {
+    val m = manifest(ctx.baseVersion)
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val preds = sourcesToCatalyst(schema, filters)
+    require(preds.length == filters.length,
+      s"$root: untranslatable overwrite filters: $filters")
+    val cond = preds.map(org.apache.spark.sql.graft.StreamShims.columnOf)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    condOverwriteNative(ctx, m, cond, files, guardSource = true)
+  }
+
+  /** Native dynamic partition overwrite: replace exactly the hive
+    * partitions the task-written files landed in (their partition
+    * values come from the shadow-dir parse — the same source of truth
+    * as the manifest). Flat/bucketed layouts degenerate to a full
+    * overwrite, Spark's own dynamic-mode behavior; an empty source
+    * touches nothing and commits nothing. */
+  private[graft] def commitDynamicNative(ctx: TxTable.DeltaWriteContext,
+      files: Seq[String]): Long = {
+    val m = manifest(ctx.baseVersion)
+    if (m.partitionCols.isEmpty)
+      return commitBatchNative(ctx, files, replaceAll = true)
+    if (files.isEmpty) return ctx.baseVersion
+    val newEntries = nativeEntries(ctx, files)
+    validateNewRows(m, newEntries)
+    val touched = newEntries.map(_.partition).toSet
+    val (replaced, untouched) =
+      m.files.partition(f => touched.contains(f.partition))
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!effCdf(m)) None
+      else Some {
+        import org.apache.spark.sql.functions.lit
+        val del = readEntries(m, replaced).drop(BucketCol)
+          .withColumn(ChangeTypeCol, lit("delete"))
+        val ins = readEntries(m, newEntries).drop(BucketCol)
+          .withColumn(ChangeTypeCol, lit("insert"))
+        writeDataFiles(del.unionByName(ins), Nil,
+          withStats = false, enforce = false)._1
+      }
+    commit { latest =>
+      val cur = latest.getOrElse(
+        sys.error(s"$root vanished during native dynamic overwrite — rerun"))
+      require(cur.version == ctx.baseVersion,
+        s"concurrent commit during native dynamic overwrite of $root — rerun")
+      Pending(OpReplace, untouched ++ newEntries, m.schemaDdl,
+        m.partitionCols, m.bucketSpec, None, cdcFiles)
+    }
+  }
+
+  private def condOverwriteNative(ctx: TxTable.DeltaWriteContext,
+      m: Manifest, cond: Column, files: Seq[String],
+      guardSource: Boolean): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit => flit, not}
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val newEntries = nativeEntries(ctx, files)
+    val hit = coalesce(cond, flit(false))
+    if (guardSource && newEntries.nonEmpty) {
+      val offending = readEntries(m, newEntries).where(not(hit))
+        .limit(1).count()
+      require(offending == 0,
+        s"$root: every overwrite-by-expression source row must satisfy " +
+          "the predicate — found rows outside it (append them instead)")
+    }
+    validateNewRows(m, newEntries)
+    val candidate = candidateFilter(schema,
+      analyzedPredicate(schema, cond).toSeq, physNameOf(m, _))
+    val candidates = m.files.filter(candidate)
+    val srcCol = "__src_file"
+    val affectedPaths: Set[String] =
+      if (candidates.isEmpty) Set.empty
+      else readEntriesTagged(m, candidates, Some(srcCol)).where(hit)
+        .select(col(srcCol)).distinct().collect()
+        .map(r => relativize(new Path(new java.net.URI(r.getString(0))))).toSet
+    val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
+    val survivorFiles =
+      if (affected.isEmpty) Nil
+      else {
+        val survivors = readEntries(m, affected).where(not(hit))
+        val data = m.bucketSpec.map(bucketedWriteFrame(survivors, _))
+          .getOrElse(survivors)
+        writeDataFiles(data, m.partitionCols)._1
+      }
+    val cdcFiles: Option[Seq[FileEntry]] =
+      if (!effCdf(m)) None
+      else Some {
+        val del = readEntries(m, affected).where(hit).drop(BucketCol)
+          .withColumn(ChangeTypeCol, flit("delete"))
+        val ins = readEntries(m, newEntries).drop(BucketCol)
+          .withColumn(ChangeTypeCol, flit("insert"))
+        writeDataFiles(del.unionByName(ins), Nil,
+          withStats = false, enforce = false)._1
+      }
+    commit { latest =>
+      val cur = latest.getOrElse(
+        sys.error(s"$root vanished during native overwrite — rerun"))
+      require(cur.version == ctx.baseVersion,
+        s"concurrent commit during native overwrite of $root — rerun")
+      Pending(OpReplace, untouched ++ survivorFiles ++ newEntries,
+        m.schemaDdl, m.partitionCols, m.bucketSpec, None, cdcFiles)
+    }
+  }
+
+  /** Task-written files → manifest entries (stats + layout values
+    * from the shadow-dir parse); refuses if any reported file is
+    * missing on disk. */
+  private def nativeEntries(ctx: TxTable.DeltaWriteContext,
+      files: Seq[String]): Seq[FileEntry] = {
+    if (files.isEmpty) return Nil
+    val writeDst = new Path(dataDir, s"w-${ctx.writeId}")
+    val entries = entriesOfDir(writeDst, ctx.physWriteSchema,
+      withStats = true, only = Some(files.toSet))
+    require(entries.map(_.path).toSet == files.toSet,
+      s"$root: native write task-committed files missing on disk — " +
+        s"expected ${files.size}, found ${entries.size}")
+    entries
+  }
+
+  /** Re-validate CHECK / NOT NULL invariants over exactly the new
+    * rows of a native write (shared by every native commit shape). */
+  private def validateNewRows(m: Manifest, newEntries: Seq[FileEntry]): Unit = {
+    if (newEntries.isEmpty) return
+    val constraints = m.properties.collect {
+      case (k, v) if k.startsWith(TxTable.PropConstraintPrefix) =>
+        k.stripPrefix(TxTable.PropConstraintPrefix) -> v
+    }
+    val notNull = m.properties.keys.collect {
+      case k if k.startsWith(TxTable.PropNotNullPrefix) =>
+        k.stripPrefix(TxTable.PropNotNullPrefix)
+    }
+    if (constraints.nonEmpty || notNull.nonEmpty)
+      withNotNull(withInvariants(readEntries(m, newEntries), constraints),
+        notNull).foreach(_ => ())
   }
 
   /** Best-effort cleanup of a FAILED native delta write: the task-

@@ -427,7 +427,12 @@ final class GraftTable(spark: SparkSession, location: String,
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      // BATCH_WRITE only (no V1_BATCH_WRITE): every batch write —
+      // append, truncate/filter overwrite, dynamic overwrite —
+      // executes through the native BatchWrite (executor task
+      // writers, one driver commit); declaring V1_BATCH_WRITE would
+      // force Spark to demand a V1Write from the builder
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.OVERWRITE_DYNAMIC,
       // `MERGE WITH SCHEMA EVOLUTION INTO graft.…`: Spark's
@@ -475,11 +480,12 @@ final class GraftTable(spark: SparkSession, location: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinned.isEmpty, s"$tableName: cannot write to a time-traveled snapshot")
-    new GraftWriteBuilder(spark, tx)
+    new GraftWriteBuilder(spark, tx, location, info)
   }
 }
 
-private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
+private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable,
+    location: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite
     with org.apache.spark.sql.connector.write.SupportsDynamicOverwrite {
   // None = append; Some(Nil) = truncate; Some(fs) = filter overwrite
@@ -495,32 +501,31 @@ private final class GraftWriteBuilder(spark: SparkSession, tx: TxTable)
   override def overwriteDynamicPartitions(): WriteBuilder = {
     dynamic = true; this
   }
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          if (dynamic) insertDynamic(data)
-          else overwriteFilters match {
-            case None if !overwrite => tx.append(data); ()
-            case None | Some(Seq()) => tx.overwriteSameLayout(data); ()
-            case Some(filters) =>
-              val schema = tx.read().schema
-              val preds = tx.sourcesToCatalyst(schema, filters)
-              require(preds.length == filters.length,
-                s"untranslatable overwrite filters: $filters")
-              val cond = preds.map(
-                org.apache.spark.sql.graft.StreamShims.columnOf)
-                .reduce(_ && _)
-              tx.replaceWhere(data, cond); ()
-          }
-      }
-  }
 
-  /** Dynamic partition overwrite — shared semantics with the SQL seam
-    * ([[graft.core.TxTable]] overwriteDynamic): touched hive
-    * partitions replace, flat/bucketed layouts full-overwrite. */
-  private def insertDynamic(data: DataFrame): Unit = {
-    tx.overwriteDynamic(data); ()
+  /** Every batch write executes NATIVELY (executor task writers →
+    * per-task commit messages → one driver manifest commit,
+    * [[GraftNativeWrite]]): append, truncate-overwrite, filtered
+    * overwrite (the replaceWhere semantics, predicate planning at
+    * driver COMMIT over the task-written immutable files), and
+    * dynamic partition overwrite (touched partitions = the partition
+    * values the tasks actually wrote). The `V1Write` /
+    * `InsertableRelation` fallback is retired — the table no longer
+    * declares `V1_BATCH_WRITE`. Catalog tables always carry a
+    * snapshot (CREATE TABLE commits the empty v0), so the write
+    * context binds to a concrete base version. */
+  override def build(): Write = {
+    val base = tx.latestVersion.getOrElse(sys.error(
+      s"$location has no committed snapshot — CREATE the table first " +
+        "(catalog tables commit an empty v0 at creation)"))
+    val mode: GraftWriteMode =
+      if (dynamic) GraftWriteMode.Dynamic
+      else overwriteFilters match {
+        case None        => GraftWriteMode.Append
+        case Some(Seq()) => GraftWriteMode.ReplaceAll
+        case Some(fs)    => GraftWriteMode.ReplaceWhere(fs)
+      }
+    new GraftNativeWrite(location, tx.deltaWriteContext(base), mode,
+      info.schema().fieldNames.toSeq)
   }
 }
 

@@ -168,19 +168,17 @@ private final class GraftDeltaWriterFactory(ctx: TxTable.DeltaWriteContext,
     new GraftDeltaWriter(ctx, dataNames, rowIdNames, partitionId, taskId)
 }
 
-/** The executor half of a native row-level operation. Incoming rows
+/** The DATA-FILE half of an executor-side write, shared by the
+  * row-level delta writers and the plain batch writers. Incoming rows
   * carry the table's LOGICAL data schema (`dataNames` order); data
   * files write the full PHYSICAL file schema — the bucket column (for
   * bucketed layouts) computes per row with the layout writer's exact
   * hash (`pmod(murmur3(keys), n)`), and rows route into hive-
   * partition / bucket shadow dirs (`__pt_c=v`) so the driver's entry
-  * listing re-derives the layout exactly like a driver-side write.
-  * Deleted/updated row ids stream straight into parquet DV fragments
-  * (no in-memory position buffering — a task's delete volume never
-  * pressures its heap). */
-private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
-    dataNames: Seq[String], rowIdNames: Seq[String], partitionId: Int,
-    taskId: Long) extends DeltaWriter[InternalRow] {
+  * listing re-derives the layout exactly like a driver-side write. */
+private[sources] final class TaskDataFileWriter(
+    ctx: TxTable.DeltaWriteContext, dataNames: Seq[String],
+    partitionId: Int, taskId: Long) {
 
   private val incomingIdx: Map[String, Int] =
     dataNames.zipWithIndex.map { case (n, i) =>
@@ -190,7 +188,7 @@ private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
     val full = ctx.fullLogicalSchema
     val i = incomingIdx.getOrElse(
       logicalName.toLowerCase(java.util.Locale.ROOT),
-      sys.error(s"delta write frame lacks column $logicalName " +
+      sys.error(s"write frame lacks column $logicalName " +
         s"(has ${dataNames.mkString(", ")})"))
     val dt = full.fields.find(_.name.equalsIgnoreCase(logicalName))
       .map(_.dataType).getOrElse(StringType)
@@ -225,26 +223,11 @@ private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
       Cast(e, StringType, Some(tz)): Expression
     }.toIndexedSeq)
 
-  private val idFileIdx = rowIdNames.indexWhere(
-    _.equalsIgnoreCase(V2Shims.FileMetaCol))
-  private val idPosIdx = rowIdNames.indexWhere(
-    _.equalsIgnoreCase(V2Shims.PosMetaCol))
-  require(idFileIdx >= 0 && idPosIdx >= 0,
-    s"row-id schema $rowIdNames lacks the graft row-id columns")
-
   private val uid = java.util.UUID.randomUUID().toString.take(8)
-  // (dirKey, isUpdate) → open writer; fragment writers open lazily
-  private val dataWriters = mutable.Map.empty[(String, Boolean),
+  // (dirKey, tag) → open writer
+  private val dataWriters = mutable.Map.empty[(String, String),
     org.apache.spark.sql.execution.datasources.OutputWriter]
-  private val insertFiles = mutable.ArrayBuffer.empty[String]
-  private val updateFiles = mutable.ArrayBuffer.empty[String]
-  private val deleteFrags = mutable.ArrayBuffer.empty[String]
-  private val updateFrags = mutable.ArrayBuffer.empty[String]
-  private var deleteFragWriter
-      : org.apache.spark.sql.execution.datasources.OutputWriter = _
-  private var updateFragWriter
-      : org.apache.spark.sql.execution.datasources.OutputWriter = _
-  private val fragRow = new GenericInternalRow(2)
+  private val filesByTag = mutable.Map.empty[String, mutable.ArrayBuffer[String]]
   private var fileSeq = 0
 
   private def dirKeyOf(row: InternalRow): String = {
@@ -260,19 +243,68 @@ private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
     }.mkString("/")
   }
 
-  private def writeData(row: InternalRow, isUpdate: Boolean): Unit = {
-    val key = (dirKeyOf(row), isUpdate)
+  def write(row: InternalRow, tag: String): Unit = {
+    val key = (dirKeyOf(row), tag)
     val w = dataWriters.getOrElseUpdate(key, {
       fileSeq += 1
-      val tag = if (isUpdate) "u" else "i"
       val dir = if (key._1.isEmpty) "" else s"${key._1}/"
       val rel = s"data/w-${ctx.writeId}/$dir$tag-$partitionId-$taskId-$uid-$fileSeq.parquet"
-      (if (isUpdate) updateFiles else insertFiles) += rel
+      filesByTag.getOrElseUpdate(tag, mutable.ArrayBuffer.empty) += rel
       V2Shims.taskParquetWriter(ctx.dataConf, s"${ctx.rootStr}/$rel",
         partitionId, taskId)
     })
     w.write(outProj(row))
   }
+
+  def files(tag: String): Seq[String] =
+    filesByTag.get(tag).map(_.toSeq).getOrElse(Nil)
+
+  def allFiles: Seq[String] = filesByTag.values.flatten.toSeq
+
+  def closeAll(): Unit = {
+    dataWriters.values.foreach(_.close())
+    dataWriters.clear()
+  }
+
+  /** Best-effort delete of every file this task wrote (abort path). */
+  def deleteAll(): Unit = allFiles.foreach { rel =>
+    try {
+      val p = new Path(s"${ctx.rootStr}/$rel")
+      p.getFileSystem(ctx.dataConf.value).delete(p, false); ()
+    } catch { case _: java.io.IOException => () }
+  }
+}
+
+/** The executor half of a native row-level operation: the shared
+  * [[TaskDataFileWriter]] for replacement/inserted rows, plus
+  * deleted/updated row ids streamed straight into parquet DV
+  * fragments (no in-memory position buffering — a task's delete
+  * volume never pressures its heap). */
+private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
+    dataNames: Seq[String], rowIdNames: Seq[String], partitionId: Int,
+    taskId: Long) extends DeltaWriter[InternalRow] {
+
+  private val dataWriter =
+    new TaskDataFileWriter(ctx, dataNames, partitionId, taskId)
+
+  private val idFileIdx = rowIdNames.indexWhere(
+    _.equalsIgnoreCase(V2Shims.FileMetaCol))
+  private val idPosIdx = rowIdNames.indexWhere(
+    _.equalsIgnoreCase(V2Shims.PosMetaCol))
+  require(idFileIdx >= 0 && idPosIdx >= 0,
+    s"row-id schema $rowIdNames lacks the graft row-id columns")
+
+  private val uid = java.util.UUID.randomUUID().toString.take(8)
+  private val deleteFrags = mutable.ArrayBuffer.empty[String]
+  private val updateFrags = mutable.ArrayBuffer.empty[String]
+  private var deleteFragWriter
+      : org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private var updateFragWriter
+      : org.apache.spark.sql.execution.datasources.OutputWriter = _
+  private val fragRow = new GenericInternalRow(2)
+
+  private def writeData(row: InternalRow, isUpdate: Boolean): Unit =
+    dataWriter.write(row, if (isUpdate) "u" else "i")
 
   private def writeFrag(id: InternalRow, isUpdate: Boolean): Unit = {
     val w =
@@ -311,22 +343,22 @@ private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
     writeData(row, isUpdate = false)
 
   private def closeAll(): Unit = {
-    dataWriters.values.foreach(_.close())
-    dataWriters.clear()
+    dataWriter.closeAll()
     if (deleteFragWriter != null) { deleteFragWriter.close(); deleteFragWriter = null }
     if (updateFragWriter != null) { updateFragWriter.close(); updateFragWriter = null }
   }
 
   override def commit(): WriterCommitMessage = {
     closeAll()
-    GraftDeltaMessage(insertFiles.toSeq, updateFiles.toSeq,
+    GraftDeltaMessage(dataWriter.files("i"), dataWriter.files("u"),
       deleteFrags.toSeq, updateFrags.toSeq)
   }
 
   override def abort(): Unit = {
     try closeAll() catch { case _: java.io.IOException => () }
+    dataWriter.deleteAll()
     val conf = ctx.dataConf.value
-    (insertFiles ++ updateFiles ++ deleteFrags ++ updateFrags).foreach { rel =>
+    (deleteFrags ++ updateFrags).foreach { rel =>
       try {
         val p = new Path(s"${ctx.rootStr}/$rel")
         p.getFileSystem(conf).delete(p, false); ()
@@ -335,4 +367,101 @@ private final class GraftDeltaWriter(ctx: TxTable.DeltaWriteContext,
   }
 
   override def close(): Unit = closeAll()
+}
+
+/** What a native batch write publishes at driver commit. */
+private[sources] sealed trait GraftWriteMode
+private[sources] object GraftWriteMode {
+  case object Append extends GraftWriteMode
+  case object ReplaceAll extends GraftWriteMode
+  final case class ReplaceWhere(
+      filters: Seq[org.apache.spark.sql.sources.Filter]) extends GraftWriteMode
+  case object Dynamic extends GraftWriteMode
+}
+
+/** NATIVE V2 batch write — `AppendData`, `OverwriteByExpression`
+  * (AlwaysTrue = truncate, filtered = replaceWhere), and
+  * `OverwritePartitionsDynamic` all execute through executor-side
+  * task writers + one driver manifest commit, retiring the
+  * `V1Write`/`InsertableRelation` fallback entirely: per-task commit
+  * messages (exactly the files written — stray files from aborted
+  * attempts never enter the manifest), layout-clustering distribution
+  * requests, and abort cleanup — the machinery the row-level path
+  * already proved, applied to the common writes. */
+private[sources] final class GraftNativeWrite(location: String,
+    ctx: TxTable.DeltaWriteContext, mode: GraftWriteMode,
+    dataNames: Seq[String]) extends Write
+    with RequiresDistributionAndOrdering {
+  override def description(): String = s"graft native $mode"
+  override def toBatch: BatchWrite =
+    new GraftNativeBatchWrite(location, ctx, mode, dataNames)
+
+  /** Cluster rows by the table's layout before the writers see them —
+    * files per commit ∝ layout dirs, never tasks × dirs (the same
+    * requirement the delta write declares). */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    ctx.bucketSpec match {
+      case Some((cols, n)) =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          Array(Expressions.bucket(n, cols: _*)))
+      case None if ctx.partitionCols.nonEmpty =>
+        org.apache.spark.sql.connector.distributions.Distributions.clustered(
+          ctx.partitionCols.map(c =>
+            Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression
+          ).toArray)
+      case None =>
+        org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+}
+
+private final case class GraftBatchMessage(files: Seq[String])
+    extends WriterCommitMessage
+
+private final class GraftNativeBatchWrite(location: String,
+    ctx: TxTable.DeltaWriteContext, mode: GraftWriteMode,
+    dataNames: Seq[String]) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory = new GraftBatchWriterFactory(ctx, dataNames)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .collect { case m: GraftBatchMessage => m.files }.flatten
+    val t = TxTable(SparkSession.active, location)
+    mode match {
+      case GraftWriteMode.Append =>
+        t.commitBatchNative(ctx, files, replaceAll = false)
+      case GraftWriteMode.ReplaceAll =>
+        t.commitBatchNative(ctx, files, replaceAll = true)
+      case GraftWriteMode.ReplaceWhere(filters) =>
+        t.commitReplaceWhereNative(ctx, filters, files)
+      case GraftWriteMode.Dynamic =>
+        t.commitDynamicNative(ctx, files)
+    }
+    ()
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val files = messages.toSeq
+      .collect { case m: GraftBatchMessage => m.files }.flatten
+    TxTable(SparkSession.active, location).abortDeltaNative(ctx, files)
+  }
+}
+
+private final class GraftBatchWriterFactory(ctx: TxTable.DeltaWriteContext,
+    dataNames: Seq[String]) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DataWriter[InternalRow] = new DataWriter[InternalRow] {
+    private val w = new TaskDataFileWriter(ctx, dataNames, partitionId, taskId)
+    override def write(row: InternalRow): Unit = w.write(row, "i")
+    override def commit(): WriterCommitMessage = {
+      w.closeAll(); GraftBatchMessage(w.allFiles)
+    }
+    override def abort(): Unit = {
+      try w.closeAll() catch { case _: java.io.IOException => () }
+      w.deleteAll()
+    }
+    override def close(): Unit = w.closeAll()
+  }
 }

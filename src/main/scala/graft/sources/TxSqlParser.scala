@@ -406,20 +406,23 @@ final class TxSqlParser(session: SparkSession, delegate: ParserInterface)
         t.addColumn(c.colName, c.dataType)
       }.last
       dmlResult("alterschema", v)
-    // INSERT INTO / INSERT OVERWRITE route onto the commit-log API
-    // (by-POSITION against the table's logical schema, the SQL rule;
-    // INSERT (cols...) assigns the named columns and NULL-fills the
-    // rest). A direct write to the spliced parquet relation would
-    // bypass the log entirely — this interception is what makes the
-    // verb safe.
+    // INSERT INTO / INSERT OVERWRITE on the `txtable.`dir`` spelling
+    // route onto the commit-log API (by-POSITION against the table's
+    // logical schema, the SQL rule; INSERT (cols...) assigns the named
+    // columns and NULL-fills the rest). A direct write to the spliced
+    // parquet relation would bypass the log entirely — this
+    // interception is what makes the verb safe. Catalog-qualified
+    // names (`graft.default.t`) are NOT intercepted: they plan through
+    // Spark's own V2 INSERT path onto the table's native `BatchWrite`
+    // (executor task writers, one driver commit — GraftCatalog).
     case i: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement
         if i.table.isInstanceOf[UnresolvedRelation] && {
           val mpi = i.table.asInstanceOf[UnresolvedRelation]
             .multipartIdentifier
-          resolveTx(mpi).isDefined || resolveGraftCatalog(mpi).isDefined
+          resolveTx(mpi).isDefined
         } =>
       val mpi = i.table.asInstanceOf[UnresolvedRelation].multipartIdentifier
-      val path = resolveTx(mpi).orElse(resolveGraftCatalog(mpi)).get
+      val path = resolveTx(mpi).get
       val t = TxTable(session, path)
       require(i.partitionSpec.isEmpty,
         "INSERT INTO txtable with a PARTITION spec is not supported — " +

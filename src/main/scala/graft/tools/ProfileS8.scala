@@ -22,6 +22,23 @@ object ProfileS8 {
           println(f"[job] ${je.jobId}: ${(System.nanoTime() - t0) / 1e6}%.0f ms")
         }
       })
+    if (args.contains("v2"))
+      spark.sparkContext.hadoopConfiguration.set(
+        "mapreduce.fileoutputcommitter.algorithm.version", "2")
+    if (args.contains("qe"))
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val phases = qe.tracker.phases.map { case (k, v) =>
+              s"$k=${v.endTimeMs - v.startTimeMs}ms" }.mkString(" ")
+            println(f"[qe] $funcName ${durationNs / 1e6}%.0f ms | $phases")
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        })
     def ms[A](name: String)(f: => A): A = {
       val t0 = System.nanoTime()
       val r = f
@@ -57,9 +74,11 @@ object ProfileS8 {
       val asState2 = if (args.contains("cache")) asState.cache() else asState
       ms(s"b$i lastTxn")(t.lastTxn("prof"))
       if (t.latestVersion.isEmpty)
-        ms(s"b$i overwrite")(t.overwriteBucketed(asState2, Seq("user_id"), 16))
+        ms(s"b$i overwrite")(t.overwriteBucketed(asState2, Seq("user_id"),
+          args.find(_.startsWith("b=")).map(_.drop(2).toInt).getOrElse(16)))
       else
-        ms(s"b$i merge")(t.merge(asState2, sourceIsPinned = true) { (ex, s2) =>
+        ms(s"b$i merge")(t.merge(asState2, sourceIsPinned = true,
+            touchAllBuckets = args.contains("touchall")) { (ex, s2) =>
           ex.unionByName(s2)
             .groupBy("user_id")
             .agg(max_by(struct(col("last_event_id"), col("last_ts"), col("last_value")),

@@ -296,6 +296,69 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE v2_write")
   }
 
+  test("plain append/overwrite plan NATIVELY (no InsertableRelation): " +
+      "task writers, layout-clustered, one manifest commit") {
+    val d = dir("nativew")
+    TxTable(spark, d).overwriteBucketed(df(0 until 40, "n"), Seq("id"), 4)
+    spark.sql("DROP TABLE IF EXISTS v2_nativew")
+    spark.sql(s"CREATE TABLE v2_nativew USING txtable LOCATION '$d'")
+    // the physical plan is Spark's native AppendData over our
+    // BatchWrite — the V1 fallback would print AppendDataExecV1
+    val ap = spark.sql(
+      "EXPLAIN INSERT INTO graft.default.v2_nativew VALUES (100, 'x', 0.5)")
+      .head.getString(0)
+    assert(ap.contains("AppendData") && !ap.contains("AppendDataExecV1"),
+      s"append must plan the native V2 write:\n$ap")
+    spark.sql(
+      "INSERT INTO graft.default.v2_nativew VALUES (100, 'x', 0.5), (101, 'y', 1.5)")
+    assert(spark.sql("SELECT count(*) AS n FROM graft.default.v2_nativew")
+      .head.getLong(0) == 42)
+    // layout respected: the appended rows landed in bucket dirs and
+    // the bucket function agrees with the layout writer (the rows are
+    // findable through a bucket-pruned read)
+    val t = TxTable(spark, d)
+    val hist = t.history()
+    assert(hist.last._2 == "append", s"history: ${hist.takeRight(2)}")
+    // native full overwrite
+    val ow = spark.sql(
+      "EXPLAIN INSERT OVERWRITE graft.default.v2_nativew VALUES (7, 'only', 1.0)")
+      .head.getString(0)
+    assert(ow.contains("OverwriteByExpression") &&
+      !ow.contains("OverwriteByExpressionExecV1"),
+      s"overwrite must plan the native V2 write:\n$ow")
+    spark.sql("INSERT OVERWRITE graft.default.v2_nativew VALUES (7, 'only', 1.0)")
+    assert(spark.sql("SELECT id, name FROM graft.default.v2_nativew")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "only")))
+    assert(TxTable(spark, d).history().last._2 == "overwrite")
+    // time travel across the native commits
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM graft.default.v2_nativew VERSION AS OF 1")
+      .head.getLong(0) == 42)
+    spark.sql("DROP TABLE v2_nativew")
+  }
+
+  test("native append into a hive-partitioned table routes rows into " +
+      "partition dirs (manifest partition values, pruning intact)") {
+    import spark.implicits._
+    val d = dir("nativep")
+    val src = (0 until 30).map(i => (i.toLong, s"g${i % 3}", i * 1.0))
+      .toDF("id", "grp", "v")
+    TxTable(spark, d).overwrite(src, partitionBy = Seq("grp"))
+    spark.sql("DROP TABLE IF EXISTS v2_nativep")
+    spark.sql(s"CREATE TABLE v2_nativep USING txtable LOCATION '$d'")
+    spark.sql("INSERT INTO graft.default.v2_nativep VALUES " +
+      "(100, 'g1', 9.0), (101, 'g9', 9.0)")
+    val t = TxTable(spark, d)
+    assert(t.history().last._2 == "append")
+    // the appended rows carry manifest partition values: a partition-
+    // pruned read finds exactly them without touching other dirs
+    val g9 = t.readWhere(p => p.get("grp").contains("g9"))
+    assert(g9.select("id").collect().map(_.getLong(0)).toSeq == Seq(101L))
+    assert(t.read().count() == 32)
+    spark.sql("DROP TABLE v2_nativep")
+  }
+
   test("INSERT OVERWRITE under dynamic partitionOverwriteMode replaces " +
       "touched partitions only (flat table = full overwrite)") {
     import spark.implicits._
