@@ -138,35 +138,76 @@ object GraphOps {
     * so headroom holds to s < 2⁶³, i.e. ~10¹²-node graphs. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val e = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-    val withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-      .localCheckpoint(true)
-    var pr = e.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1000000L))
-      .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      val next = withDeg
-        .join(pr, withDeg("src") === pr("node"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"),
-          (lit(150000L) + expr(
-            "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
-          )).as("pr"))
+    val spark = edges.sparkSession
+    // CO-PARTITIONED ITERATION (the g3 bucketed-join discipline
+    // applied to the loop): the EDGE side is partitioned ONCE by the
+    // join key (src) and localCheckpoint pins that partitioning into
+    // the round plans; each round's rank side comes out of its
+    // aggregation hash-partitioned on the SAME key space, so the
+    // per-round join inserts ZERO Exchange — the only shuffle per
+    // round is the inherent rank transpose (groupBy dst), which moves
+    // node-sized data, never the edge list. AQE is pinned OFF for the
+    // loop (restored after): under AQE a localCheckpoint records
+    // UnknownPartitioning (the adaptive plan's partitioning is not
+    // final at checkpoint time), so every round would re-shuffle the
+    // EDGE side — the round-10 audit's 3.6× at 10×. The rounds are
+    // fixed-shape (one join + one agg on known keys); AQE has nothing
+    // to decide that the pinned layout doesn't already.
+    val coalesceKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val e = edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
         .localCheckpoint(true)
-      pr.unpersist()
-      pr = next
+      val withDeg = e
+        .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(n, col("src"))
+        .localCheckpoint(true)
+      var pr = e.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L))
+        .repartition(n, col("node"))
+        .localCheckpoint(true)
+      for (_ <- 1 to iters) {
+        val next = withDeg
+          .join(pr, withDeg("src") === pr("node"))
+          .select(col("dst"), expr("pr div outdeg").as("c"))
+          .groupBy(col("dst").as("node"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("node"),
+            (lit(150000L) + expr(
+              "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
+            )).as("pr"))
+          .localCheckpoint(true)
+        pr.unpersist()
+        pr = next
+      }
+      val out = pr.select(col("node").as("node_id"),
+        col("pr").as("pr_micro")).orderBy("node_id")
+      e.unpersist(); withDeg.unpersist()
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(coalesceKey, v)
+      case None    => spark.conf.unset(coalesceKey)
     }
-    val out = pr.select(col("node").as("node_id"),
-      col("pr").as("pr_micro")).orderBy("node_id")
-    e.unpersist(); withDeg.unpersist()
-    out
   }
+
+  /** One PageRank round as a standalone frame over pinned inputs —
+    * exposed so the spec can assert the co-partitioned iteration plan
+    * (zero Exchange on the edge join; the rank transpose is the only
+    * shuffle). Identical arithmetic to the [[pageRank]] loop body. */
+  private[graft] def pageRankRound(withDeg: DataFrame, pr: DataFrame): DataFrame =
+    withDeg
+      .join(pr, withDeg("src") === pr("node"))
+      .select(col("dst"), expr("pr div outdeg").as("c"))
+      .groupBy(col("dst").as("node"))
+      .agg(sum(col("c")).as("s"))
+      .select(col("node"),
+        (lit(150000L) + expr(
+          "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
+        )).as("pr"))
 
   /** G6 — bipartite co-occurrence projection + triangle census: from
     * (left, right) incidence edges, build the RIGHT-side co-occurrence
@@ -183,6 +224,39 @@ object GraphOps {
     * identical relational spelling. */
   def triangleCensus(incidence: DataFrame,
       maxLeftDegree: Int = 10000, minShareTenths: Int = 8): DataFrame = {
+    val spark = incidence.sparkSession
+    // subset-key co-partitioning: the closing semi join clusters on
+    // (a, b) but the projection is pinned on `a` alone — allow the
+    // planner to accept the subset (sound: equal a ⇒ same partition)
+    // so the projection side never re-shuffles; only for this plan,
+    // restored after
+    val subsetKey = "spark.sql.requireAllClusterKeysForCoPartition"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevSubset = spark.conf.getOption(subsetKey)
+    val prevAqe = spark.conf.getOption(aqeKey)
+    spark.conf.set(subsetKey, "false")
+    // AQE off for the same reason as [[pageRank]]: the pinned
+    // projection partitioning must survive its localCheckpoint
+    spark.conf.set(aqeKey, "false")
+    // the census result is ONE row — materialize it eagerly so the
+    // triangle joins PLAN under the pinned confs (a lazily returned
+    // frame would plan after the finally restored them)
+    try triangleCensusImpl(incidence, maxLeftDegree, minShareTenths)
+      .localCheckpoint(true)
+    finally {
+      prevSubset match {
+        case Some(v) => spark.conf.set(subsetKey, v)
+        case None    => spark.conf.unset(subsetKey)
+      }
+      prevAqe match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None    => spark.conf.unset(aqeKey)
+      }
+    }
+  }
+
+  private def triangleCensusImpl(incidence: DataFrame,
+      maxLeftDegree: Int, minShareTenths: Int): DataFrame = {
     val inc = incidence.select(col("left"), col("right")).distinct()
     val keep = inc.groupBy("left").agg(count(lit(1)).as("d"))
       .where(col("d") <= maxLeftDegree).select("left")
@@ -202,9 +276,18 @@ object GraphOps {
       .localCheckpoint(true)
     val maxShare = Option(co0.agg(max(col("c"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
+    // pin the projection hash-partitioned on `a`: the triangle wedge
+    // join's build side (bc.a) and the closing semi join's right side
+    // (ac.a, the leading key) both cluster on it, so the LARGEST
+    // intermediate never re-shuffles — each downstream join moves only
+    // the wedge side (the g3 bucketed-join discipline applied to the
+    // census; one co-sized exchange here buys two away below)
+    val nParts = incidence.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
     val co = co0
       .where(col("c") * 10 >= lit(minShareTenths) * lit(maxShare))
       .select("a", "b")
+      .repartition(nParts, col("a"))
       .localCheckpoint(true)
     co0.unpersist()
     val tri = co.alias("ab")

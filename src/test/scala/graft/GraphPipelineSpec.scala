@@ -113,6 +113,54 @@ class GraphPipelineSpec extends SparkSpec {
     assert(r2 == r2b)
   }
 
+  test("pageRank round plans CO-PARTITIONED: zero Exchange on the edge " +
+      "join, the rank transpose is the only shuffle") {
+    import spark.implicits._
+    val coalesceKey = "spark.sql.adaptive.enabled"
+    val bcastKey = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(coalesceKey)
+    val prevB = spark.conf.get(bcastKey)
+    spark.conf.set(coalesceKey, "false")
+    // broadcast off: at WEB scale the rank side does not broadcast —
+    // the assertion targets the shuffle-join shape that must then be
+    // co-partitioned (at fixture scale AQE would broadcast, which is
+    // also fine, but proves nothing about the 100× plan)
+    spark.conf.set(bcastKey, "-1")
+    try {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      // pinned inputs exactly as the loop builds them
+      val edges = (0 until 200).map(i => (s"n$i", s"n${(i * 7) % 200}"))
+        .toDF("src", "dst")
+      val e = edges.unionAll(edges.select(col("dst"), col("src")))
+        .distinct().localCheckpoint(true)
+      val withDeg = e
+        .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+        .repartition(n, col("src")).localCheckpoint(true)
+      val pr = e.select(col("src").as("node")).distinct()
+        .withColumn("pr", lit(1000000L))
+        .repartition(n, col("node")).localCheckpoint(true)
+      val round = graft.steps.GraphOps.pageRankRound(withDeg, pr)
+      val plan = round.queryExecution.executedPlan.toString
+      val exchanges = "Exchange".r.findAllIn(plan).length -
+        "ExchangeReuse".r.findAllIn(plan).length
+      assert(exchanges == 1,
+        s"per-round plan must shuffle ONLY the rank transpose " +
+          s"($exchanges exchanges):\n$plan")
+      // and the join itself sits below no Exchange: the plan segment
+      // between the scan leaves and the join has none
+      val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
+      if (joinIdx >= 0)
+        assert(!plan.substring(joinIdx).contains("Exchange"),
+          s"the edge join must consume the pinned partitioning:\n$plan")
+    } finally {
+      spark.conf.set(bcastKey, prevB)
+      prev match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None    => spark.conf.unset(coalesceKey)
+      }
+    }
+  }
+
   test("triangleCensus: sparse hand graph, hot-left df-cap") {
     import spark.implicits._
     // co-edges: AB (l1), BC (l2), AC (l3), CD (l4) → one triangle ABC
