@@ -90,13 +90,24 @@ object GraphOps {
     * round is one aggregation + two semi joins on the edge key;
     * `localCheckpoint` keeps the per-round plan flat (the
     * [[graft.ops.Dedup.dupClusters]] discipline). */
+  /** Storage level for EDGE-SIZED iteration checkpoints. A measured
+    * decision, not a guess (100× probe battery, 40–48 GB heap):
+    * DISK_ONLY costs ~45% on g4 at 10× (36.2 s vs 24.5 s) and
+    * MEMORY_AND_DISK_SER ~18%, while the DEFAULT memory-first level
+    * completes the 100× run too (staged ProbeG4: closure 72 s, 96 s
+    * per peel round — block-level spill handles state larger than the
+    * storage region). Keep the default; if a deployment's iteration
+    * state outgrows executor memory × spill, the SER/DISK levels are
+    * one constant away. */
+  private val IterCkpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
     // symmetric closure: degree = outgoing count in the closed list
     var e = edges.select(col("src"), col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(true, IterCkpt)
     for (_ <- 1 to rounds) {
       // the keep-set is node-sized: small enough to broadcast on the
       // fixtures (AQE converts both semi joins map-side at runtime),
@@ -107,7 +118,7 @@ object GraphOps {
       val next = e
         .join(keep, Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-        .localCheckpoint(true)
+        .localCheckpoint(true, IterCkpt)
       e.unpersist()
       e = next
     }
@@ -161,11 +172,11 @@ object GraphOps {
       val e = edges.select(col("src"), col("dst"))
         .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true, IterCkpt)
       val withDeg = e
         .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
         .repartition(n, col("src"))
-        .localCheckpoint(true)
+        .localCheckpoint(true, IterCkpt)
       var pr = e.select(col("src").as("node")).distinct()
         .withColumn("pr", lit(1000000L))
         .repartition(n, col("node"))
@@ -273,7 +284,7 @@ object GraphOps {
       .where(col("x.right") < col("y.right"))
       .groupBy(col("x.right").as("a"), col("y.right").as("b"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, IterCkpt)
     val maxShare = Option(co0.agg(max(col("c"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     // pin the projection hash-partitioned on `a`: the triangle wedge
@@ -288,7 +299,7 @@ object GraphOps {
       .where(col("c") * 10 >= lit(minShareTenths) * lit(maxShare))
       .select("a", "b")
       .repartition(nParts, col("a"))
-      .localCheckpoint(true)
+      .localCheckpoint(true, IterCkpt)
     co0.unpersist()
     val tri = co.alias("ab")
       .join(co.alias("bc"), col("ab.b") === col("bc.a"))
