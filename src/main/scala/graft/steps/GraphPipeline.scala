@@ -103,29 +103,53 @@ object GraphOps {
 
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    // symmetric closure: degree = outgoing count in the closed list
-    var e = edges.select(col("src"), col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true, IterCkpt)
-    for (_ <- 1 to rounds) {
-      // the keep-set is node-sized: small enough to broadcast on the
-      // fixtures (AQE converts both semi joins map-side at runtime),
-      // but O(nodes) at web scale — so no broadcast HINT: the
-      // runtime decision is the one that stays correct at 100×
-      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        .where(col("deg") >= k).select("src")
-      val next = e
-        .join(keep, Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+    val spark = edges.sparkSession
+    // CO-PARTITIONED PEEL (the g5 discipline, using the closure's
+    // SYMMETRY): the closure is pinned hash-partitioned on src, so
+    // the degree aggregation and the src semi join consume it with
+    // ZERO exchange; the dst semi join shuffles the closure once
+    // (inherent — the round's only closure-sized movement), and the
+    // round ends by SWAPPING the column labels — the symmetric set is
+    // invariant under (src,dst)→(dst,src), so the dst-partitioned
+    // output IS the next round's src-partitioned input, no shuffle
+    // back. Un-pinned (AQE re-numbering partitions per stage), each
+    // round moved the closure ~3× — the 17.6×-per-decade g4 probe.
+    // AQE off for the loop exactly as in [[pageRank]].
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
+      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      var e = edges.select(col("src"), col("dst"))
+        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .repartition(n, col("src"))
         .localCheckpoint(true, IterCkpt)
-      e.unpersist()
-      e = next
+      for (_ <- 1 to rounds) {
+        // keep-set: co-partitioned with e — map-side partial agg, no
+        // exchange on the closure. Node-sized; at web scale it stays
+        // a shuffle-side relation (no broadcast hint — the semi joins
+        // below are co-partitioned anyway, broadcast would buy little)
+        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k).select("src")
+        val next = e
+          .join(keep, Seq("src"), "left_semi")
+          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+          // the symmetry swap: dst-partitioned rows become the next
+          // round's src-partitioned closure by relabeling alone
+          .select(col("dst").as("src"), col("src").as("dst"))
+          .localCheckpoint(true, IterCkpt)
+        e.unpersist()
+        e = next
+      }
+      val out = e.groupBy(col("src").as("node_id"))
+        .agg(count(lit(1)).as("degree"))
+        .orderBy("node_id")
+      out
+    } finally prev match {
+      case Some(v) => spark.conf.set(aqeKey, v)
+      case None    => spark.conf.unset(aqeKey)
     }
-    val out = e.groupBy(col("src").as("node_id"))
-      .agg(count(lit(1)).as("degree"))
-      .orderBy("node_id")
-    out
   }
 
   /** G5 — bounded-iteration PageRank over the symmetric edge closure
