@@ -114,17 +114,6 @@ object Sampling {
       .getOrElse(df)
 }
 
-object Parallelism {
-  /** `calculate_parallelism` (`pipes/utils.py:65-71`): shuffle
-    * parallelism from input record count, clamped to [200, 90000].
-    * With AQE coalescing on this is an upper bound, not a target. */
-  def calculate(recordCount: Long): Int =
-    if (recordCount >= 90000) 90000
-    else math.max(200, (recordCount / 4).toInt)
-
-  /** Record count from a line-oriented text input — the reference
-    * counts via `sparkContext.textFile` (`pipes/utils.py:66`); the
-    * Dataset reader keeps it in the SQL engine. */
-  def recordCount(spark: SparkSession, inputPath: String): Long =
-    spark.read.textFile(inputPath).count()
-}
+// Parallelism (the `calculate_parallelism` port plus the measured
+// partition-sizing policy the iterative loops share) lives in
+// core/Parallelism.scala.

@@ -78,18 +78,6 @@ object GraphOps {
           .as("total_weight"))
       .orderBy("src_nation", "dst_nation")
 
-  /** G4 — bounded-round k-core peel over an undirected edge list: each
-    * round drops every node of degree < k (with its edges); after
-    * `rounds` rounds the survivors and their degrees come back. A
-    * FIXED round count (not run-to-convergence) keeps the result
-    * deterministic and SQL-replayable by an unrolled CTE chain — the
-    * iterative-graph-algorithm shape (degrees → semi-join filter →
-    * repeat) that PageRank/label-propagation share, in exact integer
-    * arithmetic so the oracle hashes bit-for-bit (a float PageRank
-    * would diverge in ulps under Spark's partial-agg ordering). Each
-    * round is one aggregation + two semi joins on the edge key;
-    * `localCheckpoint` keeps the per-round plan flat (the
-    * [[graft.ops.Dedup.dupClusters]] discipline). */
   /** Storage level for EDGE-SIZED iteration checkpoints. A measured
     * decision, not a guess (100× probe battery, 40–48 GB heap):
     * DISK_ONLY costs ~45% on g4 at 10× (36.2 s vs 24.5 s) and
@@ -101,55 +89,118 @@ object GraphOps {
     * one constant away. */
   private val IterCkpt = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
+  /** Largest removed-set the delta-peel will BROADCAST per round.
+    * 8 M node ids ≈ low hundreds of MB on each executor — cheap next
+    * to re-shuffling an edge-sized closure, and real peels remove
+    * far fewer after round 1. Beyond the cap the round falls back to
+    * an un-hinted join (planner-chosen shuffle) rather than risk an
+    * executor-sized broadcast. */
+  private val BroadcastRemovedCap = 8L * 1000 * 1000
+
+  /** Fresh PRIVATE session for a conf-pinned iterative loop: shares
+    * the SparkContext / cache / catalog with the caller's session but
+    * owns its SQLConf, so pinning AQE (and friends) off for the loop
+    * can neither leak into concurrently-planned queries nor be
+    * clobbered by a concurrent loop — the save/restore pattern this
+    * replaces had both hazards. Loop-relevant runtime conf is copied
+    * from the parent (builder-set conf is inherited via the shared
+    * SparkConf; shuffle.partitions may have been set at runtime). */
+  private def loopSession(parent: SparkSession): SparkSession = {
+    val s = parent.newSession()
+    s.conf.set("spark.sql.shuffle.partitions",
+      parent.conf.get("spark.sql.shuffle.partitions"))
+    // pinned layouts must survive localCheckpoint: under AQE a
+    // checkpoint records UnknownPartitioning (the adaptive plan's
+    // partitioning is not final at checkpoint time), so every loop
+    // round would re-shuffle its edge-sized state
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
+
+  /** G4 — bounded-round k-core peel over an undirected edge list: each
+    * round drops every node of degree < k (with its edges); after
+    * `rounds` rounds the survivors and their degrees come back. A
+    * FIXED round count (not run-to-convergence) keeps the result
+    * deterministic and SQL-replayable by an unrolled CTE chain — the
+    * iterative-graph-algorithm shape that PageRank/label-propagation
+    * share, in exact integer arithmetic so the oracle hashes
+    * bit-for-bit.
+    *
+    * DELTA-PEEL: the loop state is the NODE-SIZED degree table, never
+    * a re-materialized closure. The symmetric closure is checkpointed
+    * ONCE, pinned hash-partitioned on src ([[graft.core.Parallelism]]
+    * sizes the layout from its measured bytes, not the session
+    * constant); each round then
+    *   1. takes `removed = σ(deg < k)` off the degree table,
+    *   2. counts, per surviving src, its edges INTO `removed`
+    *      (broadcast semi join against the pinned closure + map-side
+    *      partial agg — ZERO exchange, since the closure is already
+    *      src-partitioned), and
+    *   3. decrements: `deg' = deg − lost` over the survivors — a
+    *      co-partitioned node-sized join, zero exchange.
+    * Per-round data movement is ∝ the PEELED mass (the removed set
+    * and its incident-edge counts), not the closure: the prior
+    * formulation's per-round closure shuffle was the measured
+    * 17.6×-per-decade super-linearity in the 100× probe. Rounds where
+    * the removed set exceeds [[BroadcastRemovedCap]] fall back to a
+    * planner-chosen join; a round that removes NOBODY is a fixed
+    * point, so the loop exits early (the remaining rounds are
+    * identities — same result the unrolled oracle computes).
+    *
+    * Equivalence to the peel-by-rematerialization semantics: a node's
+    * degree after t rounds equals its original degree minus its edges
+    * into ∪ R₁..R_t (the disjoint per-round removed sets) — exactly
+    * its degree within the surviving subgraph; nodes whose degree
+    * reaches 0 without having been peeled yet are absent from the
+    * closure-derived output, hence the final `deg ≥ 1` filter.
+    *
+    * Runs on a private [[loopSession]] (AQE pinned off, conf isolated
+    * from the caller). */
   def kCorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1 && rounds >= 1, "k and rounds must be positive")
-    val spark = edges.sparkSession
-    // CO-PARTITIONED PEEL (the g5 discipline, using the closure's
-    // SYMMETRY): the closure is pinned hash-partitioned on src, so
-    // the degree aggregation and the src semi join consume it with
-    // ZERO exchange; the dst semi join shuffles the closure once
-    // (inherent — the round's only closure-sized movement), and the
-    // round ends by SWAPPING the column labels — the symmetric set is
-    // invariant under (src,dst)→(dst,src), so the dst-partitioned
-    // output IS the next round's src-partitioned input, no shuffle
-    // back. Un-pinned (AQE re-numbering partitions per stage), each
-    // round moved the closure ~3× — the 17.6×-per-decade g4 probe.
-    // AQE off for the loop exactly as in [[pageRank]].
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    try {
-      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      var e = edges.select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .repartition(n, col("src"))
-        .localCheckpoint(true, IterCkpt)
-      for (_ <- 1 to rounds) {
-        // keep-set: co-partitioned with e — map-side partial agg, no
-        // exchange on the closure. Node-sized; at web scale it stays
-        // a shuffle-side relation (no broadcast hint — the semi joins
-        // below are co-partitioned anyway, broadcast would buy little)
-        val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-          .where(col("deg") >= k).select("src")
-        val next = e
-          .join(keep, Seq("src"), "left_semi")
-          .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
-          // the symmetry swap: dst-partitioned rows become the next
-          // round's src-partitioned closure by relabeling alone
-          .select(col("dst").as("src"), col("src").as("dst"))
-          .localCheckpoint(true, IterCkpt)
-        e.unpersist()
-        e = next
+    val spark = loopSession(edges.sparkSession)
+    val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
+    val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    var e0 = in.select(col("src"), col("dst"))
+      .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(n0, col("src"))
+      .localCheckpoint(true, IterCkpt)
+    e0 = graft.core.Parallelism.resizeCheckpoint(e0, n0, col("src"), IterCkpt)
+    // initial degrees: co-partitioned map-side agg, zero exchange
+    var deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var stable = false
+    for (_ <- 1 to rounds if !stable) {
+      val removed = deg.where(col("deg") < k).select("src")
+      // one node-sized action per round: drives BOTH the early exit
+      // and the broadcast decision
+      val nRemoved = removed.count()
+      if (nRemoved == 0) stable = true
+      else {
+        val rSide = removed.withColumnRenamed("src", "dst")
+        val r = if (nRemoved <= BroadcastRemovedCap) broadcast(rSide) else rSide
+        // edges from (anyone) into this round's removed set, counted
+        // per src — srcs that are themselves removed (now or earlier)
+        // simply find no match in the filtered deg join below
+        val lost = e0.join(r, Seq("dst"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("lost"))
+        val next = deg.where(col("deg") >= k)
+          .join(lost, Seq("src"), "left")
+          .select(col("src"),
+            (col("deg") - coalesce(col("lost"), lit(0L))).as("deg"))
+          .localCheckpoint(true)
+        deg.unpersist()
+        deg = next
       }
-      val out = e.groupBy(col("src").as("node_id"))
-        .agg(count(lit(1)).as("degree"))
-        .orderBy("node_id")
-      out
-    } finally prev match {
-      case Some(v) => spark.conf.set(aqeKey, v)
-      case None    => spark.conf.unset(aqeKey)
     }
+    val out = deg.where(col("deg") >= 1)
+      .select(col("src").as("node_id"), col("deg").as("degree"))
+      .orderBy("node_id")
+    // the result consumes only the (checkpointed, node-sized) degree
+    // table — release the closure now
+    e0.unpersist()
+    out
   }
 
   /** G5 — bounded-iteration PageRank over the symmetric edge closure
@@ -173,60 +224,62 @@ object GraphOps {
     * so headroom holds to s < 2⁶³, i.e. ~10¹²-node graphs. */
   def pageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be positive")
-    val spark = edges.sparkSession
     // CO-PARTITIONED ITERATION (the g3 bucketed-join discipline
     // applied to the loop): the EDGE side is partitioned ONCE by the
-    // join key (src) and localCheckpoint pins that partitioning into
-    // the round plans; each round's rank side comes out of its
-    // aggregation hash-partitioned on the SAME key space, so the
-    // per-round join inserts ZERO Exchange — the only shuffle per
-    // round is the inherent rank transpose (groupBy dst), which moves
-    // node-sized data, never the edge list. AQE is pinned OFF for the
-    // loop (restored after): under AQE a localCheckpoint records
-    // UnknownPartitioning (the adaptive plan's partitioning is not
-    // final at checkpoint time), so every round would re-shuffle the
-    // EDGE side — the round-10 audit's 3.6× at 10×. The rounds are
-    // fixed-shape (one join + one agg on known keys); AQE has nothing
-    // to decide that the pinned layout doesn't already.
-    val coalesceKey = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.getOption(coalesceKey)
-    spark.conf.set(coalesceKey, "false")
-    try {
-      val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val e = edges.select(col("src"), col("dst"))
-        .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct()
-        .localCheckpoint(true, IterCkpt)
-      val withDeg = e
-        .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(n, col("src"))
-        .localCheckpoint(true, IterCkpt)
-      var pr = e.select(col("src").as("node")).distinct()
-        .withColumn("pr", lit(1000000L))
-        .repartition(n, col("node"))
+    // join key (src) — layout sized from its measured bytes by
+    // [[graft.core.Parallelism]], and SORTED within partitions so the
+    // checkpoint records an ordering the per-round sort-merge join
+    // consumes without re-sorting the edge side — and localCheckpoint
+    // pins that layout into the round plans; each round's rank side
+    // comes out of its aggregation hash-partitioned on the SAME key
+    // space, so the per-round join inserts ZERO Exchange: the only
+    // shuffle per round is the inherent rank transpose (groupBy dst),
+    // which moves node-sized data, never the edge list. Runs on a
+    // private [[loopSession]] (AQE pinned off — under AQE a
+    // localCheckpoint records UnknownPartitioning, so every round
+    // would re-shuffle the edge side, the round-10 audit's 3.6× at
+    // 10×; conf isolated from the caller). When the edge layout
+    // resizes, the session's shuffle-partition count follows it so
+    // the per-round rank aggregations land co-partitioned with the
+    // edges at the NEW count.
+    val spark = loopSession(edges.sparkSession)
+    val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
+    val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val e = in.select(col("src"), col("dst"))
+      .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true, IterCkpt)
+    var withDeg = e
+      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(n0, col("src"))
+      .sortWithinPartitions("src")
+      .localCheckpoint(true, IterCkpt)
+    withDeg = graft.core.Parallelism.resizeCheckpoint(
+      withDeg, n0, col("src"), IterCkpt, sorted = true)
+    val n = withDeg.rdd.getNumPartitions
+    if (n != n0) spark.conf.set("spark.sql.shuffle.partitions", n)
+    var pr = e.select(col("src").as("node")).distinct()
+      .withColumn("pr", lit(1000000L))
+      .repartition(n, col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val next = withDeg
+        .join(pr, withDeg("src") === pr("node"))
+        .select(col("dst"), expr("pr div outdeg").as("c"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(150000L) + expr(
+            "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
+          )).as("pr"))
         .localCheckpoint(true)
-      for (_ <- 1 to iters) {
-        val next = withDeg
-          .join(pr, withDeg("src") === pr("node"))
-          .select(col("dst"), expr("pr div outdeg").as("c"))
-          .groupBy(col("dst").as("node"))
-          .agg(sum(col("c")).as("s"))
-          .select(col("node"),
-            (lit(150000L) + expr(
-              "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
-            )).as("pr"))
-          .localCheckpoint(true)
-        pr.unpersist()
-        pr = next
-      }
-      val out = pr.select(col("node").as("node_id"),
-        col("pr").as("pr_micro")).orderBy("node_id")
-      e.unpersist(); withDeg.unpersist()
-      out
-    } finally prev match {
-      case Some(v) => spark.conf.set(coalesceKey, v)
-      case None    => spark.conf.unset(coalesceKey)
+      pr.unpersist()
+      pr = next
     }
+    val out = pr.select(col("node").as("node_id"),
+      col("pr").as("pr_micro")).orderBy("node_id")
+    e.unpersist(); withDeg.unpersist()
+    out
   }
 
   /** One PageRank round as a standalone frame over pinned inputs —
@@ -259,35 +312,18 @@ object GraphOps {
     * identical relational spelling. */
   def triangleCensus(incidence: DataFrame,
       maxLeftDegree: Int = 10000, minShareTenths: Int = 8): DataFrame = {
-    val spark = incidence.sparkSession
-    // subset-key co-partitioning: the closing semi join clusters on
-    // (a, b) but the projection is pinned on `a` alone — allow the
-    // planner to accept the subset (sound: equal a ⇒ same partition)
-    // so the projection side never re-shuffles; only for this plan,
-    // restored after
-    val subsetKey = "spark.sql.requireAllClusterKeysForCoPartition"
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val prevSubset = spark.conf.getOption(subsetKey)
-    val prevAqe = spark.conf.getOption(aqeKey)
-    spark.conf.set(subsetKey, "false")
-    // AQE off for the same reason as [[pageRank]]: the pinned
-    // projection partitioning must survive its localCheckpoint
-    spark.conf.set(aqeKey, "false")
-    // the census result is ONE row — materialize it eagerly so the
-    // triangle joins PLAN under the pinned confs (a lazily returned
-    // frame would plan after the finally restored them)
-    try triangleCensusImpl(incidence, maxLeftDegree, minShareTenths)
+    // private conf-pinned session (see [[loopSession]]): AQE off so
+    // the pinned projection partitioning survives its localCheckpoint,
+    // and subset-key co-partitioning ON — the closing semi join
+    // clusters on (a, b) but the projection is pinned on `a` alone;
+    // accepting the subset is sound (equal a ⇒ same partition) and
+    // keeps the projection side from re-shuffling. The one-row census
+    // is materialized eagerly, so nothing plans outside the session.
+    val spark = loopSession(incidence.sparkSession)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, incidence)
+    triangleCensusImpl(in, maxLeftDegree, minShareTenths)
       .localCheckpoint(true)
-    finally {
-      prevSubset match {
-        case Some(v) => spark.conf.set(subsetKey, v)
-        case None    => spark.conf.unset(subsetKey)
-      }
-      prevAqe match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None    => spark.conf.unset(aqeKey)
-      }
-    }
   }
 
   private def triangleCensusImpl(incidence: DataFrame,

@@ -160,6 +160,19 @@ object StreamShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSession], plan)
 
+  /** Rebind a DataFrame's ALREADY-ANALYZED plan to another session —
+    * the isolation seam for operators that must pin session-wide SQL
+    * confs (AQE off, co-partition rules) for the lifetime of an
+    * iterative loop: the loop runs on `session` (a private
+    * `newSession()` sharing the SparkContext, cache manager, and
+    * catalog), so the pinning can never leak into — or be clobbered
+    * by — concurrent queries on the caller's session. The analyzed
+    * plan (not the raw logical one) carries already-resolved relations
+    * and temp-view expansions, so nothing session-scoped needs
+    * re-resolution. */
+  def rebind(session: org.apache.spark.sql.SparkSession, df: DataFrame): DataFrame =
+    Dataset.ofRows(session.asInstanceOf[ClassicSession], df.queryExecution.analyzed)
+
   /** Re-root `df`'s analyzed plan with its scan leaves marked
     * streaming. Only the leaves need the flag (`LogicalPlan.isStreaming`
     * is an any-child fold), so projections/filters/unions stacked by
