@@ -148,6 +148,53 @@ object SparkEntry {
       dir
     }
 
+  /** A READER-V3 Delta table — name-mode COLUMN MAPPING (physical
+    * parquet names `col-k`/`col-p`/`col-o`) and a real protocol
+    * DELETION VECTOR (roaring-bitmap sidecar deleting the
+    * `key%7==0` rows of file A) — authored directly against the open
+    * protocol and then CONVERTED zero-copy, once per (session, dir):
+    * the x28/x29 substrate. This is the shape a 2024+ Databricks
+    * migrator actually brings (DVs are the default write path there;
+    * reference resources/spark.py:65-67). */
+  private def deltaDvAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"delta_dv|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_dv") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val schema = fx.mappedSchema(Seq(
+        ("o_orderkey", org.apache.spark.sql.types.LongType, "col-k"),
+        ("o_totalprice", org.apache.spark.sql.types.DoubleType, "col-p"),
+        ("o_orderpriority", org.apache.spark.sql.types.StringType, "col-o")))
+      def phys(df: DataFrame) = df
+        .withColumnRenamed("o_orderkey", "col-k")
+        .withColumnRenamed("o_totalprice", "col-p")
+        .withColumnRenamed("o_orderpriority", "col-o")
+      // file A sorted by key → deterministic row indexes for the DV
+      val a = fx.writeData(s, phys(o.where(col("o_orderkey") % 3 === 0)
+        .orderBy("o_orderkey")), dir, "part-a.parquet")
+      val b = fx.writeData(s, phys(o.where(col("o_orderkey") % 3 === 1)),
+        dir, "part-b.parquet")
+      val positions = s.read.parquet(s"$dir/part-a.parquet")
+        .select(col("_metadata.row_index"), col("col-k"))
+        .where(col("col-k") % 7 === 0)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val dv = fx.writeDv(s, dir, positions)
+      fx.commit(s, dir, 0, Seq(
+        fx.protocolJson(minReader = 3, minWriter = 7,
+          readerFeatures = Seq("deletionVectors", "columnMapping"),
+          writerFeatures = Seq("deletionVectors", "columnMapping")),
+        fx.metaDataJson(schema,
+          config = Map("delta.columnMapping.mode" -> "name")),
+        fx.addJson(a, deletionVector = Some(dv)),
+        fx.addJson(b)))
+      // x29's convert: DVs become the engine's native merge-on-read
+      // sidecar, the physical names its colMap
+      graft.core.TxTable.convertFromDelta(s, dir)
+      dir
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1140,6 +1187,31 @@ object SparkEntry {
       val dir = deltaPartitionedAsset(s, d)
       s.read.format("delta-log").load(dir)
         .where(col("o_orderpriority").isin("1-URGENT", "4-NOT SPECIFIED"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x28: delta-log read of a READER-V3 table — deletion vectors
+    // (merge-on-read row_index anti-join) AND name-mode column
+    // mapping (physical scan, logical surface) in one read; the
+    // 2024+ Databricks default-write shape
+    "x28_delta_dv_read"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaDvAsset(s, d)
+      s.read.format("delta-log").load(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x29: the SAME table converted zero-copy — Delta DVs translated
+    // into the engine's native DV sidecar, Delta physical names into
+    // its colMap; read through the full TxTable stack
+    "x29_delta_dv_convert" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaDvAsset(s, d)
+      graft.core.TxTable(s, dir).read()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           Relational.decSum(col("o_totalprice")).as("sum_price"))
@@ -2584,6 +2656,24 @@ object SparkEntry {
         |    AS sum_price
         |FROM orders
         |WHERE o_orderpriority IN ('1-URGENT', '4-NOT SPECIFIED')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x28/x29 replay the DV'd + column-mapped fixture: files hold
+    // keys %3∈{0,1}; the DV deletes key%7==0 rows of the %3==0 file
+    "x28_delta_dv_read" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 < 2
+        |  AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x29_delta_dv_convert" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 3 < 2
+        |  AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -38,8 +38,57 @@ private[graft] object DeltaFixture {
     DataFile(relPath, st.getLen, st.getModificationTime, rows)
   }
 
-  def protocolJson(minReader: Int = 1, minWriter: Int = 2): String =
-    s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter}}"""
+  def protocolJson(minReader: Int = 1, minWriter: Int = 2,
+      readerFeatures: Seq[String] = Nil,
+      writerFeatures: Seq[String] = Nil): String = {
+    val om = new ObjectMapper()
+    val n = om.createObjectNode()
+    val p = n.putObject("protocol")
+    p.put("minReaderVersion", minReader)
+    p.put("minWriterVersion", minWriter)
+    if (readerFeatures.nonEmpty) {
+      val a = p.putArray("readerFeatures"); readerFeatures.foreach(a.add)
+    }
+    if (writerFeatures.nonEmpty) {
+      val a = p.putArray("writerFeatures"); writerFeatures.foreach(a.add)
+    }
+    om.writeValueAsString(n)
+  }
+
+  /** Schema with `name`-mode column-mapping metadata: each field gets
+    * the given PHYSICAL name (+ a stable field id) in its metadata —
+    * the shape `ALTER TABLE ... RENAME COLUMN` leaves behind. */
+  def mappedSchema(fields: Seq[(String, org.apache.spark.sql.types.DataType,
+      String)]): StructType =
+    StructType(fields.zipWithIndex.map { case ((logical, dt, physical), i) =>
+      StructField(logical, dt, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", physical)
+          .build())
+    })
+
+  /** Write a REAL protocol-conformant deletion-vector file for the
+    * given deleted row indexes and return its `u`-storage descriptor
+    * (uuid-derived name under the table root). */
+  def writeDv(spark: SparkSession, rootStr: String,
+      positions: Seq[Long]): DeltaDv.Descriptor = {
+    val root = new Path(rootStr)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val blob = DeltaDv.serializeBitmaps(positions)
+    val (d, file) = DeltaDv.uDescriptor(root, "", java.util.UUID.randomUUID(),
+      offset = 1, sizeInBytes = blob.length, cardinality = positions.size.toLong)
+    val offsets = DeltaDv.writeFile(fs, file, Seq(blob))
+    require(offsets == Seq(1), s"unexpected DV offsets $offsets")
+    d
+  }
+
+  /** Inline (`i`-storage) descriptor for the given deleted rows. */
+  def inlineDv(positions: Seq[Long]): DeltaDv.Descriptor = {
+    val blob = DeltaDv.serializeBitmaps(positions)
+    DeltaDv.Descriptor("i", DeltaDv.z85Encode(blob), None, blob.length,
+      positions.size.toLong)
+  }
 
   def metaDataJson(schema: StructType, partitionCols: Seq[String] = Nil,
       config: Map[String, String] = Map.empty): String = {
@@ -59,7 +108,8 @@ private[graft] object DeltaFixture {
   }
 
   def addJson(f: DataFile, partitionValues: Map[String, String] = Map.empty,
-      stats: Option[String] = None, deletionVector: Boolean = false): String = {
+      stats: Option[String] = None,
+      deletionVector: Option[DeltaDv.Descriptor] = None): String = {
     val om = new ObjectMapper()
     val n = om.createObjectNode()
     val a = n.putObject("add")
@@ -70,10 +120,13 @@ private[graft] object DeltaFixture {
     a.put("modificationTime", f.mtimeMs)
     a.put("dataChange", true)
     stats.foreach(s => a.put("stats", s))
-    if (deletionVector) {
+    deletionVector.foreach { d =>
       val dv = a.putObject("deletionVector")
-      dv.put("storageType", "u"); dv.put("pathOrInlineDv", "ab^-aqEH.-t@S}K{")
-      dv.put("offset", 1); dv.put("sizeInBytes", 36); dv.put("cardinality", 2L)
+      dv.put("storageType", d.storageType)
+      dv.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(o => dv.put("offset", o))
+      dv.put("sizeInBytes", d.sizeInBytes)
+      dv.put("cardinality", d.cardinality)
     }
     om.writeValueAsString(n)
   }
@@ -106,14 +159,23 @@ private[graft] object DeltaFixture {
     * reader must handle ([[DeltaLog.snapshot]]'s base-state path). */
   def checkpoint(spark: SparkSession, rootStr: String, version: Long,
       schema: StructType, partitionCols: Seq[String],
-      adds: Seq[(DataFile, Map[String, String], Option[String])]): Unit = {
+      adds: Seq[(DataFile, Map[String, String], Option[String])],
+      dvFor: Map[String, DeltaDv.Descriptor] = Map.empty,
+      protocol: (Int, Int) = (1, 2)): Unit = {
+    val dvType = StructType(Seq(
+      StructField("storageType", StringType),
+      StructField("pathOrInlineDv", StringType),
+      StructField("offset", org.apache.spark.sql.types.IntegerType),
+      StructField("sizeInBytes", org.apache.spark.sql.types.IntegerType),
+      StructField("cardinality", LongType)))
     val addType = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
       StructField("size", LongType),
       StructField("modificationTime", LongType),
       StructField("dataChange", org.apache.spark.sql.types.BooleanType),
-      StructField("stats", StringType)))
+      StructField("stats", StringType)) ++
+      (if (dvFor.nonEmpty) Seq(StructField("deletionVector", dvType)) else Nil))
     val metaType = StructType(Seq(
       StructField("id", StringType),
       StructField("format", StructType(Seq(
@@ -131,10 +193,15 @@ private[graft] object DeltaFixture {
     val rows =
       Row(null, Row(java.util.UUID.randomUUID().toString, Row("parquet"),
         schema.json, partitionCols, Map.empty[String, String]), null) +:
-      Row(null, null, Row(1, 2)) +:
+      Row(null, null, Row(protocol._1, protocol._2)) +:
       adds.map { case (f, pv, stats) =>
-        Row(Row(f.relPath, pv, f.bytes, f.mtimeMs, true, stats.orNull),
-          null, null)
+        val base = Seq(f.relPath, pv, f.bytes, f.mtimeMs, true, stats.orNull)
+        val withDv =
+          if (dvFor.isEmpty) base
+          else base :+ dvFor.get(f.relPath).map(d =>
+            Row(d.storageType, d.pathOrInlineDv, d.offset.map(Int.box).orNull,
+              d.sizeInBytes, d.cardinality)).orNull
+        Row(Row.fromSeq(withDv), null, null)
       }
     val logDir = new Path(rootStr, "_delta_log")
     val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -26,42 +26,76 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *   - `remove` actions are tombstones for vacuum — a removed path
   *     simply leaves the live set.
   *
-  * UNSUPPORTED protocol features refuse LOUDLY rather than risk a
-  * wrong read: reader version ≥ 2 (column mapping / deletion vectors
-  * live behind it), any `add` carrying a `deletionVector`, column-
-  * mapping table configuration, and absolute/external file paths
-  * (shallow clones). What IS supported — plain parquet tables with or
-  * without hive partitioning, checkpointed or not — covers the
-  * overwhelming majority of real Delta tables.
+  * READER V2/V3 support (the 2024+ Databricks default write path —
+  * without it a migrating user's first modern table refuses on day
+  * one):
+  *
+  *   - **Deletion vectors**: an `add` may carry a `deletionVector`
+  *     descriptor; the marked row indexes (decoded by
+  *     [[DeltaDv]] from the published roaring-bitmap sidecar format)
+  *     are EXCLUDED from every read — merge-on-read, same shape as
+  *     this engine's own native DV path (`_metadata.row_index`
+  *     anti-join; TxTable x12/x15).
+  *   - **Column mapping, `name` mode** (what `ALTER TABLE RENAME
+  *     COLUMN` turns on): parquet files carry frozen PHYSICAL names
+  *     (`delta.columnMapping.physicalName` in the schema's field
+  *     metadata); scans read physical and surface logical, and the
+  *     log's physically-keyed partition values / stats are translated
+  *     at parse time. `id` mode (resolution by parquet field id)
+  *     still refuses loudly — a narrowed, named refusal.
+  *   - Reader version 3 tables are accepted iff every `readerFeatures`
+  *     entry is implemented here (`deletionVectors`, `columnMapping`,
+  *     `timestampNtz`); anything else — `v2Checkpoint`, future
+  *     features — refuses with the feature named, never a wrong read.
   *
   * Scale note: snapshot state is driver-materialized, O(live files) —
   * the same cost class as this engine's own manifest (and as Delta's
   * own driver-side state reconstruction). Checkpoint parquet is read
   * through Spark, so million-file checkpoints parse distributed and
-  * only the collected add-list lands on the driver. */
+  * only the collected add-list lands on the driver. DV bitmaps are
+  * decoded lazily at READ time (not snapshot time) and are
+  * deleted-row-sized. */
 object DeltaLog {
 
   /** One live data file: root-relative DECODED path, partition values
-    * (None = null partition value), size/mtime from the add action,
-    * and stats translated to the manifest's string encoding (only
-    * where sound — see [[statsOf]]). `rows = -1` when the add carried
-    * no stats. */
+    * keyed by LOGICAL column name (None = null partition value),
+    * size/mtime from the add action, stats translated to the
+    * manifest's string encoding and LOGICAL keys (only where sound —
+    * see [[statsOf]]), and the optional deletion-vector descriptor.
+    * `rows = -1` when the add carried no stats. `rawPath` is the
+    * log's own (possibly URL-encoded) spelling — the remove/re-add
+    * identity key. */
   final case class DeltaAdd(path: String, partition: Map[String, Option[String]],
       bytes: Long, mtimeMs: Long, rows: Long,
       min: Map[String, String], max: Map[String, String],
-      nulls: Map[String, Long])
+      nulls: Map[String, Long], dv: Option[DeltaDv.Descriptor] = None)
 
-  /** The reconstructed active state of a Delta table. */
+  /** The reconstructed active state of a Delta table. `schema` and
+    * `partitionCols` are LOGICAL; `colMap` (logical → physical, empty
+    * without column mapping) names the parquet-file columns. */
   final case class DeltaSnapshot(root: String, version: Long,
       schema: StructType, partitionCols: Seq[String],
-      configuration: Map[String, String], adds: Seq[DeltaAdd]) {
+      configuration: Map[String, String], adds: Seq[DeltaAdd],
+      colMap: Map[String, String] = Map.empty) {
+    def physName(c: String): String = colMap.getOrElse(c, c)
+    /** Scan schema: the NON-partition fields under their PHYSICAL
+      * names (what the data files actually store). */
     def dataSchema: StructType = {
       val p = partitionCols.toSet
-      StructType(schema.fields.filterNot(f => p.contains(f.name)))
+      StructType(schema.fields.filterNot(f => p.contains(f.name))
+        .map(f => f.copy(name = physName(f.name))))
     }
   }
 
   private val LogDir = "_delta_log"
+  private val PhysNameKey = "delta.columnMapping.physicalName"
+
+  /** Reader features this module implements; any OTHER feature on a
+    * reader-v3 table refuses with its name. `timestampNtz` is pure
+    * schema surface (Spark's TimestampNTZType round-trips through
+    * `DataType.fromJson`). */
+  private val SupportedReaderFeatures =
+    Set("deletionVectors", "columnMapping", "timestampNtz")
 
   /** True iff `path` carries a Delta transaction log. */
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
@@ -89,6 +123,7 @@ object DeltaLog {
 
     var meta: Option[JsonNode] = None
     var protocol: Option[JsonNode] = None
+    // keyed by the log's RAW path spelling (remove/re-add identity)
     val live = scala.collection.mutable.LinkedHashMap[String, DeltaAdd]()
 
     if (cpVersion >= 0) {
@@ -103,12 +138,19 @@ object DeltaLog {
       val cols = cp.columns.toSet
       // adds: distributed parse, only the live-file list is collected
       if (cols.contains("add")) {
-        import org.apache.spark.sql.functions.col
-        val hasStats = cp.select("add.*").columns.contains("stats")
+        import org.apache.spark.sql.functions.{col, to_json}
+        val addCols = cp.select("add.*").columns.toSet
+        val hasStats = addCols.contains("stats")
+        // checkpoint adds carry their DV descriptors too — parse them
+        // exactly like the JSON path (an ignored checkpoint DV would
+        // silently resurrect deleted rows)
+        val hasDv = addCols.contains("deletionVector")
         val rows = cp.where(col("add").isNotNull).select(
           Seq(col("add.path"), col("add.partitionValues"),
             col("add.size"), col("add.modificationTime")) ++
-          (if (hasStats) Seq(col("add.stats")) else Nil): _*).collect()
+          (if (hasStats) Seq(col("add.stats")) else Nil) ++
+          (if (hasDv) Seq(to_json(col("add.deletionVector"))) else Nil): _*)
+          .collect()
         rows.foreach { r =>
           val path = r.getString(0)
           val pv = Option(r.getMap[String, String](1))
@@ -116,7 +158,10 @@ object DeltaLog {
             .getOrElse(Map.empty[String, Option[String]])
           val stats = if (hasStats && !r.isNullAt(4))
             Option(r.getString(4)) else None
-          live(path) = mkAdd(om, path, pv, r.getLong(2), r.getLong(3), stats)
+          val dvIdx = if (hasStats) 5 else 4
+          val dv = if (hasDv && !r.isNullAt(dvIdx))
+            Some(parseDv(om.readTree(r.getString(dvIdx)), rootStr)) else None
+          live(path) = mkAdd(om, path, pv, r.getLong(2), r.getLong(3), stats, dv)
         }
       }
       if (cols.contains("metaData")) {
@@ -145,6 +190,14 @@ object DeltaLog {
     require(cpVersion >= 0 || commits.headOption.contains(0L),
       s"$rootStr: Delta log starts at version ${commits.headOption.getOrElse(-1L)} " +
         "with no checkpoint — truncated log")
+    // a checkpointed log must continue CONTIGUOUSLY from the
+    // checkpoint: a stale _last_checkpoint over partially-cleaned
+    // commits (cp+1..k gone, later ones present) would otherwise
+    // replay later actions on a stale base — a silently wrong file set
+    require(cpVersion < 0 || commits.isEmpty || commits.head == cpVersion + 1,
+      s"$rootStr: first post-checkpoint commit ${commits.headOption.orNull} " +
+        s"is not checkpoint version $cpVersion + 1 — stale checkpoint over " +
+        "a cleaned log; refusing rather than replay on a stale base")
     commits.zip(commits.drop(1)).foreach { case (a, b) =>
       require(b == a + 1, s"$rootStr: Delta log gap between versions $a and $b")
     }
@@ -161,10 +214,8 @@ object DeltaLog {
         if (n.has("remove")) { live.remove(n.get("remove").get("path").asText()); () }
         if (n.has("add")) {
           val a = n.get("add")
-          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-            s"$rootStr: Delta table uses DELETION VECTORS (version $v) — " +
-              "unsupported; run `REORG TABLE ... APPLY (PURGE)` on the " +
-              "source to materialize deletes, then convert")
+          val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+            .map(parseDv(_, rootStr))
           val path = a.get("path").asText()
           val pv = Option(a.get("partitionValues")).map { m =>
             m.fields().asScala.map { e =>
@@ -174,7 +225,7 @@ object DeltaLog {
           }.getOrElse(Map.empty[String, Option[String]])
           live(path) = mkAdd(om, path, pv, a.get("size").asLong(),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
         }
       }
     }
@@ -184,23 +235,49 @@ object DeltaLog {
       s"$rootStr: Delta log carries no metaData action — corrupt log"))
     protocol.foreach { p =>
       val r = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
-      require(r <= 1,
-        s"$rootStr: Delta minReaderVersion $r — reader v2+ gates column " +
-          "mapping / deletion vectors / v2 checkpoints, which this " +
-          "converter does not implement; refusing rather than misread")
+      require(r <= 3,
+        s"$rootStr: Delta minReaderVersion $r exceeds 3 — refusing rather " +
+          "than misread a future protocol")
+      if (r == 3) {
+        val feats = Option(p.get("readerFeatures"))
+          .map(_.elements().asScala.map(_.asText()).toSet)
+          .getOrElse(Set.empty[String])
+        val unsupported = feats -- SupportedReaderFeatures
+        require(unsupported.isEmpty,
+          s"$rootStr: Delta readerFeatures ${unsupported.mkString(", ")} " +
+            "not implemented — refusing rather than misread")
+      }
     }
     val conf = Option(md.get("configuration")).map { c =>
       c.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
-    conf.get("delta.columnMapping.mode").filterNot(_ == "none").foreach { m =>
-      sys.error(s"$rootStr: Delta column mapping mode '$m' unsupported — " +
-        "physical parquet names differ from logical; refusing rather than misread")
-    }
+    val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name",
+      s"$rootStr: Delta column mapping mode '$cmMode' unsupported — only " +
+        "'name' mode (physical-name resolution) is implemented; 'id' mode " +
+        "resolves by parquet field id, refusing rather than misread")
     Option(md.get("format")).flatMap(f => Option(f.get("provider")))
       .map(_.asText()).foreach(p => require(p == "parquet",
         s"$rootStr: Delta format provider '$p' — only parquet is supported"))
     val schema = DataType.fromJson(md.get("schemaString").asText())
       .asInstanceOf[StructType]
+    val colMap: Map[String, String] =
+      if (cmMode == "none") Map.empty
+      else schema.fields.map { f =>
+        require(f.metadata.contains(PhysNameKey),
+          s"$rootStr: column mapping enabled but field '${f.name}' has no " +
+            s"$PhysNameKey — corrupt metadata")
+        f.name -> f.metadata.getString(PhysNameKey)
+      }.toMap
+    require(colMap.values.toSet.size == colMap.size,
+      s"$rootStr: duplicate physical column names in the mapping")
+    // nested structs under column mapping would need per-level
+    // physical names — refuse rather than read the top level only
+    if (colMap.nonEmpty) schema.fields.foreach { f =>
+      require(!f.dataType.isInstanceOf[StructType],
+        s"$rootStr: column mapping over nested struct '${f.name}' not " +
+          "implemented — refusing rather than misread nested fields")
+    }
     val partCols = Option(md.get("partitionColumns"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     live.keys.foreach { p =>
@@ -208,15 +285,43 @@ object DeltaLog {
         s"$rootStr: Delta add references EXTERNAL file $p (shallow clone?) " +
           "— zero-copy convert requires table-rooted files")
     }
+    // with column mapping, the log keys partition values and stats by
+    // PHYSICAL name (per the protocol) — surface LOGICAL keys
+    val physToLogical = colMap.map(_.swap)
+    def logicalKeys(a: DeltaAdd): DeltaAdd =
+      if (colMap.isEmpty) a
+      else a.copy(
+        partition = a.partition.flatMap { case (k, v) =>
+          physToLogical.get(k).map(_ -> v) },
+        min = a.min.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
+        max = a.max.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
+        nulls = a.nulls.flatMap { case (k, v) =>
+          physToLogical.get(k).map(_ -> v) })
     DeltaSnapshot(rootStr, commits.lastOption.getOrElse(cpVersion),
-      schema, partCols, conf, live.values.toSeq.sortBy(_.path))
+      schema, partCols, conf, live.values.map(logicalKeys).toSeq.sortBy(_.path),
+      colMap)
+  }
+
+  private def parseDv(n: JsonNode, rootStr: String): DeltaDv.Descriptor = {
+    def str(k: String) = Option(n.get(k)).filterNot(_.isNull).map(_.asText())
+      .getOrElse(sys.error(s"$rootStr: deletionVector missing $k"))
+    DeltaDv.Descriptor(
+      storageType = str("storageType"),
+      pathOrInlineDv = str("pathOrInlineDv"),
+      offset = Option(n.get("offset")).filterNot(_.isNull).map(_.asInt()),
+      sizeInBytes = Option(n.get("sizeInBytes")).filterNot(_.isNull)
+        .map(_.asInt()).getOrElse(sys.error(
+          s"$rootStr: deletionVector missing sizeInBytes")),
+      cardinality = Option(n.get("cardinality")).filterNot(_.isNull)
+        .map(_.asLong()).getOrElse(sys.error(
+          s"$rootStr: deletionVector missing cardinality")))
   }
 
   /** Decode one add action: percent-decoded path + stats translated
     * into the manifest's string encoding. */
   private def mkAdd(om: ObjectMapper, rawPath: String,
       pv: Map[String, Option[String]], size: Long, mtime: Long,
-      statsJson: Option[String]): DeltaAdd = {
+      statsJson: Option[String], dv: Option[DeltaDv.Descriptor]): DeltaAdd = {
     val decoded =
       try new java.net.URI(rawPath).getPath
       catch { case _: java.net.URISyntaxException => rawPath }
@@ -248,7 +353,7 @@ object DeltaLog {
             Map.empty[String, Long])
         }
     }
-    DeltaAdd(decoded, pv, size, mtime, rows, mins, maxs, nulls)
+    DeltaAdd(decoded, pv, size, mtime, rows, mins, maxs, nulls, dv)
   }
 
   private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
@@ -262,10 +367,23 @@ object DeltaLog {
     * frame through ONE broadcast join of (file path → partition
     * values) against `_metadata.file_path` — a single scan whatever
     * the partition count, no per-partition unions (the shape that
-    * survives 10⁴ partitions). `filters` prunes the add list BEFORE
-    * planning where a partition-column filter allows (EqualTo /
+    * survives 10⁴ partitions). Deletion-vector'd files additionally
+    * anti-join a broadcast (file, row_index) set — merge-on-read,
+    * deleted-row-sized. Column-mapped tables scan under PHYSICAL
+    * names and surface logical ones. `filters` prunes the add list
+    * BEFORE planning where a partition-column filter allows (EqualTo /
     * In / IsNull on canonically-serialized types), the Delta
-    * partition-pruning behavior. */
+    * partition-pruning behavior.
+    *
+    * Join-key encoding: `_metadata.file_path` is the file's
+    * URL-ENCODED URI (Spark's SparkPath), so the build side keys by
+    * `Path.toUri.toString` — the same encoding — never the decoded
+    * `Path.toString` (a space/%/# in a real path would silently drop
+    * the whole file from an inner join keyed on mixed encodings).
+    * And because a silently-dropped file is the worst failure mode a
+    * reader can have, the join is LEFT with a per-row guard: a scan
+    * row whose file matches no build-side entry RAISES (encoding
+    * drift named in the error) instead of disappearing. */
   private[graft] def buildDf(spark: SparkSession, snap: DeltaSnapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.DataFrame = {
@@ -303,33 +421,82 @@ object DeltaLog {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq))
-    val qualified = adds.map(a =>
-      fs.makeQualified(new Path(root, a.path)).toString)
-    val scan = spark.read.schema(snap.dataSchema)
-      .parquet(qualified: _*)
-    if (snap.partitionCols.isEmpty)
-      return scan.select(snap.schema.fieldNames.map(col): _*)
-    // (file → partition values) as a broadcast dim: one row per live
-    // file, string-typed, cast to the declared partition types
+    val qualified = adds.map(a => fs.makeQualified(new Path(root, a.path)))
+    // scan input: decoded Path strings (the form the reader lists);
+    // join keys: Spark's own `_metadata.file_path` spelling
+    val scanPaths = qualified.map(_.toString)
+    val uriKeys = adds.zip(qualified.map(UriKeys.sparkPathKey))
+    val scan0 = spark.read.schema(snap.dataSchema)
+      .parquet(scanPaths: _*)
+    // final projection: physical → logical names
+    def logicalCols = snap.schema.fieldNames.map(n =>
+      if (pSet.contains(n)) col(n) else col(snap.physName(n)).as(n))
+    val anyDv = adds.exists(_.dv.isDefined)
+    if (snap.partitionCols.isEmpty && !anyDv)
+      return scan0.select(logicalCols: _*) // plain table: no joins at all
+    // ---- ONE broadcast per-file dim: join-verified marker +
+    //      partition values --------------------------------------------
     val fileCol = "__delta_file"
+    val okCol = "__delta_ok"
     val pvSchema = StructType(
-      org.apache.spark.sql.types.StructField(fileCol,
-        org.apache.spark.sql.types.StringType, nullable = false) +:
+      Seq(org.apache.spark.sql.types.StructField(fileCol,
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField(okCol,
+          org.apache.spark.sql.types.BooleanType, nullable = false)) ++
       snap.partitionCols.map(c => org.apache.spark.sql.types.StructField(
         s"__pv_$c", org.apache.spark.sql.types.StringType)))
-    val pvRows = adds.zip(qualified).map { case (a, q) =>
+    val pvRows = uriKeys.map { case (a, key) =>
       org.apache.spark.sql.Row.fromSeq(
-        q +: snap.partitionCols.map(c => a.partition.get(c).flatten.orNull))
+        key +: true +: snap.partitionCols.map(c =>
+          a.partition.get(c).flatten.orNull))
     }
     val pvDf = spark.createDataFrame(
       spark.sparkContext.parallelize(pvRows, 1), pvSchema)
-    val typed = snap.partitionCols.foldLeft(
-      scan.withColumn(fileCol, col("_metadata.file_path"))
-        .join(broadcast(pvDf), fileCol)) { (df, c) =>
+    // metadata columns resolve only directly above the scan — capture
+    // BOTH (file for the dim join, row position for the DV anti-join)
+    // before any join hides them
+    val tagged =
+      if (anyDv)
+        scan0.withColumn(fileCol, col("_metadata.file_path"))
+          .withColumn("__delta_pos", col("_metadata.row_index"))
+      else scan0.withColumn(fileCol, col("_metadata.file_path"))
+    val joined = tagged
+      .join(broadcast(pvDf), Seq(fileCol), "left")
+      // the loud guard: a scan row whose file matched no log entry
+      // means the two path encodings drifted — raise, never drop
+      .filter(org.apache.spark.sql.functions.when(col(okCol).isNull,
+          org.apache.spark.sql.functions.raise_error(
+            org.apache.spark.sql.functions.concat(
+              lit(s"delta-log ${snap.root}: scan row from file "),
+              col(fileCol),
+              lit(" matched no log entry — path-encoding drift; refusing" +
+                " rather than drop rows"))))
+        .otherwise(lit(true)))
+      .drop(okCol)
+    // ---- merge-on-read: deletion-vector'd rows leave here -----------
+    val dved = uriKeys.filter(_._1.dv.isDefined)
+    val undeleted =
+      if (dved.isEmpty) joined
+      else {
+        val deleted: Seq[(String, Long)] = dved.flatMap { case (a, key) =>
+          DeltaDv.readPositions(fs, root, a.dv.get).map(key -> _)
+        }
+        val dvDf = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            deleted.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
+          StructType(Seq(
+            org.apache.spark.sql.types.StructField(fileCol,
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("__delta_pos",
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        joined
+          .join(broadcast(dvDf), Seq(fileCol, "__delta_pos"), "left_anti")
+      }
+    val typed = snap.partitionCols.foldLeft(undeleted) { (df, c) =>
       val dt = snap.schema(c).dataType
       df.withColumn(c, col(s"__pv_$c").cast(dt)).drop(s"__pv_$c")
-    }.drop(fileCol)
-    typed.select(snap.schema.fieldNames.map(col): _*)
+    }.drop(fileCol, "__delta_pos")
+    typed.select(logicalCols: _*)
   }
 
   /** Plain read of the active snapshot (no pushed filters). */

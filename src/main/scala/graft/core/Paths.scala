@@ -70,3 +70,21 @@ final case class PathResolver(
   def assetPath(assetKey: String*): String =
     (baseIO +: assetKey).mkString("/") + ".parquet"
 }
+
+/** The ONE spelling of a file's URI that matches Spark's
+  * `_metadata.file_path` / `input_file_name` exactly — the join-key
+  * normalization every (file → metadata) broadcast dim in this repo
+  * must use. Spark renders a scan file as a URL-ENCODED URI with a
+  * NULL authority when there is none (`file:/tmp/a%20b`), while
+  * `Path.toString` is DECODED and `Path.toUri.toString` renders an
+  * EMPTY authority as `file:///` — so neither raw form joins safely
+  * against the metadata column. Rebuilding through the multi-arg
+  * `java.net.URI` constructor (which quotes `%`, spaces, `#`, …)
+  * reproduces Spark's form for local, HDFS, and object-store URIs. */
+private[graft] object UriKeys {
+  def sparkPathKey(p: org.apache.hadoop.fs.Path): String = {
+    val u = p.toUri
+    val auth = Option(u.getAuthority).filter(_.nonEmpty).orNull
+    new java.net.URI(u.getScheme, auth, u.getPath, null, null).toString
+  }
+}

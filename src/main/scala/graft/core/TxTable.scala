@@ -1145,13 +1145,41 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * — the SAME expression computes the DV file's path column at
     * delete time and the probe column at read time, so the anti-join
     * key matches by construction (no URI-scheme normalization to get
-    * wrong, and relative paths keep the table relocatable). Sound
-    * because every data file lives under exactly one `data/` level
-    * (write-id dirs are UUIDs; partition dirs are `__pt_`/`__bucket=`
-    * prefixed), so the LAST `/data/` segment is the table's. */
-  private def relDataPath: Column =
-    org.apache.spark.sql.functions.regexp_extract(
-      col("_metadata.file_path"), "^.*/(data/.*)$", 1)
+    * wrong, and relative paths keep the table relocatable). Primary
+    * form: strip this table's qualified root-URI prefix — both sides
+    * derive from the same Path/URI machinery, so the (URL-encoded)
+    * remainder matches raw-for-raw, and it covers files ANYWHERE
+    * under the root (engine-written `data/...` files AND zero-copy
+    * Delta-converted files at arbitrary relative paths). Fallback for
+    * a file_path that doesn't carry the prefix (e.g. a symlinked
+    * mount spelling): the legacy last-`/data/`-segment extraction,
+    * which yields exactly the same key for engine-written layouts —
+    * so DV sidecars written by either generation keep matching. */
+  private def relDataPath: Column = {
+    val prefix = UriKeys.sparkPathKey(fs.makeQualified(root))
+      .stripSuffix("/") + "/"
+    org.apache.spark.sql.functions.when(
+        col("_metadata.file_path").startsWith(prefix),
+        col("_metadata.file_path").substr(
+          org.apache.spark.sql.functions.lit(prefix.length + 1),
+          org.apache.spark.sql.functions.lit(Int.MaxValue)))
+      .otherwise(org.apache.spark.sql.functions.regexp_extract(
+        col("_metadata.file_path"), "^.*/(data/.*)$", 1))
+  }
+
+  /** The key [[relDataPath]] computes for a manifest entry's (decoded)
+    * relative path — the DRIVER side of the same extraction: qualify,
+    * re-encode, strip the qualified root. Lets zero-copy imports write
+    * DV sidecars whose keys match the read-time probe by
+    * construction. */
+  private def encodedRelPath(relPath: String): String = {
+    val prefix = UriKeys.sparkPathKey(fs.makeQualified(root))
+      .stripSuffix("/") + "/"
+    val full = UriKeys.sparkPathKey(fs.makeQualified(new Path(root, relPath)))
+    require(full.startsWith(prefix),
+      s"$root: $relPath does not qualify under the table root")
+    full.substring(prefix.length)
+  }
 
   // ---- column mapping -----------------------------------------------------
   // Physical parquet column names are FROZEN at column birth; RENAME/
@@ -3126,6 +3154,39 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val schema = snap.schema
     val statOk = schema.fields.filter(f => statsEligible(f.dataType))
       .map(f => f.name -> f.dataType).toMap
+    // column-mapped Delta slots straight into the engine's own
+    // logical→physical machinery: the manifest adopts Delta's frozen
+    // physical names as its colMap, and its stats stay PHYSICAL-keyed
+    // (the manifest convention) while DeltaLog surfaces logical keys
+    def toPhys(k: String): String = snap.colMap.getOrElse(k, k)
+    // Delta deletion vectors translate to the engine's native
+    // merge-on-read sidecar: ONE parquet side-file of (relative data
+    // path, row position) pairs — deleted-row-sized — whose keys match
+    // the read probe ([[relDataPath]]) by construction
+    val dved = snap.adds.filter(_.dv.isDefined)
+    val dvFile: Option[String] =
+      if (dved.isEmpty) None
+      else {
+        val pairs = dved.flatMap { a =>
+          val key = encodedRelPath(a.path)
+          DeltaDv.readPositions(fs, root, a.dv.get).map(p =>
+            org.apache.spark.sql.Row(key, p))
+        }
+        val df = spark.createDataFrame(
+          spark.sparkContext.parallelize(pairs, 1),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(DvPathCol, StringType,
+              nullable = false),
+            org.apache.spark.sql.types.StructField(DvPosCol,
+              org.apache.spark.sql.types.LongType, nullable = false))))
+        val (es, _) = writeDataFiles(df.coalesce(1), Nil,
+          withStats = false, enforce = false)
+        es match {
+          case Seq(one) => Some(one.path)
+          case other => sys.error(s"$root: DV translation produced " +
+            s"${other.size} files")
+        }
+      }
     val entries = snap.adds.map { a =>
       def usable(kv: Map[String, String], maxSide: Boolean) = kv.filter {
         case (k, _) => statOk.get(k).exists {
@@ -3133,15 +3194,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           case StringType => !maxSide // truncated string max is unsound
           case _ => true
         }
-      }
+      }.map { case (k, v) => toPhys(k) -> v }
       FileEntry(a.path, Map.empty, usable(a.min, maxSide = false),
         usable(a.max, maxSide = true), a.bytes, a.mtimeMs,
-        rows = a.rows, nulls = a.nulls.filter(kv => statOk.contains(kv._1)))
+        dvPath = a.dv.flatMap(_ => dvFile),
+        dvRows = a.dv.map(_.cardinality).getOrElse(0L),
+        rows = a.rows,
+        nulls = a.nulls.filter(kv => statOk.contains(kv._1))
+          .map { case (k, v) => toPhys(k) -> v })
     }.sortBy(_.path)
     commit { latest =>
       require(latest.isEmpty,
         s"$root: a commit raced the CONVERT FROM DELTA")
-      Pending(OpConvert, entries, schemaDdlOf(schema), Nil, None, None)
+      Pending(OpConvert, entries, schemaDdlOf(schema), Nil, None, None,
+        colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
     }
   }
 

@@ -162,35 +162,196 @@ class DeltaInteropSpec extends SparkSpec {
     assert(DeltaLog.read(spark, dir).count() == want.count())
   }
 
-  test("unsupported protocol features refuse LOUDLY, never misread") {
-    // deletion vectors
-    val dv = scratch("dv")
-    val f1 = DeltaFixture.writeData(spark, orders.limit(50), dv, "p.parquet")
-    DeltaFixture.commit(spark, dv, 0, Seq(
-      DeltaFixture.protocolJson(), DeltaFixture.metaDataJson(orders.schema),
-      DeltaFixture.addJson(f1, deletionVector = true)))
-    val e1 = intercept[Exception] { DeltaLog.snapshot(spark, dv) }
-    assert(e1.getMessage.contains("DELETION VECTORS"), e1.getMessage)
+  /** Write one flat file of the %3∈{0,1} orders rows SORTED by key
+    * (deterministic row indexes), plus the positions of key%7==0
+    * rows — the deleted set every DV test uses. */
+  private def dvSubstrate(dir: String): (DeltaFixture.DataFile, Seq[Long]) = {
+    val df = orders.where(col("o_orderkey") % 3 < 2).orderBy("o_orderkey")
+    val f = DeltaFixture.writeData(spark, df, dir, "part-dv.parquet")
+    val positions = spark.read.parquet(s"$dir/part-dv.parquet")
+      .select(col("_metadata.row_index"), col("o_orderkey"))
+      .where(col("o_orderkey") % 7 === 0)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(positions.nonEmpty, "fixture must delete something")
+    (f, positions)
+  }
 
-    // reader version 2 (column mapping era)
-    val rv = scratch("rv2")
+  private def dvExpected =
+    orders.where(col("o_orderkey") % 3 < 2 && col("o_orderkey") % 7 =!= 0)
+
+  test("deletion vectors: u-storage + inline DVs both subtract exactly " +
+      "their rows; checkpoint adds carry DVs too") {
+    val dir = scratch("dvread")
+    val (f, positions) = dvSubstrate(dir)
+    val dv = DeltaFixture.writeDv(spark, dir, positions)
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors"),
+        writerFeatures = Seq("deletionVectors")),
+      DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(f, deletionVector = Some(dv))))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.adds.head.dv.map(_.cardinality).contains(positions.size.toLong))
+    val got = DeltaLog.read(spark, dir)
+    assert(got.exceptAll(dvExpected).isEmpty && dvExpected.exceptAll(got).isEmpty)
+
+    // the same deletes INLINE ('i' storage)
+    val dir2 = scratch("dvinline")
+    val (f2, pos2) = dvSubstrate(dir2)
+    DeltaFixture.commit(spark, dir2, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors"),
+        writerFeatures = Seq("deletionVectors")),
+      DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(f2, deletionVector =
+        Some(DeltaFixture.inlineDv(pos2)))))
+    val got2 = spark.read.format("delta-log").load(dir2)
+    assert(got2.exceptAll(dvExpected).isEmpty && dvExpected.exceptAll(got2).isEmpty)
+
+    // DV'd add arriving via a parquet CHECKPOINT (not a JSON commit):
+    // ignoring it would resurrect the deleted rows
+    val dir3 = scratch("dvckpt")
+    val (f3, pos3) = dvSubstrate(dir3)
+    val dv3 = DeltaFixture.writeDv(spark, dir3, pos3)
+    DeltaFixture.checkpoint(spark, dir3, 0, orders.schema, Nil,
+      Seq((f3, Map.empty[String, String], None)),
+      dvFor = Map(f3.relPath -> dv3), protocol = (3, 7))
+    val got3 = DeltaLog.read(spark, dir3)
+    assert(got3.count() == dvExpected.count(),
+      "checkpoint-carried DV must subtract")
+  }
+
+  test("column mapping (name mode): physical files, logical surface, " +
+      "physically-keyed partition values and stats translate") {
+    val dir = scratch("cmap")
+    val schema = DeltaFixture.mappedSchema(Seq(
+      ("o_orderkey", LongType, "col-aaaa"),
+      ("o_totalprice", DoubleType, "col-bbbb"),
+      ("o_orderpriority", StringType, "col-cccc")))
+    val prios = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).sorted.take(2)
+    val files = prios.map { p =>
+      val df = orders.where(col("o_orderpriority") === p)
+        .drop("o_orderpriority")
+        .withColumnRenamed("o_orderkey", "col-aaaa")
+        .withColumnRenamed("o_totalprice", "col-bbbb")
+      (DeltaFixture.writeData(spark, df, dir,
+        s"pp=${p.hashCode.abs}/f.parquet"), p)
+    }
+    DeltaFixture.commit(spark, dir, 0,
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5) +:
+      DeltaFixture.metaDataJson(schema, Seq("o_orderpriority"),
+        config = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "3")) +:
+      files.map { case (f, p) =>
+        // partition values + stats keyed by PHYSICAL name, per protocol
+        DeltaFixture.addJson(f, Map("col-cccc" -> p),
+          stats = Some(DeltaFixture.statsJson(f.rows,
+            min = Map("col-aaaa" -> 1L), max = Map("col-aaaa" -> 999999999L))))
+      }.toSeq)
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.colMap == Map("o_orderkey" -> "col-aaaa",
+      "o_totalprice" -> "col-bbbb", "o_orderpriority" -> "col-cccc"))
+    assert(snap.adds.head.partition.keySet == Set("o_orderpriority"),
+      "partition keys surface LOGICAL")
+    assert(snap.adds.head.min.keySet == Set("o_orderkey"),
+      "stat keys surface LOGICAL")
+    val got = spark.read.format("delta-log").load(dir)
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    val want = orders.where(col("o_orderpriority").isin(prios: _*))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("CONVERT FROM DELTA of a DV'd + column-mapped table: zero-copy, " +
+      "rows exact, transactional verbs work on top") {
+    val dir = scratch("dvcmconv")
+    val schema = DeltaFixture.mappedSchema(Seq(
+      ("o_orderkey", LongType, "col-k"),
+      ("o_totalprice", DoubleType, "col-p"),
+      ("o_orderpriority", StringType, "col-o")))
+    val df = orders.where(col("o_orderkey") % 3 < 2).orderBy("o_orderkey")
+      .withColumnRenamed("o_orderkey", "col-k")
+      .withColumnRenamed("o_totalprice", "col-p")
+      .withColumnRenamed("o_orderpriority", "col-o")
+    val f = DeltaFixture.writeData(spark, df, dir, "part-dv.parquet")
+    val positions = spark.read.parquet(s"$dir/part-dv.parquet")
+      .select(col("_metadata.row_index"), col("col-k"))
+      .where(col("col-k") % 7 === 0)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    val dv = DeltaFixture.writeDv(spark, dir, positions)
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors", "columnMapping"),
+        writerFeatures = Seq("deletionVectors", "columnMapping")),
+      DeltaFixture.metaDataJson(schema,
+        config = Map("delta.columnMapping.mode" -> "name")),
+      DeltaFixture.addJson(f, deletionVector = Some(dv))))
+    // the delta-log reader sees through both features…
+    val viaLog = DeltaLog.read(spark, dir)
+    assert(viaLog.exceptAll(dvExpected).isEmpty &&
+      dvExpected.exceptAll(viaLog).isEmpty)
+    // …and the zero-copy convert translates them into the engine's own
+    // colMap + merge-on-read sidecar
+    val t = TxTable.convertFromDelta(spark, dir)
+    val got = t.read()
+    assert(got.schema.fieldNames.toSeq ==
+      Seq("o_orderkey", "o_totalprice", "o_orderpriority"))
+    assert(got.exceptAll(dvExpected).isEmpty && dvExpected.exceptAll(got).isEmpty)
+    // transactional verbs on the converted table: append, then a
+    // metadata-only rename on top of the ADOPTED physical names
+    t.append(orders.where(col("o_orderkey") % 3 === 2).limit(7))
+    assert(t.read().count() == dvExpected.count() + 7)
+    t.renameColumn("o_totalprice", "price")
+    assert(t.read().schema.fieldNames.contains("price"))
+  }
+
+  test("unsupported protocol features refuse LOUDLY, never misread") {
+    // reader 3 with an unimplemented feature
+    val rv = scratch("rv3feat")
     val f2 = DeltaFixture.writeData(spark, orders.limit(50), rv, "p.parquet")
     DeltaFixture.commit(spark, rv, 0, Seq(
-      DeltaFixture.protocolJson(minReader = 2),
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors", "v2Checkpoint")),
       DeltaFixture.metaDataJson(orders.schema), DeltaFixture.addJson(f2)))
     val e2 = intercept[Exception] { DeltaLog.snapshot(spark, rv) }
-    assert(e2.getMessage.contains("minReaderVersion"), e2.getMessage)
+    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
 
-    // column mapping configuration
-    val cm = scratch("cmap")
+    // column mapping id mode (field-id resolution) still refuses
+    val cm = scratch("cmapid")
     val f3 = DeltaFixture.writeData(spark, orders.limit(50), cm, "p.parquet")
     DeltaFixture.commit(spark, cm, 0, Seq(
-      DeltaFixture.protocolJson(),
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
       DeltaFixture.metaDataJson(orders.schema,
-        config = Map("delta.columnMapping.mode" -> "name")),
+        config = Map("delta.columnMapping.mode" -> "id")),
       DeltaFixture.addJson(f3)))
     val e3 = intercept[Exception] { DeltaLog.snapshot(spark, cm) }
-    assert(e3.getMessage.contains("column mapping"), e3.getMessage)
+    assert(e3.getMessage.contains("'id'"), e3.getMessage)
+
+    // name mode WITHOUT physicalName metadata = corrupt metadata
+    val cn = scratch("cmapnometa")
+    val f3b = DeltaFixture.writeData(spark, orders.limit(50), cn, "p.parquet")
+    DeltaFixture.commit(spark, cn, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(orders.schema,
+        config = Map("delta.columnMapping.mode" -> "name")),
+      DeltaFixture.addJson(f3b)))
+    val e3b = intercept[Exception] { DeltaLog.snapshot(spark, cn) }
+    assert(e3b.getMessage.contains("physicalName") ||
+      e3b.getMessage.contains("delta.columnMapping"), e3b.getMessage)
+
+    // a DV whose cardinality disagrees with its bitmap = corrupt table
+    val dvbad = scratch("dvbadcard")
+    val (f6, pos6) = dvSubstrate(dvbad)
+    val dv6 = DeltaFixture.writeDv(spark, dvbad, pos6)
+    DeltaFixture.commit(spark, dvbad, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors")),
+      DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(f6,
+        deletionVector = Some(dv6.copy(cardinality = dv6.cardinality + 1)))))
+    val e6 = intercept[Exception] { DeltaLog.read(spark, dvbad).collect() }
+    assert(e6.getMessage.contains("cardinality"), e6.getMessage)
 
     // log gap = corrupt
     val gap = scratch("gap")
@@ -201,6 +362,16 @@ class DeltaInteropSpec extends SparkSpec {
     DeltaFixture.commit(spark, gap, 2, Seq(DeltaFixture.addJson(f4)))
     val e4 = intercept[Exception] { DeltaLog.snapshot(spark, gap) }
     assert(e4.getMessage.contains("gap"), e4.getMessage)
+
+    // stale _last_checkpoint over a cleaned log: first surviving
+    // commit is NOT checkpoint+1 — refuse, never replay on a stale base
+    val stale = scratch("stale")
+    val f7 = DeltaFixture.writeData(spark, orders.limit(50), stale, "p.parquet")
+    DeltaFixture.checkpoint(spark, stale, 0, orders.schema, Nil,
+      Seq((f7, Map.empty[String, String], None)))
+    DeltaFixture.commit(spark, stale, 2, Seq(DeltaFixture.addJson(f7)))
+    val e7 = intercept[Exception] { DeltaLog.snapshot(spark, stale) }
+    assert(e7.getMessage.contains("stale"), e7.getMessage)
 
     // partitioned zero-copy convert refuses toward the copy path
     val pc = scratch("pconv")
