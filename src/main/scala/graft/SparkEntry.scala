@@ -195,6 +195,24 @@ object SparkEntry {
       dir
     }
 
+  /** A PARTITIONED txtable EXPORTED as a Delta mirror
+    * ([[graft.core.TxTable.exportToDelta]]), once per (session, dir):
+    * the x30 substrate — the engine as a good lakehouse CITIZEN, its
+    * snapshot readable by any delta-speaking engine with zero data
+    * copy. */
+  private def deltaExportAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"delta_exp|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_exp") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      t.overwrite(Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+        .where(col("o_orderkey") % 2 === 0),
+        partitionBy = Seq("o_orderpriority"))
+      t.exportToDelta()
+      dir
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1212,6 +1230,58 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val dir = deltaDvAsset(s, d)
       graft.core.TxTable(s, dir).read()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // s14: STREAMING read of a Delta table — readStream.format(
+    // "delta-log") tails the JSON commits as version-window
+    // microbatches: the first drain serves the pinned snapshot
+    // (commit 0), a commit appended BETWEEN drains is served by the
+    // second drain from the SAME checkpoint (restart-resumes, no
+    // rescan); gated on the union being exactly the table
+    "s14_delta_stream"   -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val dir = EventsStream.scratchDir("graft_s14_delta") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val a = fx.writeData(s, o.where(col("o_orderkey") % 3 === 0),
+        dir, "part-a.parquet")
+      fx.commit(s, dir, 0, Seq(fx.protocolJson(),
+        fx.metaDataJson(o.schema), fx.addJson(a)))
+      val out = EventsStream.scratchDir("graft_s14_out")
+      def drain(): Unit = {
+        val q = s.readStream.format("delta-log").load(dir)
+          .writeStream.format("parquet")
+          .option("path", s"$out/rows")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // batch 0: the pinned snapshot
+      val b = fx.writeData(s, o.where(col("o_orderkey") % 3 === 1),
+        dir, "part-b.parquet")
+      fx.commit(s, dir, 1, Seq(fx.addJson(b)))
+      drain() // tail: ONLY commit 1's file
+      s.read.parquet(s"$out/rows")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x30: CONVERT TO DELTA — a partitioned txtable exported as an
+    // open _delta_log (zero copy) and read back THROUGH the Delta
+    // protocol (partition values from the exported log, IN-filter
+    // pruning the exported file list before planning)
+    "x30_delta_export"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaExportAsset(s, d)
+      s.read.format("delta-log").load(dir)
+        .where(col("o_orderpriority").isin("2-HIGH", "5-LOW"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           Relational.decSum(col("o_totalprice")).as("sum_price"))
@@ -2674,6 +2744,21 @@ object SparkEntry {
         |FROM orders
         |WHERE o_orderkey % 3 < 2
         |  AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s14: snapshot (keys %3==0) + tailed commit (keys %3==1)
+    "s14_delta_stream" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x30_delta_export" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0
+        |  AND o_orderpriority IN ('2-HIGH', '5-LOW')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x8_tx_changes" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

@@ -103,9 +103,15 @@ object DeltaLog {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Reconstruct the latest snapshot. Throws with a NAMED reason on
-    * any unsupported protocol feature (never a wrong read). */
-  def snapshot(spark: SparkSession, rootStr: String): DeltaSnapshot = {
+  /** Reconstruct the latest snapshot — or, with `atVersion`, the
+    * PINNED snapshot as of that version (the streaming batch-0
+    * contract: crash-replay of the initial batch must see the same
+    * rows; a checkpoint NEWER than the pin is ignored and the JSON
+    * commits must then cover 0..atVersion or the call refuses).
+    * Throws with a NAMED reason on any unsupported protocol feature
+    * (never a wrong read). */
+  def snapshot(spark: SparkSession, rootStr: String,
+      atVersion: Option[Long] = None): DeltaSnapshot = {
     val root = new Path(rootStr)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(root, LogDir)
@@ -117,8 +123,9 @@ object DeltaLog {
     val (cpVersion, cpParts): (Long, Int) =
       if (fs.exists(lastCp)) {
         val n = om.readTree(readBytes(fs, lastCp))
-        (n.get("version").asLong(),
-          Option(n.get("parts")).map(_.asInt()).getOrElse(1))
+        val v = n.get("version").asLong()
+        if (atVersion.exists(_ < v)) (-1L, 0) // pinned BEFORE the checkpoint
+        else (v, Option(n.get("parts")).map(_.asInt()).getOrElse(1))
       } else (-1L, 0)
 
     var meta: Option[JsonNode] = None
@@ -186,7 +193,11 @@ object DeltaLog {
         case commitName(v) => Some(v.toLong)
         case _             => None
       }
-      .filter(_ > cpVersion).toSeq.sorted
+      .filter(v => v > cpVersion && atVersion.forall(v <= _)).toSeq.sorted
+    atVersion.foreach(v => require(
+      commits.lastOption.contains(v) || cpVersion == v,
+      s"$rootStr: pinned version $v is not present in the log " +
+        s"(have ${commits.lastOption.orNull}) — cleaned or never committed"))
     require(cpVersion >= 0 || commits.headOption.contains(0L),
       s"$rootStr: Delta log starts at version ${commits.headOption.getOrElse(-1L)} " +
         "with no checkpoint — truncated log")
@@ -502,4 +513,83 @@ object DeltaLog {
   /** Plain read of the active snapshot (no pushed filters). */
   def read(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame =
     buildDf(spark, snapshot(spark, path), Nil)
+
+  /** Newest committed version visible in the log (JSON commits ∪ the
+    * `_last_checkpoint` pointer) — the streaming source's offset
+    * probe: one directory listing, no state reconstruction. */
+  def latestVersion(spark: SparkSession, rootStr: String): Option[Long] = {
+    val logDir = new Path(new Path(rootStr), LogDir)
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logDir)) return None
+    val commitName = """(\d{20})\.json""".r
+    val om = new ObjectMapper()
+    val fromJson = fs.listStatus(logDir).iterator.map(_.getPath.getName)
+      .flatMap { case commitName(v) => Some(v.toLong); case _ => None }
+      .maxOption
+    val lastCp = new Path(logDir, "_last_checkpoint")
+    val fromCp = if (fs.exists(lastCp))
+      Some(om.readTree(readBytes(fs, lastCp)).get("version").asLong())
+    else None
+    (fromJson.toSeq ++ fromCp.toSeq).maxOption
+  }
+
+  /** The `add` actions of commits (from, to] — the streaming TAIL
+    * parser, sound ONLY for append-shaped commits: a `remove` action
+    * (rewrite/delete/compaction), a `metaData` or `protocol` change,
+    * or a deletion-vector'd add inside the window REFUSES with the
+    * standard change-feed reset signal (the consumer restarts from a
+    * snapshot — exactly [[TxTable.changesSince]]'s contract).
+    * Partition/stat keys are translated to LOGICAL names per the
+    * given snapshot's mapping. */
+  def addsInWindow(spark: SparkSession, snap: DeltaSnapshot,
+      from: Long, to: Long): Seq[DeltaAdd] = {
+    require(to > from, s"${snap.root}: empty window ($from, $to]")
+    val root = new Path(snap.root)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val logDir = new Path(root, LogDir)
+    val om = new ObjectMapper()
+    val physToLogical = snap.colMap.map(_.swap)
+    ((from + 1) to to).flatMap { v =>
+      val p = new Path(logDir, f"$v%020d.json")
+      require(fs.exists(p),
+        s"${snap.root}: commit $v aged out of the log — the incremental " +
+          "window is gone; restart the stream from a fresh snapshot")
+      val text = new String(readBytes(fs, p),
+        java.nio.charset.StandardCharsets.UTF_8)
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+        val n = om.readTree(line)
+        require(!n.has("remove"),
+          s"${snap.root}: commit $v REMOVES files — not append-shaped; " +
+            "an incremental read cannot represent a rewrite: restart " +
+            "the stream from a fresh snapshot")
+        require(!n.has("metaData"),
+          s"${snap.root}: commit $v changes table metadata — restart " +
+            "the stream from a fresh snapshot")
+        require(!n.has("protocol"),
+          s"${snap.root}: commit $v changes the protocol — restart " +
+            "the stream from a fresh snapshot")
+        if (!n.has("add")) None
+        else {
+          val a = n.get("add")
+          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+            s"${snap.root}: commit $v adds a DELETION-VECTOR'd file — a " +
+              "merge-on-read rewrite, not an append; restart the stream " +
+              "from a fresh snapshot")
+          val path = a.get("path").asText()
+          val pv = Option(a.get("partitionValues")).map { m =>
+            m.fields().asScala.map { e =>
+              e.getKey -> (if (e.getValue.isNull) None
+                           else Some(e.getValue.asText()))
+            }.toMap
+          }.getOrElse(Map.empty[String, Option[String]])
+          val add = mkAdd(om, path, pv, a.get("size").asLong(),
+            Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), None)
+          Some(if (snap.colMap.isEmpty) add
+          else add.copy(partition = add.partition.flatMap { case (k, vv) =>
+            physToLogical.get(k).map(_ -> vv) }))
+        }
+      }.toSeq
+    }
+  }
 }

@@ -3211,6 +3211,123 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   }
 
+  /** CONVERT TO DELTA — the mirror of [[convertFromDeltaInPlace]]:
+    * publish the CURRENT snapshot as an open `_delta_log` at the
+    * table root, ZERO data copy (the same parquet files serve both
+    * logs; this log is a one-commit mirror for delta-speaking readers
+    * — delta-spark, Trino, DuckDB's delta extension — while graft
+    * remains the writer). Emits protocol + metaData + one `add` per
+    * live file (URL-encoded relative paths, `numRecords` stats where
+    * known, partition values from the manifest). No checkpoint is
+    * written: a one-commit log IS its own compacted state — Delta
+    * checkpoints exist to amortize many-commit replays, and every
+    * reader handles their absence.
+    *
+    * Column-mapped tables export with `name`-mode column-mapping
+    * metadata (reader 2 / writer 5): the manifest's frozen physical
+    * names become `delta.columnMapping.physicalName`, so renamed
+    * columns round-trip without touching a data file. Refusals (all
+    * LOUD, never a broken log): an existing `_delta_log` (incremental
+    * mirroring is not implemented — this is a snapshot export), live
+    * deletion vectors (Delta's DV sidecar format differs from the
+    * engine's; run `compact()` to materialize the deletes first), and
+    * partition-column types whose directory string serialization is
+    * not canonically Delta's (export those by copy).
+    *
+    * Returns the exported Delta version (always 0). */
+  def exportToDelta(): Long = {
+    val m = latestVersion.map(manifest).getOrElse(
+      sys.error(s"$root has no committed snapshots to export"))
+    val logDir = new Path(root, "_delta_log")
+    require(!fs.exists(logDir),
+      s"$root already carries a _delta_log — snapshot export targets a " +
+        "table that is not yet a Delta mirror (incremental mirroring " +
+        "is not implemented)")
+    require(!m.files.exists(_.dvPath.isDefined),
+      s"$root: snapshot holds live deletion vectors — Delta export " +
+        "would drop them; run compact() to materialize the deletes, " +
+        "then export")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    val pTypes = schema.fields.filter(f => m.partitionCols.contains(f.name))
+    pTypes.foreach(f => require(f.dataType match {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+           org.apache.spark.sql.types.BooleanType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }, s"$root: partition column ${f.name} of type ${f.dataType} — its " +
+      "directory serialization is not canonically Delta's; export by copy"))
+    require(m.colMap.isEmpty || m.partitionCols.isEmpty,
+      s"$root: column-mapped AND partitioned export not implemented — " +
+        "Delta keys partition values physically while this layout keys " +
+        "them logically; export by copy")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // protocol: plain parquet → (1,2); column mapping gates reader 2
+    val protoNode = om.createObjectNode()
+    val proto = protoNode.putObject("protocol")
+    if (m.colMap.isEmpty) {
+      proto.put("minReaderVersion", 1); proto.put("minWriterVersion", 2)
+    } else {
+      proto.put("minReaderVersion", 2); proto.put("minWriterVersion", 5)
+    }
+    // metaData: logical schema (+ per-field mapping metadata when the
+    // table carries a colMap)
+    val outSchema =
+      if (m.colMap.isEmpty) schema
+      else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName",
+            m.colMap.getOrElse(f.name, f.name))
+          .build())
+      })
+    val metaNode = om.createObjectNode()
+    val md = metaNode.putObject("metaData")
+    md.put("id", java.util.UUID.randomUUID().toString)
+    val fmt = md.putObject("format")
+    fmt.put("provider", "parquet"); fmt.putObject("options")
+    md.put("schemaString", outSchema.json)
+    val pcArr = md.putArray("partitionColumns")
+    m.partitionCols.foreach(pcArr.add)
+    val cfg = md.putObject("configuration")
+    if (m.colMap.nonEmpty) {
+      cfg.put("delta.columnMapping.mode", "name")
+      cfg.put("delta.columnMapping.maxColumnId",
+        outSchema.fields.length.toString)
+    }
+    md.put("createdTime", System.currentTimeMillis())
+    val adds = m.files.map { f =>
+      require(!f.path.startsWith("/"),
+        s"$root: ${f.path} lives OUTSIDE the table root (shallow clone) " +
+          "— a Delta mirror needs table-rooted files; export by copy")
+      val n = om.createObjectNode()
+      val a = n.putObject("add")
+      // Delta paths are URL-encoded relative URIs
+      a.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
+      val pv = a.putObject("partitionValues")
+      m.partitionCols.foreach { c =>
+        f.partition.get(c) match {
+          case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" => pv.put(c, v)
+          case _ => pv.putNull(c)
+        }
+      }
+      a.put("size", if (f.bytes >= 0) f.bytes
+        else fs.getFileStatus(new Path(root, f.path)).getLen)
+      a.put("modificationTime", f.mtimeMs)
+      a.put("dataChange", true)
+      if (f.rows >= 0)
+        a.put("stats", s"""{"numRecords":${f.rows}}""")
+      om.writeValueAsString(n)
+    }
+    fs.mkdirs(logDir)
+    val lines = (Seq(om.writeValueAsString(protoNode),
+      om.writeValueAsString(metaNode)) ++ adds).mkString("\n") + "\n"
+    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
+    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    0L
+  }
+
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
       require(latest.isEmpty,

@@ -23,14 +23,18 @@ import graft.core.DeltaLog
   * this engine never mutates a foreign log (convert first, then the
   * graft log owns the table). */
 final class DeltaLogSourceProvider extends RelationProvider
+    with org.apache.spark.sql.sources.StreamSourceProvider
     with DataSourceRegister {
 
   override def shortName(): String = "delta-log"
 
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      sys.error("delta-log source requires .load(path)"))
+
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
-    val path = parameters.getOrElse("path",
-      sys.error("delta-log source requires .load(path)"))
+    val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
     // parse ONCE at relation creation: schema errors and unsupported
     // protocol features surface at analysis, not mid-query
@@ -38,4 +42,83 @@ final class DeltaLogSourceProvider extends RelationProvider
     StreamShims.dataFrameRelation(StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq), spark,
       filters => DeltaLog.buildDf(spark, snap, filters))
   }
+
+  // ---- STREAMING source: tail a Delta table's commits --------------
+  // `spark.readStream.format("delta-log").load(dir)` — the incremental
+  // consumer a migrating user already runs against Delta (the
+  // reference's asset-feeds-asset chains), without delta-spark jars:
+  // batch 0 is the pinned FULL SNAPSHOT at the then-latest version
+  // (deterministic crash-replay), later batches are the adds of the
+  // commit window (s, e] — append-shaped only; a remove/metadata/
+  // protocol/DV action in the window fails the stream with the
+  // standard reset signal instead of silently skipping or rescanning.
+  // Restart never rescans: the recovered offset seeds the next window
+  // (the [[graft.sources.TxTableSource]] version-window discipline).
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val snap = DeltaLog.snapshot(sqlContext.sparkSession, pathOf(parameters))
+    (shortName(),
+      StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): org.apache.spark.sql.execution.streaming.Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val snap = DeltaLog.snapshot(spark, path)
+    new DeltaLogStreamSource(spark, path, snap,
+      StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq))
+  }
+}
+
+/** V1 microbatch source over a `_delta_log` (see the provider note).
+  * Offsets are Delta VERSIONS: `LongOffset(v)` = "all commits ≤ v
+  * consumed". The snapshot parsed at stream start supplies schema /
+  * partition columns / column mapping for every window; any in-window
+  * change to those REFUSES (reset signal) before a row is served. */
+final class DeltaLogStreamSource(spark: org.apache.spark.sql.SparkSession,
+    path: String, startSnap: graft.core.DeltaLog.DeltaSnapshot,
+    override val schema: StructType)
+    extends org.apache.spark.sql.execution.streaming.Source {
+  import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1}
+  import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+
+  private def versionOf(o: OffsetV1): Long = o match {
+    case LongOffset(v) => v
+    case other => other.json.toLong
+  }
+
+  override def getOffset: Option[OffsetV1] =
+    DeltaLog.latestVersion(spark, path).map(LongOffset(_))
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1):
+      org.apache.spark.sql.DataFrame = {
+    val endV = versionOf(end)
+    val batch = start.map(versionOf) match {
+      case None =>
+        // batch 0: the pinned snapshot AT the offset version — replay
+        // after a crash sees the same rows whatever raced in since
+        DeltaLog.buildDf(spark,
+          DeltaLog.snapshot(spark, path, atVersion = Some(endV)), Nil)
+      case Some(s) =>
+        val adds = DeltaLog.addsInWindow(spark, startSnap, s, endV)
+        DeltaLog.buildDf(spark, startSnap.copy(adds = adds), Nil)
+    }
+    val ordered = batch.select(
+      schema.fieldNames.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    // a DV'd or partitioned snapshot plans as scan ⋈ broadcast joins —
+    // wrap as ONE streaming leaf (the TxTableSource discipline);
+    // plain scans just get their leaves flagged
+    if (startSnap.adds.exists(_.dv.isDefined) ||
+        startSnap.partitionCols.nonEmpty)
+      StreamShims.asStreamingBatch(ordered)
+    else StreamShims.markStreaming(ordered)
+  }
+
+  override def commit(end: OffsetV1): Unit = ()
+  override def stop(): Unit = ()
+  override def toString: String = s"DeltaLogStreamSource[$path]"
 }

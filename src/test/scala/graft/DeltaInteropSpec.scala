@@ -306,6 +306,66 @@ class DeltaInteropSpec extends SparkSpec {
     assert(t.read().schema.fieldNames.contains("price"))
   }
 
+  test("CONVERT TO DELTA: zero-copy mirror read back bit-equal, " +
+      "partitioned + renamed-column round-trips, refusals loud") {
+    // flat table → export → both readers agree
+    val d1 = scratch("exp1")
+    val t1 = TxTable(spark, d1)
+    t1.overwrite(orders.where(col("o_orderkey") % 3 < 2))
+    val mtimes = {
+      val fs = new org.apache.hadoop.fs.Path(d1)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      t1.read().inputFiles.map(f => f ->
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(
+          new java.net.URI(f))).getModificationTime).toMap
+    }
+    assert(t1.exportToDelta() == 0L)
+    val viaDelta = DeltaLog.read(spark, d1)
+    assert(viaDelta.exceptAll(t1.read()).isEmpty &&
+      t1.read().exceptAll(viaDelta).isEmpty)
+    // zero copy: no data file rewritten
+    val fs1 = new org.apache.hadoop.fs.Path(d1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    mtimes.foreach { case (f, mt) =>
+      assert(fs1.getFileStatus(new org.apache.hadoop.fs.Path(
+        new java.net.URI(f))).getModificationTime == mt, s"$f rewritten")
+    }
+
+    // partitioned: values + nulls from the manifest, pruning intact
+    val d2 = scratch("exp2")
+    val t2 = TxTable(spark, d2)
+    t2.overwrite(orders, partitionBy = Seq("o_orderpriority"))
+    t2.exportToDelta()
+    val back2 = DeltaLog.read(spark, d2)
+    assert(back2.exceptAll(orders).isEmpty && orders.exceptAll(back2).isEmpty)
+    val snap2 = DeltaLog.snapshot(spark, d2)
+    assert(snap2.partitionCols == Seq("o_orderpriority"))
+    assert(snap2.adds.forall(_.partition.keySet == Set("o_orderpriority")))
+
+    // renamed column → name-mode column mapping in the export
+    val d3 = scratch("exp3")
+    val t3 = TxTable(spark, d3)
+    t3.overwrite(orders.where(col("o_orderkey") % 5 === 0))
+    t3.renameColumn("o_totalprice", "price")
+    t3.exportToDelta()
+    val snap3 = DeltaLog.snapshot(spark, d3)
+    assert(snap3.colMap.contains("price"), s"colMap ${snap3.colMap}")
+    val back3 = DeltaLog.read(spark, d3)
+    assert(back3.schema.fieldNames.contains("price"))
+    assert(back3.exceptAll(t3.read()).isEmpty &&
+      t3.read().exceptAll(back3).isEmpty)
+
+    // refusals: DV'd snapshot; already-a-Delta-mirror
+    val d4 = scratch("exp4")
+    val t4 = TxTable(spark, d4, deletionVectors = true)
+    t4.overwrite(orders.limit(100))
+    t4.deleteWhere(col("o_orderkey") % 2 === 0)
+    val e1 = intercept[Exception] { t4.exportToDelta() }
+    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    val e2 = intercept[Exception] { t1.exportToDelta() }
+    assert(e2.getMessage.contains("_delta_log"), e2.getMessage)
+  }
+
   test("unsupported protocol features refuse LOUDLY, never misread") {
     // reader 3 with an unimplemented feature
     val rv = scratch("rv3feat")
