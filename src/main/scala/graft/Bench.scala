@@ -91,6 +91,7 @@ object Bench {
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val inverted = scala.collection.mutable.LinkedHashSet[String]()
     var retries = 0
     // dev loop: SPARK_GRAFT_BENCH_ONLY="s1_stream_rollup,c5_..." runs
     // a subset (the recorded round bench always runs everything);
@@ -123,20 +124,25 @@ object Bench {
         // warm > cold is internally inconsistent — the DEFINITION of a
         // contaminated sample (round-10's g4 recorded 15.25 s warm vs
         // 8.00 s cold from one noisy window) — so such queries re-run
-        // up to 3 extra warm samples; if the inversion persists, the
-        // fastest observed execution (which is then the cold run, a
-        // complete run of the same plan post-warmup) is the honest
-        // record. Extra samples are counted in "warm_retries".
+        // up to 3 extra warm samples. If the inversion PERSISTS, the
+        // RAW warm minimum is recorded anyway and the query lands in
+        // "inverted": substituting the cold time (the pre-round-12
+        // behavior) made "zero inversions" true by construction and
+        // would mask a genuine warm-path regression — e.g. a caching
+        // bug — behind a clean-looking artifact. Extra samples are
+        // counted in "warm_retries".
         var samples = List(once(fn), once(fn))
         var r = 0
         while (samples.min > c && r < 3) {
           r += 1; System.gc(); samples = once(fn) :: samples
         }
         retries += r
-        val w = math.min(samples.min, c)
+        val w = samples.min
+        if (w > c) inverted += name
         cold(name) = c; warm(name) = w
         System.err.println(f"bench $name%-24s cold=$c%8.2fs warm=$w%8.2fs" +
-          (if (r > 0) s" (retried $r: inversion)" else ""))
+          (if (w > c) s" (INVERTED after $r retries)"
+           else if (r > 0) s" (retried $r: inversion)" else ""))
       } catch {
         case e: Throwable =>
           errors(name) =
@@ -155,9 +161,11 @@ object Bench {
       if (total1 > total0)
         math.round((steal1 - steal0).toDouble / (total1 - total0) * 10000) / 100.0
       else 0.0
+    val invJson = inverted.map(n => s""""$n"""").mkString("[", ",", "]")
     val env = s""""load_start":"${JsonUtil.esc(loadStart)}",""" +
       s""""load_end":"${JsonUtil.esc(loadavg())}",""" +
-      s""""steal_pct":$stealPct,"warm_retries":$retries"""
+      s""""steal_pct":$stealPct,"warm_retries":$retries,""" +
+      s""""inverted":$invJson"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm",""" +
       s""""queries":${numMap(warm)},"queries_cold":${numMap(cold)},""" +
