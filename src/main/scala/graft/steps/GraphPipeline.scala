@@ -326,7 +326,12 @@ object GraphOps {
       .localCheckpoint(true)
   }
 
-  private def triangleCensusImpl(incidence: DataFrame,
+  /** The weighted co-occurrence projection the census closes over —
+    * exposed so measurement harnesses (tools.ProbeG6) can count the
+    * projection and its wedge join at different scales without
+    * replicating the df-cap/threshold logic. Returns the pinned
+    * (hash-partitioned on `a`, checkpointed) pair set. */
+  private[graft] def coProjection(incidence: DataFrame,
       maxLeftDegree: Int, minShareTenths: Int): DataFrame = {
     val inc = incidence.select(col("left"), col("right")).distinct()
     val keep = inc.groupBy("left").agg(count(lit(1)).as("d"))
@@ -361,6 +366,12 @@ object GraphOps {
       .repartition(nParts, col("a"))
       .localCheckpoint(true, IterCkpt)
     co0.unpersist()
+    co
+  }
+
+  private def triangleCensusImpl(incidence: DataFrame,
+      maxLeftDegree: Int, minShareTenths: Int): DataFrame = {
+    val co = coProjection(incidence, maxLeftDegree, minShareTenths)
     val tri = co.alias("ab")
       .join(co.alias("bc"), col("ab.b") === col("bc.a"))
       .select(col("ab.a").as("ta"), col("ab.b").as("tb"),
