@@ -26,14 +26,28 @@ import org.apache.spark.unsafe.types.UTF8String
   * discipline); a bounded per-JVM memo makes repeated words O(1) —
   * natural-language corpora are Zipfian, so the memo hit rate at
   * scale is the vocabulary hit rate. */
-final class BpeModel(val merges: Array[(String, String)])
+final class BpeModel(val merges: Array[(String, String)],
+    val byteLevel: Boolean = false)
     extends Serializable {
 
   @transient private lazy val memo =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
 
-  /** Code points + end marker — the initial symbol sequence. */
+  /** Initial symbol sequence. Native models: code points + end
+    * marker. BYTE-LEVEL models (the GPT-2 interchange convention):
+    * the word's UTF-8 bytes through the published bytes-to-unicode
+    * table, NO end marker — spaces arrive as 'Ġ' from the
+    * pre-tokenizer side, exactly as in the loaded `merges.txt`. */
   private def initial(word: String): Array[String] = {
+    if (byteLevel) {
+      val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val a = new Array[String](bytes.length)
+      var i = 0
+      while (i < bytes.length) {
+        a(i) = BpeModel.byteSymbol(bytes(i) & 0xff); i += 1
+      }
+      return a
+    }
     val cps = word.codePoints().toArray
     val a = new Array[String](cps.length + 1)
     var i = 0
@@ -164,5 +178,90 @@ object BpeModel {
       }
     }
     new BpeModel(merges.result())
+  }
+
+  // ---- GPT-2-format interchange (vocab.json + merges.txt) -----------
+  // The file pair every framework dumps (HuggingFace `save_pretrained`,
+  // the original GPT-2 release, tiktoken's exports) — loading it makes
+  // the t14/t3 token operators run a PUBLISHED tokenizer instead of
+  // only natively-trained ones, mirroring t17's loaded-weights step.
+
+  /** The published GPT-2 bytes→unicode map: printable latin-1 bytes
+    * map to themselves, every other byte b to U+0100+n in exclusion
+    * order — a bijection so byte-level BPE stays lossless text. */
+  private val ByteToChar: Array[String] = {
+    val direct = (33 to 126) ++ (161 to 172) ++ (174 to 255)
+    val isDirect = direct.toSet
+    val out = new Array[String](256)
+    var n = 0
+    (0 to 255).foreach { b =>
+      if (isDirect(b)) out(b) = new String(Character.toChars(b))
+      else { out(b) = new String(Character.toChars(256 + n)); n += 1 }
+    }
+    out
+  }
+
+  private[functions] def byteSymbol(b: Int): String = ByteToChar(b)
+
+  /** Parse the `merges.txt` + `vocab.json` pair into a BYTE-LEVEL
+    * model plus its id table. Validates the pair against each other:
+    * every merge product must be a vocab entry (a mismatched pair is
+    * a corrupt export — refused, never a silently different
+    * tokenizer). */
+  def load(mergesText: String, vocabJson: String): (BpeModel, Map[String, Int]) = {
+    // the GPT-2 format implies byte-level semantics; a native
+    // char-level export self-identifies via a comment header so the
+    // round-trip is exact
+    val charLevel = mergesText.split("\n")
+      .exists(_.trim == "#graft: char-level")
+    val merges = mergesText.split("\n").iterator
+      .map(_.stripSuffix("\r"))
+      .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+      .map { l =>
+        val sp = l.indexOf(' ')
+        require(sp > 0 && l.indexOf(' ', sp + 1) < 0,
+          s"merges.txt line is not 'left right': '$l'")
+        (l.substring(0, sp), l.substring(sp + 1))
+      }.toArray
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(vocabJson)
+    require(node.isObject, "vocab.json must be a string->id object")
+    val vocab = {
+      val b = Map.newBuilder[String, Int]
+      val it = node.fields()
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asInt() }
+      b.result()
+    }
+    merges.foreach { case (l, r) =>
+      require(vocab.contains(l + r),
+        s"merge '$l $r' produces '${l + r}' which vocab.json lacks — " +
+          "mismatched vocab/merges pair")
+    }
+    (new BpeModel(merges, byteLevel = !charLevel), vocab)
+  }
+
+  /** Export a model as the same interchange pair ([[load]]'s inverse):
+    * `merges.txt` is the rank-ordered merge list under the standard
+    * version header; `vocab.json` ids the base symbols (sorted) then
+    * the merge products in rank order — deterministic, so export ∘
+    * load round-trips bit-for-bit. Works for BOTH byte-level and the
+    * native char-level models (the marker symbol is just another
+    * vocab entry). */
+  def exportGpt2(m: BpeModel): (String, String) = {
+    val mergesTxt = "#version: 0.2\n" +
+      (if (m.byteLevel) "" else "#graft: char-level\n") +
+      m.merges.map { case (l, r) => s"$l $r" }.mkString("\n") + "\n"
+    val base = scala.collection.immutable.SortedSet.newBuilder[String]
+    if (!m.byteLevel) base += EndMark
+    m.merges.foreach { case (l, r) => base += l; base += r }
+    val products = m.merges.map { case (l, r) => l + r }
+    val baseOnly = base.result().toSeq.filterNot(products.toSet)
+    val entries = (if (m.byteLevel)
+        (0 to 255).map(byteSymbol).filterNot(products.toSet)
+      else baseOnly) ++ products
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.createObjectNode()
+    entries.zipWithIndex.foreach { case (s, i) => node.put(s, i) }
+    (mergesTxt, om.writeValueAsString(node))
   }
 }

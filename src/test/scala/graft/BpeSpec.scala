@@ -68,4 +68,50 @@ class BpeSpec extends SparkSpec {
       .map(trained.encodeWord(_).length).sum
     assert(counts(1L) == expect1)
   }
+
+  test("GPT-2 interchange: byte map anchors, hand-pinned encodes, " +
+      "vocab/merges cross-validation") {
+    // the PUBLISHED bytes-to-unicode anchors: printable bytes map to
+    // themselves, excluded bytes to U+0100+n in exclusion order
+    val vocab =
+      """{"h":0,"e":1,"l":2,"o":3,"Ġ":4,"he":5,"ll":6,"hell":7,"Ġh":8}"""
+    val merges = "#version: 0.2\nh e\nl l\nhe ll\nĠ h\n"
+    val (m, ids) = BpeModel.load(merges, vocab)
+    assert(m.byteLevel)
+    assert(ids("hell") == 7 && ids("Ġ") == 4)
+    // hand-computed byte-level encodes: NO end marker, space = Ġ
+    assert(m.encodeWord("hello").toSeq == Seq("hell", "o"))
+    // rank order: (h,e) fires before (Ġ,h) can — GPT-2's
+    // min-rank-first greedy, reproduced by rank-ascending passes
+    assert(m.encodeWord(" hello").toSeq == Seq("Ġ", "hell", "o"))
+    assert(m.encodeWord("A\n").toSeq == Seq("A", "Ċ"),
+      "byte 0x0A maps to U+010A (Ċ) per the published table")
+    assert(m.encodeWord("\u0000").toSeq == Seq("Ā"),
+      "byte 0x00 maps to U+0100 per the published table")
+    // a merges/vocab pair that disagrees is refused, not mis-loaded
+    val bad = intercept[IllegalArgumentException] {
+      BpeModel.load("#version: 0.2\nx y\n", """{"x":0,"y":1}""")
+    }
+    assert(bad.getMessage.contains("xy"))
+  }
+
+  test("GPT-2 export ∘ load round-trips BOTH model kinds bit-for-bit") {
+    // native char-level model (the t14 trainer's output)
+    val native = BpeModel.train(
+      Seq(("hello", 5L), ("help", 3L), ("world", 2L)), nMerges = 20)
+    val (mt, vt) = BpeModel.exportGpt2(native)
+    val (back, vocabBack) = BpeModel.load(mt, vt)
+    assert(!back.byteLevel, "char-level survives the format round-trip")
+    assert(back.merges.toSeq == native.merges.toSeq)
+    for (w <- Seq("hello", "help", "world", "helpo", "xyz"))
+      assert(back.encodeWord(w).toSeq == native.encodeWord(w).toSeq, w)
+    assert(vocabBack.values.toSeq.distinct.size == vocabBack.size,
+      "ids are unique")
+    // byte-level model round-trips too
+    val bl = new BpeModel(Array(("h", "e"), ("l", "l")), byteLevel = true)
+    val (mt2, vt2) = BpeModel.exportGpt2(bl)
+    val (back2, _) = BpeModel.load(mt2, vt2)
+    assert(back2.byteLevel && back2.merges.toSeq == bl.merges.toSeq)
+    assert(back2.encodeWord("hello").toSeq == bl.encodeWord("hello").toSeq)
+  }
 }
