@@ -81,23 +81,49 @@ object Parallelism {
     persistedBytes(df).map(b => partitionsFor(b, currentParts))
       .getOrElse(currentParts)
 
+  /** Fraction of the cluster's unified memory above which an
+    * iteration state re-checkpoints SERIALIZED: a deserialized cache
+    * larger than this can't stay memory-resident next to execution
+    * memory, so every loop round pays disk reads of fat row objects —
+    * the measured g5 100× profile (344 s warm, ~22×/decade, state
+    * ~25 GB vs 48 GB heap). Serialized UnsafeRow pages run several ×
+    * smaller and decode cheaper than they re-read. */
+  val SerializeAboveMemFraction = 0.3
+
+  /** Unified (storage+execution) memory across executors, from the
+    * public executor status map. */
+  def clusterMaxMemory(df: DataFrame): Long =
+    df.sparkSession.sparkContext.getExecutorMemoryStatus
+      .values.map(_._1).sum
+
   /** Re-layout a checkpointed iteration state when (and only when) its
     * measured ideal partition count exceeds the current one by ≥ 1.5×:
     * one hash exchange on `key` (plus an in-partition sort when
     * `sorted` — recorded in the checkpoint so downstream sort-merge
     * joins skip their per-round sort on this side), then a fresh
-    * checkpoint; the old state is unpersisted. Returns the input
-    * unchanged when the current layout is already right — small data
-    * never pays the exchange. */
+    * checkpoint; the old state is unpersisted BLOCKING (iterative
+    * callers re-checkpoint large state back-to-back — async unpersist
+    * lets dead closures stack against the live one and OOM at the
+    * heap cliff). States measured past [[SerializeAboveMemFraction]]
+    * of cluster memory re-checkpoint MEMORY_AND_DISK_SER regardless
+    * of the requested level. Returns the input unchanged when the
+    * current layout is already right — small data never pays the
+    * exchange. */
   def resizeCheckpoint(df: DataFrame, currentParts: Int, key: Column,
       level: StorageLevel, sorted: Boolean = false): DataFrame = {
-    val target = measuredParts(df, currentParts)
-    if (target * 2 <= currentParts * 3) df
+    val bytes = persistedBytes(df)
+    val target = bytes.map(b => partitionsFor(b, currentParts))
+      .getOrElse(currentParts)
+    val serialize = bytes.exists(_ >
+      clusterMaxMemory(df) * SerializeAboveMemFraction)
+    if (target * 2 <= currentParts * 3 && !serialize) df
     else {
-      val laid0 = df.repartition(target, key)
+      val lvl = if (serialize) StorageLevel.MEMORY_AND_DISK_SER else level
+      val laid0 =
+        if (target == currentParts) df else df.repartition(target, key)
       val laid = if (sorted) laid0.sortWithinPartitions(key) else laid0
-      val out = laid.localCheckpoint(true, level)
-      df.unpersist()
+      val out = laid.localCheckpoint(true, lvl)
+      df.unpersist(blocking = true)
       out
     }
   }

@@ -198,8 +198,10 @@ object GraphOps {
       .select(col("src").as("node_id"), col("deg").as("degree"))
       .orderBy("node_id")
     // the result consumes only the (checkpointed, node-sized) degree
-    // table — release the closure now
-    e0.unpersist()
+    // table — release the closure now, BLOCKING: back-to-back peels
+    // (bench cold+warm×2) each build an edge-sized closure, and async
+    // unpersist lets dead ones stack against the live one
+    e0.unpersist(blocking = true)
     out
   }
 
@@ -262,6 +264,11 @@ object GraphOps {
       .withColumn("pr", lit(1000000L))
       .repartition(n, col("node"))
       .localCheckpoint(true)
+    // the raw closure fed withDeg and pr-init only — free it (blocking)
+    // BEFORE the rounds so the loop's resident state is one edge copy,
+    // not two (at 100× each copy is tens of GB; async unpersist lets
+    // them stack against the live state and OOM at the heap cliff)
+    e.unpersist(blocking = true)
     for (_ <- 1 to iters) {
       val next = withDeg
         .join(pr, withDeg("src") === pr("node"))
@@ -278,7 +285,7 @@ object GraphOps {
     }
     val out = pr.select(col("node").as("node_id"),
       col("pr").as("pr_micro")).orderBy("node_id")
-    e.unpersist(); withDeg.unpersist()
+    withDeg.unpersist(blocking = true)
     out
   }
 
