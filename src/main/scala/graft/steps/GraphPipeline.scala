@@ -97,57 +97,6 @@ object GraphOps {
     * executor-sized broadcast. */
   private val BroadcastRemovedCap = 8L * 1000 * 1000
 
-  /** Dictionary-encode node labels to DENSE LONG ids for a loop
-    * interior — the classic iterative-graph state shrink (GraphX's
-    * vertex-id discipline): a (src,dst) string closure at 100× is
-    * ~25 GB of cached rows (past the memory budget → per-round disk
-    * reads dominated the measured g5 100× profile), while the same
-    * closure as long pairs is ~3 GB — memory-resident, and every
-    * per-round hash/compare is an integer op. Ids are assigned by
-    * sorted order (deterministic, though any bijection yields the
-    * same final result — ids never surface: callers map back through
-    * the returned dictionary). The node dictionary broadcasts under
-    * [[BroadcastRemovedCap]]; past it the joins fall back to
-    * planner-chosen shuffles — a one-time setup cost amortized over
-    * the rounds.
-    *
-    * Returns (dictionary (node,id) pinned hash-partitioned on id,
-    * closure as (src,dst) longs). */
-  private def encodeNodes(closure: DataFrame, nParts: Int)
-      : (DataFrame, DataFrame) = {
-    val spark = closure.sparkSession
-    import spark.implicits._
-    val nodeRdd = closure.select(col("src")).distinct()
-      .orderBy("src").as[String].rdd.zipWithIndex()
-    val dict = nodeRdd.toDF("node", "id")
-      .repartition(nParts, col("id"))
-      .localCheckpoint(true)
-    val nNodes = dict.count()
-    def side(d: DataFrame) =
-      if (nNodes <= BroadcastRemovedCap) broadcast(d) else d
-    val eIds = closure
-      .join(side(dict.select(col("node"), col("id").as("__sid"))),
-        col("src") === col("node"))
-      .select(col("__sid").as("src"), col("dst"))
-      .join(side(dict.select(col("node"), col("id").as("__did"))),
-        col("dst") === col("node"))
-      .select(col("src"), col("__did").as("dst"))
-    (dict, eIds)
-  }
-
-  /** Map a loop result's `idCol` back to its node label (surfaced as
-    * `node`); the dictionary is node-sized, broadcast under the same
-    * cap. */
-  private def decodeNodes(result: DataFrame, dict: DataFrame,
-      idCol: String): DataFrame = {
-    val nNodes = dict.count()
-    val d = dict.select(col("node").as("__nlabel"), col("id").as("__nid"))
-    val side = if (nNodes <= BroadcastRemovedCap) broadcast(d) else d
-    result.join(side, result(idCol) === d("__nid"))
-      .drop(idCol, "__nid")
-      .withColumnRenamed("__nlabel", "node")
-  }
-
   /** Fresh PRIVATE session for a conf-pinned iterative loop: shares
     * the SparkContext / cache / catalog with the caller's session but
     * owns its SQLConf, so pinning AQE (and friends) off for the loop
@@ -212,17 +161,11 @@ object GraphOps {
     val spark = loopSession(edges.sparkSession)
     val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
     val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val closure = in.select(col("src"), col("dst"))
+    var e0 = in.select(col("src"), col("dst"))
       .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(n0, col("src"))
       .localCheckpoint(true, IterCkpt)
-    // loop interior runs on DENSE LONG node ids (see [[encodeNodes]]);
-    // the string closure is freed as soon as its long twin exists
-    val (dict, eIds) = encodeNodes(closure, n0)
-    var e0 = eIds.repartition(n0, col("src"))
-      .localCheckpoint(true, IterCkpt)
-    closure.unpersist(blocking = true)
     e0 = graft.core.Parallelism.resizeCheckpoint(e0, n0, col("src"), IterCkpt)
     // initial degrees: co-partitioned map-side agg, zero exchange
     var deg = e0.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -251,14 +194,13 @@ object GraphOps {
         deg = next
       }
     }
-    val out = decodeNodes(deg.where(col("deg") >= 1), dict, "src")
-      .select(col("node").as("node_id"), col("deg").as("degree"))
+    val out = deg.where(col("deg") >= 1)
+      .select(col("src").as("node_id"), col("deg").as("degree"))
       .orderBy("node_id")
     // the result consumes only the (checkpointed, node-sized) degree
-    // table + dictionary — release the closure now, BLOCKING:
-    // back-to-back peels (bench cold+warm×2) each build an edge-sized
-    // closure, and async unpersist lets dead ones stack against the
-    // live one
+    // table — release the closure now, BLOCKING: back-to-back peels
+    // (bench cold+warm×2) each build an edge-sized closure, and async
+    // unpersist lets dead ones stack against the live one
     e0.unpersist(blocking = true)
     out
   }
@@ -305,16 +247,10 @@ object GraphOps {
     val spark = loopSession(edges.sparkSession)
     val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
     val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val closure = in.select(col("src"), col("dst"))
+    val e = in.select(col("src"), col("dst"))
       .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .localCheckpoint(true, IterCkpt)
-    // loop interior on DENSE LONG node ids (see [[encodeNodes]]): the
-    // string closure at 100× is ~25 GB cached — past the memory
-    // budget, so every round paid disk+decode; the long twin is ~3 GB
-    val (dict, eIds) = encodeNodes(closure, n0)
-    val e = eIds.localCheckpoint(true, IterCkpt)
-    closure.unpersist(blocking = true)
     var withDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(n0, col("src"))
@@ -324,14 +260,14 @@ object GraphOps {
       withDeg, n0, col("src"), IterCkpt, sorted = true)
     val n = withDeg.rdd.getNumPartitions
     if (n != n0) spark.conf.set("spark.sql.shuffle.partitions", n)
-    var pr = dict.select(col("id").as("node"))
+    var pr = e.select(col("src").as("node")).distinct()
       .withColumn("pr", lit(1000000L))
       .repartition(n, col("node"))
       .localCheckpoint(true)
-    // the raw closure fed withDeg only — free it (blocking) BEFORE
-    // the rounds so the loop's resident state is one edge copy, not
-    // two (async unpersist lets dead copies stack against the live
-    // state and OOM at the heap cliff)
+    // the raw closure fed withDeg and pr-init only — free it (blocking)
+    // BEFORE the rounds so the loop's resident state is one edge copy,
+    // not two (at 100× each copy is tens of GB; async unpersist lets
+    // them stack against the live state and OOM at the heap cliff)
     e.unpersist(blocking = true)
     for (_ <- 1 to iters) {
       val next = withDeg
@@ -347,9 +283,8 @@ object GraphOps {
       pr.unpersist()
       pr = next
     }
-    val out = decodeNodes(pr, dict, "node")
-      .select(col("node").as("node_id"), col("pr").as("pr_micro"))
-      .orderBy("node_id")
+    val out = pr.select(col("node").as("node_id"),
+      col("pr").as("pr_micro")).orderBy("node_id")
     withDeg.unpersist(blocking = true)
     out
   }
