@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.core.Tables
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, Sketches, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -50,6 +50,15 @@ object SparkEntry {
     * written by the BPE gates; the DuckDB oracle replays encoding
     * from it — one string `replace()` per rank. */
   val BpeModelDir = "/tmp/graft_bpe_model"
+
+  /** FIXED locations of the t19/t20 oracle seams (the c3 vocab
+    * precedent): the Count-Min key→bucket table and the weighted-
+    * sample id→xxhash64 table, written by the gates; the DuckDB
+    * twins replay the FULL sketch arithmetic from them (counter
+    * sums + min for t19, the A-ES key for t20), so the estimates
+    * themselves hash-match — not just invariant booleans. */
+  val T19CmsDir = "/tmp/graft_t19_cms"
+  val T20HashDir = "/tmp/graft_t20_hash"
 
   /** DuckDB replay of one class-`c` logit of the t17 hash head —
     * `list_reduce` reproduces the kernel's SEQUENTIAL double
@@ -1702,6 +1711,47 @@ object SparkEntry {
     }),
     "t6_string_battery"  -> ((s, d) => TextOps.stringBattery(Tables.documents(s, d))),
     "t7_term_weights"    -> ((s, d) => TextOps.termWeights(Tables.documents(s, d))),
+    // t18: DDSketch relative-error quantiles over the fact table's
+    // price column, one map-side-partial pass; gated on the exact
+    // percentile twin + the ≤2α guarantee boolean (the q18
+    // approx-distinct discipline — ln-binned estimates are not
+    // bit-specified across engines; SketchesSpec pins the tight α
+    // bound and merge-order independence engine-side)
+    "t18_quantile_sketch" -> ((s, d) =>
+      Sketches.ddQuantiles(Tables.lineitem(s, d), "l_extendedprice")),
+    // t19: Count-Min heavy hitters (4×2048 counters whatever the key
+    // cardinality) + the exact-count verification pass; the oracle
+    // replays the ENTIRE sketch — bucket counter sums and the min —
+    // from the persisted key→bucket table, so the estimates
+    // hash-match exactly
+    "t19_heavy_hitters"  -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      cachedAsset(s, s"t19cms|$d") {
+        Sketches.cmsReplayTable(Tables.events(s, d), "user_id")
+          .coalesce(1).write.mode("overwrite").parquet(T19CmsDir)
+        T19CmsDir
+      }
+      Sketches.cmsHeavyHitters(Tables.events(s, d), "user_id")
+    }),
+    // t20: deterministic weighted sample without replacement (A-ES
+    // keys off xxhash64 — same ids select the same sample on any
+    // layout); the oracle replays u and ln(u)/w from the persisted
+    // id→hash table
+    "t20_weighted_sample" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      cachedAsset(s, s"t20hash|$d") {
+        Tables.documents(s, d)
+          .select(col("doc_id"), xxhash64(col("doc_id")).as("h"))
+          .coalesce(1).write.mode("overwrite").parquet(T20HashDir)
+        T20HashDir
+      }
+      Sketches.weightedSample(Tables.documents(s, d), "doc_id", "n_chars")
+    }),
+    // t21: BM25 ranked retrieval — a fixed probe query against the
+    // corpus, top-10 by the Robertson–Spärck Jones score
+    "t21_bm25_topk"      -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d),
+        Seq("vector", "merge", "window"))),
     // t14: corpus-trained deterministic BPE — the real subword
     // tokenizer (train = distributed word count + driver greedy over
     // the bounded vocab; encode = rank-ordered merge passes in a
@@ -3135,6 +3185,83 @@ object SparkEntry {
         |SELECT doc_id, term, tf, df, round(weight, 6) AS weight,
         |       CAST(rnk AS INT) AS rnk
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    // t18: exact percentile twin (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, linear interpolation) + the guarantee boolean
+    // (the q18 discipline — the ln-binned estimate itself is not
+    // bit-specified across engines)
+    "t18_quantile_sketch" ->
+      """WITH e AS (SELECT l_extendedprice AS x FROM lineitem)
+        |SELECT CAST(0.5 AS DOUBLE) AS quantile,
+        |       round(quantile_cont(x, 0.5), 6) AS exact_value,
+        |       true AS within_bound FROM e
+        |UNION ALL SELECT CAST(0.9 AS DOUBLE),
+        |       round(quantile_cont(x, 0.9), 6), true FROM e
+        |UNION ALL SELECT CAST(0.99 AS DOUBLE),
+        |       round(quantile_cont(x, 0.99), 6), true FROM e
+        |ORDER BY quantile""".stripMargin,
+    // t19: FULL Count-Min replay from the persisted key→bucket table:
+    // counters = Σ key-counts per (row, bucket) — identical to
+    // counting events directly, since buckets are per-key — estimate
+    // = min over the 4 rows; then the same (estimate, key) top-10
+    "t19_heavy_hitters" ->
+      s"""WITH hb AS (SELECT * FROM read_parquet('$T19CmsDir/*.parquet')),
+         |cnt AS (SELECT user_id AS key, count(*) AS exact_cnt
+         |        FROM events GROUP BY 1),
+         |kb AS (SELECT key, 0 AS j, b0 AS bucket FROM hb
+         |       UNION ALL SELECT key, 1, b1 FROM hb
+         |       UNION ALL SELECT key, 2, b2 FROM hb
+         |       UNION ALL SELECT key, 3, b3 FROM hb),
+         |counters AS (SELECT j, bucket,
+         |               CAST(sum(exact_cnt) AS BIGINT) AS c
+         |             FROM kb JOIN cnt USING (key) GROUP BY 1, 2),
+         |est AS (SELECT cnt.key, cnt.exact_cnt, min(c) AS cms_est
+         |        FROM cnt JOIN kb USING (key)
+         |          JOIN counters USING (j, bucket)
+         |        GROUP BY 1, 2)
+         |SELECT key, cms_est, exact_cnt,
+         |       cms_est >= exact_cnt AS cms_ge_exact
+         |FROM est ORDER BY cms_est DESC, key LIMIT 10""".stripMargin,
+    // t20: A-ES key replay from the persisted id→xxhash64 table:
+    // u = (pmod(h, 2³¹)+1)/(2³¹+1), key = ln(u)/weight, top-50 by
+    // (key, doc_id)
+    "t20_weighted_sample" ->
+      s"""WITH h AS (SELECT doc_id, h
+         |           FROM read_parquet('$T20HashDir/*.parquet')),
+         |kx AS (SELECT d.doc_id, d.n_chars,
+         |         ln((CAST(((h.h % 2147483648) + 2147483648)
+         |               % 2147483648 AS DOUBLE) + 1) / 2147483649.0)
+         |           / CAST(d.n_chars AS DOUBLE) AS k
+         |       FROM documents d JOIN h USING (doc_id)
+         |       WHERE d.n_chars > 0)
+         |SELECT doc_id, n_chars, round(k, 6) AS sample_key
+         |FROM kx ORDER BY k DESC, doc_id LIMIT 50""".stripMargin,
+    // t21: BM25 replay — identical arithmetic, shared-subexpression
+    // spelling; constants spelled as the same operations ((1.2+1),
+    // (1-0.75)) so both engines round identically
+    "t21_bm25_topk" ->
+      """WITH terms AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |               FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM terms GROUP BY 1),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl
+        |       FROM dl),
+        |q AS (SELECT unnest(['vector', 'merge', 'window']) AS term),
+        |sc AS (SELECT tf.doc_id,
+        |         sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |             (CAST(tf AS DOUBLE) * (1.2 + 1)) /
+        |             (tf + 1.2 * ((1 - 0.75) + 0.75 * dl / avgdl)))
+        |           AS score,
+        |         count(*) AS n_terms_hit
+        |       FROM tf JOIN q USING (term) JOIN df USING (term)
+        |         JOIN dl USING (doc_id) CROSS JOIN st
+        |       GROUP BY 1),
+        |r AS (SELECT doc_id, score, n_terms_hit,
+        |        CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+        |          AS INT) AS rnk
+        |      FROM sc)
+        |SELECT doc_id, round(score, 6) AS bm25, n_terms_hit, rnk
+        |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
     // t14: full BPE-encode replay from the persisted merges table
     "t14_bpe_tokenize" ->
       s"""WITH RECURSIVE

@@ -1,0 +1,192 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Mergeable one-pass sketches for corpus statistics at 100 TB —
+  * the "what does this column look like" pass a training-data
+  * pipeline runs before setting its quality thresholds (which
+  * perplexity cut keeps 80%? which domains dominate? which docs does
+  * a length-weighted sample surface?). Exact answers need a full
+  * sort (quantiles) or a key-sized state (frequencies); the sketches
+  * here are FIXED-SIZE, merge-order-independent, and deterministic —
+  * so their gates hash-match a DuckDB replay bit-for-bit, the same
+  * discipline as every other gate.
+  *
+  * Everything is declarative DataFrame composition: the sketch
+  * state IS a tiny aggregation result (log-bounded bins / a d×w
+  * counter matrix), built by one map-side-partial pass over the
+  * data, never a driver-side structure. No UDFs, no UDAFs — the
+  * group-by spelling lets Tungsten keep the hot pass in whole-stage
+  * codegen and makes partial aggregation (= sketch merge) free.
+  *
+  * The reference's analytics surface stops at exact aggregation
+  * (ascii-hydra `pipes/queries.py` step_2/step_6 shapes); these
+  * extend it with the published sketch algorithms: DDSketch
+  * (Masson, Rim, Lee — VLDB 2019) for relative-error quantiles,
+  * Count-Min (Cormode, Muthukrishnan — J.Alg 2005) for point
+  * frequencies, and A-ES weighted reservoir keys (Efraimidis,
+  * Spirakis — IPL 2006) for deterministic weighted sampling.
+  */
+object Sketches {
+
+  /** T18 — DDSketch quantiles with an exact twin: log-γ bins
+    * (γ = (1+α)/(1−α)) give every estimate a RELATIVE error ≤ α at
+    * any scale — the quantile-sketch property that matters for
+    * long-tailed corpus stats, where a rank-error sketch smears the
+    * p99. The sketch state is one count per touched bin (domain
+    * 10⁻⁹..10⁹ at α=0.01 touches ≤ ~2100 bins), built by one
+    * map-side-partial groupBy — mergeable across partitions/days by
+    * construction (bin counts add; merge order cannot matter).
+    *
+    * Gate shape (the q18 approx-distinct discipline): each row is
+    * one requested quantile with the EXACT value (one
+    * `percentile()` pass, interpolated — DuckDB `quantile_cont`
+    * replays it bit-for-bit at 6dp) and a `within_bound` boolean
+    * asserting the sketch estimate landed within 2α of it (α vs the
+    * rank item by the published guarantee, +α slack for
+    * interpolation between order stats). The estimate itself stays
+    * out of the hashed columns: its bin index is `ceil(ln x/ln γ)`
+    * and `ln` is not bit-specified across engines — the boolean
+    * carries the guarantee, the spec pins the tight α bound and
+    * merge-order independence engine-side. */
+  def ddQuantiles(df: DataFrame, valueCol: String, alpha: Double = 0.01,
+      qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q < 1),
+      s"quantiles must lie in (0,1): $qs")
+    val gamma = (1 + alpha) / (1 - alpha)
+    val v = col(valueCol).cast("double")
+    // one pass, map-side partial: the shuffle moves ≤ bins×partitions
+    // rows. Strictly-positive domain (DDSketch's); zero/negative
+    // values would need the standard mirrored second sketch.
+    val bins = df.where(v > lit(0.0))
+      .select((ceil(log(v) / lit(math.log(gamma)))).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+    // cumulative walk over the BIN-sized frame: a single-partition
+    // window over ≤ ~2100 rows, never the data
+    val cum = bins.withColumn("cum",
+      sum("cnt").over(Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = bins.agg(sum("cnt").as("n"))
+    val qdf = df.sparkSession.range(1).select(
+      explode(array(qs.map(lit): _*)).as("quantile"))
+    // smallest bin whose cumulative count reaches ⌈q·n⌉ → estimate
+    // 2γ^bin/(γ+1) (the bin's log-midpoint)
+    val qbin = cum.crossJoin(broadcast(total)).crossJoin(broadcast(qdf))
+      .where(col("cum") >= ceil(col("quantile") * col("n")))
+      .groupBy("quantile").agg(min("bin").as("qbin"))
+      .withColumn("dd_est",
+        lit(2.0) * pow(lit(gamma), col("qbin")) / lit(gamma + 1))
+    // exact twin: ONE percentile pass computing every requested q
+    val exactArr = df.select(v.as("x")).agg(
+      expr(s"percentile(x, array(${qs.mkString(", ")}))").as("ex"))
+      .select(posexplode(col("ex")).as(Seq("i", "exact")))
+      .select(element_at(array(qs.map(lit): _*), col("i") + 1)
+        .as("quantile"), col("exact"))
+    qbin.join(broadcast(exactArr), "quantile")
+      .select(col("quantile"),
+        round(col("exact"), 6).as("exact_value"),
+        (abs(col("dd_est") - col("exact")) <=
+          lit(2 * alpha) * col("exact")).as("within_bound"))
+      .orderBy("quantile")
+  }
+
+  /** Raw DDSketch (bin → count) for a column — the mergeable state
+    * itself, exposed for the spec's merge-order-independence and
+    * α-guarantee assertions. */
+  private[graft] def ddBins(df: DataFrame, valueCol: String,
+      alpha: Double): DataFrame = {
+    val gamma = (1 + alpha) / (1 - alpha)
+    val v = col(valueCol).cast("double")
+    df.where(v > lit(0.0))
+      .select((ceil(log(v) / lit(math.log(gamma)))).cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The d seeded bucket assignments of one key — seed enters as a
+    * leading xxhash64 column (Spark's builtin seeds are fixed), width
+    * by positive mod. Shared by the sketch build, the estimate join,
+    * and the gate's persisted replay table, so all three agree by
+    * construction. */
+  private def cmsBuckets(key: Column, depth: Int, width: Int): Column =
+    array((0 until depth).map(j =>
+      pmod(xxhash64(lit(j), key), lit(width.toLong))): _*)
+
+  /** T19 — Count-Min heavy hitters with an exact twin: the sketch is
+    * a d×w counter matrix (d seeded hash rows, w buckets — here
+    * 4×2048 = 8 K counters whatever the key cardinality), built in
+    * ONE map-side-partial pass; a key's estimate is the MIN of its d
+    * counters — never below the true count, above it only by other
+    * keys' collision mass (≤ εN with probability 1−δ, ε=e/w, δ=e^−d).
+    * Counter sums are merge-order-independent, so the estimates are
+    * a pure function of the multiset — hash-gateable.
+    *
+    * Returns the top-`k` keys by (estimate, key): estimate, exact
+    * count (the verification second pass a real pipeline runs on the
+    * candidate set — here the full gate column), and the
+    * `cms_ge_exact` invariant. The gate's DuckDB twin replays the
+    * ENTIRE sketch from a persisted key→buckets table (xxhash64 is
+    * not DuckDB-expressible; the c3 shared-asset discipline):
+    * counters = Σ key-counts per bucket, estimate = min over d — so
+    * the estimates hash-match exactly, not just the booleans. */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, k: Int = 10,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val key = col(keyCol)
+    // the sketch: one pass, d rows per input row, map-side partial —
+    // the shuffle moves ≤ d·w·partitions counter rows, never data
+    val counters = df
+      .select(posexplode(cmsBuckets(key, depth, width)).as(Seq("j", "bucket")))
+      .groupBy("j", "bucket").agg(count(lit(1)).as("c"))
+    // estimate every distinct key against the broadcast matrix; the
+    // exact count rides the same aggregation (the candidate-set
+    // verification pass)
+    val keys = df.groupBy(key.as("key")).agg(count(lit(1)).as("exact_cnt"))
+    keys
+      .select(col("key"), col("exact_cnt"),
+        posexplode(cmsBuckets(col("key"), depth, width)).as(Seq("j", "bucket")))
+      .join(broadcast(counters), Seq("j", "bucket"))
+      .groupBy("key", "exact_cnt").agg(min(col("c")).as("cms_est"))
+      .orderBy(col("cms_est").desc, col("key"))
+      .limit(k)
+      .select(col("key"), col("cms_est"), col("exact_cnt"),
+        (col("cms_est") >= col("exact_cnt")).as("cms_ge_exact"))
+  }
+
+  /** The key→bucket-array frame the T19 gate persists so DuckDB can
+    * replay the sketch (one row per distinct key; buckets as d
+    * columns b0..b{d−1}). */
+  private[graft] def cmsReplayTable(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 2048): DataFrame = {
+    val b = cmsBuckets(col("key"), depth, width)
+    df.select(col(keyCol).as("key")).distinct()
+      .select(col("key") +:
+        (0 until depth).map(j => element_at(b, j + 1).as(s"b$j")): _*)
+  }
+
+  /** T20 — deterministic weighted sample without replacement (A-ES):
+    * each row draws u ∈ (0,1) from xxhash64 of its id and ranks by
+    * ln(u)/w — monotone in the published u^(1/w) key, so the top-k
+    * IS a weighted sample without replacement, but REPRODUCIBLE: the
+    * same ids select the same sample on any cluster, any partition
+    * layout, any day (what makes a 100 TB sample auditable and a
+    * resumed job idempotent). One projection + one top-k — no
+    * shuffle beyond TakeOrdered's k-sized partial heaps.
+    *
+    * `sample_key` is rounded to 6dp for the gate; ordering uses the
+    * raw key with the id as tiebreaker. The gate's DuckDB twin
+    * replays u and the key from a persisted id→hash table. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int = 50): DataFrame = {
+    val m = 1L << 31
+    val u = (pmod(xxhash64(col(idCol)), lit(m)) + 1).cast("double") /
+      lit((m + 1).toDouble)
+    val keyc = log(u) / col(weightCol).cast("double")
+    df.where(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol),
+        round(keyc, 6).as("sample_key"), keyc.as("__raw"))
+      .orderBy(col("__raw").desc, col(idCol))
+      .limit(k)
+      .drop("__raw")
+  }
+}

@@ -201,6 +201,58 @@ object TextOps {
       .orderBy("doc_id", "rnk")
   }
 
+  /** T18b — BM25 ranked retrieval over the corpus (Robertson–Spärck
+    * Jones probabilistic weighting, the Lucene-default scoring): the
+    * retrieval pass a curation pipeline runs to pull training
+    * documents matching a quality/topic probe query. For each doc
+    * containing a query term,
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N−df+0.5)/(df+0.5))
+    * — exact doubles, 6dp-rounded like every float gate. The plan is
+    * pure relational: tokenize once, tf/dl per doc, df per term, the
+    * tiny (N, avgdl) scalar broadcast, then a semi-filtering join
+    * against the query terms (a probe list, broadcast) — at corpus
+    * scale the only data-sized shuffle is the tf groupBy; everything
+    * downstream is term-bounded. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val q = docs.sparkSession.range(1)
+      .select(explode(array(queryTerms.map(lit): _*)).as("term"))
+    val scored = tf
+      .join(broadcast(q), "term")
+      .join(broadcast(dft.join(broadcast(q), "term")), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("norm", col("tf").cast("double") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("norm")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    // distributed top-k (TakeOrderedAndProject — per-partition k-heaps,
+    // never a global single-partition window over every matching doc);
+    // the rank label is assigned over the k-row RESULT
+    scored
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), round(col("score"), 6).as("bm25"),
+        col("n_terms_hit"), col("rnk").cast("int").as("rnk"))
+      .orderBy("rnk")
+  }
+
   /** T15 — n-gram LM perplexity filtering (the CCNet step: score
     * every document against a language model trained on a trusted
     * reference slice; junk scores high and is dropped — the standard

@@ -247,62 +247,66 @@ object GraphOps {
     val spark = loopSession(edges.sparkSession)
     val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
     val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val e = in.select(col("src"), col("dst"))
+    // the loop's edge-sized state is the BARE closure — two columns,
+    // never three: the round-12 100× profile showed the rounds
+    // re-read-bound on this state (~25 GB × iters on one box), so
+    // `outdeg` moves OFF the per-edge rows into a pinned NODE-sized
+    // table and the per-round share pr⌊/⌋outdeg is computed by a
+    // co-partitioned node join instead of being carried on every edge
+    // (one long per edge ≈ a third of the re-read volume, for a
+    // node-sized join that shuffles nothing)
+    var e = in.select(col("src"), col("dst"))
       .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
-      .localCheckpoint(true, IterCkpt)
-    var withDeg = e
-      .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
       .repartition(n0, col("src"))
       .sortWithinPartitions("src")
       .localCheckpoint(true, IterCkpt)
-    withDeg = graft.core.Parallelism.resizeCheckpoint(
-      withDeg, n0, col("src"), IterCkpt, sorted = true)
-    val n = withDeg.rdd.getNumPartitions
+    e = graft.core.Parallelism.resizeCheckpoint(
+      e, n0, col("src"), IterCkpt, sorted = true)
+    val n = e.rdd.getNumPartitions
     if (n != n0) spark.conf.set("spark.sql.shuffle.partitions", n)
-    var pr = e.select(col("src").as("node")).distinct()
-      .withColumn("pr", lit(1000000L))
-      .repartition(n, col("node"))
+    // node-sized, pinned hash(node) at the edge layout's count: the
+    // agg output of the pinned closure is ALREADY hash(src)-partitioned
+    // (map-side partial + zero-exchange final), and every round's share
+    // join consumes it co-partitioned
+    val outdeg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
-    // the raw closure fed withDeg and pr-init only — free it (blocking)
-    // BEFORE the rounds so the loop's resident state is one edge copy,
-    // not two (at 100× each copy is tens of GB; async unpersist lets
-    // them stack against the live state and OOM at the heap cliff)
-    e.unpersist(blocking = true)
+    var pr = outdeg.select(col("node"), lit(1000000L).as("pr"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val next = withDeg
-        .join(pr, withDeg("src") === pr("node"))
-        .select(col("dst"), expr("pr div outdeg").as("c"))
-        .groupBy(col("dst").as("node"))
-        .agg(sum(col("c")).as("s"))
-        .select(col("node"),
-          (lit(150000L) + expr(
-            "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
-          )).as("pr"))
-        .localCheckpoint(true)
+      val next = pageRankRound(e, outdeg, pr).localCheckpoint(true)
       pr.unpersist()
       pr = next
     }
     val out = pr.select(col("node").as("node_id"),
       col("pr").as("pr_micro")).orderBy("node_id")
-    withDeg.unpersist(blocking = true)
+    e.unpersist(blocking = true)
+    outdeg.unpersist(blocking = true)
     out
   }
 
-  /** One PageRank round as a standalone frame over pinned inputs —
-    * exposed so the spec can assert the co-partitioned iteration plan
-    * (zero Exchange on the edge join; the rank transpose is the only
-    * shuffle). Identical arithmetic to the [[pageRank]] loop body. */
-  private[graft] def pageRankRound(withDeg: DataFrame, pr: DataFrame): DataFrame =
-    withDeg
-      .join(pr, withDeg("src") === pr("node"))
-      .select(col("dst"), expr("pr div outdeg").as("c"))
+  /** One PageRank round over pinned inputs — the [[pageRank]] loop
+    * body, exposed so the spec can assert the co-partitioned iteration
+    * plan. Three inputs, all pinned: the bare closure (hash(src),
+    * sorted — the only EDGE-sized state), the node-sized `outdeg`
+    * table, and the node-sized rank vector; per round the share
+    * pr⌊/⌋outdeg is a ZERO-exchange node join, the edge join consumes
+    * the pinned layout with zero Exchange (and no edge-side sort), and
+    * the rank transpose (groupBy dst) is the round's ONLY shuffle. */
+  private[graft] def pageRankRound(e: DataFrame, outdeg: DataFrame,
+      pr: DataFrame): DataFrame = {
+    val share = pr.join(outdeg, "node")
+      .select(col("node"), expr("pr div outdeg").as("c"))
+    e.join(share, e("src") === share("node"))
+      .select(col("dst"), col("c"))
       .groupBy(col("dst").as("node"))
       .agg(sum(col("c")).as("s"))
       .select(col("node"),
         (lit(150000L) + expr(
           "(s div 1000000) * 850000 + ((s % 1000000) * 850000) div 1000000"
         )).as("pr"))
+  }
 
   /** G6 — bipartite co-occurrence projection + triangle census: from
     * (left, right) incidence edges, build the RIGHT-side co-occurrence

@@ -128,30 +128,39 @@ class GraphPipelineSpec extends SparkSpec {
     spark.conf.set(bcastKey, "-1")
     try {
       val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      // pinned inputs exactly as the loop builds them
+      // pinned inputs exactly as the loop builds them: bare closure
+      // (hash(src), sorted), node-sized outdeg off the pinned closure
+      // (zero-exchange agg), node-sized rank vector
       val edges = (0 until 200).map(i => (s"n$i", s"n${(i * 7) % 200}"))
         .toDF("src", "dst")
       val e = edges.unionAll(edges.select(col("dst"), col("src")))
-        .distinct().localCheckpoint(true)
-      val withDeg = e
-        .join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
-        .repartition(n, col("src")).localCheckpoint(true)
-      val pr = e.select(col("src").as("node")).distinct()
-        .withColumn("pr", lit(1000000L))
-        .repartition(n, col("node")).localCheckpoint(true)
-      val round = graft.steps.GraphOps.pageRankRound(withDeg, pr)
+        .distinct().repartition(n, col("src"))
+        .sortWithinPartitions("src").localCheckpoint(true)
+      val outdeg = e.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("outdeg")).localCheckpoint(true)
+      val pr = outdeg.select(col("node"), lit(1000000L).as("pr"))
+        .localCheckpoint(true)
+      val round = graft.steps.GraphOps.pageRankRound(e, outdeg, pr)
       val plan = round.queryExecution.executedPlan.toString
       val exchanges = "Exchange".r.findAllIn(plan).length -
         "ExchangeReuse".r.findAllIn(plan).length
       assert(exchanges == 1,
         s"per-round plan must shuffle ONLY the rank transpose " +
           s"($exchanges exchanges):\n$plan")
-      // and the join itself sits below no Exchange: the plan segment
-      // between the scan leaves and the join has none
+      // and the joins themselves sit below no Exchange: the plan
+      // segment from the first join downward has none (both the
+      // node-sized share join and the edge join consume pinned layouts)
       val joinIdx = plan.indexOf("SortMergeJoin") max plan.indexOf("ShuffledHashJoin")
       if (joinIdx >= 0)
         assert(!plan.substring(joinIdx).contains("Exchange"),
           s"the edge join must consume the pinned partitioning:\n$plan")
+      // the edge side of the edge join must not re-sort: its recorded
+      // in-partition order satisfies the SMJ — count the Sorts (share
+      // side + the two node-sized share-join sorts are allowed; an
+      // edge-sized 4th means the pinned ordering was lost)
+      val sorts = "(?m)^(?:[^\\n]*?)Sort ".r.findAllIn(plan).length
+      assert(sorts <= 3,
+        s"edge side must consume the checkpointed sort ($sorts Sorts):\n$plan")
     } finally {
       spark.conf.set(bcastKey, prevB)
       prev match {

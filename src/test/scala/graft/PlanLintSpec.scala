@@ -32,7 +32,15 @@ class PlanLintSpec extends SparkSpec {
       // q31's tolerance gate zips two 1-ROW aggregates (sketch
       // estimate × exact distinct) — same scalar shape; Catalyst
       // folds any constant equi-key back to a cross join
-      "q31_hll_union")
+      "q31_hll_union",
+      // t18's quantile pick crosses the BIN-sized cumulative walk
+      // (≤ ~2100 rows, log-bounded whatever the data) with a 1-row
+      // total and a 3-row quantile list — sketch-sized constants,
+      // never data
+      "t18_quantile_sketch",
+      // t21's (N, avgdl) corpus scalar rides the same 1-ROW
+      // broadcast cross join as t7's
+      "t21_bm25_topk")
 
   /** Streaming gates execute the stream inside the query closure —
     * covered by StreamingSpec; skipped here to keep the lint fast. */

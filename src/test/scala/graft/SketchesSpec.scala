@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Sketches, TextOps}
+
+/** The sketch-family invariants the hash gates can't express: the
+  * published DDSketch α guarantee against exact RANK statistics,
+  * merge-order independence (the mergeability claim, tested as
+  * layout-invariance), the Count-Min never-underestimates bound and
+  * its exactness regime, A-ES sample reproducibility, and a
+  * hand-computed BM25. */
+class SketchesSpec extends SparkSpec {
+
+  test("ddQuantiles: α relative-error guarantee against exact rank " +
+      "statistics on a long-tailed set") {
+    import spark.implicits._
+    // deterministic long-tailed positives spanning 5 decades
+    val xs = (1 to 20000).map(i => math.exp((i % 9973) / 867.0))
+    val df = xs.toDF("x")
+    val alpha = 0.01
+    val out = Sketches.ddQuantiles(df, "x", alpha,
+      qs = Seq(0.5, 0.9, 0.99)).collect()
+    assert(out.length == 3 && out.forall(_.getBoolean(2)),
+      s"2α gate bound must hold: ${out.mkString(", ")}")
+    // the tight published bound: estimate within α of the ⌈qn⌉-th
+    // smallest value (the sketch's own rank convention)
+    val sorted = xs.sorted
+    val gamma = (1 + alpha) / (1 - alpha)
+    val bins = Sketches.ddBins(df, "x", alpha).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    for (q <- Seq(0.5, 0.9, 0.99)) {
+      val rank = math.ceil(q * xs.length).toLong
+      var cum = 0L
+      val bin = bins.find { case (_, c) => cum += c; cum >= rank }.get._1
+      val est = 2 * math.pow(gamma, bin.toDouble) / (gamma + 1)
+      val exact = sorted((rank - 1).toInt)
+      assert(math.abs(est - exact) <= alpha * exact * 1.0000001,
+        s"q=$q: est $est vs rank-exact $exact exceeds alpha")
+    }
+  }
+
+  test("ddQuantiles: merge-order independence — any partition layout " +
+      "yields identical bins and identical gate rows") {
+    import spark.implicits._
+    val xs = (1 to 5000).map(i => (i % 613) + 0.5)
+    val a = xs.toDF("x").repartition(1)
+    val b = xs.toDF("x").repartition(17)
+    val binsA = Sketches.ddBins(a, "x", 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val binsB = Sketches.ddBins(b, "x", 0.01).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(binsA == binsB)
+    val gA = Sketches.ddQuantiles(a, "x").collect().map(_.toSeq).toSeq
+    val gB = Sketches.ddQuantiles(b, "x").collect().map(_.toSeq).toSeq
+    assert(gA == gB)
+  }
+
+  test("cmsHeavyHitters: estimates never underestimate; exact in the " +
+      "collision-free regime; layout-invariant") {
+    import spark.implicits._
+    // skewed multiset: key k repeated k times, 1..60
+    val rows = (1 to 60).flatMap(k => Seq.fill(k)(k.toLong))
+    val df = rows.toDF("k")
+    val out = Sketches.cmsHeavyHitters(df, "k", k = 10).collect()
+    assert(out.length == 10)
+    assert(out.forall(_.getBoolean(3)), "CMS must never underestimate")
+    // 60 keys into 4×2048 counters: collisions essentially impossible
+    // per row, and the MIN over 4 rows removes any residue — the
+    // estimates ARE the exact counts, so the top-10 is 60..51
+    assert(out.map(_.getLong(1)).toSeq == (60 to 51 by -1).map(_.toLong),
+      s"collision-free regime must be exact: ${out.mkString(", ")}")
+    assert(out.forall(r => r.getLong(1) == r.getLong(2)))
+    val out2 = Sketches.cmsHeavyHitters(df.repartition(13), "k", k = 10)
+      .collect().map(_.toSeq).toSeq
+    assert(out2 == out.map(_.toSeq).toSeq, "layout must not matter")
+  }
+
+  test("weightedSample: reproducible across layouts; honors the weight " +
+      "ordering for equal hashes") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (i, (i % 97) + 1)).toDF("id", "w")
+    val s1 = Sketches.weightedSample(docs, "id", "w", k = 20)
+      .collect().map(_.toSeq).toSeq
+    val s2 = Sketches.weightedSample(docs.repartition(11), "id", "w", k = 20)
+      .collect().map(_.toSeq).toSeq
+    assert(s1 == s2, "the same ids must select the same sample")
+    assert(s1.length == 20)
+    // zero/negative weights are excluded, not sampled
+    val withZero = (docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      :+ (9999L, 0L)).toSeq.toDF("id", "w")
+    assert(!Sketches.weightedSample(withZero, "id", "w", k = 400)
+      .collect().exists(_.getLong(0) == 9999L))
+  }
+
+  test("bm25TopK: hand-computed two-doc corpus") {
+    import spark.implicits._
+    // d1 = "a b a", d2 = "b c": query {a} — only d1 matches;
+    // N=2, df(a)=1, idf = ln(1 + (2-1+0.5)/1.5) = ln(2)
+    // tf=2, dl=3, avgdl=2.5 → norm = 2*2.2/(2+1.2*(0.25+0.75*3/2.5))
+    val docs = Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text")
+    val out = TextOps.bm25TopK(docs, Seq("a"), k = 5).collect()
+    assert(out.length == 1 && out.head.getLong(0) == 1L)
+    val expected = math.log(2.0) *
+      (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 2.5))
+    assert(math.abs(out.head.getDouble(1) - expected) < 1e-6,
+      s"got ${out.head.getDouble(1)}, want $expected")
+    assert(out.head.getInt(3) == 1)
+  }
+}
