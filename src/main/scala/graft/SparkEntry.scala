@@ -222,6 +222,28 @@ object SparkEntry {
       dir
     }
 
+  /** A LIVE Delta mirror ([[graft.core.TxTable.mirrorToDelta]]), once
+    * per (session, dir): bootstrap export, then graft keeps writing
+    * (append + delete) and each mirror call tail-publishes the new
+    * commits as Delta JSON commits — the x31 substrate: delta-speaking
+    * readers follow the table instead of a stale snapshot. Final
+    * content = orders with o_orderkey % 7 != 0 (even keys at
+    * bootstrap, odd keys appended, every 7th deleted). */
+  private def deltaMirrorAsset(s: SparkSession, d: String): String =
+    cachedAsset(s, s"delta_mirror|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_mirror") + "/t"
+      val t = graft.core.TxTable(s, dir)
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      t.overwrite(base.where(col("o_orderkey") % 2 === 0))
+      t.mirrorToDelta()                       // bootstrap = Delta v0
+      t.append(base.where(col("o_orderkey") % 2 === 1))
+      t.deleteWhere(col("o_orderkey") % 7 === 0)
+      t.mirrorToDelta()                       // tail-publish v1..v2
+      dir
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1286,6 +1308,19 @@ object SparkEntry {
     // open _delta_log (zero copy) and read back THROUGH the Delta
     // protocol (partition values from the exported log, IN-filter
     // pruning the exported file list before planning)
+    // x31: LIVE incremental mirror — graft commits (append + delete)
+    // made AFTER the bootstrap export reach delta-speaking readers
+    // through mirrorToDelta()'s tail-published commits; gated on the
+    // delta-log read of the mirrored head
+    "x31_delta_mirror"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val dir = deltaMirrorAsset(s, d)
+      s.read.format("delta-log").load(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "x30_delta_export"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val dir = deltaExportAsset(s, d)
@@ -2801,6 +2836,13 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders WHERE o_orderkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "x31_delta_mirror" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 7 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x30_delta_export" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

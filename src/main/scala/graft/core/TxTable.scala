@@ -3227,12 +3227,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * metadata (reader 2 / writer 5): the manifest's frozen physical
     * names become `delta.columnMapping.physicalName`, so renamed
     * columns round-trip without touching a data file. Refusals (all
-    * LOUD, never a broken log): an existing `_delta_log` (incremental
-    * mirroring is not implemented — this is a snapshot export), live
-    * deletion vectors (Delta's DV sidecar format differs from the
-    * engine's; run `compact()` to materialize the deletes first), and
-    * partition-column types whose directory string serialization is
-    * not canonically Delta's (export those by copy).
+    * LOUD, never a broken log): an existing `_delta_log` (this is the
+    * snapshot BOOTSTRAP — [[mirrorToDelta]] is the verb that follows
+    * a live log), live deletion vectors (Delta's DV sidecar format
+    * differs from the engine's; run `compact()` to materialize the
+    * deletes first), and partition-column types whose directory
+    * string serialization is not canonically Delta's (export those
+    * by copy).
     *
     * Returns the exported Delta version (always 0). */
   def exportToDelta(): Long = {
@@ -3240,9 +3241,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       sys.error(s"$root has no committed snapshots to export"))
     val logDir = new Path(root, "_delta_log")
     require(!fs.exists(logDir),
-      s"$root already carries a _delta_log — snapshot export targets a " +
-        "table that is not yet a Delta mirror (incremental mirroring " +
-        "is not implemented)")
+      s"$root already carries a _delta_log — snapshot export bootstraps " +
+        "a table that is not yet a Delta mirror; mirrorToDelta() follows " +
+        "a live one")
     require(!m.files.exists(_.dvPath.isDefined),
       s"$root: snapshot holds live deletion vectors — Delta export " +
         "would drop them; run compact() to materialize the deletes, " +
@@ -3296,36 +3297,200 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         outSchema.fields.length.toString)
     }
     md.put("createdTime", System.currentTimeMillis())
-    val adds = m.files.map { f =>
-      require(!f.path.startsWith("/"),
-        s"$root: ${f.path} lives OUTSIDE the table root (shallow clone) " +
-          "— a Delta mirror needs table-rooted files; export by copy")
-      val n = om.createObjectNode()
-      val a = n.putObject("add")
-      // Delta paths are URL-encoded relative URIs
-      a.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
-      val pv = a.putObject("partitionValues")
-      m.partitionCols.foreach { c =>
-        f.partition.get(c) match {
-          case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" => pv.put(c, v)
-          case _ => pv.putNull(c)
-        }
-      }
-      a.put("size", if (f.bytes >= 0) f.bytes
-        else fs.getFileStatus(new Path(root, f.path)).getLen)
-      a.put("modificationTime", f.mtimeMs)
-      a.put("dataChange", true)
-      if (f.rows >= 0)
-        a.put("stats", s"""{"numRecords":${f.rows}}""")
-      om.writeValueAsString(n)
-    }
+    val adds = m.files.map(deltaAddJson(om, m, _, dataChange = true))
     fs.mkdirs(logDir)
-    val lines = (Seq(om.writeValueAsString(protoNode),
-      om.writeValueAsString(metaNode)) ++ adds).mkString("\n") + "\n"
-    val out = fs.create(new Path(logDir, f"${0L}%020d.json"), false)
-    try out.write(lines.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val lines = Seq(om.writeValueAsString(protoNode),
+      om.writeValueAsString(metaNode)) ++ adds :+
+      deltaCommitInfoJson(om, m.version, "CONVERT TO DELTA")
+    writeDeltaCommit(logDir, 0L, lines)
     0L
+  }
+
+  /** One Delta `add` action line for a manifest file entry (shared by
+    * [[exportToDelta]] and [[mirrorToDelta]] so the two cannot
+    * drift). */
+  private def deltaAddJson(om: com.fasterxml.jackson.databind.ObjectMapper,
+      m: Manifest, f: FileEntry, dataChange: Boolean): String = {
+    require(!f.path.startsWith("/"),
+      s"$root: ${f.path} lives OUTSIDE the table root (shallow clone) " +
+        "— a Delta mirror needs table-rooted files; export by copy")
+    val n = om.createObjectNode()
+    val a = n.putObject("add")
+    // Delta paths are URL-encoded relative URIs
+    a.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
+    val pv = a.putObject("partitionValues")
+    m.partitionCols.foreach { c =>
+      f.partition.get(c) match {
+        case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" => pv.put(c, v)
+        case _ => pv.putNull(c)
+      }
+    }
+    a.put("size", if (f.bytes >= 0) f.bytes
+      else fs.getFileStatus(new Path(root, f.path)).getLen)
+    a.put("modificationTime", f.mtimeMs)
+    a.put("dataChange", dataChange)
+    if (f.rows >= 0)
+      a.put("stats", s"""{"numRecords":${f.rows}}""")
+    om.writeValueAsString(n)
+  }
+
+  /** The mirror's anchor record: a Delta `commitInfo` action naming
+    * the graft version this Delta commit reflects — what
+    * [[mirrorToDelta]] resumes from, and the audit row delta-speaking
+    * engines show as table history. */
+  private def deltaCommitInfoJson(
+      om: com.fasterxml.jackson.databind.ObjectMapper,
+      graftVersion: Long, operation: String): String = {
+    val n = om.createObjectNode()
+    val ci = n.putObject("commitInfo")
+    ci.put("timestamp", System.currentTimeMillis())
+    ci.put("operation", operation)
+    val p = ci.putObject("operationParameters")
+    p.put("graftVersion", graftVersion.toString)
+    ci.put("engineInfo", "graft")
+    om.writeValueAsString(n)
+  }
+
+  private def writeDeltaCommit(logDir: Path, deltaVersion: Long,
+      lines: Seq[String]): Unit = {
+    val out = fs.create(new Path(logDir, f"$deltaVersion%020d.json"), false)
+    try out.write((lines.mkString("\n") + "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Incremental Delta mirroring — the maintenance verb that keeps a
+    * [[exportToDelta]] mirror LIVE: publishes every graft commit made
+    * since the last mirrored version as its own Delta JSON commit
+    * (adds/removes diffed between consecutive manifests; schema
+    * changes re-emit `metaData` under the mirror's stable table id;
+    * compactions mirror with `dataChange=false` so Delta-side
+    * incremental consumers skip them), so delta-speaking readers
+    * (delta-spark, Trino, DuckDB delta) follow the table's history
+    * instead of a stale snapshot — the engine as a continuous
+    * lakehouse citizen, zero data copy. Bootstraps via
+    * [[exportToDelta]] when no `_delta_log` exists yet; no-ops (and
+    * returns the current Delta version) when the mirror is already
+    * current. Each commit ends with a `commitInfo` action recording
+    * the graft version it reflects — the anchor the next call
+    * resumes from, making the mirror idempotent and crash-resumable
+    * (a half-mirrored chain resumes from the last published anchor).
+    *
+    * `coalesce=true` collapses the whole backlog into ONE Delta
+    * commit diffing the last-mirrored manifest against the latest —
+    * the escape hatch when intermediate versions are unmirrorable
+    * (live deletion vectors later purged) or when per-version
+    * fidelity isn't worth a thousand tiny commits.
+    *
+    * Refusals (loud, never a broken log): a `_delta_log` not written
+    * by this mirror (no graft anchor in its last commit), an anchor
+    * version aged out of the graft log, live deletion vectors in a
+    * mirrored version (run [[purgeDeletes]]/[[compact]], or coalesce
+    * past them), partition-column or column-mapping changes, and
+    * schema changes on a column-mapped mirror (mapping ids could not
+    * stay stable) — re-export those into a fresh mirror.
+    *
+    * Returns the latest Delta version. */
+  def mirrorToDelta(coalesce: Boolean = false): Long = {
+    val latest = latestVersion.getOrElse(
+      sys.error(s"$root has no committed snapshots to mirror"))
+    val dLogDir = new Path(root, "_delta_log")
+    if (!fs.exists(dLogDir)) { exportToDelta(); return 0L }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val deltaVersions = fs.listStatus(dLogDir).toSeq
+      .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted
+    require(deltaVersions.nonEmpty,
+      s"$root: _delta_log holds no commits — not a mirror; remove it or " +
+        "export into a fresh directory")
+    def linesOf(dv: Long): Seq[String] = {
+      val in = fs.open(new Path(dLogDir, f"$dv%020d.json"))
+      val text = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+      text.split("\n").toSeq.map(_.trim).filter(_.nonEmpty)
+    }
+    val anchor = linesOf(deltaVersions.last).reverseIterator
+      .map(om.readTree)
+      .collectFirst(Function.unlift { n =>
+        Option(n.get("commitInfo"))
+          .flatMap(ci => Option(ci.get("operationParameters")))
+          .flatMap(p => Option(p.get("graftVersion")))
+          .map(_.asText().toLong)
+      })
+      .getOrElse(sys.error(
+        s"$root: _delta_log was not written by this engine's mirror (its " +
+          "last commit carries no graft anchor) — refusing to append to a " +
+          "foreign Delta log"))
+    if (anchor >= latest) return deltaVersions.last
+    require(versions.contains(anchor),
+      s"$root: last-mirrored graft version $anchor has aged out of the " +
+        "graft log — export into a fresh mirror instead")
+    // the mirror's stable metaData id: the newest metaData action
+    val tableId = deltaVersions.reverseIterator
+      .flatMap(v => linesOf(v).reverseIterator.map(om.readTree)
+        .collectFirst(Function.unlift(n => Option(n.get("metaData"))
+          .map(_.get("id").asText()))))
+      .nextOption()
+      .getOrElse(sys.error(s"$root: mirror log carries no metaData"))
+    val targets =
+      if (coalesce) Seq(latest)
+      else versions.filter(v => v > anchor && v <= latest).sorted
+    var prev = manifest(anchor)
+    var nextDelta = deltaVersions.last + 1
+    targets.foreach { gv =>
+      val cur = manifest(gv)
+      require(cur.partitionCols == prev.partitionCols,
+        s"$root: partition columns changed at graft version $gv — a Delta " +
+          "mirror cannot follow a re-layout; export into a fresh mirror")
+      require(cur.colMap == prev.colMap,
+        s"$root: column mapping changed at graft version $gv — mapping ids " +
+          "could not stay stable; export into a fresh mirror")
+      require(!cur.files.exists(_.dvPath.isDefined),
+        s"$root: graft version $gv holds live deletion vectors — Delta " +
+          "mirroring would drop them; run purgeDeletes()/compact() first, " +
+          "or mirrorToDelta(coalesce = true) past a later purge")
+      // compactions and purges rearrange bytes, not rows: Delta-side
+      // incremental consumers skip dataChange=false actions
+      val dataChange = coalesce || cur.operation != OpCompact
+      val prevPaths = prev.files.map(_.path).toSet
+      val curPaths = cur.files.map(_.path).toSet
+      val lines = Seq.newBuilder[String]
+      if (cur.schemaDdl != prev.schemaDdl) {
+        require(cur.colMap.isEmpty,
+          s"$root: schema change at graft version $gv on a column-mapped " +
+            "mirror — mapping ids could not stay stable; export into a " +
+            "fresh mirror")
+        val schema = StructType.fromDDL(cur.schemaDdl)
+        val metaNode = om.createObjectNode()
+        val md = metaNode.putObject("metaData")
+        md.put("id", tableId)
+        val fmt = md.putObject("format")
+        fmt.put("provider", "parquet"); fmt.putObject("options")
+        md.put("schemaString", schema.json)
+        val pcArr = md.putArray("partitionColumns")
+        cur.partitionCols.foreach(pcArr.add)
+        md.putObject("configuration")
+        lines += om.writeValueAsString(metaNode)
+      }
+      cur.files.filterNot(f => prevPaths(f.path))
+        .foreach(f => lines += deltaAddJson(om, cur, f, dataChange))
+      prev.files.filterNot(f => curPaths(f.path)).foreach { f =>
+        val n = om.createObjectNode()
+        val r = n.putObject("remove")
+        r.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
+        r.put("deletionTimestamp", System.currentTimeMillis())
+        r.put("dataChange", dataChange)
+        lines += om.writeValueAsString(n)
+      }
+      lines += deltaCommitInfoJson(om, gv,
+        s"GRAFT ${cur.operation.toUpperCase(java.util.Locale.ROOT)}")
+      writeDeltaCommit(dLogDir, nextDelta, lines.result())
+      nextDelta += 1
+      prev = cur
+    }
+    nextDelta - 1
   }
 
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =

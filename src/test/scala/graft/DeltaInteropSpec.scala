@@ -366,6 +366,106 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e2.getMessage.contains("_delta_log"), e2.getMessage)
   }
 
+  test("incremental mirror: every graft commit lands as its own Delta " +
+      "commit; compact mirrors dataChange=false; idempotent; coalesce " +
+      "collapses; refusals loud") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaCommits(dir: String): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_delta_log")).toSeq
+        .map(_.getPath.getName).filter(_.matches("\\d{20}\\.json"))
+        .map(_.stripSuffix(".json").toLong).sorted
+    def commitText(dir: String, v: Long): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        dir, f"_delta_log/$v%020d.json"))
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+    }
+
+    // bootstrap through the mirror verb itself (no log yet → v0)
+    val d = scratch("mirror")
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 3 === 0))
+    assert(t.mirrorToDelta() == 0L)
+    assert(DeltaLog.read(spark, d).exceptAll(t.read()).isEmpty)
+    // already current → no-op at the same version
+    assert(t.mirrorToDelta() == 0L && deltaCommits(d) == Seq(0L))
+
+    // append + delete + compact, then mirror the backlog: one Delta
+    // commit per graft version, read-equal at the head
+    t.append(orders.where(col("o_orderkey") % 3 === 1))
+    t.deleteWhere(col("o_orderkey") % 5 === 0)
+    assert(t.versions.size == 3, s"fixture must commit 3 versions")
+    t.compact()
+    val head = t.mirrorToDelta()
+    assert(head == 3L, s"expected Delta v3, got $head")
+    assert(deltaCommits(d) == (0L to 3L))
+    val viaDelta = DeltaLog.read(spark, d)
+    assert(viaDelta.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(viaDelta).isEmpty)
+    // the compact commit carries dataChange=false on every action
+    val compactText = commitText(d, 3L)
+    assert(compactText.contains("\"dataChange\":false") &&
+      !compactText.contains("\"dataChange\":true"), compactText)
+    // anchors recorded: the last commit names the graft version
+    assert(commitText(d, 3L).contains("\"graftVersion\""))
+    // idempotent again after the batch
+    assert(t.mirrorToDelta() == 3L && deltaCommits(d) == (0L to 3L))
+
+    // schema evolution mirrors a fresh metaData under the SAME id
+    t.append(orders.where(col("o_orderkey") % 3 === 2)
+      .withColumn("flag", lit(7L)))
+    assert(t.mirrorToDelta() == 4L)
+    val idOf = "\"id\":\"([^\"]+)\"".r
+    val id0 = idOf.findFirstMatchIn(commitText(d, 0L)).get.group(1)
+    val id4 = idOf.findFirstMatchIn(commitText(d, 4L)).get.group(1)
+    assert(id0 == id4, s"metaData id must stay stable: $id0 vs $id4")
+    val back = DeltaLog.read(spark, d)
+    assert(back.schema.fieldNames.contains("flag"))
+    assert(back.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(back).isEmpty)
+
+    // coalesce: a multi-commit backlog lands as ONE Delta commit
+    t.deleteWhere(col("o_orderkey") % 7 === 0)
+    t.append(orders.where(col("o_orderkey") % 21 === 0)
+      .withColumn("flag", lit(9L)))
+    assert(t.mirrorToDelta(coalesce = true) == 5L)
+    assert(deltaCommits(d) == (0L to 5L))
+    val coalesced = DeltaLog.read(spark, d)
+    assert(coalesced.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(coalesced).isEmpty)
+
+    // refusal: a foreign _delta_log (no graft anchor) is never
+    // appended to
+    val df = scratch("mirror_foreign")
+    val tf = TxTable(spark, df)
+    tf.overwrite(orders.limit(20))
+    val fx = DeltaFixture.writeData(spark, orders.limit(5), df, "x.parquet")
+    DeltaFixture.commit(spark, df, 0, Seq(
+      DeltaFixture.protocolJson(),
+      DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(fx)))
+    tf.append(orders.limit(10))
+    val ef = intercept[Exception] { tf.mirrorToDelta() }
+    assert(ef.getMessage.contains("foreign"), ef.getMessage)
+
+    // refusal: a DV-carrying version blocks per-version mirroring,
+    // and the message names the escape hatches
+    val dv = scratch("mirror_dv")
+    val tv = TxTable(spark, dv, deletionVectors = true)
+    tv.overwrite(orders.limit(100))
+    tv.mirrorToDelta()
+    tv.deleteWhere(col("o_orderkey") % 2 === 0)
+    val ev = intercept[Exception] { tv.mirrorToDelta() }
+    assert(ev.getMessage.contains("deletion vectors"), ev.getMessage)
+    // ... and coalesce past a purge mirrors cleanly
+    tv.purgeDeletes(0.0)
+    assert(tv.mirrorToDelta(coalesce = true) == 1L)
+    val backDv = DeltaLog.read(spark, dv)
+    assert(backDv.exceptAll(tv.read()).isEmpty &&
+      tv.read().exceptAll(backDv).isEmpty)
+  }
+
   test("unsupported protocol features refuse LOUDLY, never misread") {
     // reader 3 with an unimplemented feature
     val rv = scratch("rv3feat")
