@@ -4723,6 +4723,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         TxTable.cacheState(cacheKey, m, deltaBytes.length.toLong)
         writeLatestHint(v)
         if (v > 0 && v % CheckpointInterval == 0) writeCheckpoint(m)
+        maybeAutoMirror(m)
         return v
       }
       fs.delete(tmp, false) // lost the race: retry against the new latest
@@ -4731,6 +4732,34 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
     sys.error("unreachable")
   }
+
+  /** Post-commit auto-mirroring (the `graft.deltaMirror` table
+    * property): tail-publish the commit that just landed to the
+    * table's Delta mirror, so delta-speaking readers follow WITHOUT
+    * anyone calling [[mirrorToDelta]] — the `delta.enableChangeDataFeed`
+    *-style opt-in, applied to mirroring. BEST-EFFORT by contract: the
+    * graft commit has already published, so a mirror failure (foreign
+    * log, live DVs awaiting a purge, a racing mirror losing the
+    * create-exclusive) must never surface to the writer — the backlog
+    * just waits for the next commit or a manual [[mirrorToDelta]],
+    * whose anchor discipline makes the catch-up exact. */
+  private def maybeAutoMirror(m: Manifest): Unit =
+    if (boolProp(m, TxTable.PropDeltaMirror).getOrElse(false))
+      try { mirrorToDelta(); () }
+      catch {
+        case _: Exception =>
+          // per-version fidelity refused (e.g. a DV'd intermediate
+          // version awaiting its purge) — self-heal by coalescing the
+          // backlog into one commit when the LATEST state is
+          // mirrorable; only if that also refuses does the backlog
+          // wait for the next commit
+          try { mirrorToDelta(coalesce = true); () }
+          catch {
+            case e: Exception => System.err.println(
+              s"[graft] auto-mirror of $root failed (backlog kept for " +
+                s"the next commit): ${e.getMessage}")
+          }
+      }
 
   /** Best-effort checkpoint of a committed snapshot: the full state to
     * `v.checkpoint.json` (tmp + rename — readers either see a complete
@@ -4902,6 +4931,12 @@ object TxTable {
   /** `true` = appends fold accumulated small-file debt automatically
     * (best-effort post-commit [[TxTable.compactSmall]]). */
   val PropAutoCompact = "graft.autoCompact"
+
+  /** `graft.deltaMirror=true` tail-publishes every commit to the
+    * table's Delta mirror ([[TxTable.mirrorToDelta]]) as a best-effort
+    * post-commit step — the opt-in that keeps delta-speaking readers
+    * current without an external scheduler. */
+  val PropDeltaMirror = "graft.deltaMirror"
   /** `true` = writes coalesce to ~128 MB outputs when the size
     * estimate allows (never repartitions up — see writeDataFiles). */
   val PropOptimizeWrite = "graft.optimizeWrite"

@@ -466,6 +466,52 @@ class DeltaInteropSpec extends SparkSpec {
       tv.read().exceptAll(backDv).isEmpty)
   }
 
+  test("auto-mirror property: commits tail-publish with no manual call; " +
+      "mirror failures never surface to the writer") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def deltaCount(dir: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.matches("\\d{20}\\.json"))
+    }
+    val d = scratch("auto_mirror")
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 0))
+    assert(deltaCount(d) == 0, "no mirror before the property")
+    // the property-setting commit itself bootstraps the mirror
+    t.setProperties(Map(TxTable.PropDeltaMirror -> "true"))
+    assert(deltaCount(d) == 1)
+    // subsequent commits tail-publish hands-free
+    t.append(orders.where(col("o_orderkey") % 4 === 1))
+    t.deleteWhere(col("o_orderkey") % 9 === 0)
+    assert(deltaCount(d) == 3)
+    val back = DeltaLog.read(spark, d)
+    assert(back.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(back).isEmpty)
+
+    // a mirror that CANNOT follow (live DVs) never fails the write:
+    // the graft commit lands, the Delta head stays, the backlog
+    // catches up after a purge through the same anchor discipline
+    val dv = scratch("auto_mirror_dv")
+    val tv = TxTable(spark, dv, deletionVectors = true)
+    tv.overwrite(orders.limit(80))
+    tv.setProperties(Map(TxTable.PropDeltaMirror -> "true"))
+    assert(deltaCount(dv) == 1)
+    val vBefore = tv.versions.size
+    tv.deleteWhere(col("o_orderkey") % 2 === 0) // DV'd commit
+    assert(tv.versions.size == vBefore + 1, "the write must land")
+    assert(deltaCount(dv) == 1, "the mirror must hold, not break")
+    // the purge commit self-heals: per-version mirroring still trips
+    // on the DV'd intermediate, so auto-mirror COALESCES the backlog
+    // into one commit diffing the anchor against the purged head
+    tv.purgeDeletes(0.0)
+    assert(deltaCount(dv) == 2)
+    val backDv = DeltaLog.read(spark, dv)
+    assert(backDv.exceptAll(tv.read()).isEmpty &&
+      tv.read().exceptAll(backDv).isEmpty)
+  }
+
   test("unsupported protocol features refuse LOUDLY, never misread") {
     // reader 3 with an unimplemented feature
     val rv = scratch("rv3feat")
