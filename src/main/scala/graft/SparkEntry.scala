@@ -1787,6 +1787,12 @@ object SparkEntry {
     "t21_bm25_topk"      -> ((s, d) =>
       TextOps.bm25TopK(Tables.documents(s, d),
         Seq("vector", "merge", "window"))),
+    // t22: broadcast phrase tagging (blocklist / taxonomy annotation)
+    // — mixed-order dictionary, one corpus pass, n-grams hash-joined
+    // against the broadcast phrase table
+    "t22_phrase_tags"    -> ((s, d) =>
+      TextOps.tagPhrases(Tables.documents(s, d),
+        Seq("vector", "merge batch", "key agg row"))),
     // t14: corpus-trained deterministic BPE — the real subword
     // tokenizer (train = distributed word count + driver greedy over
     // the bounded vocab; encode = rank-ordered merge passes in a
@@ -3304,6 +3310,24 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, round(score, 6) AS bm25, n_terms_hit, rnk
         |FROM r WHERE rnk <= 10 ORDER BY rnk""".stripMargin,
+    // t22: identical n-gram enumeration per dictionary order (DuckDB
+    // list slices are 1-based inclusive; range(1, k) excludes k)
+    "t22_phrase_tags" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t
+        |           FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(t) AS gram FROM d
+        |  UNION ALL
+        |  SELECT doc_id, 2, array_to_string(t[i:i+1], ' ')
+        |  FROM d, unnest(range(1, len(t))) AS u(i)
+        |  UNION ALL
+        |  SELECT doc_id, 3, array_to_string(t[i:i+2], ' ')
+        |  FROM d, unnest(range(1, len(t) - 1)) AS u(i)),
+        |ph AS (SELECT * FROM (VALUES ('vector', 1), ('merge batch', 2),
+        |                             ('key agg row', 3)) AS v(phrase, n))
+        |SELECT doc_id, phrase, count(*) AS n_hits
+        |FROM g JOIN ph ON g.gram = ph.phrase AND g.n = ph.n
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // t14: full BPE-encode replay from the persisted merges table
     "t14_bpe_tokenize" ->
       s"""WITH RECURSIVE

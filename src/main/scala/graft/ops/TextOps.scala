@@ -253,6 +253,40 @@ object TextOps {
       .orderBy("rnk")
   }
 
+  /** T22 — broadcast phrase tagging (blocklist / taxonomy
+    * annotation): match a driver-sized phrase dictionary against
+    * every document in ONE corpus pass — the Aho-Corasick-shaped
+    * annotator every curation pipeline runs (blocklists, topic
+    * lexicons, licence markers). Spark-first spelling: per n-gram
+    * ORDER the dictionary actually contains (a handful), enumerate
+    * the document's n-grams as string slices
+    * (`transform(sequence)+slice+array_join` — codegen'd, the c17
+    * shingle kernel) and hash-join them against the BROADCAST
+    * dictionary. Cost ∝ tokens × |distinct orders|; no candidate
+    * blowup exists (an n-gram matches at most one dictionary row),
+    * and the corpus never shuffles — only (doc, phrase) hit groups
+    * do. */
+  def tagPhrases(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrase dictionary must not be empty")
+    val spark = docs.sparkSession
+    val dict = phrases.distinct.map(p => (p, p.split(" ").length))
+    val dictDf = spark.createDataFrame(dict).toDF("phrase", "n")
+    val orders = dict.map(_._2).distinct.sorted
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+    val grams = orders.map { n =>
+      toks.where(size(col("__toks")) >= n)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(__toks) - $n), " +
+            s"i -> array_join(slice(__toks, i + 1, $n), ' '))")).as("gram"))
+        .withColumn("n", lit(n))
+    }.reduce(_ unionAll _)
+    grams.join(broadcast(dictDf),
+        grams("gram") === dictDf("phrase") && grams("n") === dictDf("n"))
+      .groupBy(col("doc_id"), col("phrase"))
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id", "phrase")
+  }
+
   /** T15 — n-gram LM perplexity filtering (the CCNet step: score
     * every document against a language model trained on a trusted
     * reference slice; junk scores high and is dropped — the standard

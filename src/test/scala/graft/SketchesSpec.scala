@@ -93,6 +93,16 @@ class SketchesSpec extends SparkSpec {
       .collect().exists(_.getLong(0) == 9999L))
   }
 
+  test("tagPhrases: mixed-order dictionary, overlapping hits counted, " +
+      "unhit docs and phrases absent") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = TextOps.tagPhrases(docs, Seq("a", "a b", "b c a", "q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, "a", 2L), (1L, "a b", 2L), (1L, "b c a", 1L)),
+      s"got $out")
+  }
+
   test("bm25TopK: hand-computed two-doc corpus") {
     import spark.implicits._
     // d1 = "a b a", d2 = "b c": query {a} — only d1 matches;
