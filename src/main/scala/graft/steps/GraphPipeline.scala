@@ -97,6 +97,12 @@ object GraphOps {
     * executor-sized broadcast. */
   private val BroadcastRemovedCap = 8L * 1000 * 1000
 
+  /** Node cap for broadcasting the PageRank share table (node, c):
+    * ~60–100 B/row in a HashedRelation, so 1 M rows ≈ 100 MB — safe
+    * on conventional executors; past it the per-round edge join runs
+    * as the co-partitioned zero-exchange SMJ instead. */
+  private val BroadcastShareCap = 1L * 1000 * 1000
+
   /** Fresh PRIVATE session for a conf-pinned iterative loop: shares
     * the SparkContext / cache / catalog with the caller's session but
     * owns its SQLConf, so pinning AQE (and friends) off for the loop
@@ -274,8 +280,16 @@ object GraphOps {
       .localCheckpoint(true)
     var pr = outdeg.select(col("node"), lit(1000000L).as("pr"))
       .localCheckpoint(true)
+    // below the cap the node-sized share BROADCASTS (per-round edge
+    // join = BroadcastHashJoin: no exchange, no sort — what the old
+    // loop got implicitly at small scale from pr's known checkpoint
+    // size, which the share's join-output estimate would forfeit);
+    // above it the co-partitioned zero-exchange SMJ is the plan —
+    // the 100× regime the spec pins
+    val bcastShare = outdeg.count() <= BroadcastShareCap
     for (_ <- 1 to iters) {
-      val next = pageRankRound(e, outdeg, pr).localCheckpoint(true)
+      val next = pageRankRound(e, outdeg, pr, bcastShare)
+        .localCheckpoint(true)
       pr.unpersist()
       pr = next
     }
@@ -295,9 +309,10 @@ object GraphOps {
     * the pinned layout with zero Exchange (and no edge-side sort), and
     * the rank transpose (groupBy dst) is the round's ONLY shuffle. */
   private[graft] def pageRankRound(e: DataFrame, outdeg: DataFrame,
-      pr: DataFrame): DataFrame = {
-    val share = pr.join(outdeg, "node")
+      pr: DataFrame, bcastShare: Boolean = false): DataFrame = {
+    val share0 = pr.join(if (bcastShare) broadcast(outdeg) else outdeg, "node")
       .select(col("node"), expr("pr div outdeg").as("c"))
+    val share = if (bcastShare) broadcast(share0) else share0
     e.join(share, e("src") === share("node"))
       .select(col("dst"), col("c"))
       .groupBy(col("dst").as("node"))
