@@ -1272,6 +1272,39 @@ object SparkEntry {
     // (commit 0), a commit appended BETWEEN drains is served by the
     // second drain from the SAME checkpoint (restart-resumes, no
     // rescan); gated on the union being exactly the table
+    // s15: the full lakehouse loop — graft WRITES (auto-mirroring
+    // property), a delta-speaking STREAM consumes: batch 0 drains the
+    // mirror's bootstrap snapshot, the next graft append tail-mirrors
+    // hands-free and the resumed stream reads ONLY the new files
+    "s15_mirror_stream"  -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val dir = EventsStream.scratchDir("graft_s15_mirror") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val t = graft.core.TxTable(s, dir)
+      t.overwrite(o.where(col("o_orderkey") % 3 === 0))
+      // the property-setting commit bootstraps the mirror (Delta v0)
+      t.setProperties(Map(graft.core.TxTable.PropDeltaMirror -> "true"))
+      val out = EventsStream.scratchDir("graft_s15_out")
+      def drain(): Unit = {
+        val q = s.readStream.format("delta-log").load(dir)
+          .writeStream.format("parquet")
+          .option("path", s"$out/rows")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // batch 0: the mirror's snapshot
+      t.append(o.where(col("o_orderkey") % 3 === 1)) // auto-mirrors v1
+      drain() // tail: only the appended files
+      s.read.parquet(s"$out/rows")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     "s14_delta_stream"   -> ((s, d) => {
       import graft.streaming.EventsStream
       import org.apache.spark.sql.functions._
@@ -2837,6 +2870,14 @@ object SparkEntry {
         |  AND NOT (o_orderkey % 3 = 0 AND o_orderkey % 7 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s14: snapshot (keys %3==0) + tailed commit (keys %3==1)
+    // s15: graft-written auto-mirrored table streamed by the
+    // delta-log source — content ≡ the two appended thirds
+    "s15_mirror_stream" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s14_delta_stream" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
