@@ -3219,9 +3219,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * remains the writer). Emits protocol + metaData + one `add` per
     * live file (URL-encoded relative paths, `numRecords` stats where
     * known, partition values from the manifest). No checkpoint is
-    * written: a one-commit log IS its own compacted state — Delta
-    * checkpoints exist to amortize many-commit replays, and every
-    * reader handles their absence.
+    * written HERE: a one-commit log IS its own compacted state — Delta
+    * checkpoints exist to amortize many-commit replays, which is
+    * exactly when [[mirrorToDelta]] starts writing them (every
+    * [[TxTable.CheckpointInterval]] mirrored commits).
     *
     * Column-mapped tables export with `name`-mode column-mapping
     * metadata (reader 2 / writer 5): the manifest's frozen physical
@@ -3262,16 +3263,39 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         "Delta keys partition values physically while this layout keys " +
         "them logically; export by copy")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    // protocol: plain parquet → (1,2); column mapping gates reader 2
-    val protoNode = om.createObjectNode()
-    val proto = protoNode.putObject("protocol")
+    val adds = m.files.map(deltaAddJson(om, m, _, dataChange = true))
+    fs.mkdirs(logDir)
+    val lines = Seq(deltaProtocolJson(om, m),
+      deltaMetaDataJson(om, m, java.util.UUID.randomUUID().toString)) ++
+      adds :+ deltaCommitInfoJson(om, m.version, "CONVERT TO DELTA")
+    writeDeltaCommit(logDir, 0L, lines,
+      LogStore.forRoot(fs, root, m.properties.get(TxTable.PropLogStore)))
+    0L
+  }
+
+  /** Delta `protocol` action for a manifest's feature set: plain
+    * parquet → reader 1 / writer 2; column mapping gates reader 2 /
+    * writer 5 (shared by [[exportToDelta]] and the mirror checkpoint
+    * writer so the two cannot drift). */
+  private def deltaProtocolJson(
+      om: com.fasterxml.jackson.databind.ObjectMapper, m: Manifest): String = {
+    val n = om.createObjectNode()
+    val proto = n.putObject("protocol")
     if (m.colMap.isEmpty) {
       proto.put("minReaderVersion", 1); proto.put("minWriterVersion", 2)
     } else {
       proto.put("minReaderVersion", 2); proto.put("minWriterVersion", 5)
     }
-    // metaData: logical schema (+ per-field mapping metadata when the
-    // table carries a colMap)
+    om.writeValueAsString(n)
+  }
+
+  /** Delta `metaData` action under the mirror's stable `tableId`:
+    * logical schema (+ per-field `name`-mode mapping metadata when the
+    * table carries a colMap). */
+  private def deltaMetaDataJson(
+      om: com.fasterxml.jackson.databind.ObjectMapper, m: Manifest,
+      tableId: String): String = {
+    val schema = StructType.fromDDL(m.schemaDdl)
     val outSchema =
       if (m.colMap.isEmpty) schema
       else StructType(schema.fields.zipWithIndex.map { case (f, i) =>
@@ -3284,7 +3308,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       })
     val metaNode = om.createObjectNode()
     val md = metaNode.putObject("metaData")
-    md.put("id", java.util.UUID.randomUUID().toString)
+    md.put("id", tableId)
     val fmt = md.putObject("format")
     fmt.put("provider", "parquet"); fmt.putObject("options")
     md.put("schemaString", outSchema.json)
@@ -3297,13 +3321,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         outSchema.fields.length.toString)
     }
     md.put("createdTime", System.currentTimeMillis())
-    val adds = m.files.map(deltaAddJson(om, m, _, dataChange = true))
-    fs.mkdirs(logDir)
-    val lines = Seq(om.writeValueAsString(protoNode),
-      om.writeValueAsString(metaNode)) ++ adds :+
-      deltaCommitInfoJson(om, m.version, "CONVERT TO DELTA")
-    writeDeltaCommit(logDir, 0L, lines)
-    0L
+    om.writeValueAsString(metaNode)
   }
 
   /** One Delta `add` action line for a manifest file entry (shared by
@@ -3351,12 +3369,34 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     om.writeValueAsString(n)
   }
 
-  private def writeDeltaCommit(logDir: Path, deltaVersion: Long,
-      lines: Seq[String]): Unit = {
-    val out = fs.create(new Path(logDir, f"$deltaVersion%020d.json"), false)
+  /** Publish one mirror commit ATOMICALLY: the lines are fully
+    * written to a staging file first, then claimed at the versioned
+    * name through the SAME [[LogStore]] primitive as the graft commit
+    * path (and as Delta's own LogStore contract) — a Delta reader
+    * tailing the live mirror (the s14/s15 streams) can never observe
+    * a torn commit, a crash mid-write leaves only an orphan staging
+    * file (never a corrupt `_delta_log`), and two processes
+    * auto-mirroring the same table race to AT MOST ONE winner per
+    * version. A lost race raises loudly — the winner's commit carries
+    * the same graft anchor, so the caller just resumes from the new
+    * head on its next call. */
+  private def writeDeltaCommit(dLogDir: Path, deltaVersion: Long,
+      lines: Seq[String], store: LogStore): Unit = {
+    val tmp = new Path(dLogDir,
+      s".tmp-mirror-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    val won = store.putIfAbsent(fs, tmp,
+      new Path(dLogDir, f"$deltaVersion%020d.json"),
+      fs.makeQualified(dLogDir).toString)
+    if (!won) {
+      fs.delete(tmp, false)
+      sys.error(s"$root: a concurrent mirror writer published Delta " +
+        s"version $deltaVersion first — rerun mirrorToDelta() to resume " +
+        "from the new anchor")
+    }
   }
 
   /** Incremental Delta mirroring — the maintenance verb that keeps a
@@ -3427,13 +3467,30 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     require(versions.contains(anchor),
       s"$root: last-mirrored graft version $anchor has aged out of the " +
         "graft log — export into a fresh mirror instead")
-    // the mirror's stable metaData id: the newest metaData action
+    // the mirror's stable metaData id: the newest metaData action in
+    // the JSON commits — falling back to the newest checkpoint parquet
+    // when log retention has cleaned the metaData-bearing commit away
     val tableId = deltaVersions.reverseIterator
       .flatMap(v => linesOf(v).reverseIterator.map(om.readTree)
         .collectFirst(Function.unlift(n => Option(n.get("metaData"))
           .map(_.get("id").asText()))))
       .nextOption()
+      .orElse {
+        val cpName = """(\d{20})\.checkpoint\.parquet""".r
+        fs.listStatus(dLogDir).toSeq.map(_.getPath.getName)
+          .collect { case cpName(v) => v.toLong }.maxOption
+          .flatMap { cv =>
+            import org.apache.spark.sql.functions.{col, to_json}
+            spark.read.parquet(
+                new Path(dLogDir, f"$cv%020d.checkpoint.parquet").toString)
+              .where(col("metaData").isNotNull)
+              .select(to_json(col("metaData"))).collect().headOption
+              .map(r => om.readTree(r.getString(0)).get("id").asText())
+          }
+      }
       .getOrElse(sys.error(s"$root: mirror log carries no metaData"))
+    val store = LogStore.forRoot(fs, root,
+      manifest(latest).properties.get(TxTable.PropLogStore))
     val targets =
       if (coalesce) Seq(latest)
       else versions.filter(v => v > anchor && v <= latest).sorted
@@ -3452,8 +3509,20 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           "mirroring would drop them; run purgeDeletes()/compact() first, " +
           "or mirrorToDelta(coalesce = true) past a later purge")
       // compactions and purges rearrange bytes, not rows: Delta-side
-      // incremental consumers skip dataChange=false actions
-      val dataChange = coalesce || cur.operation != OpCompact
+      // incremental consumers skip dataChange=false actions. A
+      // COALESCED window is a data change iff ANY collapsed version
+      // was one — a backlog of pure compactions must not turn into a
+      // spurious data change for Delta CDC consumers just because the
+      // auto-mirror self-heal retried with coalesce
+      val dataChange =
+        if (coalesce)
+          versions.filter(v => v > anchor && v <= latest).exists { v =>
+            (logEntry(v) match {
+              case Right(d)    => d.operation
+              case Left(full)  => full.operation
+            }) != OpCompact
+          }
+        else cur.operation != OpCompact
       val prevPaths = prev.files.map(_.path).toSet
       val curPaths = cur.files.map(_.path).toSet
       val lines = Seq.newBuilder[String]
@@ -3462,17 +3531,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           s"$root: schema change at graft version $gv on a column-mapped " +
             "mirror — mapping ids could not stay stable; export into a " +
             "fresh mirror")
-        val schema = StructType.fromDDL(cur.schemaDdl)
-        val metaNode = om.createObjectNode()
-        val md = metaNode.putObject("metaData")
-        md.put("id", tableId)
-        val fmt = md.putObject("format")
-        fmt.put("provider", "parquet"); fmt.putObject("options")
-        md.put("schemaString", schema.json)
-        val pcArr = md.putArray("partitionColumns")
-        cur.partitionCols.foreach(pcArr.add)
-        md.putObject("configuration")
-        lines += om.writeValueAsString(metaNode)
+        lines += deltaMetaDataJson(om, cur, tableId)
       }
       cur.files.filterNot(f => prevPaths(f.path))
         .foreach(f => lines += deltaAddJson(om, cur, f, dataChange))
@@ -3486,12 +3545,125 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       }
       lines += deltaCommitInfoJson(om, gv,
         s"GRAFT ${cur.operation.toUpperCase(java.util.Locale.ROOT)}")
-      writeDeltaCommit(dLogDir, nextDelta, lines.result())
+      writeDeltaCommit(dLogDir, nextDelta, lines.result(), store)
+      // the mirror applies the SAME replay-amortization discipline the
+      // graft log applies to itself: every CheckpointInterval Delta
+      // commits, one parquet checkpoint + _last_checkpoint pointer, so
+      // a long-lived auto-mirrored table hands external Delta readers
+      // a bounded JSON replay — then retention-expired pre-checkpoint
+      // commits are cleaned (delta.logRetentionDuration-equivalent)
+      if (nextDelta > 0 && nextDelta % CheckpointInterval == 0) {
+        writeMirrorCheckpoint(dLogDir, nextDelta, cur, tableId)
+        cleanMirrorLog(dLogDir, nextDelta,
+          manifest(latest).properties.get(TxTable.PropMirrorLogRetention)
+            .flatMap(_.toLongOption)
+            .getOrElse(TxTable.MirrorLogRetentionDefaultMs))
+      }
       nextDelta += 1
       prev = cur
     }
     nextDelta - 1
   }
+
+  /** Delta-side checkpoint of the mirror at `deltaVersion`: ONE
+    * parquet file `NNN.checkpoint.parquet` carrying the compacted
+    * action state (protocol / metaData / one `add` per live file — the
+    * classic single-part checkpoint layout every Delta reader,
+    * including [[DeltaLog]], parses) + the `_last_checkpoint` pointer.
+    * The action JSON is produced by the SAME emitters as the commit
+    * path ([[deltaProtocolJson]]/[[deltaMetaDataJson]]/[[deltaAddJson]])
+    * and parsed into parquet rows through an explicit checkpoint
+    * schema, so checkpointed and replayed state cannot drift.
+    * Best-effort like the graft log's own [[writeCheckpoint]]: a
+    * failure only means readers replay more JSON commits. */
+  private def writeMirrorCheckpoint(dLogDir: Path, deltaVersion: Long,
+      m: Manifest, tableId: String): Unit = try {
+    import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
+      LongType, MapType, StringType => SStringType, StructField}
+    val dst = new Path(dLogDir, f"$deltaVersion%020d.checkpoint.parquet")
+    if (!fs.exists(dst)) {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = Seq(deltaProtocolJson(om, m),
+        deltaMetaDataJson(om, m, tableId)) ++
+        m.files.map(deltaAddJson(om, m, _, dataChange = false))
+      val strMap = MapType(SStringType, SStringType, valueContainsNull = true)
+      val cpSchema = StructType(Seq(
+        StructField("protocol", StructType(Seq(
+          StructField("minReaderVersion", IntegerType),
+          StructField("minWriterVersion", IntegerType)))),
+        StructField("metaData", StructType(Seq(
+          StructField("id", SStringType),
+          StructField("format", StructType(Seq(
+            StructField("provider", SStringType),
+            StructField("options", strMap)))),
+          StructField("schemaString", SStringType),
+          StructField("partitionColumns", ArrayType(SStringType)),
+          StructField("configuration", strMap),
+          StructField("createdTime", LongType)))),
+        StructField("add", StructType(Seq(
+          StructField("path", SStringType),
+          StructField("partitionValues", strMap),
+          StructField("size", LongType),
+          StructField("modificationTime", LongType),
+          StructField("dataChange", BooleanType),
+          StructField("stats", SStringType))))))
+      val ds = spark.createDataset(lines)(
+        org.apache.spark.sql.Encoders.STRING)
+      val tmpDir = new Path(root,
+        s".tmp-delta-ckpt-${java.util.UUID.randomUUID()}")
+      spark.read.schema(cpSchema).json(ds).coalesce(1)
+        .write.parquet(tmpDir.toString)
+      val part = fs.listStatus(tmpDir).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"$root: mirror checkpoint write produced " +
+          "no parquet part"))
+      if (!fs.rename(part, dst)) () // a racing writer checkpointed first
+      fs.delete(tmpDir, true)
+    }
+    // the pointer advances monotonically, never regresses to an older
+    // checkpoint (two racing mirrors may checkpoint out of order)
+    val lastCp = new Path(dLogDir, "_last_checkpoint")
+    val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val existing: Long =
+      if (!fs.exists(lastCp)) -1L
+      else try {
+        val in = fs.open(lastCp)
+        val bytes = try org.apache.commons.io.IOUtils.toByteArray(in)
+          finally in.close()
+        om2.readTree(bytes).get("version").asLong()
+      } catch { case _: Exception => -1L }
+    if (deltaVersion > existing) {
+      val n = om2.createObjectNode()
+      n.put("version", deltaVersion)
+      n.put("size", 2L + m.files.size)
+      val out = fs.create(lastCp, true)
+      try out.write(om2.writeValueAsString(n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  } catch { case _: java.io.IOException => () }
+
+  /** Mirror-log retention (the `delta.logRetentionDuration`
+    * equivalent): delete pre-checkpoint commits and superseded
+    * checkpoints older than the horizon. Only versions STRICTLY below
+    * the just-written checkpoint are candidates, so the reader's
+    * contiguity invariant (first post-checkpoint commit =
+    * checkpoint + 1) and the mirror's own anchor discovery (the
+    * newest JSON commit) survive any cleaning schedule. */
+  private def cleanMirrorLog(dLogDir: Path, cpVersion: Long,
+      retentionMs: Long): Unit = try {
+    val horizon = System.currentTimeMillis() - retentionMs
+    val cleanable = """(\d{20})\.(json|checkpoint\.parquet)""".r
+    fs.listStatus(dLogDir).foreach { st =>
+      st.getPath.getName match {
+        case cleanable(v, _) if v.toLong < cpVersion &&
+            st.getModificationTime < horizon =>
+          fs.delete(st.getPath, false); ()
+        case _ => ()
+      }
+    }
+  } catch { case _: java.io.IOException => () }
 
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
@@ -4937,6 +5109,11 @@ object TxTable {
     * post-commit step — the opt-in that keeps delta-speaking readers
     * current without an external scheduler. */
   val PropDeltaMirror = "graft.deltaMirror"
+  /** Milliseconds a pre-checkpoint mirror commit survives before log
+    * cleaning removes it (the `delta.logRetentionDuration`
+    * equivalent); default 30 days, Delta's own. */
+  val PropMirrorLogRetention = "graft.mirrorLogRetentionMs"
+  val MirrorLogRetentionDefaultMs: Long = 30L * 24 * 3600 * 1000
   /** `true` = writes coalesce to ~128 MB outputs when the size
     * estimate allows (never repartitions up — see writeDataFiles). */
   val PropOptimizeWrite = "graft.optimizeWrite"

@@ -590,4 +590,62 @@ class DeltaInteropSpec extends SparkSpec {
     val e5 = intercept[Exception] { TxTable.convertFromDelta(spark, pc) }
     assert(e5.getMessage.contains("partition"), e5.getMessage)
   }
+
+  test("mirror checkpointing: every 10th mirrored commit writes a " +
+      "parquet checkpoint + _last_checkpoint; retention cleans " +
+      "pre-checkpoint JSON; reads and further mirroring survive the " +
+      "cleaned log") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = scratch("mirror_ckpt")
+    def logFiles(suffix: String): Seq[Long] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d, "_delta_log")).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\." + suffix))
+        .map(_.split("\\.")(0).toLong).sorted
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 0))     // g0
+    // retention 0: pre-checkpoint commits clean as soon as a
+    // checkpoint supersedes them (the delta.logRetentionDuration dial)
+    t.setProperties(Map(TxTable.PropMirrorLogRetention -> "0")) // g1
+    assert(t.mirrorToDelta() == 0L) // bootstrap anchors at g1
+    for (i <- 1 to 24) {            // g2..g25 → Delta v1..v24
+      t.append(orders.where(col("o_orderkey") % 97 === i))
+      t.mirrorToDelta()
+    }
+    // checkpoints landed on the interval; the v10 one was itself
+    // superseded and cleaned by the v20 one; JSON commits below the
+    // newest checkpoint are gone, the tail (v20..v24) survives
+    assert(logFiles("checkpoint\\.parquet") == Seq(20L))
+    assert(logFiles("json") == (20L to 24L), logFiles("json"))
+    val lastCp = new org.apache.hadoop.fs.Path(d, "_delta_log/_last_checkpoint")
+    assert(fs.exists(lastCp))
+    val cpNode = {
+      val in = fs.open(lastCp)
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    }
+    assert(cpNode.get("version").asLong() == 20L)
+    // the engine's own Delta reader consumes its checkpointed mirror:
+    // base state from the parquet checkpoint, ≤ interval JSON commits
+    // (only 21..24 remain above it) replayed on top
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.version == 24L)
+    val viaDelta = DeltaLog.read(spark, d)
+    assert(viaDelta.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(viaDelta).isEmpty)
+    // further mirroring survives the cleaned log: the stable tableId
+    // now lives only in the checkpoint (every metaData-bearing JSON
+    // commit was cleaned), and the anchor rides the newest commit
+    t.append(orders.where(col("o_orderkey") % 97 === 25))
+    assert(t.mirrorToDelta() == 25L)
+    val after = DeltaLog.read(spark, d)
+    assert(after.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(after).isEmpty)
+    // no staging litter: a crash-free mirror leaves zero tmp files
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(d, "_delta_log"))
+      .forall(!_.getPath.getName.startsWith(".tmp-mirror-")))
+  }
 }
