@@ -3278,8 +3278,13 @@ object SparkEntry {
     // `quantile_cont`, linear interpolation) + the guarantee boolean
     // (the q18 discipline — the ln-binned estimate itself is not
     // bit-specified across engines)
+    // the exact twin and the sketch must describe the SAME population:
+    // the sketch bins only strictly-positive values (DDSketch domain),
+    // so the oracle filters identically — on lineitem the filter is
+    // vacuous (prices > 0), but the gate stays honest on any input
     "t18_quantile_sketch" ->
-      """WITH e AS (SELECT l_extendedprice AS x FROM lineitem)
+      """WITH e AS (SELECT l_extendedprice AS x FROM lineitem
+        |           WHERE l_extendedprice > 0)
         |SELECT CAST(0.5 AS DOUBLE) AS quantile,
         |       round(quantile_cont(x, 0.5), 6) AS exact_value,
         |       true AS within_bound FROM e
@@ -3312,7 +3317,12 @@ object SparkEntry {
          |FROM est ORDER BY cms_est DESC, key LIMIT 10""".stripMargin,
     // t20: A-ES key replay from the persisted id→xxhash64 table:
     // u = (pmod(h, 2³¹)+1)/(2³¹+1), key = ln(u)/weight, top-50 by
-    // (key, doc_id)
+    // (key, doc_id). ln()-derived doubles at 6dp are the ACCEPTED
+    // float-gate risk here and in t21: a cross-libm 1-ulp ln
+    // disagreement could in principle flip a rounding boundary or the
+    // top-k cutoff — SketchesSpec ("float-gate dormancy") pins that on
+    // the gated fixture both sit orders of magnitude away from any
+    // sensitive boundary
     "t20_weighted_sample" ->
       s"""WITH h AS (SELECT doc_id, h
          |           FROM read_parquet('$T20HashDir/*.parquet')),

@@ -78,8 +78,12 @@ object Sketches {
       .groupBy("quantile").agg(min("bin").as("qbin"))
       .withColumn("dd_est",
         lit(2.0) * pow(lit(gamma), col("qbin")) / lit(gamma + 1))
-    // exact twin: ONE percentile pass computing every requested q
-    val exactArr = df.select(v.as("x")).agg(
+    // exact twin: ONE percentile pass computing every requested q —
+    // over the SAME strictly-positive population the sketch bins
+    // (without the filter, data containing zeros/negatives would make
+    // within_bound and the rank n silently refer to different
+    // populations)
+    val exactArr = df.where(v > lit(0.0)).select(v.as("x")).agg(
       expr(s"percentile(x, array(${qs.mkString(", ")}))").as("ex"))
       .select(posexplode(col("ex")).as(Seq("i", "exact")))
       .select(element_at(array(qs.map(lit): _*), col("i") + 1)

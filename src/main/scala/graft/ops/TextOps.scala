@@ -216,29 +216,7 @@ object TextOps {
     * downstream is term-bounded. */
   def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int = 10,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
-    val terms = docs.select(col("doc_id"),
-      explode(split(col("text"), " ")).as("term"))
-    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      avg(col("dl").cast("double")).as("avgdl"))
-    val q = docs.sparkSession.range(1)
-      .select(explode(array(queryTerms.map(lit): _*)).as("term"))
-    val scored = tf
-      .join(broadcast(q), "term")
-      .join(broadcast(dft.join(broadcast(q), "term")), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("idf", log(lit(1.0) +
-        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
-      .withColumn("norm", col("tf").cast("double") * lit(k1 + 1) /
-        (col("tf") + lit(k1) * (lit(1 - b) +
-          lit(b) * col("dl") / col("avgdl"))))
-      .groupBy("doc_id")
-      .agg(sum(col("idf") * col("norm")).as("score"),
-        count(lit(1)).as("n_terms_hit"))
+    val scored = bm25Scores(docs, queryTerms, k1, b)
     // distributed top-k (TakeOrderedAndProject — per-partition k-heaps,
     // never a global single-partition window over every matching doc);
     // the rank label is assigned over the k-row RESULT
@@ -251,6 +229,48 @@ object TextOps {
       .select(col("doc_id"), round(col("score"), 6).as("bm25"),
         col("n_terms_hit"), col("rnk").cast("int").as("rnk"))
       .orderBy("rnk")
+  }
+
+  /** The raw (unrounded) per-doc BM25 scores — the scoring core of
+    * [[bm25TopK]], exposed so specs can probe cutoff gaps and
+    * rounding-boundary distances on the exact doubles the gate
+    * rounds. */
+  private[graft] def bm25Scores(docs: DataFrame, queryTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "BM25 needs at least one query term")
+    val terms = docs.select(col("doc_id"),
+      explode(split(col("text"), " ")).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      avg(col("dl").cast("double")).as("avgdl"))
+    val q = docs.sparkSession.range(1)
+      .select(explode(array(queryTerms.map(lit): _*)).as("term"))
+    // candidate (doc, term) rows: term-bounded — docs containing a
+    // query term, each with its tf and the term's df attached
+    val hits = tf
+      .join(broadcast(q), "term")
+      .join(broadcast(dft.join(broadcast(q), "term")), "term")
+    // the corpus-sized per-doc length table is NEVER shuffled by the
+    // scoring join: the term-bounded candidate rows broadcast INTO
+    // dl, which streams map-side straight out of its own aggregation
+    // — at 100 TB the alternative (join(dl, "doc_id")) would shuffle
+    // every document's length row to score a handful of candidates.
+    // Assumes a probe-sized query (candidates ≪ corpus); a stop-word-
+    // scale probe should drop the broadcast and let AQE pick.
+    val scored = dl
+      .join(broadcast(hits), "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log(lit(1.0) +
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("norm", col("tf").cast("double") * lit(k1 + 1) /
+        (col("tf") + lit(k1) * (lit(1 - b) +
+          lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(sum(col("idf") * col("norm")).as("score"),
+        count(lit(1)).as("n_terms_hit"))
+    scored
   }
 
   /** T22 — broadcast phrase tagging (blocklist / taxonomy

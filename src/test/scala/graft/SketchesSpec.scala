@@ -93,6 +93,65 @@ class SketchesSpec extends SparkSpec {
       .collect().exists(_.getLong(0) == 9999L))
   }
 
+  test("ddQuantiles: on data containing zeros and negatives the exact " +
+      "twin describes the SAME strictly-positive population the sketch " +
+      "bins") {
+    import spark.implicits._
+    val pos = (1 to 3000).map(i => ((i % 613) + 1).toDouble)
+    val mixed = (pos ++ Seq.fill(500)(0.0) ++ (1 to 500).map(-_.toDouble))
+      .toDF("x")
+    val out = Sketches.ddQuantiles(mixed, "x", 0.01, qs = Seq(0.5, 0.9))
+      .collect()
+    // within_bound must hold — it would routinely fail if the exact
+    // percentile ranked the zeros/negatives the sketch never binned
+    assert(out.forall(_.getBoolean(2)), out.mkString(", "))
+    // and the exact values are the positives-only percentiles
+    val exactPos = pos.toDF("x")
+      .agg(expr("percentile(x, array(0.5, 0.9))")).collect()(0)
+      .getSeq[Double](0).map(v => math.rint(v * 1e6) / 1e6)
+    assert(out.map(_.getDouble(1)).toSeq == exactPos,
+      s"got ${out.map(_.getDouble(1)).toSeq}, want $exactPos")
+  }
+
+  test("t20/t21 float-gate dormancy: on the gated fixture the top-k " +
+      "cutoffs and 6dp roundings sit far from any libm-sensitive " +
+      "boundary") {
+    // the t20/t21 oracles hash ln()-derived doubles rounded to 6dp;
+    // ln is not bit-specified across engines, so a raw-key tie at the
+    // top-k cutoff or a value landing on a .5 rounding boundary could
+    // flip the hash per libm. This pins that the risk is DORMANT on
+    // the fixture: cutoff gaps and boundary distances are orders of
+    // magnitude above the ~1-ulp cross-libm disagreement.
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, sf)
+    // t20: raw A-ES keys, every doc — gap at the k=50 cutoff
+    val m = 1L << 31
+    val u = (pmod(xxhash64(col("doc_id")), lit(m)) + 1).cast("double") /
+      lit((m + 1).toDouble)
+    val keys = docs.where(col("n_chars") > 0)
+      .select((log(u) / col("n_chars").cast("double")).as("k"))
+      .orderBy(col("k").desc).limit(51).collect().map(_.getDouble(0))
+    val cutGap = (keys(49) - keys(50)).abs / math.max(keys(49).abs, 1e-300)
+    assert(cutGap > 1e-9, s"t20 rank-50/51 relative gap $cutGap too tight")
+    def boundaryDist(vs: Seq[Double]): Double = vs.map { v =>
+      val f = (v.abs * 1e6) % 1.0
+      (f - 0.5).abs
+    }.min
+    val bd20 = boundaryDist(keys.take(50).toSeq)
+    assert(bd20 > 1e-6, s"t20 6dp rounding boundary distance $bd20")
+    // t21: RAW BM25 scores (pre-rounding) — gap at the k=10 cutoff
+    val scores = graft.ops.TextOps.bm25Scores(docs,
+        Seq("vector", "merge", "window"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(11).collect().map(_.getDouble(1))
+    if (scores.length == 11) {
+      val g = (scores(9) - scores(10)).abs / math.max(scores(9).abs, 1e-300)
+      assert(g > 1e-9, s"t21 rank-10/11 relative gap $g too tight")
+    }
+    val bd21 = boundaryDist(scores.take(10).toSeq)
+    assert(bd21 > 1e-6, s"t21 6dp rounding boundary distance $bd21")
+  }
+
   test("tagPhrases: mixed-order dictionary, overlapping hits counted, " +
       "unhit docs and phrases absent") {
     import spark.implicits._
@@ -116,5 +175,19 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(1) - expected) < 1e-6,
       s"got ${out.head.getDouble(1)}, want $expected")
     assert(out.head.getInt(3) == 1)
+  }
+
+  test("bm25TopK plan: the corpus-sized dl table is never shuffled by " +
+      "a join — every join is broadcast (candidates INTO dl)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val plan = TextOps.bm25TopK(docs, Seq("vector", "merge", "window"))
+      .queryExecution.executedPlan.toString
+    // the only exchanges are the tf/dl aggregations' own shuffles;
+    // a SortMergeJoin or ShuffledHashJoin would mean dl (or tf) rows
+    // moved to score a handful of candidate docs
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"non-broadcast join in the BM25 plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), plan)
   }
 }
