@@ -244,6 +244,46 @@ object SparkEntry {
       dir
     }
 
+  /** The x32 follower fixture — the INVERSE migration of x30/x31: a
+    * foreign writer keeps committing Delta while graft FOLLOWS.
+    * Bootstrap convert (delta v0) + an incremental follow over two
+    * append commits (v1..v2, one graft APPEND, anchor advanced
+    * exactly-once) + a remove-bearing commit (v3) exercising the
+    * refuse-or-reset contract: the incremental call REFUSES (a rewrite
+    * cannot be represented as an append window), the reset call
+    * re-snapshots the head zero-copy. Active foreign state at v3 =
+    * everything but the removed part-a. */
+  private def deltaFollowAsset(s: SparkSession, d: String): graft.core.TxTable =
+    cachedAsset(s, s"delta_follow|$d") {
+      import org.apache.spark.sql.functions.col
+      val dir = graft.streaming.EventsStream.scratchDir("graft_delta_follow") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val a = fx.writeData(s, o.where(col("o_orderkey") % 4 === 0),
+        dir, "part-a.parquet")
+      fx.commit(s, dir, 0, Seq(fx.protocolJson(),
+        fx.metaDataJson(o.schema), fx.addJson(a)))
+      val t = graft.core.TxTable(s, dir)
+      t.followDelta() // bootstrap: zero-copy convert anchored at v0
+      val b = fx.writeData(s, o.where(col("o_orderkey") % 4 === 1),
+        dir, "part-b.parquet")
+      fx.commit(s, dir, 1, Seq(fx.addJson(b)))
+      val c = fx.writeData(s, o.where(col("o_orderkey") % 4 === 2),
+        dir, "part-c.parquet")
+      fx.commit(s, dir, 2, Seq(fx.addJson(c)))
+      t.followDelta() // v1..v2 → ONE graft append, anchor = 2
+      val dd = fx.writeData(s, o.where(col("o_orderkey") % 4 === 3),
+        dir, "part-d.parquet")
+      fx.commit(s, dir, 3, Seq(fx.removeJson(a.relPath), fx.addJson(dd)))
+      val refused =
+        try { t.followDelta(); false }
+        catch { case e: Exception => e.getMessage.contains("REMOVES") }
+      require(refused, "a remove-bearing window must refuse incrementally")
+      t.followDelta(reset = true) // re-snapshot the head (B + C + D)
+      t
+    }
+
   /** The exact c6 brute-force top-k, PERSISTED once per (session, dir)
     * — the recall reference for the c7/c10 IVF gates. Materializing it
     * outside the gate queries means (a) their bench numbers time the
@@ -1349,6 +1389,21 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       val dir = deltaMirrorAsset(s, d)
       s.read.format("delta-log").load(dir)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
+    // x32: INCREMENTAL Delta→graft follower — the inverse of x31: a
+    // foreign writer keeps committing Delta, graft tails the
+    // _delta_log into its own log with exactly-once anchors (window
+    // parse only, no rescan); a remove-bearing foreign commit refuses
+    // incrementally and lands via the reset re-snapshot; gated on the
+    // graft-side read of the followed table
+    "x32_delta_follow"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val t = deltaFollowAsset(s, d)
+      t.read()
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           Relational.decSum(col("o_totalprice")).as("sum_price"))
@@ -2890,6 +2945,15 @@ object SparkEntry {
         |    AS sum_price
         |FROM orders
         |WHERE o_orderkey % 7 != 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // x32: the followed graft table reflects the foreign head after
+    // the remove-bearing reset — everything except part-a (key%4==0)
+    "x32_delta_follow" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders
+        |WHERE o_orderkey % 4 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x30_delta_export" ->
       """SELECT o_orderpriority, count(*) AS n_orders,

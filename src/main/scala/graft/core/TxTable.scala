@@ -3145,6 +3145,25 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       s"$root is already a TxTable — CONVERT FROM DELTA targets a " +
         "Delta table without a graft log")
     val snap = DeltaLog.snapshot(spark, root.toString)
+    val entries = deltaSnapshotEntries(snap)
+    commit { latest =>
+      require(latest.isEmpty,
+        s"$root: a commit raced the CONVERT FROM DELTA")
+      Pending(OpConvert, entries, schemaDdlOf(snap.schema), Nil, None,
+        // the follow anchor: the Delta version this snapshot reflects,
+        // recorded as an app-level txn so [[followDelta]] resumes
+        // EXACTLY-ONCE from here without rescanning the foreign log
+        Some(TxTable.FollowTxnId -> snap.version),
+        colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
+    }
+  }
+
+  /** Translate a Delta snapshot's live adds into manifest file
+    * entries — zero copy, stats where sound, DVs materialized into
+    * the engine's native sidecar (shared by [[convertFromDeltaInPlace]]
+    * and [[followDelta]]'s reset path so the two cannot drift). */
+  private def deltaSnapshotEntries(snap: DeltaLog.DeltaSnapshot)
+      : Seq[FileEntry] = {
     require(snap.partitionCols.isEmpty,
       s"$root: partitioned Delta table (${snap.partitionCols.mkString(", ")}) " +
         "— partition values live only in the Delta log, so zero-copy " +
@@ -3187,27 +3206,110 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             s"${other.size} files")
         }
       }
-    val entries = snap.adds.map { a =>
-      def usable(kv: Map[String, String], maxSide: Boolean) = kv.filter {
-        case (k, _) => statOk.get(k).exists {
-          case org.apache.spark.sql.types.TimestampType => false
-          case StringType => !maxSide // truncated string max is unsound
-          case _ => true
-        }
-      }.map { case (k, v) => toPhys(k) -> v }
-      FileEntry(a.path, Map.empty, usable(a.min, maxSide = false),
-        usable(a.max, maxSide = true), a.bytes, a.mtimeMs,
-        dvPath = a.dv.flatMap(_ => dvFile),
-        dvRows = a.dv.map(_.cardinality).getOrElse(0L),
-        rows = a.rows,
-        nulls = a.nulls.filter(kv => statOk.contains(kv._1))
-          .map { case (k, v) => toPhys(k) -> v })
+    snap.adds.map { a =>
+      deltaAddEntry(a, statOk, toPhys)
+        .copy(dvPath = a.dv.flatMap(_ => dvFile),
+          dvRows = a.dv.map(_.cardinality).getOrElse(0L))
     }.sortBy(_.path)
-    commit { latest =>
-      require(latest.isEmpty,
-        s"$root: a commit raced the CONVERT FROM DELTA")
-      Pending(OpConvert, entries, schemaDdlOf(schema), Nil, None, None,
-        colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
+  }
+
+  /** One Delta add → one manifest file entry: stats carry over only
+    * where the encodings agree (numeric/date min/max, string MIN —
+    * Delta truncates string maxes; timestamps skipped — ISO-8601 vs
+    * the JDBC form), keyed physical like the manifest convention. */
+  private def deltaAddEntry(a: DeltaLog.DeltaAdd,
+      statOk: Map[String, org.apache.spark.sql.types.DataType],
+      toPhys: String => String): FileEntry = {
+    def usable(kv: Map[String, String], maxSide: Boolean) = kv.filter {
+      case (k, _) => statOk.get(k).exists {
+        case org.apache.spark.sql.types.TimestampType => false
+        case StringType => !maxSide // truncated string max is unsound
+        case _ => true
+      }
+    }.map { case (k, v) => toPhys(k) -> v }
+    FileEntry(a.path, Map.empty, usable(a.min, maxSide = false),
+      usable(a.max, maxSide = true), a.bytes, a.mtimeMs,
+      rows = a.rows,
+      nulls = a.nulls.filter(kv => statOk.contains(kv._1))
+        .map { case (k, v) => toPhys(k) -> v })
+  }
+
+  /** FOLLOW DELTA — the INVERSE of [[mirrorToDelta]], closing the
+    * migration story for a user whose UPSTREAM keeps writing Delta:
+    * tail the foreign `_delta_log` at this root into the graft log
+    * with exactly-once version anchors. Bootstrap (no graft log yet)
+    * is [[convertFromDeltaInPlace]] — the zero-copy snapshot convert,
+    * which records the consumed Delta version as an app-level txn
+    * (`graft.deltaFollow`). Each subsequent call reads that anchor
+    * from ONE manifest, parses only the JSON commits in
+    * (anchor, head] (the s14 streaming source's window parser — no
+    * snapshot reconstruction, no rescan), publishes their adds as one
+    * graft APPEND, and advances the anchor in the same commit — a
+    * restart resumes from the manifest, and a racing follower loses
+    * the commit race loudly, never double-ingesting a window.
+    *
+    * Refuse-or-reset contract: a window that is not append-shaped (a
+    * `remove`-bearing rewrite, a metaData/protocol change, a DV'd
+    * add) REFUSES with the standard reset signal; `reset = true`
+    * re-snapshots the foreign head instead — one zero-copy OVERWRITE
+    * (schema/colMap re-adopted, DVs translated to the native sidecar)
+    * re-anchored at the head. Downstream incremental consumers of the
+    * graft table see that overwrite exactly as [[changesSince]]'s
+    * own restart contract.
+    *
+    * Returns the graft version holding the anchor (the current one
+    * when already caught up). */
+  def followDelta(reset: Boolean = false): Long = {
+    require(fs.exists(new Path(root, "_delta_log")),
+      s"$root carries no _delta_log to follow")
+    latestVersion match {
+      case None => convertFromDeltaInPlace()
+      case Some(gv) =>
+        val m = manifest(gv)
+        val anchor = m.txns.getOrElse(TxTable.FollowTxnId, sys.error(
+          s"$root: graft log carries no ${TxTable.FollowTxnId} anchor — " +
+            "not a Delta follower; bootstrap a fresh directory via " +
+            "followDelta()/convertFromDelta()"))
+        val head = DeltaLog.latestVersion(spark, root.toString).getOrElse(
+          sys.error(s"$root: _delta_log vanished while following"))
+        if (head <= anchor) return gv
+        val schema = StructType.fromDDL(m.schemaDdl)
+        if (!reset) {
+          // window parse only — O(commits in window), never O(table)
+          val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
+            m.partitionCols, Map.empty, Nil, m.colMap)
+          val adds = DeltaLog.addsInWindow(spark, pin, anchor, head)
+          val statOk = schema.fields
+            .filter(f => statsEligible(f.dataType))
+            .map(f => f.name -> f.dataType).toMap
+          def toPhys(k: String): String = m.colMap.getOrElse(k, k)
+          val entries = adds.map(deltaAddEntry(_, statOk, toPhys))
+          val byPath = entries.map(e => e.path -> e).toMap
+          commit { latest =>
+            val l = latest.getOrElse(sys.error(s"$root: log vanished"))
+            require(l.txns.get(TxTable.FollowTxnId).contains(anchor),
+              s"$root: a racing follower advanced the anchor past $anchor " +
+                "— rerun followDelta() to resume from the new one")
+            // last-writer-wins per path (a Delta re-add refreshes the
+            // entry), matching the Delta replay semantic
+            Pending(OpAppend,
+              l.files.filterNot(f => byPath.contains(f.path)) ++ entries,
+              l.schemaDdl, l.partitionCols, l.bucketSpec,
+              Some(TxTable.FollowTxnId -> head))
+          }
+        } else {
+          val snap = DeltaLog.snapshot(spark, root.toString)
+          val entries = deltaSnapshotEntries(snap)
+          commit { latest =>
+            val l = latest.getOrElse(sys.error(s"$root: log vanished"))
+            require(l.txns.get(TxTable.FollowTxnId).contains(anchor),
+              s"$root: a racing follower advanced the anchor past $anchor " +
+                "— rerun followDelta() to resume from the new one")
+            Pending(OpOverwrite, entries, schemaDdlOf(snap.schema), Nil,
+              None, Some(TxTable.FollowTxnId -> snap.version),
+              colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
+          }
+        }
     }
   }
 
@@ -5114,6 +5216,11 @@ object TxTable {
     * equivalent); default 30 days, Delta's own. */
   val PropMirrorLogRetention = "graft.mirrorLogRetentionMs"
   val MirrorLogRetentionDefaultMs: Long = 30L * 24 * 3600 * 1000
+  /** App-id under which [[TxTable.followDelta]] records the
+    * last-consumed foreign Delta version in the manifest txns — the
+    * exactly-once follow anchor (same mechanism as streaming writers'
+    * batchId handshake). */
+  val FollowTxnId = "graft.deltaFollow"
   /** `true` = writes coalesce to ~128 MB outputs when the size
     * estimate allows (never repartitions up — see writeDataFiles). */
   val PropOptimizeWrite = "graft.optimizeWrite"

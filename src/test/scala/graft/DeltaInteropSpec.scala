@@ -591,6 +591,73 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e5.getMessage.contains("partition"), e5.getMessage)
   }
 
+  test("followDelta: bootstrap converts and anchors; incremental windows " +
+      "append exactly-once; restart resumes from the manifest; " +
+      "remove-bearing windows refuse-or-reset; non-followers refuse") {
+    val dir = scratch("follow")
+    val a = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 0), dir, "part-a.parquet")
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(), DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(a, stats = Some(DeltaFixture.statsJson(a.rows)))))
+    val t = TxTable(spark, dir)
+    // bootstrap: zero-copy convert, anchor = delta v0
+    assert(t.followDelta() == 0L)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(0L))
+    assert(t.read().count() ==
+      orders.where(col("o_orderkey") % 4 === 0).count())
+    // caught up → no-op, no new graft version
+    assert(t.followDelta() == 0L && t.versions == Seq(0L))
+
+    // two foreign appends → ONE graft append, anchor advanced with it
+    val b = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 1), dir, "part-b.parquet")
+    DeltaFixture.commit(spark, dir, 1, Seq(DeltaFixture.addJson(b)))
+    val c = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 2), dir, "part-c.parquet")
+    DeltaFixture.commit(spark, dir, 2, Seq(DeltaFixture.addJson(c)))
+    assert(t.followDelta() == 1L)
+    assert(t.versions == Seq(0L, 1L), "one append per follow call")
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(2L))
+    val want01 = orders.where(col("o_orderkey") % 4 <= 2)
+    assert(t.read().exceptAll(want01).isEmpty &&
+      want01.exceptAll(t.read()).isEmpty)
+
+    // RESTART: a fresh handle resumes from the manifest anchor alone
+    val t2 = TxTable(spark, dir)
+    assert(t2.followDelta() == 1L, "caught-up restart must no-op")
+    val d2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 3), dir, "part-d2.parquet")
+    DeltaFixture.commit(spark, dir, 3, Seq(DeltaFixture.addJson(d2)))
+    assert(t2.followDelta() == 2L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(3L))
+
+    // a remove-bearing foreign commit: incremental REFUSES (the reset
+    // signal), reset re-snapshots the head and re-anchors
+    DeltaFixture.commit(spark, dir, 4,
+      Seq(DeltaFixture.removeJson(a.relPath)))
+    val er = intercept[Exception] { t2.followDelta() }
+    assert(er.getMessage.contains("REMOVES"), er.getMessage)
+    assert(t2.followDelta(reset = true) == 3L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(4L))
+    val wantHead = orders.where(col("o_orderkey") % 4 =!= 0)
+    assert(t2.read().exceptAll(wantHead).isEmpty &&
+      wantHead.exceptAll(t2.read()).isEmpty)
+    // the reset is itself an anchor: further appends follow incrementally
+    val e2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 8 === 4), dir, "part-e.parquet")
+    DeltaFixture.commit(spark, dir, 5, Seq(DeltaFixture.addJson(e2)))
+    assert(t2.followDelta() == 4L)
+
+    // a graft table that was never bootstrapped as a follower refuses
+    val plain = scratch("follow_plain")
+    val tp = TxTable(spark, plain)
+    tp.overwrite(orders.limit(10))
+    tp.exportToDelta() // has a _delta_log, but no follow anchor
+    val ep = intercept[Exception] { tp.followDelta() }
+    assert(ep.getMessage.contains(TxTable.FollowTxnId), ep.getMessage)
+  }
+
   test("mirror checkpointing: every 10th mirrored commit writes a " +
       "parquet checkpoint + _last_checkpoint; retention cleans " +
       "pre-checkpoint JSON; reads and further mirroring survive the " +
