@@ -222,6 +222,134 @@ private[graft] object DeltaFixture {
     finally lp.close()
   }
 
+  /** Write a V2 CHECKPOINT at `version` (the UUID-manifest layout
+    * newer DBR writers emit): `NNN.checkpoint.<uuid>.{parquet|json}`
+    * carrying `checkpointMetadata` + protocol (reader 3,
+    * `v2Checkpoint` feature) + metaData, with the add actions either
+    * in ONE sidecar parquet under `_delta_log/_sidecars/`
+    * (`sidecar = true`) or inline in the manifest; plus the
+    * `_last_checkpoint` pointer. */
+  def checkpointV2(spark: SparkSession, rootStr: String, version: Long,
+      schema: StructType, partitionCols: Seq[String],
+      adds: Seq[(DataFile, Map[String, String], Option[String])],
+      manifestFormat: String = "parquet", sidecar: Boolean = true): Unit = {
+    require(manifestFormat == "parquet" || manifestFormat == "json")
+    val logDir = new Path(rootStr, "_delta_log")
+    val fs = logDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(logDir)
+    val uuid = java.util.UUID.randomUUID().toString
+    val addType = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", org.apache.spark.sql.types.BooleanType),
+      StructField("stats", StringType)))
+    def addStructs = adds.map { case (f, pv, stats) =>
+      Row(f.relPath, pv, f.bytes, f.mtimeMs, true, stats.orNull) }
+    val sidecarName = s"$uuid.parquet"
+    val sidecarDir = new Path(logDir, "_sidecars")
+    if (sidecar) {
+      val tmp = new Path(rootStr, s".scfx-$uuid")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(addStructs.map(Row(_)), 1),
+        StructType(Seq(StructField("add", addType))))
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.endsWith(".parquet")).get
+      fs.mkdirs(sidecarDir)
+      require(fs.rename(part.getPath, new Path(sidecarDir, sidecarName)),
+        "sidecar rename failed")
+      fs.delete(tmp, true)
+    }
+    val mfName = f"$version%020d.checkpoint.$uuid.$manifestFormat"
+    if (manifestFormat == "json") {
+      val om = new ObjectMapper()
+      val cm = {
+        val n = om.createObjectNode()
+        n.putObject("checkpointMetadata").put("version", version)
+        om.writeValueAsString(n)
+      }
+      val sc =
+        if (!sidecar) Nil
+        else {
+          val st = fs.getFileStatus(new Path(sidecarDir, sidecarName))
+          val n = om.createObjectNode()
+          val s = n.putObject("sidecar")
+          s.put("path", sidecarName)
+          s.put("sizeInBytes", st.getLen)
+          s.put("modificationTime", st.getModificationTime)
+          Seq(om.writeValueAsString(n))
+        }
+      val inline =
+        if (sidecar) Nil
+        else adds.map { case (f, pv, stats) => addJson(f, pv, stats) }
+      val lines = Seq(cm,
+        protocolJson(minReader = 3, minWriter = 7,
+          readerFeatures = Seq("v2Checkpoint")),
+        metaDataJson(schema, partitionCols)) ++ sc ++ inline
+      val out = fs.create(new Path(logDir, mfName), true)
+      try out.write((lines.mkString("\n") + "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else {
+      val cmType = StructType(Seq(StructField("version", LongType)))
+      val protoType = StructType(Seq(
+        StructField("minReaderVersion", org.apache.spark.sql.types.IntegerType),
+        StructField("minWriterVersion", org.apache.spark.sql.types.IntegerType),
+        StructField("readerFeatures",
+          org.apache.spark.sql.types.ArrayType(StringType)),
+        StructField("writerFeatures",
+          org.apache.spark.sql.types.ArrayType(StringType))))
+      val metaType = StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType)))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns",
+          org.apache.spark.sql.types.ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))
+      val scType = StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType)))
+      val mfSchema = StructType(Seq(
+        StructField("checkpointMetadata", cmType),
+        StructField("protocol", protoType),
+        StructField("metaData", metaType),
+        StructField("sidecar", scType),
+        StructField("add", addType)))
+      def r5(cm: Row = null, proto: Row = null, md: Row = null,
+          sc: Row = null, add: Row = null) = Row(cm, proto, md, sc, add)
+      val scRow =
+        if (!sidecar) Nil
+        else {
+          val st = fs.getFileStatus(new Path(sidecarDir, sidecarName))
+          Seq(r5(sc = Row(sidecarName, st.getLen, st.getModificationTime)))
+        }
+      val rows = Seq(
+        r5(cm = Row(version)),
+        r5(proto = Row(3, 7, Seq("v2Checkpoint"), Seq.empty[String])),
+        r5(md = Row(java.util.UUID.randomUUID().toString, Row("parquet"),
+          schema.json, partitionCols, Map.empty[String, String]))) ++
+        scRow ++
+        (if (sidecar) Nil else addStructs.map(a => r5(add = a)))
+      val tmp = new Path(rootStr, s".mfx-$uuid")
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), mfSchema)
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = fs.listStatus(tmp)
+        .find(_.getPath.getName.endsWith(".parquet")).get
+      require(fs.rename(part.getPath, new Path(logDir, mfName)),
+        s"rename to $mfName failed")
+      fs.delete(tmp, true)
+    }
+    val lp = fs.create(new Path(logDir, "_last_checkpoint"), true)
+    try lp.write(
+      s"""{"version":$version,"size":${adds.size + 3}}""".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    finally lp.close()
+  }
+
   /** Delta's per-file stats JSON for simple numeric columns. */
   def statsJson(numRecords: Long, min: Map[String, Any] = Map.empty,
       max: Map[String, Any] = Map.empty,

@@ -43,9 +43,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *     log's physically-keyed partition values / stats are translated
   *     at parse time. `id` mode (resolution by parquet field id)
   *     still refuses loudly — a narrowed, named refusal.
+  *   - **V2 checkpoints** (the newer DBR default): a UUID-named
+  *     manifest `NNN.checkpoint.<uuid>.{parquet|json}` carrying
+  *     `checkpointMetadata` + protocol/metaData, with the file
+  *     actions inline or in `sidecar`-referenced parquet files under
+  *     `_delta_log/_sidecars/`. Both manifest formats parse; absolute
+  *     /external sidecar paths refuse by name.
   *   - Reader version 3 tables are accepted iff every `readerFeatures`
   *     entry is implemented here (`deletionVectors`, `columnMapping`,
-  *     `timestampNtz`); anything else — `v2Checkpoint`, future
+  *     `timestampNtz`, `v2Checkpoint`); anything else — future
   *     features — refuses with the feature named, never a wrong read.
   *
   * Scale note: snapshot state is driver-materialized, O(live files) —
@@ -95,7 +101,7 @@ object DeltaLog {
     * schema surface (Spark's TimestampNTZType round-trips through
     * `DataType.fromJson`). */
   private val SupportedReaderFeatures =
-    Set("deletionVectors", "columnMapping", "timestampNtz")
+    Set("deletionVectors", "columnMapping", "timestampNtz", "v2Checkpoint")
 
   /** True iff `path` carries a Delta transaction log. */
   def isDeltaTable(spark: SparkSession, path: String): Boolean = {
@@ -133,15 +139,10 @@ object DeltaLog {
     // keyed by the log's RAW path spelling (remove/re-add identity)
     val live = scala.collection.mutable.LinkedHashMap[String, DeltaAdd]()
 
-    if (cpVersion >= 0) {
-      val cpFiles =
-        if (cpParts <= 1)
-          Seq(new Path(logDir, f"$cpVersion%020d.checkpoint.parquet"))
-        else (1 to cpParts).map(i => new Path(logDir,
-          f"$cpVersion%020d.checkpoint.$i%010d.$cpParts%010d.parquet"))
-      cpFiles.foreach(p => require(fs.exists(p),
-        s"$rootStr: _last_checkpoint names missing $p — corrupt log"))
-      val cp = spark.read.parquet(cpFiles.map(_.toString): _*)
+    // absorb protocol/metaData/add actions from checkpoint-shaped
+    // parquet files (classic parts, a v2 manifest, or v2 sidecars —
+    // the action schema is identical across all three)
+    def absorbParquet(cp: org.apache.spark.sql.DataFrame): Unit = {
       val cols = cp.columns.toSet
       // adds: distributed parse, only the live-file list is collected
       if (cols.contains("add")) {
@@ -182,6 +183,96 @@ object DeltaLog {
         cp.where(col("protocol").isNotNull)
           .select(to_json(col("protocol"))).collect()
           .foreach(r => protocol = Some(om.readTree(r.getString(0))))
+      }
+    }
+    // v2 sidecar path → file under _delta_log/_sidecars/ (the spec's
+    // layout); absolute/external sidecars refuse rather than misread
+    def sidecarFile(p: String): Path = {
+      require(!p.startsWith("/") && !p.contains("://"),
+        s"$rootStr: v2 checkpoint sidecar references EXTERNAL file $p — " +
+          "refusing rather than misread")
+      new Path(new Path(logDir, "_sidecars"), p)
+    }
+
+    if (cpVersion >= 0) {
+      val classicFiles =
+        if (cpParts <= 1)
+          Seq(new Path(logDir, f"$cpVersion%020d.checkpoint.parquet"))
+        else (1 to cpParts).map(i => new Path(logDir,
+          f"$cpVersion%020d.checkpoint.$i%010d.$cpParts%010d.parquet"))
+      if (classicFiles.forall(fs.exists)) {
+        absorbParquet(spark.read.parquet(classicFiles.map(_.toString): _*))
+      } else {
+        // ---- V2 checkpoint (the 2024+ DBR default write path): a
+        // UUID-named manifest `NNN.checkpoint.<uuid>.{parquet|json}`
+        // carrying checkpointMetadata/protocol/metaData + either the
+        // file actions inline or `sidecar` references to parquet files
+        // under `_delta_log/_sidecars/` that hold them ----------------
+        val v2Pat =
+          (f"$cpVersion%020d" + "\\.checkpoint\\.[A-Za-z0-9_-]+\\.(parquet|json)").r
+        val manifests = fs.listStatus(logDir).map(_.getPath)
+          .filter(p => v2Pat.pattern.matcher(p.getName).matches).sortBy(_.getName)
+        require(manifests.nonEmpty,
+          s"$rootStr: _last_checkpoint names version $cpVersion but no " +
+            "classic or v2 checkpoint file exists — corrupt log")
+        // multiple UUID manifests of one version are each complete —
+        // any one serves; pick deterministically
+        val mf = manifests.head
+        val sidecarPaths = scala.collection.mutable.ArrayBuffer[String]()
+        if (mf.getName.endsWith(".json")) {
+          val text = new String(readBytes(fs, mf),
+            java.nio.charset.StandardCharsets.UTF_8)
+          text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
+            val n = om.readTree(line)
+            Option(n.get("checkpointMetadata")).foreach { cm =>
+              require(cm.get("version").asLong() == cpVersion,
+                s"$rootStr: v2 checkpoint manifest $mf declares version " +
+                  s"${cm.get("version").asLong()} ≠ $cpVersion — corrupt log")
+            }
+            if (n.has("metaData")) meta = Some(n.get("metaData"))
+            if (n.has("protocol")) protocol = Some(n.get("protocol"))
+            if (n.has("sidecar"))
+              sidecarPaths += n.get("sidecar").get("path").asText()
+            if (n.has("add")) {
+              val a = n.get("add")
+              val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
+                .map(parseDv(_, rootStr))
+              val path = a.get("path").asText()
+              val pv = Option(a.get("partitionValues")).map { m =>
+                m.fields().asScala.map { e =>
+                  e.getKey -> (if (e.getValue.isNull) None
+                               else Some(e.getValue.asText()))
+                }.toMap
+              }.getOrElse(Map.empty[String, Option[String]])
+              live(path) = mkAdd(om, path, pv, a.get("size").asLong(),
+                Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
+                Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
+            }
+            // checkpoint `remove` rows are vacuum tombstones, not state
+          }
+        } else {
+          val cp = spark.read.parquet(mf.toString)
+          if (cp.columns.contains("sidecar")) {
+            import org.apache.spark.sql.functions.col
+            cp.where(col("sidecar").isNotNull).select(col("sidecar.path"))
+              .collect().foreach(r => sidecarPaths += r.getString(0))
+          }
+          if (cp.columns.contains("checkpointMetadata")) {
+            import org.apache.spark.sql.functions.col
+            cp.where(col("checkpointMetadata").isNotNull)
+              .select(col("checkpointMetadata.version")).collect()
+              .foreach(r => require(r.getLong(0) == cpVersion,
+                s"$rootStr: v2 checkpoint manifest $mf declares version " +
+                  s"${r.getLong(0)} ≠ $cpVersion — corrupt log"))
+          }
+          absorbParquet(cp)
+        }
+        if (sidecarPaths.nonEmpty) {
+          val files = sidecarPaths.toSeq.map(sidecarFile)
+          files.foreach(p => require(fs.exists(p),
+            s"$rootStr: v2 checkpoint names missing sidecar $p — corrupt log"))
+          absorbParquet(spark.read.parquet(files.map(_.toString): _*))
+        }
       }
     }
 

@@ -513,15 +513,25 @@ class DeltaInteropSpec extends SparkSpec {
   }
 
   test("unsupported protocol features refuse LOUDLY, never misread") {
-    // reader 3 with an unimplemented feature
+    // reader 3 with an unimplemented feature (v2Checkpoint graduated
+    // to supported — typeWidening stands in as the future feature)
     val rv = scratch("rv3feat")
     val f2 = DeltaFixture.writeData(spark, orders.limit(50), rv, "p.parquet")
     DeltaFixture.commit(spark, rv, 0, Seq(
       DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
-        readerFeatures = Seq("deletionVectors", "v2Checkpoint")),
+        readerFeatures = Seq("deletionVectors", "typeWidening")),
       DeltaFixture.metaDataJson(orders.schema), DeltaFixture.addJson(f2)))
     val e2 = intercept[Exception] { DeltaLog.snapshot(spark, rv) }
-    assert(e2.getMessage.contains("v2Checkpoint"), e2.getMessage)
+    assert(e2.getMessage.contains("typeWidening"), e2.getMessage)
+    // ... while a reader-3 table declaring v2Checkpoint (no actual
+    // checkpoint written yet) reads fine
+    val rv2 = scratch("rv3v2ok")
+    val f2b = DeltaFixture.writeData(spark, orders.limit(50), rv2, "p.parquet")
+    DeltaFixture.commit(spark, rv2, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("v2Checkpoint")),
+      DeltaFixture.metaDataJson(orders.schema), DeltaFixture.addJson(f2b)))
+    assert(DeltaLog.read(spark, rv2).count() == 50)
 
     // column mapping id mode (field-id resolution) still refuses
     val cm = scratch("cmapid")
@@ -589,6 +599,64 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaFixture.addJson(f5, Map("o_orderpriority" -> "HIGH"))))
     val e5 = intercept[Exception] { TxTable.convertFromDelta(spark, pc) }
     assert(e5.getMessage.contains("partition"), e5.getMessage)
+  }
+
+  test("v2 checkpoint: UUID parquet manifest + sidecar, JSON manifest " +
+      "with inline adds, JSON commits replay on top; missing sidecars " +
+      "refuse") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // parquet manifest whose file actions live in a _sidecars parquet
+    val d1 = scratch("v2cp_parquet")
+    val a = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 0), d1, "part-a.parquet")
+    val b = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 1), d1, "part-b.parquet")
+    DeltaFixture.checkpointV2(spark, d1, 1, orders.schema, Nil,
+      Seq((a, Map.empty[String, String],
+          Some(DeltaFixture.statsJson(a.rows))),
+        (b, Map.empty[String, String],
+          Some(DeltaFixture.statsJson(b.rows)))),
+      manifestFormat = "parquet", sidecar = true)
+    // a JSON commit after the checkpoint replays on top
+    val c = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 2), d1, "part-c.parquet")
+    DeltaFixture.commit(spark, d1, 2, Seq(DeltaFixture.addJson(c)))
+    val snap = DeltaLog.snapshot(spark, d1)
+    assert(snap.version == 2)
+    assert(snap.adds.map(_.path).sorted ==
+      Seq("part-a.parquet", "part-b.parquet", "part-c.parquet"))
+    assert(snap.adds.filter(_.path != "part-c.parquet").forall(_.rows > 0),
+      "sidecar add stats must carry")
+    val got = DeltaLog.read(spark, d1)
+    assert(got.count() == orders.count())
+    assert(got.exceptAll(orders).isEmpty && orders.exceptAll(got).isEmpty)
+
+    // JSON manifest carrying the adds INLINE (no sidecars)
+    val d2 = scratch("v2cp_json")
+    val a2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 0), d2, "part-a.parquet")
+    DeltaFixture.checkpointV2(spark, d2, 0, orders.schema, Nil,
+      Seq((a2, Map.empty[String, String], None)),
+      manifestFormat = "json", sidecar = false)
+    val got2 = DeltaLog.read(spark, d2)
+    assert(got2.count() ==
+      orders.where(col("o_orderkey") % 3 === 0).count())
+
+    // JSON manifest + sidecar reads too, and the sidecar going
+    // missing refuses with the sidecar named
+    val d3 = scratch("v2cp_json_sc")
+    val a3 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 1), d3, "part-b.parquet")
+    DeltaFixture.checkpointV2(spark, d3, 0, orders.schema, Nil,
+      Seq((a3, Map.empty[String, String], None)),
+      manifestFormat = "json", sidecar = true)
+    assert(DeltaLog.read(spark, d3).count() ==
+      orders.where(col("o_orderkey") % 3 === 1).count())
+    val scDir = new org.apache.hadoop.fs.Path(d3, "_delta_log/_sidecars")
+    fs.listStatus(scDir).foreach(st => fs.delete(st.getPath, false))
+    val esc = intercept[Exception] { DeltaLog.snapshot(spark, d3) }
+    assert(esc.getMessage.contains("sidecar"), esc.getMessage)
   }
 
   test("followDelta: bootstrap converts and anchors; incremental windows " +
