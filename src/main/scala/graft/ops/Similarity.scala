@@ -367,24 +367,66 @@ object Similarity {
     * grows: the 10× bench point showed exactly that cliff on the
     * low-threshold c8 gate). The kernel emits per-band chunk values
     * directly, so bucketing is one posexplode — no shift/mask
-    * extraction. Candidates stay collision-bound: duplicated-vector
+    * extraction. Band width and count are CORPUS-ADAPTIVE by default
+    * (see the sizing block in the body): fixed-width bands are
+    * themselves a saturation cliff one decade further out. Candidates stay collision-bound: duplicated-vector
     * cliques emit pairs (the point), orthogonal mass never buckets
     * together. Recall at cos c: 1 − (1 − p^r)^k with p = 1 − acos(c)/π
     * — ≈ 0.999 for exact twins, ≈ 0.94 at 0.95, by design dropping
     * fast below the threshold. Low-threshold similarity (the c8 0.4
     * gate) is NOT this operator's regime — that is the IVF/PQ path. */
   def srpNearDupPairsWide(emb: DataFrame, threshold: Double = 0.9,
-      bands: Int = 32, bitsPerBand: Int = 16,
+      bands: Int = 0, bitsPerBand: Int = 0,
       maxBucket: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq)): DataFrame = {
+    // ---- corpus-adaptive signature sizing (bands/bits = 0 = auto) --
+    // A FIXED chunk width saturates: once n ≫ 2^bits, every band's
+    // buckets fill with UNRELATED vectors (expected random-collision
+    // pairs ≈ C(n,2)/2^bits per band) and candidate mass goes
+    // quadratic — measured on the output-linear fixture
+    // (tools.ProbeNearDup: 31×/decade at 100× with 16-bit bands and
+    // ZERO true pairs). The published LSH discipline (Indyk–Motwani;
+    // Andoni–Indyk CACM 2008) scales the band width with log₂(n) so
+    // random collisions per band stay O(n), and re-scales the band
+    // COUNT to hold recall at the threshold — total work Θ(n^(1+ρ)),
+    // the known optimum for this family, paid as more (linear)
+    // signature bits instead of quadratic candidates. r floors at 16
+    // (n ≤ 64 K keeps today's 32×16 configuration — the gate fixtures
+    // are bit-identical) and caps at 24 (16 M buckets ≈ 4 M-vector
+    // corpora; past that, IVF/PQ is the regime). Band count from the
+    // standard recall identity k = ln(1−R)/ln(1−p^r) at the 32×16
+    // configuration's own contract R ≈ 0.94, capped at 128. The
+    // floor engages below ~16 K rows — every gate fixture.
+    val (kBands, rBits) =
+      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
+      else srpAutoSize(emb.count(), threshold)
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.GraftFunctions.srpBandChunks(
-        col("embedding"), bands, bitsPerBand)).as(Seq("band", "chunk")))
+        col("embedding"), kBands, rBits)).as(Seq("band", "chunk")))
     val cand = graft.ops.Dedup.cappedBucketPairs(
       banded.groupBy("band", "chunk")
         .agg(collect_list(col("vec_id")).as("ids"))
         .where(size(col("ids")) > 1),
       maxBucket, "graft_c18_hot_buckets", "vec_a", "vec_b")
     verifyCosinePairs(emb, cand, threshold)
+  }
+
+  /** [[srpNearDupPairsWide]]'s corpus-adaptive (bands, bitsPerBand):
+    * r = clamp(16, 24, ⌈log₂ n⌉ + 2) keeps expected random-collision
+    * pairs per band ≈ C(n,2)/2^r sub-quadratic in n; k from the
+    * recall identity ln(1−R)/ln(1−p^r) at R = 0.94 (the legacy 32×16
+    * configuration's own recall at its default threshold), clamped to
+    * [32, 128]. n ≤ ~16 K returns exactly (32, 16) — the gate
+    * fixtures' configuration, bit-identical. */
+  private[graft] def srpAutoSize(n: Long, threshold: Double): (Int, Int) = {
+    val r = math.min(24, math.max(16,
+      math.ceil(math.log(n.toDouble.max(2)) / math.log(2)).toInt + 2))
+    if (r == 16) (32, 16)
+    else {
+      val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+      val k = math.ceil(
+        math.log(1 - 0.94) / math.log(1 - math.pow(p, r))).toInt
+      (math.min(128, math.max(32, k)), r)
+    }
   }
 
   /** C19 — semantic deduplication (SemDeDup, Abbas et al. 2023):

@@ -391,6 +391,17 @@ class DedupSimilaritySpec extends SparkSpec {
     val emb = (base ++ twins).toDF("vec_id", "embedding")
     val pairs = graft.ops.Similarity.srpNearDupPairsWide(emb)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the adaptive sizing floors at the legacy 32×16 below ~16 K rows
+    // (gate fixtures bit-identical), widens bands with log₂(n) past it
+    // (random-collision mass stays sub-quadratic — the ProbeNearDup
+    // 100× finding), and holds the recall contract via more bands
+    assert(graft.ops.Similarity.srpAutoSize(1000, 0.9) == ((32, 16)))
+    assert(graft.ops.Similarity.srpAutoSize(16000, 0.9) == ((32, 16)))
+    assert(graft.ops.Similarity.srpAutoSize(60000, 0.9)._2 == 18)
+    val (k200k, r200k) = graft.ops.Similarity.srpAutoSize(200000, 0.9)
+    assert(r200k == 20 && k200k > 32, s"got ($k200k, $r200k)")
+    val (k4m, r4m) = graft.ops.Similarity.srpAutoSize(4000000, 0.9)
+    assert(r4m == 24 && k4m <= 128, s"got ($k4m, $r4m)")
     // exactly the 10 twin pairs, each at cosine 1.0
     assert(pairs.length == 10, s"got ${pairs.toSeq}")
     assert(pairs.forall { case (a, b, c) => c == 1.0 && b == 1000L + a })
