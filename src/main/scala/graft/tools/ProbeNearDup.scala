@@ -39,6 +39,28 @@ object ProbeNearDup {
         graft.ops.Dedup.ngramJaccardPairs(docs).count())
       println(f"[probe-neardup] dir=$d c18_pairs=$c18n c18_warm=$c18t%.1f s " +
         f"c4_pairs=$c4n c4_warm=$c4t%.1f s")
+      // ---- c4 staged attribution: where does the time go? ---------
+      import org.apache.spark.sql.functions._
+      val n = 3; val threshold = 0.8
+      val withSh = docs
+        .where(size(split(col("text"), " ")) >= n)
+        .select(col("doc_id"),
+          graft.ops.Dedup.hashedShingles(col("text"), n).as("sh"))
+      val prefixLen = (size(col("sh")) -
+        ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
+      val pref0 = withSh.select(col("doc_id"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
+      val (shRows, shT) = timed(withSh.agg(sum(size(col("sh"))))
+        .head.getLong(0))
+      val (prefRows, prefT) = timed(pref0.count())
+      val (distinctS, distT) = timed(
+        pref0.select("s").distinct().count())
+      val (bucketRows, bktT) = timed(pref0.groupBy("s")
+        .agg(count(lit(1)).as("c")).where(col("c") > 1).count())
+      println(f"[probe-neardup-c4] dir=$d shingle_rows=$shRows " +
+        f"(${shT}%.1f s) prefix_rows=$prefRows (${prefT}%.1f s) " +
+        f"distinct_shingles=$distinctS (${distT}%.1f s) " +
+        f"multi_buckets=$bucketRows (${bktT}%.1f s)")
     }
     spark.stop()
   }
