@@ -285,8 +285,16 @@ object GraphOps {
     // loop got implicitly at small scale from pr's known checkpoint
     // size, which the share's join-output estimate would forfeit);
     // above it the co-partitioned zero-exchange SMJ is the plan —
-    // the 100× regime the spec pins
-    val bcastShare = outdeg.count() <= BroadcastShareCap
+    // the 100× regime the spec pins. The decision reads the eager
+    // checkpoint's STORAGE bytes (driver-side block accounting — free)
+    // instead of running a count() job: ~24 B/row unsafe-row footprint
+    // puts the 1 M-node cap at ~24 MB; count() only as the fallback
+    // when storage info is unavailable (part of the round-13 trim of
+    // sf0.1 loop constants — ProbeG5 showed the loop SHAPE at parity,
+    // leaving per-call driver actions as the r12 bench residual)
+    val bcastShare = graft.core.Parallelism.persistedBytes(outdeg)
+      .map(_ <= BroadcastShareCap * 24L)
+      .getOrElse(outdeg.count() <= BroadcastShareCap)
     for (_ <- 1 to iters) {
       val next = pageRankRound(e, outdeg, pr, bcastShare)
         .localCheckpoint(true)
