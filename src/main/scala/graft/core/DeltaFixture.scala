@@ -68,6 +68,38 @@ private[graft] object DeltaFixture {
           .build())
     })
 
+  /** Schema with `id`-mode column-mapping metadata: each field gets
+    * a field id AND a physical name — the Iceberg-convert/UniForm
+    * shape, where data-file column NAMES are untrustworthy and only
+    * the parquet field ids resolve. */
+  def idMappedSchema(fields: Seq[(String, org.apache.spark.sql.types.DataType,
+      String, Long)]): StructType =
+    StructType(fields.map { case (logical, dt, physical, id) =>
+      StructField(logical, dt, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putLong("delta.columnMapping.id", id)
+          .putString("delta.columnMapping.physicalName", physical)
+          .build())
+    })
+
+  /** Write `df` as ONE parquet file whose columns are RENAMED to
+    * `names` and carry the given parquet FIELD IDS — the id-mode data
+    * file: resolvable only by id (the names deliberately match
+    * nothing in the table metadata). */
+  def writeDataWithFieldIds(spark: SparkSession, df: DataFrame,
+      rootStr: String, relPath: String, names: Seq[String],
+      ids: Seq[Long]): DataFile = {
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val renamed = df.toDF(names: _*)
+    val schema = StructType(renamed.schema.fields.zip(ids).map {
+      case (f, id) => f.copy(metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putLong("parquet.field.id", id).build())
+    })
+    writeData(s2, s2.createDataFrame(renamed.rdd, schema), rootStr, relPath)
+  }
+
   /** Write a REAL protocol-conformant deletion-vector file for the
     * given deleted row indexes and return its `u`-storage descriptor
     * (uuid-derived name under the table root). */

@@ -82,14 +82,29 @@ object DeltaLog {
   final case class DeltaSnapshot(root: String, version: Long,
       schema: StructType, partitionCols: Seq[String],
       configuration: Map[String, String], adds: Seq[DeltaAdd],
-      colMap: Map[String, String] = Map.empty) {
+      colMap: Map[String, String] = Map.empty,
+      cmMode: String = "none") {
     def physName(c: String): String = colMap.getOrElse(c, c)
     /** Scan schema: the NON-partition fields under their PHYSICAL
-      * names (what the data files actually store). */
+      * names (what the data files actually store). Under `id`-mode
+      * column mapping each field additionally carries the
+      * `parquet.field.id` Spark metadata key (from
+      * `delta.columnMapping.id`), so a field-id-enabled parquet scan
+      * resolves by ID — file column NAMES are not trustworthy in id
+      * mode (an Iceberg-converted table's files keep their original
+      * names across renames). */
     def dataSchema: StructType = {
       val p = partitionCols.toSet
-      StructType(schema.fields.filterNot(f => p.contains(f.name))
-        .map(f => f.copy(name = physName(f.name))))
+      StructType(schema.fields.filterNot(f => p.contains(f.name)).map { f =>
+        val renamed = f.copy(name = physName(f.name))
+        if (cmMode != "id") renamed
+        else renamed.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id",
+              f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+      })
     }
   }
 
@@ -354,10 +369,10 @@ object DeltaLog {
       c.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
     val cmMode = conf.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
-      s"$rootStr: Delta column mapping mode '$cmMode' unsupported — only " +
-        "'name' mode (physical-name resolution) is implemented; 'id' mode " +
-        "resolves by parquet field id, refusing rather than misread")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"$rootStr: Delta column mapping mode '$cmMode' unsupported — " +
+        "implemented modes are none | name (physical-name resolution) | " +
+        "id (parquet field-id resolution); refusing rather than misread")
     Option(md.get("format")).flatMap(f => Option(f.get("provider")))
       .map(_.asText()).foreach(p => require(p == "parquet",
         s"$rootStr: Delta format provider '$p' — only parquet is supported"))
@@ -369,6 +384,12 @@ object DeltaLog {
         require(f.metadata.contains(PhysNameKey),
           s"$rootStr: column mapping enabled but field '${f.name}' has no " +
             s"$PhysNameKey — corrupt metadata")
+        // id mode scans resolve by field id — every field must carry
+        // one (physicalName still keys the log's partitionValues/stats)
+        if (cmMode == "id") require(
+          f.metadata.contains("delta.columnMapping.id"),
+          s"$rootStr: id-mode column mapping but field '${f.name}' has " +
+            "no delta.columnMapping.id — corrupt metadata")
         f.name -> f.metadata.getString(PhysNameKey)
       }.toMap
     require(colMap.values.toSet.size == colMap.size,
@@ -401,7 +422,7 @@ object DeltaLog {
           physToLogical.get(k).map(_ -> v) })
     DeltaSnapshot(rootStr, commits.lastOption.getOrElse(cpVersion),
       schema, partCols, conf, live.values.map(logicalKeys).toSeq.sortBy(_.path),
-      colMap)
+      colMap, cmMode)
   }
 
   private def parseDv(n: JsonNode, rootStr: String): DeltaDv.Descriptor = {
@@ -486,10 +507,25 @@ object DeltaLog {
     * reader can have, the join is LEFT with a per-row guard: a scan
     * row whose file matches no build-side entry RAISES (encoding
     * drift named in the error) instead of disappearing. */
-  private[graft] def buildDf(spark: SparkSession, snap: DeltaSnapshot,
+  private[graft] def buildDf(spark0: SparkSession, snap: DeltaSnapshot,
       filters: Seq[org.apache.spark.sql.sources.Filter])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col, lit}
+    // id-mode column mapping resolves scan columns by parquet FIELD
+    // ID — a session conf, not a per-scan option — so the whole frame
+    // is built on a PRIVATE conf-pinned session (the loopSession
+    // discipline: nothing leaks into concurrently-planned queries,
+    // and executing the returned frame, whose plans capture this
+    // session, keeps the conf). `ignoreMissingParquetFieldId` stays
+    // at its strict default: a data file WITHOUT ids fails loudly
+    // instead of silently returning nulls.
+    val spark =
+      if (snap.cmMode != "id") spark0
+      else {
+        val s2 = spark0.newSession()
+        s2.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        s2
+      }
     val root = new Path(snap.root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val pSet = snap.partitionCols.toSet

@@ -3164,6 +3164,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * and [[followDelta]]'s reset path so the two cannot drift). */
   private def deltaSnapshotEntries(snap: DeltaLog.DeltaSnapshot)
       : Seq[FileEntry] = {
+    // id-mode files resolve columns by parquet field id and their
+    // NAMES are untrustworthy (Iceberg-converted tables keep original
+    // file names across renames) — this engine's manifest machinery is
+    // name-based, so zero-copy adoption would misresolve; import by
+    // copy instead (DeltaLog.read handles id mode for the copy read)
+    require(snap.cmMode != "id",
+      s"$root: id-mode column-mapped Delta table — zero-copy convert " +
+        "would resolve by name against files that only honor field ids; " +
+        "import by copy: DeltaLog.read(...) then overwrite(df)")
     require(snap.partitionCols.isEmpty,
       s"$root: partitioned Delta table (${snap.partitionCols.mkString(", ")}) " +
         "— partition values live only in the Delta log, so zero-copy " +
@@ -3360,10 +3369,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       case _ => false
     }, s"$root: partition column ${f.name} of type ${f.dataType} — its " +
       "directory serialization is not canonically Delta's; export by copy"))
-    require(m.colMap.isEmpty || m.partitionCols.isEmpty,
-      s"$root: column-mapped AND partitioned export not implemented — " +
-        "Delta keys partition values physically while this layout keys " +
-        "them logically; export by copy")
+    // column-mapped AND partitioned exports fine: Delta keys
+    // partitionValues by PHYSICAL name, and this engine refuses to
+    // rename layout columns (layoutProtected), so a partition
+    // column's physical name always equals its logical one —
+    // deltaAddJson emits physical keys, which delta-spark and
+    // [[DeltaLog]] both translate back. The require below is the
+    // defensive tripwire for a foreign-constructed manifest where
+    // the two DID diverge (this engine's verbs cannot produce one).
+    require(m.partitionCols.forall(c => m.colMap.getOrElse(c, c) == c),
+      s"$root: a partition column carries a diverged physical name — " +
+        "this engine never produces that layout; export by copy")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val adds = m.files.map(deltaAddJson(om, m, _, dataChange = true))
     fs.mkdirs(logDir)
@@ -3440,9 +3456,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     a.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
     val pv = a.putObject("partitionValues")
     m.partitionCols.foreach { c =>
+      // Delta keys partitionValues by PHYSICAL column name (identity
+      // here unless a foreign manifest diverged them — see the
+      // exportToDelta tripwire)
+      val key = m.colMap.getOrElse(c, c)
       f.partition.get(c) match {
-        case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" => pv.put(c, v)
-        case _ => pv.putNull(c)
+        case Some(v) if v != "__HIVE_DEFAULT_PARTITION__" => pv.put(key, v)
+        case _ => pv.putNull(key)
       }
     }
     a.put("size", if (f.bytes >= 0) f.bytes

@@ -69,6 +69,14 @@ final class DeltaLogSourceProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val snap = DeltaLog.snapshot(spark, path)
+    // id-mode scans need the field-id session conf; a microbatch plan
+    // is re-planned inside the STREAM's session where that conf does
+    // not hold — refuse by name rather than misread (batch reads of
+    // id-mode tables work: DeltaLog.buildDf pins a private session)
+    require(snap.cmMode != "id",
+      s"$path: id-mode column mapping is supported for BATCH reads " +
+        "only — the streaming source cannot pin the field-id scan conf " +
+        "into the stream's session; read it as a batch frame instead")
     new DeltaLogStreamSource(spark, path, snap,
       StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq))
   }

@@ -355,6 +355,26 @@ class DeltaInteropSpec extends SparkSpec {
     assert(back3.exceptAll(t3.read()).isEmpty &&
       t3.read().exceptAll(back3).isEmpty)
 
+    // column-mapped AND partitioned (the migrated-then-renamed shape):
+    // partition columns can never rename (layoutProtected), so their
+    // physical names are stable and partitionValues key identically —
+    // the export carries name-mode mapping for the renamed DATA column
+    // and physical partition keys, and both readers agree
+    val d5 = scratch("exp5")
+    val t5 = TxTable(spark, d5)
+    t5.overwrite(orders.where(col("o_orderkey") % 4 === 1),
+      partitionBy = Seq("o_orderpriority"))
+    t5.renameColumn("o_totalprice", "price")
+    t5.exportToDelta()
+    val snap5 = DeltaLog.snapshot(spark, d5)
+    assert(snap5.partitionCols == Seq("o_orderpriority"))
+    assert(snap5.colMap.contains("price"), s"colMap ${snap5.colMap}")
+    assert(snap5.adds.forall(_.partition.keySet == Set("o_orderpriority")))
+    val back5 = DeltaLog.read(spark, d5)
+    assert(back5.schema.fieldNames.contains("price"))
+    assert(back5.exceptAll(t5.read()).isEmpty &&
+      t5.read().exceptAll(back5).isEmpty)
+
     // refusals: DV'd snapshot; already-a-Delta-mirror
     val d4 = scratch("exp4")
     val t4 = TxTable(spark, d4, deletionVectors = true)
@@ -533,7 +553,7 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaFixture.metaDataJson(orders.schema), DeltaFixture.addJson(f2b)))
     assert(DeltaLog.read(spark, rv2).count() == 50)
 
-    // column mapping id mode (field-id resolution) still refuses
+    // id mode WITHOUT the mapping metadata = corrupt, refuses
     val cm = scratch("cmapid")
     val f3 = DeltaFixture.writeData(spark, orders.limit(50), cm, "p.parquet")
     DeltaFixture.commit(spark, cm, 0, Seq(
@@ -542,7 +562,18 @@ class DeltaInteropSpec extends SparkSpec {
         config = Map("delta.columnMapping.mode" -> "id")),
       DeltaFixture.addJson(f3)))
     val e3 = intercept[Exception] { DeltaLog.snapshot(spark, cm) }
-    assert(e3.getMessage.contains("'id'"), e3.getMessage)
+    assert(e3.getMessage.contains("physicalName") ||
+      e3.getMessage.contains("columnMapping"), e3.getMessage)
+    // an unknown future mode still refuses by name
+    val cx = scratch("cmapx")
+    val f3x = DeltaFixture.writeData(spark, orders.limit(50), cx, "p.parquet")
+    DeltaFixture.commit(spark, cx, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(orders.schema,
+        config = Map("delta.columnMapping.mode" -> "hybrid")),
+      DeltaFixture.addJson(f3x)))
+    val e3x = intercept[Exception] { DeltaLog.snapshot(spark, cx) }
+    assert(e3x.getMessage.contains("hybrid"), e3x.getMessage)
 
     // name mode WITHOUT physicalName metadata = corrupt metadata
     val cn = scratch("cmapnometa")
@@ -599,6 +630,52 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaFixture.addJson(f5, Map("o_orderpriority" -> "HIGH"))))
     val e5 = intercept[Exception] { TxTable.convertFromDelta(spark, pc) }
     assert(e5.getMessage.contains("partition"), e5.getMessage)
+  }
+
+  test("id-mode column mapping: batch reads resolve by parquet FIELD ID " +
+      "(file names deliberately useless); streaming and zero-copy " +
+      "convert refuse by name") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val dir = scratch("cmid_real")
+    val data = orders.where(col("o_orderkey") % 7 === 0)
+    // the data file's column NAMES match nothing anywhere — only the
+    // embedded parquet field ids line up with the table metadata
+    val f = DeltaFixture.writeDataWithFieldIds(spark, data, dir,
+      "p.parquet", Seq("f1", "f2", "f3"), Seq(11L, 12L, 13L))
+    val logical = DeltaFixture.idMappedSchema(Seq(
+      ("okey", LongType, "col-aaaa", 11L),
+      ("price", DoubleType, "col-bbbb", 12L),
+      ("priority", StringType, "col-cccc", 13L)))
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(logical,
+        config = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "13")),
+      DeltaFixture.addJson(f)))
+    val snap = DeltaLog.snapshot(spark, dir)
+    assert(snap.cmMode == "id")
+    val got = DeltaLog.read(spark, dir)
+    assert(got.schema.fieldNames.toSeq == Seq("okey", "price", "priority"))
+    val want = data.toDF("okey", "price", "priority")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // streaming: named refusal (the field-id conf cannot ride a
+    // microbatch plan into the stream's session)
+    val out = EventsStream.scratchDir("cmid_stream")
+    val es = intercept[Exception] {
+      spark.readStream.format("delta-log").load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    assert(es.getMessage.contains("id-mode") ||
+      Option(es.getCause).exists(_.getMessage.contains("id-mode")), es.toString)
+
+    // zero-copy convert: named refusal toward the copy path
+    val ec = intercept[Exception] { TxTable.convertFromDelta(spark, dir) }
+    assert(ec.getMessage.contains("id-mode"), ec.getMessage)
   }
 
   test("v2 checkpoint: UUID parquet manifest + sidecar, JSON manifest " +
