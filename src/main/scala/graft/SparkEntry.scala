@@ -1907,6 +1907,12 @@ object SparkEntry {
     // the packing expression); gated on per-lang chunk statistics
     // against the identical window replay in DuckDB, whose token
     // counts come from the same merges-table replay as t14.
+    // t23: context-window chunking with overlap — ≤64-token windows
+    // advancing by 48 (16-token overlap), deterministic identity
+    // (doc_id, chunk_idx), md5 chunk hashes for downstream chunk-level
+    // dedup; a map-only pass (no shuffle before the gate's ordering)
+    "t23_chunking"       -> ((s, d) =>
+      graft.ops.Corpus.chunkDocuments(Tables.documents(s, d))),
     "t8_seq_pack"        -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val model = bpeModel(s, d)
@@ -2173,6 +2179,42 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"),
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("change_type", "o_orderpriority")
+    }),
+    // s16: streaming DEDUP-ON-INGEST — overlapping append batches
+    // (the at-least-once upstream every real ingest has) flow through
+    // stateful dropDuplicates, so exactly one copy of each event
+    // reaches the sink across MICROBATCH boundaries (state store, not
+    // per-batch distinct); gated on the deduped aggregate equalling
+    // the exact distinct set
+    "s16_stream_dedup"   -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val (dir, out) = cachedAsset(s, s"s16_dedup|$d") {
+        val dir = graft.streaming.EventsStream.scratchDir("graft_s16") + "/t"
+        val e = Tables.events(s, d)
+          .select("event_id", "event_type", "value")
+        val t = graft.core.TxTable(s, dir)
+        // two commits with an OVERLAPPING slice: ids %3==1 arrive twice
+        // (the at-least-once redelivery every real ingest has)
+        t.overwrite(e.where(col("event_id") % 3 <= 1))
+        t.append(e.where(col("event_id") % 3 >= 1))
+        (dir, graft.streaming.EventsStream.scratchDir("graft_s16_out"))
+      }
+      val q = s.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(dir)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$out/rows")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type")
     }),
     "s9_tx_stream_read"  -> ((s, d) => {
       import org.apache.spark.sql.functions._
@@ -3103,6 +3145,14 @@ object SparkEntry {
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM feed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s16: the deduped stream equals the exact distinct event set —
+    // overlap (%3==1 delivered twice) collapses to one copy per id
+    "s16_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s9_tx_stream_read" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
@@ -3450,6 +3500,26 @@ object SparkEntry {
          |SELECT word, CAST(len(pl) AS BIGINT) AS n_pieces,
          |       array_to_string(pl, ' ') AS pieces
          |FROM bpe_final ORDER BY word""".stripMargin,
+    // t23: identical window replay — starts = range(0, n, 48), a
+    // trailing pure-overlap window dropped (start+16 < n), chunk =
+    // 1-based 64-token slice, hash = md5 of the re-joined window.
+    // Only a SUFFIX of starts can be dropped (starts increase), so
+    // start/48 equals the filtered position — chunk_idx agrees.
+    "t23_chunking" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |s AS (SELECT doc_id, toks, len(toks) AS n,
+        |             unnest(range(0, len(toks), 48)) AS start
+        |      FROM d),
+        |f AS (SELECT * FROM s WHERE start = 0 OR start + 16 < n)
+        |SELECT doc_id,
+        |       CAST(start / 48 AS INT) AS chunk_idx,
+        |       CAST(start AS INT) AS start,
+        |       CAST(least(64, n - start) AS INT) AS n_tokens,
+        |       md5(array_to_string(
+        |         list_slice(toks, start + 1, least(start + 64, n)), ' '))
+        |         AS chunk_hash
+        |FROM f ORDER BY doc_id, chunk_idx""".stripMargin,
     // t8: identical window replay — chunk = floor(tokens-before/2048)
     // within (lang, band) — with n_tokens now the BPE piece count
     // from the same merges-table replay as t14

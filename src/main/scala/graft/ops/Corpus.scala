@@ -61,6 +61,45 @@ object Corpus {
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\+?[0-9][0-9-]{7,}[0-9]"
 
+  /** T23 — context-window CHUNKING with overlap: split every document
+    * into ≤ `maxTokens`-token windows advancing by
+    * `maxTokens − overlap`, the preprocessing step every pretraining /
+    * RAG pipeline runs between cleaning and tokenization (reference
+    * scope: its pipelines stop at document granularity —
+    * ascii-hydra pipes/queries.py — so this extends the surface the
+    * way t8's sequence packing does, one level below the document).
+    *
+    * Deterministic and fully relational: window starts are a
+    * `sequence` + `filter` (a trailing window that would be PURE
+    * overlap of the previous one is dropped — `start + overlap <
+    * n_tokens` — so chunk sets are a function of the token count
+    * alone), the chunk is an array `slice`, and identity is
+    * (doc_id, chunk_idx). One projection + one explode: no shuffle at
+    * all until a consumer aggregates — at 100 TB this is a map-only
+    * pass whatever the corpus size. `chunk_hash` (md5 of the joined
+    * window) rides along so downstream exact-dedup of chunks needs no
+    * re-join to the text. */
+  def chunkDocuments(docs: DataFrame, textCol: String = "text",
+      maxTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      s"need 0 <= overlap < maxTokens, got ($maxTokens, $overlap)")
+    val stride = maxTokens - overlap
+    val toks = split(col(textCol), " ")
+    val starts = filter(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+      s => (s === 0) || (s + lit(overlap) < size(toks)))
+    docs
+      .select(col("doc_id"), toks.as("__toks"),
+        posexplode(starts).as(Seq("chunk_idx", "start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("start"),
+        slice(col("__toks"), col("start") + 1, lit(maxTokens)).as("__chunk"))
+      .select(col("doc_id"), col("chunk_idx"), col("start"),
+        size(col("__chunk")).as("n_tokens"),
+        md5(array_join(col("__chunk"), " ")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   def redactPii(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("n_emails",
         size(regexp_extract_all(col(textCol), lit(EmailPattern), lit(0))))

@@ -142,4 +142,37 @@ class CorpusSpec extends SparkSpec {
     assert(byName(5L) == ((false, Some("repetition"))))
     assert(byName(6L) == ((false, Some("empty"))))
   }
+
+  test("chunkDocuments: full token coverage, fixed stride, no " +
+      "pure-overlap tail, map-only plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 130 tokens → starts 0, 48, 96 (96+16 < 130 keeps the tail);
+    // 110 tokens → 96+16 > 110 would make start 96 pure overlap of
+    // 48..111? no — 96..109 is NOT contained in 48..111; the rule is
+    // start+overlap < n: 96+16=112 > 110 → start 96 dropped;
+    // 20 tokens → one chunk of 20
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, words(130)), (2L, words(110)), (3L, words(20)))
+      .toDF("doc_id", "text")
+    val out = Corpus.chunkDocuments(docs, maxTokens = 64, overlap = 16)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq(
+      (1L, 0, 0, 64), (1L, 1, 48, 64), (1L, 2, 96, 34),
+      (2L, 0, 0, 64), (2L, 1, 48, 62),
+      (3L, 0, 0, 20)), out.toSeq)
+    // coverage: every token index of doc 2 falls inside some chunk —
+    // the dropped start-96 window loses nothing (48..109 covers it)
+    assert(out.filter(_._1 == 2L).map(c => (c._3, c._3 + c._4))
+      .foldLeft(0)((covered, w) =>
+        if (w._1 <= covered) math.max(covered, w._2) else covered) == 110)
+    // identical text → identical chunk hashes (the chunk-dedup hook)
+    val twin = Seq((7L, words(130)), (8L, words(130))).toDF("doc_id", "text")
+    val h = Corpus.chunkDocuments(twin).select("chunk_idx", "chunk_hash")
+      .collect().groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).toSet)
+    assert(h.values.forall(_.size == 1))
+    // map-only: no join/aggregate/shuffle below the gate's ordering
+    val plan = Corpus.chunkDocuments(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Aggregate"), plan)
+  }
 }

@@ -290,4 +290,38 @@ class StreamingSpec extends SparkSpec {
     assert(resumed.exceptAll(batchLatest).count() == 0)
     assert(batchLatest.exceptAll(resumed).count() == 0)
   }
+
+  test("streaming dropDuplicates dedups ACROSS microbatches: redelivered " +
+      "ids in a later batch never reach the sink again") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.streaming.EventsStream.scratchDir("s16_spec") + "/t"
+    val out = graft.streaming.EventsStream.scratchDir("s16_spec_out")
+    val e = graft.core.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    val t = graft.core.TxTable(spark, dir)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(dir)
+        .dropDuplicates("event_id")
+        .writeStream.format("parquet")
+        .option("path", s"$out/rows")
+        .option("checkpointLocation", s"$out/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // batch 1: ids %3 <= 1; SEPARATE drain so the dedup state must
+    // persist in the state store, not in a per-batch distinct
+    t.overwrite(e.where(col("event_id") % 3 <= 1))
+    drain()
+    val after1 = spark.read.parquet(s"$out/rows").count()
+    assert(after1 == e.where(col("event_id") % 3 <= 1).count())
+    // batch 2: ids %3 >= 1 — the %3==1 slice is a REDELIVERY
+    t.append(e.where(col("event_id") % 3 >= 1))
+    drain()
+    val rows = spark.read.parquet(s"$out/rows")
+    assert(rows.count() == e.count(), "each id exactly once overall")
+    assert(rows.groupBy("event_id").count().where(col("count") > 1).count() == 0)
+  }
 }
