@@ -3288,11 +3288,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
             m.partitionCols, Map.empty, Nil, m.colMap)
           val adds = DeltaLog.addsInWindow(spark, pin, anchor, head)
+          // addsInWindow hands back PHYSICAL-keyed stats (it translates
+          // only partition keys), and the manifest convention is also
+          // physical — so the eligibility map keys physical and the
+          // mapper is identity (unlike the snapshot path, whose stats
+          // arrive logical-keyed)
           val statOk = schema.fields
             .filter(f => statsEligible(f.dataType))
-            .map(f => f.name -> f.dataType).toMap
-          def toPhys(k: String): String = m.colMap.getOrElse(k, k)
-          val entries = adds.map(deltaAddEntry(_, statOk, toPhys))
+            .map(f => m.colMap.getOrElse(f.name, f.name) -> f.dataType)
+            .toMap
+          val entries = adds.map(deltaAddEntry(_, statOk, identity))
           val byPath = entries.map(e => e.path -> e).toMap
           commit { latest =>
             val l = latest.getOrElse(sys.error(s"$root: log vanished"))

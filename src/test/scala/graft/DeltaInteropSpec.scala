@@ -794,6 +794,36 @@ class DeltaInteropSpec extends SparkSpec {
     DeltaFixture.commit(spark, dir, 5, Seq(DeltaFixture.addJson(e2)))
     assert(t2.followDelta() == 4L)
 
+    // a COLUMN-MAPPED foreign table follows too: physical file
+    // columns, logical surface, incremental windows with
+    // physically-keyed stats
+    val cm = scratch("follow_cm")
+    val cmSchema = DeltaFixture.mappedSchema(Seq(
+      ("okey", org.apache.spark.sql.types.LongType, "col-aa"),
+      ("price", org.apache.spark.sql.types.DoubleType, "col-bb")))
+    val cmData = orders.select(col("o_orderkey").as("col-aa"),
+      col("o_totalprice").as("col-bb"))
+    val ca = DeltaFixture.writeData(spark,
+      cmData.where(col("`col-aa`") % 2 === 0), cm, "a.parquet")
+    DeltaFixture.commit(spark, cm, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(cmSchema,
+        config = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "2")),
+      DeltaFixture.addJson(ca)))
+    val tc = TxTable(spark, cm)
+    assert(tc.followDelta() == 0L)
+    val cb = DeltaFixture.writeData(spark,
+      cmData.where(col("`col-aa`") % 2 === 1), cm, "b.parquet")
+    DeltaFixture.commit(spark, cm, 1, Seq(DeltaFixture.addJson(cb,
+      stats = Some(DeltaFixture.statsJson(cb.rows)))))
+    assert(tc.followDelta() == 1L)
+    val gotCm = tc.read()
+    assert(gotCm.schema.fieldNames.toSeq == Seq("okey", "price"))
+    val wantCm = orders.select(col("o_orderkey").as("okey"),
+      col("o_totalprice").as("price"))
+    assert(gotCm.exceptAll(wantCm).isEmpty && wantCm.exceptAll(gotCm).isEmpty)
+
     // a graft table that was never bootstrapped as a follower refuses
     val plain = scratch("follow_plain")
     val tp = TxTable(spark, plain)
