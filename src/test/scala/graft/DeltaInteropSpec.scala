@@ -833,6 +833,43 @@ class DeltaInteropSpec extends SparkSpec {
     assert(ep.getMessage.contains(TxTable.FollowTxnId), ep.getMessage)
   }
 
+  test("racing mirrors: concurrent mirrorToDelta calls resolve to one " +
+      "winner per Delta version through the LogStore claim; a loser " +
+      "raises the named race error; the log stays contiguous and " +
+      "read-equal") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = scratch("mirror_race")
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 2 === 0))
+    assert(t.mirrorToDelta() == 0L)
+    for (i <- 1 to 6) t.append(orders.where(col("o_orderkey") % 97 === i))
+    // two threads race the 6-commit backlog; interleavings vary, the
+    // invariants must not
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map(_ => new Thread(() =>
+      try { t.mirrorToDelta(); () }
+      catch { case e: Throwable => errs.add(e); () }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // any loser raised the NAMED race error — never silent corruption
+    errs.forEach(e => assert(
+      e.getMessage.contains("concurrent mirror writer") ||
+        e.getMessage.contains("racing"), e.toString))
+    // exactly one Delta commit per version, contiguous, no gaps and no
+    // stray staging files
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(d, "_delta_log"))
+      .toSeq.map(_.getPath.getName)
+    assert(names.filter(_.matches("\\d{20}\\.json"))
+      .map(_.stripSuffix(".json").toLong).sorted == (0L to 6L),
+      names.sorted)
+    assert(!names.exists(_.startsWith(".tmp-mirror-")), names.sorted)
+    // the mirror reads exactly the table, and the verb is idempotent
+    val back = DeltaLog.read(spark, d)
+    assert(back.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(back).isEmpty)
+    assert(t.mirrorToDelta() == 6L)
+  }
+
   test("mirror checkpointing: every 10th mirrored commit writes a " +
       "parquet checkpoint + _last_checkpoint; retention cleans " +
       "pre-checkpoint JSON; reads and further mirroring survive the " +
