@@ -3701,18 +3701,39 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * path ([[deltaProtocolJson]]/[[deltaMetaDataJson]]/[[deltaAddJson]])
     * and parsed into parquet rows through an explicit checkpoint
     * schema, so checkpointed and replayed state cannot drift.
+    * Unexpired `remove` tombstones are CARRIED FORWARD (Delta spec:
+    * checkpoint state includes tombstones younger than
+    * `deletedFileRetentionDuration`, so a spec-strict reader's VACUUM
+    * sees just-removed files even after pre-checkpoint commits are
+    * cleaned) — merged from the previous checkpoint's remove rows
+    * plus the JSON commits since it, minus expired and re-added paths
+    * ([[collectMirrorTombstones]]).
     * Best-effort like the graft log's own [[writeCheckpoint]]: a
-    * failure only means readers replay more JSON commits. */
+    * failure only means readers replay more JSON commits — and since
+    * the Delta commit this checkpoint trails is already durably
+    * published, ANY failure here (not just IO: AnalysisException from
+    * the parquet write, the missing-part sys.error) must not fail
+    * mirrorToDelta → catch NonFatal, next call resumes from the
+    * anchor. */
   private def writeMirrorCheckpoint(dLogDir: Path, deltaVersion: Long,
       m: Manifest, tableId: String): Unit = try {
     import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
       LongType, MapType, StringType => SStringType, StructField}
     val dst = new Path(dLogDir, f"$deltaVersion%020d.checkpoint.parquet")
+    val tombstones = collectMirrorTombstones(dLogDir, deltaVersion, m)
     if (!fs.exists(dst)) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val lines = Seq(deltaProtocolJson(om, m),
         deltaMetaDataJson(om, m, tableId)) ++
-        m.files.map(deltaAddJson(om, m, _, dataChange = false))
+        m.files.map(deltaAddJson(om, m, _, dataChange = false)) ++
+        tombstones.map { case (p, ts, dc) =>
+          val n = om.createObjectNode()
+          val r = n.putObject("remove")
+          r.put("path", p) // already URL-encoded in the source action
+          r.put("deletionTimestamp", ts)
+          r.put("dataChange", dc)
+          om.writeValueAsString(n)
+        }
       val strMap = MapType(SStringType, SStringType, valueContainsNull = true)
       val cpSchema = StructType(Seq(
         StructField("protocol", StructType(Seq(
@@ -3733,7 +3754,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           StructField("size", LongType),
           StructField("modificationTime", LongType),
           StructField("dataChange", BooleanType),
-          StructField("stats", SStringType))))))
+          StructField("stats", SStringType)))),
+        StructField("remove", StructType(Seq(
+          StructField("path", SStringType),
+          StructField("deletionTimestamp", LongType),
+          StructField("dataChange", BooleanType))))))
       val ds = spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING)
       val tmpDir = new Path(root,
@@ -3763,13 +3788,73 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     if (deltaVersion > existing) {
       val n = om2.createObjectNode()
       n.put("version", deltaVersion)
-      n.put("size", 2L + m.files.size)
+      n.put("size", 2L + m.files.size + tombstones.size)
       val out = fs.create(lastCp, true)
       try out.write(om2.writeValueAsString(n)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
-  } catch { case _: java.io.IOException => () }
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** Unexpired remove tombstones for a mirror checkpoint at
+    * `deltaVersion`: the previous checkpoint's `remove` rows (if it
+    * carried any) overlaid with the remove/add actions of the JSON
+    * commits since it — a later `remove` of the same path supersedes,
+    * a later `add` (re-added file) clears the tombstone so VACUUM can
+    * never delete a live file. Expired (older than
+    * [[TxTable.PropMirrorTombstoneRetention]], default Delta's own
+    * 7-day `deletedFileRetentionDuration`) and currently-live paths
+    * are dropped. Cost: one single-file parquet read + at most
+    * [[TxTable.CheckpointInterval]] small JSON commits — bounded,
+    * driver-side. */
+  private def collectMirrorTombstones(dLogDir: Path, deltaVersion: Long,
+      m: Manifest): Seq[(String, Long, Boolean)] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val cpName = """(\d{20})\.checkpoint\.parquet""".r
+    val prevCp: Long = fs.listStatus(dLogDir).map(_.getPath.getName)
+      .collect { case cpName(v) if v.toLong < deltaVersion => v.toLong }
+      .sorted.lastOption.getOrElse(-1L)
+    val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Boolean)]()
+    if (prevCp >= 0) {
+      val cp = spark.read.parquet(
+        new Path(dLogDir, f"$prevCp%020d.checkpoint.parquet").toString)
+      if (cp.columns.contains("remove")) // pre-tombstone checkpoints lack it
+        cp.where(col("remove").isNotNull)
+          .select(col("remove.path"), col("remove.deletionTimestamp"),
+            col("remove.dataChange"))
+          .collect().foreach { r =>
+            acc(r.getString(0)) = (r.getLong(1), r.getBoolean(2))
+          }
+    }
+    ((prevCp max 0L) to deltaVersion).foreach { v =>
+      val p = new Path(dLogDir, f"$v%020d.json")
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        val txt = try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        txt.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
+          val n = om.readTree(line)
+          Option(n.get("remove")).foreach { r =>
+            acc(r.get("path").asText()) =
+              (Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
+                Option(r.get("dataChange")).exists(_.asBoolean))
+          }
+          Option(n.get("add"))
+            .foreach { a => acc.remove(a.get("path").asText()); () }
+        }
+      }
+    }
+    val horizon = System.currentTimeMillis() -
+      m.properties.get(TxTable.PropMirrorTombstoneRetention)
+        .flatMap(_.toLongOption)
+        .getOrElse(TxTable.MirrorTombstoneRetentionDefaultMs)
+    val live = m.files
+      .map(f => new java.net.URI(null, null, f.path, null).getRawPath).toSet
+    acc.toSeq.collect {
+      case (p, (ts, dc)) if ts >= horizon && !live(p) => (p, ts, dc)
+    }
+  }
 
   /** Mirror-log retention (the `delta.logRetentionDuration`
     * equivalent): delete pre-checkpoint commits and superseded
@@ -3790,7 +3875,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         case _ => ()
       }
     }
-  } catch { case _: java.io.IOException => () }
+  } catch { case scala.util.control.NonFatal(_) => () }
 
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
@@ -5241,6 +5326,11 @@ object TxTable {
     * equivalent); default 30 days, Delta's own. */
   val PropMirrorLogRetention = "graft.mirrorLogRetentionMs"
   val MirrorLogRetentionDefaultMs: Long = 30L * 24 * 3600 * 1000
+  /** Milliseconds a mirror `remove` tombstone is carried forward into
+    * checkpoints (the `delta.deletedFileRetentionDuration` equivalent);
+    * default 7 days, Delta's own. */
+  val PropMirrorTombstoneRetention = "graft.mirrorTombstoneRetentionMs"
+  val MirrorTombstoneRetentionDefaultMs: Long = 7L * 24 * 3600 * 1000
   /** App-id under which [[TxTable.followDelta]] records the
     * last-consumed foreign Delta version in the manifest txns — the
     * exactly-once follow anchor (same mechanism as streaming writers'

@@ -377,7 +377,16 @@ object Similarity {
     * gate) is NOT this operator's regime — that is the IVF/PQ path. */
   def srpNearDupPairsWide(emb: DataFrame, threshold: Double = 0.9,
       bands: Int = 0, bitsPerBand: Int = 0,
-      maxBucket: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq)): DataFrame = {
+      maxBucket: Option[Int] = Some(graft.ops.Dedup.DefaultMaxDocFreq),
+      rowCountHint: Long = -1L): DataFrame = {
+    // Half-specified signatures refuse by name: a caller passing
+    // bands=64 alone would otherwise have it SILENTLY ignored (auto
+    // engages unless both are set) — the worst failure mode for a
+    // recall contract. Both-or-neither.
+    require((bands > 0) == (bitsPerBand > 0),
+      s"srpNearDupPairsWide: bands and bitsPerBand must be given " +
+        s"together or both left 0 for corpus-adaptive auto-sizing " +
+        s"(got bands=$bands, bitsPerBand=$bitsPerBand)")
     // ---- corpus-adaptive signature sizing (bands/bits = 0 = auto) --
     // A FIXED chunk width saturates: once n ≫ 2^bits, every band's
     // buckets fill with UNRELATED vectors (expected random-collision
@@ -396,9 +405,13 @@ object Similarity {
     // standard recall identity k = ln(1−R)/ln(1−p^r) at the 32×16
     // configuration's own contract R ≈ 0.94, capped at 128. The
     // floor engages below ~16 K rows — every gate fixture.
+    // Auto mode needs n; `rowCountHint ≥ 0` lets a caller that already
+    // knows the corpus size (a pipeline that just materialized it, a
+    // table with catalog stats) skip the extra full-scan count action.
     val (kBands, rBits) =
-      if (bands > 0 && bitsPerBand > 0) (bands, bitsPerBand)
-      else srpAutoSize(emb.count(), threshold)
+      if (bands > 0) (bands, bitsPerBand)
+      else srpAutoSize(
+        if (rowCountHint >= 0) rowCountHint else emb.count(), threshold)
     val banded = emb.select(col("vec_id"),
       posexplode(graft.functions.GraftFunctions.srpBandChunks(
         col("embedding"), kBands, rBits)).as(Seq("band", "chunk")))
@@ -425,8 +438,34 @@ object Similarity {
       val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
       val k = math.ceil(
         math.log(1 - 0.94) / math.log(1 - math.pow(p, r))).toInt
+      // The k cap is a COST ceiling, not free: below threshold ≈ 0.9
+      // at multi-million n the recall identity wants k well past 128
+      // (threshold 0.85, n = 4 M → k ≈ 297; clamped, achieved recall
+      // falls to ~0.7, and ~0.4 at 0.8). Silent clamping would turn
+      // the documented 0.94 contract into a lie — warn with the
+      // achieved number so the caller can route to IVF/PQ (the
+      // correct regime for low-threshold similarity; see the c8
+      // guard's message).
+      if (k > 128) {
+        val recallAtCap = 1.0 - math.pow(1.0 - math.pow(p, r), 128)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          f"srpAutoSize: recall identity wants k=$k bands at " +
+            f"threshold=$threshold%.2f, n=$n (r=$r bits); capped at " +
+            f"128 — achieved recall ≈ $recallAtCap%.2f, BELOW the " +
+            f"0.94 contract. For low-threshold similarity at this " +
+            f"scale use the IVF/PQ path (annTopK / ivfTopK).")
+      }
       (math.min(128, math.max(32, k)), r)
     }
+  }
+
+  /** Achieved recall of the (k, r) SRP configuration at cosine
+    * `threshold` — 1 − (1 − p^r)^k with p = 1 − acos(c)/π. Exposed so
+    * specs and callers can check the contract [[srpAutoSize]] warns
+    * about instead of re-deriving it. */
+  private[graft] def srpRecallAt(k: Int, r: Int, threshold: Double): Double = {
+    val p = 1.0 - math.acos(math.min(1.0, threshold)) / math.Pi
+    1.0 - math.pow(1.0 - math.pow(p, r), k)
   }
 
   /** C19 — semantic deduplication (SemDeDup, Abbas et al. 2023):

@@ -252,15 +252,17 @@ object TextOps {
     val hits = tf
       .join(broadcast(q), "term")
       .join(broadcast(dft.join(broadcast(q), "term")), "term")
-    // the corpus-sized per-doc length table is NEVER shuffled by the
-    // scoring join: the term-bounded candidate rows broadcast INTO
-    // dl, which streams map-side straight out of its own aggregation
-    // — at 100 TB the alternative (join(dl, "doc_id")) would shuffle
-    // every document's length row to score a handful of candidates.
-    // Assumes a probe-sized query (candidates ≪ corpus); a stop-word-
-    // scale probe should drop the broadcast and let AQE pick.
+    // the scoring join's broadcast decision is left to AQE ON
+    // PURPOSE: for a probe-sized query the candidate set is tiny and
+    // AQE's runtime size stat converts this to a broadcast-hash join
+    // (dl streams out of its own doc_id aggregation, no re-exchange —
+    // same plan a forced hint gave), but for a STOP-WORD query the
+    // hit set is corpus-sized and a forced broadcast() would OOM the
+    // driver where the shuffled join degrades gracefully. AQE's
+    // post-shuffle statistics ARE the candidate-count bound — exact,
+    // measured at runtime, no extra corpus pass to pre-count df.
     val scored = dl
-      .join(broadcast(hits), "doc_id")
+      .join(hits, "doc_id")
       .crossJoin(broadcast(stats))
       .withColumn("idf", log(lit(1.0) +
         (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))

@@ -418,6 +418,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fat == 0, "orthogonal vectors must not share wide buckets")
   }
 
+  test("srpNearDupPairsWide: half-specified signature refuses, " +
+      "rowCountHint skips the count without changing results") {
+    import spark.implicits._
+    val dim = 64
+    def basis(i: Int): Seq[Float] =
+      (0 until dim).map(j => if (j == i % dim) 1.0f else 0.0f)
+    val emb = ((0 until 20).map(i => (i.toLong, basis(i))) ++
+      Seq((100L, basis(0)))).toDF("vec_id", "embedding")
+    // bands without bitsPerBand (and vice versa) would silently fall
+    // into auto-sizing — refuse by name instead
+    val e1 = intercept[IllegalArgumentException] {
+      graft.ops.Similarity.srpNearDupPairsWide(emb, bands = 64)
+    }
+    assert(e1.getMessage.contains("bands"))
+    intercept[IllegalArgumentException] {
+      graft.ops.Similarity.srpNearDupPairsWide(emb, bitsPerBand = 16)
+    }
+    // a row-count hint avoids the auto-mode count() pass; same pairs
+    val hinted = graft.ops.Similarity
+      .srpNearDupPairsWide(emb, rowCountHint = 21L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hinted == Set((0L, 100L)))
+    // the k=128 cap is a real recall cliff at low thresholds / large n
+    // (the identity wants k≈297 at threshold 0.85, n=4M): srpAutoSize
+    // must warn (logged) and the achieved recall formula must expose
+    // the shortfall the caller is warned about
+    val (kCap, rCap) = graft.ops.Similarity.srpAutoSize(4000000L, 0.85)
+    assert(kCap == 128 && rCap == 24)
+    val achieved = graft.ops.Similarity.srpRecallAt(kCap, rCap, 0.85)
+    assert(achieved < 0.85, f"recall at the cap should be visibly " +
+      f"below contract, got $achieved%.3f")
+    // at the default 0.9 threshold the cap still honors ~0.94
+    val (k9, r9) = graft.ops.Similarity.srpAutoSize(4000000L, 0.9)
+    assert(graft.ops.Similarity.srpRecallAt(k9, r9, 0.9) >= 0.90)
+  }
+
   test("dedupSpans: planted cross-doc span removed once, first occurrence kept") {
     import spark.implicits._
     def words(prefix: String, n: Int): String =

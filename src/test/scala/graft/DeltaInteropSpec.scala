@@ -927,4 +927,69 @@ class DeltaInteropSpec extends SparkSpec {
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(d, "_delta_log"))
       .forall(!_.getPath.getName.startsWith(".tmp-mirror-")))
   }
+
+  test("mirror checkpoint carries unexpired remove tombstones " +
+      "(Delta deletedFileRetentionDuration semantics); never for live " +
+      "files; expired ones drop; reader state unaffected") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = scratch("mirror_tomb")
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 0))      // g0 → v0
+    assert(t.mirrorToDelta() == 0L)
+    for (i <- 1 to 9) {                                          // v1..v9
+      t.append(orders.where(col("o_orderkey") % 97 === i))
+      t.mirrorToDelta()
+    }
+    // v10 is an OVERWRITE: every prior data file turns into a remove
+    // action in the very commit the checkpoint lands on — a
+    // spec-strict reader's VACUUM must see those tombstones in the
+    // checkpoint even after log cleaning deletes the JSON commits
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 1))
+    assert(t.mirrorToDelta() == 10L)
+    val cp10 = spark.read.parquet(
+      s"$d/_delta_log/00000000000000000010.checkpoint.parquet")
+    assert(cp10.columns.contains("remove"))
+    val removes = cp10.where(col("remove.path").isNotNull)
+      .select("remove.path", "remove.deletionTimestamp")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(removes.nonEmpty, "overwrite tombstones must be carried")
+    assert(removes.forall(_._2 > 0L))
+    val adds = cp10.where(col("add.path").isNotNull)
+      .select("add.path").collect().map(_.getString(0)).toSet
+    assert(removes.map(_._1).toSet.intersect(adds).isEmpty,
+      "a tombstone for a live file would let VACUUM delete data")
+    // _last_checkpoint's action count includes the tombstones
+    val lastCp = {
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(d, "_delta_log/_last_checkpoint"))
+      val s = try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(s)
+    }
+    assert(lastCp.get("size").asLong == 2L + adds.size + removes.length)
+    // tombstones are vacuum metadata, not state: the reader's rows
+    // match the table exactly
+    val viaDelta = DeltaLog.read(spark, d)
+    assert(viaDelta.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(viaDelta).isEmpty)
+    // retention 0 = everything already expired: the NEXT checkpoint
+    // carries no tombstones (neither v10's carried ones nor the new
+    // overwrite's), proving both expiry paths
+    t.setProperties(
+      Map(TxTable.PropMirrorTombstoneRetention -> "0"))          // v11
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 2))       // v12
+    for (i <- 13 to 20) {                                        // v13..v20
+      t.append(orders.where(col("o_orderkey") % 97 === i))
+      t.mirrorToDelta()
+    }
+    assert(t.mirrorToDelta() == 20L)
+    val cp20 = spark.read.parquet(
+      s"$d/_delta_log/00000000000000000020.checkpoint.parquet")
+    assert(cp20.where(col("remove.path").isNotNull).count() == 0L)
+    val after = DeltaLog.read(spark, d)
+    assert(after.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(after).isEmpty)
+  }
 }

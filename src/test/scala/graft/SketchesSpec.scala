@@ -177,17 +177,21 @@ class SketchesSpec extends SparkSpec {
     assert(out.head.getInt(3) == 1)
   }
 
-  test("bm25TopK plan: the corpus-sized dl table is never shuffled by " +
-      "a join — every join is broadcast (candidates INTO dl)") {
+  test("bm25TopK plan: AQE converts the candidates-into-dl join to " +
+      "broadcast at probe scale — runtime size stat as the candidate " +
+      "bound, no forced broadcast() that a stop-word query would OOM") {
     val docs = graft.core.Tables.documents(spark, sf)
-    val plan = TextOps.bm25TopK(docs, Seq("vector", "merge", "window"))
-      .queryExecution.executedPlan.toString
-    // the only exchanges are the tf/dl aggregations' own shuffles;
-    // a SortMergeJoin or ShuffledHashJoin would mean dl (or tf) rows
-    // moved to score a handful of candidate docs
+    val df = TextOps.bm25TopK(docs, Seq("vector", "merge", "window"))
+    // the scoring join carries NO broadcast hint (a stop-word-scale
+    // candidate set must be allowed to degrade to a shuffled join
+    // instead of OOMing the driver); for a probe-sized query AQE's
+    // exact post-shuffle size stat picks broadcast at runtime —
+    // execute first, then lint the FINAL adaptive plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin") &&
       !plan.contains("ShuffledHashJoin"),
-      s"non-broadcast join in the BM25 plan:\n$plan")
-    assert(plan.contains("BroadcastHashJoin"), plan)
+      s"probe-sized BM25 candidates did not broadcast into dl:\n$plan")
   }
 }
