@@ -2181,11 +2181,14 @@ object SparkEntry {
         .orderBy("change_type", "o_orderpriority")
     }),
     // s16: streaming DEDUP-ON-INGEST — overlapping append batches
-    // (the at-least-once upstream every real ingest has) flow through
-    // stateful dropDuplicates, so exactly one copy of each event
-    // reaches the sink across MICROBATCH boundaries (state store, not
-    // per-batch distinct); gated on the deduped aggregate equalling
-    // the exact distinct set
+    // (the at-least-once upstream every real ingest has) are MERGEd
+    // insert-if-absent into an event_id-bucketed sink TxTable inside
+    // foreachBatch, so exactly one copy of each event lands across
+    // MICROBATCH boundaries with ZERO streaming state (the dedup
+    // state IS the sink; a stateful dropDuplicates here would keep
+    // every key ever seen in the state store forever — the s3
+    // hazard); gated on the deduped aggregate equalling the exact
+    // distinct set
     "s16_stream_dedup"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val (dir, out) = cachedAsset(s, s"s16_dedup|$d") {
@@ -2199,17 +2202,11 @@ object SparkEntry {
         t.append(e.where(col("event_id") % 3 >= 1))
         (dir, graft.streaming.EventsStream.scratchDir("graft_s16_out"))
       }
-      val q = s.readStream
+      val events = s.readStream
         .format(classOf[graft.sources.TxTableSourceProvider].getName)
         .load(dir)
-        .dropDuplicates("event_id")
-        .writeStream.format("parquet")
-        .option("path", s"$out/rows")
-        .option("checkpointLocation", s"$out/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(s"$out/rows")
+      graft.streaming.EventsStream
+        .runDedupIngestTx(s, events, s"$out/sink")
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")

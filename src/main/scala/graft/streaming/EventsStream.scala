@@ -531,6 +531,76 @@ object EventsStream {
 
   private[graft] val UpsertAppId = "graft_upsert_tx"
 
+  /** S16 — streaming dedup-on-ingest with the dedup state IN THE SINK
+    * TABLE, not the state store. The naive spelling — stateful
+    * `dropDuplicates("event_id")` — keeps every key EVER SEEN in the
+    * streaming state store forever: at ingest scale the store grows
+    * without bound until the job dies (the exact hazard [[dedupStream]]
+    * documents and s3 avoids). The watermark spelling bounds state by
+    * an event-time horizon but re-admits replays older than it. This
+    * spelling has NO stateful streaming operator at all: each
+    * microbatch is reduced to its distinct keys (a batch-scoped
+    * aggregate — memory ∝ batch) and MERGEd insert-if-absent into an
+    * event_id-bucketed [[graft.core.TxTable]]; the not-matched
+    * anti-join probes only the buckets the batch's keys hash into, so
+    * per-batch cost is O(batch + touched buckets) and the key history
+    * lives where it already had to live — in the sink. Exactly-once
+    * across restarts by the (appId, batchId) txn tag, the
+    * [[upsertBatchTx]] discipline: a replayed batch sees its own tag
+    * and no-ops, so not even a crash duplicates a key. */
+  def runDedupIngestTx(spark: SparkSession, events: DataFrame,
+      tableDir: String, nBuckets: Int = 16): DataFrame =
+    withStatePartitions(spark) {
+      val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
+      val q = events.writeStream
+        .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+          dedupIngestBatchTx(t, batch, batchId, nBuckets)
+        }
+        .option("checkpointLocation", s"$tableDir/_ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      t.read()
+    }
+
+  /** One dedup-ingest microbatch — factored out so the spec can
+    * replay a batch against a live table and assert the exactly-once
+    * no-op (same contract as [[upsertBatchTx]]). */
+  private[graft] def dedupIngestBatchTx(t: graft.core.TxTable,
+      batch: Dataset[Row], batchId: Long, nBuckets: Int): Unit = {
+    val last = t.lastTxn(DedupIngestAppId)
+    if (last.contains(batchId)) return // crash-after-commit replay
+    last.foreach(l => require(batchId > l,
+      s"batchId $batchId < last committed $l for app $DedupIngestAppId — " +
+        "checkpoint reset against a live table; use a fresh table dir " +
+        "or txn app id instead of silently dropping batches"))
+    // redelivery can land INSIDE one batch too: reduce batch-locally
+    // first. max over the payload struct, not dropDuplicates — the
+    // surviving row is deterministic under any file-to-batch split
+    // (redelivered rows are identical, so max picks that row; a
+    // genuinely conflicting payload resolves stably, not by partition
+    // order)
+    val payload = batch.columns.filterNot(_ == "event_id").toSeq
+    val deduped = batch.groupBy("event_id")
+      .agg(max(struct(payload.map(col): _*)).as("__p"))
+      .select(col("event_id") +: payload.map(c => col(s"__p.$c").as(c)): _*)
+    if (t.latestVersion.isEmpty)
+      t.overwriteBucketed(deduped, Seq("event_id"), nBuckets,
+        txn = Some(DedupIngestAppId -> batchId))
+    else
+      // insert-if-absent MERGE: matched keys (already ingested — the
+      // cross-batch redelivery) fall through untouched, new keys
+      // insert; only buckets holding the batch's keys are read
+      t.mergeClauses(deduped,
+        Map("event_id" -> graft.core.TxTable.srcCol("event_id")),
+        notMatched = Seq(graft.core.TxTable.MergeInsert(None,
+          payload.map(c => c -> graft.core.TxTable.srcCol(c)).toMap)),
+        txn = Some(DedupIngestAppId -> batchId))
+    ()
+  }
+
+  private[graft] val DedupIngestAppId = "graft_dedup_ingest_tx"
+
   /** Highest committed `state_<k>` dir under `workDir` (restricted to
     * k < below when merging inside batch `below`: a crash AFTER
     * writing state_N but BEFORE the checkpoint commit leaves state_N

@@ -291,15 +291,16 @@ class StreamingSpec extends SparkSpec {
     assert(batchLatest.exceptAll(resumed).count() == 0)
   }
 
-  test("streaming dropDuplicates dedups ACROSS microbatches: redelivered " +
-      "ids in a later batch never reach the sink again") {
+  test("streaming dropDuplicates state is UNBOUNDED (the s16 hazard, " +
+      "measured): the state store holds every key ever seen and grows " +
+      "across drains") {
     import org.apache.spark.sql.functions._
-    val dir = graft.streaming.EventsStream.scratchDir("s16_spec") + "/t"
-    val out = graft.streaming.EventsStream.scratchDir("s16_spec_out")
+    val dir = graft.streaming.EventsStream.scratchDir("s16_unb_spec") + "/t"
+    val out = graft.streaming.EventsStream.scratchDir("s16_unb_spec_out")
     val e = graft.core.Tables.events(spark, sf)
       .select("event_id", "event_type", "value")
     val t = graft.core.TxTable(spark, dir)
-    def drain(): Unit = {
+    def drain(): Long = {
       val q = spark.readStream
         .format(classOf[graft.sources.TxTableSourceProvider].getName)
         .load(dir)
@@ -310,18 +311,69 @@ class StreamingSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     }
-    // batch 1: ids %3 <= 1; SEPARATE drain so the dedup state must
-    // persist in the state store, not in a per-batch distinct
     t.overwrite(e.where(col("event_id") % 3 <= 1))
-    drain()
-    val after1 = spark.read.parquet(s"$out/rows").count()
-    assert(after1 == e.where(col("event_id") % 3 <= 1).count())
-    // batch 2: ids %3 >= 1 — the %3==1 slice is a REDELIVERY
+    val state1 = drain()
+    val keys1 = e.where(col("event_id") % 3 <= 1).count()
+    assert(state1 == keys1,
+      s"state rows after drain 1 = $state1, keys seen = $keys1")
+    // drain 2 redelivers the %3==1 slice and adds the %3==2 one: the
+    // dedup output stays exact, but the state store now holds EVERY
+    // key ever seen — state ∝ history, the scale-killer contract this
+    // spec pins so the s16 gate's table-anti-join spelling (state ∝
+    // sink, zero store rows) has its measured contrast
     t.append(e.where(col("event_id") % 3 >= 1))
-    drain()
+    val state2 = drain()
+    assert(state2 == e.count(),
+      s"state rows after drain 2 = $state2, total keys = ${e.count()}")
     val rows = spark.read.parquet(s"$out/rows")
     assert(rows.count() == e.count(), "each id exactly once overall")
     assert(rows.groupBy("event_id").count().where(col("count") > 1).count() == 0)
+  }
+
+  test("dedup-on-ingest via sink-table anti-join: exactly one copy per " +
+      "key across drains, ZERO streaming state rows, replayed batch " +
+      "no-ops (exactly-once by txn tag)") {
+    import org.apache.spark.sql.functions._
+    val dir = graft.streaming.EventsStream.scratchDir("s16_tx_spec") + "/t"
+    val sink = graft.streaming.EventsStream.scratchDir("s16_tx_sink") + "/s"
+    val e = graft.core.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    val src = graft.core.TxTable(spark, dir)
+    val t = graft.core.TxTable(spark, sink, statsOnWrite = false)
+    def drain(): Long = {
+      val q = spark.readStream
+        .format(classOf[graft.sources.TxTableSourceProvider].getName)
+        .load(dir)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+              batchId: Long) =>
+            EventsStream.dedupIngestBatchTx(t, batch, batchId, nBuckets = 16)
+        }
+        .option("checkpointLocation", s"$sink/_ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    }
+    src.overwrite(e.where(col("event_id") % 3 <= 1))
+    assert(drain() == 0L, "dedup-on-ingest must hold NO streaming state")
+    src.append(e.where(col("event_id") % 3 >= 1)) // %3==1 redelivered
+    assert(drain() == 0L)
+    val rows = t.read()
+    assert(rows.count() == e.count(), "each id exactly once overall")
+    assert(rows.groupBy("event_id").count().where(col("count") > 1).count() == 0)
+    assert(rows.select("event_id", "event_type", "value")
+      .exceptAll(e).count() == 0)
+    // exactly-once: replaying the last committed batch adds no version
+    // and no rows (crash-after-commit recovery)
+    val vBefore = t.latestVersion.get
+    val lastBatch = t.lastTxn(EventsStream.DedupIngestAppId).get
+    EventsStream.dedupIngestBatchTx(t,
+      e.where(col("event_id") % 3 >= 1), lastBatch, nBuckets = 16)
+    assert(t.latestVersion.get == vBefore, "replayed batch must no-op")
+    assert(t.read().count() == e.count())
   }
 }
