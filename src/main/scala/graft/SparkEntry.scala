@@ -248,11 +248,13 @@ object SparkEntry {
     * foreign writer keeps committing Delta while graft FOLLOWS.
     * Bootstrap convert (delta v0) + an incremental follow over two
     * append commits (v1..v2, one graft APPEND, anchor advanced
-    * exactly-once) + a remove-bearing commit (v3) exercising the
-    * refuse-or-reset contract: the incremental call REFUSES (a rewrite
-    * cannot be represented as an append window), the reset call
-    * re-snapshots the head zero-copy. Active foreign state at v3 =
-    * everything but the removed part-a. */
+    * exactly-once) + a remove-bearing rewrite (v3: drop part-a, add
+    * part-d — the upstream copy-on-write DELETE/MERGE shape) followed
+    * INCREMENTALLY: the remove translates to a metadata-only manifest
+    * drop inside one REPLACE-shaped graft commit — no reset, no
+    * re-snapshot, no data copy — then a pure upstream DELETE (v4) and
+    * a re-add of the same rows (v5) follow the same way. Active
+    * foreign state = everything but the removed part-a. */
   private def deltaFollowAsset(s: SparkSession, d: String): graft.core.TxTable =
     cachedAsset(s, s"delta_follow|$d") {
       import org.apache.spark.sql.functions.col
@@ -276,11 +278,20 @@ object SparkEntry {
       val dd = fx.writeData(s, o.where(col("o_orderkey") % 4 === 3),
         dir, "part-d.parquet")
       fx.commit(s, dir, 3, Seq(fx.removeJson(a.relPath), fx.addJson(dd)))
-      val refused =
-        try { t.followDelta(); false }
-        catch { case e: Exception => e.getMessage.contains("REMOVES") }
-      require(refused, "a remove-bearing window must refuse incrementally")
-      t.followDelta(reset = true) // re-snapshot the head (B + C + D)
+      val vBefore = t.latestVersion.get
+      t.followDelta() // v3 follows WITHOUT reset: one REPLACE commit
+      require(t.latestVersion.get == vBefore + 1 &&
+        t.lastTxn(graft.core.TxTable.FollowTxnId).contains(3L),
+        "remove-bearing window must follow incrementally, exactly-once")
+      // pure upstream DELETE (v4) then the rows re-added (v5): one
+      // more incremental window, content unchanged
+      val b2 = fx.writeData(s, o.where(col("o_orderkey") % 4 === 1),
+        dir, "part-b2.parquet")
+      fx.commit(s, dir, 4, Seq(fx.removeJson(b.relPath)))
+      fx.commit(s, dir, 5, Seq(fx.addJson(b2)))
+      t.followDelta()
+      require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(5L),
+        "anchor must ride the incremental delete window")
       t
     }
 
@@ -1397,9 +1408,10 @@ object SparkEntry {
     // x32: INCREMENTAL Delta→graft follower — the inverse of x31: a
     // foreign writer keeps committing Delta, graft tails the
     // _delta_log into its own log with exactly-once anchors (window
-    // parse only, no rescan); a remove-bearing foreign commit refuses
-    // incrementally and lands via the reset re-snapshot; gated on the
-    // graft-side read of the followed table
+    // parse only, no rescan); remove-bearing foreign commits (CoW
+    // DELETE/MERGE) follow incrementally as metadata-only manifest
+    // drops — no reset; gated on the graft-side read of the followed
+    // table
     "x32_delta_follow"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
       val t = deltaFollowAsset(s, d)

@@ -660,43 +660,79 @@ object DeltaLog {
     (fromJson.toSeq ++ fromCp.toSeq).maxOption
   }
 
+  /** Net effect of the commits (from, to] on the file set: the final
+    * `add` per path (a re-add supersedes earlier actions on that
+    * path), the paths whose FINAL action is `remove`, and every path
+    * that appeared as an add anywhere in the window (so a consumer
+    * can tell a drop of a pre-window file from an add-then-remove
+    * that nets to nothing). */
+  final case class WindowDelta(adds: Seq[DeltaAdd], removedPaths: Seq[String],
+      addedAnywhere: Set[String])
+
   /** The `add` actions of commits (from, to] — the streaming TAIL
     * parser, sound ONLY for append-shaped commits: a `remove` action
     * (rewrite/delete/compaction), a `metaData` or `protocol` change,
     * or a deletion-vector'd add inside the window REFUSES with the
     * standard change-feed reset signal (the consumer restarts from a
-    * snapshot — exactly [[TxTable.changesSince]]'s contract).
+    * snapshot — exactly [[TxTable.changesSince]]'s contract). A
+    * consumer that CAN represent file drops (a table follower, not a
+    * row stream) uses [[actionsInWindow]] instead.
     * Partition/stat keys are translated to LOGICAL names per the
     * given snapshot's mapping. */
   def addsInWindow(spark: SparkSession, snap: DeltaSnapshot,
-      from: Long, to: Long): Seq[DeltaAdd] = {
+      from: Long, to: Long): Seq[DeltaAdd] =
+    parseWindow(spark, snap, from, to, allowRemoves = false).adds
+
+  /** The net file-set delta of commits (from, to] — [[addsInWindow]]
+    * with `remove` actions TRANSLATED instead of refused (a follower
+    * applies them as metadata-only manifest drops). metaData/protocol
+    * changes and deletion-vector'd adds still refuse: a schema change
+    * or a merge-on-read rewrite has row-level meaning no file-set
+    * delta can carry. */
+  def actionsInWindow(spark: SparkSession, snap: DeltaSnapshot,
+      from: Long, to: Long): WindowDelta =
+    parseWindow(spark, snap, from, to, allowRemoves = true)
+
+  private def parseWindow(spark: SparkSession, snap: DeltaSnapshot,
+      from: Long, to: Long, allowRemoves: Boolean): WindowDelta = {
     require(to > from, s"${snap.root}: empty window ($from, $to]")
     val root = new Path(snap.root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val logDir = new Path(root, LogDir)
     val om = new ObjectMapper()
     val physToLogical = snap.colMap.map(_.swap)
-    ((from + 1) to to).flatMap { v =>
+    // final action per path, in first-appearance order (deterministic
+    // output layout); None = removed
+    val state = scala.collection.mutable.LinkedHashMap[String, Option[DeltaAdd]]()
+    val addedAnywhere = Set.newBuilder[String]
+    def decode(rawPath: String): String =
+      try new java.net.URI(rawPath).getPath
+      catch { case _: java.net.URISyntaxException => rawPath }
+    ((from + 1) to to).foreach { v =>
       val p = new Path(logDir, f"$v%020d.json")
       require(fs.exists(p),
         s"${snap.root}: commit $v aged out of the log — the incremental " +
           "window is gone; restart the stream from a fresh snapshot")
       val text = new String(readBytes(fs, p),
         java.nio.charset.StandardCharsets.UTF_8)
-      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).flatMap { line =>
+      text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = om.readTree(line)
-        require(!n.has("remove"),
-          s"${snap.root}: commit $v REMOVES files — not append-shaped; " +
-            "an incremental read cannot represent a rewrite: restart " +
-            "the stream from a fresh snapshot")
+        if (n.has("remove")) {
+          require(allowRemoves,
+            s"${snap.root}: commit $v REMOVES files — not append-shaped; " +
+              "an incremental read cannot represent a rewrite: restart " +
+              "the stream from a fresh snapshot")
+          // the remove's DV descriptor (if any) only describes the
+          // departing file — the whole-file drop supersedes it
+          state(decode(n.get("remove").get("path").asText())) = None
+        }
         require(!n.has("metaData"),
           s"${snap.root}: commit $v changes table metadata — restart " +
             "the stream from a fresh snapshot")
         require(!n.has("protocol"),
           s"${snap.root}: commit $v changes the protocol — restart " +
             "the stream from a fresh snapshot")
-        if (!n.has("add")) None
-        else {
+        if (n.has("add")) {
           val a = n.get("add")
           require(!a.has("deletionVector") || a.get("deletionVector").isNull,
             s"${snap.root}: commit $v adds a DELETION-VECTOR'd file — a " +
@@ -712,11 +748,17 @@ object DeltaLog {
           val add = mkAdd(om, path, pv, a.get("size").asLong(),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), None)
-          Some(if (snap.colMap.isEmpty) add
+          val mapped = if (snap.colMap.isEmpty) add
           else add.copy(partition = add.partition.flatMap { case (k, vv) =>
-            physToLogical.get(k).map(_ -> vv) }))
+            physToLogical.get(k).map(_ -> vv) })
+          state(mapped.path) = Some(mapped)
+          addedAnywhere += mapped.path
         }
-      }.toSeq
+      }
     }
+    WindowDelta(
+      adds = state.valuesIterator.flatten.toSeq,
+      removedPaths = state.collect { case (p, None) => p }.toSeq,
+      addedAnywhere = addedAnywhere.result())
   }
 }

@@ -3257,14 +3257,21 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * restart resumes from the manifest, and a racing follower loses
     * the commit race loudly, never double-ingesting a window.
     *
-    * Refuse-or-reset contract: a window that is not append-shaped (a
-    * `remove`-bearing rewrite, a metaData/protocol change, a DV'd
-    * add) REFUSES with the standard reset signal; `reset = true`
-    * re-snapshots the foreign head instead — one zero-copy OVERWRITE
-    * (schema/colMap re-adopted, DVs translated to the native sidecar)
-    * re-anchored at the head. Downstream incremental consumers of the
-    * graft table see that overwrite exactly as [[changesSince]]'s
-    * own restart contract.
+    * Remove-bearing windows (upstream DELETE/MERGE copy-on-write —
+    * every CDC-fed lakehouse) follow INCREMENTALLY too: each foreign
+    * `remove` translates to a metadata-only manifest drop (the
+    * [[deletePartitions]] discipline — the entry leaves the snapshot,
+    * no data file is touched), published as one DELETE/REPLACE-shaped
+    * graft commit so downstream change consumers get the correct
+    * non-append signal. Refuse-or-reset remains for what a file-set
+    * delta CANNOT carry: a metaData/protocol change or a
+    * deletion-vector'd add (merge-on-read rewrite) REFUSES with the
+    * standard reset signal; `reset = true` re-snapshots the foreign
+    * head instead — one zero-copy OVERWRITE (schema/colMap
+    * re-adopted, DVs translated to the native sidecar) re-anchored at
+    * the head. Downstream incremental consumers of the graft table
+    * see that overwrite exactly as [[changesSince]]'s own restart
+    * contract.
     *
     * Returns the graft version holding the anchor (the current one
     * when already caught up). */
@@ -3284,30 +3291,57 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         if (head <= anchor) return gv
         val schema = StructType.fromDDL(m.schemaDdl)
         if (!reset) {
-          // window parse only — O(commits in window), never O(table)
+          // window parse only — O(commits in window), never O(table).
+          // remove actions TRANSLATE to metadata-only manifest drops
+          // (the deletePartitions discipline: the entry leaves the
+          // snapshot, no data file is read or written), so an upstream
+          // that runs DELETE/MERGE copy-on-write follows incrementally
+          // instead of forcing a full re-snapshot per rewrite; only
+          // DV-bearing adds and metaData/protocol changes still refuse
+          // (actionsInWindow) — those have row/schema-level meaning no
+          // file-set delta can carry
           val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
             m.partitionCols, Map.empty, Nil, m.colMap)
-          val adds = DeltaLog.addsInWindow(spark, pin, anchor, head)
-          // addsInWindow hands back PHYSICAL-keyed stats (it translates
-          // only partition keys), and the manifest convention is also
-          // physical — so the eligibility map keys physical and the
-          // mapper is identity (unlike the snapshot path, whose stats
-          // arrive logical-keyed)
+          val w = DeltaLog.actionsInWindow(spark, pin, anchor, head)
+          // actionsInWindow hands back PHYSICAL-keyed stats (it
+          // translates only partition keys), and the manifest
+          // convention is also physical — so the eligibility map keys
+          // physical and the mapper is identity (unlike the snapshot
+          // path, whose stats arrive logical-keyed)
           val statOk = schema.fields
             .filter(f => statsEligible(f.dataType))
             .map(f => m.colMap.getOrElse(f.name, f.name) -> f.dataType)
             .toMap
-          val entries = adds.map(deltaAddEntry(_, statOk, identity))
+          val entries = w.adds.map(deltaAddEntry(_, statOk, identity))
           val byPath = entries.map(e => e.path -> e).toMap
+          val removed = w.removedPaths.toSet
           commit { latest =>
             val l = latest.getOrElse(sys.error(s"$root: log vanished"))
             require(l.txns.get(TxTable.FollowTxnId).contains(anchor),
               s"$root: a racing follower advanced the anchor past $anchor " +
                 "— rerun followDelta() to resume from the new one")
+            // a net-removed path must be a file this follower KNOWS —
+            // in the manifest or added earlier in this same window; an
+            // unknown path means the two logs' path spellings drifted,
+            // and silently keeping the file would serve rows upstream
+            // deleted (until its VACUUM turns them into read errors)
+            removed.foreach(p => require(
+              l.files.exists(_.path == p) || w.addedAnywhere(p),
+              s"$root: foreign commit removes unknown file $p — " +
+                "path-encoding drift between the logs; followDelta" +
+                "(reset = true) re-snapshots the head"))
             // last-writer-wins per path (a Delta re-add refreshes the
-            // entry), matching the Delta replay semantic
-            Pending(OpAppend,
-              l.files.filterNot(f => byPath.contains(f.path)) ++ entries,
+            // entry), matching the Delta replay semantic; the op names
+            // what the window DID, so downstream change consumers of
+            // this graft table get the correct non-append signal for a
+            // rewrite window (changesSince's own refuse-or-reset)
+            val op =
+              if (removed.isEmpty) OpAppend
+              else if (entries.isEmpty) OpDelete
+              else OpReplace
+            Pending(op,
+              l.files.filterNot(f =>
+                byPath.contains(f.path) || removed(f.path)) ++ entries,
               l.schemaDdl, l.partitionCols, l.bucketSpec,
               Some(TxTable.FollowTxnId -> head))
           }

@@ -738,7 +738,9 @@ class DeltaInteropSpec extends SparkSpec {
 
   test("followDelta: bootstrap converts and anchors; incremental windows " +
       "append exactly-once; restart resumes from the manifest; " +
-      "remove-bearing windows refuse-or-reset; non-followers refuse") {
+      "remove-bearing windows follow as metadata-only drops; " +
+      "unknown-path removes and metaData changes refuse-then-reset; " +
+      "non-followers refuse") {
     val dir = scratch("follow")
     val a = DeltaFixture.writeData(spark,
       orders.where(col("o_orderkey") % 4 === 0), dir, "part-a.parquet")
@@ -777,22 +779,62 @@ class DeltaInteropSpec extends SparkSpec {
     assert(t2.followDelta() == 2L)
     assert(t2.lastTxn(TxTable.FollowTxnId).contains(3L))
 
-    // a remove-bearing foreign commit: incremental REFUSES (the reset
-    // signal), reset re-snapshots the head and re-anchors
+    // a remove-bearing foreign commit follows INCREMENTALLY: the drop
+    // is a metadata-only manifest drop (one graft DELETE commit, no
+    // data file touched, no re-snapshot)
     DeltaFixture.commit(spark, dir, 4,
       Seq(DeltaFixture.removeJson(a.relPath)))
-    val er = intercept[Exception] { t2.followDelta() }
-    assert(er.getMessage.contains("REMOVES"), er.getMessage)
-    assert(t2.followDelta(reset = true) == 3L)
+    assert(t2.followDelta() == 3L)
+    assert(t2.versions == Seq(0L, 1L, 2L, 3L), "one commit per window")
     assert(t2.lastTxn(TxTable.FollowTxnId).contains(4L))
     val wantHead = orders.where(col("o_orderkey") % 4 =!= 0)
     assert(t2.read().exceptAll(wantHead).isEmpty &&
       wantHead.exceptAll(t2.read()).isEmpty)
+    // a remove+add rewrite window (the upstream CoW DELETE/MERGE
+    // shape): part-b's rows rewritten as part-b2 → one REPLACE-shaped
+    // commit, table content unchanged
+    val b2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 1), dir, "part-b2.parquet")
+    DeltaFixture.commit(spark, dir, 5, Seq(
+      DeltaFixture.removeJson(b.relPath), DeltaFixture.addJson(b2)))
+    assert(t2.followDelta() == 4L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(5L))
+    assert(t2.read().exceptAll(wantHead).isEmpty &&
+      wantHead.exceptAll(t2.read()).isEmpty)
+    // an add-then-remove inside ONE window nets to nothing: the
+    // removed path was never in the manifest, and the follower must
+    // recognize it as window-local instead of refusing
+    val f2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 8 === 6), dir, "part-f.parquet")
+    DeltaFixture.commit(spark, dir, 6, Seq(DeltaFixture.addJson(f2)))
+    DeltaFixture.commit(spark, dir, 7, Seq(
+      DeltaFixture.removeJson(f2.relPath)))
+    assert(t2.followDelta() == 5L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(7L))
+    assert(t2.read().exceptAll(wantHead).isEmpty &&
+      wantHead.exceptAll(t2.read()).isEmpty)
+    // a remove of a path this follower has never seen = the two logs'
+    // path spellings drifted — refuse loudly (silently keeping the
+    // file would serve upstream-deleted rows), reset recovers
+    DeltaFixture.commit(spark, dir, 8, Seq(
+      DeltaFixture.removeJson("no-such-file.parquet")))
+    val drift = intercept[Exception] { t2.followDelta() }
+    assert(drift.getMessage.contains("unknown file"), drift.getMessage)
+    assert(t2.followDelta(reset = true) == 6L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(8L))
+    // what a file-set delta CANNOT carry still refuses-then-resets:
+    // a metaData-bearing window
+    DeltaFixture.commit(spark, dir, 9,
+      Seq(DeltaFixture.metaDataJson(orders.schema)))
+    val er = intercept[Exception] { t2.followDelta() }
+    assert(er.getMessage.contains("metadata"), er.getMessage)
+    assert(t2.followDelta(reset = true) == 7L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(9L))
     // the reset is itself an anchor: further appends follow incrementally
     val e2 = DeltaFixture.writeData(spark,
       orders.where(col("o_orderkey") % 8 === 4), dir, "part-e.parquet")
-    DeltaFixture.commit(spark, dir, 5, Seq(DeltaFixture.addJson(e2)))
-    assert(t2.followDelta() == 4L)
+    DeltaFixture.commit(spark, dir, 10, Seq(DeltaFixture.addJson(e2)))
+    assert(t2.followDelta() == 8L)
 
     // a COLUMN-MAPPED foreign table follows too: physical file
     // columns, logical surface, incremental windows with
