@@ -1388,6 +1388,54 @@ object SparkEntry {
           Relational.decSum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderpriority")
     }),
+    // s17: the s14 stream over an ID-MODE column-mapped Delta table —
+    // the UniForm/Iceberg-convert default (2025+ tables). The data
+    // files' column NAMES are deliberately useless; every microbatch
+    // resolves by parquet field id through the pinned-session scan
+    // relation (DeltaLog.buildDf), snapshot batch and tail window
+    // alike; gated on the same orders rollup as s14
+    "s17_delta_id_stream" -> ((s, d) => {
+      import graft.streaming.EventsStream
+      import org.apache.spark.sql.functions._
+      val dir = EventsStream.scratchDir("graft_s17_delta_id") + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      val fx = graft.core.DeltaFixture
+      val ids = Seq(11L, 12L, 13L)
+      val a = fx.writeDataWithFieldIds(s,
+        o.where(col("o_orderkey") % 3 === 0), dir, "part-a.parquet",
+        Seq("f1", "f2", "f3"), ids)
+      val logical = fx.idMappedSchema(
+        o.schema.fields.zip(ids).map { case (f, id) =>
+          (f.name, f.dataType, s"col-$id", id) }.toSeq)
+      fx.commit(s, dir, 0, Seq(
+        fx.protocolJson(minReader = 2, minWriter = 5),
+        fx.metaDataJson(logical,
+          config = Map("delta.columnMapping.mode" -> "id",
+            "delta.columnMapping.maxColumnId" -> "13")),
+        fx.addJson(a)))
+      val out = EventsStream.scratchDir("graft_s17_out")
+      def drain(): Unit = {
+        val q = s.readStream.format("delta-log").load(dir)
+          .writeStream.format("parquet")
+          .option("path", s"$out/rows")
+          .option("checkpointLocation", s"$out/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      drain() // batch 0: the pinned snapshot, id-resolved
+      val b = fx.writeDataWithFieldIds(s,
+        o.where(col("o_orderkey") % 3 === 1), dir, "part-b.parquet",
+        Seq("g1", "g2", "g3"), ids)
+      fx.commit(s, dir, 1, Seq(fx.addJson(b)))
+      drain() // tail: ONLY commit 1's file, id-resolved
+      s.read.parquet(s"$out/rows")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          Relational.decSum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderpriority")
+    }),
     // x30: CONVERT TO DELTA — a partitioned txtable exported as an
     // open _delta_log (zero copy) and read back THROUGH the Delta
     // protocol (partition values from the exported log, IN-filter
@@ -2985,6 +3033,14 @@ object SparkEntry {
         |FROM orders WHERE o_orderkey % 3 < 2
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s14_delta_stream" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderkey % 3 < 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s17: identical content to s14 — the id-mode fixture carries the
+    // same rows under field-id-only resolution
+    "s17_delta_id_stream" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price

@@ -3164,15 +3164,39 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * and [[followDelta]]'s reset path so the two cannot drift). */
   private def deltaSnapshotEntries(snap: DeltaLog.DeltaSnapshot)
       : Seq[FileEntry] = {
-    // id-mode files resolve columns by parquet field id and their
-    // NAMES are untrustworthy (Iceberg-converted tables keep original
-    // file names across renames) — this engine's manifest machinery is
-    // name-based, so zero-copy adoption would misresolve; import by
-    // copy instead (DeltaLog.read handles id mode for the copy read)
-    require(snap.cmMode != "id",
-      s"$root: id-mode column-mapped Delta table — zero-copy convert " +
-        "would resolve by name against files that only honor field ids; " +
-        "import by copy: DeltaLog.read(...) then overwrite(df)")
+    // id-mode files resolve columns by parquet field id; their NAMES
+    // are trustworthy only where they match the metaData physical
+    // names — a Delta-WRITTEN id-mode table always does (the writer
+    // emits physical names alongside the ids), but an
+    // Iceberg-converted file written before a rename keeps its
+    // pre-rename names. This engine's manifest machinery resolves by
+    // name, so zero-copy adoption VERIFIES every footer once: all
+    // expected physical names present → names are exactly as
+    // trustworthy as in name mode and the colMap adoption below is
+    // sound; any drifted file refuses by path toward the copy path.
+    // Cost: O(files) footer reads, driver-side — convert is a
+    // one-time migration and the DV translation below already pays
+    // the same shape.
+    if (snap.cmMode == "id") {
+      import scala.jdk.CollectionConverters._
+      val expected = snap.schema.fields.map(f => snap.physName(f.name))
+      snap.adds.foreach { a =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new Path(root, a.path), spark.sparkContext.hadoopConfiguration)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val names =
+          try r.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          finally r.close()
+        val missing = expected.filterNot(names)
+        require(missing.isEmpty,
+          s"$root: id-mode file ${a.path} lacks physical column(s) " +
+            s"${missing.mkString(", ")} (footer names: " +
+            s"${names.toSeq.sorted.mkString(", ")}) — name-based " +
+            "zero-copy adoption would misresolve; import by copy: " +
+            "DeltaLog.read(...) then overwrite(df)")
+      }
+    }
     require(snap.partitionCols.isEmpty,
       s"$root: partitioned Delta table (${snap.partitionCols.mkString(", ")}) " +
         "— partition values live only in the Delta log, so zero-copy " +

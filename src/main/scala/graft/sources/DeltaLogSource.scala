@@ -69,14 +69,14 @@ final class DeltaLogSourceProvider extends RelationProvider
     val spark = sqlContext.sparkSession
     val path = pathOf(parameters)
     val snap = DeltaLog.snapshot(spark, path)
-    // id-mode scans need the field-id session conf; a microbatch plan
-    // is re-planned inside the STREAM's session where that conf does
-    // not hold — refuse by name rather than misread (batch reads of
-    // id-mode tables work: DeltaLog.buildDf pins a private session)
-    require(snap.cmMode != "id",
-      s"$path: id-mode column mapping is supported for BATCH reads " +
-        "only — the streaming source cannot pin the field-id scan conf " +
-        "into the stream's session; read it as a batch frame instead")
+    // id-mode tables stream too: every microbatch frame is built by
+    // DeltaLog.buildDf, which pins the field-id scan conf on a PRIVATE
+    // session — the batch's logical plan captures that session's
+    // HadoopFsRelation, and a file scan resolves its hadoop conf from
+    // the RELATION's session, so the conf rides the plan into the
+    // stream's IncrementalExecution no matter which session runs the
+    // query (spec'd over a fixture whose file column names are
+    // deliberately useless — only the field ids resolve)
     new DeltaLogStreamSource(spark, path, snap,
       StructType(snap.schema.fields.map(_.copy(nullable = true)).toSeq))
   }

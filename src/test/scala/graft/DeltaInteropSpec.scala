@@ -632,9 +632,9 @@ class DeltaInteropSpec extends SparkSpec {
     assert(e5.getMessage.contains("partition"), e5.getMessage)
   }
 
-  test("id-mode column mapping: batch reads resolve by parquet FIELD ID " +
-      "(file names deliberately useless); streaming and zero-copy " +
-      "convert refuse by name") {
+  test("id-mode column mapping: batch AND streaming reads resolve by " +
+      "parquet FIELD ID (file names deliberately useless); zero-copy " +
+      "convert of name-drifted files refuses by path") {
     import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
     val dir = scratch("cmid_real")
     val data = orders.where(col("o_orderkey") % 7 === 0)
@@ -660,22 +660,76 @@ class DeltaInteropSpec extends SparkSpec {
     assert(got.count() == want.count() && got.count() > 0)
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
 
-    // streaming: named refusal (the field-id conf cannot ride a
-    // microbatch plan into the stream's session)
+    // streaming: the field-id conf rides each microbatch's pinned-
+    // session relation into the stream — snapshot batch plus a tail
+    // commit both resolve by id despite the useless file names
     val out = EventsStream.scratchDir("cmid_stream")
-    val es = intercept[Exception] {
-      spark.readStream.format("delta-log").load(dir)
+    def drain(): Unit = {
+      val q = spark.readStream.format("delta-log").load(dir)
         .writeStream.format("parquet")
         .option("path", s"$out/rows").option("checkpointLocation", s"$out/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
+        .start()
+      q.awaitTermination()
     }
-    assert(es.getMessage.contains("id-mode") ||
-      Option(es.getCause).exists(_.getMessage.contains("id-mode")), es.toString)
+    drain() // batch 0: pinned snapshot
+    val data2 = orders.where(col("o_orderkey") % 7 === 1)
+    val f2 = DeltaFixture.writeDataWithFieldIds(spark, data2, dir,
+      "p2.parquet", Seq("g1", "g2", "g3"), Seq(11L, 12L, 13L))
+    DeltaFixture.commit(spark, dir, 1, Seq(DeltaFixture.addJson(f2)))
+    drain() // tail window: only commit 1's file
+    val streamed = spark.read.parquet(s"$out/rows")
+    val wantStream = orders.where(col("o_orderkey") % 7 <= 1)
+      .toDF("okey", "price", "priority")
+    assert(streamed.count() == wantStream.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(wantStream).isEmpty &&
+      wantStream.exceptAll(streamed).isEmpty)
 
-    // zero-copy convert: named refusal toward the copy path
+    // zero-copy convert: these files' NAMES drift from the metaData
+    // physical names (the Iceberg-convert hazard) — the footer check
+    // refuses by path toward the copy path
     val ec = intercept[Exception] { TxTable.convertFromDelta(spark, dir) }
     assert(ec.getMessage.contains("id-mode"), ec.getMessage)
+  }
+
+  test("id-mode zero-copy convert: Delta-writer-shaped files (names " +
+      "match the physical names) adopt via the footer check; the " +
+      "followed table reads and follows like name mode") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val dir = scratch("cmid_convert")
+    val data = orders.where(col("o_orderkey") % 5 === 0)
+    // Delta-writer shape: file columns carry BOTH the physical names
+    // and the field ids — names are as trustworthy as name mode
+    val f = DeltaFixture.writeDataWithFieldIds(spark, data, dir,
+      "p.parquet", Seq("col-aaaa", "col-bbbb", "col-cccc"),
+      Seq(11L, 12L, 13L))
+    val logical = DeltaFixture.idMappedSchema(Seq(
+      ("okey", LongType, "col-aaaa", 11L),
+      ("price", DoubleType, "col-bbbb", 12L),
+      ("priority", StringType, "col-cccc", 13L)))
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(logical,
+        config = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "13")),
+      DeltaFixture.addJson(f)))
+    val t = TxTable.convertFromDelta(spark, dir)
+    val got = t.read()
+    assert(got.schema.fieldNames.toSeq == Seq("okey", "price", "priority"))
+    val want = data.toDF("okey", "price", "priority")
+    assert(got.count() == want.count() && got.count() > 0)
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // incremental follow of an id-mode upstream: same window machinery
+    val f2 = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 1), dir, "p2.parquet",
+      Seq("col-aaaa", "col-bbbb", "col-cccc"), Seq(11L, 12L, 13L))
+    DeltaFixture.commit(spark, dir, 1, Seq(DeltaFixture.addJson(f2)))
+    t.followDelta()
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(1L))
+    val want2 = orders.where(col("o_orderkey") % 5 <= 1)
+      .toDF("okey", "price", "priority")
+    assert(t.read().exceptAll(want2).isEmpty &&
+      want2.exceptAll(t.read()).isEmpty)
   }
 
   test("v2 checkpoint: UUID parquet manifest + sidecar, JSON manifest " +
