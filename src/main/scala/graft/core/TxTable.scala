@@ -3661,16 +3661,19 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           .map(_.get("id").asText()))))
       .nextOption()
       .orElse {
-        val cpName = """(\d{20})\.checkpoint\.parquet""".r
+        // classic or v2 manifest — either carries the metaData action
+        val cpName = """(\d{20})\.checkpoint(?:\.[A-Za-z0-9-]+)?\.parquet""".r
         fs.listStatus(dLogDir).toSeq.map(_.getPath.getName)
           .collect { case cpName(v) => v.toLong }.maxOption
           .flatMap { cv =>
             import org.apache.spark.sql.functions.{col, to_json}
-            spark.read.parquet(
-                new Path(dLogDir, f"$cv%020d.checkpoint.parquet").toString)
-              .where(col("metaData").isNotNull)
-              .select(to_json(col("metaData"))).collect().headOption
-              .map(r => om.readTree(r.getString(0)).get("id").asText())
+            checkpointParquets(dLogDir, cv).iterator.flatMap { p =>
+              val cp = spark.read.parquet(p.toString)
+              if (!cp.columns.contains("metaData")) Nil
+              else cp.where(col("metaData").isNotNull)
+                .select(to_json(col("metaData"))).collect().toSeq
+                .map(r => om.readTree(r.getString(0)).get("id").asText())
+            }.nextOption()
           }
       }
       .getOrElse(sys.error(s"$root: mirror log carries no metaData"))
@@ -3777,13 +3780,25 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       m: Manifest, tableId: String): Unit = try {
     import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
       LongType, MapType, StringType => SStringType, StructField}
-    val dst = new Path(dLogDir, f"$deltaVersion%020d.checkpoint.parquet")
     val tombstones = collectMirrorTombstones(dLogDir, deltaVersion, m)
-    if (!fs.exists(dst)) {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val lines = Seq(deltaProtocolJson(om, m),
-        deltaMetaDataJson(om, m, tableId)) ++
-        m.files.map(deltaAddJson(om, m, _, dataChange = false)) ++
+    // classic single-part (every reader, the default) or V2 (the
+    // 2024+ DBR writer default: UUID-named manifest + one sidecar
+    // under _sidecars/) per table property — a misconfigured value
+    // falls back to classic WITH a warning rather than silently never
+    // checkpointing (this whole method is best-effort; a raise here
+    // would be swallowed)
+    val format = m.properties
+      .getOrElse(TxTable.PropMirrorCheckpointFormat, "classic") match {
+      case f @ ("classic" | "v2") => f
+      case other =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$root: unknown ${TxTable.PropMirrorCheckpointFormat}=" +
+            s"'$other' — writing a classic checkpoint")
+        "classic"
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def fileActionLines: Seq[String] =
+      m.files.map(deltaAddJson(om, m, _, dataChange = false)) ++
         tombstones.map { case (p, ts, dc) =>
           val n = om.createObjectNode()
           val r = n.putObject("remove")
@@ -3792,44 +3807,102 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           r.put("dataChange", dc)
           om.writeValueAsString(n)
         }
-      val strMap = MapType(SStringType, SStringType, valueContainsNull = true)
-      val cpSchema = StructType(Seq(
-        StructField("protocol", StructType(Seq(
-          StructField("minReaderVersion", IntegerType),
-          StructField("minWriterVersion", IntegerType)))),
-        StructField("metaData", StructType(Seq(
-          StructField("id", SStringType),
-          StructField("format", StructType(Seq(
-            StructField("provider", SStringType),
-            StructField("options", strMap)))),
-          StructField("schemaString", SStringType),
-          StructField("partitionColumns", ArrayType(SStringType)),
-          StructField("configuration", strMap),
-          StructField("createdTime", LongType)))),
-        StructField("add", StructType(Seq(
-          StructField("path", SStringType),
-          StructField("partitionValues", strMap),
-          StructField("size", LongType),
-          StructField("modificationTime", LongType),
-          StructField("dataChange", BooleanType),
-          StructField("stats", SStringType)))),
-        StructField("remove", StructType(Seq(
-          StructField("path", SStringType),
-          StructField("deletionTimestamp", LongType),
-          StructField("dataChange", BooleanType))))))
+    val strMap = MapType(SStringType, SStringType, valueContainsNull = true)
+    val protocolField = StructField("protocol", StructType(Seq(
+      StructField("minReaderVersion", IntegerType),
+      StructField("minWriterVersion", IntegerType))))
+    val metaDataField = StructField("metaData", StructType(Seq(
+      StructField("id", SStringType),
+      StructField("format", StructType(Seq(
+        StructField("provider", SStringType),
+        StructField("options", strMap)))),
+      StructField("schemaString", SStringType),
+      StructField("partitionColumns", ArrayType(SStringType)),
+      StructField("configuration", strMap),
+      StructField("createdTime", LongType))))
+    val fileActionFields = Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", SStringType),
+        StructField("partitionValues", strMap),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
+        StructField("dataChange", BooleanType),
+        StructField("stats", SStringType)))),
+      StructField("remove", StructType(Seq(
+        StructField("path", SStringType),
+        StructField("deletionTimestamp", LongType),
+        StructField("dataChange", BooleanType)))))
+    // JSON-lines → explicit schema → ONE parquet file, renamed into
+    // place (UUID tmp dir; a racing writer's rename loses harmlessly)
+    def writeOneParquet(lines: Seq[String], schema: StructType,
+        dst: Path): Boolean = {
       val ds = spark.createDataset(lines)(
         org.apache.spark.sql.Encoders.STRING)
       val tmpDir = new Path(root,
         s".tmp-delta-ckpt-${java.util.UUID.randomUUID()}")
-      spark.read.schema(cpSchema).json(ds).coalesce(1)
+      spark.read.schema(schema).json(ds).coalesce(1)
         .write.parquet(tmpDir.toString)
       val part = fs.listStatus(tmpDir).map(_.getPath)
         .find(p => p.getName.startsWith("part-") &&
           p.getName.endsWith(".parquet"))
         .getOrElse(sys.error(s"$root: mirror checkpoint write produced " +
           "no parquet part"))
-      if (!fs.rename(part, dst)) () // a racing writer checkpointed first
+      val ok = fs.rename(part, dst)
       fs.delete(tmpDir, true)
+      ok
+    }
+    if (format == "classic") {
+      val dst = new Path(dLogDir, f"$deltaVersion%020d.checkpoint.parquet")
+      if (!fs.exists(dst)) {
+        writeOneParquet(
+          Seq(deltaProtocolJson(om, m), deltaMetaDataJson(om, m, tableId)) ++
+            fileActionLines,
+          StructType(Seq(protocolField, metaDataField) ++ fileActionFields),
+          dst)
+        ()
+      }
+    } else {
+      // V2: file actions go to ONE sidecar parquet under _sidecars/
+      // (version-prefixed name so log cleaning can match it without
+      // reading the manifest back); the UUID-named manifest carries
+      // checkpointMetadata + protocol + metaData + the sidecar
+      // pointer. Sidecar lands BEFORE the manifest that names it —
+      // a crash between the two leaves an orphan sidecar (cleaned by
+      // retention), never a manifest naming a missing file.
+      val v2Pat = (f"$deltaVersion%020d" +
+        "\\.checkpoint\\.[A-Za-z0-9-]+\\.(parquet|json)").r
+      val already = fs.listStatus(dLogDir)
+        .exists(st => v2Pat.pattern.matcher(st.getPath.getName).matches)
+      if (!already) {
+        val uuid = java.util.UUID.randomUUID().toString
+        val scDir = new Path(dLogDir, "_sidecars")
+        fs.mkdirs(scDir)
+        val scName = f"$deltaVersion%020d-$uuid.parquet"
+        val scDst = new Path(scDir, scName)
+        if (writeOneParquet(fileActionLines,
+            StructType(fileActionFields), scDst)) {
+          val mfLines = {
+            val cm = om.createObjectNode()
+            cm.putObject("checkpointMetadata").put("version", deltaVersion)
+            val sc = om.createObjectNode()
+            val scN = sc.putObject("sidecar")
+            scN.put("path", scName)
+            scN.put("sizeInBytes", fs.getFileStatus(scDst).getLen)
+            Seq(om.writeValueAsString(cm), deltaProtocolJson(om, m),
+              deltaMetaDataJson(om, m, tableId), om.writeValueAsString(sc))
+          }
+          val mfSchema = StructType(Seq(
+            StructField("checkpointMetadata", StructType(Seq(
+              StructField("version", LongType)))),
+            protocolField, metaDataField,
+            StructField("sidecar", StructType(Seq(
+              StructField("path", SStringType),
+              StructField("sizeInBytes", LongType))))))
+          writeOneParquet(mfLines, mfSchema, new Path(dLogDir,
+            f"$deltaVersion%020d.checkpoint.$uuid.parquet"))
+          ()
+        }
+      }
     }
     // the pointer advances monotonically, never regresses to an older
     // checkpoint (two racing mirrors may checkpoint out of order)
@@ -3868,14 +3941,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def collectMirrorTombstones(dLogDir: Path, deltaVersion: Long,
       m: Manifest): Seq[(String, Long, Boolean)] = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val cpName = """(\d{20})\.checkpoint\.parquet""".r
+    // classic `NNN.checkpoint.parquet` or v2 `NNN.checkpoint.<uuid>.parquet`
+    val cpName = """(\d{20})\.checkpoint(?:\.[A-Za-z0-9-]+)?\.parquet""".r
     val prevCp: Long = fs.listStatus(dLogDir).map(_.getPath.getName)
       .collect { case cpName(v) if v.toLong < deltaVersion => v.toLong }
       .sorted.lastOption.getOrElse(-1L)
     val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Boolean)]()
-    if (prevCp >= 0) {
-      val cp = spark.read.parquet(
-        new Path(dLogDir, f"$prevCp%020d.checkpoint.parquet").toString)
+    if (prevCp >= 0) checkpointParquets(dLogDir, prevCp).foreach { p =>
+      val cp = spark.read.parquet(p.toString)
       if (cp.columns.contains("remove")) // pre-tombstone checkpoints lack it
         cp.where(col("remove").isNotNull)
           .select(col("remove.path"), col("remove.deletionTimestamp"),
@@ -3924,16 +3997,56 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
   private def cleanMirrorLog(dLogDir: Path, cpVersion: Long,
       retentionMs: Long): Unit = try {
     val horizon = System.currentTimeMillis() - retentionMs
-    val cleanable = """(\d{20})\.(json|checkpoint\.parquet)""".r
+    val cleanable =
+      """(\d{20})\.(?:json|checkpoint\.parquet|checkpoint\.[A-Za-z0-9-]+\.(?:parquet|json))""".r
     fs.listStatus(dLogDir).foreach { st =>
       st.getPath.getName match {
-        case cleanable(v, _) if v.toLong < cpVersion &&
+        case cleanable(v) if v.toLong < cpVersion &&
             st.getModificationTime < horizon =>
           fs.delete(st.getPath, false); ()
         case _ => ()
       }
     }
+    // v2 sidecars carry their version as a name prefix precisely so
+    // retention can clean them without reading superseded manifests
+    val scDir = new Path(dLogDir, "_sidecars")
+    if (fs.exists(scDir)) {
+      val scCleanable = """(\d{20})-.*\.parquet""".r
+      fs.listStatus(scDir).foreach { st =>
+        st.getPath.getName match {
+          case scCleanable(v) if v.toLong < cpVersion &&
+              st.getModificationTime < horizon =>
+            fs.delete(st.getPath, false); ()
+          case _ => ()
+        }
+      }
+    }
   } catch { case scala.util.control.NonFatal(_) => () }
+
+  /** The parquet file(s) holding checkpoint `version`'s action rows:
+    * the classic single-part file, or (v2) the first UUID manifest
+    * plus the sidecars it names — the same resolution order as
+    * [[DeltaLog.snapshot]]. */
+  private def checkpointParquets(dLogDir: Path, version: Long): Seq[Path] = {
+    val classic = new Path(dLogDir, f"$version%020d.checkpoint.parquet")
+    if (fs.exists(classic)) Seq(classic)
+    else {
+      val v2Pat = (f"$version%020d" +
+        "\\.checkpoint\\.[A-Za-z0-9-]+\\.parquet").r
+      fs.listStatus(dLogDir).map(_.getPath)
+        .filter(p => v2Pat.pattern.matcher(p.getName).matches)
+        .sortBy(_.getName).headOption.toSeq.flatMap { mf =>
+          val cp = spark.read.parquet(mf.toString)
+          val sidecars =
+            if (!cp.columns.contains("sidecar")) Nil
+            else cp.where(col("sidecar").isNotNull)
+              .select(col("sidecar.path")).collect()
+              .map(r => new Path(new Path(dLogDir, "_sidecars"),
+                r.getString(0))).toSeq
+          mf +: sidecars
+        }
+    }
+  }
 
   private def commitClone(src: Manifest, files: Seq[FileEntry]): Long =
     commit { latest =>
@@ -5389,6 +5502,11 @@ object TxTable {
     * default 7 days, Delta's own. */
   val PropMirrorTombstoneRetention = "graft.mirrorTombstoneRetentionMs"
   val MirrorTombstoneRetentionDefaultMs: Long = 7L * 24 * 3600 * 1000
+  /** Mirror checkpoint format: `classic` (default — the single-part
+    * `NNN.checkpoint.parquet` every Delta reader accepts) or `v2`
+    * (UUID-named manifest + `_sidecars/` file, the 2024+ DBR writer
+    * default — parity for readers that expect the newest layout). */
+  val PropMirrorCheckpointFormat = "graft.mirrorCheckpointFormat"
   /** App-id under which [[TxTable.followDelta]] records the
     * last-consumed foreign Delta version in the manifest txns — the
     * exactly-once follow anchor (same mechanism as streaming writers'

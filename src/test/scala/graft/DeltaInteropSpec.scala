@@ -1024,6 +1024,74 @@ class DeltaInteropSpec extends SparkSpec {
       .forall(!_.getPath.getName.startsWith(".tmp-mirror-")))
   }
 
+  test("mirror v2 checkpoints (opt-in property): UUID manifest + " +
+      "_sidecars file, no classic checkpoint; the engine's own v2 " +
+      "reader consumes its own mirror; tombstones carried; retention " +
+      "cleans superseded manifests AND their sidecars") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = scratch("mirror_v2cp")
+    def logNames: Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(d, "_delta_log")).toSeq
+        .map(_.getPath.getName).sorted
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 0))       // g0 → v0
+    t.setProperties(Map(
+      TxTable.PropMirrorCheckpointFormat -> "v2",
+      TxTable.PropMirrorLogRetention -> "0"))                    // g1
+    assert(t.mirrorToDelta() == 0L) // bootstrap anchors at g1
+    for (i <- 1 to 9) {                                          // v1..v9
+      t.append(orders.where(col("o_orderkey") % 97 === i))
+      t.mirrorToDelta()
+    }
+    // v10 is an overwrite: the v2 checkpoint must carry its tombstones
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 1))
+    assert(t.mirrorToDelta() == 10L)
+    val v2Mf = """0*10\.checkpoint\.[A-Za-z0-9-]+\.parquet""".r
+    assert(logNames.exists(n => v2Mf.pattern.matcher(n).matches), logNames)
+    assert(!logNames.contains("00000000000000000010.checkpoint.parquet"),
+      "v2 mode must not also write a classic checkpoint")
+    val scDir = new org.apache.hadoop.fs.Path(d, "_delta_log/_sidecars")
+    assert(fs.exists(scDir) && fs.listStatus(scDir).nonEmpty)
+    val sidecar = fs.listStatus(scDir).map(_.getPath.toString).sorted.head
+    val scDf = spark.read.parquet(sidecar)
+    assert(scDf.where(col("add.path").isNotNull).count() > 0)
+    assert(scDf.where(col("remove.path").isNotNull).count() > 0,
+      "overwrite tombstones must land in the v2 sidecar")
+    // the engine's own v2 reader consumes its own v2-checkpointed
+    // mirror: base state from manifest+sidecar, tail JSON on top
+    val snap = DeltaLog.snapshot(spark, d)
+    assert(snap.version == 10L)
+    val got = DeltaLog.read(spark, d)
+    assert(got.exceptAll(t.read()).isEmpty && t.read().exceptAll(got).isEmpty)
+    // ten more commits → the v20 checkpoint supersedes v10: retention
+    // 0 cleans the old manifest AND its version-prefixed sidecar
+    for (i <- 11 to 20) {
+      t.append(orders.where(col("o_orderkey") % 97 === i))
+      t.mirrorToDelta()
+    }
+    assert(t.mirrorToDelta() == 20L)
+    val mf10 = """0*10\.checkpoint\..*""".r
+    assert(!logNames.exists(n => mf10.pattern.matcher(n).matches),
+      s"superseded v2 manifest must clean: $logNames")
+    assert(!fs.listStatus(scDir).map(_.getPath.getName)
+      .exists(_.startsWith("00000000000000000010-")),
+      "superseded sidecar must clean")
+    val after = DeltaLog.read(spark, d)
+    assert(after.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(after).isEmpty)
+    // tombstones survive the v2 carry-forward path (prev checkpoint =
+    // v2 manifest+sidecar): the v20 sidecar still holds v10's
+    // unexpired removes
+    val sc20 = fs.listStatus(scDir).map(_.getPath.getName)
+      .filter(_.startsWith("00000000000000000020-"))
+    assert(sc20.nonEmpty)
+    val sc20Df = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(scDir, sc20.head).toString)
+    assert(sc20Df.where(col("remove.path").isNotNull).count() > 0,
+      "v2 carry-forward must keep unexpired tombstones")
+  }
+
   test("mirror checkpoint carries unexpired remove tombstones " +
       "(Delta deletedFileRetentionDuration semantics); never for live " +
       "files; expired ones drop; reader state unaffected") {
