@@ -685,16 +685,20 @@ object DeltaLog {
 
   /** The net file-set delta of commits (from, to] — [[addsInWindow]]
     * with `remove` actions TRANSLATED instead of refused (a follower
-    * applies them as metadata-only manifest drops). metaData/protocol
-    * changes and deletion-vector'd adds still refuse: a schema change
-    * or a merge-on-read rewrite has row-level meaning no file-set
-    * delta can carry. */
+    * applies them as metadata-only manifest drops) and
+    * deletion-vector'd adds PARSED instead of refused (a follower
+    * translates the DV to its native sidecar — the upstream
+    * merge-on-read DELETE/UPDATE shape). metaData/protocol changes
+    * still refuse: a schema change has meaning no file-set delta can
+    * carry. */
   def actionsInWindow(spark: SparkSession, snap: DeltaSnapshot,
       from: Long, to: Long): WindowDelta =
-    parseWindow(spark, snap, from, to, allowRemoves = true)
+    parseWindow(spark, snap, from, to, allowRemoves = true,
+      allowDvAdds = true)
 
   private def parseWindow(spark: SparkSession, snap: DeltaSnapshot,
-      from: Long, to: Long, allowRemoves: Boolean): WindowDelta = {
+      from: Long, to: Long, allowRemoves: Boolean,
+      allowDvAdds: Boolean = false): WindowDelta = {
     require(to > from, s"${snap.root}: empty window ($from, $to]")
     val root = new Path(snap.root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -715,6 +719,13 @@ object DeltaLog {
           "window is gone; restart the stream from a fresh snapshot")
       val text = new String(readBytes(fs, p),
         java.nio.charset.StandardCharsets.UTF_8)
+      // Delta reconciliation is order-independent WITHIN a version:
+      // an add and a remove of the same path in one commit (the DV
+      // re-add shape — remove the old entry, add it back with a DV)
+      // resolve to the add whatever order the writer serialized them
+      // in. Collect per-commit, apply removes first, adds second.
+      val commitRemoves = scala.collection.mutable.ArrayBuffer[String]()
+      val commitAdds = scala.collection.mutable.ArrayBuffer[DeltaAdd]()
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = om.readTree(line)
         if (n.has("remove")) {
@@ -724,7 +735,7 @@ object DeltaLog {
               "the stream from a fresh snapshot")
           // the remove's DV descriptor (if any) only describes the
           // departing file — the whole-file drop supersedes it
-          state(decode(n.get("remove").get("path").asText())) = None
+          commitRemoves += decode(n.get("remove").get("path").asText())
         }
         require(!n.has("metaData"),
           s"${snap.root}: commit $v changes table metadata — restart " +
@@ -734,7 +745,8 @@ object DeltaLog {
             "the stream from a fresh snapshot")
         if (n.has("add")) {
           val a = n.get("add")
-          require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+          val dvNode = Option(a.get("deletionVector")).filterNot(_.isNull)
+          require(dvNode.isEmpty || allowDvAdds,
             s"${snap.root}: commit $v adds a DELETION-VECTOR'd file — a " +
               "merge-on-read rewrite, not an append; restart the stream " +
               "from a fresh snapshot")
@@ -747,13 +759,18 @@ object DeltaLog {
           }.getOrElse(Map.empty[String, Option[String]])
           val add = mkAdd(om, path, pv, a.get("size").asLong(),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
-            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), None)
+            Option(a.get("stats")).filterNot(_.isNull).map(_.asText()),
+            dvNode.map(parseDv(_, snap.root)))
           val mapped = if (snap.colMap.isEmpty) add
           else add.copy(partition = add.partition.flatMap { case (k, vv) =>
             physToLogical.get(k).map(_ -> vv) })
-          state(mapped.path) = Some(mapped)
-          addedAnywhere += mapped.path
+          commitAdds += mapped
         }
+      }
+      commitRemoves.foreach(p => state(p) = None)
+      commitAdds.foreach { a =>
+        state(a.path) = Some(a)
+        addedAnywhere += a.path
       }
     }
     WindowDelta(

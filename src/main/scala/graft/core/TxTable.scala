@@ -3211,39 +3211,49 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // physical names as its colMap, and its stats stay PHYSICAL-keyed
     // (the manifest convention) while DeltaLog surfaces logical keys
     def toPhys(k: String): String = snap.colMap.getOrElse(k, k)
-    // Delta deletion vectors translate to the engine's native
-    // merge-on-read sidecar: ONE parquet side-file of (relative data
-    // path, row position) pairs — deleted-row-sized — whose keys match
-    // the read probe ([[relDataPath]]) by construction
-    val dved = snap.adds.filter(_.dv.isDefined)
-    val dvFile: Option[String] =
-      if (dved.isEmpty) None
-      else {
-        val pairs = dved.flatMap { a =>
-          val key = encodedRelPath(a.path)
-          DeltaDv.readPositions(fs, root, a.dv.get).map(p =>
-            org.apache.spark.sql.Row(key, p))
-        }
-        val df = spark.createDataFrame(
-          spark.sparkContext.parallelize(pairs, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField(DvPathCol, StringType,
-              nullable = false),
-            org.apache.spark.sql.types.StructField(DvPosCol,
-              org.apache.spark.sql.types.LongType, nullable = false))))
-        val (es, _) = writeDataFiles(df.coalesce(1), Nil,
-          withStats = false, enforce = false)
-        es match {
-          case Seq(one) => Some(one.path)
-          case other => sys.error(s"$root: DV translation produced " +
-            s"${other.size} files")
-        }
+    withDvSidecar(snap.adds,
+      snap.adds.map(deltaAddEntry(_, statOk, toPhys))).sortBy(_.path)
+  }
+
+  /** Delta deletion vectors translate to the engine's native
+    * merge-on-read sidecar: ONE parquet side-file of (relative data
+    * path, row position) pairs — deleted-row-sized — whose keys match
+    * the read probe ([[relDataPath]]) by construction. Entries whose
+    * add carried a DV get the sidecar attached; a no-DV batch returns
+    * `entries` untouched (zero extra work). Shared by the snapshot
+    * convert and [[followDelta]]'s incremental window (a window's
+    * sidecar coexists with earlier windows' — the DV read collects
+    * every distinct dvPath). */
+  private def withDvSidecar(adds: Seq[DeltaLog.DeltaAdd],
+      entries: Seq[FileEntry]): Seq[FileEntry] = {
+    val dved = adds.filter(_.dv.isDefined)
+    if (dved.isEmpty) return entries
+    val pairs = dved.flatMap { a =>
+      val key = encodedRelPath(a.path)
+      DeltaDv.readPositions(fs, root, a.dv.get).map(p =>
+        org.apache.spark.sql.Row(key, p))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(pairs, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(DvPathCol, StringType,
+          nullable = false),
+        org.apache.spark.sql.types.StructField(DvPosCol,
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val (es, _) = writeDataFiles(df.coalesce(1), Nil,
+      withStats = false, enforce = false)
+    val dvFile = es match {
+      case Seq(one) => one.path
+      case other => sys.error(s"$root: DV translation produced " +
+        s"${other.size} files")
+    }
+    val dvByPath = dved.map(a => a.path -> a.dv.get.cardinality).toMap
+    entries.map { e =>
+      dvByPath.get(e.path) match {
+        case Some(card) => e.copy(dvPath = Some(dvFile), dvRows = card)
+        case None => e
       }
-    snap.adds.map { a =>
-      deltaAddEntry(a, statOk, toPhys)
-        .copy(dvPath = a.dv.flatMap(_ => dvFile),
-          dvRows = a.dv.map(_.cardinality).getOrElse(0L))
-    }.sortBy(_.path)
+    }
   }
 
   /** One Delta add → one manifest file entry: stats carry over only
@@ -3285,13 +3295,16 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * every CDC-fed lakehouse) follow INCREMENTALLY too: each foreign
     * `remove` translates to a metadata-only manifest drop (the
     * [[deletePartitions]] discipline — the entry leaves the snapshot,
-    * no data file is touched), published as one DELETE/REPLACE-shaped
-    * graft commit so downstream change consumers get the correct
-    * non-append signal. Refuse-or-reset remains for what a file-set
-    * delta CANNOT carry: a metaData/protocol change or a
-    * deletion-vector'd add (merge-on-read rewrite) REFUSES with the
-    * standard reset signal; `reset = true` re-snapshots the foreign
-    * head instead — one zero-copy OVERWRITE (schema/colMap
+    * no data file is touched), and a deletion-vector'd re-add
+    * (upstream merge-on-read DELETE/UPDATE) translates to the
+    * engine's native DV sidecar ([[withDvSidecar]] — the same
+    * machinery the snapshot convert uses), both published as one
+    * DELETE/REPLACE-shaped graft commit so downstream change
+    * consumers get the correct non-append signal. Refuse-or-reset
+    * remains for what a file-set delta CANNOT carry: a
+    * metaData/protocol change, or a `remove` of a path this follower
+    * has never seen (encoding drift); `reset = true` re-snapshots the
+    * foreign head instead — one zero-copy OVERWRITE (schema/colMap
     * re-adopted, DVs translated to the native sidecar) re-anchored at
     * the head. Downstream incremental consumers of the graft table
     * see that overwrite exactly as [[changesSince]]'s own restart
@@ -3336,7 +3349,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             .filter(f => statsEligible(f.dataType))
             .map(f => m.colMap.getOrElse(f.name, f.name) -> f.dataType)
             .toMap
-          val entries = w.adds.map(deltaAddEntry(_, statOk, identity))
+          // DV-bearing adds (upstream merge-on-read DELETE/UPDATE:
+          // the same path re-added with a deletion vector) translate
+          // to the engine's native sidecar — one deleted-row-sized
+          // parquet per window, coexisting with earlier windows'
+          val entries = withDvSidecar(w.adds,
+            w.adds.map(deltaAddEntry(_, statOk, identity)))
+          val anyDv = w.adds.exists(_.dv.isDefined)
           val byPath = entries.map(e => e.path -> e).toMap
           val removed = w.removedPaths.toSet
           commit { latest =>
@@ -3359,8 +3378,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             // what the window DID, so downstream change consumers of
             // this graft table get the correct non-append signal for a
             // rewrite window (changesSince's own refuse-or-reset)
+            // a DV'd re-add is a row-level DELETE, never an append —
+            // downstream change consumers must get the rewrite signal
             val op =
-              if (removed.isEmpty) OpAppend
+              if (removed.isEmpty && !anyDv) OpAppend
               else if (entries.isEmpty) OpDelete
               else OpReplace
             Pending(op,

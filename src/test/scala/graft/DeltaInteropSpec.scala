@@ -889,6 +889,27 @@ class DeltaInteropSpec extends SparkSpec {
       orders.where(col("o_orderkey") % 8 === 4), dir, "part-e.parquet")
     DeltaFixture.commit(spark, dir, 10, Seq(DeltaFixture.addJson(e2)))
     assert(t2.followDelta() == 8L)
+    // a DV-bearing re-add (upstream merge-on-read DELETE: remove the
+    // old entry, add the same file back with a deletion vector)
+    // follows incrementally too — the window translates the DV to the
+    // engine's native sidecar, and the commit is REPLACE-shaped so
+    // change consumers see a rewrite, never an append
+    val ePositions = spark.read.parquet(s"$dir/part-e.parquet")
+      .select(col("_metadata.row_index"), col("o_orderkey"))
+      .where(col("o_orderkey") % 16 === 4)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(ePositions.nonEmpty, "fixture must DV-delete something")
+    val eDv = DeltaFixture.writeDv(spark, dir, ePositions)
+    DeltaFixture.commit(spark, dir, 11, Seq(
+      DeltaFixture.removeJson(e2.relPath),
+      DeltaFixture.addJson(e2, deletionVector = Some(eDv))))
+    assert(t2.followDelta() == 9L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(11L))
+    val wantDv = orders.where(col("o_orderkey") % 4 =!= 0)
+      .unionByName(orders.where(col("o_orderkey") % 8 === 4 &&
+        col("o_orderkey") % 16 =!= 4))
+    assert(t2.read().exceptAll(wantDv).isEmpty &&
+      wantDv.exceptAll(t2.read()).isEmpty)
 
     // a COLUMN-MAPPED foreign table follows too: physical file
     // columns, logical surface, incremental windows with
