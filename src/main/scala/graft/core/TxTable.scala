@@ -3154,6 +3154,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         // recorded as an app-level txn so [[followDelta]] resumes
         // EXACTLY-ONCE from here without rescanning the foreign log
         Some(TxTable.FollowTxnId -> snap.version),
+        // id-mode upstream recorded in the manifest so every LATER
+        // incremental window footer-verifies its new files too — the
+        // convert-time check alone would leave window adds unverified
+        properties = if (snap.cmMode == "id")
+          Some(Map(TxTable.PropFollowIdMode -> "true")) else None,
         colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
     }
   }
@@ -3177,26 +3182,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     // Cost: O(files) footer reads, driver-side — convert is a
     // one-time migration and the DV translation below already pays
     // the same shape.
-    if (snap.cmMode == "id") {
-      import scala.jdk.CollectionConverters._
-      val expected = snap.schema.fields.map(f => snap.physName(f.name))
-      snap.adds.foreach { a =>
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new Path(root, a.path), spark.sparkContext.hadoopConfiguration)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val names =
-          try r.getFileMetaData.getSchema.getFields.asScala
-            .map(_.getName).toSet
-          finally r.close()
-        val missing = expected.filterNot(names)
-        require(missing.isEmpty,
-          s"$root: id-mode file ${a.path} lacks physical column(s) " +
-            s"${missing.mkString(", ")} (footer names: " +
-            s"${names.toSeq.sorted.mkString(", ")}) — name-based " +
-            "zero-copy adoption would misresolve; import by copy: " +
-            "DeltaLog.read(...) then overwrite(df)")
-      }
-    }
+    if (snap.cmMode == "id")
+      verifyIdModeFooters(snap.adds,
+        snap.schema.fields.map(f => snap.physName(f.name)).toSeq)
     require(snap.partitionCols.isEmpty,
       s"$root: partitioned Delta table (${snap.partitionCols.mkString(", ")}) " +
         "— partition values live only in the Delta log, so zero-copy " +
@@ -3253,6 +3241,37 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         case Some(card) => e.copy(dvPath = Some(dvFile), dvRows = card)
         case None => e
       }
+    }
+  }
+
+  /** Footer check gating name-based adoption of id-mode files: every
+    * file must carry ALL the expected physical column names — a
+    * Delta-WRITTEN id-mode file always does, an Iceberg-converted file
+    * written before a rename does not, and reading a drifted file by
+    * name returns silent nulls, the worst failure mode. Shared by the
+    * zero-copy convert (all snapshot adds, once) and [[followDelta]]'s
+    * incremental windows (each window's new adds — the
+    * [[TxTable.PropFollowIdMode]] manifest property, stamped at
+    * convert, says the upstream is id-mode). O(batch) footer reads,
+    * driver-side. */
+  private def verifyIdModeFooters(adds: Seq[DeltaLog.DeltaAdd],
+      expected: Seq[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    adds.foreach { a =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(root, a.path), spark.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val names =
+        try r.getFileMetaData.getSchema.getFields.asScala
+          .map(_.getName).toSet
+        finally r.close()
+      val missing = expected.filterNot(names)
+      require(missing.isEmpty,
+        s"$root: id-mode file ${a.path} lacks physical column(s) " +
+          s"${missing.mkString(", ")} (footer names: " +
+          s"${names.toSeq.sorted.mkString(", ")}) — name-based " +
+          "zero-copy adoption would misresolve; import by copy: " +
+          "DeltaLog.read(...) then overwrite(df)")
     }
   }
 
@@ -3340,6 +3359,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
             m.partitionCols, Map.empty, Nil, m.colMap)
           val w = DeltaLog.actionsInWindow(spark, pin, anchor, head)
+          // id-mode upstream (stamped at convert): window adds get the
+          // same footer verification the snapshot convert ran — a
+          // name-drifted new file would otherwise read as silent nulls
+          if (m.properties.get(TxTable.PropFollowIdMode).contains("true"))
+            verifyIdModeFooters(w.adds,
+              schema.fields.map(f => m.colMap.getOrElse(f.name, f.name)).toSeq)
           // actionsInWindow hands back PHYSICAL-keyed stats (it
           // translates only partition keys), and the manifest
           // convention is also physical — so the eligibility map keys
@@ -3400,6 +3425,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
                 "— rerun followDelta() to resume from the new one")
             Pending(OpOverwrite, entries, schemaDdlOf(snap.schema), Nil,
               None, Some(TxTable.FollowTxnId -> snap.version),
+              // re-stamp (or clear) the id-mode marker from the head's
+              // own metadata, preserving unrelated table properties
+              properties = {
+                val base = l.properties - TxTable.PropFollowIdMode
+                Some(if (snap.cmMode == "id")
+                  base + (TxTable.PropFollowIdMode -> "true") else base)
+              },
               colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
           }
         }
@@ -5533,6 +5565,11 @@ object TxTable {
     * exactly-once follow anchor (same mechanism as streaming writers'
     * batchId handshake). */
   val FollowTxnId = "graft.deltaFollow"
+  /** Stamped `true` by the zero-copy convert of an id-mode Delta
+    * table so [[TxTable.followDelta]] footer-verifies every window's
+    * NEW files too (the convert-time check covers only the snapshot;
+    * a name-drifted later file would read as silent nulls). */
+  val PropFollowIdMode = "graft.deltaFollowIdMode"
   /** `true` = writes coalesce to ~128 MB outputs when the size
     * estimate allows (never repartitions up — see writeDataFiles). */
   val PropOptimizeWrite = "graft.optimizeWrite"

@@ -730,6 +730,19 @@ class DeltaInteropSpec extends SparkSpec {
       .toDF("okey", "price", "priority")
     assert(t.read().exceptAll(want2).isEmpty &&
       want2.exceptAll(t.read()).isEmpty)
+    // a NAME-DRIFTED file arriving in a LATER window (the Iceberg
+    // pre-rename hazard, now past the convert-time check) must refuse
+    // by path — adopting it would read silent nulls
+    val f3 = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 2), dir, "p3.parquet",
+      Seq("h1", "h2", "h3"), Seq(11L, 12L, 13L))
+    DeltaFixture.commit(spark, dir, 2, Seq(DeltaFixture.addJson(f3)))
+    val drift = intercept[Exception] { t.followDelta() }
+    assert(drift.getMessage.contains("p3.parquet") &&
+      drift.getMessage.contains("lacks physical"), drift.getMessage)
+    // the table is untouched by the refused window
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(1L))
+    assert(t.read().count() == want2.count())
   }
 
   test("v2 checkpoint: UUID parquet manifest + sidecar, JSON manifest " +
