@@ -365,6 +365,44 @@ object DeltaLog {
             "not implemented — refusing rather than misread")
       }
     }
+    val pm = parseMetaData(md, rootStr)
+    val conf = pm.configuration
+    val cmMode = pm.cmMode
+    val schema = pm.schema
+    val colMap = pm.colMap
+    val partCols = pm.partitionCols
+    live.keys.foreach { p =>
+      require(!p.startsWith("/") && !p.contains("://"),
+        s"$rootStr: Delta add references EXTERNAL file $p (shallow clone?) " +
+          "— zero-copy convert requires table-rooted files")
+    }
+    // with column mapping, the log keys partition values and stats by
+    // PHYSICAL name (per the protocol) — surface LOGICAL keys
+    val physToLogical = colMap.map(_.swap)
+    def logicalKeys(a: DeltaAdd): DeltaAdd =
+      if (colMap.isEmpty) a
+      else a.copy(
+        partition = a.partition.flatMap { case (k, v) =>
+          physToLogical.get(k).map(_ -> v) },
+        min = a.min.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
+        max = a.max.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
+        nulls = a.nulls.flatMap { case (k, v) =>
+          physToLogical.get(k).map(_ -> v) })
+    DeltaSnapshot(rootStr, commits.lastOption.getOrElse(cpVersion),
+      schema, partCols, conf, live.values.map(logicalKeys).toSeq.sortBy(_.path),
+      colMap, cmMode)
+  }
+
+  /** One parsed Delta `metaData` action — schema, mapping, layout,
+    * configuration, with every protocol/consistency refusal the
+    * snapshot path enforces (shared by [[snapshot]] and the window
+    * parser so a tail-consumed metaData change cannot be validated
+    * more weakly than a snapshot-read one). */
+  final case class ParsedMeta(schema: StructType,
+      colMap: Map[String, String], cmMode: String,
+      partitionCols: Seq[String], configuration: Map[String, String])
+
+  private[core] def parseMetaData(md: JsonNode, rootStr: String): ParsedMeta = {
     val conf = Option(md.get("configuration")).map { c =>
       c.fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
@@ -403,26 +441,7 @@ object DeltaLog {
     }
     val partCols = Option(md.get("partitionColumns"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
-    live.keys.foreach { p =>
-      require(!p.startsWith("/") && !p.contains("://"),
-        s"$rootStr: Delta add references EXTERNAL file $p (shallow clone?) " +
-          "— zero-copy convert requires table-rooted files")
-    }
-    // with column mapping, the log keys partition values and stats by
-    // PHYSICAL name (per the protocol) — surface LOGICAL keys
-    val physToLogical = colMap.map(_.swap)
-    def logicalKeys(a: DeltaAdd): DeltaAdd =
-      if (colMap.isEmpty) a
-      else a.copy(
-        partition = a.partition.flatMap { case (k, v) =>
-          physToLogical.get(k).map(_ -> v) },
-        min = a.min.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
-        max = a.max.flatMap { case (k, v) => physToLogical.get(k).map(_ -> v) },
-        nulls = a.nulls.flatMap { case (k, v) =>
-          physToLogical.get(k).map(_ -> v) })
-    DeltaSnapshot(rootStr, commits.lastOption.getOrElse(cpVersion),
-      schema, partCols, conf, live.values.map(logicalKeys).toSeq.sortBy(_.path),
-      colMap, cmMode)
+    ParsedMeta(schema, colMap, cmMode, partCols, conf)
   }
 
   private def parseDv(n: JsonNode, rootStr: String): DeltaDv.Descriptor = {
@@ -667,7 +686,7 @@ object DeltaLog {
     * can tell a drop of a pre-window file from an add-then-remove
     * that nets to nothing). */
   final case class WindowDelta(adds: Seq[DeltaAdd], removedPaths: Seq[String],
-      addedAnywhere: Set[String])
+      addedAnywhere: Set[String], metas: Seq[ParsedMeta] = Nil)
 
   /** The `add` actions of commits (from, to] — the streaming TAIL
     * parser, sound ONLY for append-shaped commits: a `remove` action
@@ -688,17 +707,21 @@ object DeltaLog {
     * applies them as metadata-only manifest drops) and
     * deletion-vector'd adds PARSED instead of refused (a follower
     * translates the DV to its native sidecar — the upstream
-    * merge-on-read DELETE/UPDATE shape). metaData/protocol changes
-    * still refuse: a schema change has meaning no file-set delta can
+    * merge-on-read DELETE/UPDATE shape) and `metaData` actions PARSED
+    * into the result (the consumer decides whether the change is an
+    * adoptable widening — [[TxTable.followDelta]]'s additive-evolution
+    * rule — or a reset). Protocol changes still refuse: a
+    * reader-capability bump has meaning no file-set delta can
     * carry. */
   def actionsInWindow(spark: SparkSession, snap: DeltaSnapshot,
       from: Long, to: Long): WindowDelta =
     parseWindow(spark, snap, from, to, allowRemoves = true,
-      allowDvAdds = true)
+      allowDvAdds = true, allowMetaData = true)
 
   private def parseWindow(spark: SparkSession, snap: DeltaSnapshot,
       from: Long, to: Long, allowRemoves: Boolean,
-      allowDvAdds: Boolean = false): WindowDelta = {
+      allowDvAdds: Boolean = false,
+      allowMetaData: Boolean = false): WindowDelta = {
     require(to > from, s"${snap.root}: empty window ($from, $to]")
     val root = new Path(snap.root)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -709,6 +732,7 @@ object DeltaLog {
     // output layout); None = removed
     val state = scala.collection.mutable.LinkedHashMap[String, Option[DeltaAdd]]()
     val addedAnywhere = Set.newBuilder[String]
+    val metas = scala.collection.mutable.ArrayBuffer[ParsedMeta]()
     def decode(rawPath: String): String =
       try new java.net.URI(rawPath).getPath
       catch { case _: java.net.URISyntaxException => rawPath }
@@ -737,9 +761,12 @@ object DeltaLog {
           // departing file — the whole-file drop supersedes it
           commitRemoves += decode(n.get("remove").get("path").asText())
         }
-        require(!n.has("metaData"),
-          s"${snap.root}: commit $v changes table metadata — restart " +
-            "the stream from a fresh snapshot")
+        if (n.has("metaData")) {
+          require(allowMetaData,
+            s"${snap.root}: commit $v changes table metadata — restart " +
+              "the stream from a fresh snapshot")
+          metas += parseMetaData(n.get("metaData"), snap.root)
+        }
         require(!n.has("protocol"),
           s"${snap.root}: commit $v changes the protocol — restart " +
             "the stream from a fresh snapshot")
@@ -776,6 +803,7 @@ object DeltaLog {
     WindowDelta(
       adds = state.valuesIterator.flatten.toSeq,
       removedPaths = state.collect { case (p, None) => p }.toSeq,
-      addedAnywhere = addedAnywhere.result())
+      addedAnywhere = addedAnywhere.result(),
+      metas = metas.toSeq)
   }
 }

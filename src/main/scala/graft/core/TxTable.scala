@@ -3319,9 +3319,15 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * engine's native DV sidecar ([[withDvSidecar]] — the same
     * machinery the snapshot convert uses), both published as one
     * DELETE/REPLACE-shaped graft commit so downstream change
-    * consumers get the correct non-append signal. Refuse-or-reset
-    * remains for what a file-set delta CANNOT carry: a
-    * metaData/protocol change, or a `remove` of a path this follower
+    * consumers get the correct non-append signal. A metaData change
+    * that is an ADDITIVE WIDENING (every existing field kept with
+    * identical type and physical name; new fields nullable; partition
+    * layout untouched — the foreign ALTER TABLE ADD COLUMN) follows
+    * incrementally too, publishing the window under the widened
+    * schema/colMap. Refuse-or-reset
+    * remains for what a file-set delta CANNOT carry: a non-widening
+    * metaData change (drop, retype, rename, re-partition), a protocol
+    * change, or a `remove` of a path this follower
     * has never seen (encoding drift); `reset = true` re-snapshots the
     * foreign head instead — one zero-copy OVERWRITE (schema/colMap
     * re-adopted, DVs translated to the native sidecar) re-anchored at
@@ -3359,9 +3365,53 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
             m.partitionCols, Map.empty, Nil, m.colMap)
           val w = DeltaLog.actionsInWindow(spark, pin, anchor, head)
+          // ADDITIVE SCHEMA EVOLUTION: each foreign metaData change in
+          // the window must WIDEN the running schema — every existing
+          // logical field kept with an identical type and physical
+          // name, new fields nullable, partition layout untouched —
+          // exactly the widening this engine's own append allows; the
+          // window then publishes under the widened schema (old files
+          // read the new columns as null, the widening semantic).
+          // Anything else (drop, retype, rename, re-partition) refuses
+          // with the reset signal.
+          val (finalSchema, finalColMap) =
+            w.metas.foldLeft((schema, m.colMap)) {
+              case ((ps, pMap), meta) =>
+                require(meta.partitionCols == m.partitionCols,
+                  s"$root: foreign metaData changes partition columns " +
+                    s"(${m.partitionCols.mkString(",")} → " +
+                    s"${meta.partitionCols.mkString(",")}) — a follower " +
+                    "cannot re-layout; followDelta(reset = true)")
+                ps.fields.foreach { f =>
+                  val nf = meta.schema.fields.find(_.name == f.name)
+                    .getOrElse(sys.error(
+                      s"$root: foreign metaData DROPS or RENAMES column " +
+                        s"${f.name} — not an additive widening; " +
+                        "followDelta(reset = true) re-snapshots"))
+                  require(nf.dataType == f.dataType,
+                    s"$root: foreign metaData retypes ${f.name} " +
+                      s"(${f.dataType.simpleString} → " +
+                      s"${nf.dataType.simpleString}) — " +
+                      "followDelta(reset = true) re-snapshots")
+                  require(meta.colMap.getOrElse(f.name, f.name) ==
+                      pMap.getOrElse(f.name, f.name),
+                    s"$root: foreign metaData moves ${f.name}'s physical " +
+                      "column — followDelta(reset = true) re-snapshots")
+                }
+                meta.schema.fields
+                  .filterNot(f => ps.fieldNames.contains(f.name))
+                  .foreach(f => require(f.nullable,
+                    s"$root: foreign metaData adds NON-NULLABLE column " +
+                      s"${f.name} — files written before it cannot " +
+                      "satisfy the constraint; followDelta(reset = true)"))
+                (meta.schema, meta.colMap)
+            }
           // id-mode upstream (stamped at convert): window adds get the
           // same footer verification the snapshot convert ran — a
-          // name-drifted new file would otherwise read as silent nulls
+          // name-drifted new file would otherwise read as silent
+          // nulls. Verified against the ANCHOR schema's names: files
+          // written before an in-window ADD COLUMN legitimately lack
+          // the new column (it reads as null for them).
           if (m.properties.get(TxTable.PropFollowIdMode).contains("true"))
             verifyIdModeFooters(w.adds,
               schema.fields.map(f => m.colMap.getOrElse(f.name, f.name)).toSeq)
@@ -3370,9 +3420,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           // convention is also physical — so the eligibility map keys
           // physical and the mapper is identity (unlike the snapshot
           // path, whose stats arrive logical-keyed)
-          val statOk = schema.fields
+          val statOk = finalSchema.fields
             .filter(f => statsEligible(f.dataType))
-            .map(f => m.colMap.getOrElse(f.name, f.name) -> f.dataType)
+            .map(f => finalColMap.getOrElse(f.name, f.name) -> f.dataType)
             .toMap
           // DV-bearing adds (upstream merge-on-read DELETE/UPDATE:
           // the same path re-added with a deletion vector) translate
@@ -3412,8 +3462,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             Pending(op,
               l.files.filterNot(f =>
                 byPath.contains(f.path) || removed(f.path)) ++ entries,
-              l.schemaDdl, l.partitionCols, l.bucketSpec,
-              Some(TxTable.FollowTxnId -> head))
+              if (w.metas.isEmpty) l.schemaDdl else schemaDdlOf(finalSchema),
+              l.partitionCols, l.bucketSpec,
+              Some(TxTable.FollowTxnId -> head),
+              colMap =
+                if (w.metas.isEmpty || finalColMap.isEmpty) None
+                else Some(finalColMap))
           }
         } else {
           val snap = DeltaLog.snapshot(spark, root.toString)

@@ -805,8 +805,9 @@ class DeltaInteropSpec extends SparkSpec {
 
   test("followDelta: bootstrap converts and anchors; incremental windows " +
       "append exactly-once; restart resumes from the manifest; " +
-      "remove-bearing windows follow as metadata-only drops; " +
-      "unknown-path removes and metaData changes refuse-then-reset; " +
+      "remove-bearing windows follow as metadata-only drops; DV re-adds " +
+      "translate; additive widenings adopt; unknown-path removes and " +
+      "non-widening metaData changes refuse-then-reset; " +
       "non-followers refuse") {
     val dir = scratch("follow")
     val a = DeltaFixture.writeData(spark,
@@ -889,15 +890,26 @@ class DeltaInteropSpec extends SparkSpec {
     assert(drift.getMessage.contains("unknown file"), drift.getMessage)
     assert(t2.followDelta(reset = true) == 6L)
     assert(t2.lastTxn(TxTable.FollowTxnId).contains(8L))
-    // what a file-set delta CANNOT carry still refuses-then-resets:
-    // a metaData-bearing window
-    DeltaFixture.commit(spark, dir, 9,
-      Seq(DeltaFixture.metaDataJson(orders.schema)))
-    val er = intercept[Exception] { t2.followDelta() }
-    assert(er.getMessage.contains("metadata"), er.getMessage)
-    assert(t2.followDelta(reset = true) == 7L)
+    // an ADDITIVE widening metaData (the foreign ALTER TABLE ADD
+    // COLUMN) follows incrementally: the window publishes under the
+    // widened schema; files predating the column read it as null
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val widened = StructType(orders.schema.fields :+
+      StructField("o_note", StringType, nullable = true))
+    val g2 = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 16 === 8)
+        .withColumn("o_note", concat(lit("n"), col("o_orderkey"))),
+      dir, "part-g.parquet")
+    DeltaFixture.commit(spark, dir, 9, Seq(
+      DeltaFixture.metaDataJson(widened), DeltaFixture.addJson(g2)))
+    assert(t2.followDelta() == 7L)
     assert(t2.lastTxn(TxTable.FollowTxnId).contains(9L))
-    // the reset is itself an anchor: further appends follow incrementally
+    assert(t2.read().schema.fieldNames.contains("o_note"))
+    assert(t2.read().where(col("o_note").isNotNull).count() ==
+      orders.where(col("o_orderkey") % 16 === 8).count(),
+      "only the post-widening file carries the new column")
+    // further appends (files WITHOUT the new column) follow under the
+    // widened schema — the column reads null for them
     val e2 = DeltaFixture.writeData(spark,
       orders.where(col("o_orderkey") % 8 === 4), dir, "part-e.parquet")
     DeltaFixture.commit(spark, dir, 10, Seq(DeltaFixture.addJson(e2)))
@@ -918,11 +930,24 @@ class DeltaInteropSpec extends SparkSpec {
       DeltaFixture.addJson(e2, deletionVector = Some(eDv))))
     assert(t2.followDelta() == 9L)
     assert(t2.lastTxn(TxTable.FollowTxnId).contains(11L))
+    val got3 = t2.read()
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
     val wantDv = orders.where(col("o_orderkey") % 4 =!= 0)
+      .unionByName(orders.where(col("o_orderkey") % 16 === 8))
       .unionByName(orders.where(col("o_orderkey") % 8 === 4 &&
         col("o_orderkey") % 16 =!= 4))
-    assert(t2.read().exceptAll(wantDv).isEmpty &&
-      wantDv.exceptAll(t2.read()).isEmpty)
+    assert(got3.exceptAll(wantDv).isEmpty &&
+      wantDv.exceptAll(got3).isEmpty)
+    // a NON-widening metaData change (retype) still refuses with the
+    // reset signal; the reset re-snapshots and re-anchors
+    val retyped = StructType(widened.fields.map(f =>
+      if (f.name == "o_totalprice") f.copy(dataType = StringType) else f))
+    DeltaFixture.commit(spark, dir, 12,
+      Seq(DeltaFixture.metaDataJson(retyped)))
+    val er = intercept[Exception] { t2.followDelta() }
+    assert(er.getMessage.contains("retypes"), er.getMessage)
+    assert(t2.followDelta(reset = true) == 10L)
+    assert(t2.lastTxn(TxTable.FollowTxnId).contains(12L))
 
     // a COLUMN-MAPPED foreign table follows too: physical file
     // columns, logical surface, incremental windows with
