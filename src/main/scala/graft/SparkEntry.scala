@@ -254,12 +254,15 @@ object SparkEntry {
     * part-d — the upstream copy-on-write DELETE/MERGE shape) followed
     * INCREMENTALLY: the remove translates to a metadata-only manifest
     * drop inside one REPLACE-shaped graft commit — no reset, no
-    * re-snapshot, no data copy — then a pure upstream DELETE (v4) and
-    * a re-add of the same rows (v5) follow the same way. Active
-    * foreign state = everything but the removed part-a. */
+    * re-snapshot, no data copy — then a pure upstream DELETE (v4), a
+    * re-add of the same rows (v5), an ADDITIVE widening + new-column
+    * file (v6, foreign ALTER TABLE ADD COLUMN), and a merge-on-read
+    * DV DELETE (v7, DV translated to the native sidecar) all follow
+    * the same way. Active foreign state = (%4 != 0 ∪ %8 == 0) minus
+    * the DV'd %16 == 7 rows. */
   private def deltaFollowAsset(s: SparkSession, d: String): graft.core.TxTable =
     cachedAsset(s, s"delta_follow|$d") {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, concat, lit}
       val dir = graft.streaming.EventsStream.scratchDir("graft_delta_follow") + "/t"
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
@@ -294,6 +297,35 @@ object SparkEntry {
       t.followDelta()
       require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(5L),
         "anchor must ride the incremental delete window")
+      // v6: ADDITIVE widening (foreign ALTER TABLE ADD COLUMN) + a
+      // file carrying the new column — follows incrementally, the
+      // %8==0 slice re-enters with a note column older files read as
+      // null
+      val widened = org.apache.spark.sql.types.StructType(
+        o.schema.fields :+ org.apache.spark.sql.types.StructField(
+          "o_note", org.apache.spark.sql.types.StringType, nullable = true))
+      val ff = fx.writeData(s, o.where(col("o_orderkey") % 8 === 0)
+          .withColumn("o_note",
+            concat(lit("n"), col("o_orderkey"))), dir, "part-f.parquet")
+      fx.commit(s, dir, 6, Seq(fx.metaDataJson(widened), fx.addJson(ff)))
+      t.followDelta()
+      require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(6L) &&
+        t.read().schema.fieldNames.contains("o_note"),
+        "widening window must adopt incrementally")
+      // v7: upstream merge-on-read DELETE — part-d re-added with a
+      // deletion vector killing its %16==7 rows; the window
+      // translates the DV to the native sidecar, no reset
+      val dPos = s.read.parquet(s"$dir/part-d.parquet")
+        .select(col("_metadata.row_index"), col("o_orderkey"))
+        .where(col("o_orderkey") % 16 === 7)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      require(dPos.nonEmpty, "fixture must DV-delete something")
+      val dDv = fx.writeDv(s, dir, dPos)
+      fx.commit(s, dir, 7, Seq(fx.removeJson(dd.relPath),
+        fx.addJson(dd, deletionVector = Some(dDv))))
+      t.followDelta()
+      require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(7L),
+        "DV window must follow incrementally")
       t
     }
 
@@ -3090,13 +3122,16 @@ object SparkEntry {
         |WHERE o_orderkey % 7 != 0
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // x32: the followed graft table reflects the foreign head after
-    // the remove-bearing reset — everything except part-a (key%4==0)
+    // every incremental window shape — the v3 rewrite drops part-a
+    // (key%4==0), the v6 widening re-adds the %8==0 slice, the v7 DV
+    // delete subtracts part-d's %16==7 rows
     "x32_delta_follow" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
         |    AS sum_price
         |FROM orders
-        |WHERE o_orderkey % 4 != 0
+        |WHERE (o_orderkey % 4 != 0 OR o_orderkey % 8 = 0)
+        |  AND o_orderkey % 16 != 7
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "x30_delta_export" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
