@@ -659,6 +659,18 @@ object SparkEntry {
         docs.where(col("doc_id") % 17 =!= 0),
         docs.where(col("doc_id") % 17 === 0))
     }),
+    // c20: the same decontamination through the BLOOM-compressed
+    // benchmark (the too-big-to-broadcast scale path: filter bits
+    // instead of a row-wise shingle broadcast, codegen'd
+    // might_contain corpus pass, exact verify on the candidate set) —
+    // result provably identical to c16, so it shares c16's oracle
+    "c20_bloom_decontaminate" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(s, d)
+      Dedup.contaminatedDocsBloom(
+        docs.where(col("doc_id") % 17 =!= 0),
+        docs.where(col("doc_id") % 17 === 0))
+    }),
     // substring-level exact dedup (Lee et al.): duplicated 20-token
     // spans removed corpus-wide, first occurrence kept. Corpus =
     // documents + PLANTED copies (every 10th doc re-emits 25 of its
@@ -3341,6 +3353,20 @@ object SparkEntry {
         |SELECT doc AS doc_id, min(root) AS cluster_id
         |FROM reach GROUP BY doc ORDER BY 1""".stripMargin,
     "c16_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |         w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+        |         w[i+3] || ' ' || w[i+4] AS s
+        |       FROM t, unnest(range(1, len(w) - 3)) AS u(i)),
+        |b AS (SELECT DISTINCT s FROM sh WHERE doc_id % 17 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM sh JOIN b USING (s)
+        |WHERE doc_id % 17 <> 0
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
+    // c20: Bloom decontamination is EXACT by construction (no false
+    // negatives + exact verify of the candidates) — same oracle as c16
+    "c20_bloom_decontaminate" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
         |sh AS (SELECT DISTINCT doc_id,

@@ -489,6 +489,72 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** C20 — decontamination against a benchmark TOO BIG to broadcast
+    * row-wise: [[contaminatedDocs]] broadcasts the benchmark's
+    * distinct shingle SET, which a composite eval suite (hundreds of
+    * benchmarks × contamination-window n-grams) can push into the
+    * tens of GB. This path compresses the set into a BLOOM FILTER —
+    * ~9.6 bits per shingle at fpp 1 % (Bloom's m = −n·ln p / ln²2),
+    * so 100 M benchmark shingles ride in ~120 MB whatever the row
+    * count — and keeps the single corpus pass:
+    *
+    *   1. the benchmark's distinct shingles aggregate into ONE filter
+    *      (Spark's own `BloomFilterAggregate` — the runtime-join-
+    *      filter kernel, partial-merged like any agg);
+    *   2. the filter lands on the driver (filter-sized, the t17
+    *      broadcast-weights discipline) and probes the corpus as a
+    *      codegen'd `BloomFilterMightContain` literal — one map-side
+    *      pass, no shuffle, no row-wise broadcast;
+    *   3. surviving candidates (true hits + fpp × corpus shingles)
+    *      verify EXACTLY against the benchmark shingles with the
+    *      plain join — now candidate-bounded, so AQE picks its
+    *      strategy from the post-filter size.
+    *
+    * Bloom filters have NO false negatives and step 3 removes the
+    * false positives, so the result is IDENTICAL to
+    * [[contaminatedDocs]] — the gate shares its oracle. Filters past
+    * `maxFilterBytes` (default 256 MB) refuse by name: past that,
+    * shard the benchmark or revisit fpp — a silent multi-GB literal
+    * would stress the driver exactly like the row-wise broadcast this
+    * operator exists to avoid. */
+  def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
+      n: Int = 5, minShared: Int = 3, fpp: Double = 0.01,
+      maxFilterBytes: Long = 256L * 1024 * 1024): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    val bShingles = benchmark
+      .where(size(split(col("text"), " ")) >= n)
+      .select(explode(hashedShingles(col("text"), n)).as("sh"))
+      .distinct()
+    // one benchmark-sized count sizes the filter; m = −n ln p / ln²2
+    val nB = math.max(1L, bShingles.count())
+    val numBits = math.max(64L, math.ceil(
+      -nB * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    require(numBits / 8 <= maxFilterBytes,
+      s"decontamination Bloom filter would need ${numBits / 8 / (1 << 20)}" +
+        s" MiB for $nB benchmark shingles at fpp=$fpp — past " +
+        s"maxFilterBytes; shard the benchmark, raise fpp, or use " +
+        "contaminatedDocs (row-wise broadcast)")
+    val bfCol = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(col("sh")), Literal(nB), Literal(numBits))
+      .toAggregateExpression()).as("bf")
+    val bf = bShingles.agg(bfCol).head.getAs[Array[Byte]]("bf")
+    val mightContain = Bridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("sh"))))
+    docs
+      .where(size(split(col("text"), " ")) >= n)
+      .select(col("doc_id"), explode(hashedShingles(col("text"), n)).as("sh"))
+      .where(mightContain)
+      .join(bShingles, "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+      .orderBy("doc_id")
+  }
+
   /** C17 — substring-level exact dedup (the Lee-et-al "Deduplicating
     * Training Data" span dedup, shingle-cover form): remove every
     * duplicated run of `k` consecutive tokens that also appears

@@ -338,6 +338,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(graft.ops.Dedup.contaminatedDocs(docs, bench, minShared = 50).isEmpty)
   }
 
+  test("contaminatedDocsBloom: identical to the exact path (no false " +
+      "negatives, candidates verified), codegen'd might_contain probe, " +
+      "oversized filters refuse by name") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val corpus = docs.where(col("doc_id") % 17 =!= 0)
+    val bench = docs.where(col("doc_id") % 17 === 0)
+    val exact = graft.ops.Dedup.contaminatedDocs(corpus, bench)
+    val bloom = graft.ops.Dedup.contaminatedDocsBloom(corpus, bench)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    assert(exact.count() > 0, "fixture must flag something")
+    // even at an absurd fpp the verify join keeps the result exact —
+    // fpp only moves candidate COST, never correctness
+    val sloppy = graft.ops.Dedup.contaminatedDocsBloom(
+      corpus, bench, fpp = 0.5)
+    assert(sloppy.exceptAll(exact).isEmpty && exact.exceptAll(sloppy).isEmpty)
+    // the probe is the codegen'd Bloom kernel, not a row-wise
+    // benchmark broadcast: the plan carries might_contain
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+    // a filter that cannot fit the budget refuses toward the
+    // alternatives instead of shipping a multi-GB literal
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Dedup.contaminatedDocsBloom(corpus, bench,
+        maxFilterBytes = 8L)
+    }
+    assert(e.getMessage.contains("maxFilterBytes"), e.getMessage)
+  }
+
   test("semDedup: twins collapse within clusters, min-id kept, cluster-bounded") {
     import spark.implicits._
     val dim = 8
