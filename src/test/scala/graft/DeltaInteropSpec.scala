@@ -1083,6 +1083,59 @@ class DeltaInteropSpec extends SparkSpec {
       .forall(!_.getPath.getName.startsWith(".tmp-mirror-")))
   }
 
+  test("followDelta: ONE window mixing append, delete, widening and a " +
+      "DV re-add composes to the net head state in a single commit") {
+    import org.apache.spark.sql.types.{StringType, StructField, StructType}
+    val dir = scratch("follow_mixed")
+    val a = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 0), dir, "part-a.parquet")
+    val b = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 1), dir, "part-b.parquet")
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(), DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(a), DeltaFixture.addJson(b)))
+    val t = TxTable(spark, dir)
+    assert(t.followDelta() == 0L)
+    // the backlog: four commits of four different shapes, followed in
+    // ONE call — the net-state fold must compose them
+    val c = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 3 === 2), dir, "part-c.parquet")
+    DeltaFixture.commit(spark, dir, 1, Seq(DeltaFixture.addJson(c)))
+    DeltaFixture.commit(spark, dir, 2, Seq(DeltaFixture.removeJson(a.relPath)))
+    val widened = StructType(orders.schema.fields :+
+      StructField("o_note", StringType, nullable = true))
+    val dd = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 6 === 0)
+        .withColumn("o_note", concat(lit("n"), col("o_orderkey"))),
+      dir, "part-d.parquet")
+    DeltaFixture.commit(spark, dir, 3, Seq(
+      DeltaFixture.metaDataJson(widened), DeltaFixture.addJson(dd)))
+    val cPos = spark.read.parquet(s"$dir/part-c.parquet")
+      .select(col("_metadata.row_index"), col("o_orderkey"))
+      .where(col("o_orderkey") % 9 === 2)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(cPos.nonEmpty)
+    DeltaFixture.commit(spark, dir, 4, Seq(
+      DeltaFixture.removeJson(c.relPath),
+      DeltaFixture.addJson(c, deletionVector =
+        Some(DeltaFixture.writeDv(spark, dir, cPos)))))
+    val vBefore = t.versions.size
+    assert(t.followDelta() == 1L)
+    assert(t.versions.size == vBefore + 1, "one window = one commit")
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(4L))
+    val got = t.read()
+    assert(got.schema.fieldNames.contains("o_note"))
+    val want = orders.where(col("o_orderkey") % 3 === 1)
+      .unionByName(orders.where(col("o_orderkey") % 6 === 0))
+      .unionByName(orders.where(col("o_orderkey") % 3 === 2 &&
+        col("o_orderkey") % 9 =!= 2))
+    val got3 = got.select("o_orderkey", "o_totalprice", "o_orderpriority")
+    assert(got3.exceptAll(want).isEmpty && want.exceptAll(got3).isEmpty)
+    // the note column exists exactly on the post-widening file's rows
+    assert(got.where(col("o_note").isNotNull).count() ==
+      orders.where(col("o_orderkey") % 6 === 0).count())
+  }
+
   test("mirror v2 checkpoints (opt-in property): UUID manifest + " +
       "_sidecars file, no classic checkpoint; the engine's own v2 " +
       "reader consumes its own mirror; tombstones carried; retention " +
