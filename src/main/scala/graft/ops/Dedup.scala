@@ -499,8 +499,8 @@ object Dedup {
     * count — and keeps the single corpus pass:
     *
     *   1. the benchmark's distinct shingles aggregate into ONE filter
-    *      (Spark's own `BloomFilterAggregate` — the runtime-join-
-    *      filter kernel, partial-merged like any agg);
+    *      ([[buildShingleBloom]] — per-partition sketch filters
+    *      OR-merged like any partial agg);
     *   2. the filter lands on the driver (filter-sized, the t17
     *      broadcast-weights discipline) and probes the corpus as a
     *      codegen'd `BloomFilterMightContain` literal — one map-side
@@ -516,18 +516,29 @@ object Dedup {
     * `maxFilterBytes` (default 256 MB) refuse by name: past that,
     * shard the benchmark or revisit fpp — a silent multi-GB literal
     * would stress the driver exactly like the row-wise broadcast this
-    * operator exists to avoid. */
+    * operator exists to avoid (driver heap is the cap that actually
+    * binds: the sketch build below has no analysis-time item limit,
+    * unlike `BloomFilterAggregate`, whose
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumItems` default of
+    * 4 M shingles would refuse exactly the scale regime this operator
+    * exists for).
+    *
+    * The benchmark shingle set is CACHED across the build and the
+    * verify join (benchmark-sized by contract — the same budget the
+    * filter itself rides): count, filter aggregation, and step 3 all
+    * read the one materialization instead of re-shingling the
+    * benchmark three times. */
   def contaminatedDocsBloom(docs: DataFrame, benchmark: DataFrame,
       n: Int = 5, minShared: Int = 3, fpp: Double = 0.01,
       maxFilterBytes: Long = 256L * 1024 * 1024): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.Bridge
     val bShingles = benchmark
       .where(size(split(col("text"), " ")) >= n)
       .select(explode(hashedShingles(col("text"), n)).as("sh"))
       .distinct()
+      .persist()
     // one benchmark-sized count sizes the filter; m = −n ln p / ln²2
     val nB = math.max(1L, bShingles.count())
     val numBits = math.max(64L, math.ceil(
@@ -537,10 +548,7 @@ object Dedup {
         s" MiB for $nB benchmark shingles at fpp=$fpp — past " +
         s"maxFilterBytes; shard the benchmark, raise fpp, or use " +
         "contaminatedDocs (row-wise broadcast)")
-    val bfCol = Bridge.column(new BloomFilterAggregate(
-      Bridge.expression(col("sh")), Literal(nB), Literal(numBits))
-      .toAggregateExpression()).as("bf")
-    val bf = bShingles.agg(bfCol).head.getAs[Array[Byte]]("bf")
+    val bf = buildShingleBloom(bShingles, nB, numBits)
     val mightContain = Bridge.column(BloomFilterMightContain(
       Literal(bf, org.apache.spark.sql.types.BinaryType),
       Bridge.expression(col("sh"))))
@@ -553,6 +561,41 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
       .orderBy("doc_id")
+  }
+
+  /** Distributed Bloom build over a single long `sh` column via the
+    * sketch kernel (`org.apache.spark.util.sketch.BloomFilter` —
+    * per-partition filters OR-merged up a tree), serialized to the
+    * exact byte layout `BloomFilterMightContain` deserializes
+    * (`BloomFilter.readFrom` — the same `BloomFilterImpl`
+    * `putLong`/`mightContainLong` hashing on both sides, so build and
+    * probe agree bit-for-bit). Unlike `BloomFilterAggregate`, this
+    * path has NO `runtime.bloomFilter.maxNumItems`/`maxNumBits`
+    * analysis cap — a 100 M-shingle benchmark builds its ~120 MB
+    * filter without touching session confs; [[contaminatedDocsBloom]]'s
+    * own `maxFilterBytes` guard is the only (driver-heap) limit.
+    * (`df.stat.bloomFilter` is NOT usable here: Spark 4 routes it
+    * through the same `BloomFilterAggregate`, which silently CLAMPS
+    * to `maxNumBits` — measured: a 76.7 Mbit request came back
+    * 67.1 Mbit — so past ~7 M shingles the fpp quietly degrades and
+    * the candidate verify join blows up instead.) */
+  private[graft] def buildShingleBloom(bShingles: DataFrame, nB: Long,
+      numBits: Long): Array[Byte] = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val seqOp = (f: BloomFilter, v: Long) => {
+      val g = if (f == null) BloomFilter.create(nB, numBits) else f
+      g.putLong(v); g
+    }
+    val combOp = (a: BloomFilter, b: BloomFilter) =>
+      if (a == null) b else if (b == null) a
+      else { a.mergeInPlace(b); a }
+    val bf = Option(bShingles.select(col("sh"))
+        .as[Long](org.apache.spark.sql.Encoders.scalaLong).rdd
+        .treeAggregate(null: BloomFilter)(seqOp, combOp, depth = 2))
+      .getOrElse(BloomFilter.create(nB, numBits)) // empty benchmark
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
   }
 
   /** C17 — substring-level exact dedup (the Lee-et-al "Deduplicating

@@ -364,6 +364,40 @@ class DedupSimilaritySpec extends SparkSpec {
         maxFilterBytes = 8L)
     }
     assert(e.getMessage.contains("maxFilterBytes"), e.getMessage)
+    // the benchmark shingle set is cached: the verify join reads the
+    // one materialization (an in-memory relation in the plan), not a
+    // third re-shingling of the benchmark
+    assert(bloom.queryExecution.executedPlan.toString
+      .contains("InMemoryTableScan"),
+      "verify join must reuse the cached benchmark shingles")
+  }
+
+  test("contaminatedDocsBloom: the sketch build has no 4M-item analysis " +
+      "cap — a filter sized for 8M shingles builds and probes with zero " +
+      "false negatives") {
+    import spark.implicits._
+    // BloomFilterAggregate would refuse estimatedNumItems=8e6 >
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumItems (4e6 default)
+    // at ANALYSIS — the exact regime the compressed path exists for.
+    // The sketch build takes it without touching session confs.
+    val nB = 8L * 1000 * 1000
+    val numBits = math.ceil(
+      -nB * math.log(0.01) / (math.log(2) * math.log(2))).toLong
+    assert(numBits > 64L * 1024 * 1024, // past maxNumBits' 8 MiB too
+      s"fixture must exceed the aggregate kernel's bit cap, got $numBits")
+    val members = (0L until 4096L).map(_ * 7919L)
+    val bf = graft.ops.Dedup.buildShingleBloom(
+      members.toDF("sh"), nB, numBits)
+    assert(bf.length.toLong >= numBits / 8, s"filter is ${bf.length} B")
+    // probe through the same codegen'd kernel the operator uses
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.Bridge
+    val probe = Bridge.column(BloomFilterMightContain(
+      Literal(bf, org.apache.spark.sql.types.BinaryType),
+      Bridge.expression(col("sh"))))
+    val hits = members.toDF("sh").where(probe).count()
+    assert(hits == members.length.toLong,
+      s"Bloom filters have no false negatives: $hits/${members.length}")
   }
 
   test("semDedup: twins collapse within clusters, min-id kept, cluster-bounded") {
