@@ -1023,21 +1023,58 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       physNameOf = physNameOf(m, _))
   }
 
+  /** Deletion-vector pairs `(DvPathCol, DvPosCol)` for `entries`,
+    * SCOPED to each entry's OWN sidecar — None when no entry carries
+    * a DV. Scoping is what makes restores sound: sidecars are shared
+    * across files (one per DELETE/follow window), so when file A is
+    * later re-pinned to a SMALLER replacement vector (an upstream
+    * RESTORE through followDelta) while file B still pins the older
+    * sidecar that also holds A's old positions, a naive union of all
+    * distinct sidecars keyed by (path, position) would keep hiding
+    * A's restored rows. Here a sidecar row only counts for data file
+    * F if it lives in THE sidecar F's entry pins — the semi-join
+    * below on (sidecar file name, data path); sidecar names are
+    * engine-written `part-*-<uuid>.parquet`, unique and
+    * encoding-stable, so the name IS the identity whatever root
+    * spelling `_metadata.file_path` surfaces. Pin pairs are
+    * manifest-entry-sized and broadcast. */
+  private def dvPairs(entries: Seq[FileEntry]): Option[DataFrame] = {
+    val dved = entries.filter(_.dvPath.isDefined)
+    if (dved.isEmpty) return None
+    import org.apache.spark.sql.functions.{broadcast, element_at, split => fsplit}
+    val pins = dved.map(f => org.apache.spark.sql.Row(
+      new Path(f.dvPath.get).getName, encodedRelPath(f.path)))
+    val pinSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(DvSrcCol, StringType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField(DvPathCol, StringType,
+        nullable = false)))
+    val pinDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(pins, 1), pinSchema)
+    val raw = spark.read
+      .parquet(dved.flatMap(_.dvPath).distinct
+        .map(p => new Path(root, p).toString): _*)
+      .select(
+        element_at(fsplit(col("_metadata.file_path"), "/"), -1).as(DvSrcCol),
+        col(DvPathCol), col(DvPosCol))
+    Some(raw.join(broadcast(pinDf), Seq(DvSrcCol, DvPathCol), "left_semi")
+      .select(col(DvPathCol), col(DvPosCol)))
+  }
+
   /** Per-data-file DELETED row positions of snapshot `v`, collected
     * driver-side — DV cardinality is the number of deleted rows,
     * model-sized next to the data (the same broadcast-scale
     * assumption the V1 anti-join path makes). Keys are root-relative
-    * data paths; values sorted parquet row indexes. */
-  private[graft] def dvPositions(v: Long): Map[String, Array[Long]] = {
-    val paths = manifest(v).files.flatMap(_.dvPath).distinct
-    if (paths.isEmpty) Map.empty
-    else spark.read
-      .parquet(paths.map(p => new Path(root, p).toString): _*)
-      .select(col(DvPathCol), col(DvPosCol))
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
-  }
+    * data paths; values sorted parquet row indexes. Scoped per entry
+    * ([[dvPairs]]) so a restored file's stale positions in an older
+    * shared sidecar stay dead. */
+  private[graft] def dvPositions(v: Long): Map[String, Array[Long]] =
+    dvPairs(manifest(v).files) match {
+      case None => Map.empty
+      case Some(dv) => dv.collect()
+        .groupBy(_.getString(0))
+        .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+    }
 
   /** Exact LIVE row count of snapshot `v` from the manifest alone
     * (per-entry counts minus deletion-vector rows) — what feeds the
@@ -1255,11 +1292,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         // are excluded by a broadcast anti-join on (file, position) —
         // DV cardinality is the number of DELETED rows, model-sized
         // next to the data. Files without a DV take the plain path
-        // (zero overhead); stale DV rows for files no longer in this
-        // snapshot cannot match anything.
-        val dv = spark.read.parquet(dved.flatMap(_.dvPath).distinct
-            .map(p => new Path(root, p).toString): _*)
-          .select(col(DvPathCol), col(DvPosCol))
+        // (zero overhead); [[dvPairs]] scopes each file to ITS OWN
+        // sidecar, so stale positions in an older shared sidecar (a
+        // restore re-pinned the file to a smaller vector) cannot
+        // re-hide restored rows.
+        val dv = dvPairs(dved).get
         val kept = scan(dved)
           .withColumn(DvPathCol, relDataPath)
           .withColumn(DvPosCol, col("_metadata.row_index"))
@@ -2269,14 +2306,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       .withColumn(fullCol, col("_metadata.file_path"))
       .withColumn(DvPathCol, relDataPath)
       .withColumn(DvPosCol, col("_metadata.row_index"))
-    val priorDvPaths = candidates.flatMap(_.dvPath).distinct
-    val taggedPhys =
-      if (priorDvPaths.isEmpty) tagged0
-      else tagged0.join(broadcast(
-          spark.read.parquet(priorDvPaths.map(p =>
-            new Path(root, p).toString): _*)
-            .select(col(DvPathCol), col(DvPosCol))),
+    val taggedPhys = dvPairs(candidates) match {
+      case None     => tagged0
+      case Some(dv) => tagged0.join(broadcast(dv),
         Seq(DvPathCol, DvPosCol), "left_anti")
+    }
     val tagged = toLogicalDf(taggedPhys, m)
     val matching = tagged.where(hit)
     // per-file deleted-row counts drive the affected set, the entries'
@@ -2295,17 +2329,14 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     val (affected, untouched) = m.files.partition(f => affectedPaths(f.path))
     val fresh = matching.select(col(DvPathCol), col(DvPosCol))
     // the new vector: fresh deletions ∪ the affected files' PRIOR
-    // vectors (one DV per entry — later deletes replace, never chain);
+    // vectors (one DV per entry — later deletes replace, never chain;
+    // [[dvPairs]] scopes each affected file to the sidecar it pins);
     // prior rows of UNaffected files stay served by their old DV file,
     // which remains live while any entry references it
-    val priorOfAffected = affected.flatMap(_.dvPath).distinct
-    val dvContent =
-      if (priorOfAffected.isEmpty) fresh
-      else fresh.unionByName(
-        spark.read.parquet(priorOfAffected.map(p =>
-          new Path(root, p).toString): _*)
-          .select(col(DvPathCol), col(DvPosCol))
-          .where(col(DvPathCol).isin(affectedRaw.toSeq: _*)))
+    val dvContent = dvPairs(affected) match {
+      case None        => fresh
+      case Some(prior) => fresh.unionByName(prior)
+    }
     // one file: a vector is deleted-row-sized metadata, not data
     val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
       withStats = false, enforce = false)
@@ -2434,14 +2465,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             .withColumn(fullCol, col("_metadata.file_path"))
             .withColumn(DvPathCol, relDataPath)
             .withColumn(DvPosCol, col("_metadata.row_index"))
-          val priorDvPaths = affected0.flatMap(_.dvPath).distinct
-          val taggedPhys =
-            if (priorDvPaths.isEmpty) tagged0
-            else tagged0.join(broadcast(
-                spark.read.parquet(priorDvPaths.map(p =>
-                  new Path(root, p).toString): _*)
-                  .select(col(DvPathCol), col(DvPosCol))),
+          val taggedPhys = dvPairs(affected0) match {
+            case None     => tagged0
+            case Some(dv) => tagged0.join(broadcast(dv),
               Seq(DvPathCol, DvPosCol), "left_anti")
+          }
           val matching = toLogicalDf(taggedPhys, m).join(srcKeys, keys,
             "left_semi").localCheckpoint(true) // matched-rows-sized
           (matching.groupBy(col(DvPathCol))
@@ -2459,14 +2487,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           val paths = rawToRel.values.toSet
           val affected = m.files.filter(f => paths(f.path))
           val fresh = matching.select(col(DvPathCol), col(DvPosCol))
-          val priorOfAffected = affected.flatMap(_.dvPath).distinct
-          val dvContent =
-            if (priorOfAffected.isEmpty) fresh
-            else fresh.unionByName(
-              spark.read.parquet(priorOfAffected.map(p =>
-                new Path(root, p).toString): _*)
-                .select(col(DvPathCol), col(DvPosCol))
-                .where(col(DvPathCol).isin(affectedRaw.toSeq: _*)))
+          val dvContent = dvPairs(affected) match {
+            case None        => fresh
+            case Some(prior) => fresh.unionByName(prior)
+          }
           val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
             withStats = false, enforce = false)
           val dvFile = dvEntries match {
@@ -4670,14 +4694,10 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         freshCounts.keys.foreach(p => require(byPath.contains(p),
           s"$root: native $op references unknown data file $p"))
         val affected = m.files.filter(f => freshCounts.contains(f.path))
-        val priorOfAffected = affected.flatMap(_.dvPath).distinct
-        val dvContent =
-          if (priorOfAffected.isEmpty) fresh
-          else fresh.unionByName(
-            spark.read.parquet(priorOfAffected.map(p =>
-              new Path(root, p).toString): _*)
-              .select(col(DvPathCol), col(DvPosCol))
-              .where(col(DvPathCol).isin(freshCounts.keys.toSeq: _*)))
+        val dvContent = dvPairs(affected) match {
+          case None        => fresh
+          case Some(prior) => fresh.unionByName(prior)
+        }
         val (dvEntries, _) = writeDataFiles(dvContent.coalesce(1), Nil,
           withStats = false, enforce = false)
         val dvFile = dvEntries match {
@@ -5502,6 +5522,7 @@ object TxTable {
     * and the row's position within that file (parquet row index). */
   private[core] val DvPathCol = "__dv_path"
   private[core] val DvPosCol = "__dv_pos"
+  private[core] val DvSrcCol = "__dv_src"
 
   /** Clause-merge source namespace: inside [[TxTable.mergeClauses]]
     * the source's columns are renamed under this prefix before the

@@ -988,6 +988,70 @@ class DeltaInteropSpec extends SparkSpec {
     assert(ep.getMessage.contains(TxTable.FollowTxnId), ep.getMessage)
   }
 
+  test("followDelta: a SHRINKING DV re-add (upstream RESTORE) resurfaces " +
+      "the restored rows — sidecar scoping is per entry, so another " +
+      "file's pin on the older shared sidecar cannot re-hide them") {
+    val dir = scratch("follow_restore")
+    val a = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 2 === 0), dir, "part-ra.parquet")
+    val b = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 2 === 1), dir, "part-rb.parquet")
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 3, minWriter = 7,
+        readerFeatures = Seq("deletionVectors"),
+        writerFeatures = Seq("deletionVectors")),
+      DeltaFixture.metaDataJson(orders.schema),
+      DeltaFixture.addJson(a), DeltaFixture.addJson(b)))
+    val t = TxTable(spark, dir)
+    assert(t.followDelta() == 0L)
+    val total = t.read().count()
+    def positions(file: String, pred: org.apache.spark.sql.Column): Seq[Long] =
+      spark.read.parquet(s"$dir/$file")
+        .select(col("_metadata.row_index")).where(pred)
+        .collect().map(_.getLong(0)).toSeq.sorted
+    // window 1: ONE commit DV-deletes rows in BOTH files → the window
+    // translates both vectors into ONE shared native sidecar
+    val aPos1 = positions("part-ra.parquet", col("o_orderkey") % 4 === 0)
+    val bPos1 = positions("part-rb.parquet", col("o_orderkey") % 4 === 1)
+    assert(aPos1.size >= 2 && bPos1.nonEmpty, "fixture needs DV'd rows")
+    DeltaFixture.commit(spark, dir, 1, Seq(
+      DeltaFixture.removeJson(a.relPath),
+      DeltaFixture.addJson(a,
+        deletionVector = Some(DeltaFixture.writeDv(spark, dir, aPos1))),
+      DeltaFixture.removeJson(b.relPath),
+      DeltaFixture.addJson(b,
+        deletionVector = Some(DeltaFixture.writeDv(spark, dir, bPos1)))))
+    assert(t.followDelta() == 1L)
+    assert(t.read().count() == total - aPos1.size - bPos1.size)
+    // window 2: upstream RESTORE re-adds A with a SMALLER vector (a
+    // strict subset of window 1's positions); B keeps pinning the
+    // window-1 sidecar, which still holds A's OLD positions
+    val aPos2 = aPos1.take(aPos1.size / 2)
+    DeltaFixture.commit(spark, dir, 2, Seq(
+      DeltaFixture.removeJson(a.relPath),
+      DeltaFixture.addJson(a,
+        deletionVector = Some(DeltaFixture.writeDv(spark, dir, aPos2)))))
+    assert(t.followDelta() == 2L)
+    val got = t.read()
+    assert(got.count() == total - aPos2.size - bPos1.size,
+      "restored rows must resurface; B's deletions must persist")
+    // the exact restored keys are visible again
+    val restored = spark.read.parquet(s"$dir/part-ra.parquet")
+      .withColumn("__ri", col("_metadata.row_index"))
+      .where(col("__ri").isin(aPos1.drop(aPos1.size / 2): _*))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    assert(restored.nonEmpty)
+    val visible = got.where(col("o_orderkey")
+      .isin(restored.toSeq: _*)).count()
+    assert(visible == restored.size.toLong,
+      s"all ${restored.size} restored rows visible, got $visible")
+    // and the driver-side DV surface agrees (the V2 scan path)
+    val dvMap = t.dvPositions(t.versions.max)
+    val aKey = dvMap.keys.find(_.endsWith("part-ra.parquet"))
+    assert(aKey.isDefined && dvMap(aKey.get).toSeq == aPos2,
+      s"A must carry ONLY the replacement vector, got ${dvMap.toSeq}")
+  }
+
   test("racing mirrors: concurrent mirrorToDelta calls resolve to one " +
       "winner per Delta version through the LogStore claim; a loser " +
       "raises the named race error; the log stays contiguous and " +
