@@ -684,9 +684,15 @@ object DeltaLog {
     * path), the paths whose FINAL action is `remove`, and every path
     * that appeared as an add anywhere in the window (so a consumer
     * can tell a drop of a pre-window file from an add-then-remove
-    * that nets to nothing). */
+    * that nets to nothing). `metaIdxByPath` records, per surviving
+    * add, how many of `metas` had been seen by its commit (same-commit
+    * metaData counts — Delta's ADD COLUMN ships the widened metaData
+    * and the first widened file together): the consumer can verify
+    * each add against the schema that actually GOVERNED it instead of
+    * the anchor's. */
   final case class WindowDelta(adds: Seq[DeltaAdd], removedPaths: Seq[String],
-      addedAnywhere: Set[String], metas: Seq[ParsedMeta] = Nil)
+      addedAnywhere: Set[String], metas: Seq[ParsedMeta] = Nil,
+      metaIdxByPath: Map[String, Int] = Map.empty)
 
   /** The `add` actions of commits (from, to] — the streaming TAIL
     * parser, sound ONLY for append-shaped commits: a `remove` action
@@ -733,6 +739,7 @@ object DeltaLog {
     val state = scala.collection.mutable.LinkedHashMap[String, Option[DeltaAdd]]()
     val addedAnywhere = Set.newBuilder[String]
     val metas = scala.collection.mutable.ArrayBuffer[ParsedMeta]()
+    val metaIdx = scala.collection.mutable.HashMap[String, Int]()
     def decode(rawPath: String): String =
       try new java.net.URI(rawPath).getPath
       catch { case _: java.net.URISyntaxException => rawPath }
@@ -798,12 +805,14 @@ object DeltaLog {
       commitAdds.foreach { a =>
         state(a.path) = Some(a)
         addedAnywhere += a.path
+        metaIdx(a.path) = metas.length
       }
     }
     WindowDelta(
       adds = state.valuesIterator.flatten.toSeq,
       removedPaths = state.collect { case (p, None) => p }.toSeq,
       addedAnywhere = addedAnywhere.result(),
-      metas = metas.toSeq)
+      metas = metas.toSeq,
+      metaIdxByPath = metaIdx.toMap)
   }
 }

@@ -3398,8 +3398,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           // read the new columns as null, the widening semantic).
           // Anything else (drop, retype, rename, re-partition) refuses
           // with the reset signal.
-          val (finalSchema, finalColMap) =
-            w.metas.foldLeft((schema, m.colMap)) {
+          val metaStates =
+            w.metas.scanLeft((schema, m.colMap)) {
               case ((ps, pMap), meta) =>
                 require(meta.partitionCols == m.partitionCols,
                   s"$root: foreign metaData changes partition columns " +
@@ -3430,15 +3430,25 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
                       "satisfy the constraint; followDelta(reset = true)"))
                 (meta.schema, meta.colMap)
             }
+          val (finalSchema, finalColMap) = metaStates.last
           // id-mode upstream (stamped at convert): window adds get the
           // same footer verification the snapshot convert ran — a
           // name-drifted new file would otherwise read as silent
-          // nulls. Verified against the ANCHOR schema's names: files
-          // written before an in-window ADD COLUMN legitimately lack
-          // the new column (it reads as null for them).
+          // nulls. Each add is verified against the schema IN FORCE
+          // at its commit (metaIdxByPath): files written before an
+          // in-window ADD COLUMN legitimately lack the new column (it
+          // reads as null for them), while files added AFTER the
+          // widening — including one shipped in the widening commit
+          // itself — must carry the new column's physical name too,
+          // or they'd read it as silent nulls, the exact drift this
+          // check exists to refuse.
           if (m.properties.get(TxTable.PropFollowIdMode).contains("true"))
-            verifyIdModeFooters(w.adds,
-              schema.fields.map(f => m.colMap.getOrElse(f.name, f.name)).toSeq)
+            w.adds.groupBy(a => w.metaIdxByPath.getOrElse(a.path, 0))
+              .foreach { case (k, adds) =>
+                val (sch, cm) = metaStates(k)
+                verifyIdModeFooters(adds,
+                  sch.fields.map(f => cm.getOrElse(f.name, f.name)).toSeq)
+              }
           // actionsInWindow hands back PHYSICAL-keyed stats (it
           // translates only partition keys), and the manifest
           // convention is also physical — so the eligibility map keys

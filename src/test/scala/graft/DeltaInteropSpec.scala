@@ -745,6 +745,89 @@ class DeltaInteropSpec extends SparkSpec {
     assert(t.read().count() == want2.count())
   }
 
+  test("id-mode follow across an in-window widening: post-widening adds " +
+      "are verified against the WIDENED physical names (a new-column " +
+      "name drift refuses by path); pre-widening adds stay exempt") {
+    import org.apache.spark.sql.types.{DoubleType, LongType, StringType}
+    val dir = scratch("cmid_widen")
+    val ids = Seq(11L, 12L, 13L)
+    val names = Seq("col-aaaa", "col-bbbb", "col-cccc")
+    val f = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 0), dir, "w0.parquet",
+      names, ids)
+    val logical = DeltaFixture.idMappedSchema(Seq(
+      ("okey", LongType, "col-aaaa", 11L),
+      ("price", DoubleType, "col-bbbb", 12L),
+      ("priority", StringType, "col-cccc", 13L)))
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(logical,
+        config = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "13")),
+      DeltaFixture.addJson(f)))
+    val t = TxTable.convertFromDelta(spark, dir)
+    // ONE window holding a pre-widening add (3 columns — legitimately
+    // lacks the new one) AND the widening commit shipping a 4-column
+    // file: both verify, each against the schema in force at its own
+    // commit
+    val pre = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 1), dir, "w1.parquet",
+      names, ids)
+    DeltaFixture.commit(spark, dir, 1, Seq(DeltaFixture.addJson(pre)))
+    val widened = DeltaFixture.idMappedSchema(Seq(
+      ("okey", LongType, "col-aaaa", 11L),
+      ("price", DoubleType, "col-bbbb", 12L),
+      ("priority", StringType, "col-cccc", 13L),
+      ("note", StringType, "col-dddd", 14L)))
+    val post = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 2)
+        .withColumn("o_note", concat(lit("n"), col("o_orderkey"))),
+      dir, "w2.parquet", names :+ "col-dddd", ids :+ 14L)
+    DeltaFixture.commit(spark, dir, 2, Seq(
+      DeltaFixture.metaDataJson(widened,
+        config = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "14")),
+      DeltaFixture.addJson(post)))
+    t.followDelta()
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(2L))
+    assert(t.read().schema.fieldNames.contains("note"))
+    assert(t.read().where(col("note").isNotNull).count() ==
+      orders.where(col("o_orderkey") % 5 === 2).count(),
+      "only the post-widening file carries the new column")
+    // a post-widening file that names the new column wrong (ids
+    // right, name drifted — the Iceberg pre-rename shape on the NEW
+    // column only) arriving in the SAME window as its widening must
+    // refuse by path: verifying against the ANCHOR schema (which
+    // predates this widening) would let it through as silent nulls
+    val widened2 = DeltaFixture.idMappedSchema(Seq(
+      ("okey", LongType, "col-aaaa", 11L),
+      ("price", DoubleType, "col-bbbb", 12L),
+      ("priority", StringType, "col-cccc", 13L),
+      ("note", StringType, "col-dddd", 14L),
+      ("note2", StringType, "col-eeee", 15L)))
+    val ok2 = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 3)
+        .withColumn("o_note", lit("a")).withColumn("o_note2", lit("b")),
+      dir, "w3.parquet", names ++ Seq("col-dddd", "col-eeee"),
+      ids ++ Seq(14L, 15L))
+    DeltaFixture.commit(spark, dir, 3, Seq(
+      DeltaFixture.metaDataJson(widened2,
+        config = Map("delta.columnMapping.mode" -> "id",
+          "delta.columnMapping.maxColumnId" -> "15")),
+      DeltaFixture.addJson(ok2)))
+    val drifted = DeltaFixture.writeDataWithFieldIds(spark,
+      orders.where(col("o_orderkey") % 5 === 4)
+        .withColumn("o_note", lit("x")).withColumn("o_note2", lit("y")),
+      dir, "w4.parquet", names ++ Seq("col-dddd", "col-XXXX"),
+      ids ++ Seq(14L, 15L))
+    DeltaFixture.commit(spark, dir, 4, Seq(DeltaFixture.addJson(drifted)))
+    val e = intercept[Exception] { t.followDelta() }
+    assert(e.getMessage.contains("w4.parquet") &&
+      e.getMessage.contains("col-eeee"), e.getMessage)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(2L),
+      "the refused window must not advance the anchor")
+  }
+
   test("v2 checkpoint: UUID parquet manifest + sidecar, JSON manifest " +
       "with inline adds, JSON commits replay on top; missing sidecars " +
       "refuse") {
