@@ -235,7 +235,12 @@ object SparkEntry {
     cachedAsset(s, s"delta_mirror|$d") {
       import org.apache.spark.sql.functions.col
       val dir = graft.streaming.EventsStream.scratchDir("graft_delta_mirror") + "/t"
-      val t = graft.core.TxTable(s, dir)
+      // deletionVectors=true: the DELETE below stays merge-on-read and
+      // mirrors WITHOUT a purge — the mirror emits the Delta
+      // remove/re-add-with-descriptor shape plus the reader-3/writer-7
+      // protocol upgrade, and the delta-log read-back must subtract
+      // the DV'd rows to hash-match the oracle
+      val t = graft.core.TxTable(s, dir, deletionVectors = true)
       val base = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
       t.overwrite(base.where(col("o_orderkey") % 2 === 0))

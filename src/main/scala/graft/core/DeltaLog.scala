@@ -324,11 +324,19 @@ object DeltaLog {
     commits.foreach { v =>
       val text = new String(readBytes(fs, new Path(logDir, f"$v%020d.json")),
         java.nio.charset.StandardCharsets.UTF_8)
+      // reconciliation is order-independent WITHIN a version (the
+      // spec: an add and a remove of the same path in one commit —
+      // the DV re-add shape — resolve to the ADD whatever order the
+      // writer serialized them in): collect per commit, removes
+      // first, adds second
+      val commitRemoves = scala.collection.mutable.ArrayBuffer[String]()
+      val commitAdds = scala.collection.mutable.ArrayBuffer[DeltaAdd]()
       text.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
         val n = om.readTree(line)
         if (n.has("metaData")) meta = Some(n.get("metaData"))
         if (n.has("protocol")) protocol = Some(n.get("protocol"))
-        if (n.has("remove")) { live.remove(n.get("remove").get("path").asText()); () }
+        if (n.has("remove"))
+          commitRemoves += n.get("remove").get("path").asText()
         if (n.has("add")) {
           val a = n.get("add")
           val dv = Option(a.get("deletionVector")).filterNot(_.isNull)
@@ -340,11 +348,13 @@ object DeltaLog {
                            else Some(e.getValue.asText()))
             }.toMap
           }.getOrElse(Map.empty[String, Option[String]])
-          live(path) = mkAdd(om, path, pv, a.get("size").asLong(),
+          commitAdds += mkAdd(om, path, pv, a.get("size").asLong(),
             Option(a.get("modificationTime")).map(_.asLong()).getOrElse(0L),
             Option(a.get("stats")).filterNot(_.isNull).map(_.asText()), dv)
         }
       }
+      commitRemoves.foreach { p => live.remove(p); () }
+      commitAdds.foreach(a => live(a.path) = a)
     }
 
     // ---- protocol / metadata gate ------------------------------------
@@ -716,9 +726,10 @@ object DeltaLog {
     * merge-on-read DELETE/UPDATE shape) and `metaData` actions PARSED
     * into the result (the consumer decides whether the change is an
     * adoptable widening — [[TxTable.followDelta]]'s additive-evolution
-    * rule — or a reset). Protocol changes still refuse: a
-    * reader-capability bump has meaning no file-set delta can
-    * carry. */
+    * rule — or a reset). Protocol changes within this reader's
+    * capabilities pass as pure metadata (the upstream's first DV
+    * commit upgrades to table features — a follower must survive
+    * that); unsupported features still refuse. */
   def actionsInWindow(spark: SparkSession, snap: DeltaSnapshot,
       from: Long, to: Long): WindowDelta =
     parseWindow(spark, snap, from, to, allowRemoves = true,
@@ -774,9 +785,26 @@ object DeltaLog {
               "the stream from a fresh snapshot")
           metas += parseMetaData(n.get("metaData"), snap.root)
         }
-        require(!n.has("protocol"),
-          s"${snap.root}: commit $v changes the protocol — restart " +
-            "the stream from a fresh snapshot")
+        // a protocol change that stays within this module's reader
+        // capabilities is a pure capability bump (e.g. the upstream's
+        // first DV commit upgrading to table features) — metadata
+        // only, nothing for a file-set delta to carry; anything this
+        // reader could MISREAD refuses with the reset signal
+        if (n.has("protocol")) {
+          val p = n.get("protocol")
+          val r = Option(p.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+          val unsupported =
+            if (r != 3) Set.empty[String]
+            else Option(p.get("readerFeatures")).filterNot(_.isNull)
+              .map(_.elements().asScala.map(_.asText()).toSet)
+              .getOrElse(Set.empty[String]) -- SupportedReaderFeatures
+          require(r <= 3 && unsupported.isEmpty,
+            s"${snap.root}: commit $v upgrades the protocol past this " +
+              s"reader (minReaderVersion $r" +
+              (if (unsupported.nonEmpty)
+                 s", features ${unsupported.mkString(", ")}" else "") +
+              ") — restart the stream from a fresh snapshot")
+        }
         if (n.has("add")) {
           val a = n.get("add")
           val dvNode = Option(a.get("deletionVector")).filterNot(_.isNull)

@@ -3545,11 +3545,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * columns round-trip without touching a data file. Refusals (all
     * LOUD, never a broken log): an existing `_delta_log` (this is the
     * snapshot BOOTSTRAP — [[mirrorToDelta]] is the verb that follows
-    * a live log), live deletion vectors (Delta's DV sidecar format
-    * differs from the engine's; run `compact()` to materialize the
-    * deletes first), and partition-column types whose directory
+    * a live log) and partition-column types whose directory
     * string serialization is not canonically Delta's (export those
-    * by copy).
+    * by copy). Live deletion vectors export as Delta merge-on-read
+    * state: the native sidecars translate to a spec-format DV file
+    * ([[writeDeltaDvFile]]) and the protocol advertises the
+    * `deletionVectors` table feature (reader 3 / writer 7).
     *
     * Returns the exported Delta version (always 0). */
   def exportToDelta(): Long = {
@@ -3560,10 +3561,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       s"$root already carries a _delta_log — snapshot export bootstraps " +
         "a table that is not yet a Delta mirror; mirrorToDelta() follows " +
         "a live one")
-    require(!m.files.exists(_.dvPath.isDefined),
-      s"$root: snapshot holds live deletion vectors — Delta export " +
-        "would drop them; run compact() to materialize the deletes, " +
-        "then export")
+    // live deletion vectors EXPORT (reader 3 / writer 7,
+    // deletionVectors table feature): the native sidecars translate
+    // to one Delta-spec DV file and ride the adds as descriptors
     val schema = StructType.fromDDL(m.schemaDdl)
     val pTypes = schema.fields.filter(f => m.partitionCols.contains(f.name))
     pTypes.foreach(f => require(f.dataType match {
@@ -3585,7 +3585,9 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       s"$root: a partition column carries a diverged physical name — " +
         "this engine never produces that layout; export by copy")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val adds = m.files.map(deltaAddJson(om, m, _, dataChange = true))
+    val dvDescs = writeDeltaDvFile(m.files)
+    val adds = m.files.map(f =>
+      deltaAddJson(om, m, f, dataChange = true, dvDescs.get(f.path)))
     fs.mkdirs(logDir)
     val lines = Seq(deltaProtocolJson(om, m),
       deltaMetaDataJson(om, m, java.util.UUID.randomUUID().toString)) ++
@@ -3595,18 +3597,50 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     0L
   }
 
-  /** Delta `protocol` action for a manifest's feature set: plain
-    * parquet → reader 1 / writer 2; column mapping gates reader 2 /
-    * writer 5 (shared by [[exportToDelta]] and the mirror checkpoint
-    * writer so the two cannot drift). */
+  /** Delta table features a manifest's mirror/export needs RIGHT NOW:
+    * column mapping (name mode), live deletion vectors, and — because
+    * a spec-compliant reader must learn it from the PROTOCOL, not by
+    * finding a UUID manifest (the ADVICE failure: a classic-only
+    * reader trusting reader 1 finds no `NNN.checkpoint.parquet` and
+    * fails unrecoverably once pre-checkpoint JSON is cleaned) — the
+    * v2 checkpoint layout when the table property opts into it. */
+  private def deltaImpliedFeatures(m: Manifest): Set[String] = {
+    val b = Set.newBuilder[String]
+    if (m.colMap.nonEmpty) b += "columnMapping"
+    if (m.files.exists(_.dvPath.isDefined)) b += "deletionVectors"
+    if (m.properties.get(TxTable.PropMirrorCheckpointFormat).contains("v2"))
+      b += "v2Checkpoint"
+    b.result()
+  }
+
+  /** Delta `protocol` action for a manifest's feature set (plus
+    * `carried` features the mirror's log already advertised — a
+    * protocol NEVER drops a feature, per the spec, so a purged table
+    * keeps advertising deletionVectors). Plain parquet → reader 1 /
+    * writer 2; column mapping alone → legacy reader 2 / writer 5;
+    * deletion vectors or v2 checkpoints → TABLE FEATURES (reader 3 /
+    * writer 7) with every in-use feature listed in
+    * `readerFeatures`/`writerFeatures` (all three are reader-writer
+    * features, so the two lists coincide). Shared by
+    * [[exportToDelta]], [[mirrorToDelta]] and the mirror checkpoint
+    * writer so the three cannot drift. */
   private def deltaProtocolJson(
-      om: com.fasterxml.jackson.databind.ObjectMapper, m: Manifest): String = {
+      om: com.fasterxml.jackson.databind.ObjectMapper, m: Manifest,
+      carried: Set[String] = Set.empty): String = {
+    val features = deltaImpliedFeatures(m) ++ carried
     val n = om.createObjectNode()
     val proto = n.putObject("protocol")
-    if (m.colMap.isEmpty) {
-      proto.put("minReaderVersion", 1); proto.put("minWriterVersion", 2)
-    } else {
+    if (features.contains("deletionVectors") ||
+        features.contains("v2Checkpoint")) {
+      proto.put("minReaderVersion", 3); proto.put("minWriterVersion", 7)
+      val rf = proto.putArray("readerFeatures")
+      features.toSeq.sorted.foreach(rf.add)
+      val wf = proto.putArray("writerFeatures")
+      features.toSeq.sorted.foreach(wf.add)
+    } else if (features.contains("columnMapping")) {
       proto.put("minReaderVersion", 2); proto.put("minWriterVersion", 5)
+    } else {
+      proto.put("minReaderVersion", 1); proto.put("minWriterVersion", 2)
     }
     om.writeValueAsString(n)
   }
@@ -3650,7 +3684,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * [[exportToDelta]] and [[mirrorToDelta]] so the two cannot
     * drift). */
   private def deltaAddJson(om: com.fasterxml.jackson.databind.ObjectMapper,
-      m: Manifest, f: FileEntry, dataChange: Boolean): String = {
+      m: Manifest, f: FileEntry, dataChange: Boolean,
+      dv: Option[DeltaDv.Descriptor] = None): String = {
     require(!f.path.startsWith("/"),
       s"$root: ${f.path} lives OUTSIDE the table root (shallow clone) " +
         "— a Delta mirror needs table-rooted files; export by copy")
@@ -3675,7 +3710,55 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     a.put("dataChange", dataChange)
     if (f.rows >= 0)
       a.put("stats", s"""{"numRecords":${f.rows}}""")
+    // merge-on-read entry: the Delta-format descriptor (the engine's
+    // native sidecar was translated by [[writeDeltaDvFile]]); stats
+    // stay the file's PHYSICAL counts, per the spec — readers subtract
+    // the vector's cardinality themselves
+    dv.foreach { d =>
+      val dn = a.putObject("deletionVector")
+      dn.put("storageType", d.storageType)
+      dn.put("pathOrInlineDv", d.pathOrInlineDv)
+      d.offset.foreach(dn.put("offset", _))
+      dn.put("sizeInBytes", d.sizeInBytes)
+      dn.put("cardinality", d.cardinality)
+    }
     om.writeValueAsString(n)
+  }
+
+  /** Translate the native DV sidecars of `entries` into ONE Delta-spec
+    * DV FILE (`deletion_vector_<uuid>.bin` at the table root — the
+    * `u`-storage layout, all vectors framed at their own offsets) and
+    * hand back a per-path descriptor for the `add` actions. Positions
+    * come scoped per entry ([[dvPairs]]) and are cross-checked against
+    * the manifest's `dvRows` bookkeeping — a mismatch means the
+    * sidecar and the manifest disagree, refuse rather than publish a
+    * wrong vector. Deleted-row-sized work, driver-side, one file per
+    * mirror commit (external VACUUM reclaims superseded ones). */
+  private def writeDeltaDvFile(
+      entries: Seq[FileEntry]): Map[String, DeltaDv.Descriptor] = {
+    val dved = entries.filter(f => f.dvPath.isDefined && f.dvRows > 0)
+    if (dved.isEmpty) return Map.empty
+    val pos = dvPairs(dved).get.collect()
+      .groupBy(_.getString(0))
+      .map { case (p, rows) => p -> rows.map(_.getLong(1)).sorted }
+    val perEntry = dved.map { f =>
+      val p = pos.getOrElse(encodedRelPath(f.path), Array.empty[Long])
+      require(p.length.toLong == f.dvRows,
+        s"$root: ${f.path}'s sidecar holds ${p.length} positions but the " +
+          s"manifest records ${f.dvRows} deleted rows — refusing to " +
+          "publish a wrong deletion vector")
+      f.path -> p
+    }
+    val blobs = perEntry.map { case (_, p) =>
+      DeltaDv.serializeBitmaps(p.toIndexedSeq) }
+    val uuid = java.util.UUID.randomUUID()
+    val (probe, file) = DeltaDv.uDescriptor(root, "", uuid, 0, 0, 0L)
+    val offsets = DeltaDv.writeFile(fs, file, blobs)
+    perEntry.zip(blobs).zip(offsets).map {
+      case (((path, p), blob), off) =>
+        path -> probe.copy(offset = Some(off), sizeInBytes = blob.length,
+          cardinality = p.length.toLong)
+    }.toMap
   }
 
   /** The mirror's anchor record: a Delta `commitInfo` action naming
@@ -3742,19 +3825,26 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     * resumes from, making the mirror idempotent and crash-resumable
     * (a half-mirrored chain resumes from the last published anchor).
     *
+    * Row-level deletes mirror as Delta MERGE-ON-READ state: an entry
+    * whose deletion vector changed emits the remove-then-re-add-with-
+    * descriptor shape (native sidecars translated per commit by
+    * [[writeDeltaDvFile]]), and the FIRST DV-bearing commit prepends
+    * a protocol upgrade to table features (reader 3 / writer 7,
+    * `deletionVectors` listed; features are carried monotonically —
+    * a later purge never narrows the protocol back down). A CDC-heavy
+    * table therefore mirrors continuously, no forced purges.
+    *
     * `coalesce=true` collapses the whole backlog into ONE Delta
     * commit diffing the last-mirrored manifest against the latest —
-    * the escape hatch when intermediate versions are unmirrorable
-    * (live deletion vectors later purged) or when per-version
-    * fidelity isn't worth a thousand tiny commits.
+    * the escape hatch when per-version fidelity isn't worth a
+    * thousand tiny commits.
     *
     * Refusals (loud, never a broken log): a `_delta_log` not written
     * by this mirror (no graft anchor in its last commit), an anchor
-    * version aged out of the graft log, live deletion vectors in a
-    * mirrored version (run [[purgeDeletes]]/[[compact]], or coalesce
-    * past them), partition-column or column-mapping changes, and
-    * schema changes on a column-mapped mirror (mapping ids could not
-    * stay stable) — re-export those into a fresh mirror.
+    * version aged out of the graft log, partition-column or
+    * column-mapping changes, and schema changes on a column-mapped
+    * mirror (mapping ids could not stay stable) — re-export those
+    * into a fresh mirror.
     *
     * Returns the latest Delta version. */
   def mirrorToDelta(coalesce: Boolean = false): Long = {
@@ -3818,6 +3908,46 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           }
       }
       .getOrElse(sys.error(s"$root: mirror log carries no metaData"))
+    // the log's CURRENT protocol action — a protocol never drops a
+    // feature, so every later emission carries at least its
+    // readerFeatures (a purge must not downgrade deletionVectors away
+    // from readers), and an IDENTICAL protocol is never re-emitted
+    var lastProtocolJson: Option[String] = deltaVersions.reverseIterator
+      .flatMap(v => linesOf(v).reverseIterator.map(om.readTree)
+        .collectFirst(Function.unlift(n =>
+          Option(n.get("protocol")).map { p =>
+            val w = om.createObjectNode(); w.set("protocol", p)
+            om.writeValueAsString(w): String
+          })))
+      .nextOption()
+      .orElse {
+        val cpName = """(\d{20})\.checkpoint(?:\.[A-Za-z0-9-]+)?\.parquet""".r
+        fs.listStatus(dLogDir).toSeq.map(_.getPath.getName)
+          .collect { case cpName(v) => v.toLong }.maxOption
+          .flatMap { cv =>
+            import org.apache.spark.sql.functions.{col, to_json}
+            checkpointParquets(dLogDir, cv).iterator.flatMap { p =>
+              val cp = spark.read.parquet(p.toString)
+              if (!cp.columns.contains("protocol")) Nil
+              else cp.where(col("protocol").isNotNull)
+                .select(to_json(col("protocol"))).collect().toSeq
+                .map { r =>
+                  val w = om.createObjectNode()
+                  w.set("protocol", om.readTree(r.getString(0)))
+                  om.writeValueAsString(w): String
+                }
+            }.nextOption()
+          }
+      }
+    var carriedFeatures: Set[String] = {
+      import scala.jdk.CollectionConverters._
+      lastProtocolJson
+        .map(s => Option(om.readTree(s).get("protocol").get("readerFeatures"))
+          .filterNot(_.isNull)
+          .map(_.elements().asScala.map(_.asText()).toSet)
+          .getOrElse(Set.empty[String]))
+        .getOrElse(Set.empty[String])
+    }
     val store = LogStore.forRoot(fs, root,
       manifest(latest).properties.get(TxTable.PropLogStore))
     val targets =
@@ -3833,10 +3963,6 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       require(cur.colMap == prev.colMap,
         s"$root: column mapping changed at graft version $gv — mapping ids " +
           "could not stay stable; export into a fresh mirror")
-      require(!cur.files.exists(_.dvPath.isDefined),
-        s"$root: graft version $gv holds live deletion vectors — Delta " +
-          "mirroring would drop them; run purgeDeletes()/compact() first, " +
-          "or mirrorToDelta(coalesce = true) past a later purge")
       // compactions and purges rearrange bytes, not rows: Delta-side
       // incremental consumers skip dataChange=false actions. A
       // COALESCED window is a data change iff ANY collapsed version
@@ -3854,7 +3980,25 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         else cur.operation != OpCompact
       val prevPaths = prev.files.map(_.path).toSet
       val curPaths = cur.files.map(_.path).toSet
+      val prevByPath = prev.files.map(f => f.path -> f).toMap
+      // a row-level delete/merge mutates a file's DELETION VECTOR in
+      // place on the graft side; Delta's equivalent is the
+      // remove-then-re-add-with-descriptor shape, so entries whose
+      // vector changed join BOTH the add and the remove sets
+      val dvChanged = cur.files.filter(f => prevByPath.get(f.path).exists(
+        pf => pf.dvPath != f.dvPath || pf.dvRows != f.dvRows))
+      val adds = cur.files.filterNot(f => prevPaths(f.path)) ++ dvChanged
+      val dvDescs = writeDeltaDvFile(adds)
       val lines = Seq.newBuilder[String]
+      // capability bump (first live DV, a freshly opted-in v2
+      // checkpoint layout): ONE protocol action before the actions
+      // that need it; never re-emitted while unchanged, never narrowed
+      val protoJson = deltaProtocolJson(om, cur, carriedFeatures)
+      if (!lastProtocolJson.contains(protoJson)) {
+        lines += protoJson
+        lastProtocolJson = Some(protoJson)
+        carriedFeatures = carriedFeatures ++ deltaImpliedFeatures(cur)
+      }
       if (cur.schemaDdl != prev.schemaDdl) {
         require(cur.colMap.isEmpty,
           s"$root: schema change at graft version $gv on a column-mapped " +
@@ -3862,9 +4006,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             "fresh mirror")
         lines += deltaMetaDataJson(om, cur, tableId)
       }
-      cur.files.filterNot(f => prevPaths(f.path))
-        .foreach(f => lines += deltaAddJson(om, cur, f, dataChange))
-      prev.files.filterNot(f => curPaths(f.path)).foreach { f =>
+      // removes BEFORE adds: reconciliation within a version is
+      // order-independent per the spec (the add wins), but a
+      // line-ordered reader must never see a re-add get shadowed by
+      // its own remove
+      (prev.files.filterNot(f => curPaths(f.path)) ++ dvChanged).foreach { f =>
         val n = om.createObjectNode()
         val r = n.putObject("remove")
         r.put("path", new java.net.URI(null, null, f.path, null).getRawPath)
@@ -3872,6 +4018,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         r.put("dataChange", dataChange)
         lines += om.writeValueAsString(n)
       }
+      adds.foreach(f =>
+        lines += deltaAddJson(om, cur, f, dataChange, dvDescs.get(f.path)))
       lines += deltaCommitInfoJson(om, gv,
         s"GRAFT ${cur.operation.toUpperCase(java.util.Locale.ROOT)}")
       writeDeltaCommit(dLogDir, nextDelta, lines.result(), store)
@@ -3921,7 +4069,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       m: Manifest, tableId: String): Unit = try {
     import org.apache.spark.sql.types.{ArrayType, BooleanType, IntegerType,
       LongType, MapType, StringType => SStringType, StructField}
-    val tombstones = collectMirrorTombstones(dLogDir, deltaVersion, m)
+    val st = replayMirrorState(dLogDir, deltaVersion, m)
     // classic single-part (every reader, the default) or V2 (the
     // 2024+ DBR writer default: UUID-named manifest + one sidecar
     // under _sidecars/) per table property — a misconfigured value
@@ -3938,9 +4086,12 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         "classic"
     }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // file actions come VERBATIM from the log replay — an add's
+    // deletion-vector descriptor exists only there, never re-derivable
+    // from the manifest (which holds the native sidecar instead)
     def fileActionLines: Seq[String] =
-      m.files.map(deltaAddJson(om, m, _, dataChange = false)) ++
-        tombstones.map { case (p, ts, dc) =>
+      st.addLines ++
+        st.tombstones.map { case (p, ts, dc) =>
           val n = om.createObjectNode()
           val r = n.putObject("remove")
           r.put("path", p) // already URL-encoded in the source action
@@ -3948,10 +4099,17 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           r.put("dataChange", dc)
           om.writeValueAsString(n)
         }
+    // likewise the checkpointed protocol is the log's LATEST protocol
+    // action (feature-monotone), not one re-implied from the manifest
+    val protocolLine = st.protocolJson.getOrElse(deltaProtocolJson(om, m))
+    val metaDataLine =
+      st.metaDataJson.getOrElse(deltaMetaDataJson(om, m, tableId))
     val strMap = MapType(SStringType, SStringType, valueContainsNull = true)
     val protocolField = StructField("protocol", StructType(Seq(
       StructField("minReaderVersion", IntegerType),
-      StructField("minWriterVersion", IntegerType))))
+      StructField("minWriterVersion", IntegerType),
+      StructField("readerFeatures", ArrayType(SStringType)),
+      StructField("writerFeatures", ArrayType(SStringType)))))
     val metaDataField = StructField("metaData", StructType(Seq(
       StructField("id", SStringType),
       StructField("format", StructType(Seq(
@@ -3968,7 +4126,13 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         StructField("size", LongType),
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType),
-        StructField("stats", SStringType)))),
+        StructField("stats", SStringType),
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", SStringType),
+          StructField("pathOrInlineDv", SStringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       StructField("remove", StructType(Seq(
         StructField("path", SStringType),
         StructField("deletionTimestamp", LongType),
@@ -3996,7 +4160,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
       val dst = new Path(dLogDir, f"$deltaVersion%020d.checkpoint.parquet")
       if (!fs.exists(dst)) {
         writeOneParquet(
-          Seq(deltaProtocolJson(om, m), deltaMetaDataJson(om, m, tableId)) ++
+          Seq(protocolLine, metaDataLine) ++
             fileActionLines,
           StructType(Seq(protocolField, metaDataField) ++ fileActionFields),
           dst)
@@ -4028,9 +4192,11 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             val sc = om.createObjectNode()
             val scN = sc.putObject("sidecar")
             scN.put("path", scName)
-            scN.put("sizeInBytes", fs.getFileStatus(scDst).getLen)
-            Seq(om.writeValueAsString(cm), deltaProtocolJson(om, m),
-              deltaMetaDataJson(om, m, tableId), om.writeValueAsString(sc))
+            val scStatus = fs.getFileStatus(scDst)
+            scN.put("sizeInBytes", scStatus.getLen)
+            scN.put("modificationTime", scStatus.getModificationTime)
+            Seq(om.writeValueAsString(cm), protocolLine,
+              metaDataLine, om.writeValueAsString(sc))
           }
           val mfSchema = StructType(Seq(
             StructField("checkpointMetadata", StructType(Seq(
@@ -4038,7 +4204,8 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
             protocolField, metaDataField,
             StructField("sidecar", StructType(Seq(
               StructField("path", SStringType),
-              StructField("sizeInBytes", LongType))))))
+              StructField("sizeInBytes", LongType),
+              StructField("modificationTime", LongType))))))
           writeOneParquet(mfLines, mfSchema, new Path(dLogDir,
             f"$deltaVersion%020d.checkpoint.$uuid.parquet"))
           ()
@@ -4060,7 +4227,7 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     if (deltaVersion > existing) {
       val n = om2.createObjectNode()
       n.put("version", deltaVersion)
-      n.put("size", 2L + m.files.size + tombstones.size)
+      n.put("size", 2L + st.addLines.size + st.tombstones.size)
       val out = fs.create(lastCp, true)
       try out.write(om2.writeValueAsString(n)
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -4068,35 +4235,66 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
     }
   } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Unexpired remove tombstones for a mirror checkpoint at
-    * `deltaVersion`: the previous checkpoint's `remove` rows (if it
-    * carried any) overlaid with the remove/add actions of the JSON
-    * commits since it — a later `remove` of the same path supersedes,
-    * a later `add` (re-added file) clears the tombstone so VACUUM can
-    * never delete a live file. Expired (older than
-    * [[TxTable.PropMirrorTombstoneRetention]], default Delta's own
-    * 7-day `deletedFileRetentionDuration`) and currently-live paths
-    * are dropped. Cost: one single-file parquet read + at most
+  /** Log-REPLAYED checkpoint state of the mirror at `deltaVersion`:
+    * live `add` actions verbatim from the Delta log itself
+    * (`dataChange` normalized to false per the checkpoint spec),
+    * the latest `protocol`/`metaData` actions seen, and unexpired
+    * `remove` tombstones. Verbatim replay (previous checkpoint rows
+    * via `toJSON`, then the JSON commits since) instead of
+    * re-deriving adds from the manifest matters for two reasons: the
+    * adds now carry DELETION-VECTOR descriptors only the log knows
+    * (the manifest holds native sidecars, not the mirrored Delta
+    * descriptors), and the checkpointed protocol must be the log's
+    * ACTUAL protocol — feature-monotone — not one re-implied from a
+    * possibly-purged manifest. Tombstone semantics: a later `remove`
+    * supersedes, a later `add` (re-added file) clears the tombstone
+    * so VACUUM can never delete a live file; expired entries (older
+    * than [[TxTable.PropMirrorTombstoneRetention]], default Delta's
+    * 7-day `deletedFileRetentionDuration`) drop. Cost: one
+    * checkpoint-sized parquet read + at most
     * [[TxTable.CheckpointInterval]] small JSON commits — bounded,
     * driver-side. */
-  private def collectMirrorTombstones(dLogDir: Path, deltaVersion: Long,
-      m: Manifest): Seq[(String, Long, Boolean)] = {
+  private def replayMirrorState(dLogDir: Path, deltaVersion: Long,
+      m: Manifest): TxTable.MirrorReplay = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     // classic `NNN.checkpoint.parquet` or v2 `NNN.checkpoint.<uuid>.parquet`
     val cpName = """(\d{20})\.checkpoint(?:\.[A-Za-z0-9-]+)?\.parquet""".r
     val prevCp: Long = fs.listStatus(dLogDir).map(_.getPath.getName)
       .collect { case cpName(v) if v.toLong < deltaVersion => v.toLong }
       .sorted.lastOption.getOrElse(-1L)
+    val liveAdds = scala.collection.mutable.LinkedHashMap[
+      String, com.fasterxml.jackson.databind.JsonNode]()
     val acc = scala.collection.mutable.LinkedHashMap[String, (Long, Boolean)]()
+    var proto: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    var meta: Option[com.fasterxml.jackson.databind.JsonNode] = None
+    // reconciliation is order-independent WITHIN a version: collect
+    // per batch, apply removes first, adds second (the DV re-add
+    // shape must resolve to the add whatever the writer's line order)
+    def applyBatch(ls: Seq[com.fasterxml.jackson.databind.JsonNode],
+        fromCheckpoint: Boolean): Unit = {
+      ls.foreach { n =>
+        Option(n.get("protocol")).filterNot(_.isNull)
+          .foreach(p => proto = Some(p))
+        Option(n.get("metaData")).filterNot(_.isNull)
+          .foreach(p => meta = Some(p))
+      }
+      ls.foreach(n => Option(n.get("remove")).filterNot(_.isNull).foreach { r =>
+        val p = r.get("path").asText()
+        // checkpoint remove rows are vacuum TOMBSTONES, not state —
+        // they never drop a live add absorbed from the same checkpoint
+        if (!fromCheckpoint) { liveAdds.remove(p); () }
+        acc(p) =
+          (Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
+            Option(r.get("dataChange")).exists(_.asBoolean))
+      })
+      ls.foreach(n => Option(n.get("add")).filterNot(_.isNull).foreach { a =>
+        liveAdds(a.get("path").asText()) = a
+        acc.remove(a.get("path").asText()); ()
+      })
+    }
     if (prevCp >= 0) checkpointParquets(dLogDir, prevCp).foreach { p =>
-      val cp = spark.read.parquet(p.toString)
-      if (cp.columns.contains("remove")) // pre-tombstone checkpoints lack it
-        cp.where(col("remove").isNotNull)
-          .select(col("remove.path"), col("remove.deletionTimestamp"),
-            col("remove.dataChange"))
-          .collect().foreach { r =>
-            acc(r.getString(0)) = (r.getLong(1), r.getBoolean(2))
-          }
+      applyBatch(spark.read.parquet(p.toString).toJSON.collect()
+        .toIndexedSeq.map(om.readTree), fromCheckpoint = true)
     }
     ((prevCp max 0L) to deltaVersion).foreach { v =>
       val p = new Path(dLogDir, f"$v%020d.json")
@@ -4105,27 +4303,32 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         val txt = try new String(
           org.apache.commons.io.IOUtils.toByteArray(in),
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-        txt.split('\n').iterator.filter(_.nonEmpty).foreach { line =>
-          val n = om.readTree(line)
-          Option(n.get("remove")).foreach { r =>
-            acc(r.get("path").asText()) =
-              (Option(r.get("deletionTimestamp")).map(_.asLong).getOrElse(0L),
-                Option(r.get("dataChange")).exists(_.asBoolean))
-          }
-          Option(n.get("add"))
-            .foreach { a => acc.remove(a.get("path").asText()); () }
-        }
+        applyBatch(txt.split('\n').iterator.filter(_.nonEmpty)
+          .map(om.readTree).toIndexedSeq, fromCheckpoint = false)
       }
     }
     val horizon = System.currentTimeMillis() -
       m.properties.get(TxTable.PropMirrorTombstoneRetention)
         .flatMap(_.toLongOption)
         .getOrElse(TxTable.MirrorTombstoneRetentionDefaultMs)
-    val live = m.files
-      .map(f => new java.net.URI(null, null, f.path, null).getRawPath).toSet
-    acc.toSeq.collect {
-      case (p, (ts, dc)) if ts >= horizon && !live(p) => (p, ts, dc)
-    }
+    val addLines = liveAdds.values.map { a =>
+      val c = a.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+      c.put("dataChange", false)
+      val w = om.createObjectNode(); w.set("add", c)
+      om.writeValueAsString(w): String
+    }.toSeq
+    def wrap(key: String,
+        n: Option[com.fasterxml.jackson.databind.JsonNode]): Option[String] =
+      n.map { v =>
+        val w = om.createObjectNode(); w.set(key, v)
+        om.writeValueAsString(w)
+      }
+    TxTable.MirrorReplay(addLines,
+      acc.iterator.collect {
+        case (p, (ts, dc)) if ts >= horizon && !liveAdds.contains(p) =>
+          (p, ts, dc)
+      }.toSeq,
+      wrap("protocol", proto), wrap("metaData", meta))
   }
 
   /** Mirror-log retention (the `delta.logRetentionDuration`
@@ -5533,6 +5736,13 @@ object TxTable {
   private[core] val DvPathCol = "__dv_path"
   private[core] val DvPosCol = "__dv_pos"
   private[core] val DvSrcCol = "__dv_src"
+
+  /** Replayed mirror-checkpoint state: live add lines (verbatim,
+    * dataChange=false), unexpired tombstones, and the log's latest
+    * protocol/metaData action lines. */
+  private[core] final case class MirrorReplay(addLines: Seq[String],
+      tombstones: Seq[(String, Long, Boolean)],
+      protocolJson: Option[String], metaDataJson: Option[String])
 
   /** Clause-merge source namespace: inside [[TxTable.mergeClauses]]
     * the source's columns are renamed under this prefix before the

@@ -17,6 +17,30 @@ class DeltaInteropSpec extends SparkSpec {
   private def scratch(tag: String): String =
     EventsStream.scratchDir(s"delta_$tag") + "/t"
 
+  /** One-way file sync src→dst, EXCLUDING the graft-native log (the
+    * follower builds its own) — the crude "ship the Delta mirror to
+    * another store" step of the mirror→follow round trip. Existing
+    * files at dst are left alone, so calling it again ships only the
+    * new commits/data/DV files. */
+  private def copyNew(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val sp = Paths.get(src)
+    val stream = Files.walk(sp)
+    try stream.forEach { p =>
+      val rel = sp.relativize(p).toString
+      if (rel.nonEmpty && !rel.startsWith("_graft_log") &&
+          !rel.startsWith(".tmp")) {
+        val d = Paths.get(dst, rel)
+        if (Files.isDirectory(p)) Files.createDirectories(d)
+        else if (!Files.exists(d)) {
+          Files.createDirectories(d.getParent)
+          Files.copy(p, d)
+        }
+        ()
+      }
+    } finally stream.close()
+  }
+
   private lazy val orders = Tables.orders(spark, sf)
     .select("o_orderkey", "o_totalprice", "o_orderpriority")
 
@@ -375,13 +399,18 @@ class DeltaInteropSpec extends SparkSpec {
     assert(back5.exceptAll(t5.read()).isEmpty &&
       t5.read().exceptAll(back5).isEmpty)
 
-    // refusals: DV'd snapshot; already-a-Delta-mirror
+    // a DV'd snapshot exports as merge-on-read state (descriptor +
+    // reader 3 / writer 7) — read back exact, no purge required
     val d4 = scratch("exp4")
     val t4 = TxTable(spark, d4, deletionVectors = true)
     t4.overwrite(orders.limit(100))
     t4.deleteWhere(col("o_orderkey") % 2 === 0)
-    val e1 = intercept[Exception] { t4.exportToDelta() }
-    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
+    assert(t4.exportToDelta() == 0L)
+    val back4 = DeltaLog.read(spark, d4)
+    assert(back4.exceptAll(t4.read()).isEmpty &&
+      t4.read().exceptAll(back4).isEmpty)
+    assert(back4.count() == t4.read().count())
+    // refusal: already-a-Delta-mirror
     val e2 = intercept[Exception] { t1.exportToDelta() }
     assert(e2.getMessage.contains("_delta_log"), e2.getMessage)
   }
@@ -469,21 +498,81 @@ class DeltaInteropSpec extends SparkSpec {
     val ef = intercept[Exception] { tf.mirrorToDelta() }
     assert(ef.getMessage.contains("foreign"), ef.getMessage)
 
-    // refusal: a DV-carrying version blocks per-version mirroring,
-    // and the message names the escape hatches
+    // a DV-carrying version mirrors WITHOUT a purge: the commit takes
+    // the remove/re-add-with-descriptor shape, the protocol upgrades
+    // to table features, and a Delta reader excludes the DV'd rows
     val dv = scratch("mirror_dv")
     val tv = TxTable(spark, dv, deletionVectors = true)
     tv.overwrite(orders.limit(100))
     tv.mirrorToDelta()
     tv.deleteWhere(col("o_orderkey") % 2 === 0)
-    val ev = intercept[Exception] { tv.mirrorToDelta() }
-    assert(ev.getMessage.contains("deletion vectors"), ev.getMessage)
-    // ... and coalesce past a purge mirrors cleanly
-    tv.purgeDeletes(0.0)
-    assert(tv.mirrorToDelta(coalesce = true) == 1L)
+    assert(tv.mirrorToDelta() == 1L)
     val backDv = DeltaLog.read(spark, dv)
     assert(backDv.exceptAll(tv.read()).isEmpty &&
       tv.read().exceptAll(backDv).isEmpty)
+    assert(backDv.count() == tv.read().count())
+    // the upgrade commit advertises the feature (reader 3 / writer 7)
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dv, "_delta_log",
+        f"${1L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(log1.contains("\"minReaderVersion\":3") &&
+      log1.contains("deletionVectors") &&
+      log1.contains("\"deletionVector\""), log1)
+    // a purge then mirrors as a plain rewrite and NEVER narrows the
+    // protocol back down (features are monotone)
+    tv.purgeDeletes(0.0)
+    assert(tv.mirrorToDelta() == 2L)
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dv, "_delta_log",
+        f"${2L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(!log2.contains("\"minReaderVersion\""),
+      s"no protocol re-emission after the purge: $log2")
+    val backPurged = DeltaLog.read(spark, dv)
+    assert(backPurged.exceptAll(tv.read()).isEmpty &&
+      tv.read().exceptAll(backPurged).isEmpty)
+  }
+
+  test("DV-bearing mirror round-trips: a second engine FOLLOWS the " +
+      "mirrored log (protocol upgrade included) and matches; export " +
+      "of a live-DV snapshot is read back exactly") {
+    // mirror → follow: the mirrored DV commit (protocol upgrade +
+    // remove/re-add-with-descriptor) is ingested incrementally by a
+    // follower, which translates the descriptor back to its own
+    // native sidecar
+    val src = scratch("mirror_dv_src")
+    val tv = TxTable(spark, src, deletionVectors = true)
+    tv.overwrite(orders.limit(100))
+    tv.mirrorToDelta()
+    val follower = scratch("mirror_dv_follower")
+    copyNew(src, follower)
+    val tf = TxTable(spark, follower)
+    assert(tf.followDelta() == 0L)
+    tv.deleteWhere(col("o_orderkey") % 2 === 0)
+    tv.mirrorToDelta()
+    // ship ONLY the new Delta commit + the DV file to the follower
+    // (the data files are already there) — a crude one-way sync
+    copyNew(src, follower)
+    tf.followDelta()
+    assert(tf.read().exceptAll(tv.read()).isEmpty &&
+      tv.read().exceptAll(tf.read()).isEmpty)
+    assert(tf.read().count() == tv.read().count())
+
+    // export: a snapshot already holding live DVs bootstraps a
+    // feature-correct Delta log in one commit
+    val ex = scratch("export_dv")
+    val te = TxTable(spark, ex, deletionVectors = true)
+    te.overwrite(orders.limit(60))
+    te.deleteWhere(col("o_orderkey") % 3 === 0)
+    assert(te.exportToDelta() == 0L)
+    val log0 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ex, "_delta_log",
+        f"${0L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(log0.contains("\"minReaderVersion\":3") &&
+      log0.contains("deletionVectors"), log0)
+    val back = DeltaLog.read(spark, ex)
+    assert(back.exceptAll(te.read()).isEmpty &&
+      te.read().exceptAll(back).isEmpty)
+    assert(back.count() == te.read().count())
   }
 
   test("auto-mirror property: commits tail-publish with no manual call; " +
@@ -510,9 +599,9 @@ class DeltaInteropSpec extends SparkSpec {
     assert(back.exceptAll(t.read()).isEmpty &&
       t.read().exceptAll(back).isEmpty)
 
-    // a mirror that CANNOT follow (live DVs) never fails the write:
-    // the graft commit lands, the Delta head stays, the backlog
-    // catches up after a purge through the same anchor discipline
+    // a DV'd commit auto-mirrors IMMEDIATELY (merge-on-read shape +
+    // protocol upgrade) — no hold, no forced purge; the purge then
+    // mirrors as its own plain commit
     val dv = scratch("auto_mirror_dv")
     val tv = TxTable(spark, dv, deletionVectors = true)
     tv.overwrite(orders.limit(80))
@@ -521,12 +610,12 @@ class DeltaInteropSpec extends SparkSpec {
     val vBefore = tv.versions.size
     tv.deleteWhere(col("o_orderkey") % 2 === 0) // DV'd commit
     assert(tv.versions.size == vBefore + 1, "the write must land")
-    assert(deltaCount(dv) == 1, "the mirror must hold, not break")
-    // the purge commit self-heals: per-version mirroring still trips
-    // on the DV'd intermediate, so auto-mirror COALESCES the backlog
-    // into one commit diffing the anchor against the purged head
+    assert(deltaCount(dv) == 2, "the DV'd commit mirrors immediately")
+    val backMid = DeltaLog.read(spark, dv)
+    assert(backMid.exceptAll(tv.read()).isEmpty &&
+      tv.read().exceptAll(backMid).isEmpty)
     tv.purgeDeletes(0.0)
-    assert(deltaCount(dv) == 2)
+    assert(deltaCount(dv) == 3)
     val backDv = DeltaLog.read(spark, dv)
     assert(backDv.exceptAll(tv.read()).isEmpty &&
       tv.read().exceptAll(backDv).isEmpty)
@@ -1349,6 +1438,56 @@ class DeltaInteropSpec extends SparkSpec {
       new org.apache.hadoop.fs.Path(scDir, sc20.head).toString)
     assert(sc20Df.where(col("remove.path").isNotNull).count() > 0,
       "v2 carry-forward must keep unexpired tombstones")
+    // the v2 layout is ADVERTISED in the protocol (reader 3 +
+    // v2Checkpoint): a spec-compliant classic-only reader must learn
+    // from the protocol that it cannot read this table, instead of
+    // finding no NNN.checkpoint.parquet after the pre-checkpoint JSON
+    // commits were cleaned. Retention already cleaned commit 0 here,
+    // so the surviving advertisement is the checkpointed protocol row
+    val mf20 = logNames.filter(n =>
+      """0*20\.checkpoint\.[A-Za-z0-9-]+\.parquet""".r
+        .pattern.matcher(n).matches)
+    assert(mf20.nonEmpty, logNames)
+    val protoRow = spark.read.parquet(
+      new org.apache.hadoop.fs.Path(d, s"_delta_log/${mf20.head}").toString)
+      .where(col("protocol").isNotNull)
+      .select(col("protocol.minReaderVersion"),
+        col("protocol.readerFeatures")).collect()
+    assert(protoRow.length == 1)
+    assert(protoRow(0).getInt(0) == 3 &&
+      protoRow(0).getSeq[String](1).contains("v2Checkpoint"),
+      s"checkpointed protocol must advertise v2Checkpoint: " +
+        s"${protoRow.toSeq}")
+  }
+
+  test("late v2-checkpoint opt-in on a live classic mirror: the NEXT " +
+      "mirrored commit upgrades the protocol before any v2 manifest " +
+      "exists, so external readers are never ambushed") {
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = scratch("mirror_v2late")
+    val t = TxTable(spark, d)
+    t.overwrite(orders.where(col("o_orderkey") % 4 === 0))
+    t.exportToDelta()
+    t.append(orders.where(col("o_orderkey") % 4 === 1))
+    assert(t.mirrorToDelta() == 1L)
+    // classic so far: protocol v0 is (1,2), no upgrade emitted
+    val log1 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "_delta_log",
+        f"${1L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(!log1.contains("minReaderVersion"), log1)
+    // opt in mid-life: the property commit mirrors WITH the upgrade
+    t.setProperties(Map(TxTable.PropMirrorCheckpointFormat -> "v2"))
+    assert(t.mirrorToDelta() == 2L)
+    val log2 = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(d, "_delta_log",
+        f"${2L}%020d.json")), java.nio.charset.StandardCharsets.UTF_8)
+    assert(log2.contains("\"minReaderVersion\":3") &&
+      log2.contains("v2Checkpoint"), log2)
+    // and the engine's own reader still consumes the upgraded mirror
+    val back = DeltaLog.read(spark, d)
+    assert(back.exceptAll(t.read()).isEmpty &&
+      t.read().exceptAll(back).isEmpty)
   }
 
   test("mirror checkpoint carries unexpired remove tombstones " +
