@@ -3388,7 +3388,22 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
           // file-set delta can carry
           val pin = DeltaLog.DeltaSnapshot(root.toString, anchor, schema,
             m.partitionCols, Map.empty, Nil, m.colMap)
-          val w = DeltaLog.actionsInWindow(spark, pin, anchor, head)
+          // the window can be GONE: a pause longer than the upstream's
+          // log retention ages the anchor's successor commits out. The
+          // upstream's checkpoints still bound a SNAPSHOT-DIFF — one
+          // net add/remove commit, O(live files), never a full
+          // re-snapshot — so catch up through that instead of forcing
+          // reset. The catch (not a pre-scan) is what makes it
+          // race-proof against concurrent upstream log cleaning.
+          val wOpt =
+            try Some(DeltaLog.actionsInWindow(spark, pin, anchor, head))
+            catch {
+              case e: IllegalArgumentException
+                  if Option(e.getMessage).exists(_.contains(
+                    "aged out of the log")) => None
+            }
+          if (wOpt.isEmpty) return followCatchUp(m, anchor)
+          val w = wOpt.get
           // ADDITIVE SCHEMA EVOLUTION: each foreign metaData change in
           // the window must WIDEN the running schema — every existing
           // logical field kept with an identical type and physical
@@ -3523,6 +3538,108 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
               colMap = if (snap.colMap.isEmpty) None else Some(snap.colMap))
           }
         }
+    }
+  }
+
+  /** Long-lapse follower catch-up: the incremental window aged out of
+    * the upstream log (pause > upstream retention), so the head is
+    * reconstructed from the upstream's CHECKPOINT + surviving JSON
+    * ([[DeltaLog.snapshot]]) and diffed against the follower's own
+    * manifest into ONE net add/remove commit — O(live files at head)
+    * driver-side work and only the DRIFTED files' entries re-enter
+    * the manifest; a reset would instead republish every entry
+    * (O(table)). Schema changes across the lapse follow the same
+    * additive-widening rule as in-window metaData; anything else
+    * refuses toward `followDelta(reset = true)`.
+    *
+    * Drift detection per path: size or mtime moved, the deleted-row
+    * count moved, or — the RESTORE corner where cardinality stays
+    * equal while positions moved — the upstream vector's positions
+    * differ from the native sidecar's (exact, deleted-row-sized
+    * comparison, only for candidates that tie on everything else).
+    * A lapse with zero drift still commits: the anchor must advance
+    * to the head or every later follow re-runs the catch-up. */
+  private def followCatchUp(m: Manifest, anchor: Long): Long = {
+    val snap = DeltaLog.snapshot(spark, root.toString)
+    require(snap.version > anchor,
+      s"$root: upstream head ${snap.version} behind anchor $anchor after " +
+        "retention cleaning — upstream log rewound; followDelta(reset = true)")
+    val schema = StructType.fromDDL(m.schemaDdl)
+    require(snap.partitionCols == m.partitionCols,
+      s"$root: upstream partition columns changed across the lapse " +
+        s"(${m.partitionCols.mkString(",")} → " +
+        s"${snap.partitionCols.mkString(",")}) — a follower cannot " +
+        "re-layout; followDelta(reset = true)")
+    schema.fields.foreach { f =>
+      val nf = snap.schema.fields.find(_.name == f.name).getOrElse(sys.error(
+        s"$root: upstream DROPS or RENAMES column ${f.name} across the " +
+          "lapse — not an additive widening; followDelta(reset = true)"))
+      require(nf.dataType == f.dataType,
+        s"$root: upstream retypes ${f.name} (${f.dataType.simpleString} → " +
+          s"${nf.dataType.simpleString}) — followDelta(reset = true)")
+      require(snap.colMap.getOrElse(f.name, f.name) ==
+          m.colMap.getOrElse(f.name, f.name),
+        s"$root: upstream moves ${f.name}'s physical column — " +
+          "followDelta(reset = true)")
+    }
+    snap.schema.fields.filterNot(f => schema.fieldNames.contains(f.name))
+      .foreach(f => require(f.nullable,
+        s"$root: upstream adds NON-NULLABLE column ${f.name} — files " +
+          "written before it cannot satisfy the constraint; " +
+          "followDelta(reset = true)"))
+    val byPathM = m.files.map(f => f.path -> f).toMap
+    def dvDrifted(pf: FileEntry, a: DeltaLog.DeltaAdd): Boolean = {
+      val upCard = a.dv.map(_.cardinality).getOrElse(0L)
+      if (pf.dvRows != upCard) true
+      else if (upCard == 0L) false
+      else {
+        val up = DeltaDv.readPositions(fs, root, a.dv.get)
+        val native = dvPairs(Seq(pf)).get.collect()
+          .map(_.getLong(1)).sorted
+        !java.util.Arrays.equals(up, native)
+      }
+    }
+    val changed = snap.adds.filter { a =>
+      byPathM.get(a.path) match {
+        case None     => true
+        case Some(pf) => pf.bytes != a.bytes ||
+          pf.mtimeMs != a.mtimeMs || dvDrifted(pf, a)
+      }
+    }
+    val liveUp = snap.adds.map(_.path).toSet
+    val removed = m.files.map(_.path).filterNot(liveUp).toSet
+    // id-mode: drifted files verify against the HEAD schema's physical
+    // names — the same strictness the reset/convert path applies (a
+    // pre-widening file that survived the lapse unchanged is NOT in
+    // `changed` and is never re-verified)
+    if (m.properties.get(TxTable.PropFollowIdMode).contains("true"))
+      verifyIdModeFooters(changed,
+        snap.schema.fields.map(f => snap.physName(f.name)).toSeq)
+    // snapshot stats arrive LOGICAL-keyed (unlike the window path) —
+    // the [[deltaSnapshotEntries]] convention
+    val statOk = snap.schema.fields.filter(f => statsEligible(f.dataType))
+      .map(f => f.name -> f.dataType).toMap
+    def toPhys(k: String): String = snap.colMap.getOrElse(k, k)
+    val entries = withDvSidecar(changed,
+      changed.map(deltaAddEntry(_, statOk, toPhys)))
+    val byPath = entries.map(e => e.path -> e).toMap
+    val appendShaped = removed.isEmpty &&
+      changed.forall(a => !byPathM.contains(a.path) && a.dv.isEmpty)
+    commit { latest =>
+      val l = latest.getOrElse(sys.error(s"$root: log vanished"))
+      require(l.txns.get(TxTable.FollowTxnId).contains(anchor),
+        s"$root: a racing follower advanced the anchor past $anchor " +
+          "— rerun followDelta() to resume from the new one")
+      val kept = l.files.filterNot(f =>
+        byPath.contains(f.path) || removed(f.path))
+      val op =
+        if (appendShaped) OpAppend
+        else if (kept.isEmpty && entries.isEmpty) OpDelete
+        else OpReplace
+      Pending(op, kept ++ entries,
+        schemaDdlOf(snap.schema), l.partitionCols, l.bucketSpec,
+        Some(TxTable.FollowTxnId -> snap.version),
+        colMap = if (snap.colMap == m.colMap) None else Some(snap.colMap))
     }
   }
 

@@ -1160,6 +1160,105 @@ class DeltaInteropSpec extends SparkSpec {
     assert(ep.getMessage.contains(TxTable.FollowTxnId), ep.getMessage)
   }
 
+  test("followDelta catch-up past retention: an aged-out window falls " +
+      "back to a checkpoint snapshot-diff — ONE net commit, exact " +
+      "anchors, DV drift (even at equal cardinality) detected, " +
+      "zero-drift lapses still advance the anchor") {
+    val dir = scratch("follow_lapse")
+    val fx = DeltaFixture
+    def cleanJson(v: Long*): Unit = v.foreach { i =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+        dir, "_delta_log", f"$i%020d.json")); ()
+    }
+    val a = fx.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 0), dir, "part-la.parquet")
+    fx.commit(spark, dir, 0, Seq(fx.protocolJson(),
+      fx.metaDataJson(orders.schema), fx.addJson(a)))
+    val t = TxTable(spark, dir)
+    assert(t.followDelta() == 0L) // anchor = delta v0
+    // upstream evolves while the follower sleeps: append (v1), a CoW
+    // rewrite of part-la (v2), a DV'd add (v3) — then a checkpoint at
+    // v3 and retention cleaning every JSON commit
+    val b = fx.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 1), dir, "part-lb.parquet")
+    fx.commit(spark, dir, 1, Seq(fx.addJson(b)))
+    val c = fx.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 0), dir, "part-lc.parquet")
+    fx.commit(spark, dir, 2, Seq(fx.removeJson(a.relPath), fx.addJson(c)))
+    val d = fx.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 2), dir, "part-ld.parquet")
+    val dPos1 = spark.read.parquet(s"$dir/part-ld.parquet")
+      .select(col("_metadata.row_index")).where(col("o_orderkey") % 16 === 2)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(dPos1.size >= 2, "fixture needs DV'd rows")
+    val dv1 = fx.writeDv(spark, dir, dPos1)
+    fx.commit(spark, dir, 3, Seq(fx.addJson(d, deletionVector = Some(dv1))))
+    fx.checkpoint(spark, dir, 3, orders.schema, Nil,
+      Seq((b, Map.empty[String, String], None),
+        (c, Map.empty[String, String], None),
+        (d, Map.empty[String, String], None)),
+      dvFor = Map(d.relPath -> dv1), protocol = (3, 7))
+    cleanJson(0L, 1L, 2L, 3L)
+    assert(t.followDelta() == 1L, "ONE net catch-up commit")
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(3L), "anchor exact")
+    assert(t.versions == Seq(0L, 1L))
+    val want3 = orders.where(col("o_orderkey") % 4 <= 2 &&
+      !(col("o_orderkey") % 4 === 2 && col("o_orderkey") % 16 === 2))
+    assert(t.read().exceptAll(want3).isEmpty &&
+      want3.exceptAll(t.read()).isEmpty, "head state exact after lapse")
+    // normal incremental windows resume from the caught-up anchor
+    val e = fx.writeData(spark,
+      orders.where(col("o_orderkey") % 4 === 3), dir, "part-le.parquet")
+    fx.commit(spark, dir, 4, Seq(fx.addJson(e)))
+    assert(t.followDelta() == 2L)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(4L))
+    // the RESTORE corner across a lapse: same file, same size/mtime,
+    // same CARDINALITY, different positions — only the exact
+    // position comparison can see it
+    val rows = spark.read.parquet(s"$dir/part-ld.parquet").count()
+    val fresh = (0L until rows).find(i => !dPos1.contains(i)).get
+    val dPos2 = (dPos1.drop(1) :+ fresh).sorted
+    assert(dPos2.size == dPos1.size && dPos2 != dPos1)
+    val dv2 = fx.writeDv(spark, dir, dPos2)
+    fx.commit(spark, dir, 5, Seq(fx.removeJson(d.relPath),
+      fx.addJson(d, deletionVector = Some(dv2))))
+    fx.checkpoint(spark, dir, 5, orders.schema, Nil,
+      Seq((b, Map.empty[String, String], None),
+        (c, Map.empty[String, String], None),
+        (d, Map.empty[String, String], None),
+        (e, Map.empty[String, String], None)),
+      dvFor = Map(d.relPath -> dv2), protocol = (3, 7))
+    cleanJson(4L, 5L)
+    assert(t.followDelta() == 3L)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(5L))
+    val want5 = orders.where(!(col("o_orderkey") % 4 === 2 &&
+      col("o_orderkey") % 16 === 2))
+    // the restored row (old position 0 of dPos1) is visible again and
+    // the freshly-deleted one is gone — verify via exact content
+    val gotKeys = t.read().select("o_orderkey")
+      .collect().map(_.getLong(0)).toSet
+    val restoredKey = spark.read.parquet(s"$dir/part-ld.parquet")
+      .where(col("_metadata.row_index") === dPos1.head)
+      .select("o_orderkey").collect().head.getLong(0)
+    val freshlyDeleted = spark.read.parquet(s"$dir/part-ld.parquet")
+      .where(col("_metadata.row_index") === fresh)
+      .select("o_orderkey").collect().head.getLong(0)
+    assert(gotKeys.contains(restoredKey), "restored row visible")
+    assert(!gotKeys.contains(freshlyDeleted), "newly-deleted row hidden")
+    // a zero-drift lapse (checkpoint advanced, nothing changed) still
+    // advances the anchor — otherwise every later follow re-diffs
+    fx.checkpoint(spark, dir, 6, orders.schema, Nil,
+      Seq((b, Map.empty[String, String], None),
+        (c, Map.empty[String, String], None),
+        (d, Map.empty[String, String], None),
+        (e, Map.empty[String, String], None)),
+      dvFor = Map(d.relPath -> dv2), protocol = (3, 7))
+    val before = t.read().count()
+    assert(t.followDelta() == 4L)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(6L))
+    assert(t.read().count() == before, "zero drift, zero row change")
+  }
+
   test("followDelta: a SHRINKING DV re-add (upstream RESTORE) resurfaces " +
       "the restored rows — sidecar scoping is per entry, so another " +
       "file's pin on the older shared sidecar cannot re-hide them") {
