@@ -331,6 +331,27 @@ object SparkEntry {
       t.followDelta()
       require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(7L),
         "DV window must follow incrementally")
+      // v8: upstream upgrades to column-mapping NAME mode (identity
+      // physical names — the standard ALTER TABLE mapping upgrade);
+      // v9: a foreign RENAME COLUMN (o_orderkey → okey) rides the
+      // frozen physical name and adopts exactly like the engine's own
+      // rename — ONE metadata-only window covering both metas, no
+      // reset, no data movement. The gate's output columns are
+      // untouched, so the DuckDB oracle is unchanged.
+      val base = widened.fields.map(f => (f.name, f.dataType, f.name)).toSeq
+      val mapCfg = Map("delta.columnMapping.mode" -> "name",
+        "delta.columnMapping.maxColumnId" -> base.size.toString)
+      fx.commit(s, dir, 8,
+        Seq(fx.metaDataJson(fx.mappedSchema(base), config = mapCfg)))
+      fx.commit(s, dir, 9, Seq(fx.metaDataJson(fx.mappedSchema(
+        base.map { case (n, dt, p) =>
+          (if (n == "o_orderkey") "okey" else n, dt, p) }),
+        config = mapCfg)))
+      t.followDelta()
+      require(t.lastTxn(graft.core.TxTable.FollowTxnId).contains(9L) &&
+        t.read().schema.fieldNames.contains("okey") &&
+        !t.read().schema.fieldNames.contains("o_orderkey"),
+        "rename window must adopt as metadata only")
       t
     }
 
@@ -3141,7 +3162,9 @@ object SparkEntry {
     // x32: the followed graft table reflects the foreign head after
     // every incremental window shape — the v3 rewrite drops part-a
     // (key%4==0), the v6 widening re-adds the %8==0 slice, the v7 DV
-    // delete subtracts part-d's %16==7 rows
+    // delete subtracts part-d's %16==7 rows; the v8/v9 mapping
+    // upgrade + foreign RENAME (o_orderkey → okey) are metadata-only
+    // and leave the aggregate untouched
     "x32_delta_follow" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)

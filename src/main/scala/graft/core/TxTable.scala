@@ -3421,24 +3421,43 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
                     s"(${m.partitionCols.mkString(",")} → " +
                     s"${meta.partitionCols.mkString(",")}) — a follower " +
                     "cannot re-layout; followDelta(reset = true)")
+                val renamedTo = scala.collection.mutable.Set[String]()
                 ps.fields.foreach { f =>
+                  val physOld = pMap.getOrElse(f.name, f.name)
                   val nf = meta.schema.fields.find(_.name == f.name)
+                    .orElse {
+                      // FOREIGN RENAME adoption (mapping mode only):
+                      // physical names are frozen at column birth, so
+                      // the field still pointing at f's physical name
+                      // IS f under a new logical name — the same
+                      // metadata-only commit the engine's own RENAME
+                      // COLUMN produces. Without mapping a rename is
+                      // indistinguishable from drop+add — refuse.
+                      val r =
+                        if (meta.colMap.isEmpty) None
+                        else meta.schema.fields.find(g =>
+                          meta.colMap.getOrElse(g.name, g.name) == physOld)
+                      r.foreach { g => renamedTo += g.name; () }
+                      r
+                    }
                     .getOrElse(sys.error(
-                      s"$root: foreign metaData DROPS or RENAMES column " +
-                        s"${f.name} — not an additive widening; " +
+                      s"$root: foreign metaData DROPS column " +
+                        s"${f.name} (no field keeps its physical name; " +
+                        "a rename adopts only under column mapping) — " +
+                        "not an additive widening; " +
                         "followDelta(reset = true) re-snapshots"))
                   require(nf.dataType == f.dataType,
                     s"$root: foreign metaData retypes ${f.name} " +
                       s"(${f.dataType.simpleString} → " +
                       s"${nf.dataType.simpleString}) — " +
                       "followDelta(reset = true) re-snapshots")
-                  require(meta.colMap.getOrElse(f.name, f.name) ==
-                      pMap.getOrElse(f.name, f.name),
+                  require(meta.colMap.getOrElse(nf.name, nf.name) == physOld,
                     s"$root: foreign metaData moves ${f.name}'s physical " +
                       "column — followDelta(reset = true) re-snapshots")
                 }
                 meta.schema.fields
-                  .filterNot(f => ps.fieldNames.contains(f.name))
+                  .filterNot(f => ps.fieldNames.contains(f.name) ||
+                    renamedTo.contains(f.name))
                   .foreach(f => require(f.nullable,
                     s"$root: foreign metaData adds NON-NULLABLE column " +
                       s"${f.name} — files written before it cannot " +
@@ -3570,19 +3589,34 @@ final class TxTable private (spark: SparkSession, root: Path, fs: FileSystem,
         s"(${m.partitionCols.mkString(",")} → " +
         s"${snap.partitionCols.mkString(",")}) — a follower cannot " +
         "re-layout; followDelta(reset = true)")
+    val renamedTo = scala.collection.mutable.Set[String]()
     schema.fields.foreach { f =>
-      val nf = snap.schema.fields.find(_.name == f.name).getOrElse(sys.error(
-        s"$root: upstream DROPS or RENAMES column ${f.name} across the " +
-          "lapse — not an additive widening; followDelta(reset = true)"))
+      val physOld = m.colMap.getOrElse(f.name, f.name)
+      val nf = snap.schema.fields.find(_.name == f.name)
+        .orElse {
+          // rename adoption across the lapse — the same mapping-mode
+          // rule as in-window metaData (physical names frozen)
+          val r =
+            if (snap.colMap.isEmpty) None
+            else snap.schema.fields.find(g =>
+              snap.colMap.getOrElse(g.name, g.name) == physOld)
+          r.foreach { g => renamedTo += g.name; () }
+          r
+        }
+        .getOrElse(sys.error(
+          s"$root: upstream DROPS column ${f.name} across the lapse (no " +
+            "field keeps its physical name; a rename adopts only under " +
+            "column mapping) — not an additive widening; " +
+            "followDelta(reset = true)"))
       require(nf.dataType == f.dataType,
         s"$root: upstream retypes ${f.name} (${f.dataType.simpleString} → " +
           s"${nf.dataType.simpleString}) — followDelta(reset = true)")
-      require(snap.colMap.getOrElse(f.name, f.name) ==
-          m.colMap.getOrElse(f.name, f.name),
+      require(snap.colMap.getOrElse(nf.name, nf.name) == physOld,
         s"$root: upstream moves ${f.name}'s physical column — " +
           "followDelta(reset = true)")
     }
-    snap.schema.fields.filterNot(f => schema.fieldNames.contains(f.name))
+    snap.schema.fields.filterNot(f => schema.fieldNames.contains(f.name) ||
+        renamedTo.contains(f.name))
       .foreach(f => require(f.nullable,
         s"$root: upstream adds NON-NULLABLE column ${f.name} — files " +
           "written before it cannot satisfy the constraint; " +

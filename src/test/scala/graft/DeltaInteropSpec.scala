@@ -1160,6 +1160,70 @@ class DeltaInteropSpec extends SparkSpec {
     assert(ep.getMessage.contains(TxTable.FollowTxnId), ep.getMessage)
   }
 
+  test("followDelta foreign-rename adoption: a name-mode rename follows " +
+      "as a metadata-only window (values intact, later files still " +
+      "resolve); an UNMAPPED rename still refuses toward reset") {
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val dir = scratch("follow_rename")
+    val cmSchema = DeltaFixture.mappedSchema(Seq(
+      ("okey", LongType, "col-aa"), ("price", DoubleType, "col-bb")))
+    val cmData = orders.select(col("o_orderkey").as("col-aa"),
+      col("o_totalprice").as("col-bb"))
+    val f = DeltaFixture.writeData(spark,
+      cmData.where(col("col-aa") % 3 === 0), dir, "r0.parquet")
+    DeltaFixture.commit(spark, dir, 0, Seq(
+      DeltaFixture.protocolJson(minReader = 2, minWriter = 5),
+      DeltaFixture.metaDataJson(cmSchema,
+        config = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "2")),
+      DeltaFixture.addJson(f)))
+    val t = TxTable(spark, dir)
+    assert(t.followDelta() == 0L)
+    assert(t.read().schema.fieldNames.toSeq == Seq("okey", "price"))
+    // the foreign ALTER TABLE RENAME COLUMN: okey → order_id, the
+    // physical col-aa frozen — ONE metadata-only graft commit
+    val renamed = DeltaFixture.mappedSchema(Seq(
+      ("order_id", LongType, "col-aa"), ("price", DoubleType, "col-bb")))
+    DeltaFixture.commit(spark, dir, 1, Seq(
+      DeltaFixture.metaDataJson(renamed,
+        config = Map("delta.columnMapping.mode" -> "name",
+          "delta.columnMapping.maxColumnId" -> "2"))))
+    assert(t.followDelta() == 1L)
+    assert(t.lastTxn(TxTable.FollowTxnId).contains(1L))
+    assert(t.read().schema.fieldNames.toSeq == Seq("order_id", "price"))
+    val want0 = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("order_id"),
+        col("o_totalprice").as("price"))
+    assert(t.read().exceptAll(want0).isEmpty &&
+      want0.exceptAll(t.read()).isEmpty, "values ride the rename intact")
+    // a post-rename append (physical names unchanged) still follows
+    val f2 = DeltaFixture.writeData(spark,
+      cmData.where(col("col-aa") % 3 === 1), dir, "r1.parquet")
+    DeltaFixture.commit(spark, dir, 2, Seq(DeltaFixture.addJson(f2)))
+    assert(t.followDelta() == 2L)
+    assert(t.read().count() ==
+      orders.where(col("o_orderkey") % 3 <= 1).count())
+    // refusal matrix: WITHOUT column mapping a rename is
+    // indistinguishable from drop+add — refuse toward reset, and the
+    // reset re-snapshots under the new name
+    val d2 = scratch("follow_rename_plain")
+    val g = DeltaFixture.writeData(spark,
+      orders.where(col("o_orderkey") % 5 === 0), d2, "p0.parquet")
+    DeltaFixture.commit(spark, d2, 0, Seq(DeltaFixture.protocolJson(),
+      DeltaFixture.metaDataJson(orders.schema), DeltaFixture.addJson(g)))
+    val t2 = TxTable(spark, d2)
+    assert(t2.followDelta() == 0L)
+    val plainRenamed = StructType(orders.schema.fields.map(x =>
+      if (x.name == "o_orderkey") x.copy(name = "okey") else x))
+    DeltaFixture.commit(spark, d2, 1, Seq(
+      DeltaFixture.metaDataJson(plainRenamed)))
+    val e = intercept[Exception] { t2.followDelta() }
+    assert(e.getMessage.contains("DROPS") &&
+      e.getMessage.contains("column mapping"), e.getMessage)
+    assert(t2.followDelta(reset = true) == 1L)
+    assert(t2.read().schema.fieldNames.contains("okey"))
+  }
+
   test("followDelta catch-up past retention: an aged-out window falls " +
       "back to a checkpoint snapshot-diff — ONE net commit, exact " +
       "anchors, DV drift (even at equal cardinality) detected, " +
