@@ -81,15 +81,28 @@ object Bench {
     // idempotent cache hit (round-3 VERDICT "What's wrong" #2).
     try graft.core.Tables.registerCatalog(spark, sfDir)
     catch { case _: Throwable => () }
-    def once(fn: (SparkSession, String) => DataFrame): Double = {
+    // each run also captures its PHASE SPLIT (fixture staging vs
+    // stream drain vs everything else) from GateTimers — round-14
+    // finding: streaming-gate totals swung 3.5↔13 s on identical code
+    // with nothing in-band to say whether staging or the watermark
+    // drain moved; the committed artifact now carries the split per
+    // sample so cross-run deltas attribute
+    def once(fn: (SparkSession, String) => DataFrame)
+        : (Double, Map[String, Double]) = {
+      graft.streaming.GateTimers.reset()
       val t0 = System.nanoTime()
       // noop sink: full execution including final sorts/projections
       // (a bare .count() would let Catalyst prune them away)
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val total = (System.nanoTime() - t0) / 1e9
+      val ph = graft.streaming.GateTimers.snapshot()
+      (total, if (ph.isEmpty) ph
+        else ph + ("other" -> math.max(0.0, total - ph.values.sum)))
     }
     val warm = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cold = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val phases =
+      scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val inverted = scala.collection.mutable.LinkedHashSet[String]()
     var retries = 0
@@ -117,7 +130,7 @@ object Bench {
         // A GC per query keeps cross-query interference out of the
         // numbers (standard bench hygiene, not a results change).
         System.gc()
-        val c = once(fn)
+        val (c, _) = once(fn)
         // two warm runs, best-of recorded: a single warm sample is
         // hostage to one GC pause / fsync stall (observed 2.5↔12.5 s
         // on identical streaming queries under background load).
@@ -133,13 +146,14 @@ object Bench {
         // counted in "warm_retries".
         var samples = List(once(fn), once(fn))
         var r = 0
-        while (samples.min > c && r < 3) {
+        while (samples.map(_._1).min > c && r < 3) {
           r += 1; System.gc(); samples = once(fn) :: samples
         }
         retries += r
-        val w = samples.min
+        val (w, wPhases) = samples.minBy(_._1)
         if (w > c) inverted += name
         cold(name) = c; warm(name) = w
+        if (wPhases.nonEmpty) phases(name) = wPhases
         System.err.println(f"bench $name%-24s cold=$c%8.2fs warm=$w%8.2fs" +
           (if (w > c) s" (INVERTED after $r retries)"
            else if (r > 0) s" (retried $r: inversion)" else ""))
@@ -166,9 +180,17 @@ object Bench {
       s""""load_end":"${JsonUtil.esc(loadavg())}",""" +
       s""""steal_pct":$stealPct,"warm_retries":$retries,""" +
       s""""inverted":$invJson"""
+    // phase split per gate (streaming gates only — batch gates have
+    // no timed phases): recorded from the SAME sample the warm number
+    // comes from, file artifact only
+    val phasesJson = phases
+      .map { case (k, v) => s""""$k":${numMap(
+        scala.collection.mutable.LinkedHashMap(v.toSeq: _*))}""" }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","mode":"warm",""" +
       s""""queries":${numMap(warm)},"queries_cold":${numMap(cold)},""" +
+      s""""phases":$phasesJson,""" +
       s""""n_ok":${warm.size},"n_err":${errors.size},"errors":$errJson,""" +
       s"""$env,"sf":"$sfDir"}"""
     // Full detail goes to the file artifact; stdout gets a COMPACT

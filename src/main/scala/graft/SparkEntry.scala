@@ -1406,11 +1406,13 @@ object SparkEntry {
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
       val t = graft.core.TxTable(s, dir)
-      t.overwrite(o.where(col("o_orderkey") % 3 === 0))
-      // the property-setting commit bootstraps the mirror (Delta v0)
-      t.setProperties(Map(graft.core.TxTable.PropDeltaMirror -> "true"))
+      graft.streaming.GateTimers.timed("stage") {
+        t.overwrite(o.where(col("o_orderkey") % 3 === 0))
+        // the property-setting commit bootstraps the mirror (Delta v0)
+        t.setProperties(Map(graft.core.TxTable.PropDeltaMirror -> "true"))
+      }
       val out = EventsStream.scratchDir("graft_s15_out")
-      def drain(): Unit = {
+      def drain(): Unit = graft.streaming.GateTimers.timed("drain") {
         val q = s.readStream.format("delta-log").load(dir)
           .writeStream.format("parquet")
           .option("path", s"$out/rows")
@@ -1420,7 +1422,9 @@ object SparkEntry {
         q.awaitTermination()
       }
       drain() // batch 0: the mirror's snapshot
-      t.append(o.where(col("o_orderkey") % 3 === 1)) // auto-mirrors v1
+      graft.streaming.GateTimers.timed("stage") {
+        t.append(o.where(col("o_orderkey") % 3 === 1)) // auto-mirrors v1
+      }
       drain() // tail: only the appended files
       s.read.parquet(s"$out/rows")
         .groupBy("o_orderpriority")
@@ -1435,12 +1439,15 @@ object SparkEntry {
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_totalprice", "o_orderpriority")
       val fx = graft.core.DeltaFixture
-      val a = fx.writeData(s, o.where(col("o_orderkey") % 3 === 0),
-        dir, "part-a.parquet")
-      fx.commit(s, dir, 0, Seq(fx.protocolJson(),
-        fx.metaDataJson(o.schema), fx.addJson(a)))
+      val a = graft.streaming.GateTimers.timed("stage") {
+        val a0 = fx.writeData(s, o.where(col("o_orderkey") % 3 === 0),
+          dir, "part-a.parquet")
+        fx.commit(s, dir, 0, Seq(fx.protocolJson(),
+          fx.metaDataJson(o.schema), fx.addJson(a0)))
+        a0
+      }
       val out = EventsStream.scratchDir("graft_s14_out")
-      def drain(): Unit = {
+      def drain(): Unit = graft.streaming.GateTimers.timed("drain") {
         val q = s.readStream.format("delta-log").load(dir)
           .writeStream.format("parquet")
           .option("path", s"$out/rows")
@@ -1450,9 +1457,11 @@ object SparkEntry {
         q.awaitTermination()
       }
       drain() // batch 0: the pinned snapshot
-      val b = fx.writeData(s, o.where(col("o_orderkey") % 3 === 1),
-        dir, "part-b.parquet")
-      fx.commit(s, dir, 1, Seq(fx.addJson(b)))
+      graft.streaming.GateTimers.timed("stage") {
+        val b = fx.writeData(s, o.where(col("o_orderkey") % 3 === 1),
+          dir, "part-b.parquet")
+        fx.commit(s, dir, 1, Seq(fx.addJson(b)))
+      }
       drain() // tail: ONLY commit 1's file
       s.read.parquet(s"$out/rows")
         .groupBy("o_orderpriority")
@@ -1487,7 +1496,7 @@ object SparkEntry {
             "delta.columnMapping.maxColumnId" -> "13")),
         fx.addJson(a)))
       val out = EventsStream.scratchDir("graft_s17_out")
-      def drain(): Unit = {
+      def drain(): Unit = graft.streaming.GateTimers.timed("drain") {
         val q = s.readStream.format("delta-log").load(dir)
           .writeStream.format("parquet")
           .option("path", s"$out/rows")
@@ -1886,12 +1895,14 @@ object SparkEntry {
       import org.apache.spark.sql.functions._
       import s.implicits._
       val sdir = EventsStream.scratchDir("graft_tws_sentinel")
-      Tables.events(s, d).agg(max(col("ts")).as("mx"))
-        .select(lit(-1L).as("event_id"),
-          (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
-          lit(-1L).as("user_id"), lit("flush").as("event_type"),
-          lit(0.0).as("value"))
-        .write.mode("overwrite").parquet(s"$sdir/sentinel.parquet")
+      graft.streaming.GateTimers.timed("stage") {
+        Tables.events(s, d).agg(max(col("ts")).as("mx"))
+          .select(lit(-1L).as("event_id"),
+            (col("mx") + expr("INTERVAL 2 HOURS")).as("ts"),
+            lit(-1L).as("user_id"), lit("flush").as("event_type"),
+            lit(0.0).as("value"))
+          .write.mode("overwrite").parquet(s"$sdir/sentinel.parquet")
+      }
       val evCols = Seq("event_id", "ts", "user_id", "event_type", "value")
       val stream = EventsStream.readEventsStream(s, d)
         .select(evCols.map(col): _*)
@@ -2318,7 +2329,7 @@ object SparkEntry {
         t0.overwriteBucketed(o.where(col("o_orderkey") % 3 =!= 0),
           bucketCols = Seq("o_orderkey"), nBuckets = 16)          // v0
         t0.append(o.where(col("o_orderkey") % 3 === 0))           // v1
-        def drain(): Unit = {
+        def drain(): Unit = graft.streaming.GateTimers.timed("drain") {
           val q = s.readStream
             .format(classOf[graft.sources.TxTableSourceProvider].getName)
             .option(graft.sources.TxTableSource.OptChangeFeed, "true")

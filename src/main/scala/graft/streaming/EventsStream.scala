@@ -328,7 +328,7 @@ object EventsStream {
     * window, and with availableNow the watermark stops at the last
     * real event otherwise. Returns the staged path to `readStream`. */
   def stageEventsWithSentinel(spark: SparkSession, fixtureDir: String,
-      stagedDir: String): String = {
+      stagedDir: String): String = GateTimers.timed("stage") {
     val ev = graft.core.Tables.events(spark, fixtureDir)
       .select("event_id", "ts", "user_id", "event_type", "value")
     val maxTs = ev.agg(max(col("ts"))).head.getTimestamp(0)
@@ -362,13 +362,18 @@ object EventsStream {
     * aggregated outputs only). */
   def runAvailableNowToParquet(spark: SparkSession, streaming: DataFrame,
       dir: String): DataFrame = withStatePartitions(spark) {
-    val q = streaming.writeStream
-      .format("parquet")
-      .option("path", s"$dir/out")
-      .option("checkpointLocation", s"$dir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // the drain (microbatch scheduling, state-store commits/fsyncs,
+    // watermark advance) is the variance-dominated phase of every
+    // streaming gate — timed separately so bench deltas attribute
+    GateTimers.timed("drain") {
+      val q = streaming.writeStream
+        .format("parquet")
+        .option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(s"$dir/out")
   }
 
@@ -430,7 +435,7 @@ object EventsStream {
       .option("checkpointLocation", s"$workDir/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    GateTimers.timed("drain") { q.awaitTermination() }
     spark.read.parquet(latestStateDir(spark, workDir, below = None).getOrElse(
       sys.error("foreachBatch upsert ran zero microbatches")))
   }
@@ -486,7 +491,7 @@ object EventsStream {
         .option("checkpointLocation", s"$tableDir/_ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      GateTimers.timed("drain") { q.awaitTermination() }
       t.read()
     }
 
@@ -559,7 +564,7 @@ object EventsStream {
         .option("checkpointLocation", s"$tableDir/_ckpt")
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      GateTimers.timed("drain") { q.awaitTermination() }
       t.read()
     }
 
@@ -645,13 +650,15 @@ object EventsStream {
   def runAvailableNow(spark: SparkSession, streaming: DataFrame,
       queryName: String, outputMode: OutputMode = OutputMode.Append): DataFrame =
     withStatePartitions(spark) {
-      val q = streaming.writeStream
-        .format("memory")
-        .queryName(queryName)
-        .outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      GateTimers.timed("drain") {
+        val q = streaming.writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode(outputMode)
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       spark.table(queryName)
     }
 
