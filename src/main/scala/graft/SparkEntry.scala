@@ -2368,7 +2368,7 @@ object SparkEntry {
     // distinct set
     "s16_stream_dedup"   -> ((s, d) => {
       import org.apache.spark.sql.functions._
-      val (dir, out) = cachedAsset(s, s"s16_dedup|$d") {
+      val (dir, out, nKeys) = cachedAsset(s, s"s16_dedup|$d") {
         val dir = graft.streaming.EventsStream.scratchDir("graft_s16") + "/t"
         val e = Tables.events(s, d)
           .select("event_id", "event_type", "value")
@@ -2377,13 +2377,18 @@ object SparkEntry {
         // (the at-least-once redelivery every real ingest has)
         t.overwrite(e.where(col("event_id") % 3 <= 1))
         t.append(e.where(col("event_id") % 3 >= 1))
-        (dir, graft.streaming.EventsStream.scratchDir("graft_s16_out"))
+        (dir, graft.streaming.EventsStream.scratchDir("graft_s16_out"),
+          e.count())
       }
       val events = s.readStream
         .format(classOf[graft.sources.TxTableSourceProvider].getName)
         .load(dir)
+      // sink buckets sized from the observed corpus (the srpAutoSize
+      // discipline), not a fixed 16 — at fixture scale that is 1
+      // bucket; at ingest scale it keeps bucket bytes flat
       graft.streaming.EventsStream
-        .runDedupIngestTx(s, events, s"$out/sink")
+        .runDedupIngestTx(s, events, s"$out/sink",
+          expectedKeys = Some(math.max(1L, nKeys)))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_events"),
           round(sum(col("value").cast("decimal(18,2)")), 2).cast("double")

@@ -554,12 +554,22 @@ object EventsStream {
     * [[upsertBatchTx]] discipline: a replayed batch sees its own tag
     * and no-ops, so not even a crash duplicates a key. */
   def runDedupIngestTx(spark: SparkSession, events: DataFrame,
-      tableDir: String, nBuckets: Int = 16): DataFrame =
+      tableDir: String, nBuckets: Option[Int] = None,
+      expectedKeys: Option[Long] = None,
+      avgRowBytes: Int = 64): DataFrame =
     withStatePartitions(spark) {
+      require(nBuckets.isEmpty || expectedKeys.isEmpty,
+        "specify nBuckets OR expectedKeys, not both — an explicit bucket " +
+          "count silently overriding the sizing discipline is how a " +
+          "mis-sized sink ships")
+      val buckets = expectedKeys
+        .map(dedupIngestBuckets(_, avgRowBytes))
+        .orElse(nBuckets)
+        .getOrElse(16) // fixture-scale default; size from the corpus at scale
       val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
       val q = events.writeStream
         .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-          dedupIngestBatchTx(t, batch, batchId, nBuckets)
+          dedupIngestBatchTx(t, batch, batchId, buckets)
         }
         .option("checkpointLocation", s"$tableDir/_ckpt")
         .trigger(Trigger.AvailableNow())
@@ -567,6 +577,46 @@ object EventsStream {
       GateTimers.timed("drain") { q.awaitTermination() }
       t.read()
     }
+
+  /** Bucket count for a dedup-ingest sink expected to hold
+    * `expectedKeys` keys — the srpAutoSize discipline applied to the
+    * sink: buckets ∝ corpus ÷ target bucket bytes, so a bucket stays
+    * ~`targetBucketBytes` however large the corpus grows and the
+    * per-batch copy-on-write rewrite cost stays
+    * O(batch keys × bucket bytes) — FLAT in sink size — instead of
+    * growing with the table as a fixed count fills (round-14 probe:
+    * ~1.4× per-batch growth across a 4× sink at nBuckets=16).
+    * `expectedKeys` only matters at TABLE BIRTH (the bucket layout is
+    * fixed at the first commit; later calls inherit it) — when the
+    * estimate was wrong, [[rebucketDedupIngest]] is the migration. */
+  def dedupIngestBuckets(expectedKeys: Long, avgRowBytes: Int = 64,
+      targetBucketBytes: Long = 128L << 20): Int = {
+    require(expectedKeys > 0 && avgRowBytes > 0 && targetBucketBytes > 0,
+      s"dedupIngestBuckets: positive sizes required, got keys=" +
+        s"$expectedKeys rowBytes=$avgRowBytes target=$targetBucketBytes")
+    val n = math.ceil(
+      expectedKeys.toDouble * avgRowBytes / targetBucketBytes)
+    math.max(1, math.min(1 << 20, n).toInt)
+  }
+
+  /** OPTIMIZE migration for a dedup-ingest sink whose bucket count no
+    * longer matches its size (the expectedKeys estimate was wrong, or
+    * the corpus outgrew it): ONE O(table) bucketed rewrite under the
+    * SAME exactly-once txn anchor, so the suspended stream resumes
+    * against the new layout without replaying or dropping a batch.
+    * Run it between stream runs — never concurrently with ingest (the
+    * commit race would refuse one side, but the loser's work is
+    * wasted). */
+  def rebucketDedupIngest(spark: SparkSession, tableDir: String,
+      newBuckets: Int): Unit = {
+    val t = graft.core.TxTable(spark, tableDir, statsOnWrite = false)
+    val last = t.lastTxn(DedupIngestAppId).getOrElse(sys.error(
+      s"$tableDir carries no $DedupIngestAppId txn tag — not a " +
+        "dedup-ingest sink; refusing to rewrite an unrelated table"))
+    t.overwriteBucketed(t.read(), Seq("event_id"), newBuckets,
+      txn = Some(DedupIngestAppId -> last))
+    ()
+  }
 
   /** One dedup-ingest microbatch — factored out so the spec can
     * replay a batch against a live table and assert the exactly-once

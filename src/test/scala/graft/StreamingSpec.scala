@@ -376,4 +376,62 @@ class StreamingSpec extends SparkSpec {
     assert(t.latestVersion.get == vBefore, "replayed batch must no-op")
     assert(t.read().count() == e.count())
   }
+
+  test("dedup-ingest sink buckets size from the corpus (srpAutoSize " +
+      "discipline); half-specified calls refuse; rebucket migration " +
+      "keeps rows AND the exactly-once anchor") {
+    import org.apache.spark.sql.functions._
+    // sizing: buckets ∝ keys × rowBytes ÷ target, clamped to [1, 2^20]
+    assert(EventsStream.dedupIngestBuckets(1000L) == 1)
+    assert(EventsStream.dedupIngestBuckets(
+      100L * 1000 * 1000 * 1000, avgRowBytes = 64) ==
+      math.ceil(100e9 * 64 / (128L << 20).toDouble).toInt,
+      "100G keys at 64 B → ~47.7k buckets of ~128 MB")
+    assert(EventsStream.dedupIngestBuckets(Long.MaxValue / 128) == (1 << 20),
+      "absurd corpus clamps instead of overflowing")
+    intercept[IllegalArgumentException] {
+      EventsStream.dedupIngestBuckets(0L)
+    }
+    // specifying BOTH an explicit count and an expected corpus refuses
+    val e = graft.core.Tables.events(spark, sf)
+      .select("event_id", "event_type", "value")
+    val both = intercept[IllegalArgumentException] {
+      EventsStream.runDedupIngestTx(spark, e, "/tmp/never-used",
+        nBuckets = Some(4), expectedKeys = Some(1000L))
+    }
+    assert(both.getMessage.contains("not both"), both.getMessage)
+    // rebucket migration: same rows, new layout, anchor preserved —
+    // the suspended stream resumes without replaying or dropping
+    val sink = graft.streaming.EventsStream.scratchDir("s16_rebucket") + "/s"
+    val t = graft.core.TxTable(spark, sink, statsOnWrite = false)
+    EventsStream.dedupIngestBatchTx(t,
+      e.where(col("event_id") % 2 === 0), batchId = 0L, nBuckets = 2)
+    EventsStream.dedupIngestBatchTx(t,
+      e.where(col("event_id") % 4 <= 1), batchId = 1L, nBuckets = 2)
+    val before = t.read().select("event_id", "event_type", "value")
+    val beforeRows = before.collect().toSet
+    val anchor = t.lastTxn(EventsStream.DedupIngestAppId)
+    EventsStream.rebucketDedupIngest(spark, sink, newBuckets = 8)
+    val t2 = graft.core.TxTable(spark, sink, statsOnWrite = false)
+    assert(t2.read().select("event_id", "event_type", "value")
+      .collect().toSet == beforeRows, "rebucket must not change rows")
+    assert(t2.lastTxn(EventsStream.DedupIngestAppId) == anchor,
+      "the exactly-once anchor must ride the rewrite")
+    // the next batch proceeds; replaying the last one still no-ops
+    val vAfter = t2.latestVersion.get
+    EventsStream.dedupIngestBatchTx(t2,
+      e.where(col("event_id") % 4 <= 1), anchor.get, nBuckets = 8)
+    assert(t2.latestVersion.get == vAfter, "replay after rebucket no-ops")
+    EventsStream.dedupIngestBatchTx(t2,
+      e.where(col("event_id") % 4 === 3), anchor.get + 1, nBuckets = 8)
+    assert(t2.read().groupBy("event_id").count()
+      .where(col("count") > 1).count() == 0, "still exactly one per key")
+    // a non-dedup-sink refuses the migration by name
+    val plain = graft.streaming.EventsStream.scratchDir("s16_plain") + "/p"
+    graft.core.TxTable(spark, plain).overwrite(e.limit(10))
+    val refuse = intercept[RuntimeException] {
+      EventsStream.rebucketDedupIngest(spark, plain, 4)
+    }
+    assert(refuse.getMessage.contains("dedup-ingest"), refuse.getMessage)
+  }
 }
