@@ -137,6 +137,44 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Positional 128-bit span fingerprints — array<struct<pos,h,h2>>,
+  * one struct per k-token window (see
+  * [[VectorKernels.spanFingerprints]]). Stays inside whole-stage
+  * codegen; the old HOF spelling was interpreted per position. */
+case class SpanFingerprints(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(new StructType()
+    .add("pos", IntegerType, nullable = false)
+    .add("h", LongType, nullable = false)
+    .add("h2", LongType, nullable = false), containsNull = false)
+  override def prettyName: String = "graft_span_fingerprints"
+  override protected def nullSafeEval(tokens: Any): Any =
+    VectorKernels.spanFingerprints(tokens.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.VectorKernels.spanFingerprints($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merged-interval span removal — the [[SpanFingerprints]] rebuild
+  * half (see [[VectorKernels.spanFilter]]). */
+case class SpanFilter(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_span_filter"
+  override protected def nullSafeEval(tokens: Any, spans: Any): Any =
+    VectorKernels.spanFilter(
+      tokens.asInstanceOf[ArrayData], spans.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (t, s) => s"graft.functions.VectorKernels.spanFilter($t, $s, $k)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 case class WinnowFingerprint(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -431,6 +469,10 @@ object GraftFunctions {
   def shingleHashes(tokens: Column, n: Int): Column =
     col(ShingleHashes(ex(tokens), n))
   def simHash64(tokens: Column): Column = col(SimHash64(ex(tokens)))
+  def spanFingerprints(tokens: Column, k: Int): Column =
+    col(SpanFingerprints(ex(tokens), k))
+  def spanFilter(tokens: Column, spans: Column, k: Int): Column =
+    col(SpanFilter(ex(tokens), ex(spans), k))
   def bpeEncodeWord(word: Column, model: BpeModel): Column =
     col(BpeEncodeWord(ex(word), model))
   def bpeCountTokens(tokens: Column, model: BpeModel): Column =

@@ -209,6 +209,79 @@ object VectorKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, w))
   }
 
+  /** Positional 128-bit span fingerprints for substring dedup
+    * ([[graft.ops.Dedup.dedupSpans]]): one (pos, h, h2) struct per
+    * k-token window, both hash lanes chain-hashed from per-token
+    * hashes computed ONCE per token (two independently-seeded lanes —
+    * the same construction as [[shingleHashes]], doubled). Replaces
+    * the interpreted `transform(sequence(...), i ->
+    * named_struct(..., xxhash64(array_join(slice(...)))))` spelling,
+    * which built the k-token shingle STRING twice per position and
+    * ran outside codegen. The fingerprint only needs to be injective
+    * per distinct token window (grouping key — never surfaced, and
+    * the oracle replays the grouping with string shingles), which
+    * chained XXH64 gives at the same 128-bit collision margin as the
+    * old double-xxhash64: windows are token sequences, tokens are
+    * space-free, so window ↦ hash-chain is injective modulo XXH64
+    * collisions (~10⁻¹⁴ expected at 10¹² shingles). */
+  def spanFingerprints(tokens: ArrayData, k: Int): ArrayData = {
+    val total = tokens.numElements()
+    val m = total - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val t1 = new Array[Long](total)
+    val t2 = new Array[Long](total)
+    var i = 0
+    while (i < total) {
+      val s = tokens.getUTF8String(i)
+      t1(i) = hashString(s, 7L)
+      t2(i) = hashString(s, 0x9E3779B97F4A7C15L)
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      var h1 = 0x51ed270b9a7d1fbdL
+      var h2 = 0x2545F4914F6CDD1DL
+      var j = 0
+      while (j < k) {
+        h1 = XXH64.hashLong(t1(i + j), h1)
+        h2 = XXH64.hashLong(t2(i + j), h2)
+        j += 1
+      }
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](i, h1, h2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Remove every k-token span starting at a position in `spans` from
+    * the token array — the [[graft.ops.Dedup.dedupSpans]] rebuild as
+    * one merged-interval sweep (O(T + S log S)) instead of the
+    * interpreted `filter(..., x -> NOT exists(spans, p -> ...))`
+    * (O(T·S) per doc, outside codegen). Token i is dropped iff some
+    * span p satisfies p ≤ i < p + k — exactly the old predicate. */
+  def spanFilter(tokens: ArrayData, spans: ArrayData, k: Int): ArrayData = {
+    val total = tokens.numElements()
+    val s = spans.toIntArray()
+    java.util.Arrays.sort(s)
+    val kept = new Array[AnyRef](total)
+    var w = 0
+    var si = 0
+    var coveredUntil = 0 // exclusive end of the merged covering interval
+    var i = 0
+    while (i < total) {
+      while (si < s.length && s(si) <= i) {
+        val e = s(si) + k
+        if (e > coveredUntil) coveredUntil = e
+        si += 1
+      }
+      if (i >= coveredUntil) { kept(w) = tokens.getUTF8String(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(kept, w).asInstanceOf[Array[Any]])
+  }
+
   /** Winnowing-style fingerprint: the minimum 16-hex-char md5 prefix
     * over word n-gram shingles — byte-identical to the SQL
     * `min(substr(md5(shingle), 1, 16))` the DuckDB oracle runs, in

@@ -627,18 +627,24 @@ object Dedup {
   def dedupSpans(docs: DataFrame, k: Int = 20): DataFrame = {
     val toks = docs.select(col("doc_id"),
       split(col("text"), " ").as("__toks"))
-    // 128-bit fingerprint: two independent xxhash64 lanes (the second
-    // seeded by an extra literal in the hash stream). A single 64-bit
-    // key has expected birthday collisions in the tens of thousands at
-    // the 10^12-shingle scale this targets, and a collision DELETES
-    // legitimate text; at 128 bits the expectation is ~10^-14.
+    // 128-bit fingerprint: two independently-seeded chained-XXH64
+    // lanes in ONE codegen kernel pass per document
+    // ([[graft.functions.VectorKernels.spanFingerprints]]). A single
+    // 64-bit key has expected birthday collisions in the tens of
+    // thousands at the 10^12-shingle scale this targets, and a
+    // collision DELETES legitimate text; at 128 bits the expectation
+    // is ~10^-14. The fingerprint VALUES are a grouping key only
+    // (never surfaced; the oracle replays the grouping with string
+    // shingles), so the round-15 kernel — per-token hashes computed
+    // once, windows chain-hashed — replaces the interpreted
+    // `transform(..., xxhash64(array_join(slice(...))))` spelling
+    // that built every k-token shingle string twice per position
+    // (measured 3.6 s → see OPTIMIZATION_r15.md, c17).
     val occ = toks
       .where(size(col("__toks")) >= k)
-      .select(col("doc_id"), explode(expr(
-        s"transform(sequence(0, size(__toks) - $k), i -> named_struct(" +
-          s"'pos', i, 'h', xxhash64(array_join(slice(__toks, i + 1, $k), ' ')), " +
-          s"'h2', xxhash64(array_join(slice(__toks, i + 1, $k), ' '), 'g2')))"))
-        .as("o"))
+      .select(col("doc_id"),
+        explode(graft.functions.GraftFunctions
+          .spanFingerprints(col("__toks"), k)).as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"),
         col("o.h").as("h"), col("o.h2").as("h2"))
     val dup = occ.groupBy("h", "h2")
@@ -650,15 +656,18 @@ object Dedup {
         col("pos") === col("canon.pos")))
       .groupBy("doc_id")
       .agg(collect_list(col("pos")).as("__spans"))
+    // rebuild: merged-interval sweep kernel (codegen) instead of the
+    // interpreted O(tokens × spans) filter/exists lambda; token i is
+    // dropped iff some span p has p <= i < p + k — same predicate
     toks.join(spans, Seq("doc_id"), "left")
-      .withColumn("__kept", expr(
-        s"filter(transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), " +
-          s"x -> __spans IS NULL OR " +
-          s"NOT exists(__spans, p -> x.i >= p AND x.i < p + $k))"))
+      .withColumn("__kept",
+        when(col("__spans").isNull, col("__toks"))
+          .otherwise(graft.functions.GraftFunctions
+            .spanFilter(col("__toks"), col("__spans"), k)))
       .select(col("doc_id"),
         size(col("__toks")).as("tokens_before"),
         size(col("__kept")).as("tokens_after"),
-        array_join(expr("transform(__kept, x -> x.t)"), " ").as("text"))
+        array_join(col("__kept"), " ").as("text"))
   }
 
   /** C14 — canonical-document selection: after clustering (c11 /

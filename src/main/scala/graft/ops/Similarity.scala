@@ -316,7 +316,19 @@ object Similarity {
     // first; the fixtures are uniform)
     val e = emb.select(col("vec_id"), col("embedding"),
       l2Norm(col("embedding")).as("nrm"))
-    e.as("a")
+    // REDISTRIBUTE the stream side before the nested loop (round 15,
+    // guide §2.5): the per-row work here is O(n·dim) — a corpus that
+    // arrives in fewer partitions than cores (a single-row-group
+    // parquet fixture runs the whole n² loop on ONE task; measured
+    // 6.3 s → 0.7 s at sf0.1/32 cores) pays one n-row exchange to
+    // spread n² work. Deterministic key; when the input is already
+    // wide the exchange is noise next to the loop by construction —
+    // this is the one operator family (block-nested-loop) where an
+    // unconditional spread is justified at every scale. The broadcast
+    // (build) side stays bare: an exchange below a broadcast collect
+    // buys nothing.
+    e.repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id")).as("a")
       .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         round(dot(col("a.embedding"), col("b.embedding")) /

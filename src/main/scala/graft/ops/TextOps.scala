@@ -352,8 +352,15 @@ object TextOps {
             (coalesce(col("c1"), lit(0L)) + lit(k) * lit(v))), 6))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_pairs"),
-        round(-sum(col("lp").cast("decimal(18,6)")) / count(lit(1)), 6)
-          .cast("double").as("avg_nll"))
+        // the exact DECIMAL sum divides AS DOUBLE, matching the DuckDB
+        // twin bit-for-bit (DuckDB DECIMAL/BIGINT yields DOUBLE): a
+        // Spark decimal-exact quotient rounds x.xxxxxx5 UP where the
+        // double quotient is x.xxxxxx49999… and rounds DOWN — a real
+        // sf0.001 knife edge (doc 169: 40.784046/12; found round 15,
+        // pre-existing). Sum stays decimal, so partitioning/summation
+        // order still cannot move the result.
+        round((-sum(col("lp").cast("decimal(18,6)"))).cast("double") /
+          count(lit(1)), 6).as("avg_nll"))
       .orderBy("doc_id")
   }
 

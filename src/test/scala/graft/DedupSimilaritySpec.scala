@@ -545,4 +545,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.forall(x => x.getInt(1) == x.getInt(2)),
       "second pass must be a fixpoint")
   }
+
+  test("dedupSpans kernel ≡ the round-7 HOF spelling on the fixture corpus") {
+    // round-15 optimization: spanFingerprints/spanFilter kernels
+    // replaced the interpreted transform/xxhash64(array_join)/exists
+    // lambdas. The hash VALUES changed (chained per-token XXH64 lanes
+    // instead of string-join xxhash64) but they are a grouping key
+    // only, so the OUTPUT must be row-identical to the old spelling —
+    // asserted here against the original expression program, on real
+    // fixture text plus the c17 planted copies.
+    def oldDedupSpans(docs: org.apache.spark.sql.DataFrame, k: Int) = {
+      val toks = docs.select(col("doc_id"), split(col("text"), " ").as("__toks"))
+      val occ = toks
+        .where(size(col("__toks")) >= k)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(__toks) - $k), i -> named_struct(" +
+            s"'pos', i, 'h', xxhash64(array_join(slice(__toks, i + 1, $k), ' ')), " +
+            s"'h2', xxhash64(array_join(slice(__toks, i + 1, $k), ' '), 'g2')))"))
+          .as("o"))
+        .select(col("doc_id"), col("o.pos").as("pos"),
+          col("o.h").as("h"), col("o.h2").as("h2"))
+      val dup = occ.groupBy("h", "h2")
+        .agg(count(lit(1)).as("n"),
+          min(struct(col("doc_id"), col("pos"))).as("canon"))
+        .where(col("n") > 1)
+      val spans = occ.join(dup, Seq("h", "h2"))
+        .where(!(col("doc_id") === col("canon.doc_id") &&
+          col("pos") === col("canon.pos")))
+        .groupBy("doc_id")
+        .agg(collect_list(col("pos")).as("__spans"))
+      toks.join(spans, Seq("doc_id"), "left")
+        .withColumn("__kept", expr(
+          s"filter(transform(__toks, (t, i) -> named_struct('t', t, 'i', i)), " +
+            s"x -> __spans IS NULL OR " +
+            s"NOT exists(__spans, p -> x.i >= p AND x.i < p + $k))"))
+        .select(col("doc_id"),
+          size(col("__toks")).as("tokens_before"),
+          size(col("__kept")).as("tokens_after"),
+          array_join(expr("transform(__kept, x -> x.t)"), " ").as("text"))
+    }
+    import org.apache.spark.sql.functions.{concat, lit => l}
+    val base = docs.select(col("doc_id"), col("text"))
+    val planted = base
+      .where(col("doc_id") % 10 === 0 && size(split(col("text"), " ")) >= 25)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(l("plantA "),
+          array_join(slice(split(col("text"), " "), 1, 25), " "),
+          l(" plantB")).as("text"))
+    val corpus = base.unionByName(planted)
+    val newOut = graft.ops.Dedup.dedupSpans(corpus, k = 20)
+      .orderBy("doc_id").collect().toSeq
+    val oldOut = oldDedupSpans(corpus, k = 20)
+      .orderBy("doc_id").collect().toSeq
+    assert(newOut == oldOut,
+      "kernel dedupSpans must be row-identical to the HOF spelling")
+    // edge shapes: overlapping + adjacent + doc-edge spans through the
+    // sweep kernel — same predicate as the old exists() lambda
+    import spark.implicits._
+    val tricky = Seq(
+      (1L, "x0 x1 x2 x3 x4 x5 x6 x7"),
+      (2L, "x0 x1 x2 x3 x4 x5 x6 x7"),   // exact dup: every window dups
+      (3L, "y0 x0 x1 x2 x3 x4 x5 x6"),   // overlap shifted by one
+      (4L, "x4 x5 x6 x7 z0 x0 x1 x2")    // spans at both doc edges
+    ).toDF("doc_id", "text")
+    val a = graft.ops.Dedup.dedupSpans(tricky, k = 4).orderBy("doc_id").collect().toSeq
+    val b = oldDedupSpans(tricky, k = 4).orderBy("doc_id").collect().toSeq
+    assert(a == b, "edge-shape spans must match the old spelling")
+  }
 }
