@@ -78,16 +78,61 @@ object Sketches {
       .groupBy("quantile").agg(min("bin").as("qbin"))
       .withColumn("dd_est",
         lit(2.0) * pow(lit(gamma), col("qbin")) / lit(gamma + 1))
-    // exact twin: ONE percentile pass computing every requested q —
-    // over the SAME strictly-positive population the sketch bins
-    // (without the filter, data containing zeros/negatives would make
-    // within_bound and the rank n silently refer to different
-    // populations)
-    val exactArr = df.where(v > lit(0.0)).select(v.as("x")).agg(
-      expr(s"percentile(x, array(${qs.mkString(", ")}))").as("ex"))
-      .select(posexplode(col("ex")).as(Seq("i", "exact")))
-      .select(element_at(array(qs.map(lit): _*), col("i") + 1)
-        .as("quantile"), col("exact"))
+    // EXACT twin over the same strictly-positive population — since
+    // round 15 computed as BIN-BOUNDED ORDER STATISTICS instead of one
+    // `percentile(x, array(...))` pass: percentile() buffers EVERY
+    // distinct value per task in an ObjectHashAggregate map, merges
+    // the maps single-threaded, and sorts them on one core — the exact
+    // shape guide §5 bans at scale (the whole column in one
+    // aggregation buffer; measured 16 MB of serialized map per
+    // exchange at sf0.1 and the slowest span of the gate). Instead:
+    //   1. the interpolation ranks are floor/ceil(q·(n−1)) + 1 —
+    //      ≤ 2|qs| GLOBAL ranks, from the bin-sized `cum` table;
+    //   2. each rank's value lives in the unique bin whose cumulative
+    //      count first reaches it, at in-bin offset rank − cum(prev) —
+    //      located by a broadcast join against `cum` (bin-sized);
+    //   3. only the matching bins' rows (≈ α-fraction of the mass,
+    //      never the column) shuffle to a per-rank row_number window
+    //      that picks the offset-th smallest;
+    //   4. Spark's Percentile interpolation is replayed exactly:
+    //      (higher − pos)·x_lo + (pos − lower)·x_hi, degenerate ranks
+    //      collapse to x_lo — bit-identical (SketchesSpec pins
+    //      equality against percentile() on fixtures + planted
+    //      duplicate/singleton shapes).
+    val binExpr = (ceil(log(col("x")) / lit(math.log(gamma)))).cast("long")
+    val ranks = qdf.crossJoin(broadcast(total))
+      .select(col("quantile"),
+        (col("quantile") * (col("n") - 1).cast("double")).as("pos"))
+      .select(col("quantile"), col("pos"),
+        (floor(col("pos")).cast("long") + 1).as("rank_lo"),
+        (ceil(col("pos")).cast("long") + 1).as("rank_hi"))
+    // one row per (quantile, side): side 0 = lower rank, 1 = higher
+    val wanted = ranks.select(col("quantile"), col("pos"),
+      explode(array(
+        struct(lit(0).as("side"), col("rank_lo").as("rank")),
+        struct(lit(1).as("side"), col("rank_hi").as("rank")))).as("w"))
+      .select(col("quantile"), col("pos"),
+        col("w.side").as("side"), col("w.rank").as("rank"))
+    // locate each rank's bin + in-bin offset (bin-sized joins)
+    val located = wanted.join(cum,
+        col("cum") >= col("rank") && col("cum") - col("cnt") < col("rank"))
+      .select(col("quantile"), col("pos"), col("side"), col("bin"),
+        (col("rank") - (col("cum") - col("cnt"))).as("off"))
+    // candidate rows: only the located bins' values leave the scan
+    val cand = df.where(v > lit(0.0)).select(v.as("x"))
+      .withColumn("bin", binExpr)
+      .join(broadcast(located), "bin")
+    val ordered = Window.partitionBy("quantile", "side").orderBy("x")
+    val picked = cand
+      .withColumn("rn", row_number().over(ordered))
+      .where(col("rn") === col("off"))
+      .groupBy("quantile", "pos")
+      .agg(min(when(col("side") === 0, col("x"))).as("x_lo"),
+        min(when(col("side") === 1, col("x"))).as("x_hi"))
+    val exactArr = picked.select(col("quantile"),
+      when(ceil(col("pos")) === floor(col("pos")), col("x_lo"))
+        .otherwise((ceil(col("pos")) - col("pos")) * col("x_lo") +
+          (col("pos") - floor(col("pos"))) * col("x_hi")).as("exact"))
     qbin.join(broadcast(exactArr), "quantile")
       .select(col("quantile"),
         round(col("exact"), 6).as("exact_value"),

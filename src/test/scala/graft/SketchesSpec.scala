@@ -40,6 +40,45 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("ddQuantiles exact twin ≡ percentile() bit-for-bit (round-15 " +
+      "bin-bounded order statistics)") {
+    import spark.implicits._
+    // the round-15 rewrite must reproduce Spark's Percentile result
+    // EXACTLY (the gate hashes round(exact, 6)): same ranks
+    // floor/ceil(q·(n−1))+1, same (higher−pos)·lo + (pos−lower)·hi
+    // interpolation. Shapes chosen to hit every branch: long-tailed
+    // continuous, heavy duplicate masses (rank pairs inside one value
+    // run), tiny n (1, 2, 3), integer positions (n−1 divisible), and
+    // the fixture column itself.
+    val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    def exactOf(df: org.apache.spark.sql.DataFrame, c: String): Map[Double, Double] =
+      Sketches.ddQuantiles(df, c, qs = qs).collect()
+        .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    def percentileOf(df: org.apache.spark.sql.DataFrame, c: String): Map[Double, Double] = {
+      val v = col(c).cast("double")
+      df.where(v > 0).select(v.as("x"))
+        .agg(expr(s"percentile(x, array(${qs.mkString(", ")}))").as("ex"))
+        .select(posexplode(col("ex"))).collect()
+        .map(r => qs(r.getInt(0)) -> BigDecimal(r.getDouble(1))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    val shapes = Seq(
+      (1 to 20000).map(i => math.exp((i % 9973) / 867.0)),      // long tail
+      Seq.fill(5000)(7.25) ++ Seq.fill(5000)(7.26) ++ Seq(1e9), // dup masses
+      Seq(42.0),                                                 // n = 1
+      Seq(1.0, 2.0),                                             // n = 2
+      Seq(3.0, 1.0, 2.0),                                        // n = 3
+      (0 until 11).map(_.toDouble + 0.5)                         // integer pos
+    )
+    for ((xs, i) <- shapes.zipWithIndex) {
+      val df = xs.toDF("x")
+      assert(exactOf(df, "x") == percentileOf(df, "x"), s"shape $i")
+    }
+    val li = graft.core.Tables.lineitem(spark, sf)
+    assert(exactOf(li, "l_extendedprice") == percentileOf(li, "l_extendedprice"),
+      "fixture column")
+  }
+
   test("ddQuantiles: merge-order independence — any partition layout " +
       "yields identical bins and identical gate rows") {
     import spark.implicits._
