@@ -1747,15 +1747,28 @@ object SparkEntry {
     // exact integer arithmetic, oracle = an unrolled CTE chain
     "g4_kcore"           -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // the ITERATION runs on packed LONG node ids (customer = 2·key,
+      // supplier = 2·key+1 — injective ↔ the "c…"/"s…" labels) and the
+      // labels are formatted once on the node-sized result (round 15,
+      // guide §2.3 "narrower types": the loop's edge-sized state
+      // halves and every hash/join/sort compares 8-byte longs instead
+      // of variable-length strings; result provably identical — an id
+      // isomorphism cannot change degrees). Output columns/order are
+      // byte-identical to the string-id spelling (same oracle).
       val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       // k=10 sits just under the sf0.001 degree cliff (129/160
       // survive there; 1590/1600 at sf0.01) — the peel is nontrivial
       // at every fixture scale without emptying the smallest
       graft.steps.GraphOps.kCorePeel(e, k = 10, rounds = 6)
+        .select(when(col("node_id") % 2 === 0,
+            concat(lit("c"), expr("node_id div 2")))
+          .otherwise(concat(lit("s"), expr("(node_id - 1) div 2")))
+          .as("node_id"), col("degree"))
+        .orderBy("node_id")
     }),
     // g5: bounded-iteration PageRank in exact integer micro-units —
     // the second iterative-graph shape (mass propagation vs g4's
@@ -1763,12 +1776,20 @@ object SparkEntry {
     // arithmetic unrolled per iteration
     "g5_pagerank"        -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // packed long ids for the loop, labels formatted at the end —
+      // see g4; pr_micro is a pure function of the graph, so the id
+      // isomorphism leaves every value untouched
       val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select(concat(lit("c"), col("o_custkey")).as("src"),
-          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
       graft.steps.GraphOps.pageRank(e, iters = 5)
+        .select(when(col("node_id") % 2 === 0,
+            concat(lit("c"), expr("node_id div 2")))
+          .otherwise(concat(lit("s"), expr("(node_id - 1) div 2")))
+          .as("node_id"), col("pr_micro"))
+        .orderBy("node_id")
     }),
     // g6: co-occurrence projection + triangle census — the supplier
     // co-purchase graph (two suppliers adjacent iff they share a

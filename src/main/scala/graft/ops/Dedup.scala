@@ -151,15 +151,23 @@ object Dedup {
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
     val pref = maxDocFreq match {
       case Some(cap) =>
+        // the df-capped path consumes pref0 TWICE (hot-list aggregation
+        // + anti-join left side), which re-ran the scan + shingle
+        // kernel + prefix explode per consumer — materialize it once
+        // (round 15). Prefix-posting-sized ((1−t)·shingles ≈ 20 % of
+        // the corpus shingle mass at t=0.8), MEMORY_AND_DISK spill; at
+        // scale one spill-read replaces one full CPU-bound kernel
+        // re-evaluation over the corpus.
+        val prefC = pref0.localCheckpoint(true)
         // no-silent-caps: the dropped-shingle count is an observe()
         // metric on the hot-list subplan, reported per execution
-        val hot = pref0.groupBy("s").agg(count(lit(1)).as("df"))
+        val hot = prefC.groupBy("s").agg(count(lit(1)).as("df"))
           .where(col("df") > cap)
           .observe(s"graft_c4_hot_shingles_gt$cap",
             count(lit(1)).as("dropped_shingles"),
             coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
           .select("s")
-        pref0.join(hot, Seq("s"), "left_anti")
+        prefC.join(hot, Seq("s"), "left_anti")
       case None => pref0
     }
     // pair emission via one aggregation per prefix shingle (a
@@ -428,10 +436,18 @@ object Dedup {
     * action, but over the (small) changed-label set, and bounded by
     * `maxIters`. */
   def dupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs
+    // materialize the PAIR set before the symmetric union (round 15):
+    // `pairs` is typically a whole candidate-generation + verification
+    // pipeline (minHashLshPairs in p1/c11/c14), and the two union
+    // branches would otherwise evaluate it TWICE inside the edges
+    // checkpoint job. Pair-graph-sized by contract — only documents
+    // with at least one near-dup — so the extra materialization is
+    // bounded and tiny next to one pipeline re-evaluation.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val edges = p
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint(true) // reused every round: evaluate pairs once
+      .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint(true) // reused every round
     var labels = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("cluster_id"))
       .localCheckpoint(true)
@@ -460,6 +476,7 @@ object Dedup {
     val out = labels.select(col("doc").as("doc_id"), col("cluster_id"))
       .orderBy("doc_id")
     edges.unpersist()
+    p.unpersist()
     out
   }
 
