@@ -167,10 +167,17 @@ object GraphOps {
     val spark = loopSession(edges.sparkSession)
     val in = org.apache.spark.sql.graft.StreamShims.rebind(spark, edges)
     val n0 = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // ONE exchange builds the closure (round 15): hash(src) clusters
+    // every (src, dst) duplicate into one partition — HashPartitioning
+    // on a SUBSET of the dedup keys satisfies its ClusteredDistribution
+    // — so repartitioning FIRST and deduplicating in place replaces the
+    // old distinct-exchange-then-repartition-exchange (two full
+    // closure shuffles) with one, and the dedup output keeps the
+    // pinned hash(src) layout the loop consumes.
     var e0 = in.select(col("src"), col("dst"))
       .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(n0, col("src"))
+      .dropDuplicates("src", "dst")
       .localCheckpoint(true, IterCkpt)
     e0 = graft.core.Parallelism.resizeCheckpoint(e0, n0, col("src"), IterCkpt)
     // initial degrees: co-partitioned map-side agg, zero exchange
@@ -261,10 +268,13 @@ object GraphOps {
     // co-partitioned node join instead of being carried on every edge
     // (one long per edge ≈ a third of the re-read volume, for a
     // node-sized join that shuffles nothing)
+    // one-exchange closure build: see kCorePeel — hash(src) satisfies
+    // the dedup's clustering, so the distinct runs in place after the
+    // single repartition and the sort records the SMJ-ready order
     var e = in.select(col("src"), col("dst"))
       .unionAll(in.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
       .repartition(n0, col("src"))
+      .dropDuplicates("src", "dst")
       .sortWithinPartitions("src")
       .localCheckpoint(true, IterCkpt)
     e = graft.core.Parallelism.resizeCheckpoint(
@@ -367,7 +377,23 @@ object GraphOps {
     * (hash-partitioned on `a`, checkpointed) pair set. */
   private[graft] def coProjection(incidence: DataFrame,
       maxLeftDegree: Int, minShareTenths: Int): DataFrame = {
-    val inc = incidence.select(col("left"), col("right")).distinct()
+    // materialize the distinct incidence ONCE, pinned hash(left) and
+    // sorted (round 15): it feeds the degree-cap aggregation and BOTH
+    // sides of the pair self-join, so the un-pinned spelling re-ran
+    // the scan + dimension join + distinct up to three more times
+    // inside one census — and hash(left) satisfies the dedup keys'
+    // clustering (subset), the degree agg, AND the self-join, so the
+    // ONE exchange here is the projection's only shuffle before the
+    // (a, b) rollup. Edge-set-sized — the same budget the census's own
+    // co0 checkpoint already spends — released right after co0
+    // materializes.
+    val nIncParts = incidence.sparkSession
+      .conf.get("spark.sql.shuffle.partitions").toInt
+    val inc = incidence.select(col("left"), col("right"))
+      .repartition(nIncParts, col("left"))
+      .dropDuplicates("left", "right")
+      .sortWithinPartitions("left")
+      .localCheckpoint(true, IterCkpt)
     val keep = inc.groupBy("left").agg(count(lit(1)).as("d"))
       .where(col("d") <= maxLeftDegree).select("left")
     val pruned = inc.join(keep, Seq("left"), "left_semi")
@@ -384,6 +410,7 @@ object GraphOps {
       .groupBy(col("x.right").as("a"), col("y.right").as("b"))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint(true, IterCkpt)
+    inc.unpersist()
     val maxShare = Option(co0.agg(max(col("c"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     // pin the projection hash-partitioned on `a`: the triangle wedge
