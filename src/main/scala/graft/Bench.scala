@@ -202,6 +202,15 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_dev.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // ALSO keyed by core count (additive, round-15 VERDICT #5): the
+    // default detail file is clobbered by every run, so a 32-core
+    // round detail followed by the driver's 8-core scaling run lost
+    // the 32-core per-query record. BENCH_dev.json stays the latest.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val keyed = out.replaceAll("\\.json$", "") + s"_${cpus}c.json"
+    if (keyed != out)
+      java.nio.file.Files.write(java.nio.file.Paths.get(keyed),
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val slowest = scala.collection.mutable.LinkedHashMap(
       warm.toSeq.sortBy(-_._2).take(5): _*)
     println(

@@ -1758,8 +1758,8 @@ object SparkEntry {
       val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       // k=10 sits just under the sf0.001 degree cliff (129/160
       // survive there; 1590/1600 at sf0.01) — the peel is nontrivial
       // at every fixture scale without emptying the smallest
@@ -1782,8 +1782,8 @@ object SparkEntry {
       val e = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey")
         .join(broadcast(Tables.orders(s, d).select("o_orderkey", "o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .select((col("o_custkey") * 2).as("src"),
-          (col("l_suppkey") * 2 + 1).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       graft.steps.GraphOps.pageRank(e, iters = 5)
         .select(when(col("node_id") % 2 === 0,
             concat(lit("c"), expr("node_id div 2")))

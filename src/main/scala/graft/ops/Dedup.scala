@@ -99,12 +99,22 @@ object Dedup {
           .where(size(col("ids")) <= cap)
       case None => buckets0
     }
+    // pair emission via the codegen'd one-call kernel (round 16): the
+    // nested `transform(ids, (x, i) -> transform(slice(...), y ->
+    // struct(least, greatest)))` ran INTERPRETED (HOFs don't codegen)
+    // and allocated a slice + a nested array per position before
+    // flatten. The kernel sorts each bucket once so (ids[i], ids[j])
+    // i<j IS the canonical a<b pair, and emits the bucket's pairs in
+    // one array — node-for-node the old plan shape (one Generate; a
+    // suffix/posexplode variant was measured SLOWER on sf0.1's tiny
+    // buckets and reverted, see VectorKernels.bucketPairs). Pair set
+    // is provably the old one: both spell {(min(x,y), max(x,y)) :
+    // unordered position pairs} (DedupSimilaritySpec pins the
+    // multiset against the HOF spelling).
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
-          y => struct(least(x, y).as(aName), greatest(x, y).as(bName))))))
-        .as("p"))
-      .select(col(s"p.$aName"), col(s"p.$bName"))
+      .select(explode(graft.functions.GraftFunctions
+        .bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a").as(aName), col("p.b").as(bName))
       .distinct()
   }
 
@@ -149,7 +159,7 @@ object Dedup {
       (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
     val pref0 = withSh
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-    val pref = maxDocFreq match {
+    maxDocFreq match {
       case Some(cap) =>
         // the df-capped path consumes pref0 TWICE (hot-list aggregation
         // + anti-join left side), which re-ran the scan + shingle
@@ -157,27 +167,40 @@ object Dedup {
         // (round 15). Prefix-posting-sized ((1−t)·shingles ≈ 20 % of
         // the corpus shingle mass at t=0.8), MEMORY_AND_DISK spill; at
         // scale one spill-read replaces one full CPU-bound kernel
-        // re-evaluation over the corpus.
+        // re-evaluation over the corpus. The RESULT is materialized
+        // eagerly (pair-set-sized — docs with ≥1 verified near-dup,
+        // the dupClusters budget) so the posting checkpoint can be
+        // released HERE instead of lingering until session end
+        // (round-15 ADVICE: repeated calls in one long-lived session
+        // accumulated the prefix-posting blocks with no unpersist
+        // path).
         val prefC = pref0.localCheckpoint(true)
-        // no-silent-caps: the dropped-shingle count is an observe()
-        // metric on the hot-list subplan, reported per execution
-        val hot = prefC.groupBy("s").agg(count(lit(1)).as("df"))
-          .where(col("df") > cap)
-          .observe(s"graft_c4_hot_shingles_gt$cap",
-            count(lit(1)).as("dropped_shingles"),
-            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
-          .select("s")
-        prefC.join(hot, Seq("s"), "left_anti")
-      case None => pref0
+        try {
+          // no-silent-caps: the dropped-shingle count is an observe()
+          // metric on the hot-list subplan, reported per execution
+          val hot = prefC.groupBy("s").agg(count(lit(1)).as("df"))
+            .where(col("df") > cap)
+            .observe(s"graft_c4_hot_shingles_gt$cap",
+              count(lit(1)).as("dropped_shingles"),
+              coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+            .select("s")
+          val pref = prefC.join(hot, Seq("s"), "left_anti")
+          val cand = cappedBucketPairs(
+            pref.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+              .where(size(col("ids")) > 1),
+            None, "graft_c4", "doc_a", "doc_b")
+          jaccardVerify(cand, withSh, threshold).localCheckpoint(true)
+        } finally prefC.unpersist()
+      case None =>
+        // pair emission via one aggregation per prefix shingle (a
+        // pref×pref self-join would run the shingle kernel on both
+        // sides)
+        val cand = cappedBucketPairs(
+          pref0.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+            .where(size(col("ids")) > 1),
+          None, "graft_c4", "doc_a", "doc_b")
+        jaccardVerify(cand, withSh, threshold)
     }
-    // pair emission via one aggregation per prefix shingle (a
-    // pref×pref self-join would run the shingle kernel on both
-    // sides); the df-cap already bounded the posting lists upstream
-    val cand = cappedBucketPairs(
-      pref.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-        .where(size(col("ids")) > 1),
-      None, "graft_c4", "doc_a", "doc_b")
-    jaccardVerify(cand, withSh, threshold)
   }
 
   /** C2 — MinHash + LSH near-dup pairs (the subquadratic scale path

@@ -337,7 +337,15 @@ object Multimodal {
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long = 1000L,
       maxFrames: Int = 16): Dataset[DecodedFrame] = {
     import media.sparkSession.implicits._
-    media.filter(_.kind == "video").flatMap { m =>
+    // columnar `where`, not a typed filter: the typed predicate ran
+    // BELOW nothing — every row (image/audio too) was deserialized,
+    // payload bytes copied into a MediaRow, just to test `kind`. The
+    // Column predicate evaluates on the serialized form and pushes to
+    // the parquet scan (PushedFilters: kind = 'video'), so 2/3 of the
+    // corpus' payload bytes never reach the deserializer (guide §6
+    // pushdown; frame decode itself already samples-then-decodes —
+    // gvidFrame slices frame i out of the container before ImageIO).
+    media.where(col("kind") === "video").flatMap { m =>
       val n = math.min(maxFrames, math.max(1L, m.meta.durationMs / everyMs)).toInt
       (0 until n).iterator.map { i =>
         val img = JdkCodec.decodeImage(JdkCodec.gvidFrame(m.bytes, i))

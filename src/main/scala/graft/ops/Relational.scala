@@ -330,16 +330,30 @@ object Relational {
       .orderBy("l_returnflag")
 
   /** Q25 exact percentiles (continuous interpolation): median + p90
-    * per market segment. */
-  def q25Percentiles(s: SparkSession, d: String): DataFrame =
-    orders(s, d)
+    * per market segment. Since round 16 computed as GROUPED
+    * bin-bounded order statistics ([[Sketches.groupedPercentiles]],
+    * bit-equal to `percentile()` per group — SketchesSpec pins it):
+    * the `percentile(o_totalprice, ...)` spelling planned an
+    * ObjectHashAggregate that buffers EVERY price of a segment in one
+    * aggregation buffer and merges the maps single-threaded — the
+    * guide-§5 whole-column-in-one-buffer shape; at 100 TB each
+    * segment's buffer is the segment's column. The rewrite's passes
+    * shuffle bin-sized tables plus only the located bins' rows. */
+  def q25Percentiles(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d)
       .join(broadcast(customer(s, d).select("c_custkey", "c_mktsegment")),
         col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_totalprice"))
+    Sketches.groupedPercentiles(base, "c_mktsegment", "o_totalprice",
+        Seq(0.5, 0.9))
       .groupBy("c_mktsegment")
       .agg(
-        ratio(percentile(col("o_totalprice"), lit(0.5))).as("median_price"),
-        ratio(percentile(col("o_totalprice"), lit(0.9))).as("p90_price"))
+        ratio(min(when(col("quantile") === 0.5, col("exact"))))
+          .as("median_price"),
+        ratio(min(when(col("quantile") === 0.9, col("exact"))))
+          .as("p90_price"))
       .orderBy("c_mktsegment")
+  }
 
   /** Q26 typed Aggregator surface: weighted average of extended
     * price by quantity via [[graft.functions.TypedAggregators]]. */

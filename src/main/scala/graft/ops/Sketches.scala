@@ -58,9 +58,13 @@ object Sketches {
     val gamma = (1 + alpha) / (1 - alpha)
     val v = col(valueCol).cast("double")
     // one pass, map-side partial: the shuffle moves ≤ bins×partitions
-    // rows. Strictly-positive domain (DDSketch's); zero/negative
-    // values would need the standard mirrored second sketch.
-    val bins = df.where(v > lit(0.0))
+    // rows. Strictly-positive FINITE domain (DDSketch's); zero/negative
+    // values would need the standard mirrored second sketch. NaN is
+    // excluded explicitly: Spark orders NaN greatest, so `NaN > 0` is
+    // TRUE, but `ceil(log(NaN))` casts to bin 0 — mid-range — which
+    // would corrupt both the sketch and the exact twin's rank
+    // arithmetic (round-15 ADVICE; latent only, fixtures are clean).
+    val bins = df.where(v > lit(0.0) && !isnan(v))
       .select((ceil(log(v) / lit(math.log(gamma)))).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
     // cumulative walk over the BIN-sized frame: a single-partition
@@ -119,7 +123,9 @@ object Sketches {
       .select(col("quantile"), col("pos"), col("side"), col("bin"),
         (col("rank") - (col("cum") - col("cnt"))).as("off"))
     // candidate rows: only the located bins' values leave the scan
-    val cand = df.where(v > lit(0.0)).select(v.as("x"))
+    // (same NaN-excluding population as `bins` — the two filters MUST
+    // agree or the located offsets index a different multiset)
+    val cand = df.where(v > lit(0.0) && !isnan(v)).select(v.as("x"))
       .withColumn("bin", binExpr)
       .join(broadcast(located), "bin")
     val ordered = Window.partitionBy("quantile", "side").orderBy("x")
@@ -141,6 +147,93 @@ object Sketches {
       .orderBy("quantile")
   }
 
+  /** GROUPED exact percentiles as bin-bounded order statistics — the
+    * per-group generalization of [[ddQuantiles]]'s exact twin,
+    * bit-equal to `percentile(v, q)` per group (round 16; removes the
+    * last `percentile()` ObjectHashAggregate in a declared query —
+    * q25 — the guide-§5 whole-column-in-one-buffer shape: at scale
+    * each group's aggregation buffer IS the group's column).
+    *
+    * Returns one row per (group, quantile): `(groupCol, quantile,
+    * exact)`. Same mechanics as the t18 twin, with every table keyed
+    * by the group:
+    *   1. log-γ bins per (group, value) — one map-side-partial pass;
+    *      the FULL real line is covered (monotone encoding: negatives
+    *      mirrored below a zero sentinel below the positive bins), so
+    *      unlike DDSketch's strictly-positive domain this replays
+    *      `percentile()` on any finite input. NaN is outside the
+    *      contract (percentile orders NaN greatest; the fixtures and
+    *      gates are NaN-free — the [[ddQuantiles]] precondition).
+    *   2. interpolation ranks floor/ceil(q·(n_g−1))+1 per group from
+    *      the bin-sized cumulative table;
+    *   3. only the located bins' rows join back (broadcast, keyed
+    *      (group, bin)) and a per-(group, q, side) row_number picks
+    *      the in-bin offset;
+    *   4. Spark's Percentile interpolation replayed exactly
+    *      ((higher−pos)·x_lo + (pos−lower)·x_hi, degenerate → x_lo).
+    * SketchesSpec pins per-group bit-equality against `percentile()`
+    * on fixture + planted (duplicate-mass, negative/zero, tiny-n)
+    * shapes. */
+  private[graft] def groupedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1),
+      s"quantiles must lie in [0,1]: $qs")
+    val g = col(groupCol)
+    val v = col(valueCol).cast("double")
+    // monotone full-domain binning: x ≤ y ⇒ bin(x) ≤ bin(y).
+    // positives: ceil(ln x/ln γ) ∈ ±~36 000 over the double range;
+    // zero: a sentinel strictly below every positive bin; negatives:
+    // mirrored below the sentinel (NEG_BASE − ceil(ln(−x)/ln γ) is
+    // increasing in x and tops out ≈ NEG_BASE + 37 600 < ZERO_BIN).
+    val lgGamma = math.log((1 + 0.01) / (1 - 0.01))
+    val negBase = -(1L << 41)
+    val zeroBin = -(1L << 39)
+    def binOf(x: Column): Column =
+      when(x > 0.0, ceil(log(x) / lit(lgGamma)).cast("long"))
+        .when(x === 0.0, lit(zeroBin))
+        .otherwise(lit(negBase) - ceil(log(-x) / lit(lgGamma)).cast("long"))
+    // percentile() ignores nulls — the population here must too
+    val pop = df.where(v.isNotNull).select(g.as("__g"), v.as("__x"))
+    val bins = pop.select(col("__g"), binOf(col("__x")).as("__bin"))
+      .groupBy("__g", "__bin").agg(count(lit(1)).as("__cnt"))
+    val cum = bins.withColumn("__cum",
+      sum("__cnt").over(Window.partitionBy("__g").orderBy("__bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val total = bins.groupBy("__g").agg(sum("__cnt").as("__n"))
+    val qdf = df.sparkSession.range(1).select(
+      explode(array(qs.map(lit): _*)).as("__q"))
+    val ranks = total.crossJoin(broadcast(qdf))
+      .select(col("__g"), col("__q"),
+        (col("__q") * (col("__n") - 1).cast("double")).as("__pos"))
+      .select(col("__g"), col("__q"), col("__pos"),
+        explode(array(
+          struct(lit(0).as("side"),
+            (floor(col("__pos")).cast("long") + 1).as("rank")),
+          struct(lit(1).as("side"),
+            (ceil(col("__pos")).cast("long") + 1).as("rank")))).as("__w"))
+      .select(col("__g"), col("__q"), col("__pos"),
+        col("__w.side").as("__side"), col("__w.rank").as("__rank"))
+    val located = ranks.join(cum, ranks("__g") === cum("__g") &&
+        col("__cum") >= col("__rank") &&
+        col("__cum") - col("__cnt") < col("__rank"))
+      .select(ranks("__g"), col("__q"), col("__pos"), col("__side"),
+        col("__bin"), (col("__rank") - (col("__cum") - col("__cnt")))
+          .as("__off"))
+    val cand = pop.withColumn("__bin", binOf(col("__x")))
+      .join(broadcast(located), Seq("__g", "__bin"))
+    val ordered = Window.partitionBy("__g", "__q", "__side").orderBy("__x")
+    val picked = cand
+      .withColumn("__rn", row_number().over(ordered))
+      .where(col("__rn") === col("__off"))
+      .groupBy("__g", "__q", "__pos")
+      .agg(min(when(col("__side") === 0, col("__x"))).as("__xlo"),
+        min(when(col("__side") === 1, col("__x"))).as("__xhi"))
+    picked.select(col("__g").as(groupCol), col("__q").as("quantile"),
+      when(ceil(col("__pos")) === floor(col("__pos")), col("__xlo"))
+        .otherwise((ceil(col("__pos")) - col("__pos")) * col("__xlo") +
+          (col("__pos") - floor(col("__pos"))) * col("__xhi")).as("exact"))
+  }
+
   /** Raw DDSketch (bin → count) for a column — the mergeable state
     * itself, exposed for the spec's merge-order-independence and
     * α-guarantee assertions. */
@@ -148,7 +241,7 @@ object Sketches {
       alpha: Double): DataFrame = {
     val gamma = (1 + alpha) / (1 - alpha)
     val v = col(valueCol).cast("double")
-    df.where(v > lit(0.0))
+    df.where(v > lit(0.0) && !isnan(v)) // same population as ddQuantiles
       .select((ceil(log(v) / lit(math.log(gamma)))).cast("long").as("bin"))
       .groupBy("bin").agg(count(lit(1)).as("cnt"))
   }

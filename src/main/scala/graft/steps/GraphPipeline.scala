@@ -2,6 +2,7 @@ package graft.steps
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 import graft.core._
 
 /** The reference's flagship production workload shape — the 4-asset
@@ -389,7 +390,16 @@ object GraphOps {
     // materializes.
     val nIncParts = incidence.sparkSession
       .conf.get("spark.sql.shuffle.partitions").toInt
-    val inc = incidence.select(col("left"), col("right"))
+    // integral rights take the packed-pair kernel path below; the
+    // cast to long is an injective id map (cannot change duplicates,
+    // degrees or pair counts)
+    val rightIntegral = incidence.schema("right").dataType match {
+      case LongType | IntegerType | ShortType | ByteType => true
+      case _ => false
+    }
+    val inc = incidence.select(col("left"),
+        (if (rightIntegral) col("right").cast("long") else col("right"))
+          .as("right"))
       .repartition(nIncParts, col("left"))
       .dropDuplicates("left", "right")
       .sortWithinPartitions("left")
@@ -404,11 +414,24 @@ object GraphOps {
     // data degenerates toward a complete graph, whose triangle join
     // is n³ no matter the algorithm). The max is one model-sized
     // driver scalar (the c10 discipline).
-    val co0 = pruned.alias("x")
-      .join(pruned.alias("y"), Seq("left"))
-      .where(col("x.right") < col("y.right"))
-      .groupBy(col("x.right").as("a"), col("y.right").as("b"))
-      .agg(count(lit(1)).as("c"))
+    //
+    // Pair emission (round 16): grouped posting list + packed-pair
+    // kernel instead of the pruned⋈pruned self-join. The self-join
+    // evaluated the `pruned` subtree (semi join + its degree agg)
+    // TWICE and rolled the ~|pairs| join output up on a two-long
+    // (a, b) key; here the posting list per left is built by ONE
+    // zero-exchange aggregation (inc is pinned hash(left)), each
+    // (left, position) row emits its ≤|rs| suffix pairs as PACKED
+    // longs (a<<32|b — rights are supplier keys, the kernel refuses
+    // ids ≥ 2³¹ by name), and the rollup exchanges 8-byte keys.
+    // Cap story: the suffix form streams a df-capped hot left
+    // (10⁴ rights ⇒ 5·10⁷ pairs) as 10⁴ bounded chunks instead of
+    // materializing one 400 MB pair array. Pair multiset is
+    // provably the self-join's: per left the rights are distinct
+    // (dedup upstream), sorted ascending ⇒ {(rs[i], rs[j]) : i<j}
+    // = {(x, y) : x < y} exactly (GraphPipelineSpec pins equality
+    // against the join spelling).
+    val co0 = coPairCounts(pruned, rightIntegral)
       .localCheckpoint(true, IterCkpt)
     inc.unpersist()
     val maxShare = Option(co0.agg(max(col("c"))).head.get(0))
@@ -429,6 +452,35 @@ object GraphOps {
     co0.unpersist()
     co
   }
+
+  /** The (a, b, c) shared-neighbor pair counts of the weighted
+    * projection — [[coProjection]]'s pair-emission subtree, exposed
+    * pre-checkpoint so plan evidence and probes can see the shape the
+    * checkpoint otherwise hides. Integral rights take the posting-list
+    * + packed-pair kernel path; any other ordered type keeps the
+    * self-join spelling (see the call site for the full rationale). */
+  private[graft] def coPairCounts(pruned: DataFrame,
+      rightIntegral: Boolean): DataFrame =
+    if (rightIntegral) {
+      val posting = pruned.groupBy("left")
+        .agg(collect_list(col("right")).as("rs0"))
+        .select(graft.functions.GraftFunctions.sortedLongs(col("rs0")).as("rs"))
+      posting
+        .select(col("rs"), posexplode(col("rs")).as(Seq("i", "__r")))
+        .select(explode(graft.functions.GraftFunctions
+          .packedPairsFrom(col("rs"), col("i"))).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("c"))
+        .select(shiftright(col("p"), 32).as("a"),
+          col("p").bitwiseAND(lit(0xFFFFFFFFL)).as("b"), col("c"))
+    } else {
+      // non-integral rights (spec hand graphs): the general
+      // ordered-type self-join spelling
+      pruned.alias("x")
+        .join(pruned.alias("y"), Seq("left"))
+        .where(col("x.right") < col("y.right"))
+        .groupBy(col("x.right").as("a"), col("y.right").as("b"))
+        .agg(count(lit(1)).as("c"))
+    }
 
   private def triangleCensusImpl(incidence: DataFrame,
       maxLeftDegree: Int, minShareTenths: Int): DataFrame = {

@@ -45,6 +45,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.ngramJaccardPairs(docs, maxDocFreq = Some(0)).count() == 0)
   }
 
+  test("bucketPairs kernel reproduces the nested-transform emission " +
+      "(round 16: one-call sorted pair emission vs the interpreted HOF)") {
+    import spark.implicits._
+    // unsorted lists, duplicate values, singleton and empty lists
+    val buckets = Seq(Seq(5L, 1L, 3L, 1L), Seq(2L, 2L), Seq(9L), Seq[Long]())
+      .toDF("ids")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val kernel = pairsOf(buckets
+      .select(explode(graft.functions.GraftFunctions
+        .bucketPairs(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b")))
+    val hof = pairsOf(buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids")) - i - 1),
+          y => struct(least(x, y).as("a"), greatest(x, y).as("b"))))))
+        .as("p"))
+      .select(col("p.a"), col("p.b")))
+    assert(kernel == hof && kernel.nonEmpty, s"$kernel vs $hof")
+  }
+
   test("df-cap bounds hot-key candidates without losing cold pairs") {
     import spark.implicits._
     // 30 docs sharing only ultra-hot "HOT HOT *" prefix shingles, plus

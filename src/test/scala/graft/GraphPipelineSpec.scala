@@ -170,6 +170,46 @@ class GraphPipelineSpec extends SparkSpec {
     }
   }
 
+  test("coProjection packed-pair kernel ≡ the self-join spelling " +
+      "(round-16: integral rights take the posting-list path)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // deterministic bipartite incidence with shared neighbors and
+    // repeated (left, right) rows (the dedup must collapse them)
+    val rows = for (l <- 0 until 120; j <- 0 until 6)
+      yield (l.toLong, ((l * (j + 3) + j * 17) % 40).toLong)
+    val inc = (rows ++ rows.take(50)).toDF("left", "right")
+    // kernel-path projection (long rights) vs the join spelling
+    // computed inline with the same cap/threshold
+    val co = graft.steps.GraphOps.coProjection(inc, 10000, 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pr = inc.distinct()
+    val co0 = pr.alias("x").join(pr.alias("y"), Seq("left"))
+      .where(col("x.right") < col("y.right"))
+      .groupBy(col("x.right").as("a"), col("y.right").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val mx = co0.agg(max("c")).head.getLong(0)
+    val want = co0.where(col("c") * 10 >= lit(8) * lit(mx))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(co == want, s"kernel path diverged: ${co.diff(want)} / ${want.diff(co)}")
+    // the full census agrees across the two dispatch paths: string
+    // rights (join spelling) vs long rights (kernel) under an
+    // order-preserving relabeling
+    val strInc = (rows ++ rows.take(50))
+      .map { case (l, r) => (l, f"r$r%03d") }.toDF("left", "right")
+    val a = graft.steps.GraphOps.triangleCensus(inc).head
+    val b = graft.steps.GraphOps.triangleCensus(strInc).head
+    assert((a.getLong(0), a.getLong(1), a.getLong(2)) ==
+      ((b.getLong(0), b.getLong(1), b.getLong(2))), s"$a vs $b")
+    // refuse-by-name: packed ids must fit [0, 2^31)
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.VectorKernels.packedPairsFrom(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          Array(1L, 1L << 31)), 0)
+    }
+    assert(ex.getMessage.contains("2^31"))
+  }
+
   test("triangleCensus: sparse hand graph, hot-left df-cap") {
     import spark.implicits._
     // co-edges: AB (l1), BC (l2), AC (l3), CD (l4) → one triangle ABC

@@ -38,6 +38,11 @@ class PlanLintSpec extends SparkSpec {
       // total and a 3-row quantile list — sketch-sized constants,
       // never data
       "t18_quantile_sketch",
+      // q25's grouped twin (round 16) crosses the per-GROUP total
+      // table (5 rows) with the 2-row quantile list — the same
+      // sketch-sized-constant shape as t18, never data (the data-side
+      // joins are broadcast hash joins on (group, bin))
+      "q25_percentiles",
       // t21's (N, avgdl) corpus scalar rides the same 1-ROW
       // broadcast cross join as t7's
       "t21_bm25_topk")

@@ -79,6 +79,41 @@ class SketchesSpec extends SparkSpec {
       "fixture column")
   }
 
+  test("groupedPercentiles ≡ percentile() per group bit-for-bit " +
+      "(round-16 grouped bin-bounded order statistics — the q25 rewrite)") {
+    import spark.implicits._
+    val qs = Seq(0.1, 0.25, 0.5, 0.9, 0.99)
+    def check(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val got = Sketches.groupedPercentiles(df, "g", "x", qs).collect()
+        .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+      val want = df.where(col("x").isNotNull).groupBy("g")
+        .agg(expr(s"percentile(x, array(${qs.mkString(", ")}))").as("ex"))
+        .select(col("g"), posexplode(col("ex"))).collect()
+        .map(r => (r.getString(0), qs(r.getInt(1))) -> r.getDouble(2)).toMap
+      assert(got == want, s"$label: $got vs $want")
+    }
+    // shapes per group: long tail, duplicate masses, NEGATIVES and
+    // ZEROS (the grouped helper covers the full real line, unlike
+    // DDSketch's positive domain), tiny n (1/2/3), integer positions
+    val planted =
+      (1 to 7000).map(i => ("tail", math.exp((i % 997) / 86.0))) ++
+      (1 to 3000).map(i => ("dups", if (i <= 1500) 7.25 else 7.26)) ++
+      Seq(("dups", 1e9)) ++
+      (1 to 2000).map(i => ("negs", (i % 101).toDouble - 50.5)) ++
+      Seq(("none", 42.0), ("two", 1.0), ("two", 2.0),
+        ("three", 3.0), ("three", 1.0), ("three", 2.0)) ++
+      (0 until 11).map(i => ("intpos", i + 0.5))
+    check(planted.toDF("g", "x"), "planted")
+    // the q25 fixture shape itself
+    val base = graft.core.Tables.orders(spark, sf)
+      .join(broadcast(graft.core.Tables.customer(spark, sf)
+        .select("c_custkey", "c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("g"),
+        col("o_totalprice").as("x"))
+    check(base, "q25 base")
+  }
+
   test("ddQuantiles: merge-order independence — any partition layout " +
       "yields identical bins and identical gate rows") {
     import spark.implicits._

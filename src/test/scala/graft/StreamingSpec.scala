@@ -32,6 +32,26 @@ class StreamingSpec extends SparkSpec {
       batch.select("event_id")).count() == 0)
   }
 
+  test("state-size guard: a memory-backed drain whose key space passes " +
+      "the documented bound REFUSES by name (round 16)") {
+    // plant an oversized key space by shrinking the bound to 1 row per
+    // partition: the dedup stream keys on every event, so the fixture
+    // drain blows through it — the guard must name the bound and the
+    // RocksDB escape instead of letting a real deployment's next batch
+    // OOM. With the bound back at its default the same drain passes
+    // (the existing dedup test above).
+    spark.conf.set("spark.graft.maxStateRowsPerPartition", "1")
+    try {
+      val ex = intercept[IllegalStateException] {
+        EventsStream.runAvailableNow(spark,
+          EventsStream.dedupStream(EventsStream.readEventsStream(spark, sf)),
+          "guard_refusal_test", OutputMode.Append())
+      }
+      assert(ex.getMessage.contains("state-size guard"), ex.getMessage)
+      assert(ex.getMessage.contains("rocksdb"), ex.getMessage)
+    } finally spark.conf.unset("spark.graft.maxStateRowsPerPartition")
+  }
+
   test("stream-stream LEFT OUTER join == batch left interval join " +
       "(null rows emitted at watermark close)") {
     val dir = EventsStream.scratchDir("stream_ljoin_spec")

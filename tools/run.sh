@@ -3,7 +3,12 @@
 # (avoids sbt startup per invocation). Usage: tools/run.sh graft.Verify ARGS...
 set -euo pipefail
 CLS="$1"; shift
-CP="/root/repo/target/scala-2.13/classes:/opt/spark/jars/*"
+# classpath from THIS script's checkout (not a hardcoded /root/repo):
+# a worktree/second checkout must run its own classes — round-16
+# lesson: the hardcoded path silently ran the main tree's binaries
+# from a worktree, voiding an A/B's "before" arm
+ROOT="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd)"
+CP="$ROOT/target/scala-2.13/classes:/opt/spark/jars/*"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
          java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
