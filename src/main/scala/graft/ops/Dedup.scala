@@ -95,7 +95,10 @@ object Dedup {
         buckets0
           .observe(s"${metric}_gt$cap",
             sum(when(size(col("ids")) > cap, 1L).otherwise(0L))
-              .as("dropped_buckets"))
+              .as("dropped_buckets"),
+            coalesce(sum(when(size(col("ids")) > cap,
+              size(col("ids")).cast("long"))), lit(0L))
+              .as("dropped_postings"))
           .where(size(col("ids")) <= cap)
       case None => buckets0
     }
@@ -159,48 +162,27 @@ object Dedup {
       (size(col("sh")) - ceil(size(col("sh")) * lit(threshold)) + 1).cast("int")
     val pref0 = withSh
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("s"))
-    maxDocFreq match {
-      case Some(cap) =>
-        // the df-capped path consumes pref0 TWICE (hot-list aggregation
-        // + anti-join left side), which re-ran the scan + shingle
-        // kernel + prefix explode per consumer — materialize it once
-        // (round 15). Prefix-posting-sized ((1−t)·shingles ≈ 20 % of
-        // the corpus shingle mass at t=0.8), MEMORY_AND_DISK spill; at
-        // scale one spill-read replaces one full CPU-bound kernel
-        // re-evaluation over the corpus. The RESULT is materialized
-        // eagerly (pair-set-sized — docs with ≥1 verified near-dup,
-        // the dupClusters budget) so the posting checkpoint can be
-        // released HERE instead of lingering until session end
-        // (round-15 ADVICE: repeated calls in one long-lived session
-        // accumulated the prefix-posting blocks with no unpersist
-        // path).
-        val prefC = pref0.localCheckpoint(true)
-        try {
-          // no-silent-caps: the dropped-shingle count is an observe()
-          // metric on the hot-list subplan, reported per execution
-          val hot = prefC.groupBy("s").agg(count(lit(1)).as("df"))
-            .where(col("df") > cap)
-            .observe(s"graft_c4_hot_shingles_gt$cap",
-              count(lit(1)).as("dropped_shingles"),
-              coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
-            .select("s")
-          val pref = prefC.join(hot, Seq("s"), "left_anti")
-          val cand = cappedBucketPairs(
-            pref.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-              .where(size(col("ids")) > 1),
-            None, "graft_c4", "doc_a", "doc_b")
-          jaccardVerify(cand, withSh, threshold).localCheckpoint(true)
-        } finally prefC.unpersist()
-      case None =>
-        // pair emission via one aggregation per prefix shingle (a
-        // pref×pref self-join would run the shingle kernel on both
-        // sides)
-        val cand = cappedBucketPairs(
-          pref0.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
-            .where(size(col("ids")) > 1),
-          None, "graft_c4", "doc_a", "doc_b")
-        jaccardVerify(cand, withSh, threshold)
-    }
+    // ONE aggregation builds the posting lists AND applies the df-cap
+    // (round 16): a prefix shingle's document frequency IS its posting
+    // list's length, so the separate hot-list aggregation + anti-join
+    // (and the round-15 checkpoint that kept them from re-running the
+    // shingle kernel twice, with its unreleasable-retention ADVICE) are
+    // one `where(size(ids) <= cap)` on the single collect_list pass —
+    // the exact shape c2/c8 have always used (cappedBucketPairs).
+    // Plan diff: 2 corpus-posting aggregations + 1 anti-join +
+    // 1 checkpoint job → 1 aggregation, zero checkpoints, and the gate
+    // plan is visible again (no Scan ExistingRDD). §5 note: a hot
+    // shingle's full list materializes in the aggregation before the
+    // cap drops it — the same bounded exposure c2's band buckets
+    // accepted from the start (ObjectHashAggregate falls back to
+    // sort-based aggregation past its key threshold, and one list is
+    // ≤ the hot key's df — the df-cap's own observability names the
+    // mass that was dropped).
+    val cand = cappedBucketPairs(
+      pref0.groupBy("s").agg(collect_list(col("doc_id")).as("ids"))
+        .where(size(col("ids")) > 1),
+      maxDocFreq, "graft_c4_hot_shingles", "doc_a", "doc_b")
+    jaccardVerify(cand, withSh, threshold)
   }
 
   /** C2 — MinHash + LSH near-dup pairs (the subquadratic scale path
