@@ -453,9 +453,13 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint(true) // reused every round
-    var labels = edges.select(col("src").as("doc")).distinct()
+    // ckpt = the round's CHECKPOINTED frame (the unpersist handle —
+    // unpersisting a lazy projection would release nothing); labels =
+    // the (doc, cluster_id) view the next round consumes
+    var ckpt = edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("cluster_id"))
       .localCheckpoint(true)
+    var labels = ckpt
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -463,19 +467,28 @@ object Dedup {
         .join(labels.withColumnRenamed("doc", "src"), "src")
         .groupBy(col("dst").as("doc"))
         .agg(min(col("cluster_id")).as("nmin"))
+      // `changed` rides the round's own checkpoint (round 16): labels
+      // propagate MINIMA, so a node changed iff its neighbor-min
+      // strictly undercuts its label — exactly next ≠ prev, computed
+      // in the same pass. The previous spelling ran a SECOND
+      // node-sized join job per round (next ⋈ labels on doc) just to
+      // test convergence; now the check is one isEmpty scan over the
+      // already-cached checkpoint blocks (guide §5: fewer driver
+      // actions per iteration).
       val next = labels.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id")))
-            .as("cluster_id"))
+            .as("cluster_id"),
+          (coalesce(col("nmin"), col("cluster_id")) < col("cluster_id"))
+            .as("changed"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "doc")
-        .where(col("cluster_id") =!= col("prev")).isEmpty
+      converged = next.where(col("changed")).isEmpty
       // superseded checkpoint blocks must not accumulate in the block
       // manager across rounds (or across repeated invocations in a
       // long-lived session)
-      labels.unpersist()
-      labels = next
+      ckpt.unpersist()
+      ckpt = next
+      labels = next.select("doc", "cluster_id")
       iter += 1
     }
     val out = labels.select(col("doc").as("doc_id"), col("cluster_id"))
